@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (BASELINE.json north star): tokenization, shingling, token counting,
+  * quality scoring, language-ID heuristics. All pure builtin
+  * compositions (codegen'd, no UDFs) so every one of them is also
+  * expressible as DuckDB oracle SQL.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), " "), t => t =!= lit(""))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alpha runs, single digits, single punctuation
+    * marks — the standard cheap proxy for subword token counts.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishPattern))
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]; empty when the text
+    * has fewer than n tokens. (`sequence(0, -k)` would count backwards,
+    * hence the explicit guard.)
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Stopwords used by the quality score and language-ID heuristic. */
+  val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val DeStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein")
+  val FrStop: Seq[String] = Seq("le", "la", "les", "et", "est", "un")
+  val EsStop: Seq[String] = Seq("el", "la", "los", "y", "es", "un")
+
+  /** Count of tokens contained in `words`. */
+  def stopHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words: _*)))
+
+  /** Heuristic document quality score in [0,1], rounded to 4 dp:
+    *   0.4 * length score (saturates at 32 tokens)
+    * + 0.4 * lexical diversity (distinct/total tokens)
+    * + 0.2 * stopword presence (saturates at 1/8 stopword ratio).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val lenScore = least(lit(1.0), n / 32.0)
+    val divScore = size(array_distinct(toks)).cast("double") / n
+    val stopScore =
+      least(lit(1.0), stopHits(text, EnStop).cast("double") * 8.0 / n)
+    round(lenScore * 0.4 + divScore * 0.4 + stopScore * 0.2, 4)
+  }
+
+  /** Marker-word language-ID: count stopword hits per language, pick the
+    * first maximum in fixed order (en, de, fr, es); "und" when nothing
+    * matched. Deterministic and SQL-expressible.
+    */
+  def langId(text: Column): Column = {
+    val en = stopHits(text, EnStop)
+    val de = stopHits(text, DeStop)
+    val fr = stopHits(text, FrStop)
+    val es = stopHits(text, EsStop)
+    when(en + de + fr + es === 0, lit("und"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+}

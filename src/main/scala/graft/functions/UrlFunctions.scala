@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL operators from the reference crawler, re-expressed as codegen'd
+  * Column compositions (no UDFs):
+  *   - domain/path/ext projections (`/root/reference/utils.py:6-8`,
+  *     `/root/reference/crawler/crawler_core.py:22-30`)
+  *   - defragment + query-strip (`/root/reference/crawler/link_extractor.py:20`)
+  *   - the 23-extension static blocklist (`crawler_core.py:15-19`)
+  *   - site-key sanitization (`/root/reference/storage/filesystem_store.py:11-17`)
+  */
+object UrlFunctions {
+
+  /** Extensions the crawler never fetches (assets, media, archives). */
+  val StaticExtensions: Seq[String] = Seq(
+    ".js", ".css", ".png", ".jpg", ".jpeg", ".gif", ".svg", ".ico",
+    ".woff", ".woff2", ".ttf", ".eot", ".mp4", ".mp3", ".avi", ".mov",
+    ".wmv", ".flv", ".zip", ".rar", ".gz", ".tar", ".7z")
+
+  /** Default downloadable document extensions (`models.py:26-32`). */
+  val DocExtensions: Seq[String] =
+    Seq(".pdf", ".doc", ".docx", ".xls", ".xlsx", ".txt")
+
+  /** Host, lowercased, leading `www.` stripped — the reference's
+    * `get_domain` intent (`utils.py:6-8`; see SURVEY §7.4 on the
+    * any-`www.` replace bug we deliberately do not replicate).
+    */
+  def domain(url: Column): Column =
+    regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+
+  /** URL path component. */
+  def path(url: Column): Column = parse_url(url, lit("PATH"))
+
+  /** Drop the `#fragment`. */
+  def defragment(url: Column): Column = regexp_replace(url, "#.*$", "")
+
+  /** Drop the `?query` (and fragment after it). */
+  def stripQuery(url: Column): Column = regexp_replace(url, "[?#].*$", "")
+
+  /** Lowercased extension of the query-stripped path ("" if none) —
+    * `get_ext` (`crawler_core.py:27-30`).
+    */
+  def ext(url: Column): Column =
+    lower(regexp_extract(stripQuery(url), "(\\.[^./?]+)$", 1))
+
+  /** True when the url's extension is on the static blocklist (F1). */
+  def isStaticBlocked(url: Column): Column =
+    ext(url).isin(StaticExtensions: _*)
+
+  /** True when the url looks like a downloadable document (F8). */
+  def isDocUrl(url: Column): Column = ext(url).isin(DocExtensions: _*)
+
+  /** Filesystem-safe site key: `.`/`:`/`/` -> `_`
+    * (`filesystem_store.py:11-12`).
+    */
+  def sanitizeSiteKey(site: Column): Column = translate(site, ".:/", "___")
+
+  /** RFC-3986 resolution of a possibly-relative href against a base URL.
+    * Needs real URI semantics, so this is the one URL op implemented as a
+    * UDF (`java.net.URI.resolve`), mirroring `urljoin`
+    * (`link_extractor.py:19`). Null-safe: unresolvable pairs yield null.
+    */
+  val resolveUrl: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (base: String, href: String) =>
+      if (base == null || href == null) null
+      else
+        try new java.net.URI(base).resolve(href.trim).toString
+        catch { case _: Exception => null }
+    }
+}

@@ -1,0 +1,495 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core: scans+filters+aggregation (SURVEY §2.2/2.5), the full
+  * join surface (§2.4), sorts/limits (§2.6), set ops (§2.7), window
+  * functions (§2.9), and explode/ordered-distinct (§2.3 X1/X2).
+  *
+  * All plans are declarative DataFrame chains — Catalyst handles filter
+  * pushdown, column pruning, partial aggregation and join strategy.
+  * Scale notes per query are inline where the choice matters at 100 TB.
+  */
+object RelationalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- TPC-H-style headline aggregations -------------------------------
+
+    // Q1 pricing summary: single scan, hash aggregate on 2 low-card keys.
+    // At scale: partial (map-side) agg reduces the shuffle to ~|groups| rows
+    // per partition — Catalyst does the partial/final split automatically.
+    QueryDef(
+      "q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2)      AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2)      AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 4)      AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-09-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Q3 shipping priority: 3-way join narrowed by pushed filters, top-10.
+    // customer is the small side (broadcast at scale); top-k plans as
+    // TakeOrderedAndProject (no global sort materialization).
+    QueryDef(
+      "q3_shipping_priority",
+      """SELECT l.l_orderkey,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  o.o_orderdate::DATE AS o_orderdate, o.o_orderpriority
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+        |  AND l.l_shipdate  > TIMESTAMP '1999-03-15 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cut = lit("1999-03-15 00:00:00").cast("timestamp")
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < cut),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_shipdate") > cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          to_date(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Q5-style local-supplier revenue: 6-way join; region/nation/supplier
+    // are broadcast dims, orders/lineitem shuffle on their join keys once.
+    QueryDef(
+      "q5_local_supplier_volume",
+      """SELECT n.n_name,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM region r
+        |JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o   ON o.o_custkey   = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+        |               AND s.s_nationkey = c.c_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      Tables.region(s, d)
+        .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("s_suppkey") === col("l_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---- Join surface (§2.4) --------------------------------------------
+
+    QueryDef(
+      "join_inner_segment_totals",
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o.o_totalprice), 2) AS total_spend
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_spend"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    QueryDef(
+      "join_left_customer_orders",
+      """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o.o_totalprice), 0), 2) AS spend
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0)), 2).as("spend"))
+        .orderBy(col("c_custkey"))
+    },
+
+    QueryDef(
+      "join_right_orders_customer",
+      """SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS n_orders
+        |FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_mktsegment
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    },
+
+    QueryDef(
+      "join_full_outer_keys",
+      """SELECT coalesce(c.c_custkey, s.s_suppkey) AS k,
+        |  coalesce(c.c_name, '(none)') AS c_name,
+        |  coalesce(s.s_name, '(none)') AS s_name
+        |FROM customer c FULL OUTER JOIN supplier s ON c.c_custkey = s.s_suppkey
+        |ORDER BY k, c_name, s_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.supplier(s, d), col("c_custkey") === col("s_suppkey"), "full")
+        .select(
+          coalesce(col("c_custkey"), col("s_suppkey")).as("k"),
+          coalesce(col("c_name"), lit("(none)")).as("c_name"),
+          coalesce(col("s_name"), lit("(none)")).as("s_name"))
+        .orderBy(col("k"), col("c_name"), col("s_name"))
+    },
+
+    // Semi/anti joins — the reference's visited-set pattern (J1-J3).
+    QueryDef(
+      "join_semi_big_spenders",
+      """SELECT c.c_custkey, c.c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    QueryDef(
+      "join_anti_quiet_customers",
+      """SELECT c.c_custkey, c.c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Equi + range residual: plans as a hash join with the BETWEEN as a
+    // post-join filter — NOT a nested-loop, so it survives scale-up.
+    QueryDef(
+      "join_range_qty_size_band",
+      """SELECT p.p_brand, count(*) AS n,
+        |  round(sum(l.l_extendedprice), 2) AS total
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  AND l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
+        |GROUP BY p.p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_quantity").between(col("p_size") - 2, col("p_size") + 2))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
+        .orderBy(col("p_brand"))
+    },
+
+    // Explicit broadcast of the dim tables (nation: 25 rows — at 100 TB the
+    // fact side never shuffles for this join).
+    QueryDef(
+      "join_broadcast_geo_rollup",
+      """SELECT r.r_name, n.n_name, count(*) AS n_cust,
+        |  round(sum(c.c_acctbal), 2) AS total_bal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // ---- Aggregation variants (§2.5 + parity headroom) -------------------
+
+    QueryDef(
+      "agg_rollup_geo",
+      """SELECT coalesce(r.r_name, '(all)') AS region,
+        |  coalesce(n.n_name, '(all)') AS nation,
+        |  count(*) AS n_cust, round(sum(c.c_acctbal), 2) AS total_bal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r.r_name, n.n_name)
+        |ORDER BY region, nation""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+          coalesce(col("n_name"), lit("(all)")).as("nation"),
+          col("n_cust"), col("total_bal"))
+        .orderBy(col("region"), col("nation"))
+    },
+
+    QueryDef(
+      "agg_cube_order_status",
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    },
+
+    QueryDef(
+      "agg_distinct_users_per_type",
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n,
+        |  round(sum(value), 2) AS total_value, round(avg(value), 2) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"),
+          round(avg(col("value")), 2).as("avg_value"))
+        .orderBy(col("event_type"))
+    },
+
+    // Ordered string-agg — the reference's document-order text joins
+    // (A2/A3): collect_list has no ordering guarantee, so sort an array of
+    // (ts, event_id, event_type) structs and project — deterministic.
+    QueryDef(
+      "agg_ordered_event_seq",
+      """SELECT user_id, count(*) AS n,
+        |  string_agg(event_type, ',' ORDER BY ts::TIMESTAMP, event_id) AS seq
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"),
+                col("event_type")))),
+              x => x.getField("event_type")),
+            ",").as("seq"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- Windows (§2.9) ---------------------------------------------------
+
+    // Latest-version-per-key — the reference's upsert semantics (A7).
+    QueryDef(
+      "win_latest_event_per_user",
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"))
+    },
+
+    QueryDef(
+      "win_top3_parts_per_brand",
+      """SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rnk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk
+        |  FROM part) WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+      Tables.part(s, d)
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("p_brand"), col("p_partkey"),
+          round(col("p_retailprice"), 2).as("price"), col("rnk"))
+        .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+    },
+
+    QueryDef(
+      "win_lag_value_delta",
+      """SELECT event_id, round(value - prev, 2) AS delta FROM (
+        |  SELECT event_id, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |                     ORDER BY ts::TIMESTAMP, event_id) AS prev
+        |  FROM events) WHERE prev IS NOT NULL ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_id"), round(col("value") - col("prev"), 2).as("delta"))
+        .orderBy(col("event_id"))
+    },
+
+    QueryDef(
+      "win_running_user_spend",
+      """SELECT event_id, round(sum(value) OVER (PARTITION BY user_id
+        |  ORDER BY ts::TIMESTAMP, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), round(sum(col("value")).over(w), 2).as("running"))
+        .orderBy(col("event_id"))
+    },
+
+    QueryDef(
+      "win_ntile_acctbal_quartile",
+      """SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), ntile(4).over(w).as("quartile"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- Sorts / limits (§2.6) --------------------------------------------
+
+    // O1: the job-queue "pick next PENDING" — orderBy.limit plans as
+    // TakeOrderedAndProject (per-partition top-1, no global sort).
+    QueryDef(
+      "o1_job_pick_top1",
+      """SELECT event_id, user_id FROM events WHERE event_type = 'signup'
+        |ORDER BY ts::TIMESTAMP, event_id LIMIT 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "signup")
+        .orderBy(col("ts"), col("event_id"))
+        .limit(1)
+        .select(col("event_id"), col("user_id"))
+    },
+
+    QueryDef(
+      "topk_orders_by_price",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
+        |ORDER BY total DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("total").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ---- Set operations (§2.7) ---------------------------------------------
+
+    QueryDef(
+      "set_union_nation_keys",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey")))
+        .distinct()
+        .orderBy(col("nationkey"))
+    },
+
+    QueryDef(
+      "set_except_nation_keys",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey")))
+        .orderBy(col("nationkey"))
+    },
+
+    QueryDef(
+      "set_intersect_nation_keys",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey")))
+        .orderBy(col("nationkey"))
+    },
+
+    // U3: pages+files funnel into one table with a discriminator.
+    QueryDef(
+      "u3_doc_source_union",
+      """SELECT source_type, count(*) AS n, sum(n_chars) AS total_chars FROM (
+        |  SELECT 'page' AS source_type, n_chars FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'file' AS source_type, n_chars FROM documents WHERE doc_id % 2 = 1)
+        |GROUP BY source_type ORDER BY source_type""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pages = docs.filter(col("doc_id") % 2 === 0)
+        .select(lit("page").as("source_type"), col("n_chars"))
+      val files = docs.filter(col("doc_id") % 2 === 1)
+        .select(lit("file").as("source_type"), col("n_chars"))
+      pages.unionByName(files)
+        .groupBy(col("source_type"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source_type"))
+    },
+
+    // ---- Explode / ordered-distinct (§2.3 X1, X2) ---------------------------
+
+    QueryDef(
+      "x1_token_explode_counts",
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+        |WHERE tok <> '' GROUP BY tok ORDER BY tok""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("tok"))
+    },
+
+    // X2: first-occurrence-ordered distinct (Spark array_distinct preserves
+    // first-seen order; the oracle reconstructs it via min(position)).
+    QueryDef(
+      "x2_ordered_distinct_tokens",
+      """SELECT doc_id, string_agg(tok, ',' ORDER BY first_pos) AS toks FROM (
+        |  SELECT doc_id, tok, min(pos) AS first_pos FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(trim(text), ' ')) AS tok,
+        |      generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY doc_id, tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(array_distinct(
+            filter(split(trim(col("text")), " "), t => t =!= lit(""))), ",")
+            .as("toks"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

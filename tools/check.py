@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Dev-only local correctness harness, mimicking the driver's DuckDB-oracle
+compare (NOT part of the engine; the engine is pure Scala/Spark).
+
+Usage:
+  python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out [query ...]
+
+Reads each <out>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from <out>/oracle_sql.json in DuckDB against views over
+the sfDir parquet tables, sorts columns by name + rows by all columns, and
+diffs values exactly.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(outdir)
+                   if os.path.isdir(os.path.join(outdir, d)))
+    npass = nfail = nskip = 0
+    for name in names:
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"MISS  {name}: no parquet output")
+            nfail += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
+        if name not in oracle:
+            print(f"SKIP  {name}: rows-only ({len(got)} rows)")
+            nskip += 1
+            continue
+        try:
+            want = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}")
+            nfail += 1
+            continue
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL  {name}: columns {list(g.columns)} != {list(w.columns)}")
+            nfail += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL  {name}: rows {len(g)} != {len(w)}")
+            nfail += 1
+            continue
+        # exact compare; report first few diffs
+        diffs = []
+        for c in g.columns:
+            a, b = g[c], w[c]
+            neq = ~((a == b) | (a.isna() & b.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                diffs.append(f"{c}[{i}]: spark={a[i]!r} oracle={b[i]!r} "
+                             f"({int(neq.sum())} diffs)")
+        if diffs:
+            print(f"FAIL  {name}: " + "; ".join(diffs[:3]))
+            nfail += 1
+        else:
+            print(f"PASS  {name} ({len(g)} rows)")
+            npass += 1
+    print(f"== {npass} pass, {nfail} fail, {nskip} rows-only")
+    sys.exit(1 if nfail else 0)
+
+
+if __name__ == "__main__":
+    main()
