@@ -13,7 +13,8 @@ import graft.functions.HashFunctions
 object SparkEntry {
 
   private lazy val all: Seq[QueryDef] =
-    graft.queries.RelationalQueries.defs
+    graft.queries.RelationalQueries.defs ++
+      graft.queries.ScalarQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -1,0 +1,404 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{HashFunctions, UrlFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function and filter surface (SURVEY §2.2 F1-F14, §2.8 C1-C24):
+  * URL projections, routing filters, content hashing, JSON access,
+  * interval arithmetic, string ops.
+  *
+  * The testdata has no URL column, so URLs are synthesized from
+  * `documents` with a deterministic expression duplicated verbatim in the
+  * oracle SQL (mixed-case hosts, www. prefixes, varied extensions, query
+  * strings, fragments — the FIXTURES.md URL-vector cases).
+  */
+object ScalarQueries {
+
+  /** Deterministic synthetic URL per document (Spark side). */
+  private def withUrl(docs: DataFrame): DataFrame =
+    docs.withColumn("url",
+      concat(
+        lit("https://"),
+        when(col("doc_id") % 4 === 0, lit("www.")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".example.com/"), col("lang"), lit("/doc"), col("doc_id"),
+        element_at(
+          array(lit(".html"), lit(".pdf"), lit(".css"), lit(".png"),
+            lit(".txt"), lit(".docx"), lit(""), lit(".js")),
+          (col("doc_id") % 8 + 1).cast("int")),
+        when(col("doc_id") % 3 === 0, concat(lit("?q="), col("doc_id")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, concat(lit("#sec"), col("doc_id")))
+          .otherwise(lit(""))))
+
+  /** The identical expression as a DuckDB CTE. */
+  private val UrlCte =
+    """WITH urls AS (
+      |  SELECT doc_id, lang, source, text, n_chars,
+      |    'https://'
+      |    || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END
+      |    || '.example.com/' || lang || '/doc' || doc_id
+      |    || CASE doc_id % 8 WHEN 0 THEN '.html' WHEN 1 THEN '.pdf'
+      |         WHEN 2 THEN '.css' WHEN 3 THEN '.png' WHEN 4 THEN '.txt'
+      |         WHEN 5 THEN '.docx' WHEN 6 THEN '' ELSE '.js' END
+      |    || CASE WHEN doc_id % 3 = 0 THEN '?q=' || doc_id ELSE '' END
+      |    || CASE WHEN doc_id % 2 = 0 THEN '#sec' || doc_id ELSE '' END AS url
+      |  FROM documents)
+      |""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // C1: get_domain — host, lowercased, leading www. stripped.
+    QueryDef(
+      "c1_domain_extract",
+      UrlCte +
+        """SELECT regexp_replace(lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+          |         '^www\.', '') AS domain,
+          |  count(*) AS n
+          |FROM urls GROUP BY domain ORDER BY domain""".stripMargin) { (s, d) =>
+      withUrl(Tables.documents(s, d))
+        .select(UrlFunctions.domain(col("url")).as("domain"))
+        .groupBy(col("domain")).agg(count(lit(1)).as("n"))
+        .orderBy(col("domain"))
+    },
+
+    // C5+C8: defragment / strip query; F2/C7: extension projection.
+    QueryDef(
+      "c5_defrag_and_ext",
+      UrlCte +
+        """SELECT doc_id,
+          |  regexp_replace(url, '#.*$', '') AS defragged,
+          |  regexp_replace(url, '[?#].*$', '') AS clean_url,
+          |  lower(regexp_extract(regexp_replace(url, '[?#].*$', ''),
+          |        '(\.[^./?]+)$', 1)) AS ext
+          |FROM urls ORDER BY doc_id""".stripMargin) { (s, d) =>
+      withUrl(Tables.documents(s, d))
+        .select(col("doc_id"),
+          UrlFunctions.defragment(col("url")).as("defragged"),
+          UrlFunctions.stripQuery(col("url")).as("clean_url"),
+          UrlFunctions.ext(col("url")).as("ext"))
+        .orderBy(col("doc_id"))
+    },
+
+    // F1: the 23-extension static blocklist filter.
+    QueryDef(
+      "f1_static_ext_blocklist",
+      UrlCte +
+        """SELECT ext, count(*) AS n FROM (
+          |  SELECT lower(regexp_extract(regexp_replace(url, '[?#].*$', ''),
+          |           '(\.[^./?]+)$', 1)) AS ext FROM urls)
+          |WHERE ext NOT IN ('.js','.css','.png','.jpg','.jpeg','.gif','.svg',
+          |  '.ico','.woff','.woff2','.ttf','.eot','.mp4','.mp3','.avi','.mov',
+          |  '.wmv','.flv','.zip','.rar','.gz','.tar','.7z')
+          |GROUP BY ext ORDER BY ext""".stripMargin) { (s, d) =>
+      withUrl(Tables.documents(s, d))
+        .select(UrlFunctions.ext(col("url")).as("ext"))
+        .filter(!col("ext").isin(UrlFunctions.StaticExtensions: _*))
+        .groupBy(col("ext")).agg(count(lit(1)).as("n"))
+        .orderBy(col("ext"))
+    },
+
+    // X3: link routing — file / page / blocked split (F1+F8 together).
+    QueryDef(
+      "x3_link_routing",
+      UrlCte +
+        """SELECT CASE
+          |    WHEN ext IN ('.pdf','.doc','.docx','.xls','.xlsx','.txt') THEN 'file'
+          |    WHEN ext IN ('.js','.css','.png','.jpg','.jpeg','.gif','.svg',
+          |      '.ico','.woff','.woff2','.ttf','.eot','.mp4','.mp3','.avi',
+          |      '.mov','.wmv','.flv','.zip','.rar','.gz','.tar','.7z') THEN 'blocked'
+          |    ELSE 'page' END AS route, count(*) AS n
+          |FROM (SELECT lower(regexp_extract(regexp_replace(url, '[?#].*$', ''),
+          |        '(\.[^./?]+)$', 1)) AS ext FROM urls)
+          |GROUP BY route ORDER BY route""".stripMargin) { (s, d) =>
+      withUrl(Tables.documents(s, d))
+        .select(UrlFunctions.ext(col("url")).as("ext"))
+        .select(
+          when(col("ext").isin(UrlFunctions.DocExtensions: _*), lit("file"))
+            .when(col("ext").isin(UrlFunctions.StaticExtensions: _*), lit("blocked"))
+            .otherwise(lit("page")).as("route"))
+        .groupBy(col("route")).agg(count(lit(1)).as("n"))
+        .orderBy(col("route"))
+    },
+
+    // F4+F5: scope filter — same domain AND path prefix.
+    QueryDef(
+      "f4_f5_scope_filter",
+      UrlCte +
+        """SELECT doc_id FROM (
+          |  SELECT doc_id,
+          |    regexp_replace(lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+          |      '^www\.', '') AS domain,
+          |    regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
+          |  FROM urls)
+          |WHERE domain = 'src1.example.com' AND path LIKE '/de/%'
+          |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      withUrl(Tables.documents(s, d))
+        .withColumn("domain", UrlFunctions.domain(col("url")))
+        .withColumn("path", UrlFunctions.path(col("url")))
+        .filter(col("domain") === "src1.example.com" &&
+          col("path").startsWith("/de/"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // F6+F7+C23: depth cap with exclusive-depth override (coalesce).
+    QueryDef(
+      "f6_depth_cap_coalesce",
+      """SELECT depth, count(*) AS n FROM (
+        |  SELECT event_id % 12 AS depth,
+        |    CASE WHEN user_id % 3 = 0 THEN 4 ELSE NULL END AS exclusive_depth
+        |  FROM events)
+        |WHERE depth <= coalesce(exclusive_depth, 10)
+        |GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select((col("event_id") % 12).as("depth"),
+          when(col("user_id") % 3 === 0, lit(4)).otherwise(lit(null))
+            .as("exclusive_depth"))
+        .filter(col("depth") <= coalesce(col("exclusive_depth"), lit(10)))
+        .groupBy(col("depth")).agg(count(lit(1)).as("n"))
+        .orderBy(col("depth"))
+    },
+
+    // A6+C3: whitespace-normalized sha256 content hash — union the docs
+    // with whitespace-mangled copies; every pair must collide.
+    QueryDef(
+      "a6_normalized_content_hash",
+      """WITH both_sides AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    ' ' || replace(text, ' ', e'\r\n') || e'\t ' FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    sha256(trim(regexp_replace(regexp_replace(text, e'\r\n|\r', e'\n', 'g'),
+        |      '\s+', ' ', 'g'))) AS content_hash
+        |  FROM both_sides)
+        |SELECT count(DISTINCT content_hash) AS n_hashes,
+        |  sum(cnt) AS n_rows,
+        |  sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS n_pairs
+        |FROM (SELECT content_hash, count(*) AS cnt FROM hashed GROUP BY 1)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit(" "), regexp_replace(col("text"), " ", "\r\n"), lit("\t "))
+          .as("text"))
+      val hashed = docs.select(col("doc_id"), col("text")).unionByName(mangled)
+        .select(col("doc_id"), HashFunctions.contentHash(col("text")).as("content_hash"))
+      hashed.groupBy(col("content_hash")).agg(count(lit(1)).as("cnt"))
+        .agg(count(col("content_hash")).as("n_hashes"),
+          sum(col("cnt")).as("n_rows"),
+          sum(when(col("cnt") === 2, 1).otherwise(0)).as("n_pairs"))
+    },
+
+    // C2-variant: per-url digest ids (sha256 + md5; sha1 is library-level —
+    // DuckDB 1.0 has no sha1 to oracle it against).
+    QueryDef(
+      "c2_url_digests",
+      UrlCte +
+        """SELECT doc_id, sha256(url) AS url_sha256, md5(url) AS url_md5
+          |FROM urls ORDER BY doc_id""".stripMargin) { (s, d) =>
+      withUrl(Tables.documents(s, d))
+        .select(col("doc_id"), sha2(col("url"), 256).as("url_sha256"),
+          md5(col("url")).as("url_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C13: deterministic uuid-shaped row id derived from a hash (the
+    // library also exposes real uuid(), which is not oracle-checkable).
+    QueryDef(
+      "c13_deterministic_uuid",
+      UrlCte +
+        """SELECT doc_id,
+          |  substr(md5(url), 1, 8) || '-' || substr(md5(url), 9, 4) || '-'
+          |  || substr(md5(url), 13, 4) || '-' || substr(md5(url), 17, 4)
+          |  || '-' || substr(md5(url), 21, 12) AS row_id
+          |FROM urls ORDER BY doc_id""".stripMargin) { (s, d) =>
+      withUrl(Tables.documents(s, d))
+        .withColumn("h", md5(col("url")))
+        .select(col("doc_id"),
+          concat_ws("-", substring(col("h"), 1, 8), substring(col("h"), 9, 4),
+            substring(col("h"), 13, 4), substring(col("h"), 17, 4),
+            substring(col("h"), 21, 12)).as("row_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C14: timestamp/interval arithmetic — stale-cutoff sweep (ST5 batch
+    // form): events older than (global max ts - 7 days).
+    QueryDef(
+      "c14_stale_cutoff_sweep",
+      """SELECT event_type, count(*) AS n_stale FROM events
+        |WHERE ts::TIMESTAMP < (SELECT max(ts::TIMESTAMP) FROM events)
+        |                      - INTERVAL 7 DAY
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val cutoff = ev.agg(max(col("ts")).as("max_ts"))
+      ev.crossJoin(broadcast(cutoff))
+        .filter(col("ts") < col("max_ts") - expr("INTERVAL 7 DAY"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_stale"))
+        .orderBy(col("event_type"))
+    },
+
+    // C15: JSON access into the props payload (jobs.config analog).
+    QueryDef(
+      "c15_json_props_extract",
+      """SELECT json_extract_string(props, '$.k')::INT % 10 AS k_mod,
+        |  count(*) AS n
+        |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select((get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"))
+        .groupBy(col("k_mod")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k_mod"))
+    },
+
+    // C17/C10/C22: length / octet_length / trim / substring.
+    QueryDef(
+      "c17_string_lengths",
+      """SELECT doc_id, length(text) AS n_chars_actual, strlen(text) AS n_bytes,
+        |  substr(trim(text), 1, 10) AS head10
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("n_chars_actual"),
+          octet_length(col("text")).as("n_bytes"),
+          substring(trim(col("text")), 1, 10).as("head10"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C20+C21+T1: site-key sanitization + path normalization.
+    QueryDef(
+      "c20_site_key_sanitize",
+      UrlCte +
+        """SELECT site_key, count(*) AS n FROM (
+          |  SELECT translate(
+          |    regexp_replace(lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+          |      '^www\.', '')
+          |    || rtrim(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), '/')
+          |    || '/', '.:/', '___') AS site_key
+          |  FROM urls)
+          |GROUP BY site_key ORDER BY site_key""".stripMargin) { (s, d) =>
+      withUrl(Tables.documents(s, d))
+        .select(UrlFunctions.sanitizeSiteKey(concat(
+          UrlFunctions.domain(col("url")),
+          regexp_replace(UrlFunctions.path(col("url")), "/+$", ""),
+          lit("/"))).as("site_key"))
+        .groupBy(col("site_key")).agg(count(lit(1)).as("n"))
+        .orderBy(col("site_key"))
+    },
+
+    // C24: URL shape validation filter (Pydantic HttpUrl analog).
+    QueryDef(
+      "c24_url_validation",
+      UrlCte +
+        """SELECT is_valid, count(*) AS n FROM (
+          |  SELECT CASE WHEN candidate LIKE 'https://%'
+          |              OR candidate LIKE 'http://%' THEN 1 ELSE 0 END AS is_valid
+          |  FROM (SELECT CASE WHEN doc_id % 7 = 0
+          |                    THEN 'notaurl:' || doc_id ELSE url END AS candidate
+          |        FROM urls))
+          |GROUP BY is_valid ORDER BY is_valid""".stripMargin) { (s, d) =>
+      withUrl(Tables.documents(s, d))
+        .select(when(col("doc_id") % 7 === 0,
+          concat(lit("notaurl:"), col("doc_id"))).otherwise(col("url"))
+          .as("candidate"))
+        .select(when(col("candidate").startsWith("https://") ||
+          col("candidate").startsWith("http://"), 1).otherwise(0).as("is_valid"))
+        .groupBy(col("is_valid")).agg(count(lit(1)).as("n"))
+        .orderBy(col("is_valid"))
+    },
+
+    // F16 (regex form) + X1: html -> text + link extraction over synthetic
+    // html assembled from documents. Script/style subtrees dropped first,
+    // exactly like the reference's BeautifulSoup pass.
+    QueryDef(
+      "f16_html_to_text",
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style>'
+        |    || '<script>var x=' || doc_id || ';</script></head>'
+        |    || '<body><h1>Doc ' || doc_id || '</h1><p>' || text || '</p>'
+        |    || '<a href="/page' || (doc_id + 1) || '.html">next</a>'
+        |    || '<a href="#frag">self</a>'
+        |    || '<a href="https://other.org/x.pdf">file</a></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gs'),
+        |        '<style[^>]*>.*?</style>', ' ', 'gs'),
+        |      '<[^>]+>', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS page_text,
+        |  len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS n_links
+        |FROM pages ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pages = docs.withColumn("html",
+        concat(lit("<html><head><style>p{color:red}</style>"),
+          lit("<script>var x="), col("doc_id"), lit(";</script></head>"),
+          lit("<body><h1>Doc "), col("doc_id"), lit("</h1><p>"), col("text"),
+          lit("</p><a href=\"/page"), col("doc_id") + 1,
+          lit(".html\">next</a><a href=\"#frag\">self</a>"),
+          lit("<a href=\"https://other.org/x.pdf\">file</a></body></html>")))
+      pages.select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("html"), "(?s)<script[^>]*>.*?</script>", " "),
+              "(?s)<style[^>]*>.*?</style>", " "),
+            "<[^>]+>", " "),
+          "\\s+", " ")).as("page_text"),
+        size(regexp_extract_all(col("html"), lit("href=\"([^\"]*)\""), lit(1)))
+          .as("n_links"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X1 full form: explode extracted links, resolve relative hrefs against
+    // the page url, defragment, then route (the crawler's per-page UDTF).
+    QueryDef(
+      "x1_extract_resolve_links",
+      UrlCte.replace("FROM documents)", "FROM documents)") +
+        """, pages AS (
+          |  SELECT doc_id, url,
+          |    '<a href="/page' || (doc_id + 1) || '.html">n</a>'
+          |    || '<a href="#frag">s</a>'
+          |    || '<a href="https://other.org/x.pdf">f</a>' AS html
+          |  FROM urls),
+          |links AS (
+          |  SELECT doc_id, url,
+          |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+          |  FROM pages),
+          |resolved AS (
+          |  SELECT doc_id,
+          |    regexp_replace(
+          |      CASE WHEN href LIKE 'http%' THEN href
+          |           WHEN href LIKE '/%' THEN
+          |             regexp_extract(url, '^([a-z]+://[^/?#]+)', 1) || href
+          |           ELSE regexp_replace(regexp_replace(url, '[?#].*$', ''),
+          |                  '/[^/]*$', '/') || href END,
+          |      '#.*$', '') AS abs_url
+          |  FROM links)
+          |SELECT abs_url, count(*) AS n FROM resolved
+          |WHERE abs_url <> '' GROUP BY abs_url ORDER BY abs_url""".stripMargin) { (s, d) =>
+      val pages = withUrl(Tables.documents(s, d)).withColumn("html",
+        concat(lit("<a href=\"/page"), col("doc_id") + 1,
+          lit(".html\">n</a><a href=\"#frag\">s</a>"),
+          lit("<a href=\"https://other.org/x.pdf\">f</a>")))
+      val links = pages.select(col("doc_id"), col("url"),
+        explode(regexp_extract_all(col("html"), lit("href=\"([^\"]*)\""), lit(1)))
+          .as("href"))
+      val resolved = links.select(col("doc_id"),
+        UrlFunctions.defragment(
+          when(col("href").startsWith("http"), col("href"))
+            .when(col("href").startsWith("/"),
+              concat(regexp_extract(col("url"), "^([a-z]+://[^/?#]+)", 1),
+                col("href")))
+            .otherwise(concat(
+              regexp_replace(UrlFunctions.stripQuery(col("url")), "/[^/]*$", "/"),
+              col("href")))).as("abs_url"))
+      resolved.filter(col("abs_url") =!= "")
+        .groupBy(col("abs_url")).agg(count(lit(1)).as("n"))
+        .orderBy(col("abs_url"))
+    }
+  )
+}
