@@ -14,7 +14,8 @@ object SparkEntry {
 
   private lazy val all: Seq[QueryDef] =
     graft.queries.RelationalQueries.defs ++
-      graft.queries.ScalarQueries.defs
+      graft.queries.ScalarQueries.defs ++
+      graft.queries.LlmQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

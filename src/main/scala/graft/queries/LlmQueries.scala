@@ -1,0 +1,337 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** North-star LLM-pipeline operators (BASELINE.json): deduplication
+  * (exact / MinHash+LSH / shingle-blocked Jaccard / SimHash), embedding
+  * similarity search (brute-force + hyperplane LSH), and text analysis
+  * (token stats, quality score, language-ID, winnowing fingerprints).
+  *
+  * Every query here has a FULL DuckDB oracle — the MinHash/SimHash/LSH
+  * pipelines are deterministic (md5-derived seeded hashes), so even the
+  * approximate algorithms are bit-reproducible in SQL.
+  *
+  * Near-dup queries run over `documents` plus derived near-duplicates
+  * (first token replaced) / exact duplicates, guaranteeing the dedup
+  * logic is actually exercised (the raw corpus has no dupes).
+  */
+object LlmQueries {
+
+  /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
+  private def nearDupCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "zzz").as("text")))
+
+  private val NearDupCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         regexp_replace(text, '^\S+', 'zzz') AS text FROM documents),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+      |  FROM corpus),
+      |shset AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+      |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      |    FROM toks))
+      |""".stripMargin
+
+  private val JaccardTail =
+    """sizes AS (SELECT doc_id, count(*) AS n_sh FROM shset GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.a, c.b, count(*) AS n_inter
+      |  FROM cand c
+      |  JOIN shset sa ON sa.doc_id = c.a
+      |  JOIN shset sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+      |  GROUP BY c.a, c.b)
+      |SELECT i.a, i.b,
+      |  round(n_inter / (za.n_sh + zb.n_sh - n_inter), 4) AS jaccard
+      |FROM inter i
+      |JOIN sizes za ON za.doc_id = i.a
+      |JOIN sizes zb ON zb.doc_id = i.b
+      |WHERE n_inter / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+      |ORDER BY a, b""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup (hash-groupBy): corpus ∪ identical copies -> every
+    // content hash must collapse to one canonical row with 2 copies.
+    QueryDef(
+      "dd_exact_content_dedup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    sha256(trim(regexp_replace(regexp_replace(text, e'\r\n|\r', e'\n', 'g'),
+        |      '\s+', ' ', 'g'))) AS content_hash
+        |  FROM corpus)
+        |SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM hashed GROUP BY content_hash ORDER BY canonical_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      Dedup.exactByContent(corpus, "doc_id", "text")
+        .select(col("content_hash"), col("canonical_id"), col("n_copies"))
+        .orderBy(col("canonical_id"))
+    },
+
+    // MinHash(8) + LSH(4 bands x 2 rows) candidate generation, then exact
+    // Jaccard >= 0.5 verification — the scale path for near-dup dedup.
+    QueryDef(
+      "dd_minhash_lsh_pairs",
+      NearDupCte +
+        """, sig AS (
+          |  SELECT doc_id,
+          |    min(('0x'||substr(md5('0:'||sh),1,15))::BIGINT) AS mh0,
+          |    min(('0x'||substr(md5('1:'||sh),1,15))::BIGINT) AS mh1,
+          |    min(('0x'||substr(md5('2:'||sh),1,15))::BIGINT) AS mh2,
+          |    min(('0x'||substr(md5('3:'||sh),1,15))::BIGINT) AS mh3,
+          |    min(('0x'||substr(md5('4:'||sh),1,15))::BIGINT) AS mh4,
+          |    min(('0x'||substr(md5('5:'||sh),1,15))::BIGINT) AS mh5,
+          |    min(('0x'||substr(md5('6:'||sh),1,15))::BIGINT) AS mh6,
+          |    min(('0x'||substr(md5('7:'||sh),1,15))::BIGINT) AS mh7
+          |  FROM shset GROUP BY doc_id),
+          |bands AS (
+          |  SELECT doc_id, 0 AS band, md5(mh0 || '_' || mh1) AS band_key FROM sig
+          |  UNION ALL SELECT doc_id, 1, md5(mh2 || '_' || mh3) FROM sig
+          |  UNION ALL SELECT doc_id, 2, md5(mh4 || '_' || mh5) FROM sig
+          |  UNION ALL SELECT doc_id, 3, md5(mh6 || '_' || mh7) FROM sig),
+          |cand AS (
+          |  SELECT DISTINCT xa.doc_id AS a, xb.doc_id AS b
+          |  FROM bands xa JOIN bands xb
+          |    ON xa.band = xb.band AND xa.band_key = xb.band_key
+          |   AND xa.doc_id < xb.doc_id),
+          |""".stripMargin + JaccardTail) { (s, d) =>
+      val corpus = nearDupCorpus(Tables.documents(s, d))
+      val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+      val cand = Dedup.lshCandidatePairs(
+        Dedup.lshBands(Dedup.minhashSignatures(sh, 8), 8, 4))
+      Dedup.jaccard(cand, sh)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // Exact-recall variant: shingle blocking (df cap 20) + Jaccard >= 0.5.
+    QueryDef(
+      "dd_jaccard_blocked_pairs",
+      NearDupCte +
+        """, rare AS (SELECT sh FROM shset GROUP BY sh HAVING count(*) <= 20),
+          |bl AS (SELECT s.doc_id, s.sh FROM shset s JOIN rare r ON r.sh = s.sh),
+          |cand AS (
+          |  SELECT DISTINCT xa.doc_id AS a, xb.doc_id AS b
+          |  FROM bl xa JOIN bl xb ON xa.sh = xb.sh AND xa.doc_id < xb.doc_id),
+          |""".stripMargin + JaccardTail) { (s, d) =>
+      val corpus = nearDupCorpus(Tables.documents(s, d))
+      val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+      Dedup.jaccard(Dedup.shingleBlockedPairs(sh, 20), sh)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // SimHash near-dup: 60-bit frequency-weighted simhash, top-16-bit band
+    // blocking, Hamming <= 8.
+    QueryDef(
+      "dd_simhash_pairs",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         regexp_replace(text, '^\S+', 'zzz') AS text FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM corpus),
+        |th AS (
+        |  SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS th FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b.b,
+        |    sum(CASE WHEN (th >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, (SELECT unnest(range(0, 60)) AS b) b
+        |  GROUP BY doc_id, b.b),
+        |sims AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT xa.doc_id AS a, xb.doc_id AS b,
+        |  bit_count(xor(xa.simhash, xb.simhash)) AS hamming
+        |FROM sims xa JOIN sims xb
+        |  ON (xa.simhash >> 44) = (xb.simhash >> 44) AND xa.doc_id < xb.doc_id
+        |WHERE bit_count(xor(xa.simhash, xb.simhash)) <= 8
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val corpus = nearDupCorpus(Tables.documents(s, d))
+      Dedup.simhashPairs(Dedup.simhash(corpus, "doc_id", "text"), 8)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // Brute-force cosine top-5 (exact baseline; queries broadcast).
+    QueryDef(
+      "sim_cosine_topk_brute",
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scores AS (
+        |  SELECT qid, cid,
+        |    round(list_inner_product(qv, cv) /
+        |      (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))),
+        |      6) AS score
+        |  FROM q, c WHERE cid <> qid),
+        |r AS (SELECT qid, cid, score,
+        |        row_number() OVER (PARTITION BY qid
+        |                           ORDER BY score DESC, cid) AS rnk
+        |      FROM scores)
+        |SELECT qid, cid, score, rnk FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(emb.filter(col("id") < 10), emb, 5)
+        .select(col("qid"), col("cid"), col("score"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
+    // Hyperplane-LSH top-3 within bucket (the ANN scale path).
+    QueryDef(
+      "sim_lsh_bucket_topk",
+      """WITH w AS (
+        |  SELECT p.plane, dd.dim,
+        |    CASE WHEN ('0x'||substr(md5('hp:'||p.plane||':'||dd.dim),1,15))::BIGINT
+        |              % 2 = 1 THEN 1.0 ELSE -1.0 END AS w
+        |  FROM (SELECT unnest(range(0, 8)) AS plane) p,
+        |       (SELECT unnest(range(1, 65)) AS dim) dd),
+        |comps AS (
+        |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+        |         unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |proj AS (
+        |  SELECT c.id, w.plane, sum(c.x * w.w) AS proj
+        |  FROM comps c JOIN w ON w.dim = c.dim GROUP BY c.id, w.plane),
+        |buckets AS (
+        |  SELECT id, sum(CASE WHEN proj > 0 THEN 1::BIGINT << plane
+        |                      ELSE 0::BIGINT END) AS bucket
+        |  FROM proj GROUP BY id),
+        |vs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cands AS (
+        |  SELECT q.id AS qid, c.id AS cid
+        |  FROM buckets q JOIN buckets c ON c.bucket = q.bucket AND c.id <> q.id
+        |  WHERE q.id < 10),
+        |scores AS (
+        |  SELECT qid, cid,
+        |    round(list_inner_product(a.v, b.v) /
+        |      (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+        |      6) AS score
+        |  FROM cands JOIN vs a ON a.vec_id = qid JOIN vs b ON b.vec_id = cid),
+        |r AS (SELECT qid, cid, score,
+        |        row_number() OVER (PARTITION BY qid
+        |                           ORDER BY score DESC, cid) AS rnk
+        |      FROM scores)
+        |SELECT qid, cid, score, rnk FROM r WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.lshTopK(emb, emb.filter(col("id") < 10).select(col("id")), 8, 3)
+        .select(col("qid"), col("cid"), col("score"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
+    // Token statistics: whitespace + BPE-ish counts.
+    QueryDef(
+      "txt_token_stats",
+      """SELECT doc_id,
+        |  len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_ws"),
+          TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Heuristic quality score.
+    QueryDef(
+      "txt_quality_score",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(least(1.0, len(l) / 32.0) * 0.4
+        |    + (len(list_distinct(l)) * 1.0 / len(l)) * 0.4
+        |    + least(1.0, len(list_filter(l,
+        |        x -> x IN ('the','a','of','and','to','in','is'))) * 8.0 / len(l))
+        |      * 0.2, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Marker-stopword language-ID.
+    QueryDef(
+      "txt_lang_id",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(l, x -> x IN ('the','a','of','and','to','in','is'))) AS en,
+        |    len(list_filter(l, x -> x IN ('der','die','das','und','ist','ein'))) AS de,
+        |    len(list_filter(l, x -> x IN ('le','la','les','et','est','un'))) AS fr,
+        |    len(list_filter(l, x -> x IN ('el','la','los','y','es','un'))) AS es
+        |  FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN en + de + fr + es = 0 THEN 'und'
+        |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |  WHEN de >= fr AND de >= es THEN 'de'
+        |  WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Winnowing fingerprints (rolling min-hash over shingle windows).
+    QueryDef(
+      "txt_winnow_fingerprints",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh,
+        |    generate_subscripts(list_transform(range(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]), 1) AS pos
+        |  FROM t),
+        |wm AS (
+        |  SELECT doc_id,
+        |    min(('0x'||substr(md5('0:'||sh),1,15))::BIGINT)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM sh),
+        |d AS (SELECT DISTINCT doc_id, fp FROM wm)
+        |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"),
+          max(col("fp")).as("max_fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
