@@ -15,7 +15,9 @@ object SparkEntry {
   private lazy val all: Seq[QueryDef] =
     graft.queries.RelationalQueries.defs ++
       graft.queries.ScalarQueries.defs ++
-      graft.queries.LlmQueries.defs
+      graft.queries.LlmQueries.defs ++
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.StreamQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE semantics on plain parquet-backed DataFrames — the reference's
+  * three upsert flavors without a transactional table format:
+  *
+  *   - `classify`/`merge`: the 3-way upsert matrix of
+  *     `/root/reference/storage/filesystem_store.py:95-128` — for each
+  *     key: no target row -> insert; same content hash -> skip (no
+  *     write); changed hash -> update. Expressed as one full-outer join
+  *     + `when` matrix; deterministic and idempotent (re-merging the
+  *     same batch is a no-op — the core incremental-crawl invariant).
+  *   - `insertIfAbsent`: dedup-by-content append, the
+  *     `ON CONFLICT (content_hash) DO NOTHING` of
+  *     `/root/reference/db/postgres_store.py:84-103` — dropDuplicates on
+  *     the hash inside the batch, then left-anti against the target.
+  *
+  * Scale: both are single hash-shuffles on the merge key; at 100 TB the
+  * physical write is a partition overwrite of only the partitions whose
+  * keys changed (partition column = site/tenant, per SURVEY T1).
+  */
+object Upsert {
+
+  /** Tag every key with its merge action. Inputs need columns
+    * (`key`, `hash`); output: (key, action, hash_old, hash_new) where
+    * action in insert|update|skip|keep.
+    */
+  def classify(target: DataFrame, incoming: DataFrame, key: String): DataFrame = {
+    val t = target.select(col(key).as("k"), col("content_hash").as("hash_old"))
+    val i = incoming.select(col(key).as("k"), col("content_hash").as("hash_new"))
+    t.join(i, Seq("k"), "full_outer")
+      .select(col("k").as(key), col("hash_old"), col("hash_new"),
+        when(col("hash_old").isNull, lit("insert"))
+          .when(col("hash_new").isNull, lit("keep"))
+          .when(col("hash_old") === col("hash_new"), lit("skip"))
+          .otherwise(lit("update")).as("action"))
+  }
+
+  /** Merged state: incoming wins on insert/update, target rows are kept
+    * otherwise. Both sides must share the schema (key, content_hash, ...).
+    */
+  def merge(target: DataFrame, incoming: DataFrame, key: String): DataFrame = {
+    val actions = classify(target, incoming, key)
+      .select(col(key), col("action"))
+    val takeIncoming = actions
+      .filter(col("action").isin("insert", "update"))
+      .select(col(key))
+    val keepTarget = actions
+      .filter(col("action").isin("keep", "skip"))
+      .select(col(key))
+    incoming.join(takeIncoming, Seq(key), "left_semi")
+      .unionByName(target.join(keepTarget, Seq(key), "left_semi"))
+  }
+
+  /** A8: rows from `incoming` whose content hash is not yet in `target`,
+    * first-dedup'd within the batch (lowest key wins, deterministically).
+    */
+  def insertIfAbsent(target: DataFrame, incoming: DataFrame, key: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col(key))
+    incoming
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .join(target.select(col("content_hash")), Seq("content_hash"), "left_anti")
+  }
+
+  /** Convenience: attach the normalized content hash. */
+  def withContentHash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("content_hash", HashFunctions.contentHash(col(textCol)))
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing semantics (SURVEY §2.10) in their batch form —
+  * identical aggregation logic to the Structured Streaming variants in
+  * `graft.streaming.Streams` (which are exercised by ScalaTest with
+  * MemoryStream; these oracle-checked queries pin the window semantics).
+  *
+  * Window starts are emitted as epoch seconds (bigint): `events.ts` is
+  * nanosecond parquet, and raw timestamp outputs would compare at
+  * different precisions across engines.
+  */
+object StreamQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Tumbling 10-minute windows per event_type.
+    QueryDef(
+      "st_tumbling_window_agg",
+      """SELECT (floor(epoch(ts::TIMESTAMP) / 600) * 600)::BIGINT AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(unix_timestamp(col("w.start")).as("win_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+
+    // Sliding windows: 10 minutes long, every 5 minutes — each event
+    // lands in exactly two windows (starts at floor(t/300)*300 - {0,300}).
+    QueryDef(
+      "st_sliding_window_agg",
+      """SELECT win_start, count(*) AS n, round(sum(value), 2) AS total FROM (
+        |  SELECT (floor(epoch(ts::TIMESTAMP) / 300) * 300 - 300 * k.k)::BIGINT
+        |           AS win_start, value
+        |  FROM events, (SELECT unnest([0, 1]) AS k) k)
+        |GROUP BY win_start ORDER BY win_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(unix_timestamp(col("w.start")).as("win_start"), col("n"),
+          col("total"))
+        .orderBy(col("win_start"))
+    },
+
+    // Session windows (30-minute gap) per user — gaps-and-islands oracle.
+    // A gap of exactly 30m starts a NEW session (Spark session end is
+    // exclusive), hence `>=` in the oracle.
+    QueryDef(
+      "st_session_window_agg",
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+          col("n"), col("total"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // ST4: streaming dropDuplicates state in batch form — first event per
+    // (user_id, event_type) in event-time order.
+    QueryDef(
+      "st4_dedup_first_per_key",
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts::TIMESTAMP, event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }
+  )
+}
