@@ -441,7 +441,7 @@ object RelationalQueries {
     // U3: pages+files funnel into one table with a discriminator.
     QueryDef(
       "u3_doc_source_union",
-      """SELECT source_type, count(*) AS n, sum(n_chars) AS total_chars FROM (
+      """SELECT source_type, count(*) AS n, sum(n_chars)::BIGINT AS total_chars FROM (
         |  SELECT 'page' AS source_type, n_chars FROM documents WHERE doc_id % 2 = 0
         |  UNION ALL
         |  SELECT 'file' AS source_type, n_chars FROM documents WHERE doc_id % 2 = 1)

@@ -178,8 +178,8 @@ object ScalarQueries {
         |      '\s+', ' ', 'g'))) AS content_hash
         |  FROM both_sides)
         |SELECT count(DISTINCT content_hash) AS n_hashes,
-        |  sum(cnt) AS n_rows,
-        |  sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS n_pairs
+        |  sum(cnt)::BIGINT AS n_rows,
+        |  sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::BIGINT AS n_pairs
         |FROM (SELECT content_hash, count(*) AS cnt FROM hashed GROUP BY 1)""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
@@ -357,7 +357,7 @@ object ScalarQueries {
     // the page url, defragment, then route (the crawler's per-page UDTF).
     QueryDef(
       "x1_extract_resolve_links",
-      UrlCte.replace("FROM documents)", "FROM documents)") +
+      UrlCte +
         """, pages AS (
           |  SELECT doc_id, url,
           |    '<a href="/page' || (doc_id + 1) || '.html">n</a>'

@@ -60,6 +60,16 @@ def main():
             print(f"FAIL  {name}: columns {list(g.columns)} != {list(w.columns)}")
             nfail += 1
             continue
+        # dtype KIND mismatches (e.g. DuckDB HUGEINT -> pandas float64/
+        # object vs Spark int64) fail the driver's hash compare even when
+        # values are equal — catch them here too. Width-only differences
+        # (int32 vs int64) are fine: the driver canonicalizes those.
+        dt = [f"{c}: spark={g[c].dtype} oracle={w[c].dtype}"
+              for c in g.columns if g[c].dtype.kind != w[c].dtype.kind]
+        if dt:
+            print(f"FAIL  {name}: dtype mismatch " + "; ".join(dt[:4]))
+            nfail += 1
+            continue
         if len(g) != len(w):
             print(f"FAIL  {name}: rows {len(g)} != {len(w)}")
             nfail += 1
