@@ -39,4 +39,15 @@ object HashFunctions {
     */
   def seededHash(seed: Int, c: Column): Column =
     stableHash64(concat(lit(s"$seed:"), c))
+
+  /** Driver-side twin of [[stableHash64]] for deriving deterministic
+    * constants (e.g. hyperplane weight literals) that must agree with
+    * the SQL form `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+    */
+  def stableHash64Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
 }

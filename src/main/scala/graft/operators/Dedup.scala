@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{HashFunctions, TextFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for the training-data pipeline:
@@ -10,17 +10,21 @@ import org.apache.spark.sql.functions._
   *
   * Scale stance (100 TB):
   *   - Exact dedup is a single hash-shuffle on the 64-hex content hash.
+  *   - Per-document signatures (MinHash, SimHash) are computed INSIDE
+  *     array expressions — `array_min`/`filter`/`transform` over the
+  *     shingle/token array of each row. No explode, no groupBy: the
+  *     signature stage is embarrassingly parallel with zero shuffle,
+  *     which is what survives a 1000-executor scale-up.
   *   - MinHash-LSH never materializes all pairs: docs are joined only
   *     within equal LSH-band buckets (the candidate set), then verified.
-  *   - The raw shingle-blocking Jaccard join caps shingle document
-  *     frequency (hot shingles are dropped from blocking, the standard
-  *     guard against quadratic blow-up on stop-shingles).
+  *   - Jaccard verification joins each candidate pair to the two
+  *     documents' distinct-shingle ARRAYS and intersects in-row
+  *     (`array_intersect`), instead of re-exploding the corpus per side.
+  *   - The raw shingle-blocking join caps shingle document frequency
+  *     (hot shingles are dropped from blocking, the standard guard
+  *     against quadratic blow-up on stop-shingles).
   *   - All hashes are md5-derived (`HashFunctions.stableHash64`) —
   *     deterministic, seedable, and reproducible in any engine.
-  *
-  * Everything is pure DataFrame composition: Catalyst plans the
-  * band-bucket join as a regular shuffle hash join, so AQE/skew handling
-  * applies untouched.
   */
 object Dedup {
 
@@ -35,20 +39,32 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** (id, shingle) pairs — distinct word n-gram shingles per document. */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  /** (doc_id, sh_set) — the distinct word n-gram shingles of each doc as
+    * an array column. Docs with no shingles (fewer than n tokens) are
+    * dropped, matching the exploded form where they produce no rows.
+    */
+  def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
-      .distinct()
+        array_distinct(TextFunctions.shingles(col(textCol), n)).as("sh_set"))
+      .filter(size(col("sh_set")) > 0)
+
+  /** Exploded (doc_id, sh) pairs — only needed where a shingle-keyed
+    * inverted index is genuinely required (blocking joins).
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleArrays(docs, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("sh_set")).as("sh"))
 
   /** MinHash signature columns mh0..mh{k-1}: per doc, the min seeded
-    * 60-bit hash over its shingles. One shuffle (groupBy doc).
+    * 60-bit hash over its shingle set — computed in-row over the array
+    * (no explode, no shuffle).
     */
-  def minhashSignatures(shingleDf: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(i =>
-      min(HashFunctions.seededHash(i, col("sh"))).as(s"mh$i"))
-    shingleDf.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  def minhashSignatures(shArrays: DataFrame, numHashes: Int): DataFrame = {
+    val sigs = (0 until numHashes).map(i =>
+      array_min(transform(col("sh_set"),
+        sh => HashFunctions.seededHash(i, sh))).as(s"mh$i"))
+    shArrays.select(col("doc_id") +: sigs: _*)
   }
 
   /** LSH banding: signature -> (doc_id, band, band_key) rows, band_key =
@@ -77,57 +93,63 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard for given (a, b) candidate pairs over shingle sets. */
-  def jaccard(pairs: DataFrame, shingleDf: DataFrame): DataFrame = {
-    val sizes = shingleDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = pairs
-      .join(shingleDf.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(shingleDf.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .filter(col("sh_a") === col("sh_b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("n_a")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("n_b")), Seq("b"))
+  /** Exact Jaccard for (a, b) candidate pairs: join each side to its
+    * distinct-shingle array, intersect in-row. Two joins on doc id — the
+    * candidate set is small by construction, so this never re-shuffles
+    * the corpus-wide shingle index.
+    */
+  def jaccard(pairs: DataFrame, shArrays: DataFrame): DataFrame =
+    pairs
+      .join(shArrays.select(col("doc_id").as("a"), col("sh_set").as("sh_a")), Seq("a"))
+      .join(shArrays.select(col("doc_id").as("b"), col("sh_set").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-  }
 
   /** Candidate pairs by raw shingle blocking, with a document-frequency
     * cap: shingles occurring in more than `maxDf` docs don't block (else
     * a stop-shingle makes the self-join quadratic).
+    *
+    * One groupBy builds the inverted index AND applies the df cap; the
+    * <= maxDf^2/2 pairs per shingle are generated in-row from the sorted
+    * posting list (no shingle-keyed self-join, which would shuffle the
+    * full index twice).
     */
   def shingleBlockedPairs(shingleDf: DataFrame, maxDf: Int): DataFrame = {
-    val rare = shingleDf
-      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("sh"))
-    val blocked = shingleDf.join(rare, Seq("sh"))
-    blocked.select(col("sh"), col("doc_id").as("a"))
-      .join(blocked.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
+    val groups = shingleDf
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+    val pairs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(a.as("a"), b.as("b")))))
+    groups.select(explode(pairs).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
 
-  /** 60-bit SimHash per document over frequency-weighted tokens.
-    * Computed relationally: explode tokens x bit positions, sum +/-1
-    * weights per (doc, bit), then fold bits back into one long.
+  /** 60-bit SimHash per document over frequency-weighted tokens,
+    * computed entirely in-row: hash every token once, then per bit
+    * position the +/-1 weight sum is `2 * count(bit set) - count(all)`.
+    * Zero shuffle and no row amplification (the old form exploded every
+    * token into 60 bit-rows before aggregating). Docs with no tokens are
+    * dropped (they have no signal and would all collide on simhash=0).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .withColumn("th", HashFunctions.stableHash64(col("tok")))
-    val bits = toks
-      .select(col("doc_id"), col("th"),
-        explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("w",
-        expr("CASE WHEN (shiftright(th, CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("w")).as("s"))
-    bits.groupBy(col("doc_id"))
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"))
-        .as("simhash"))
+    val ths = transform(TextFunctions.tokens(col(textCol)),
+      t => HashFunctions.stableHash64(t))
+    val bitSum: Column = (0 until 60).map { b =>
+      val sB = size(filter(col("ths"),
+        t => (shiftright(t, b).bitwiseAND(lit(1L))) === 1L)) * 2 - size(col("ths"))
+      when(sB > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs
+      .select(col(idCol).as("doc_id"), ths.as("ths"))
+      .filter(size(col("ths")) > 0)
+      .select(col("doc_id"), bitSum.as("simhash"))
   }
 
   /** Near-dup pairs by SimHash: block on the top 16 bits, then keep

@@ -10,19 +10,29 @@ import org.apache.spark.sql.functions._
   * the survivors in.
   *
   * Spark has no native recursion; the loop runs on the driver but every
-  * round is a distributed plan. `localCheckpoint` truncates the growing
-  * lineage each round (depth is bounded — the reference caps at 10).
-  * State (`visited`) is a DataFrame, never a driver-side collection, so
-  * the same loop runs at 100 TB frontier sizes.
+  * round is a distributed plan. Each round RELIABLY checkpoints the new
+  * state (truncating the growing lineage): `localCheckpoint` would pin
+  * blocks to executors and lose them on executor death, which at
+  * cluster scale makes a deep crawl unrecoverable. The checkpoint dir
+  * defaults to a session-scoped temp dir when unset (on a cluster,
+  * point `spark.checkpoint.dir` at durable storage).
   */
 object Frontier {
+
+  private def ensureCheckpointDir(df: DataFrame): Unit = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+  }
 
   /** All nodes reachable from `seeds` within `maxDepth` hops, each with
     * its first-reach depth. `edges`: (src, dst); `seeds`: (node).
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    ensureCheckpointDir(seeds)
     var visited = seeds.select(col("node")).distinct()
-      .withColumn("depth", lit(0)).localCheckpoint(true)
+      .withColumn("depth", lit(0)).checkpoint(true)
     var frontier = visited
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
@@ -32,8 +42,8 @@ object Frontier {
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
-        .localCheckpoint(true)
-      visited = visited.unionByName(next).localCheckpoint(true)
+        .checkpoint(true)
+      visited = visited.unionByName(next).checkpoint(true)
       frontier = next
     }
     visited

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{HashFunctions, VectorFunctions}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
@@ -10,14 +11,17 @@ import org.apache.spark.sql.functions._
   * Two paths:
   *   - `bruteForceTopK`: exact cosine top-k. The query set is broadcast;
   *     the corpus streams through one codegen'd projection — no shuffle
-  *     of the corpus at all. Per-query ranking is a window over the
-  *     (|queries| x k)-bounded candidate stream. This is the correctness
-  *     baseline and is also the right plan when |queries| is small.
+  *     of the corpus at all. Ranking is two-stage: a partition-local
+  *     top-k (window over (qid, partition)) bounds what reaches the
+  *     global per-query window, so small query sets never funnel the
+  *     whole scored stream into a handful of reducers.
   *   - `hyperplaneBuckets` / `lshTopK`: random-hyperplane LSH. Each
   *     vector gets a small integer bucket from the signs of `planes`
-  *     deterministic hyperplane projections; only same-bucket pairs are
-  *     compared. At 100 TB the bucket id becomes the shuffle/partition
-  *     key, turning an O(N*Q) scan into a per-bucket join.
+  *     deterministic hyperplane projections, computed IN-ROW against
+  *     broadcast weight literals (`zip_with` dot products — no explode,
+  *     no join, no shuffle). Only same-bucket pairs are compared; at
+  *     100 TB the bucket id becomes the shuffle/partition key, turning
+  *     an O(N*Q) scan into a per-bucket join.
   *
   * Hyperplane weights are +/-1 derived from `stableHash64("hp:p:i")` —
   * fully deterministic, no RNG state, reproducible in SQL oracles.
@@ -37,65 +41,70 @@ object Similarity {
         round(VectorFunctions.cosine(col("qv"), col("cv")), decimals).as("score"))
   }
 
-  /** Exact top-k neighbors per query by cosine (desc), id tie-break. */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      decimals: Int = 6): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-    scored(queries, corpus, decimals)
-      .withColumn("rnk", row_number().over(w))
+  /** Per-query top-k of a (qid, cid, score) stream: prune to the top k
+    * within each (qid, input partition) first — a shuffle over
+    * |qids| x |partitions| keys — then rank the surviving
+    * |qids| x |partitions| x k rows globally. The local top-k is a
+    * superset of the global one under the same (score desc, cid)
+    * order, so results are identical to a single global window.
+    */
+  private def topKPerQuery(scores: DataFrame, k: Int): DataFrame = {
+    val local = Window.partitionBy(col("qid"), col("pid"))
+      .orderBy(col("score").desc, col("cid"))
+    val global = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    scores
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrnk", row_number().over(local))
+      .filter(col("lrnk") <= k)
+      .drop("pid", "lrnk")
+      .withColumn("rnk", row_number().over(global))
       .filter(col("rnk") <= k)
   }
 
-  /** Deterministic +/-1 hyperplane weight table: (plane, dim, w). */
-  def hyperplaneWeights(spark: org.apache.spark.sql.SparkSession,
-      planes: Int, dims: Int): DataFrame = {
-    spark.range(planes).select(col("id").as("plane"))
-      .crossJoin(spark.range(1, dims + 1).select(col("id").as("dim")))
-      .withColumn("w",
-        when(HashFunctions.stableHash64(
-          concat(lit("hp:"), col("plane"), lit(":"), col("dim"))) % 2 === 1,
-          lit(1.0)).otherwise(lit(-1.0)))
-  }
+  /** Exact top-k neighbors per query by cosine (desc), id tie-break. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      decimals: Int = 6): DataFrame =
+    topKPerQuery(scored(queries, corpus, decimals), k)
+
+  /** Deterministic +/-1 weights of hyperplane `plane` over `dims`
+    * dimensions (1-based, matching SQL `generate_subscripts`).
+    */
+  def hyperplaneWeightArray(plane: Int, dims: Int): Seq[Double] =
+    (1 to dims).map(i =>
+      if (HashFunctions.stableHash64Local(s"hp:$plane:$i") % 2 == 1) 1.0 else -1.0)
 
   /** Sign-of-projection LSH bucket per vector: bucket = sum over planes
-    * of (proj_p > 0) << p. `vecs`: (id, vec: array<float>); dims are
-    * 1-based to match SQL `generate_subscripts`.
+    * of (proj_p > 0) << p, with proj_p a `zip_with` dot product against
+    * the plane's literal weight array — one codegen'd projection, no
+    * shuffle. `vecs`: (id, vec: array<float>); `dims` must match the
+    * embedding width (a driver-side scan to infer it would be an eager
+    * job at plan-construction time).
     */
-  def hyperplaneBuckets(vecs: DataFrame, planes: Int): DataFrame = {
-    val spark = vecs.sparkSession
-    val dims = vecs.select(size(col("vec"))).head().getInt(0)
-    val weights = hyperplaneWeights(spark, planes, dims)
-    val comps = vecs.select(col("id"),
-      posexplode(VectorFunctions.toDoubleArray(col("vec"))).as(Seq("pos", "x")))
-      .withColumn("dim", col("pos") + 1)
-    comps.join(broadcast(weights), Seq("dim"))
-      .groupBy(col("id"), col("plane"))
-      .agg(sum(col("x") * col("w")).as("proj"))
-      .groupBy(col("id"))
-      .agg(sum(expr("CASE WHEN proj > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT)) ELSE CAST(0 AS BIGINT) END"))
-        .as("bucket"))
+  def hyperplaneBuckets(vecs: DataFrame, planes: Int, dims: Int): DataFrame = {
+    val v = VectorFunctions.toDoubleArray(col("vec"))
+    val bucket = (0 until planes).map { p =>
+      val w = array(hyperplaneWeightArray(p, dims).map(lit): _*)
+      when(VectorFunctions.dot(v, w) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vecs.select(col("id"), bucket.as("bucket"))
   }
 
   /** Approximate top-k: brute-force cosine restricted to same-bucket
     * candidates (the scale path — bucket is the join/partition key).
     */
-  def lshTopK(vecs: DataFrame, queryIds: DataFrame, planes: Int, k: Int,
-      decimals: Int = 6): DataFrame = {
-    val buckets = hyperplaneBuckets(vecs, planes)
-    val all = vecs.join(buckets, Seq("id"))
+  def lshTopK(vecs: DataFrame, queryIds: DataFrame, planes: Int, dims: Int,
+      k: Int, decimals: Int = 6): DataFrame = {
+    val all = vecs.join(hyperplaneBuckets(vecs, planes, dims), Seq("id"))
     val q = all.join(broadcast(queryIds), Seq("id"))
       .select(col("id").as("qid"),
         VectorFunctions.toDoubleArray(col("vec")).as("qv"), col("bucket"))
     val c = all.select(col("id").as("cid"),
       VectorFunctions.toDoubleArray(col("vec")).as("cv"), col("bucket"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-    c.join(broadcast(q), Seq("bucket"))
+    val scores = c.join(broadcast(q), Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         round(VectorFunctions.cosine(col("qv"), col("cv")), decimals).as("score"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    topKPerQuery(scores, k)
   }
 }

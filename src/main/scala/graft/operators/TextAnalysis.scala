@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.{HashFunctions, TextFunctions}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document fingerprinting (winnowing) — the rolling-hash scheme used for
@@ -10,23 +9,27 @@ import org.apache.spark.sql.functions._
   * of `windowSize` consecutive shingle hashes, keep each window's min,
   * dedupe. A document pair sharing any fingerprint shares an n-gram run.
   *
-  * Pure relational form: posexplode + window-min + distinct. The window
-  * is per-document (partitioned), so at scale it parallelizes per doc
-  * with no cross-document shuffle beyond the initial partition.
+  * Computed entirely in-row over the shingle-hash array (`transform` +
+  * `slice` + `array_min`), then one explode of the distinct fingerprints.
+  * No per-document window, no shuffle before the final distinct — at
+  * scale every document fingerprints independently inside one
+  * codegen'd projection.
   */
 object TextAnalysis {
 
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, windowSize: Int = 4): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(TextFunctions.shingles(col(textCol), n)).as(Seq("pos0", "sh")))
-      .withColumn("pos", col("pos0") + 1)
-      .withColumn("hv", HashFunctions.seededHash(0, col("sh")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(-(windowSize - 1), 0)
-    sh.withColumn("fp", min(col("hv")).over(w))
-      .select(col("doc_id"), col("fp"))
-      .distinct()
+    val hashes = transform(TextFunctions.shingles(col(textCol), n),
+      sh => HashFunctions.seededHash(0, sh))
+    // fp[i] = min(hashes[max(1, i-w+1) .. i]), 1-based positions;
+    // sequence(1, 0) would count DOWN, hence the empty-array guard.
+    val fps = when(size(col("hs")) > 0,
+      transform(sequence(lit(1), size(col("hs"))), i => {
+        val start = greatest(i - (windowSize - 1), lit(1))
+        array_min(slice(col("hs"), start, i - start + 1))
+      })).otherwise(array().cast("array<bigint>"))
+    docs
+      .select(col(idCol).as("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"), explode(array_distinct(fps)).as("fp"))
   }
 }

@@ -113,10 +113,10 @@ object LlmQueries {
           |   AND xa.doc_id < xb.doc_id),
           |""".stripMargin + JaccardTail) { (s, d) =>
       val corpus = nearDupCorpus(Tables.documents(s, d))
-      val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+      val shArr = Dedup.shingleArrays(corpus, "doc_id", "text", 3)
       val cand = Dedup.lshCandidatePairs(
-        Dedup.lshBands(Dedup.minhashSignatures(sh, 8), 8, 4))
-      Dedup.jaccard(cand, sh)
+        Dedup.lshBands(Dedup.minhashSignatures(shArr, 8), 8, 4))
+      Dedup.jaccard(cand, shArr)
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a"), col("b"))
@@ -133,8 +133,9 @@ object LlmQueries {
           |  FROM bl xa JOIN bl xb ON xa.sh = xb.sh AND xa.doc_id < xb.doc_id),
           |""".stripMargin + JaccardTail) { (s, d) =>
       val corpus = nearDupCorpus(Tables.documents(s, d))
-      val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
-      Dedup.jaccard(Dedup.shingleBlockedPairs(sh, 20), sh)
+      val shArr = Dedup.shingleArrays(corpus, "doc_id", "text", 3)
+      val sh = shArr.select(col("doc_id"), explode(col("sh_set")).as("sh"))
+      Dedup.jaccard(Dedup.shingleBlockedPairs(sh, 20), shArr)
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a"), col("b"))
@@ -239,7 +240,8 @@ object LlmQueries {
         |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.lshTopK(emb, emb.filter(col("id") < 10).select(col("id")), 8, 3)
+      Similarity.lshTopK(emb, emb.filter(col("id") < 10).select(col("id")),
+        planes = 8, dims = 64, k = 3)
         .select(col("qid"), col("cid"), col("score"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },
