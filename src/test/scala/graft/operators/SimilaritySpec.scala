@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f)),
+    (3L, Seq(0.6f, 0.8f)),
+    (4L, Seq(-1.0f, 0.0f)))
+    .toDF("id", "vec")
+
+  test("bruteForceTopK ranks by exact cosine with id tie-break") {
+    val got = Similarity.bruteForceTopK(vecs.filter(col("id") === 1), vecs, 3)
+      .select("cid", "score", "rnk").as[(Long, Double, Int)].collect().toSeq
+    // cos(1,3)=0.6, cos(1,2)=0.0, cos(1,4)=-1.0
+    assert(got == Seq((3L, 0.6, 1), (2L, 0.0, 2), (4L, -1.0, 3)))
+  }
+
+  test("partition-local pruning returns the same rows as a global window") {
+    val many = spark.range(100).select(col("id"),
+      array((col("id") % 7).cast("float"), lit(1.0f),
+        (col("id") % 13).cast("float")).as("vec"))
+    val q = many.filter(col("id") < 3)
+    val got = Similarity.bruteForceTopK(q, many, 5)
+      .select("qid", "cid", "rnk").as[(Long, Long, Int)].collect().toSet
+    // Naive global ranking for comparison.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("cid"))
+    val qq = q.select(col("id").as("qid"),
+      graft.functions.VectorFunctions.toDoubleArray(col("vec")).as("qv"))
+    val want = many.select(col("id").as("cid"),
+      graft.functions.VectorFunctions.toDoubleArray(col("vec")).as("cv"))
+      .join(qq, col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(graft.functions.VectorFunctions.cosine(col("qv"), col("cv")), 6)
+          .as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "cid", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
+  test("hyperplaneBuckets: equal vectors share buckets, deterministic") {
+    val dup = Seq((1L, Seq(1.0f, 2.0f, 4.0f)), (2L, Seq(1.0f, 2.0f, 4.0f)),
+      (3L, Seq(-1.0f, -2.0f, -4.0f))).toDF("id", "vec")
+    val b = Similarity.hyperplaneBuckets(dup, planes = 4, dims = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(b.values.forall(v => v >= 0 && v < 16))
+    assert(b(1L) == b(2L))
+    // No +/-1 combination of (1,2,4) sums to zero, so the sign-flipped
+    // vector lands in the exact complement bucket.
+    assert(b(3L) == (~b(1L) & 0xfL))
+    val again = Similarity.hyperplaneBuckets(dup, planes = 4, dims = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == b)
+  }
+
+  test("hyperplaneWeightArray matches the seeded md5 derivation") {
+    val w = Similarity.hyperplaneWeightArray(0, 4)
+    val expected = (1 to 4).map(i =>
+      if (graft.functions.HashFunctions.stableHash64Local(s"hp:0:$i") % 2 == 1)
+        1.0 else -1.0)
+    assert(w == expected)
+    assert(w.forall(x => x == 1.0 || x == -1.0))
+  }
+}

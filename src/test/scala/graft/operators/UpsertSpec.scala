@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE semantics of `/root/reference/storage/filesystem_store.py:95-128`:
+  * the 3-way action matrix and the incremental-crawl invariant that
+  * re-merging the same batch is a no-op.
+  */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withHash(rows: Seq[(Long, String)]): DataFrame =
+    Upsert.withContentHash(rows.toDF("doc_id", "text"), "text")
+
+  private val target = withHash(Seq(
+    1L -> "alpha doc", 2L -> "beta doc", 3L -> "gamma doc"))
+  // 1: identical (skip), 2: changed (update), 3: missing (keep), 4: new.
+  private val incoming = withHash(Seq(
+    1L -> "alpha doc", 2L -> "beta doc v2", 4L -> "delta doc"))
+
+  test("classify emits the full insert/update/skip/keep matrix") {
+    val acts = Upsert.classify(target, incoming, "doc_id")
+      .select("doc_id", "action").as[(Long, String)].collect().toMap
+    assert(acts == Map(1L -> "skip", 2L -> "update", 3L -> "keep", 4L -> "insert"))
+  }
+
+  test("merge keeps target rows, takes incoming on insert/update") {
+    val merged = Upsert.merge(target, incoming, "doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(merged == Map(
+      1L -> "alpha doc", 2L -> "beta doc v2",
+      3L -> "gamma doc", 4L -> "delta doc"))
+  }
+
+  test("merge is idempotent: re-merging the same batch is a no-op") {
+    val once = Upsert.merge(target, incoming, "doc_id")
+    val twice = Upsert.merge(once, incoming, "doc_id")
+    val a = once.select("doc_id", "text", "content_hash").collect().toSet
+    val b = twice.select("doc_id", "text", "content_hash").collect().toSet
+    assert(a == b)
+    // And every re-merge action is skip or keep — nothing rewrites.
+    val acts = Upsert.classify(once, incoming, "doc_id")
+      .select("action").as[String].collect().toSet
+    assert(acts.subsetOf(Set("skip", "keep")))
+  }
+
+  test("insertIfAbsent drops in-batch and cross-target content dupes") {
+    val batch = withHash(Seq(
+      10L -> "alpha doc",      // content already in target -> dropped
+      11L -> "fresh one",      // new
+      12L -> "fresh one",      // in-batch dupe -> lowest id wins
+      13L -> "fresh two"))
+    val got = Upsert.insertIfAbsent(target, batch, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 13L))
+  }
+}
