@@ -4,10 +4,11 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Event-time windowing semantics (SURVEY §2.10) in their batch form —
-  * identical aggregation logic to the Structured Streaming variants in
-  * `graft.streaming.Streams` (which are exercised by ScalaTest with
-  * MemoryStream; these oracle-checked queries pin the window semantics).
+/** Event-time windowing semantics (SURVEY §2.10) in their batch form.
+  * Each query calls the SAME aggregation function as the Structured
+  * Streaming runtime (`graft.streaming.Streams`, whose readStream path
+  * is exercised by `graft.streaming.StreamsSpec` with MemoryStream) —
+  * these oracle-checked queries pin the shared window semantics.
   *
   * Window starts are emitted as epoch seconds (bigint): `events.ts` is
   * nanosecond parquet, and raw timestamp outputs would compare at
@@ -24,11 +25,7 @@ object StreamQueries {
         |  event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY win_start, event_type
         |ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-        .select(unix_timestamp(col("w.start")).as("win_start"),
-          col("event_type"), col("n"), col("total"))
+      graft.streaming.Streams.tumblingAgg(Tables.events(s, d))
         .orderBy(col("win_start"), col("event_type"))
     },
 
@@ -41,11 +38,7 @@ object StreamQueries {
         |           AS win_start, value
         |  FROM events, (SELECT unnest([0, 1]) AS k) k)
         |GROUP BY win_start ORDER BY win_start""".stripMargin) { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-        .select(unix_timestamp(col("w.start")).as("win_start"), col("n"),
-          col("total"))
+      graft.streaming.Streams.slidingAgg(Tables.events(s, d))
         .orderBy(col("win_start"))
     },
 
@@ -71,11 +64,7 @@ object StreamQueries {
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-        .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
-          col("n"), col("total"))
+      graft.streaming.Streams.sessionAgg(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))
     },
 

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import graft.operators.Upsert
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming runtime for the reference's stream semantics
+  * (SURVEY §2.10). The aggregation bodies are plain DataFrame
+  * transforms, so the SAME function runs in batch (pinned by the
+  * DuckDB-oracle queries in `graft.queries.StreamQueries`) and in a
+  * `readStream` pipeline (exercised by `StreamsSpec` with
+  * MemoryStream):
+  *
+  *   - tumbling/sliding/session event-time windows (+ watermark helper)
+  *   - ST4 stateful dedup: streaming `dropDuplicates` per key
+  *   - ST5 stale-entity timeout (`/root/reference/db/postgres_store.py:58-68`,
+  *     10-min default of `worker_daemon.py:18`): event-time state
+  *     timeout via `flatMapGroupsWithState`
+  *   - ST6/ST8 late/duplicate handling: `foreachBatch` + `Upsert.merge`
+  *     into a parquet target — re-delivery of the same batch is a no-op
+  *
+  * Scale: windowed aggs and dropDuplicates shuffle once on their state
+  * key and keep bounded state under the watermark; the merge sink
+  * rewrites only the target (at 100 TB: partition-overwrite of changed
+  * site partitions, per SURVEY T1).
+  */
+object Streams {
+
+  /** Event-time watermark; call before any append-mode windowed agg. */
+  def withWatermark(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Tumbling 10-minute windows per event_type (batch- and stream-safe). */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Sliding windows, 10 minutes long every 5 minutes. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("n"),
+        col("total"))
+
+  /** Session windows with a 30-minute inactivity gap, per user. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+        col("n"), col("total"))
+
+  /** ST4: keep the first arrival per key. In streaming this is the
+    * state-store dedup (`visited_pages` semantics,
+    * `/root/reference/crawler/crawler_core.py:66-68`); pair with a
+    * watermark + ts key for bounded state when keys are unbounded.
+    */
+  def dedupFirstPerKey(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.dropDuplicates(keys)
+
+  // ---- ST5: stale-entity timeout ------------------------------------------
+
+  /** One job-queue heartbeat (status poll row). */
+  final case class Heartbeat(job_id: String, ts: java.sql.Timestamp, status: String)
+
+  /** A job status transition emitted by the sweep. */
+  final case class JobTransition(job_id: String, status: String, error: String)
+
+  /** Internal sweep state (public: Catalyst codegen instantiates it). */
+  final case class LastSeen(tsMillis: Long, status: String)
+
+  /** Jobs with no heartbeat for `staleMinutes` of event time are failed
+    * with the reference's sentinel error. Terminal heartbeats
+    * (DONE/FAILED) emit immediately and clear state; live jobs only
+    * (re)arm their timeout. Input must carry a watermark on `ts`.
+    */
+  def staleJobSweep(heartbeats: Dataset[Heartbeat],
+      staleMinutes: Int): Dataset[JobTransition] = {
+    import heartbeats.sparkSession.implicits._
+    heartbeats
+      .groupByKey(_.job_id)
+      .flatMapGroupsWithState[LastSeen, JobTransition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (jobId, events, state: GroupState[LastSeen]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator(JobTransition(jobId, "FAILED", "stale job timeout"))
+          } else {
+            val latest = events.maxBy(_.ts.getTime)
+            if (latest.status == "DONE" || latest.status == "FAILED") {
+              state.remove()
+              Iterator(JobTransition(jobId, latest.status, null))
+            } else {
+              state.update(LastSeen(latest.ts.getTime, latest.status))
+              state.setTimeoutTimestamp(
+                latest.ts.getTime + staleMinutes * 60000L)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
+  // ---- ST6/ST8: merge sink -------------------------------------------------
+
+  /** foreachBatch sink MERGE-ing every micro-batch into a parquet target
+    * (rows carry `key` + `content_hash`). The merge is idempotent, so
+    * at-least-once delivery (late/duplicate batches) converges — the
+    * reference's hash-compare upsert
+    * (`/root/reference/storage/filesystem_store.py:95-128`).
+    *
+    * Plain parquet can't be read and overwritten in one job, so each
+    * batch writes a fresh state dir and swaps a `_current` pointer —
+    * the stand-in for a transactional format's atomic commit.
+    */
+  def mergeSink(stream: DataFrame, targetDir: String, key: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, targetDir, key, batchId)
+      }
+      .start()
+
+  /** One micro-batch of the merge sink (also the batch/ST8 restart path). */
+  def mergeBatch(batch: DataFrame, targetDir: String, key: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val merged = readState(spark, targetDir) match {
+      case Some(target) => Upsert.merge(target, batch, key)
+      case None => batch
+    }
+    val next = new java.io.File(targetDir, s"state_$batchId").toString
+    merged.write.mode("overwrite").parquet(next)
+    val ptr = new java.io.File(targetDir, "_current").toPath
+    java.nio.file.Files.write(ptr, s"state_$batchId".getBytes("UTF-8"))
+  }
+
+  /** The current merged state under a mergeSink target, if any. */
+  def readState(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String): Option[DataFrame] = {
+    val ptr = new java.io.File(targetDir, "_current").toPath
+    if (java.nio.file.Files.exists(ptr)) {
+      val name = new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8")
+      Some(spark.read.parquet(new java.io.File(targetDir, name).toString))
+    } else None
+  }
+}

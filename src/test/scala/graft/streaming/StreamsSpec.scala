@@ -1,0 +1,146 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.functions.HashFunctions
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Top-level so Catalyst can build an Encoder without an outer scope. */
+case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+/** Drives the Structured Streaming runtime end-to-end with MemoryStream:
+  * windowed aggs (batch/stream parity), stateful dedup (ST4), the
+  * event-time stale-job sweep (ST5), and the idempotent merge sink
+  * (ST6/ST8).
+  */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Int): Timestamp =
+    new Timestamp(1700000000000L + minutes * 60000L)
+
+  private val events = Seq(
+    Ev(ts(1), "view", 1L, 1.0), Ev(ts(2), "view", 1L, 2.0),
+    Ev(ts(3), "click", 2L, 3.0), Ev(ts(14), "view", 1L, 4.0),
+    Ev(ts(55), "view", 2L, 5.0), Ev(ts(56), "click", 1L, 6.0))
+
+  test("windowed aggs: streaming (complete mode) equals batch") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(events.take(3))
+    in.addData(events.drop(3))
+    val q = Streams.tumblingAgg(in.toDF())
+      .writeStream.format("memory").queryName("tumbling_t")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("tumbling_t")
+      .select("win_start", "event_type", "n", "total")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val want = Streams.tumblingAgg(events.toDF())
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("sliding and session aggs run on a stream") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(events)
+    val q = Streams.sessionAgg(Streams.withWatermark(in.toDF(), "0 seconds"))
+      .writeStream.format("memory").queryName("session_t")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // Watermark advances at end of batch; sessions closed before it are
+    // emitted on the next (possibly empty) trigger. Events at minutes
+    // 1-14 sit >30min before the minute-55/56 events -> one closed
+    // session per user from the first burst.
+    val got = spark.table("session_t")
+      .select("user_id", "n", "total").as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 3L, 7.0), (2L, 1L, 3.0)))
+
+    val in2 = MemoryStream[Ev]
+    in2.addData(events)
+    val q2 = Streams.slidingAgg(in2.toDF())
+      .writeStream.format("memory").queryName("sliding_t")
+      .outputMode("complete").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val slid = spark.table("sliding_t").as[(Long, Long, Double)].collect()
+    val want = Streams.slidingAgg(events.toDF())
+      .as[(Long, Long, Double)].collect()
+    assert(slid.toSet == want.toSet)
+  }
+
+  test("ST4: streaming dropDuplicates keeps the first arrival per key") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(Ev(ts(1), "view", 1L, 1.0), Ev(ts(2), "view", 1L, 99.0))
+    in.addData(Ev(ts(3), "view", 1L, 98.0), Ev(ts(4), "click", 1L, 2.0))
+    val q = Streams.dedupFirstPerKey(in.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_t")
+      .select("user_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "view", 1.0), (1L, "click", 2.0)))
+  }
+
+  test("ST5: stale jobs fail after the event-time timeout") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Streams.Heartbeat]
+    val swept = Streams.staleJobSweep(
+      Streams.withWatermark(in.toDF(), "0 seconds").as[Streams.Heartbeat],
+      staleMinutes = 10)
+    val q = swept.writeStream.format("memory").queryName("sweep_t")
+      .outputMode("append").start()
+    try {
+      // Batch 1: two RUNNING jobs, one job that completes.
+      in.addData(
+        Streams.Heartbeat("a", ts(0), "RUNNING"),
+        Streams.Heartbeat("b", ts(0), "RUNNING"),
+        Streams.Heartbeat("c", ts(1), "DONE"))
+      q.processAllAvailable()
+      // Batch 2: b heartbeats again at +20min -> watermark passes a's
+      // +10min timeout; a must fail stale, b stays armed.
+      in.addData(Streams.Heartbeat("b", ts(20), "RUNNING"))
+      q.processAllAvailable()
+      val got = spark.table("sweep_t")
+        .select("job_id", "status", "error")
+        .as[(String, String, String)].collect().toSet
+      assert(got.contains(("c", "DONE", null)))
+      assert(got.contains(("a", "FAILED", "stale job timeout")))
+      assert(!got.exists(_._1 == "b"))
+    } finally q.stop()
+  }
+
+  test("ST6/ST8: merge sink converges and re-delivery is a no-op") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    case class Doc(doc_id: Long, text: String)
+    def hashed(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("content_hash", HashFunctions.contentHash(col("text")))
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+      .withColumn("content_hash", HashFunctions.contentHash(col("text")))
+    val q = Streams.mergeSink(stream, dir, "doc_id", ckpt)
+    try {
+      in.addData(1L -> "one", 2L -> "two")
+      q.processAllAvailable()
+      in.addData(2L -> "two v2", 3L -> "three")   // update + insert
+      q.processAllAvailable()
+      in.addData(2L -> "two v2", 3L -> "three")   // duplicate delivery
+      q.processAllAvailable()
+      val got = Streams.readState(spark, dir).get
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "one", 2L -> "two v2", 3L -> "three"))
+      // ST8 restart path: merging the same batch once more changes nothing.
+      Streams.mergeBatch(hashed(Seq(2L -> "two v2", 3L -> "three")),
+        dir, "doc_id", batchId = 99L)
+      val again = Streams.readState(spark, dir).get
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(again == got)
+    } finally q.stop()
+  }
+}
