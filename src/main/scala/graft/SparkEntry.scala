@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.ScalarQueries.defs ++
       graft.queries.LlmQueries.defs ++
       graft.queries.PipelineQueries.defs ++
-      graft.queries.StreamQueries.defs
+      graft.queries.StreamQueries.defs ++
+      graft.queries.SourceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.sources.{DocBuild, DocExtract}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/extraction surface (SURVEY §2.1 S3-S10, §2.2 F10/F15):
+  * document payload -> text with per-format dispatch and error capture,
+  * size gating, and the charset-fallback decode.
+  *
+  * The testdata carries no binary columns, so payloads are synthesized
+  * deterministically from `documents.text` (split into 8-word lines)
+  * with `DocBuild`, run through the REAL extraction UDFs, and compared
+  * against the SQL-expressible expected text — a differential test of
+  * the whole bytes -> text path.
+  */
+object SourceQueries {
+
+  /** documents + `lines` (array of 8-word chunks of text). */
+  private def withLines(docs: DataFrame): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    docs.withColumn("toks", toks)
+      .withColumn("n_lines",
+        ceil(size(col("toks")) / lit(8.0)).cast("int"))
+      .withColumn("lines",
+        transform(sequence(lit(1), col("n_lines")),
+          i => concat_ws(" ", slice(col("toks"), (i - lit(1)) * 8 + 1, lit(8)))))
+  }
+
+  /** The identical chunking as a DuckDB CTE: `ls` = 8-word lines. */
+  private val LinesCte =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, cast(ceil(len(l) / 8.0) AS INT) + 1),
+      |      i -> array_to_string(l[((i-1)*8+1):least(i*8, len(l))], ' ')) AS ls
+      |  FROM toks)
+      |""".stripMargin
+
+  private def extractedText(payload: Column, ext: String): Column =
+    DocExtract.extractUdf(payload, lit(ext)).getField("text")
+
+  private def roundTrip(name: String, ext: String)(
+      payload: DataFrame => Column): QueryDef =
+    QueryDef(
+      name,
+      LinesCte +
+        """SELECT doc_id, array_to_string(ls, chr(10)) AS text
+          |FROM lines ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = withLines(Tables.documents(s, d))
+      docs.select(col("doc_id"),
+        extractedText(payload(docs), ext).as("text"))
+        .orderBy(col("doc_id"))
+    }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // S5: docx container -> paragraph texts.
+    roundTrip("s5_docx_roundtrip_extract", ".docx")(
+      _ => DocBuild.docxUdf(col("lines"))),
+
+    // S7: pptx container -> per-slide shape texts.
+    roundTrip("s7_pptx_roundtrip_extract", ".pptx")(
+      _ => DocBuild.pptxUdf(col("lines"))),
+
+    // S8: xlsx container -> cells joined by spaces, rows by newlines.
+    roundTrip("s8_xlsx_roundtrip_extract", ".xlsx")(
+      _ => DocBuild.xlsxUdf(col("lines"))),
+
+    // S4: pdf content streams (Flate-compressed for every even doc).
+    roundTrip("s4_pdf_roundtrip_extract", ".pdf")(
+      _ => DocBuild.pdfUdf(col("lines"), col("doc_id") % 2 === 0)),
+
+    // S6+S9+S10: dispatch matrix — txt passthrough, legacy .doc
+    // placeholder, unknown ext, and error capture on a well-formed zip
+    // that is not a docx.
+    QueryDef(
+      "s6_s10_extract_dispatch",
+      """SELECT doc_id, CASE doc_id % 4
+        |  WHEN 0 THEN text
+        |  WHEN 1 THEN '[Legacy .doc file - extraction not supported with current library]'
+        |  WHEN 2 THEN ''
+        |  ELSE '[Error extracting .docx file: no word/document.xml entry]'
+        |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = withLines(Tables.documents(s, d))
+      val ext = element_at(
+        array(lit(".txt"), lit(".doc"), lit(".bin"), lit(".docx")),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val payload = when(col("doc_id") % 4 === 0, encode(col("text"), "UTF-8"))
+        .when(col("doc_id") % 4 === 3, DocBuild.xlsxUdf(col("lines")))
+        .otherwise(encode(lit("x"), "UTF-8"))
+      docs.select(col("doc_id"),
+        DocExtract.extractUdf(payload, ext).getField("text").as("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // F10: size gate before extraction (max_file_bytes,
+    // /root/reference/crawler/file_ingestion.py:79-80) — oversized
+    // payloads are skipped with a marker, never extracted.
+    QueryDef(
+      "f10_size_gate",
+      """SELECT route, count(*) AS n, sum(n_text)::BIGINT AS total_text FROM (
+        |  SELECT CASE WHEN strlen(text) > 300 THEN 'skipped_too_large'
+        |              ELSE 'extracted' END AS route,
+        |    CASE WHEN strlen(text) > 300 THEN 0 ELSE strlen(text) END AS n_text
+        |  FROM documents)
+        |GROUP BY route ORDER BY route""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      docs
+        .withColumn("route",
+          when(octet_length(col("payload")) > 300, lit("skipped_too_large"))
+            .otherwise(lit("extracted")))
+        .withColumn("extracted",
+          when(col("route") === "extracted",
+            extractedText(col("payload"), ".txt")).otherwise(lit("")))
+        .groupBy(col("route"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("extracted"))).as("total_text"))
+        .orderBy(col("route"))
+    },
+
+    // F15/C16: charset-fallback decode chain — header charset wins,
+    // then strict UTF-8 (rejected on ý/þ mojibake), then windows-1254.
+    QueryDef(
+      "f15_charset_decode",
+      """SELECT doc_id, CASE doc_id % 3
+        |  WHEN 0 THEN text || 'ÿ'
+        |  WHEN 1 THEN text
+        |  ELSE text || 'Ã½'
+        |  END AS decoded
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // 0: header says iso-8859-9; trailing 0xFF decodes to 'ÿ'.
+      // 1: no header, clean ascii -> strict utf-8 path.
+      // 2: no header, valid utf-8 containing 'ý' -> mojibake reject ->
+      //    windows-1254 re-decode turns the two utf-8 bytes into 'Ã½'.
+      val payload = when(col("doc_id") % 3 === 0,
+          concat(encode(col("text"), "UTF-8"), unhex(lit("FF"))))
+        .when(col("doc_id") % 3 === 1, encode(col("text"), "UTF-8"))
+        .otherwise(encode(concat(col("text"), lit("ý")), "UTF-8"))
+      val ctype = when(col("doc_id") % 3 === 0,
+        lit("text/html; charset=iso-8859-9")).otherwise(lit(null).cast("string"))
+      docs.select(col("doc_id"),
+        DocExtract.decodeHtmlUdf(payload, ctype).as("decoded"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

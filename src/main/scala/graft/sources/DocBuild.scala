@@ -1,0 +1,104 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{Deflater, ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** Deterministic in-memory builders for the document formats DocExtract
+  * parses — the synthetic stand-ins for fetched binary payloads (the
+  * container ships no real PDFs/Office files, and the driver's tables
+  * carry only text). Used by the s4-s8 round-trip queries and the
+  * extraction specs: build bytes from known lines, extract, compare
+  * against the SQL-expressible expectation.
+  */
+object DocBuild {
+
+  private def escapeXml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
+
+  private def zip(entries: (String, String)*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entries.foreach { case (name, content) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  /** Minimal .docx: one paragraph per line. */
+  def docxBytes(lines: Seq[String]): Array[Byte] = {
+    val paras = lines.map(l =>
+      s"<w:p ><w:r><w:t>${escapeXml(l)}</w:t></w:r></w:p>").mkString
+    zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" ->
+        s"""<w:document><w:body>$paras</w:body></w:document>""")
+  }
+
+  /** Minimal .pptx: one slide per line, one text shape each. */
+  def pptxBytes(lines: Seq[String]): Array[Byte] = {
+    val slides = lines.zipWithIndex.map { case (l, i) =>
+      s"ppt/slides/slide${i + 1}.xml" ->
+        s"""<p:sld><p:sp><a:t>${escapeXml(l)}</a:t></p:sp></p:sld>"""
+    }
+    zip(("[Content_Types].xml" -> "<Types/>") +: slides: _*)
+  }
+
+  /** Minimal .xlsx: one row per line, one inline-string cell per word. */
+  def xlsxBytes(lines: Seq[String]): Array[Byte] = {
+    val rows = lines.map { l =>
+      val cells = l.split(" ").filter(_.nonEmpty).map(w =>
+        s"""<c t="inlineStr"><is><t>${escapeXml(w)}</t></is></c>""").mkString
+      s"<row r=\"1\">$cells</row>"
+    }.mkString
+    zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "xl/worksheets/sheet1.xml" ->
+        s"<worksheet><sheetData>$rows</sheetData></worksheet>")
+  }
+
+  private def escapePdf(s: String): String =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  /** Minimal single-page PDF: one Tj text-show per line. Content stream
+    * is Flate-compressed when `flate` (exercises the inflate path).
+    */
+  def pdfBytes(lines: Seq[String], flate: Boolean = false): Array[Byte] = {
+    val ops = "BT /F1 12 Tf " +
+      lines.map(l => s"(${escapePdf(l)}) Tj T* ").mkString + "ET"
+    val body: Array[Byte] =
+      if (flate) {
+        val d = new Deflater()
+        d.setInput(ops.getBytes("ISO-8859-1")); d.finish()
+        val buf = new Array[Byte](ops.length * 2 + 64)
+        val n = d.deflate(buf)
+        java.util.Arrays.copyOf(buf, n)
+      } else ops.getBytes("ISO-8859-1")
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    val head =
+      s"""%PDF-1.4
+         |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+         |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+         |3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj
+         |4 0 obj << /Length ${body.length}$filter >> stream
+         |""".stripMargin
+    val tail = "\nendstream endobj\n%%EOF\n"
+    val bos = new ByteArrayOutputStream()
+    bos.write(head.getBytes("ISO-8859-1"))
+    bos.write(body)
+    bos.write(tail.getBytes("ISO-8859-1"))
+    bos.toByteArray
+  }
+
+  val docxUdf: UserDefinedFunction = udf((ls: Seq[String]) => docxBytes(ls))
+  val pptxUdf: UserDefinedFunction = udf((ls: Seq[String]) => pptxBytes(ls))
+  val xlsxUdf: UserDefinedFunction = udf((ls: Seq[String]) => xlsxBytes(ls))
+  val pdfUdf: UserDefinedFunction =
+    udf((ls: Seq[String], flate: Boolean) => pdfBytes(ls, flate))
+}
