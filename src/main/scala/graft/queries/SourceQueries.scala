@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.sources.{DocBuild, DocExtract}
+import graft.operators.Upsert
+import graft.sources.{DocBuild, DocExtract, Store}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -123,6 +124,60 @@ object SourceQueries {
         .agg(count(lit(1)).as("n"),
           sum(length(col("extracted"))).as("total_text"))
         .orderBy(col("route"))
+    },
+
+    // S13-S17 + T1: the physical store — write a site-partitioned
+    // parquet store, MERGE an incoming batch (updates + inserts) with
+    // dynamic partition overwrite, then re-deliver the same batch. The
+    // partitions_rewritten_* columns PROVE the physical semantics: the
+    // first merge touches every site, the idempotent second rewrites 0.
+    QueryDef(
+      "s13_s17_partitioned_merge_store",
+      """WITH store AS (
+        |  SELECT doc_id, source AS site, text FROM documents WHERE doc_id % 3 <> 0),
+        |inc AS (
+        |  SELECT doc_id, source AS site, 'v2 ' || text AS text
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 8000000, source, 'new ' || text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |merged AS (
+        |  SELECT coalesce(i.doc_id, s.doc_id) AS doc_id,
+        |         coalesce(i.site, s.site) AS site,
+        |         coalesce(i.text, s.text) AS text
+        |  FROM store s FULL OUTER JOIN inc i ON s.doc_id = i.doc_id)
+        |SELECT site, count(*) AS n,
+        |  sum(CASE WHEN text LIKE 'v2 %' THEN 1 ELSE 0 END)::BIGINT AS n_updated,
+        |  sum(CASE WHEN text LIKE 'new %' THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |  (SELECT count(DISTINCT source) FROM documents
+        |   WHERE doc_id % 4 = 0 OR doc_id % 10 = 0) AS partitions_rewritten_first,
+        |  0::BIGINT AS partitions_rewritten_second
+        |FROM merged GROUP BY site ORDER BY site""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val store0 = Upsert.withContentHash(
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("source").as("site"), col("text")), "text")
+      val incoming = Upsert.withContentHash(
+        docs.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), col("source").as("site"),
+            concat(lit("v2 "), col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 8000000).as("doc_id"),
+              col("source").as("site"),
+              concat(lit("new "), col("text")).as("text"))), "text")
+      val path = java.nio.file.Files.createTempDirectory("graft-store")
+        .toString + "/docs"
+      Store.writePartitioned(store0, path, "site")
+      val first = Store.mergeInto(s, path, incoming, "doc_id", "site")
+      val second = Store.mergeInto(s, path, incoming, "doc_id", "site")
+      Store.read(s, path)
+        .groupBy(col("site"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("text").startsWith("v2 "), 1).otherwise(0)).as("n_updated"),
+          sum(when(col("text").startsWith("new "), 1).otherwise(0)).as("n_new"))
+        .withColumn("partitions_rewritten_first", lit(first))
+        .withColumn("partitions_rewritten_second", lit(second))
+        .orderBy(col("site"))
     },
 
     // F15/C16: charset-fallback decode chain — header charset wins,

@@ -1,0 +1,67 @@
+package graft.sources
+
+import graft.operators.Upsert
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical document store (SURVEY §2.1 S13-S17, T1): site-partitioned
+  * parquet as the columnar upgrade of the reference's per-site
+  * directory layout (`/root/reference/storage/filesystem_store.py:26-46`)
+  * and its hash-compare upsert (`:95-128`,
+  * `/root/reference/db/postgres_store.py:126-182`).
+  *
+  * MERGE on plain parquet without a transactional format:
+  *   1. classify incoming vs target on the merge key (insert/update/
+  *      skip/keep);
+  *   2. restrict to the partitions that actually contain an insert or
+  *      update — skip-only partitions are never rewritten (the
+  *      reference's "same hash -> no write");
+  *   3. stage the merged rows of those partitions, then dynamic
+  *      partition-overwrite the store (only staged partitions are
+  *      replaced; staging first because a lazy plan cannot read and
+  *      overwrite the same files).
+  *
+  * At 100 TB the partition column is the site/tenant key, so a crawl
+  * batch touching k sites rewrites k partitions, not the store; a
+  * re-delivered batch classifies all-skip and rewrites NOTHING.
+  */
+object Store {
+
+  /** S13/S14/T1: site-partitioned parquet sink. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S17: MERGE `incoming` (key + content_hash + data) into the store
+    * at `path`, rewriting only partitions with a real insert/update.
+    * Returns the number of partitions rewritten.
+    */
+  def mergeInto(spark: SparkSession, path: String, incoming: DataFrame,
+      key: String, partitionCol: String): Long = {
+    val target = read(spark, path)
+    val actions = Upsert.classify(target, incoming, key)
+    val changedKeys = actions
+      .filter(col("action").isin("insert", "update")).select(col(key))
+    // Partitions owning a changed key — from the incoming side (inserts
+    // may create partitions the target doesn't have yet).
+    val affected = incoming.join(changedKeys, Seq(key), "left_semi")
+      .select(col(partitionCol)).distinct()
+    val nAffected = affected.count()
+    if (nAffected > 0) {
+      val merged = Upsert.merge(target, incoming, key)
+        .join(broadcast(affected), Seq(partitionCol), "left_semi")
+      val stage = path.stripSuffix("/") + "_stage"
+      // Stage partition-first so the re-read keeps the layout cheap.
+      merged.write.mode("overwrite").partitionBy(partitionCol).parquet(stage)
+      read(spark, stage).write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(path)
+    }
+    nAffected
+  }
+}

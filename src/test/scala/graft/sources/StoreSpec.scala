@@ -1,0 +1,56 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.Upsert
+import org.apache.spark.sql.functions._
+
+/** Physical store semantics: partition layout, merge-by-hash, and the
+  * no-write guarantee for unaffected/skip-only partitions.
+  */
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hashed(rows: Seq[(Long, String, String)]) =
+    Upsert.withContentHash(rows.toDF("doc_id", "site", "text"), "text")
+
+  private def files(path: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(path))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+
+  test("partitioned write + merge rewrites only affected partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("store-spec").toString
+    val path = s"$dir/docs"
+    Store.writePartitioned(hashed(Seq(
+      (1L, "a", "one"), (2L, "a", "two"), (3L, "b", "three"))), path, "site")
+    assert(new java.io.File(s"$path/site=a").isDirectory)
+    assert(new java.io.File(s"$path/site=b").isDirectory)
+
+    val before = files(s"$path/site=b")
+    // Update site=a only; site=b files must remain physically untouched.
+    val n = Store.mergeInto(spark,
+      path, hashed(Seq((1L, "a", "one v2"), (4L, "a", "four"))),
+      "doc_id", "site")
+    assert(n == 1)
+    assert(files(s"$path/site=b") == before)
+    val state = Store.read(spark, path)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "one v2", 2L -> "two", 3L -> "three",
+      4L -> "four"))
+  }
+
+  test("re-merging an applied batch rewrites nothing at all") {
+    val dir = java.nio.file.Files.createTempDirectory("store-spec").toString
+    val path = s"$dir/docs"
+    Store.writePartitioned(hashed(Seq(
+      (1L, "a", "one"), (2L, "b", "two"))), path, "site")
+    val batch = hashed(Seq((1L, "a", "one v2")))
+    assert(Store.mergeInto(spark, path, batch, "doc_id", "site") == 1)
+    val before = files(path)
+    assert(Store.mergeInto(spark, path, batch, "doc_id", "site") == 0)
+    assert(files(path) == before, "skip-only merge must not touch any file")
+  }
+}
