@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.LlmQueries.defs ++
       graft.queries.PipelineQueries.defs ++
       graft.queries.StreamQueries.defs ++
-      graft.queries.SourceQueries.defs
+      graft.queries.SourceQueries.defs ++
+      graft.queries.CrawlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

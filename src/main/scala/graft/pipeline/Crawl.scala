@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import graft.functions.{HashFunctions, HtmlFunctions, UrlFunctions}
+import graft.sources.DocExtract
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crawl job configuration — the engine's `CrawlJob`
+  * (`/root/reference/models.py:5-34`) reduced to the fields that shape
+  * the dataflow.
+  */
+final case class CrawlConfig(
+    rootDomain: String,
+    maxDepth: Int = 10,
+    singlePage: Boolean = false,
+    basePath: String = "/",
+    allowedFileExtensions: Seq[String] = UrlFunctions.DocExtensions,
+    downloadOnlySameDomain: Boolean = false,
+    maxFileBytes: Long = 25000000L)
+
+/** Pluggable page source: urls (url) -> (url, payload binary,
+  * content_type). Missing rows are fetch failures (dropped, F11). The
+  * production implementation is a `mapPartitions` HTTP client with
+  * per-domain throttling (S1/ST3); tests and the oracle query join a
+  * synthetic in-memory site.
+  */
+trait Fetcher {
+  def fetch(urls: DataFrame): DataFrame
+}
+
+/** Fetcher over a prebuilt (url, payload, content_type) DataFrame. */
+final class LocalFetcher(site: DataFrame) extends Fetcher {
+  def fetch(urls: DataFrame): DataFrame = urls.join(site, Seq("url"))
+}
+
+/** Crawl output: fetched HTML pages and extracted file documents. */
+final case class CrawlResult(pages: DataFrame, files: DataFrame)
+
+/** The crawl pipeline (SURVEY §3.1) as a BFS driver loop where every
+  * round is one distributed plan: frontier -> anti-join visited (J1) ->
+  * fetch -> charset decode (F15) -> html text+links (F16/X1) ->
+  * absolutize/defragment (C4/C5) -> blocklist + scope filters (F1,
+  * F4-F7) -> route into page/file links (X3, F8-F9) -> file extraction
+  * (S3-S10, F10-F11) -> frontier expansion (X4, J2).
+  *
+  * State (visited/enqueued/processed files) lives in DataFrames,
+  * reliably checkpointed per round — no driver-side collections, so the
+  * same loop runs at cluster scale; depth bounds the loop (<= 10 by
+  * default, `/root/reference/models.py:22`).
+  */
+object Crawl {
+
+  def run(spark: SparkSession, fetcher: Fetcher, seeds: Seq[String],
+      cfg: CrawlConfig): CrawlResult = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+
+    val emptyPages = Seq.empty[(String, Int, String, String)]
+      .toDF("url", "depth", "content_type", "text")
+    val emptyFiles = Seq.empty[(String, Int, String, String, Long)]
+      .toDF("url", "depth", "ext", "text", "size_bytes")
+
+    // Seeds defragmented like every enqueued link (link_extractor.py:20).
+    var frontier = seeds.toDF("raw")
+      .select(UrlFunctions.defragment(col("raw")).as("url"))
+      .distinct().withColumn("depth", lit(0))
+      .checkpoint(true)
+    var enqueued = frontier.select("url").checkpoint(true)
+    var processedFiles = emptyFiles.select("url")
+    var pages = emptyPages
+    var files = emptyFiles
+    var depth = 0
+
+    while (!frontier.isEmpty) {
+      // F4-F7: scope, depth cap, single-page.
+      val inScope = frontier
+        .filter(UrlFunctions.domain(col("url")) === cfg.rootDomain)
+        .filter(UrlFunctions.path(col("url")).startsWith(cfg.basePath) ||
+          (UrlFunctions.path(col("url")).isNull && lit(cfg.basePath == "/")))
+        .filter(if (cfg.singlePage) col("depth") === 0 else lit(true))
+
+      // Fetch + decode + keep html (F12, F15, F11).
+      val fetched = fetcher.fetch(inScope)
+      val html = fetched
+        .filter(lower(col("content_type")).contains("text/html"))
+        .withColumn("html",
+          DocExtract.decodeHtmlUdf(col("payload"), col("content_type")))
+        .filter(col("html").isNotNull && length(col("html")) > 0)
+
+      // F16 + X1: text + raw hrefs (a UDF cannot run inside an array
+      // lambda, so resolution happens after the explode).
+      val roundPages = html.select(col("url"), col("depth"),
+        col("content_type"), HtmlFunctions.htmlToText(col("html")).as("text"),
+        HtmlFunctions.hrefs(col("html")).as("hrefs"))
+        .checkpoint(true)
+      pages = pages.unionByName(
+        roundPages.select("url", "depth", "content_type", "text"))
+
+      // X1/C4/C5: explode, absolutize against the page url, defragment;
+      // blocklist + empties dropped (F1).
+      val links = roundPages
+        .select(col("depth"), col("url").as("base"),
+          explode(col("hrefs")).as("href"))
+        .select(col("depth"), UrlFunctions.defragment(
+          UrlFunctions.resolveUrl(col("base"), col("href"))).as("url"))
+        .filter(col("url").isNotNull && col("url") =!= "")
+        .filter(!UrlFunctions.isStaticBlocked(col("url")))
+
+      // X3/F8/F9: file links -> extraction; J3: skip processed.
+      val fileLinks = links
+        .filter(UrlFunctions.ext(col("url"))
+          .isin(cfg.allowedFileExtensions: _*))
+        .filter(if (cfg.downloadOnlySameDomain)
+          UrlFunctions.domain(col("url")) === cfg.rootDomain else lit(true))
+        .select(col("url"), col("depth")).distinct()
+        .join(processedFiles, Seq("url"), "left_anti")
+      val fetchedFiles = fetcher.fetch(fileLinks)
+        .filter(octet_length(col("payload")) <= cfg.maxFileBytes)  // F10
+        .withColumn("ext", UrlFunctions.ext(col("url")))
+        .withColumn("res",
+          DocExtract.extractUdf(col("payload"), col("ext")))
+        .select(col("url"), col("depth"), col("ext"),
+          col("res.text").as("text"),
+          octet_length(col("payload")).cast("long").as("size_bytes"))
+        .filter(length(col("text")) > 0)  // F11
+        .checkpoint(true)
+      files = files.unionByName(fetchedFiles)
+      processedFiles = processedFiles
+        .unionByName(fetchedFiles.select("url")).checkpoint(true)
+
+      // X4/J2: expand the frontier one level if the depth cap allows.
+      depth += 1
+      frontier =
+        if (depth > cfg.maxDepth || cfg.singlePage) frontier.limit(0)
+        else links
+          .filter(!UrlFunctions.ext(col("url"))
+            .isin(cfg.allowedFileExtensions: _*))
+          .select(col("url")).distinct()
+          .join(enqueued, Seq("url"), "left_anti")
+          .withColumn("depth", lit(depth))
+          .checkpoint(true)
+      enqueued = enqueued.unionByName(frontier.select("url")).checkpoint(true)
+    }
+
+    CrawlResult(
+      pages.withColumn("content_hash", HashFunctions.contentHash(col("text")))
+        .withColumn("text_len", length(col("text"))),
+      files.withColumn("content_hash", HashFunctions.contentHash(col("text"))))
+  }
+}

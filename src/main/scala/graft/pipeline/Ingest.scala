@@ -1,0 +1,34 @@
+package graft.pipeline
+
+import graft.functions.HashFunctions
+import graft.operators.Upsert
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch re-ingest (SURVEY §3.3,
+  * `/root/reference/workers/raw_to_postgres.py:5-30`): join the JSON
+  * index rows to their text blobs by path (J8/S12), content-hash, and
+  * insert-if-absent by content into the target table (A8 — dedup by
+  * CONTENT, not by source id, matching the reference's
+  * `ON CONFLICT (content_hash) DO NOTHING` path).
+  *
+  * Pure 3-operator batch plan: one equi-join on the blob path, one
+  * in-batch dedup, one anti-join against existing hashes. At scale the
+  * blob side is the big one — the join shuffles on path; the target
+  * anti-join shuffles on the 64-hex hash.
+  */
+object Ingest {
+
+  /** `index`: rows carrying `text_path` + metadata; `blobs`:
+    * (text_path, text); `target`: existing rows with `content_hash`.
+    * Returns the index rows (with text + hash) that are genuinely new
+    * by content, lowest `idCol` winning within the batch.
+    */
+  def reingest(index: DataFrame, blobs: DataFrame, target: DataFrame,
+      idCol: String): DataFrame = {
+    val batch = index
+      .join(blobs, Seq("text_path"))
+      .withColumn("content_hash", HashFunctions.contentHash(col("text")))
+    Upsert.insertIfAbsent(target, batch, idCol)
+  }
+}

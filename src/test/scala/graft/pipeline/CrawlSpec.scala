@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.functions.HashFunctions
+import graft.sources.{DocBuild, Store}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end golden test of the crawl composition over a synthetic
+  * mini-site: scope/blocklist/depth filters, relative-href resolution,
+  * file download + extraction, size gate, and incremental re-crawl via
+  * the store MERGE (re-run adds zero rows).
+  */
+class CrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def page(url: String, html: String): (String, Array[Byte], String) =
+    (url, html.getBytes("UTF-8"), "text/html; charset=utf-8")
+
+  private val root = "https://ex.com"
+  private val site: Seq[(String, Array[Byte], String)] = Seq(
+    page(s"$root/index.html",
+      """<html><body><h1>Home</h1>
+        |<a href="/a.html">a</a>
+        |<a href="b.html">b</a>
+        |<a href="/logo.png">logo</a>
+        |<a href="https://other.org/x.html">ext</a>
+        |<a href="/doc.txt">doc</a>
+        |<a href="/big.txt">big</a>
+        |<a href="/report.docx">rep</a>
+        |</body></html>""".stripMargin),
+    page(s"$root/a.html",
+      """<html><body>Page A<a href="/c.html#frag">c</a></body></html>"""),
+    page(s"$root/b.html",
+      """<html><body>Page B<a href="/index.html">home</a></body></html>"""),
+    page(s"$root/c.html", "<html><body>Page C</body></html>"),
+    (s"$root/doc.txt", "plain text doc".getBytes("UTF-8"), "text/plain"),
+    (s"$root/big.txt", ("x" * 2000).getBytes("UTF-8"), "text/plain"),
+    (s"$root/report.docx",
+      DocBuild.docxBytes(Seq("docx line one", "docx line two")),
+      "application/vnd.openxmlformats"))
+
+  private def siteDf: DataFrame =
+    site.toDF("url", "payload", "content_type")
+
+  test("crawl walks the site with filters, extraction and size gate") {
+    val res = Crawl.run(spark, new LocalFetcher(siteDf),
+      Seq(s"$root/index.html"),
+      CrawlConfig(rootDomain = "ex.com", maxDepth = 5, maxFileBytes = 1000))
+    val pages = res.pages
+      .select("url", "depth", "text").as[(String, Int, String)]
+      .collect().map(p => p._1 -> ((p._2, p._3))).toMap
+    assert(pages.keySet == Set(s"$root/index.html", s"$root/a.html",
+      s"$root/b.html", s"$root/c.html"))
+    assert(pages(s"$root/index.html")._1 == 0)
+    assert(pages(s"$root/a.html")._1 == 1)     // root-relative href
+    assert(pages(s"$root/b.html")._1 == 1)     // sibling-relative href
+    assert(pages(s"$root/c.html")._1 == 2)     // defragmented href
+    assert(pages(s"$root/c.html")._2 == "Page C")
+
+    val files = res.files
+      .select("url", "depth", "ext", "text", "size_bytes")
+      .as[(String, Int, String, String, Long)].collect()
+      .map(f => f._1 -> f).toMap
+    // .png blocked (F1), other.org out of scope, big.txt over the gate.
+    assert(files.keySet == Set(s"$root/doc.txt", s"$root/report.docx"))
+    assert(files(s"$root/doc.txt")._4 == "plain text doc")
+    assert(files(s"$root/report.docx")._4 == "docx line one\ndocx line two")
+
+    // Hashes follow the normalized-content contract.
+    val h = res.pages.filter(col("url") === s"$root/c.html")
+      .select(col("content_hash")).as[String].head()
+    val want = Seq("Page C").toDF("t")
+      .select(HashFunctions.contentHash(col("t"))).as[String].head()
+    assert(h == want)
+  }
+
+  test("single-page mode fetches only depth 0") {
+    val res = Crawl.run(spark, new LocalFetcher(siteDf),
+      Seq(s"$root/index.html"),
+      CrawlConfig(rootDomain = "ex.com", singlePage = true))
+    assert(res.pages.select("url").as[String].collect().toSeq ==
+      Seq(s"$root/index.html"))
+  }
+
+  test("incremental re-crawl merges zero changes into the store") {
+    val res = Crawl.run(spark, new LocalFetcher(siteDf),
+      Seq(s"$root/index.html"), CrawlConfig(rootDomain = "ex.com"))
+    val docs = res.pages
+      .withColumn("site", lit("ex.com"))
+      .select("url", "site", "text", "content_hash")
+    val dir = java.nio.file.Files.createTempDirectory("crawl-store").toString
+    val path = s"$dir/docs"
+    Store.writePartitioned(docs, path, "site")
+    // Re-crawl the unchanged site: every page classifies as skip.
+    val again = Crawl.run(spark, new LocalFetcher(siteDf),
+      Seq(s"$root/index.html"), CrawlConfig(rootDomain = "ex.com"))
+    val incoming = again.pages.withColumn("site", lit("ex.com"))
+      .select("url", "site", "text", "content_hash")
+    assert(Store.mergeInto(spark, path, incoming, "url", "site") == 0)
+    assert(Store.read(spark, path).count() == docs.count())
+  }
+}
