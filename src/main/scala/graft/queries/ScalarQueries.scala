@@ -353,52 +353,125 @@ object ScalarQueries {
         .orderBy(col("doc_id"))
     },
 
-    // X1 full form: explode extracted links, resolve relative hrefs against
-    // the page url, defragment, then route (the crawler's per-page UDTF).
+    // X1 full form + C4: explode extracted links, resolve every href
+    // shape (absolute, protocol-relative //host, root-relative,
+    // sibling-relative, parent ../, bare fragment) against the page url
+    // with the RFC-3986 resolveUrl UDF, defragment, aggregate. The
+    // oracle replays each resolution case in SQL.
     QueryDef(
       "x1_extract_resolve_links",
       UrlCte +
         """, pages AS (
           |  SELECT doc_id, url,
           |    '<a href="/page' || (doc_id + 1) || '.html">n</a>'
+          |    || '<a href="rel' || doc_id || '.html">r</a>'
+          |    || '<a href="../up' || (doc_id % 7) || '.html">u</a>'
+          |    || '<a href="//cdn.example.org/lib.pdf">p</a>'
           |    || '<a href="#frag">s</a>'
           |    || '<a href="https://other.org/x.pdf">f</a>' AS html
           |  FROM urls),
           |links AS (
           |  SELECT doc_id, url,
+          |    regexp_extract(url, '^([a-z]+://[^/?#]+)', 1) AS host,
+          |    regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+          |      '/[^/]*$', '/') AS dir,
           |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
           |  FROM pages),
           |resolved AS (
           |  SELECT doc_id,
           |    regexp_replace(
-          |      CASE WHEN href LIKE 'http%' THEN href
-          |           WHEN href LIKE '/%' THEN
-          |             regexp_extract(url, '^([a-z]+://[^/?#]+)', 1) || href
-          |           ELSE regexp_replace(regexp_replace(url, '[?#].*$', ''),
-          |                  '/[^/]*$', '/') || href END,
+          |      CASE WHEN href LIKE '//%' THEN 'https:' || href
+          |           WHEN href LIKE 'http%' THEN href
+          |           WHEN href LIKE '#%' THEN regexp_replace(url, '#.*$', '')
+          |           WHEN href LIKE '/%' THEN host || href
+          |           WHEN href LIKE '../%' THEN
+          |             host || regexp_replace(dir, '[^/]+/$', '') || substr(href, 4)
+          |           ELSE host || dir || href END,
           |      '#.*$', '') AS abs_url
           |  FROM links)
           |SELECT abs_url, count(*) AS n FROM resolved
           |WHERE abs_url <> '' GROUP BY abs_url ORDER BY abs_url""".stripMargin) { (s, d) =>
       val pages = withUrl(Tables.documents(s, d)).withColumn("html",
         concat(lit("<a href=\"/page"), col("doc_id") + 1,
-          lit(".html\">n</a><a href=\"#frag\">s</a>"),
+          lit(".html\">n</a><a href=\"rel"), col("doc_id"),
+          lit(".html\">r</a><a href=\"../up"), col("doc_id") % 7,
+          lit(".html\">u</a><a href=\"//cdn.example.org/lib.pdf\">p</a>"),
+          lit("<a href=\"#frag\">s</a>"),
           lit("<a href=\"https://other.org/x.pdf\">f</a>")))
       val links = pages.select(col("doc_id"), col("url"),
-        explode(regexp_extract_all(col("html"), lit("href=\"([^\"]*)\""), lit(1)))
-          .as("href"))
+        explode(graft.functions.HtmlFunctions.hrefs(col("html"))).as("href"))
       val resolved = links.select(col("doc_id"),
         UrlFunctions.defragment(
-          when(col("href").startsWith("http"), col("href"))
-            .when(col("href").startsWith("/"),
-              concat(regexp_extract(col("url"), "^([a-z]+://[^/?#]+)", 1),
-                col("href")))
-            .otherwise(concat(
-              regexp_replace(UrlFunctions.stripQuery(col("url")), "/[^/]*$", "/"),
-              col("href")))).as("abs_url"))
-      resolved.filter(col("abs_url") =!= "")
+          UrlFunctions.resolveUrl(col("url"), col("href"))).as("abs_url"))
+      resolved.filter(col("abs_url").isNotNull && col("abs_url") =!= "")
         .groupBy(col("abs_url")).agg(count(lit(1)).as("n"))
         .orderBy(col("abs_url"))
+    },
+
+    // F7: single-page mode — any frontier item beyond depth 0 is
+    // dropped for single-page jobs, untouched otherwise.
+    QueryDef(
+      "f7_single_page_filter",
+      """SELECT depth, count(*) AS n FROM (
+        |  SELECT event_id % 5 AS depth, user_id % 2 = 0 AS single_page
+        |  FROM events)
+        |WHERE NOT single_page OR depth = 0
+        |GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select((col("event_id") % 5).as("depth"),
+          (col("user_id") % 2 === 0).as("single_page"))
+        .filter(!col("single_page") || col("depth") === 0)
+        .groupBy(col("depth")).agg(count(lit(1)).as("n"))
+        .orderBy(col("depth"))
+    },
+
+    // F8+F9: downloadable file links, restricted to the root domain
+    // when download_only_same_domain is set.
+    QueryDef(
+      "f9_same_domain_file_filter",
+      UrlCte +
+        """SELECT domain, count(*) AS n FROM (
+          |  SELECT doc_id,
+          |    regexp_replace(lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+          |      '^www\.', '') AS domain,
+          |    lower(regexp_extract(regexp_replace(url, '[?#].*$', ''),
+          |      '(\.[^./?]+)$', 1)) AS ext
+          |  FROM urls)
+          |WHERE ext IN ('.pdf','.doc','.docx','.xls','.xlsx','.txt')
+          |  AND domain = 'src1.example.com'
+          |GROUP BY domain ORDER BY domain""".stripMargin) { (s, d) =>
+      withUrl(Tables.documents(s, d))
+        .select(UrlFunctions.domain(col("url")).as("domain"),
+          UrlFunctions.ext(col("url")).as("ext"))
+        .filter(UrlFunctions.DocExtensions
+          .map(e => col("ext") === e).reduce(_ || _))
+        .filter(col("domain") === "src1.example.com")
+        .groupBy(col("domain")).agg(count(lit(1)).as("n"))
+        .orderBy(col("domain"))
+    },
+
+    // F12: content-type routing predicate (case-insensitive contains).
+    QueryDef(
+      "f12_content_type_route",
+      """SELECT route, count(*) AS n FROM (
+        |  SELECT CASE WHEN contains(lower(ctype), 'text/html')
+        |              THEN 'html' ELSE 'other' END AS route
+        |  FROM (SELECT CASE doc_id % 4
+        |          WHEN 0 THEN 'text/html; charset=utf-8'
+        |          WHEN 1 THEN 'application/pdf'
+        |          WHEN 2 THEN 'TEXT/HTML'
+        |          ELSE 'application/json' END AS ctype
+        |        FROM documents))
+        |GROUP BY route ORDER BY route""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(element_at(array(
+          lit("text/html; charset=utf-8"), lit("application/pdf"),
+          lit("TEXT/HTML"), lit("application/json")),
+          (col("doc_id") % 4 + 1).cast("int")).as("ctype"))
+        .select(when(lower(col("ctype")).contains("text/html"), lit("html"))
+          .otherwise(lit("other")).as("route"))
+        .groupBy(col("route")).agg(count(lit(1)).as("n"))
+        .orderBy(col("route"))
     }
   )
 }
