@@ -56,15 +56,34 @@ object Dedup {
     shingleArrays(docs, idCol, textCol, n)
       .select(col("doc_id"), explode(col("sh_set")).as("sh"))
 
-  /** MinHash signature columns mh0..mh{k-1}: per doc, the min seeded
-    * 60-bit hash over its shingle set — computed in-row over the array
-    * (no explode, no shuffle).
+  /** Universal-hash family for MinHash: h_i(x) = (a_i*(x mod p) + b_i)
+    * mod p over a 31-bit prime, so products stay under 2^62 — identical
+    * (overflow-free) arithmetic in Spark and the SQL oracle. One strong
+    * md5-derived base hash per shingle; the k signature hashes are pure
+    * arithmetic on it, which is what makes 128 hashes affordable.
+    */
+  val MinhashPrime = 2147483647L
+
+  /** Deterministic (a_i, b_i) coefficients, a_i != 0. */
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      (HashFunctions.stableHash64Local(s"mh:a:$i") % (MinhashPrime - 1) + 1,
+        HashFunctions.stableHash64Local(s"mh:b:$i") % MinhashPrime)
+    }
+
+  /** MinHash signature columns mh0..mh{k-1}: per doc, the min universal
+    * hash over its shingle set — computed in-row over the array (no
+    * explode, no shuffle; the md5 base hash runs once per shingle).
     */
   def minhashSignatures(shArrays: DataFrame, numHashes: Int): DataFrame = {
-    val sigs = (0 until numHashes).map(i =>
-      array_min(transform(col("sh_set"),
-        sh => HashFunctions.seededHash(i, sh))).as(s"mh$i"))
-    shArrays.select(col("doc_id") +: sigs: _*)
+    val withBase = shArrays.withColumn("bhs",
+      transform(col("sh_set"),
+        sh => HashFunctions.stableHash64(sh) % MinhashPrime))
+    val sigs = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("bhs"),
+        h => (h * a + b) % MinhashPrime)).as(s"mh$i")
+    }
+    withBase.select(col("doc_id") +: sigs: _*)
   }
 
   /** LSH banding: signature -> (doc_id, band, band_key) rows, band_key =
@@ -152,19 +171,35 @@ object Dedup {
       .select(col("doc_id"), bitSum.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash: block on the top 16 bits, then keep
-    * pairs with Hamming distance <= maxHamming. Blocking keeps the
-    * self-join linear in bucket sizes (approximate recall, like all LSH).
+  /** Near-dup pairs by SimHash: block on `bands` disjoint bit bands
+    * (pairs meet when ANY band matches), then keep pairs with Hamming
+    * distance <= maxHamming. Multiple small bands give several shots at
+    * recall and spread hot near-identical clusters over more, smaller
+    * buckets than a single wide band would (a single hot bucket going
+    * quadratic is the classic boilerplate-dedup failure).
     */
-  def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = sims.withColumn("band", expr("shiftright(simhash, 44)"))
-    val x = banded.select(col("band"), col("doc_id").as("a"), col("simhash").as("sim_a"))
-    val y = banded.select(col("band"), col("doc_id").as("b"), col("simhash").as("sim_b"))
-    x.join(y, Seq("band"))
-      .filter(col("a") < col("b"))
+  def simhashPairs(sims: DataFrame, maxHamming: Int,
+      bands: Int = 4): DataFrame = {
+    val bits = 60 / bands
+    val mask = (1L << bits) - 1
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("b"),
+        (shiftright(col("simhash"), b * bits).bitwiseAND(lit(mask))).as("bv"))
+    }
+    val banded = sims
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.b").as("b"), col("bk.bv").as("bv"))
+    val x = banded.select(col("b"), col("bv"), col("doc_id").as("a"),
+      col("simhash").as("sim_a"))
+    val y = banded.select(col("b"), col("bv"), col("doc_id").as("b2"),
+      col("simhash").as("sim_b"))
+    x.join(y, Seq("b", "bv"))
+      .filter(col("a") < col("b2"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming"))
+      .select(col("a"), col("b2").as("b"), col("hamming"))
       .distinct()
   }
 }

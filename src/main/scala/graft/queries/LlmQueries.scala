@@ -85,37 +85,46 @@ object LlmQueries {
         .orderBy(col("canonical_id"))
     },
 
-    // MinHash(8) + LSH(4 bands x 2 rows) candidate generation, then exact
-    // Jaccard >= 0.5 verification — the scale path for near-dup dedup.
+    // MinHash(128, universal-hash family) + LSH(16 bands x 8 rows)
+    // candidate generation, then exact Jaccard >= 0.5 verification —
+    // the scale path for near-dup dedup at production constants. The
+    // oracle SQL is generated from the SAME (a_i, b_i) coefficients the
+    // Spark side uses.
     QueryDef(
       "dd_minhash_lsh_pairs",
-      NearDupCte +
-        """, sig AS (
-          |  SELECT doc_id,
-          |    min(('0x'||substr(md5('0:'||sh),1,15))::BIGINT) AS mh0,
-          |    min(('0x'||substr(md5('1:'||sh),1,15))::BIGINT) AS mh1,
-          |    min(('0x'||substr(md5('2:'||sh),1,15))::BIGINT) AS mh2,
-          |    min(('0x'||substr(md5('3:'||sh),1,15))::BIGINT) AS mh3,
-          |    min(('0x'||substr(md5('4:'||sh),1,15))::BIGINT) AS mh4,
-          |    min(('0x'||substr(md5('5:'||sh),1,15))::BIGINT) AS mh5,
-          |    min(('0x'||substr(md5('6:'||sh),1,15))::BIGINT) AS mh6,
-          |    min(('0x'||substr(md5('7:'||sh),1,15))::BIGINT) AS mh7
-          |  FROM shset GROUP BY doc_id),
-          |bands AS (
-          |  SELECT doc_id, 0 AS band, md5(mh0 || '_' || mh1) AS band_key FROM sig
-          |  UNION ALL SELECT doc_id, 1, md5(mh2 || '_' || mh3) FROM sig
-          |  UNION ALL SELECT doc_id, 2, md5(mh4 || '_' || mh5) FROM sig
-          |  UNION ALL SELECT doc_id, 3, md5(mh6 || '_' || mh7) FROM sig),
-          |cand AS (
-          |  SELECT DISTINCT xa.doc_id AS a, xb.doc_id AS b
-          |  FROM bands xa JOIN bands xb
-          |    ON xa.band = xb.band AND xa.band_key = xb.band_key
-          |   AND xa.doc_id < xb.doc_id),
-          |""".stripMargin + JaccardTail) { (s, d) =>
+      {
+        val p = Dedup.MinhashPrime
+        val (k, bands, rows) = (128, 16, 8)
+        val sigCols = Dedup.minhashCoeffs(k).zipWithIndex.map {
+          case ((a, b), i) => s"    min((bh * $a + $b) % $p) AS mh$i"
+        }.mkString(",\n")
+        val bandSelects = (0 until bands).map { b =>
+          val cols = (0 until rows).map(r => s"mh${b * rows + r}")
+            .mkString(" || '_' || ")
+          s"  SELECT doc_id, $b AS band, md5($cols) AS band_key FROM sig"
+        }.mkString("\n  UNION ALL\n")
+        NearDupCte +
+          s""", bhset AS (
+             |  SELECT doc_id,
+             |    (('0x' || substr(md5(sh), 1, 15))::BIGINT) % $p AS bh
+             |  FROM shset),
+             |sig AS (
+             |  SELECT doc_id,
+             |$sigCols
+             |  FROM bhset GROUP BY doc_id),
+             |bands AS (
+             |$bandSelects),
+             |cand AS (
+             |  SELECT DISTINCT xa.doc_id AS a, xb.doc_id AS b
+             |  FROM bands xa JOIN bands xb
+             |    ON xa.band = xb.band AND xa.band_key = xb.band_key
+             |   AND xa.doc_id < xb.doc_id),
+             |""".stripMargin + JaccardTail
+      }) { (s, d) =>
       val corpus = nearDupCorpus(Tables.documents(s, d))
       val shArr = Dedup.shingleArrays(corpus, "doc_id", "text", 3)
       val cand = Dedup.lshCandidatePairs(
-        Dedup.lshBands(Dedup.minhashSignatures(shArr, 8), 8, 4))
+        Dedup.lshBands(Dedup.minhashSignatures(shArr, 128), 128, 16))
       Dedup.jaccard(cand, shArr)
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
@@ -141,8 +150,8 @@ object LlmQueries {
         .orderBy(col("a"), col("b"))
     },
 
-    // SimHash near-dup: 60-bit frequency-weighted simhash, top-16-bit band
-    // blocking, Hamming <= 8.
+    // SimHash near-dup: 60-bit frequency-weighted simhash, FOUR 15-bit
+    // band blocks (any-band match -> candidate), Hamming <= 8.
     QueryDef(
       "dd_simhash_pairs",
       """WITH corpus AS (
@@ -164,15 +173,19 @@ object LlmQueries {
         |sims AS (
         |  SELECT doc_id,
         |    sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS simhash
-        |  FROM bits GROUP BY doc_id)
-        |SELECT xa.doc_id AS a, xb.doc_id AS b,
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, simhash, bb.b AS b,
+        |    (simhash >> (bb.b * 15)) & 32767 AS bv
+        |  FROM sims, (SELECT unnest(range(0, 4)) AS b) bb)
+        |SELECT DISTINCT xa.doc_id AS a, xb.doc_id AS b,
         |  bit_count(xor(xa.simhash, xb.simhash)) AS hamming
-        |FROM sims xa JOIN sims xb
-        |  ON (xa.simhash >> 44) = (xb.simhash >> 44) AND xa.doc_id < xb.doc_id
+        |FROM bands xa JOIN bands xb
+        |  ON xa.b = xb.b AND xa.bv = xb.bv AND xa.doc_id < xb.doc_id
         |WHERE bit_count(xor(xa.simhash, xb.simhash)) <= 8
         |ORDER BY a, b""".stripMargin) { (s, d) =>
       val corpus = nearDupCorpus(Tables.documents(s, d))
-      Dedup.simhashPairs(Dedup.simhash(corpus, "doc_id", "text"), 8)
+      Dedup.simhashPairs(Dedup.simhash(corpus, "doc_id", "text"), 8, bands = 4)
         .orderBy(col("a"), col("b"))
     },
 
