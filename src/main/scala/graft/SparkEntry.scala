@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.defs ++
       graft.queries.StreamQueries.defs ++
       graft.queries.SourceQueries.defs ++
-      graft.queries.CrawlQueries.defs
+      graft.queries.CrawlQueries.defs ++
+      graft.queries.MediaQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.{MediaRow, Multimodal}
+import graft.sources.JsonIndex
+import org.apache.spark.sql.functions._
+
+/** Multimodal mapPartitions plumbing (decode/resize/frame-sample over
+  * binary columns) and the JSON index round trip — each differential-
+  * tested against SQL replicas of the deterministic stubs.
+  */
+object MediaQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Image decode + aspect-preserving resize metadata through the
+    // mapPartitions batch path (stub decode = payload-hash dims).
+    QueryDef(
+      "mm_image_resize_meta",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (64 + ('0x'||substr(md5(text),1,15))::BIGINT % 513)::INT AS width,
+        |    (64 + ('0x'||substr(md5('h:'||text),1,15))::BIGINT % 385)::INT AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height, 3 AS channels,
+        |  CASE WHEN greatest(width, height) <= 256 THEN width
+        |       ELSE greatest(1, floor(width * 256.0 / greatest(width, height))::INT)
+        |  END AS resized_w,
+        |  CASE WHEN greatest(width, height) <= 256 THEN height
+        |       ELSE greatest(1, floor(height * 256.0 / greatest(width, height))::INT)
+        |  END AS resized_h
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          lit("image").as("media_type"))
+        .as[MediaRow]
+      Multimodal.imageFeatures(media, maxEdge = 256)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("resized_w"), col("resized_h"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Video frame sampling (1 -> N) through mapPartitions: every 5th
+    // frame of a fake-decoded 25 fps stream.
+    QueryDef(
+      "mm_frame_sample",
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    (8 + ('0x'||substr(md5(text),1,15))::BIGINT % 25)::INT AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_idx,
+        |  (unnest(range(0, n_frames, 5)) * 40)::BIGINT AS offset_ms
+        |FROM v ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          lit("video").as("media_type"))
+        .as[MediaRow]
+      Multimodal.sampleFrames(media, everyN = 5)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // S11/S15: JSON index sink + schema-first scan — write the index
+    // rows as JSON Lines, read them back, aggregate. The oracle
+    // computes the same aggregate straight from documents, so type
+    // fidelity across the JSON round trip is what's under test.
+    QueryDef(
+      "jx_json_index_roundtrip",
+      """SELECT (doc_id % 5)::INT AS depth, count(*) AS n,
+        |  sum(strlen(text))::BIGINT AS total_len
+        |FROM documents GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
+      val index = Tables.documents(s, d).select(
+        md5(col("text")).as("page_id"),
+        concat(lit("job-"), col("source")).as("job_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/doc"),
+          col("doc_id")).as("url"),
+        concat(col("source"), lit(".example.com")).as("domain"),
+        (col("doc_id") % 5).cast("int").as("depth"),
+        concat(lit("/blobs/"), col("doc_id"), lit(".txt")).as("text_path"),
+        lit("text/html").as("content_type"),
+        sha2(col("text"), 256).as("content_hash"),
+        octet_length(col("text")).as("text_len"))
+      val path = java.nio.file.Files.createTempDirectory("graft-jx")
+        .toString + "/pages_index"
+      JsonIndex.write(index, path)
+      JsonIndex.read(s, path)
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n"), sum(col("text_len")).as("total_len"))
+        .orderBy(col("depth"))
+    }
+  )
+}

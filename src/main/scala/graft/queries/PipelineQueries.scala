@@ -133,9 +133,10 @@ object PipelineQueries {
         .orderBy(col("node"))
     },
 
-    // Multimodal plumbing: opaque binary payload column + typed metadata
-    // derived from it (deterministic fake decode; see graft.multimodal
-    // for the mapPartitions batch path).
+    // Multimodal plumbing, expression form: opaque binary payload
+    // column + typed metadata derived in-row. The mapPartitions batch
+    // path (decode/resize/frame-sample) is graft.multimodal.Multimodal,
+    // exercised by the mm_image_resize_meta / mm_frame_sample queries.
     QueryDef(
       "mm_binary_metadata",
       """SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS fingerprint,

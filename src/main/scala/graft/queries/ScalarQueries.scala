@@ -450,6 +450,50 @@ object ScalarQueries {
         .orderBy(col("domain"))
     },
 
+    // F13: null-stripping of the job-config map before storage
+    // (map_filter; `/root/reference/api/main.py:69`).
+    QueryDef(
+      "f13_config_null_strip",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0 THEN 'agent'
+        |       WHEN doc_id % 3 = 0 THEN 'agent,single_page'
+        |       WHEN doc_id % 5 = 0 THEN 'agent,max_depth'
+        |       ELSE 'agent,max_depth,single_page' END AS kept_keys,
+        |  (3 - (doc_id % 3 = 0)::INT - (doc_id % 5 = 0)::INT) AS n_keys
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), map(
+          lit("agent"), lit("a1"),
+          lit("max_depth"), when(col("doc_id") % 3 === 0, lit(null))
+            .otherwise((col("doc_id") % 7).cast("string")),
+          lit("single_page"), when(col("doc_id") % 5 === 0, lit(null))
+            .otherwise(lit("true"))).as("config"))
+        .select(col("doc_id"),
+          map_filter(col("config"), (_, v) => v.isNotNull).as("config"))
+        .select(col("doc_id"),
+          array_join(array_sort(map_keys(col("config"))), ",").as("kept_keys"),
+          size(map_keys(col("config"))).as("n_keys"))
+        .orderBy(col("doc_id"))
+    },
+
+    // A5 monitoring variant: approx_count_distinct within 10% of exact
+    // (the visited-set cardinality monitor; the boolean is what's
+    // oracle-checkable about an approximate sketch).
+    QueryDef(
+      "a5_approx_distinct_monitor",
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  true AS within_10pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id")).as("apx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("apx") - col("n_exact")) <=
+            col("n_exact") * 0.1).as("within_10pct"))
+        .orderBy(col("event_type"))
+    },
+
     // F12: content-type routing predicate (case-insensitive contains).
     QueryDef(
       "f12_content_type_route",
