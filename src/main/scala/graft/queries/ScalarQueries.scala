@@ -476,6 +476,30 @@ object ScalarQueries {
         .orderBy(col("doc_id"))
     },
 
+    // F14: schema-projection of the job config — from_json with an
+    // explicit schema keeps only the known keys (the worker's
+    // unknown-key filter, `/root/reference/workers/worker_daemon.py:10-12`).
+    QueryDef(
+      "f14_config_schema_projection",
+      """SELECT (doc_id % 7)::INT AS max_depth, count(*) AS n,
+        |  sum((doc_id % 2 = 0)::INT)::BIGINT AS n_single
+        |FROM documents GROUP BY max_depth ORDER BY max_depth""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val cfgSchema = StructType(Seq(
+        StructField("max_depth", IntegerType),
+        StructField("single_page", BooleanType)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(
+          lit("{\"max_depth\": "), col("doc_id") % 7,
+          lit(", \"unknown_key\": \"dropped\", \"single_page\": "),
+          (col("doc_id") % 2 === 0).cast("string"), lit("}")).as("config_json"))
+        .select(from_json(col("config_json"), cfgSchema).as("cfg"))
+        .groupBy(col("cfg.max_depth").as("max_depth"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cfg.single_page").cast("int")).as("n_single"))
+        .orderBy(col("max_depth"))
+    },
+
     // A5 monitoring variant: approx_count_distinct within 10% of exact
     // (the visited-set cardinality monitor; the boolean is what's
     // oracle-checkable about an approximate sketch).
