@@ -49,12 +49,26 @@ object Dedup {
         array_distinct(TextFunctions.shingles(col(textCol), n)).as("sh_set"))
       .filter(size(col("sh_set")) > 0)
 
-  /** Exploded (doc_id, sh) pairs — only needed where a shingle-keyed
-    * inverted index is genuinely required (blocking joins).
+  /** (doc_id, hs) — the distinct shingles as their 60-bit md5-derived
+    * hashes (hashed shingling). Every downstream stage — blocking keys,
+    * intersection counts, MinHash bases — needs shingle IDENTITY, not
+    * the text, and 8-byte longs through the shuffles beat 20+-char
+    * strings. 60-bit space makes collisions negligible, and the SQL
+    * oracle hashes identically so both engines see the same sets.
+    */
+  def hashedShingleArrays(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingleArrays(docs, idCol, textCol, n)
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh_set"),
+          sh => HashFunctions.stableHash64(sh))).as("hs"))
+
+  /** Exploded (doc_id, bh) hashed-shingle pairs — only needed where a
+    * shingle-keyed inverted index is genuinely required (blocking).
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    shingleArrays(docs, idCol, textCol, n)
-      .select(col("doc_id"), explode(col("sh_set")).as("sh"))
+    hashedShingleArrays(docs, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("hs")).as("bh"))
 
   /** Universal-hash family for MinHash: h_i(x) = (a_i*(x mod p) + b_i)
     * mod p over a 31-bit prime, so products stay under 2^62 — identical
@@ -72,13 +86,12 @@ object Dedup {
     }
 
   /** MinHash signature columns mh0..mh{k-1}: per doc, the min universal
-    * hash over its shingle set — computed in-row over the array (no
-    * explode, no shuffle; the md5 base hash runs once per shingle).
+    * hash over its hashed shingle set (doc_id, hs) — computed in-row
+    * over the array (no explode, no shuffle).
     */
-  def minhashSignatures(shArrays: DataFrame, numHashes: Int): DataFrame = {
-    val withBase = shArrays.withColumn("bhs",
-      transform(col("sh_set"),
-        sh => HashFunctions.stableHash64(sh) % MinhashPrime))
+  def minhashSignatures(hashedShingles: DataFrame, numHashes: Int): DataFrame = {
+    val withBase = hashedShingles.withColumn("bhs",
+      transform(col("hs"), h => h % MinhashPrime))
     val sigs = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("bhs"),
         h => (h * a + b) % MinhashPrime)).as(s"mh$i")
@@ -113,24 +126,27 @@ object Dedup {
   }
 
   /** Exact Jaccard for (a, b) candidate pairs: join each side to its
-    * distinct-shingle array, intersect in-row. Two joins on doc id — the
-    * candidate set is small by construction, so this never re-shuffles
-    * the corpus-wide shingle index.
+    * hashed-shingle array (doc_id, hs), intersect in-row. Two joins on
+    * doc id — the candidate set is small by construction, so this never
+    * re-shuffles the corpus-wide shingle index.
     */
-  def jaccard(pairs: DataFrame, shArrays: DataFrame): DataFrame =
+  def jaccard(pairs: DataFrame, hashedShingles: DataFrame): DataFrame =
     pairs
-      .join(shArrays.select(col("doc_id").as("a"), col("sh_set").as("sh_a")), Seq("a"))
-      .join(shArrays.select(col("doc_id").as("b"), col("sh_set").as("sh_b")), Seq("b"))
+      .join(hashedShingles.select(col("doc_id").as("a"), col("hs").as("hs_a")),
+        Seq("a"))
+      .join(hashedShingles.select(col("doc_id").as("b"), col("hs").as("hs_b")),
+        Seq("b"))
       .select(col("a"), col("b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
-        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+        size(array_intersect(col("hs_a"), col("hs_b"))).as("n_inter"),
+        size(col("hs_a")).as("n_a"), size(col("hs_b")).as("n_b"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
 
-  /** Candidate pairs by raw shingle blocking, with a document-frequency
-    * cap: shingles occurring in more than `maxDf` docs don't block (else
-    * a stop-shingle makes the self-join quadratic).
+  /** Candidate pairs by raw shingle blocking over exploded (doc_id, bh)
+    * rows, with a document-frequency cap: shingles occurring in more
+    * than `maxDf` docs don't block (else a stop-shingle makes the
+    * self-join quadratic).
     *
     * One groupBy builds the inverted index AND applies the df cap; the
     * <= maxDf^2/2 pairs per shingle are generated in-row from the sorted
@@ -139,7 +155,7 @@ object Dedup {
     */
   def shingleBlockedPairs(shingleDf: DataFrame, maxDf: Int): DataFrame = {
     val groups = shingleDf
-      .groupBy(col("sh"))
+      .groupBy(col("bh"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxDf))
     val pairs = flatten(transform(col("ids"), (a, i) =>

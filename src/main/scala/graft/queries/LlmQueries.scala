@@ -27,6 +27,10 @@ object LlmQueries {
       docs.select((col("doc_id") + 1000000).as("doc_id"),
         regexp_replace(col("text"), "^\\S+", "zzz").as("text")))
 
+  /** Near-dup corpus with hashed shingle sets: `hset` = (doc_id, bh)
+    * where bh is the 60-bit md5-derived shingle hash — the same hashed
+    * shingling the Spark side runs.
+    */
   private val NearDupCte =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -41,16 +45,20 @@ object LlmQueries {
       |  SELECT DISTINCT doc_id, sh FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
       |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
-      |    FROM toks))
+      |    FROM toks)),
+      |hset AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS bh
+      |  FROM shset)
       |""".stripMargin
 
   private val JaccardTail =
-    """sizes AS (SELECT doc_id, count(*) AS n_sh FROM shset GROUP BY doc_id),
+    """sizes AS (SELECT doc_id, count(*) AS n_sh FROM hset GROUP BY doc_id),
       |inter AS (
       |  SELECT c.a, c.b, count(*) AS n_inter
       |  FROM cand c
-      |  JOIN shset sa ON sa.doc_id = c.a
-      |  JOIN shset sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+      |  JOIN hset sa ON sa.doc_id = c.a
+      |  JOIN hset sb ON sb.doc_id = c.b AND sb.bh = sa.bh
       |  GROUP BY c.a, c.b)
       |SELECT i.a, i.b,
       |  round(n_inter / (za.n_sh + zb.n_sh - n_inter), 4) AS jaccard
@@ -105,9 +113,7 @@ object LlmQueries {
         }.mkString("\n  UNION ALL\n")
         NearDupCte +
           s""", bhset AS (
-             |  SELECT doc_id,
-             |    (('0x' || substr(md5(sh), 1, 15))::BIGINT) % $p AS bh
-             |  FROM shset),
+             |  SELECT doc_id, bh % $p AS bh FROM hset),
              |sig AS (
              |  SELECT doc_id,
              |$sigCols
@@ -122,29 +128,34 @@ object LlmQueries {
              |""".stripMargin + JaccardTail
       }) { (s, d) =>
       val corpus = nearDupCorpus(Tables.documents(s, d))
-      val shArr = Dedup.shingleArrays(corpus, "doc_id", "text", 3)
+      // Persisted: signatures AND Jaccard verification read it, and the
+      // hashed arrays are an order of magnitude smaller than the text.
+      val hsArr = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = Dedup.lshCandidatePairs(
-        Dedup.lshBands(Dedup.minhashSignatures(shArr, 128), 128, 16))
-      Dedup.jaccard(cand, shArr)
+        Dedup.lshBands(Dedup.minhashSignatures(hsArr, 128), 128, 16))
+      Dedup.jaccard(cand, hsArr)
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a"), col("b"))
     },
 
-    // Exact-recall variant: shingle blocking (df cap 20) + Jaccard >= 0.5.
+    // Exact-recall variant: hashed-shingle blocking (df cap 20) +
+    // Jaccard >= 0.5.
     QueryDef(
       "dd_jaccard_blocked_pairs",
       NearDupCte +
-        """, rare AS (SELECT sh FROM shset GROUP BY sh HAVING count(*) <= 20),
-          |bl AS (SELECT s.doc_id, s.sh FROM shset s JOIN rare r ON r.sh = s.sh),
+        """, rare AS (SELECT bh FROM hset GROUP BY bh HAVING count(*) <= 20),
+          |bl AS (SELECT s.doc_id, s.bh FROM hset s JOIN rare r ON r.bh = s.bh),
           |cand AS (
           |  SELECT DISTINCT xa.doc_id AS a, xb.doc_id AS b
-          |  FROM bl xa JOIN bl xb ON xa.sh = xb.sh AND xa.doc_id < xb.doc_id),
+          |  FROM bl xa JOIN bl xb ON xa.bh = xb.bh AND xa.doc_id < xb.doc_id),
           |""".stripMargin + JaccardTail) { (s, d) =>
       val corpus = nearDupCorpus(Tables.documents(s, d))
-      val shArr = Dedup.shingleArrays(corpus, "doc_id", "text", 3)
-      val sh = shArr.select(col("doc_id"), explode(col("sh_set")).as("sh"))
-      Dedup.jaccard(Dedup.shingleBlockedPairs(sh, 20), shArr)
+      val hsArr = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exploded = hsArr.select(col("doc_id"), explode(col("hs")).as("bh"))
+      Dedup.jaccard(Dedup.shingleBlockedPairs(exploded, 20), hsArr)
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a"), col("b"))

@@ -508,9 +508,13 @@ object ScalarQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  true AS within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // Pre-distinct on the pair first: exact + approx over distinct
+      // rows in one pass, instead of Expand doubling the input for two
+      // distinct aggregates.
       Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
         .groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_exact"),
+        .agg(count(lit(1)).as("n_exact"),
           approx_count_distinct(col("user_id")).as("apx"))
         .select(col("event_type"), col("n_exact"),
           (abs(col("apx") - col("n_exact")) <=

@@ -28,18 +28,18 @@ class DedupSpec extends SparkSpec {
 
   test("jaccard computes exact overlap on candidate pairs") {
     // doc1 {a b c, b c d}, doc2 {a b c, b c e}: inter 1, union 3.
-    val shArr = Dedup.shingleArrays(docs, "doc_id", "text", 3)
+    val hsArr = Dedup.hashedShingleArrays(docs, "doc_id", "text", 3)
     val pairs = Seq((1L, 2L)).toDF("a", "b")
-    val j = Dedup.jaccard(pairs, shArr)
+    val j = Dedup.jaccard(pairs, hsArr)
       .select("n_inter", "n_a", "n_b", "jaccard")
       .as[(Int, Int, Int, Double)].head()
     assert(j == ((1, 2, 2, 1.0 / 3.0)))
   }
 
   test("minhash+LSH finds exact dupes as candidates deterministically") {
-    val shArr = Dedup.shingleArrays(docs, "doc_id", "text", 3)
+    val hsArr = Dedup.hashedShingleArrays(docs, "doc_id", "text", 3)
     val cand = Dedup.lshCandidatePairs(
-      Dedup.lshBands(Dedup.minhashSignatures(shArr, 8), 8, 4))
+      Dedup.lshBands(Dedup.minhashSignatures(hsArr, 8), 8, 4))
       .as[(Long, Long)].collect().toSet
     // identical docs share every band; (1,2) shares most shingles too
     assert(cand.contains((1L, 3L)))
