@@ -40,19 +40,28 @@ object Upsert {
   }
 
   /** Merged state: incoming wins on insert/update, target rows are kept
-    * otherwise. Both sides must share the schema (key, content_hash, ...).
+    * otherwise (keep/skip). Both sides must share the schema
+    * (key, content_hash, ...). ONE full-outer join — each side packs
+    * its non-key columns into a struct, the action condition picks a
+    * struct per key, and the result unpacks in incoming's column order.
+    * A single shuffle on the merge key, instead of classify + two
+    * semi-joins re-shuffling both inputs.
     */
   def merge(target: DataFrame, incoming: DataFrame, key: String): DataFrame = {
-    val actions = classify(target, incoming, key)
-      .select(col(key), col("action"))
-    val takeIncoming = actions
-      .filter(col("action").isin("insert", "update"))
-      .select(col(key))
-    val keepTarget = actions
-      .filter(col("action").isin("keep", "skip"))
-      .select(col(key))
-    incoming.join(takeIncoming, Seq(key), "left_semi")
-      .unionByName(target.join(keepTarget, Seq(key), "left_semi"))
+    val rest = incoming.columns.filter(_ != key)
+    def packed(df: DataFrame, as: String) =
+      df.select(col(key), struct(rest.map(col): _*).as(as))
+    val takeIncoming = col("_t").isNull ||
+      (col("_i").isNotNull &&
+        col("_i.content_hash") =!= col("_t.content_hash"))
+    packed(target, "_t")
+      .join(packed(incoming, "_i"), Seq(key), "full_outer")
+      .select(col(key),
+        when(takeIncoming, col("_i")).otherwise(col("_t")).as("_r"))
+      .select(incoming.columns.map {
+        case c if c == key => col(key)
+        case c => col(s"_r.$c").as(c)
+      }: _*)
   }
 
   /** A8: rows from `incoming` whose content hash is not yet in `target`,
