@@ -48,15 +48,94 @@ final case class CrawlResult(pages: DataFrame, files: DataFrame)
   * same loop runs at cluster scale; depth bounds the loop (<= 10 by
   * default, `/root/reference/models.py:22`).
   */
+/** One crawl round's outputs: fetched pages, extracted file documents,
+  * and the candidate page links (url, depth) for the next frontier —
+  * NOT yet deduplicated against the enqueued set (that is the caller's
+  * state: the batch BFS loop or the streaming frontier).
+  */
+final case class RoundOutput(pages: DataFrame, files: DataFrame,
+    pageLinks: DataFrame)
+
 object Crawl {
 
-  def run(spark: SparkSession, fetcher: Fetcher, seeds: Seq[String],
-      cfg: CrawlConfig): CrawlResult = {
-    import spark.implicits._
+  private[pipeline] def ensureCheckpointDir(spark: SparkSession): Unit = {
     val sc = spark.sparkContext
     if (sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+  }
+
+  /** One round over a (url, depth) frontier: scope/depth filters, fetch,
+    * decode, text+link extraction, href resolution, blocklist, page/file
+    * routing, file download+extraction with size gate. Fetched content
+    * is reliably checkpointed — its lineage ends at the network, so it
+    * must never be recomputed.
+    */
+  def round(fetcher: Fetcher, frontier: DataFrame, processedFiles: DataFrame,
+      cfg: CrawlConfig): RoundOutput = {
+    // F4-F7: scope, depth cap, single-page.
+    val inScope = frontier
+      .filter(UrlFunctions.domain(col("url")) === cfg.rootDomain)
+      .filter(UrlFunctions.path(col("url")).startsWith(cfg.basePath) ||
+        (UrlFunctions.path(col("url")).isNull && lit(cfg.basePath == "/")))
+      .filter(if (cfg.singlePage) col("depth") === 0 else lit(true))
+
+    // Fetch + decode + keep html (F12, F15, F11).
+    val html = fetcher.fetch(inScope)
+      .filter(lower(col("content_type")).contains("text/html"))
+      .withColumn("html",
+        DocExtract.decodeHtmlUdf(col("payload"), col("content_type")))
+      .filter(col("html").isNotNull && length(col("html")) > 0)
+
+    // F16 + X1: text + raw hrefs (a UDF cannot run inside an array
+    // lambda, so resolution happens after the explode).
+    val pages = html.select(col("url"), col("depth"),
+      col("content_type"), HtmlFunctions.htmlToText(col("html")).as("text"),
+      HtmlFunctions.hrefs(col("html")).as("hrefs"))
+      .checkpoint(true)
+
+    // X1/C4/C5: explode, absolutize against the page url, defragment;
+    // blocklist + empties dropped (F1). Links carry the PARENT depth.
+    val links = pages
+      .select(col("depth"), col("url").as("base"),
+        explode(col("hrefs")).as("href"))
+      .select(col("depth"), UrlFunctions.defragment(
+        UrlFunctions.resolveUrl(col("base"), col("href"))).as("url"))
+      .filter(col("url").isNotNull && col("url") =!= "")
+      .filter(!UrlFunctions.isStaticBlocked(col("url")))
+
+    // X3/F8/F9: file links -> extraction; J3: skip processed.
+    val fileLinks = links
+      .filter(UrlFunctions.ext(col("url"))
+        .isin(cfg.allowedFileExtensions: _*))
+      .filter(if (cfg.downloadOnlySameDomain)
+        UrlFunctions.domain(col("url")) === cfg.rootDomain else lit(true))
+      .select(col("url"), col("depth")).distinct()
+      .join(processedFiles, Seq("url"), "left_anti")
+    val files = fetcher.fetch(fileLinks)
+      .filter(octet_length(col("payload")) <= cfg.maxFileBytes)  // F10
+      .withColumn("ext", UrlFunctions.ext(col("url")))
+      .withColumn("res",
+        DocExtract.extractUdf(col("payload"), col("ext")))
+      .select(col("url"), col("depth"), col("ext"),
+        col("res.text").as("text"),
+        octet_length(col("payload")).cast("long").as("size_bytes"))
+      .filter(length(col("text")) > 0)  // F11
+      .checkpoint(true)
+
+    val pageLinks = links
+      .filter(!UrlFunctions.ext(col("url"))
+        .isin(cfg.allowedFileExtensions: _*))
+      .select(col("url"), (col("depth") + 1).as("depth"))
+
+    RoundOutput(pages.select("url", "depth", "content_type", "text"),
+      files, pageLinks)
+  }
+
+  def run(spark: SparkSession, fetcher: Fetcher, seeds: Seq[String],
+      cfg: CrawlConfig): CrawlResult = {
+    import spark.implicits._
+    ensureCheckpointDir(spark)
 
     val emptyPages = Seq.empty[(String, Int, String, String)]
       .toDF("url", "depth", "content_type", "text")
@@ -72,75 +151,21 @@ object Crawl {
     var processedFiles = emptyFiles.select("url")
     var pages = emptyPages
     var files = emptyFiles
-    var depth = 0
 
     while (!frontier.isEmpty) {
-      // F4-F7: scope, depth cap, single-page.
-      val inScope = frontier
-        .filter(UrlFunctions.domain(col("url")) === cfg.rootDomain)
-        .filter(UrlFunctions.path(col("url")).startsWith(cfg.basePath) ||
-          (UrlFunctions.path(col("url")).isNull && lit(cfg.basePath == "/")))
-        .filter(if (cfg.singlePage) col("depth") === 0 else lit(true))
-
-      // Fetch + decode + keep html (F12, F15, F11).
-      val fetched = fetcher.fetch(inScope)
-      val html = fetched
-        .filter(lower(col("content_type")).contains("text/html"))
-        .withColumn("html",
-          DocExtract.decodeHtmlUdf(col("payload"), col("content_type")))
-        .filter(col("html").isNotNull && length(col("html")) > 0)
-
-      // F16 + X1: text + raw hrefs (a UDF cannot run inside an array
-      // lambda, so resolution happens after the explode).
-      val roundPages = html.select(col("url"), col("depth"),
-        col("content_type"), HtmlFunctions.htmlToText(col("html")).as("text"),
-        HtmlFunctions.hrefs(col("html")).as("hrefs"))
-        .checkpoint(true)
-      pages = pages.unionByName(
-        roundPages.select("url", "depth", "content_type", "text"))
-
-      // X1/C4/C5: explode, absolutize against the page url, defragment;
-      // blocklist + empties dropped (F1).
-      val links = roundPages
-        .select(col("depth"), col("url").as("base"),
-          explode(col("hrefs")).as("href"))
-        .select(col("depth"), UrlFunctions.defragment(
-          UrlFunctions.resolveUrl(col("base"), col("href"))).as("url"))
-        .filter(col("url").isNotNull && col("url") =!= "")
-        .filter(!UrlFunctions.isStaticBlocked(col("url")))
-
-      // X3/F8/F9: file links -> extraction; J3: skip processed.
-      val fileLinks = links
-        .filter(UrlFunctions.ext(col("url"))
-          .isin(cfg.allowedFileExtensions: _*))
-        .filter(if (cfg.downloadOnlySameDomain)
-          UrlFunctions.domain(col("url")) === cfg.rootDomain else lit(true))
-        .select(col("url"), col("depth")).distinct()
-        .join(processedFiles, Seq("url"), "left_anti")
-      val fetchedFiles = fetcher.fetch(fileLinks)
-        .filter(octet_length(col("payload")) <= cfg.maxFileBytes)  // F10
-        .withColumn("ext", UrlFunctions.ext(col("url")))
-        .withColumn("res",
-          DocExtract.extractUdf(col("payload"), col("ext")))
-        .select(col("url"), col("depth"), col("ext"),
-          col("res.text").as("text"),
-          octet_length(col("payload")).cast("long").as("size_bytes"))
-        .filter(length(col("text")) > 0)  // F11
-        .checkpoint(true)
-      files = files.unionByName(fetchedFiles)
+      val out = round(fetcher, frontier, processedFiles, cfg)
+      pages = pages.unionByName(out.pages)
+      files = files.unionByName(out.files)
       processedFiles = processedFiles
-        .unionByName(fetchedFiles.select("url")).checkpoint(true)
+        .unionByName(out.files.select("url")).checkpoint(true)
 
-      // X4/J2: expand the frontier one level if the depth cap allows.
-      depth += 1
+      // X4/J2: expand one level within the depth cap.
       frontier =
-        if (depth > cfg.maxDepth || cfg.singlePage) frontier.limit(0)
-        else links
-          .filter(!UrlFunctions.ext(col("url"))
-            .isin(cfg.allowedFileExtensions: _*))
-          .select(col("url")).distinct()
+        if (cfg.singlePage) frontier.limit(0)
+        else out.pageLinks
+          .filter(col("depth") <= cfg.maxDepth)
+          .groupBy(col("url")).agg(min(col("depth")).as("depth"))
           .join(enqueued, Seq("url"), "left_anti")
-          .withColumn("depth", lit(depth))
           .checkpoint(true)
       enqueued = enqueued.unionByName(frontier.select("url")).checkpoint(true)
     }
