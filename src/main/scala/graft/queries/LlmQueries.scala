@@ -270,6 +270,98 @@ object LlmQueries {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    // Embedding-cosine near-dup pairs: hyperplane-LSH buckets generate
+    // candidates (scaled copies keep every projection sign, so they
+    // land in their original's bucket), exact cosine >= 0.999 verifies.
+    QueryDef(
+      "dd_embedding_near_dup",
+      """WITH corpus AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |         list_transform(embedding::DOUBLE[], x -> x * 1.001)
+        |  FROM embeddings),
+        |w AS (
+        |  SELECT p.plane, dd.dim,
+        |    CASE WHEN ('0x'||substr(md5('hp:'||p.plane||':'||dd.dim),1,15))::BIGINT
+        |              % 2 = 1 THEN 1.0 ELSE -1.0 END AS w
+        |  FROM (SELECT unnest(range(0, 8)) AS plane) p,
+        |       (SELECT unnest(range(1, 65)) AS dim) dd),
+        |comps AS (
+        |  SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+        |  FROM corpus),
+        |proj AS (
+        |  SELECT c.id, w.plane, sum(c.x * w.w) AS proj
+        |  FROM comps c JOIN w ON w.dim = c.dim GROUP BY c.id, w.plane),
+        |buckets AS (
+        |  SELECT id, sum(CASE WHEN proj > 0 THEN 1::BIGINT << plane
+        |                      ELSE 0::BIGINT END) AS bucket
+        |  FROM proj GROUP BY id)
+        |SELECT xa.id AS a, xb.id AS b,
+        |  round(list_inner_product(va.v, vb.v) /
+        |    (sqrt(list_inner_product(va.v, va.v))
+        |     * sqrt(list_inner_product(vb.v, vb.v))), 6) AS cosine
+        |FROM buckets xa
+        |JOIN buckets xb ON xb.bucket = xa.bucket AND xa.id < xb.id
+        |JOIN corpus va ON va.id = xa.id
+        |JOIN corpus vb ON vb.id = xb.id
+        |WHERE list_inner_product(va.v, vb.v) /
+        |    (sqrt(list_inner_product(va.v, va.v))
+        |     * sqrt(list_inner_product(vb.v, vb.v))) >= 0.999
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"),
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+            .as("vec"))
+      val corpus = emb.unionByName(emb.select((col("id") + 100000).as("id"),
+        transform(col("vec"), x => x * 1.001).as("vec")))
+      Similarity.cosineNearDupPairs(corpus, planes = 8, dims = 64,
+        minCosine = 0.999)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // IVF-style ANN: coarse-quantize to the 16 deterministic centroid
+    // cells, probe the 2 nearest cells per query, exact cosine top-3
+    // within the probed cells.
+    QueryDef(
+      "sim_ivf_topk",
+      """WITH vs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |          FROM embeddings WHERE vec_id < 16),
+        |d AS (
+        |  SELECT vs.id, vs.v, c.cid,
+        |    list_inner_product(vs.v, vs.v) + list_inner_product(c.cv, c.cv)
+        |    - 2.0 * list_inner_product(vs.v, c.cv) AS d2
+        |  FROM vs, cents c),
+        |r AS (
+        |  SELECT id, v, cid,
+        |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crnk
+        |  FROM d),
+        |cells AS (SELECT id AS cid2, cid AS cell, v AS cv2 FROM r WHERE crnk = 1),
+        |probes AS (SELECT id AS qid, cid AS cell, v AS qv
+        |           FROM r WHERE crnk <= 2 AND id < 10),
+        |scores AS (
+        |  SELECT qid, cid2 AS cid,
+        |    round(list_inner_product(qv, cv2) /
+        |      (sqrt(list_inner_product(qv, qv))
+        |       * sqrt(list_inner_product(cv2, cv2))), 6) AS score
+        |  FROM cells JOIN probes USING (cell) WHERE cid2 <> qid),
+        |rk AS (SELECT qid, cid, score,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY score DESC, cid) AS rnk
+        |       FROM scores)
+        |SELECT qid, cid, score, rnk FROM rk WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = Tables.embeddings(s, d).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfTopK(emb, cents,
+        emb.filter(col("id") < 10).select(col("id")), nprobe = 2, k = 3)
+        .select(col("qid"), col("cid"), col("score"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     // Token statistics: whitespace + BPE-ish counts.
     QueryDef(
       "txt_token_stats",
