@@ -187,6 +187,51 @@ object Dedup {
       .select(col("doc_id"), bitSum.as("simhash"))
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every doc's label converges to the smallest doc id
+    * reachable through the pair graph — that id is the cluster's
+    * canonical representative (what a dedup pipeline keeps). Rounds are
+    * bounded by component diameter; near-dup clusters are shallow
+    * (pairs/cliques), so a handful of rounds suffices. For pathological
+    * high-diameter graphs the production upgrade is the star-contraction
+    * variant; the state here is already DataFrames + checkpoints, so
+    * the loop itself scales like the BFS frontier.
+    *
+    * Input: (a, b) pairs. Output: (doc_id, component) for every doc
+    * that appears in some pair.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct().checkpoint(true)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).checkpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      i += 1
+      val neighborMin = edges
+        .join(labels.select(col("node").as("b"), col("label").as("lb")),
+          Seq("b"))
+        .groupBy(col("a")).agg(min(col("lb")).as("nl"))
+        .select(col("a").as("node"), col("nl"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .checkpoint(true)
+      changed = next
+        .join(labels.select(col("node"), col("label").as("old")), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
   /** Near-dup pairs by SimHash: block on `bands` disjoint bit bands
     * (pairs meet when ANY band matches), then keep pairs with Hamming
     * distance <= maxHamming. Multiple small bands give several shots at

@@ -68,6 +68,38 @@ object LlmQueries {
       |WHERE n_inter / (za.n_sh + zb.n_sh - n_inter) >= 0.5
       |ORDER BY a, b""".stripMargin
 
+  /** Generated oracle prefix shared by the MinHash queries: signatures
+    * from the SAME universal-hash coefficients as the Spark side, LSH
+    * banding, and the `cand` candidate-pair CTE.
+    */
+  private lazy val MinhashCandPrefix: String = {
+    val p = Dedup.MinhashPrime
+    val (k, bands, rows) = (128, 16, 8)
+    val sigCols = Dedup.minhashCoeffs(k).zipWithIndex.map {
+      case ((a, b), i) => s"    min((bh * $a + $b) % $p) AS mh$i"
+    }.mkString(",\n")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"mh${b * rows + r}")
+        .mkString(" || '_' || ")
+      s"  SELECT doc_id, $b AS band, md5($cols) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    NearDupCte +
+      s""", bhset AS (
+         |  SELECT doc_id, bh % $p AS bh FROM hset),
+         |sig AS (
+         |  SELECT doc_id,
+         |$sigCols
+         |  FROM bhset GROUP BY doc_id),
+         |bands AS (
+         |$bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT xa.doc_id AS a, xb.doc_id AS b
+         |  FROM bands xa JOIN bands xb
+         |    ON xa.band = xb.band AND xa.band_key = xb.band_key
+         |   AND xa.doc_id < xb.doc_id),
+         |""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup (hash-groupBy): corpus ∪ identical copies -> every
@@ -100,33 +132,7 @@ object LlmQueries {
     // Spark side uses.
     QueryDef(
       "dd_minhash_lsh_pairs",
-      {
-        val p = Dedup.MinhashPrime
-        val (k, bands, rows) = (128, 16, 8)
-        val sigCols = Dedup.minhashCoeffs(k).zipWithIndex.map {
-          case ((a, b), i) => s"    min((bh * $a + $b) % $p) AS mh$i"
-        }.mkString(",\n")
-        val bandSelects = (0 until bands).map { b =>
-          val cols = (0 until rows).map(r => s"mh${b * rows + r}")
-            .mkString(" || '_' || ")
-          s"  SELECT doc_id, $b AS band, md5($cols) AS band_key FROM sig"
-        }.mkString("\n  UNION ALL\n")
-        NearDupCte +
-          s""", bhset AS (
-             |  SELECT doc_id, bh % $p AS bh FROM hset),
-             |sig AS (
-             |  SELECT doc_id,
-             |$sigCols
-             |  FROM bhset GROUP BY doc_id),
-             |bands AS (
-             |$bandSelects),
-             |cand AS (
-             |  SELECT DISTINCT xa.doc_id AS a, xb.doc_id AS b
-             |  FROM bands xa JOIN bands xb
-             |    ON xa.band = xb.band AND xa.band_key = xb.band_key
-             |   AND xa.doc_id < xb.doc_id),
-             |""".stripMargin + JaccardTail
-      }) { (s, d) =>
+      MinhashCandPrefix + JaccardTail) { (s, d) =>
       val corpus = nearDupCorpus(Tables.documents(s, d))
       // Persisted: signatures AND Jaccard verification read it, and the
       // hashed arrays are an order of magnitude smaller than the text.
@@ -138,6 +144,49 @@ object LlmQueries {
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a"), col("b"))
+    },
+
+    // Near-dup CLUSTERING: MinHash pairs -> connected components ->
+    // one canonical representative (min doc id) per cluster — the step
+    // that actually drops duplicates in a training-data pipeline. The
+    // oracle computes components with a recursive transitive closure.
+    QueryDef(
+      "dd_neardup_clusters",
+      MinhashCandPrefix.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """sizes AS (SELECT doc_id, count(*) AS n_sh FROM hset GROUP BY doc_id),
+          |inter AS (
+          |  SELECT c.a, c.b, count(*) AS n_inter
+          |  FROM cand c
+          |  JOIN hset sa ON sa.doc_id = c.a
+          |  JOIN hset sb ON sb.doc_id = c.b AND sb.bh = sa.bh
+          |  GROUP BY c.a, c.b),
+          |pairs AS (
+          |  SELECT i.a, i.b FROM inter i
+          |  JOIN sizes za ON za.doc_id = i.a
+          |  JOIN sizes zb ON zb.doc_id = i.b
+          |  WHERE n_inter / (za.n_sh + zb.n_sh - n_inter) >= 0.5),
+          |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+          |nodes AS (SELECT DISTINCT a AS node FROM edges),
+          |reach AS (
+          |  SELECT node, node AS r FROM nodes
+          |  UNION
+          |  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON e.a = reach.r),
+          |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+          |SELECT component AS canonical_id, count(*) AS n_members
+          |FROM comp GROUP BY component ORDER BY canonical_id""".stripMargin) { (s, d) =>
+      val corpus = nearDupCorpus(Tables.documents(s, d))
+      val hsArr = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Dedup.lshCandidatePairs(
+        Dedup.lshBands(Dedup.minhashSignatures(hsArr, 128), 128, 16))
+      val pairs = Dedup.jaccard(cand, hsArr)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"))
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("component").as("canonical_id"), col("n_members"))
+        .orderBy(col("canonical_id"))
     },
 
     // Exact-recall variant: hashed-shingle blocking (df cap 20) +

@@ -56,6 +56,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0))
   }
 
+  test("connectedComponents labels clusters with their min doc id") {
+    // {1,2,3} chained + {5,6}; 9 isolated (no pair -> no row).
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // A longer chain still converges within the iteration budget.
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L) && labels.size == 9)
+  }
+
   test("shingleBlockedPairs respects the document-frequency cap") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val all = Dedup.shingleBlockedPairs(sh, 20).as[(Long, Long)].collect().toSet
