@@ -1,11 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registered query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query wall
-  * seconds. Each query is materialized through the noop datasource —
-  * a full write-path execution that (unlike `count()`) cannot have its
-  * projections pruned away by Catalyst, so hash/regex/projection-heavy
-  * queries are measured for real.
+  * SPARK_GRAFT_SF_DIR and reports per-query wall seconds. Each query is
+  * materialized through the noop datasource — a full write-path
+  * execution that (unlike `count()`) cannot have its projections pruned
+  * away by Catalyst, so hash/regex/projection-heavy queries are
+  * measured for real.
+  *
+  * Output contract (the driver tail-parses stdout, so the LAST line
+  * must stay short — a single ~3.5 KB line gets truncated):
+  *   1. the full `{"metric":"total",...,"queries":{...}}` object is
+  *      written to SPARK_GRAFT_BENCH_OUT (default `bench_out.json` in
+  *      the working directory);
+  *   2. the same full object prints on its own stdout line (times
+  *      rounded to 3 decimals) for humans;
+  *   3. the FINAL stdout line is a short total-only JSON object.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,12 +34,24 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // Flush and print last so the JSON is the final stdout line.
+    val total = r3(results.map(_._2).sum)
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val short =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    // Full object on its own line, then the short total-only line LAST.
     Console.out.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(full)
+    println(short)
     Console.out.flush()
     spark.stop()
   }

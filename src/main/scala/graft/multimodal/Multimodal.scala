@@ -17,11 +17,14 @@ final case class FrameRow(doc_id: Long, frame_idx: Int, offset_ms: Long)
   * `mapPartitions` stages — per-partition batches, codec state reused
   * across a partition, no shuffle.
   *
-  * STUB NOTE: no image/audio codec ships with this environment, so
-  * `decodeDims` is a clearly-marked deterministic fake (dims derived
-  * from the payload hash). Swapping in a real codec changes ONLY that
-  * function — the schema, partitioning, batch shape and the resize /
-  * frame-sample arithmetic around it are real and tested.
+  * Decode dispatches on `media_type`: `image/bmp` is a REAL pure-JDK
+  * decoder (BITMAPINFOHEADER parse — width/height/channels come from
+  * actual image bytes). Other media types fall to a clearly-marked
+  * deterministic stub (dims derived from the payload hash; no
+  * PNG/JPEG/audio codec ships with this environment). Adding a real
+  * codec for another format changes ONLY the dispatch — the schema,
+  * partitioning, batch shape and the resize / frame-sample arithmetic
+  * around it are shared and tested.
   */
 object Multimodal {
 
@@ -40,11 +43,39 @@ object Multimodal {
     * (a real build calls an image codec here; javax.imageio is absent
     * from the runtime image). Width 64..576, height 64..448, RGB.
     */
-  def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
+  def stubDims(payload: Array[Byte]): (Int, Int, Int) = {
     val w = 64 + payloadHash(payload) % 513
     val h = 64 + payloadHash("h:".getBytes("UTF-8") ++ payload) % 385
     (w.toInt, h.toInt, 3)
   }
+
+  /** REAL BMP decode (pure JDK): parse the BITMAPINFOHEADER — magic
+    * 'BM', width/height as little-endian i32 at offsets 18/22 (negative
+    * height = top-down row order), bits-per-pixel at 28. Returns None
+    * for bytes that are not a plausible BMP.
+    */
+  def decodeBmpDims(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    if (payload != null && payload.length >= 54 &&
+        payload(0) == 'B'.toByte && payload(1) == 'M'.toByte) {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val w = bb.getInt(18)
+      val h = math.abs(bb.getInt(22))
+      val bpp = bb.getShort(28) & 0xffff
+      if (w > 0 && h > 0 && bpp >= 8 && bpp % 8 == 0)
+        Some((w, h, bpp / 8))
+      else None
+    } else None
+
+  /** Dispatch: real decoder where one exists (BMP), deterministic stub
+    * elsewhere. A corrupt payload under a real-decoder media type
+    * yields (0, 0, 0) — downstream filters on width > 0, the image
+    * twin of S10's extraction-error sentinel.
+    */
+  def decodeDims(payload: Array[Byte], mediaType: String): (Int, Int, Int) =
+    if (mediaType != null && mediaType.equalsIgnoreCase("image/bmp"))
+      decodeBmpDims(payload).getOrElse((0, 0, 0))
+    else stubDims(payload)
 
   /** Aspect-preserving downscale bound: images whose longest edge
     * exceeds `maxEdge` scale to it (floor), never upscale.
@@ -68,7 +99,7 @@ object Multimodal {
     media.mapPartitions { it =>
       // Per-partition setup point: a real codec initializes here once.
       it.map { m =>
-        val (w, h, c) = decodeDims(m.payload)
+        val (w, h, c) = decodeDims(m.payload, m.media_type)
         val (rw, rh) = resized(w, h, maxEdge)
         ImageFeatureRow(m.doc_id, w, h, c, rw, rh, md5Hex(m.payload))
       }

@@ -187,25 +187,33 @@ object Dedup {
       .select(col("doc_id"), bitSum.as("simhash"))
   }
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation: every doc's label converges to the smallest doc id
-    * reachable through the pair graph — that id is the cluster's
-    * canonical representative (what a dedup pipeline keeps). Rounds are
-    * bounded by component diameter; near-dup clusters are shallow
-    * (pairs/cliques), so a handful of rounds suffices. For pathological
-    * high-diameter graphs the production upgrade is the star-contraction
-    * variant; the state here is already DataFrames + checkpoints, so
-    * the loop itself scales like the BFS frontier.
+  /** Connected components over near-dup pairs: every doc's label
+    * converges to the smallest doc id reachable through the pair graph —
+    * that id is the cluster's canonical representative (what a dedup
+    * pipeline keeps).
+    *
+    * Each round runs TWO phases: (1) min-label propagation over the
+    * edge relation, then (2) pointer jumping — label(v) :=
+    * label(label(v)) via a self-join on the label table (every label is
+    * itself a node, since labels start as ids and only move down
+    * through existing ids). The jump doubles the propagation distance
+    * per round, so convergence is O(log diameter) rounds instead of
+    * O(diameter): a 100-node boilerplate chain (A~B~C~...) converges in
+    * 6 rounds + 1 stability check, where plain propagation needs 99.
+    * State is DataFrames + reliable checkpoints, the same shape as the
+    * BFS frontier, so the loop runs unchanged at cluster scale.
+    *
+    * Exiting at `maxIter` with changes still flowing means some
+    * component was NOT fully merged (its members would keep distinct
+    * labels and split one cluster into several) — that is loudly
+    * warned, not silently returned.
     *
     * Input: (a, b) pairs. Output: (doc_id, component) for every doc
     * that appears in some pair.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    graft.Checkpoints.ensure(spark)
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().checkpoint(true)
@@ -220,15 +228,24 @@ object Dedup {
           Seq("b"))
         .groupBy(col("a")).agg(min(col("lb")).as("nl"))
         .select(col("a").as("node"), col("nl"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
+      val prop = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      val next = prop
+        .join(prop.select(col("node").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .checkpoint(true)
       changed = next
         .join(labels.select(col("node"), col("label").as("old")), Seq("node"))
         .filter(col("label") =!= col("old")).count()
       labels = next
     }
+    if (changed > 0)
+      System.err.println(s"[graft] connectedComponents exited at " +
+        s"maxIter=$maxIter with $changed labels still changing — " +
+        "components may be split; raise maxIter")
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 

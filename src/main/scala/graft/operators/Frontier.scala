@@ -19,12 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object Frontier {
 
-  private def ensureCheckpointDir(df: DataFrame): Unit = {
-    val sc = df.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-  }
+  private def ensureCheckpointDir(df: DataFrame): Unit =
+    graft.Checkpoints.ensure(df.sparkSession)
 
   /** All nodes reachable from `seeds` within `maxDepth` hops, each with
     * its first-reach depth. `edges`: (src, dst); `seeds`: (node).

@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
 
 /** Crawl job configuration — the engine's `CrawlJob`
   * (`/root/reference/models.py:5-34`) reduced to the fields that shape
-  * the dataflow.
+  * the dataflow. Defaults mirror the reference's, including
+  * `downloadOnlySameDomain = true` (`models.py`
+  * download_only_same_domain): offsite document files are skipped
+  * unless explicitly enabled.
   */
 final case class CrawlConfig(
     rootDomain: String,
@@ -15,7 +18,7 @@ final case class CrawlConfig(
     singlePage: Boolean = false,
     basePath: String = "/",
     allowedFileExtensions: Seq[String] = UrlFunctions.DocExtensions,
-    downloadOnlySameDomain: Boolean = false,
+    downloadOnlySameDomain: Boolean = true,
     maxFileBytes: Long = 25000000L)
 
 /** Pluggable page source: urls (url) -> (url, payload binary,
@@ -58,12 +61,8 @@ final case class RoundOutput(pages: DataFrame, files: DataFrame,
 
 object Crawl {
 
-  private[pipeline] def ensureCheckpointDir(spark: SparkSession): Unit = {
-    val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-  }
+  private[pipeline] def ensureCheckpointDir(spark: SparkSession): Unit =
+    graft.Checkpoints.ensure(spark)
 
   /** One round over a (url, depth) frontier: scope/depth filters, fetch,
     * decode, text+link extraction, href resolution, blocklist, page/file

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.multimodal.{MediaRow, Multimodal}
-import graft.sources.JsonIndex
+import graft.sources.{DocBuild, JsonIndex}
 import org.apache.spark.sql.functions._
 
 /** Multimodal mapPartitions plumbing (decode/resize/frame-sample over
@@ -36,6 +36,39 @@ object MediaQueries {
           lit("image").as("media_type"))
         .as[MediaRow]
       Multimodal.imageFeatures(media, maxEdge = 256)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("resized_w"), col("resized_h"))
+        .orderBy(col("doc_id"))
+    },
+
+    // REAL image decode: synthesize an actual 24-bit BMP per document
+    // (header + pixel rows), run it through the same mapPartitions
+    // feature stage, and check that width/height/channels come from the
+    // parsed BITMAPINFOHEADER — not from any payload-hash stub. The
+    // oracle recomputes the dims the builder encoded.
+    QueryDef(
+      "mm_bmp_decode",
+      """WITH m AS (
+        |  SELECT doc_id, (16 + doc_id % 48)::INT AS width,
+        |         (16 + doc_id % 32)::INT AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height, 3 AS channels,
+        |  CASE WHEN greatest(width, height) <= 32 THEN width
+        |       ELSE greatest(1, floor(width * 32.0 / greatest(width, height))::INT)
+        |  END AS resized_w,
+        |  CASE WHEN greatest(width, height) <= 32 THEN height
+        |       ELSE greatest(1, floor(height * 32.0 / greatest(width, height))::INT)
+        |  END AS resized_h
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          DocBuild.bmpUdf((col("doc_id") % 48 + 16).cast("int"),
+            (col("doc_id") % 32 + 16).cast("int"),
+            (col("doc_id") % 251).cast("int")).as("payload"),
+          lit("image/bmp").as("media_type"))
+        .as[MediaRow]
+      Multimodal.imageFeatures(media, maxEdge = 32)
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
           col("resized_w"), col("resized_h"))
         .orderBy(col("doc_id"))

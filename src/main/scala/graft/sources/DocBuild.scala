@@ -96,9 +96,38 @@ object DocBuild {
     bos.toByteArray
   }
 
+  /** Minimal real 24-bit BMP (BITMAPINFOHEADER, BI_RGB): every pixel
+    * byte set to `px`, rows padded to 4 bytes — a decodable image whose
+    * header any BMP reader (including `Multimodal.decodeDims`) parses.
+    */
+  def bmpBytes(w: Int, h: Int, px: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54 + dataSize)       // file size
+    bb.putInt(0)                   // reserved
+    bb.putInt(54)                  // pixel data offset
+    bb.putInt(40)                  // BITMAPINFOHEADER size
+    bb.putInt(w)
+    bb.putInt(h)
+    bb.putShort(1)                 // planes
+    bb.putShort(24)                // bits per pixel
+    bb.putInt(0)                   // BI_RGB
+    bb.putInt(dataSize)
+    bb.putInt(2835).putInt(2835)   // 72 dpi
+    bb.putInt(0).putInt(0)         // palette
+    val row = Array.fill(rowBytes)(px.toByte)
+    (0 until h).foreach(_ => bb.put(row))
+    bb.array()
+  }
+
   val docxUdf: UserDefinedFunction = udf((ls: Seq[String]) => docxBytes(ls))
   val pptxUdf: UserDefinedFunction = udf((ls: Seq[String]) => pptxBytes(ls))
   val xlsxUdf: UserDefinedFunction = udf((ls: Seq[String]) => xlsxBytes(ls))
   val pdfUdf: UserDefinedFunction =
     udf((ls: Seq[String], flate: Boolean) => pdfBytes(ls, flate))
+  val bmpUdf: UserDefinedFunction =
+    udf((w: Int, h: Int, px: Int) => bmpBytes(w, h, px))
 }

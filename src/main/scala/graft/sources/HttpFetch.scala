@@ -3,7 +3,7 @@ package graft.sources
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.time.Duration
-import java.util.concurrent.{ConcurrentHashMap, Semaphore}
+import java.util.concurrent.{CompletableFuture, ConcurrentHashMap, Semaphore}
 
 import graft.pipeline.Fetcher
 import org.apache.spark.sql.DataFrame
@@ -20,19 +20,30 @@ final case class FetchOut(url: String, depth: Int, payload: Array[Byte],
   * JVM, redirects followed, a total-deadline timeout, a PER-DOMAIN
   * concurrency cap (semaphore registry, default 2 — the reference's
   * politeness limit), and errors captured as (null payload, "") rows
-  * instead of task failures.
+  * instead of task failures. Matching the reference, the response body
+  * is returned for EVERY status (a 404 page is still content);
+  * only transport failures produce the (null, "") error row.
   *
-  * Scale stance: with `domainPartitions` set, urls repartition by
-  * domain first so one slow domain's politeness cap throttles its own
-  * partition instead of head-of-line-blocking every worker, and the
-  * semaphore state stays executor-local (no coordination). The driver
-  * never touches a URL.
+  * Scale stance: the reference's cap is GLOBAL (one process); a
+  * K-executor cluster with only executor-local semaphores would fetch
+  * up to K x perDomain concurrently per domain. So by DEFAULT
+  * (`domainPartitions` = -1) urls repartition by domain first — each
+  * domain hash-routes to exactly ONE partition, making the executor-
+  * local semaphore the global cap, and one slow domain throttles its
+  * own partition instead of head-of-line-blocking every worker.
+  * Within a partition requests run through async in-flight windows of
+  * `windowSize`, so a domain still gets its full `perDomain`
+  * concurrency (sequential iteration would silently cap it at 1).
+  * Set `domainPartitions` = 0 to keep the caller's partitioning
+  * (politeness then only bounds per-executor), or > 0 to pick the
+  * partition count explicitly. The driver never touches a URL.
   */
 final class HttpFetcher(
     timeoutSeconds: Int = 20,
     perDomain: Int = 2,
     userAgent: String = "graft-crawler/1.0",
-    domainPartitions: Int = 0) extends Fetcher with Serializable {
+    domainPartitions: Int = -1,
+    windowSize: Int = 16) extends Fetcher with Serializable {
 
   def fetch(urls: DataFrame): DataFrame = {
     val spark = urls.sparkSession
@@ -41,17 +52,22 @@ final class HttpFetcher(
       (if (urls.columns.contains("depth")) col("depth")
        else org.apache.spark.sql.functions.lit(0)).cast("int").as("depth"))
       .as[FetchIn]
+    val nPart =
+      if (domainPartitions == -1) spark.sparkContext.defaultParallelism
+      else domainPartitions
     val part =
-      if (domainPartitions > 0)
-        ds.repartition(domainPartitions,
-          graft.functions.UrlFunctions.domain(col("url")))
+      if (nPart > 0)
+        ds.repartition(nPart, graft.functions.UrlFunctions.domain(col("url")))
       else ds
-    val (t, cap, ua) = (timeoutSeconds, perDomain, userAgent)
+    val (t, cap, ua, win) = (timeoutSeconds, perDomain, userAgent, windowSize)
     part.mapPartitions { it =>
       val client = HttpFetcher.client(t)
-      it.map { in =>
-        val (payload, ctype) = HttpFetcher.get(client, in.url, t, cap, ua)
-        FetchOut(in.url, in.depth, payload, ctype)
+      it.grouped(win).flatMap { chunk =>
+        chunk.map(in => in -> HttpFetcher.getAsync(client, in.url, t, cap, ua))
+          .map { case (in, fut) =>
+            val (payload, ctype) = fut.join()
+            FetchOut(in.url, in.depth, payload, ctype)
+          }
       }
     }.toDF()
   }
@@ -74,11 +90,17 @@ object HttpFetcher {
   private def sem(domain: String, cap: Int): Semaphore =
     domainSems.computeIfAbsent(domain, _ => new Semaphore(cap))
 
-  /** GET with the per-domain cap held for the call; any failure is a
-    * (null, "") row (`http_fetcher.py:53-56`).
+  /** Async GET holding the per-domain permit from before send until the
+    * response (or failure) completes. The acquire happens on the task
+    * thread, so a hot domain back-pressures its own partition; permits
+    * release on the client's completion threads, unblocking it. Any
+    * transport failure is a (null, "") row (`http_fetcher.py:53-56`);
+    * HTTP error statuses still carry their body, like the reference's
+    * unconditional `resp.read()` (`http_fetcher.py:51-54`).
     */
-  private def get(client: HttpClient, url: String, timeoutSeconds: Int,
-      perDomain: Int, userAgent: String): (Array[Byte], String) = {
+  private def getAsync(client: HttpClient, url: String, timeoutSeconds: Int,
+      perDomain: Int, userAgent: String)
+      : CompletableFuture[(Array[Byte], String)] = {
     val domain =
       try new URI(url).getHost match { case null => "" case h => h.toLowerCase }
       catch { case _: Exception => "" }
@@ -89,12 +111,17 @@ object HttpFetcher {
         .timeout(Duration.ofSeconds(timeoutSeconds.toLong))
         .header("User-Agent", userAgent)
         .GET().build()
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
-      if (resp.statusCode() >= 400) (null, "")
-      else (resp.body(),
-        resp.headers().firstValue("Content-Type").orElse(""))
+      client.sendAsync(req, HttpResponse.BodyHandlers.ofByteArray())
+        .handle[(Array[Byte], String)] { (resp, err) =>
+          if (err != null) (null, "")
+          else (resp.body(),
+            resp.headers().firstValue("Content-Type").orElse(""))
+        }
+        .whenComplete((_, _) => s.release())
     } catch {
-      case _: Exception => (null, "")
-    } finally s.release()
+      case _: Exception =>
+        s.release()
+        CompletableFuture.completedFuture((null, ""))
+    }
   }
 }

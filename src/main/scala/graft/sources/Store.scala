@@ -32,6 +32,38 @@ object Store {
       partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** S16: relational row sink — the reference's Postgres store
+    * (`/root/reference/db/postgres_store.py:70-103`,
+    * `/root/reference/api/main.py:71-76`) as Spark's parallel JDBC
+    * writer: each partition opens one connection and batches INSERTs
+    * (`batchsize`, default 1000, mirroring psycopg's executemany page
+    * size). Upsert semantics compose UPSTREAM (`Upsert.classify` /
+    * `insertIfAbsent`) since plain JDBC INSERT has no portable MERGE —
+    * feeding only action='insert' rows is exactly the reference's
+    * `ON CONFLICT DO NOTHING` shape. At scale, `numPartitions` bounds
+    * the connection count so 1000 executors don't open 1000 sessions
+    * against one database.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      options: Map[String, String] = Map.empty,
+      mode: String = "append"): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", options.getOrElse("batchsize", "1000"))
+      .options(options)
+      .mode(mode)
+      .save()
+
+  /** JDBC scan (the lookup side of S16 round trips / existence joins). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(options)
+      .load()
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

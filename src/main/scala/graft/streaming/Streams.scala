@@ -141,6 +141,36 @@ object Streams {
     java.nio.file.Files.write(ptr, s"state_$batchId".getBytes("UTF-8"))
   }
 
+  /** S16/ST6 over a relational target: each micro-batch inserts only
+    * rows whose content hash is absent from the table (the reference's
+    * streaming page store — `ON CONFLICT (content_hash) DO NOTHING`,
+    * `/root/reference/db/postgres_store.py:84-103`). Duplicate batch
+    * delivery classifies all-absent-nothing and inserts zero rows, so
+    * at-least-once delivery converges.
+    */
+  def jdbcInsertIfAbsentSink(stream: DataFrame, url: String, table: String,
+      key: String, checkpointDir: String,
+      options: Map[String, String] = Map.empty): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        jdbcInsertIfAbsentBatch(batch, url, table, key, options)
+      }
+      .start()
+
+  /** One micro-batch of the JDBC insert-if-absent sink (also the batch
+    * restart path).
+    */
+  def jdbcInsertIfAbsentBatch(batch: DataFrame, url: String, table: String,
+      key: String, options: Map[String, String] = Map.empty): Unit = {
+    val target =
+      graft.sources.Store.readJdbc(batch.sparkSession, url, table, options)
+    val fresh = Upsert.insertIfAbsent(target, batch, key)
+      .select(batch.columns.map(col): _*)
+    graft.sources.Store.writeJdbc(fresh, url, table, options)
+  }
+
   /** The current merged state under a mergeSink target, if any. */
   def readState(spark: org.apache.spark.sql.SparkSession,
       targetDir: String): Option[DataFrame] = {

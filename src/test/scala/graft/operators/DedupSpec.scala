@@ -69,6 +69,42 @@ class DedupSpec extends SparkSpec {
     assert(labels.values.toSet == Set(1L) && labels.size == 9)
   }
 
+  test("connectedComponents converges in O(log n) rounds on a deep chain") {
+    // 100-node chain: plain min-propagation needs 99 rounds; the
+    // pointer-jumping variant must fully converge within 7 (6 working
+    // rounds + 1 stability check).
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(chain, maxIter = 7)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 100)
+    assert(labels.values.toSet == Set(1L),
+      s"chain not converged: ${labels.values.toSet}")
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = (1 to 70)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x
+        else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        // Root stays the component minimum, so find() = canonical id.
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial differs from union-find")
+    }
+  }
+
   test("shingleBlockedPairs respects the document-frequency cap") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val all = Dedup.shingleBlockedPairs(sh, 20).as[(Long, Long)].collect().toSet
