@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One session-scoped reliable-checkpoint directory, shared by every
   * iterative operator (BFS frontier, crawl rounds, connected
@@ -22,9 +22,91 @@ object Checkpoints {
     }
   }
 
+  /** Eager reliable checkpoint under the session's BASE checkpoint dir
+    * (never a rotated round dir): for frames that must outlive an
+    * iterative loop — fetched content, edge relations. Takes the same
+    * lock as `Rotating.checkpoint`, so a concurrent rotator can never
+    * capture this checkpoint in a directory it is about to delete.
+    */
+  def pinned(df: DataFrame): DataFrame = synchronized {
+    ensure(df.sparkSession)
+    df.checkpoint(true)
+  }
+
   private def delete(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(delete)
     f.delete(): Unit
+  }
+
+  /** Round-rotating checkpoints for iterative driver loops.
+    *
+    * Reliable checkpoints normally live until JVM exit, so a
+    * long-running BFS/components job accumulates one generation of
+    * state files per round — a real disk-growth risk for exactly the
+    * 100 TB iterative jobs this engine targets. A `Rotating` instance
+    * checkpoints each round into its own subdirectory and deletes a
+    * round's directory as soon as it is two generations old: round i
+    * reads only round i-1's materialized files, so everything from
+    * round i-2 and earlier is provably unreferenced.
+    *
+    * Protocol: `checkpoint(df)` (eager) any number of times per round;
+    * `advance()` at the START of each loop body; `close()` after the
+    * loop (deletes all but the final round, whose frames the caller
+    * returns; that last directory is removed by the session shutdown
+    * hook, or by the cluster operator's checkpoint-dir policy).
+    *
+    * Static frames read on EVERY round (e.g. the edge relation) must
+    * be checkpointed with plain `df.checkpoint(true)` under the base
+    * directory, never through the rotator.
+    *
+    * Deletion goes through the Hadoop FileSystem of the checkpoint
+    * path, so rotation works unchanged when the checkpoint dir is
+    * HDFS/S3 on a cluster.
+    */
+  final class Rotating(spark: SparkSession) {
+    Checkpoints.ensure(spark)
+    private val sc = spark.sparkContext
+    private val base = sc.getCheckpointDir.get
+    private val root =
+      s"$base/rot-${java.util.UUID.randomUUID().toString.take(8)}"
+    private var round = 0
+    private var cur = s"$root/r0"
+    private var prev: Option[String] = None
+
+    /** Eagerly checkpoint into the current round's directory. The
+      * global checkpoint dir is restored before returning; the eager
+      * materialization runs under the Checkpoints lock so concurrent
+      * loops (parallel test suites) cannot land files in a directory
+      * another rotator is about to delete.
+      */
+    def checkpoint(df: DataFrame): DataFrame = Checkpoints.synchronized {
+      sc.setCheckpointDir(cur)
+      try df.checkpoint(true) finally sc.setCheckpointDir(base)
+    }
+
+    /** Start a new round: files two rounds back are now unreferenced
+      * and deleted.
+      */
+    def advance(): Unit = {
+      prev.foreach(deletePath)
+      prev = Some(cur)
+      round += 1
+      cur = s"$root/r$round"
+    }
+
+    /** After the loop: drop every rotated directory except the current
+      * round's (the caller still holds its frames).
+      */
+    def close(): Unit = {
+      prev.foreach(deletePath)
+      prev = None
+    }
+
+    private def deletePath(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(sc.hadoopConfiguration)
+      fs.delete(path, true): Unit
+    }
   }
 }

@@ -214,34 +214,43 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     graft.Checkpoints.ensure(spark)
-    val edges = pairs.select(col("a"), col("b"))
+    // Static: read on every round, so pinned under the base checkpoint
+    // dir, outside the rotation.
+    val edges = graft.Checkpoints.pinned(pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct().checkpoint(true)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).checkpoint(true)
+      .distinct())
+    val rot = new graft.Checkpoints.Rotating(spark)
+    var labels = rot.checkpoint(edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       i += 1
+      rot.advance()
       val neighborMin = edges
         .join(labels.select(col("node").as("b"), col("label").as("lb")),
           Seq("b"))
         .groupBy(col("a")).agg(min(col("lb")).as("nl"))
         .select(col("a").as("node"), col("nl"))
+      // The pre-round label rides along as `old`, so the convergence
+      // check below is a filter on the already-checkpointed state —
+      // no extra join against the previous label table.
       val prop = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-      val next = prop
+      val next = rot.checkpoint(prop
         .join(prop.select(col("node").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .checkpoint(true)
-      changed = next
-        .join(labels.select(col("node"), col("label").as("old")), Seq("node"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+        .select(col("node"), col("old"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
+      // Pointer jumping converges in O(log diameter) rounds, so paying
+      // a count job every round buys little — check every 2nd round
+      // (and always on the last permitted round, for the exit warning).
+      if (i % 2 == 0 || i == maxIter)
+        changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("node"), col("label"))
     }
+    rot.close()
     if (changed > 0)
       System.err.println(s"[graft] connectedComponents exited at " +
         s"maxIter=$maxIter with $changed labels still changing — " +

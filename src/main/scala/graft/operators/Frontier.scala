@@ -27,21 +27,27 @@ object Frontier {
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     ensureCheckpointDir(seeds)
-    var visited = seeds.select(col("node")).distinct()
-      .withColumn("depth", lit(0)).checkpoint(true)
+    // Each round's state lands in its own rotated directory; two-rounds-
+    // old files are deleted as the loop advances, so a deep crawl holds
+    // a bounded number of checkpoint generations instead of one per
+    // round until JVM exit.
+    val rot = new graft.Checkpoints.Rotating(seeds.sparkSession)
+    var visited = rot.checkpoint(seeds.select(col("node")).distinct()
+      .withColumn("depth", lit(0)))
     var frontier = visited
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
-      val next = frontier
+      rot.advance()
+      val next = rot.checkpoint(frontier
         .join(edges, frontier("node") === edges("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .withColumn("depth", lit(depth))
-        .checkpoint(true)
-      visited = visited.unionByName(next).checkpoint(true)
+        .withColumn("depth", lit(depth)))
+      visited = rot.checkpoint(visited.unionByName(next))
       frontier = next
     }
+    rot.close()
     visited
   }
 }

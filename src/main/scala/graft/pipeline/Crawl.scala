@@ -91,7 +91,7 @@ object Crawl {
     val pages = html.select(col("url"), col("depth"),
       col("content_type"), HtmlFunctions.htmlToText(col("html")).as("text"),
       HtmlFunctions.hrefs(col("html")).as("hrefs"))
-      .checkpoint(true)
+      .transform(graft.Checkpoints.pinned)
 
     // X1/C4/C5: explode, absolutize against the page url, defragment;
     // blocklist + empties dropped (F1). Links carry the PARENT depth.
@@ -120,7 +120,7 @@ object Crawl {
         col("res.text").as("text"),
         octet_length(col("payload")).cast("long").as("size_bytes"))
       .filter(length(col("text")) > 0)  // F11
-      .checkpoint(true)
+      .transform(graft.Checkpoints.pinned)
 
     val pageLinks = links
       .filter(!UrlFunctions.ext(col("url"))
@@ -141,33 +141,40 @@ object Crawl {
     val emptyFiles = Seq.empty[(String, Int, String, String, Long)]
       .toDF("url", "depth", "ext", "text", "size_bytes")
 
+    // Crawl STATE (frontier/enqueued/processed) rotates — round i only
+    // reads round i-1, so older state checkpoints are deleted as the
+    // crawl advances. Fetched CONTENT (pages/files inside `round`) is
+    // pinned under the base dir: it is unioned into the final result,
+    // so it must outlive the loop.
+    val rot = new graft.Checkpoints.Rotating(spark)
+
     // Seeds defragmented like every enqueued link (link_extractor.py:20).
-    var frontier = seeds.toDF("raw")
+    var frontier = rot.checkpoint(seeds.toDF("raw")
       .select(UrlFunctions.defragment(col("raw")).as("url"))
-      .distinct().withColumn("depth", lit(0))
-      .checkpoint(true)
-    var enqueued = frontier.select("url").checkpoint(true)
+      .distinct().withColumn("depth", lit(0)))
+    var enqueued = rot.checkpoint(frontier.select("url"))
     var processedFiles = emptyFiles.select("url")
     var pages = emptyPages
     var files = emptyFiles
 
     while (!frontier.isEmpty) {
+      rot.advance()
       val out = round(fetcher, frontier, processedFiles, cfg)
       pages = pages.unionByName(out.pages)
       files = files.unionByName(out.files)
-      processedFiles = processedFiles
-        .unionByName(out.files.select("url")).checkpoint(true)
+      processedFiles = rot.checkpoint(processedFiles
+        .unionByName(out.files.select("url")))
 
       // X4/J2: expand one level within the depth cap.
       frontier =
-        if (cfg.singlePage) frontier.limit(0)
-        else out.pageLinks
+        if (cfg.singlePage) rot.checkpoint(frontier.limit(0))
+        else rot.checkpoint(out.pageLinks
           .filter(col("depth") <= cfg.maxDepth)
           .groupBy(col("url")).agg(min(col("depth")).as("depth"))
-          .join(enqueued, Seq("url"), "left_anti")
-          .checkpoint(true)
-      enqueued = enqueued.unionByName(frontier.select("url")).checkpoint(true)
+          .join(enqueued, Seq("url"), "left_anti"))
+      enqueued = rot.checkpoint(enqueued.unionByName(frontier.select("url")))
     }
+    rot.close()
 
     CrawlResult(
       pages.withColumn("content_hash", HashFunctions.contentHash(col("text")))
