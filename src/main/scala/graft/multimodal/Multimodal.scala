@@ -17,9 +17,10 @@ final case class FrameRow(doc_id: Long, frame_idx: Int, offset_ms: Long)
   * `mapPartitions` stages — per-partition batches, codec state reused
   * across a partition, no shuffle.
   *
-  * Decode dispatches on `media_type`: `image/bmp` is a REAL pure-JDK
-  * decoder (BITMAPINFOHEADER parse — width/height/channels come from
-  * actual image bytes). Other media types fall to a clearly-marked
+  * Decode dispatches on `media_type`: `image/bmp` and `image/png` are
+  * REAL pure-JDK decoders (BITMAPINFOHEADER / IHDR parse — width,
+  * height and channels come from actual image bytes). Other media
+  * types fall to a clearly-marked
   * deterministic stub (dims derived from the payload hash; no
   * PNG/JPEG/audio codec ships with this environment). Adding a real
   * codec for another format changes ONLY the dispatch — the schema,
@@ -67,14 +68,49 @@ object Multimodal {
       else None
     } else None
 
-  /** Dispatch: real decoder where one exists (BMP), deterministic stub
-    * elsewhere. A corrupt payload under a real-decoder media type
+  /** REAL PNG header decode (pure JDK): verify the 8-byte signature and
+    * that the first chunk is IHDR, then read big-endian width/height at
+    * offsets 16/20 and bit-depth/color-type at 24/25. Channel count
+    * comes from the color type (grayscale 1, RGB 3, palette 1,
+    * gray+alpha 2, RGBA 4). Returns None for bytes that are not a
+    * plausible PNG — header-only, no pixel inflate needed for dims.
+    */
+  def decodePngDims(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    if (payload != null && payload.length >= 26 &&
+        payload.take(8).sameElements(sig) &&
+        new String(payload, 12, 4, "US-ASCII") == "IHDR") {
+      val bb = java.nio.ByteBuffer.wrap(payload)   // PNG ints are BE
+      val w = bb.getInt(16)
+      val h = bb.getInt(20)
+      val bitDepth = payload(24) & 0xff
+      val channels = (payload(25) & 0xff) match {
+        case 0 => 1   // grayscale
+        case 2 => 3   // RGB
+        case 3 => 1   // palette-indexed
+        case 4 => 2   // grayscale + alpha
+        case 6 => 4   // RGBA
+        case _ => 0
+      }
+      if (w > 0 && h > 0 && channels > 0 &&
+          Set(1, 2, 4, 8, 16).contains(bitDepth))
+        Some((w, h, channels))
+      else None
+    } else None
+  }
+
+  /** Dispatch: real decoder where one exists (BMP, PNG), deterministic
+    * stub elsewhere. A corrupt payload under a real-decoder media type
     * yields (0, 0, 0) — downstream filters on width > 0, the image
     * twin of S10's extraction-error sentinel.
     */
   def decodeDims(payload: Array[Byte], mediaType: String): (Int, Int, Int) =
-    if (mediaType != null && mediaType.equalsIgnoreCase("image/bmp"))
+    if (mediaType == null) stubDims(payload)
+    else if (mediaType.equalsIgnoreCase("image/bmp"))
       decodeBmpDims(payload).getOrElse((0, 0, 0))
+    else if (mediaType.equalsIgnoreCase("image/png"))
+      decodePngDims(payload).getOrElse((0, 0, 0))
     else stubDims(payload)
 
   /** Aspect-preserving downscale bound: images whose longest edge

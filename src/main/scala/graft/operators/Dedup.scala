@@ -156,7 +156,10 @@ object Dedup {
   def shingleBlockedPairs(shingleDf: DataFrame, maxDf: Int): DataFrame = {
     val groups = shingleDf
       .groupBy(col("bh"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      // collect_list, not collect_set: the input rows come from
+      // per-document DISTINCT shingle arrays, so (doc_id, bh) is
+      // already unique and the set's hash-dedup work is pure overhead.
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxDf))
     val pairs = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),

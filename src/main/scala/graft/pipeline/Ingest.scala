@@ -31,4 +31,20 @@ object Ingest {
       .withColumn("content_hash", HashFunctions.contentHash(col("text")))
     Upsert.insertIfAbsent(target, batch, idCol)
   }
+
+  /** The full `raw_to_postgres` loop
+    * (`/root/reference/workers/raw_to_postgres.py:5-30`): index joined
+    * to blobs, content-hashed, then insert-if-absent straight into the
+    * relational table through the JDBC leg — the table is created on
+    * first run, and re-delivering the same index/blobs inserts nothing.
+    */
+  def reingestToJdbc(index: DataFrame, blobs: DataFrame, url: String,
+      table: String, idCol: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    val batch = index
+      .join(blobs, Seq("text_path"))
+      .withColumn("content_hash", HashFunctions.contentHash(col("text")))
+    graft.streaming.Streams.jdbcInsertIfAbsentBatch(
+      batch, url, table, idCol, options)
+  }
 }

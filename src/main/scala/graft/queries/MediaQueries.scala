@@ -74,6 +74,44 @@ object MediaQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL PNG decode: synthesize a valid PNG per document (signature,
+    // CRC'd IHDR/IDAT/IEND, deflated scanlines) with the color type
+    // cycling grayscale/RGB/RGBA, and check that width/height/channels
+    // come from the parsed IHDR. The oracle recomputes what the builder
+    // encoded — including the color-type -> channels mapping.
+    QueryDef(
+      "mm_png_decode",
+      """WITH m AS (
+        |  SELECT doc_id, (16 + doc_id % 40)::INT AS width,
+        |         (16 + doc_id % 24)::INT AS height,
+        |         (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::INT
+        |           AS channels
+        |  FROM documents)
+        |SELECT doc_id, width, height, channels,
+        |  CASE WHEN greatest(width, height) <= 32 THEN width
+        |       ELSE greatest(1, floor(width * 32.0 / greatest(width, height))::INT)
+        |  END AS resized_w,
+        |  CASE WHEN greatest(width, height) <= 32 THEN height
+        |       ELSE greatest(1, floor(height * 32.0 / greatest(width, height))::INT)
+        |  END AS resized_h
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val colorType = when(col("doc_id") % 3 === 0, 0)
+        .when(col("doc_id") % 3 === 1, 2).otherwise(6)
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          DocBuild.pngUdf((col("doc_id") % 40 + 16).cast("int"),
+            (col("doc_id") % 24 + 16).cast("int"),
+            colorType.cast("int"),
+            (col("doc_id") % 251).cast("int")).as("payload"),
+          lit("image/png").as("media_type"))
+        .as[MediaRow]
+      Multimodal.imageFeatures(media, maxEdge = 32)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("resized_w"), col("resized_h"))
+        .orderBy(col("doc_id"))
+    },
+
     // Video frame sampling (1 -> N) through mapPartitions: every 5th
     // frame of a fake-decoded 25 fps stream.
     QueryDef(

@@ -123,6 +123,51 @@ object DocBuild {
     bb.array()
   }
 
+  /** Minimal real PNG: signature, IHDR (big-endian dims, bit depth 8),
+    * one deflated IDAT whose scanlines are filter-0 rows of `px` bytes,
+    * IEND — all chunks CRC32'd, so any PNG reader accepts it.
+    * `colorType`: 0 = grayscale (1 ch), 2 = RGB (3), 6 = RGBA (4).
+    */
+  def pngBytes(w: Int, h: Int, colorType: Int, px: Int): Array[Byte] = {
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case other =>
+        throw new IllegalArgumentException(s"unsupported color type $other")
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length)
+      val typeAndData = typ.getBytes("US-ASCII") ++ data
+      bb.put(typeAndData)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typeAndData)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)   // deflate/adaptive/none
+      .array()
+    val raw = new Array[Byte](h * (1 + w * channels))
+    (0 until h).foreach { r =>
+      val base = r * (1 + w * channels)
+      java.util.Arrays.fill(raw, base + 1, base + 1 + w * channels, px.toByte)
+    }
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = d.deflate(buf)
+    d.end()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", java.util.Arrays.copyOf(buf, n)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
   val docxUdf: UserDefinedFunction = udf((ls: Seq[String]) => docxBytes(ls))
   val pptxUdf: UserDefinedFunction = udf((ls: Seq[String]) => pptxBytes(ls))
   val xlsxUdf: UserDefinedFunction = udf((ls: Seq[String]) => xlsxBytes(ls))
@@ -130,4 +175,7 @@ object DocBuild {
     udf((ls: Seq[String], flate: Boolean) => pdfBytes(ls, flate))
   val bmpUdf: UserDefinedFunction =
     udf((w: Int, h: Int, px: Int) => bmpBytes(w, h, px))
+  val pngUdf: UserDefinedFunction =
+    udf((w: Int, h: Int, colorType: Int, px: Int) =>
+      pngBytes(w, h, colorType, px))
 }

@@ -142,31 +142,38 @@ object Streams {
   }
 
   /** S16/ST6 over a relational target: each micro-batch inserts only
-    * rows whose content hash is absent from the table (the reference's
+    * rows whose `content_hash` is absent from the table (the reference's
     * streaming page store — `ON CONFLICT (content_hash) DO NOTHING`,
-    * `/root/reference/db/postgres_store.py:84-103`). Duplicate batch
-    * delivery classifies all-absent-nothing and inserts zero rows, so
-    * at-least-once delivery converges.
+    * `/root/reference/db/postgres_store.py:84-103`). Dedup is ALWAYS on
+    * `content_hash`; `tieBreakCol` only picks the deterministic winner
+    * when one batch carries several rows with the same hash (lowest
+    * value wins). Duplicate batch delivery classifies all-absent-nothing
+    * and inserts zero rows, so at-least-once delivery converges.
     */
   def jdbcInsertIfAbsentSink(stream: DataFrame, url: String, table: String,
-      key: String, checkpointDir: String,
+      tieBreakCol: String, checkpointDir: String,
       options: Map[String, String] = Map.empty): StreamingQuery =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        jdbcInsertIfAbsentBatch(batch, url, table, key, options)
+        jdbcInsertIfAbsentBatch(batch, url, table, tieBreakCol, options)
       }
       .start()
 
   /** One micro-batch of the JDBC insert-if-absent sink (also the batch
-    * restart path).
+    * restart path). On the very first batch the table does not exist
+    * yet — the reference ensures its schema at startup
+    * (`/root/reference/db/postgres_store.py`); here the failed
+    * existence read degrades to an empty target, so the whole deduped
+    * batch is appended and the JDBC writer creates the table.
     */
   def jdbcInsertIfAbsentBatch(batch: DataFrame, url: String, table: String,
-      key: String, options: Map[String, String] = Map.empty): Unit = {
+      tieBreakCol: String, options: Map[String, String] = Map.empty): Unit = {
     val target =
-      graft.sources.Store.readJdbc(batch.sparkSession, url, table, options)
-    val fresh = Upsert.insertIfAbsent(target, batch, key)
+      try graft.sources.Store.readJdbc(batch.sparkSession, url, table, options)
+      catch { case _: Exception => batch.limit(0) }
+    val fresh = Upsert.insertIfAbsent(target, batch, tieBreakCol)
       .select(batch.columns.map(col): _*)
     graft.sources.Store.writeJdbc(fresh, url, table, options)
   }

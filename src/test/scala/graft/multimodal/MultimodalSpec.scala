@@ -41,6 +41,65 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.stubDims(payload))
   }
 
+  test("decodePngDims parses real IHDR bytes across color types") {
+    assert(Multimodal.decodePngDims(DocBuild.pngBytes(17, 9, 0, 128))
+      .contains((17, 9, 1)))   // grayscale
+    assert(Multimodal.decodePngDims(DocBuild.pngBytes(40, 30, 2, 5))
+      .contains((40, 30, 3)))  // RGB
+    assert(Multimodal.decodePngDims(DocBuild.pngBytes(3, 200, 6, 250))
+      .contains((3, 200, 4)))  // RGBA
+  }
+
+  test("decodePngDims rejects non-PNGs and bad headers") {
+    assert(Multimodal.decodePngDims("not a png".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodePngDims(null).isEmpty)
+    // BMP bytes are not a PNG.
+    assert(Multimodal.decodePngDims(DocBuild.bmpBytes(8, 8, 1)).isEmpty)
+    // Valid signature but corrupted IHDR type tag.
+    val broken = DocBuild.pngBytes(8, 8, 2, 1).clone()
+    broken(12) = 'X'.toByte
+    assert(Multimodal.decodePngDims(broken).isEmpty)
+    // Unknown color type.
+    val badCt = DocBuild.pngBytes(8, 8, 2, 1).clone()
+    badCt(25) = 7.toByte
+    assert(Multimodal.decodePngDims(badCt).isEmpty)
+    // decodeDims sentinel for corrupt bytes under image/png.
+    assert(Multimodal.decodeDims("junk".getBytes("UTF-8"), "image/png") ==
+      ((0, 0, 0)))
+    assert(Multimodal.decodeDims(DocBuild.pngBytes(20, 10, 6, 3),
+      "image/png") == ((20, 10, 4)))
+  }
+
+  test("pngBytes chunks carry valid lengths and CRCs") {
+    // Walk the chunk list with an independent reader: every chunk's
+    // CRC32 over type+data must match, and the list must be exactly
+    // IHDR, IDAT, IEND with a correct total length.
+    val png = DocBuild.pngBytes(12, 7, 2, 77)
+    val bb = java.nio.ByteBuffer.wrap(png)
+    bb.position(8)
+    val seen = scala.collection.mutable.ListBuffer.empty[String]
+    while (bb.remaining() > 0) {
+      val len = bb.getInt()
+      val typeAndData = new Array[Byte](4 + len)
+      bb.get(typeAndData)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typeAndData)
+      assert(bb.getInt() == crc.getValue.toInt)
+      seen += new String(typeAndData, 0, 4, "US-ASCII")
+    }
+    assert(seen.toList == List("IHDR", "IDAT", "IEND"))
+    // The IDAT inflates back to h * (1 + w*channels) filter-0 scanlines.
+    val idatLen = java.nio.ByteBuffer.wrap(png).getInt(8 + 12 + 13 + 4)
+    val idat = java.util.Arrays.copyOfRange(png,
+      8 + 25 + 8, 8 + 25 + 8 + idatLen)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat)
+    val raw = new Array[Byte](7 * (1 + 12 * 3) + 16)
+    val n = inf.inflate(raw)
+    assert(n == 7 * (1 + 12 * 3))
+    assert(raw(0) == 0 && raw(1) == 77.toByte)
+  }
+
   test("imageFeatures carries real BMP dims through the batch stage") {
     val media = Seq(
       MediaRow(1L, DocBuild.bmpBytes(64, 16, 9), "image/bmp"),
