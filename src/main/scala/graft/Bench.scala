@@ -36,14 +36,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
+    // Returns None when the query throws so fail-fast timings never win
+    // the per-query min. Cache is cleared after every query: a few LLM
+    // queries persist intermediates for intra-query reuse, and letting
+    // six shingle caches pile up across an 87-query pass puts later
+    // queries under eviction pressure (r4 showed dd_jaccard at 4.6× its
+    // warm cost from exactly this).
     def runOne(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      if (ok) Some(elapsed) else None
     }
 
     // Untimed warmup: cheap queries covering scan, shuffle, join and
@@ -53,21 +63,26 @@ object Bench {
     queries.filter(q => warmupNames.contains(q._1))
       .foreach { case (n, f) => runOne(n, f) }
 
-    val timed: Seq[Map[String, Double]] = (1 to passes).map { _ =>
+    val timed: Seq[Map[String, Option[Double]]] = (1 to passes).map { _ =>
       queries.map { case (name, fn) => name -> runOne(name, fn) }.toMap
     }
-    val results = queries.map { case (name, _) =>
-      name -> timed.map(_(name)).min
+    // Min over SUCCESSFUL passes only; a query that failed every pass is
+    // reported by name, not by a (meaningless) fail-fast timing.
+    val results = queries.flatMap { case (name, _) =>
+      val oks = timed.flatMap(_(name))
+      if (oks.nonEmpty) Some(name -> oks.min) else None
     }
+    val failed = queries.map(_._1).filterNot(results.map(_._1).toSet)
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = r3(results.map(_._2).sum)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     val short =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))

@@ -22,13 +22,14 @@ object Checkpoints {
     }
   }
 
-  /** Eager reliable checkpoint under the session's BASE checkpoint dir
-    * (never a rotated round dir): for frames that must outlive an
-    * iterative loop — fetched content, edge relations. Takes the same
-    * lock as `Rotating.checkpoint`, so a concurrent rotator can never
-    * capture this checkpoint in a directory it is about to delete.
+  /** Eager reliable checkpoint under the session's BASE checkpoint dir:
+    * for frames that must outlive an iterative loop — fetched content,
+    * edge relations. `Rotating` never touches the global checkpoint dir
+    * (it materializes into its own per-instance directories), so this
+    * needs no lock: the RDD checkpoint always lands under the base dir,
+    * which nothing ever deletes before JVM exit.
     */
-  def pinned(df: DataFrame): DataFrame = synchronized {
+  def pinned(df: DataFrame): DataFrame = {
     ensure(df.sparkSession)
     df.checkpoint(true)
   }
@@ -57,8 +58,15 @@ object Checkpoints {
     * hook, or by the cluster operator's checkpoint-dir policy).
     *
     * Static frames read on EVERY round (e.g. the edge relation) must
-    * be checkpointed with plain `df.checkpoint(true)` under the base
+    * be checkpointed with `Checkpoints.pinned` under the base
     * directory, never through the rotator.
+    *
+    * Materialization is a parquet write + read-back into the round's
+    * directory — eager, lineage-truncating, and entirely per-instance:
+    * the GLOBAL `sc.setCheckpointDir` is never touched, so concurrent
+    * loops (parallel test suites, a streaming micro-batch thread
+    * checkpointing mid-round) need no lock and can never land files in
+    * a directory another rotator is about to delete.
     *
     * Deletion goes through the Hadoop FileSystem of the checkpoint
     * path, so rotation works unchanged when the checkpoint dir is
@@ -73,16 +81,16 @@ object Checkpoints {
     private var round = 0
     private var cur = s"$root/r0"
     private var prev: Option[String] = None
+    private var n = 0
 
-    /** Eagerly checkpoint into the current round's directory. The
-      * global checkpoint dir is restored before returning; the eager
-      * materialization runs under the Checkpoints lock so concurrent
-      * loops (parallel test suites) cannot land files in a directory
-      * another rotator is about to delete.
+    /** Eagerly materialize `df` into the current round's directory and
+      * return a frame reading back from it (lineage ends at the files).
       */
-    def checkpoint(df: DataFrame): DataFrame = Checkpoints.synchronized {
-      sc.setCheckpointDir(cur)
-      try df.checkpoint(true) finally sc.setCheckpointDir(base)
+    def checkpoint(df: DataFrame): DataFrame = {
+      val path = s"$cur/f$n"
+      n += 1
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
     }
 
     /** Start a new round: files two rounds back are now unreferenced

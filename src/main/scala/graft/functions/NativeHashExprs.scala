@@ -1,0 +1,236 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup hot path.
+  *
+  * The builtin-composition forms (`transform`/`filter`/`array_min`
+  * chains) are semantically right but run INTERPRETED — Spark's
+  * higher-order functions don't participate in codegen — and worse,
+  * a lambda that references the outer token array re-evaluates that
+  * subexpression per element, making shingling quadratic per document.
+  * At 100 TB the signature stage is the whole map-side cost of dedup,
+  * so it gets the custom-Expression treatment (SURVEY §2.11 preference
+  * order: native Expression with doGenCode over UDF): one tight JVM
+  * pass per row via a static call, which keeps the operator inside
+  * whole-stage codegen spans.
+  *
+  * Semantics are bit-identical to the builtin forms (same md5-derived
+  * 60-bit hashes, same universal-hash arithmetic, same ordering), so
+  * the DuckDB oracle SQL is unchanged.
+  */
+object NativeHashExprs {
+
+  /** Distinct hashed word n-gram shingles of `text`, one in-row pass:
+    * trim spaces, split on single spaces, n-gram, md5-60bit, distinct
+    * in first-occurrence order. Empty array when fewer than n tokens.
+    */
+  def hashedShingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      HashedShinglesExpr(ExpressionUtils.expression(text), n))
+
+  /** MinHash signature array: sig(i) = min over shingle hashes h of
+    * ((h mod p) * a_i + b_i) mod p, all k hashes in one pass.
+    */
+  def minhashSig(hs: Column, coeffs: Seq[(Long, Long)], prime: Long): Column =
+    ExpressionUtils.column(
+      MinhashSigExpr(ExpressionUtils.expression(hs), coeffs, prime))
+
+  /** 60-bit frequency-weighted SimHash of the whitespace tokens of
+    * `text` (duplicates kept); null when the doc has no tokens.
+    */
+  def simhash60(text: Column): Column =
+    ExpressionUtils.column(Simhash60Expr(ExpressionUtils.expression(text)))
+}
+
+/** Static row kernels called from both interpreted eval and generated
+  * code (a `defineCodeGen` one-liner keeps whole-stage codegen intact).
+  */
+object ShingleOps {
+
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 15 hex digits of md5 parsed base 16 — bit-identical to
+    * `conv(substring(md5(x), 1, 15), 16, 10)` and DuckDB's
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`: md5 bytes 0..6 then the
+    * high nibble of byte 7. Always in [0, 2^60).
+    */
+  def hash60(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    (v << 4) | ((h(7) & 0xf0L) >>> 4)
+  }
+
+  def hash60(s: String): Long =
+    hash60(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Space-separated tokens of space-trimmed `text` (empties dropped) —
+    * parity with `filter(split(trim(text), " "), t => t =!= "")`.
+    */
+  private def tokens(text: UTF8String): java.util.ArrayList[String] = {
+    val s = text.trim().toString
+    val toks = new java.util.ArrayList[String]()
+    val len = s.length
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) toks.add(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    toks
+  }
+
+  def hashedShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokens(text)
+    val m = toks.size
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j <= m - n) {
+      sb.setLength(0)
+      var q = 0
+      while (q < n) {
+        if (q > 0) sb.append(' ')
+        sb.append(toks.get(j + q))
+        q += 1
+      }
+      seen.add(hash60(sb.toString))
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  def minhashSig(hs: ArrayData, a: Array[Long], b: Array[Long],
+      prime: Long): ArrayData = {
+    val n = hs.numElements()
+    val k = a.length
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i) % prime
+      var j = 0
+      while (j < k) {
+        // h < p < 2^31 and a_j < p, so h * a_j + b_j < 2^62: no overflow.
+        val v = (h * a(j) + b(j)) % prime
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** null-marker variant is handled by the expression: returns
+    * Long.MinValue for "no tokens" so the expression can emit null.
+    */
+  def simhash60(text: UTF8String): Long = {
+    val toks = tokens(text)
+    val n = toks.size
+    if (n == 0) return Long.MinValue
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = hash60(toks.get(i))
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 60) {
+      if (2 * counts(b) - n > 0) sim |= 1L << b
+      b += 1
+    }
+    sim
+  }
+}
+
+case class HashedShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.hashedShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.hashedShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class MinhashSigExpr(child: Expression, coeffs: Seq[(Long, Long)],
+    prime: Long) extends UnaryExpression {
+  @transient private lazy val as: Array[Long] = coeffs.map(_._1).toArray
+  @transient private lazy val bs: Array[Long] = coeffs.map(_._2).toArray
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.minhashSig(input.asInstanceOf[ArrayData], as, bs, prime)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", as, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", bs, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleOps.minhashSig($c, $aRef, $bRef, ${prime}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class Simhash60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash60"
+  // Long.MinValue marks "no tokens" -> null (docs with no signal would
+  // all collide on simhash 0; the builtin form dropped them via a
+  // size(tokens) > 0 filter).
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val s = ShingleOps.simhash60(v.asInstanceOf[UTF8String])
+      if (s == Long.MinValue) null else java.lang.Long.valueOf(s)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${childGen.isNull}) {
+          long graftSim = graft.functions.ShingleOps.simhash60(${childGen.value});
+          if (graftSim != Long.MIN_VALUE) {
+            ${ev.isNull} = false;
+            ${ev.value} = graftSim;
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -55,13 +55,18 @@ object Dedup {
     * the text, and 8-byte longs through the shuffles beat 20+-char
     * strings. 60-bit space makes collisions negligible, and the SQL
     * oracle hashes identically so both engines see the same sets.
+    *
+    * Computed by the fused native expression (one in-row pass;
+    * bit-identical to `array_distinct(transform(shingleArrays,
+    * stableHash64))`, which ran interpreted and quadratic per doc —
+    * see [[graft.functions.NativeHashExprs]]).
     */
   def hashedShingleArrays(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    shingleArrays(docs, idCol, textCol, n)
-      .select(col("doc_id"),
-        array_distinct(transform(col("sh_set"),
-          sh => HashFunctions.stableHash64(sh))).as("hs"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.NativeHashExprs.hashedShingles(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) > 0)
 
   /** Exploded (doc_id, bh) hashed-shingle pairs — only needed where a
     * shingle-keyed inverted index is genuinely required (blocking).
@@ -87,17 +92,20 @@ object Dedup {
 
   /** MinHash signature columns mh0..mh{k-1}: per doc, the min universal
     * hash over its hashed shingle set (doc_id, hs) — computed in-row
-    * over the array (no explode, no shuffle).
+    * (no explode, no shuffle), all k hashes in ONE pass over the array
+    * via the fused native expression (the k-`transform` builtin form
+    * ran k interpreted passes per row). The signature array gets its
+    * own projection; the mh columns are cheap element_at reads of it
+    * (CollapseProject keeps the non-cheap array expression single).
     */
-  def minhashSignatures(hashedShingles: DataFrame, numHashes: Int): DataFrame = {
-    val withBase = hashedShingles.withColumn("bhs",
-      transform(col("hs"), h => h % MinhashPrime))
-    val sigs = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("bhs"),
-        h => (h * a + b) % MinhashPrime)).as(s"mh$i")
-    }
-    withBase.select(col("doc_id") +: sigs: _*)
-  }
+  def minhashSignatures(hashedShingles: DataFrame, numHashes: Int): DataFrame =
+    hashedShingles
+      .select(col("doc_id"),
+        graft.functions.NativeHashExprs.minhashSig(col("hs"),
+          minhashCoeffs(numHashes), MinhashPrime).as("sig"))
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i =>
+          element_at(col("sig"), i + 1).as(s"mh$i")): _*)
 
   /** LSH banding: signature -> (doc_id, band, band_key) rows, band_key =
     * md5 of the band's concatenated minhashes.
@@ -148,6 +156,13 @@ object Dedup {
     * than `maxDf` docs don't block (else a stop-shingle makes the
     * self-join quadratic).
     *
+    * PRECONDITION: `shingleDf` rows must be distinct on (doc_id, bh) —
+    * e.g. exploded from per-document distinct shingle arrays
+    * (`hashedShingleArrays`). Duplicate (doc_id, bh) rows would put the
+    * same id twice in a posting list, and the df cap would count rows
+    * instead of docs. A belt-and-braces `a < b` filter below keeps
+    * (x, x) self-pairs out of the output regardless.
+    *
     * One groupBy builds the inverted index AND applies the df cap; the
     * <= maxDf^2/2 pairs per shingle are generated in-row from the sorted
     * posting list (no shingle-keyed self-join, which would shuffle the
@@ -165,6 +180,7 @@ object Dedup {
       transform(slice(col("ids"), i + 2, size(col("ids"))),
         b => struct(a.as("a"), b.as("b")))))
     groups.select(explode(pairs).as("p"))
+      .filter(col("p.a") < col("p.b"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
@@ -176,33 +192,32 @@ object Dedup {
     * token into 60 bit-rows before aggregating). Docs with no tokens are
     * dropped (they have no signal and would all collide on simhash=0).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ths = transform(TextFunctions.tokens(col(textCol)),
-      t => HashFunctions.stableHash64(t))
-    val bitSum: Column = (0 until 60).map { b =>
-      val sB = size(filter(col("ths"),
-        t => (shiftright(t, b).bitwiseAND(lit(1L))) === 1L)) * 2 - size(col("ths"))
-      when(sB > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), ths.as("ths"))
-      .filter(size(col("ths")) > 0)
-      .select(col("doc_id"), bitSum.as("simhash"))
-  }
+      .select(col(idCol).as("doc_id"),
+        graft.functions.NativeHashExprs.simhash60(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Connected components over near-dup pairs: every doc's label
     * converges to the smallest doc id reachable through the pair graph —
     * that id is the cluster's canonical representative (what a dedup
     * pipeline keeps).
     *
-    * Each round runs TWO phases: (1) min-label propagation over the
-    * edge relation, then (2) pointer jumping — label(v) :=
-    * label(label(v)) via a self-join on the label table (every label is
-    * itself a node, since labels start as ids and only move down
-    * through existing ids). The jump doubles the propagation distance
-    * per round, so convergence is O(log diameter) rounds instead of
-    * O(diameter): a 100-node boilerplate chain (A~B~C~...) converges in
-    * 6 rounds + 1 stability check, where plain propagation needs 99.
+    * Each round fuses min-label propagation over the edge relation with
+    * TWO pointer jumps — label'(v) = min over the chain p(v) =
+    * min(label(v), neighbors' labels), then p'(v) = min(p(v),
+    * label(p(v))), then min(p'(v), label(p'(v))) — in ONE lazy plan
+    * whose every join input is the checkpointed pre-round label table
+    * (every label is itself a node, since labels start as ids and only
+    * move down through existing ids). Each jump adds the pre-round
+    * reach d on top, so per-round reach grows 3d+1 — convergence in
+    * O(log diameter) rounds instead of O(diameter): a 100-node
+    * boilerplate chain (A~B~C~...) converges in 5 working rounds + a
+    * stability check, where plain propagation needs 99. Jumping against
+    * the PRE-round state (vs the derived post-propagation frame) is
+    * what lets the whole round be one plan over materialized inputs —
+    * the earlier two-phase form self-joined an unmaterialized frame and
+    * computed the propagation join twice per round.
     * State is DataFrames + reliable checkpoints, the same shape as the
     * BFS frontier, so the loop runs unchanged at cluster scale.
     *
@@ -235,17 +250,23 @@ object Dedup {
           Seq("b"))
         .groupBy(col("a")).agg(min(col("lb")).as("nl"))
         .select(col("a").as("node"), col("nl"))
-      // The pre-round label rides along as `old`, so the convergence
-      // check below is a filter on the already-checkpointed state —
-      // no extra join against the previous label table.
-      val prop = labels.join(neighborMin, Seq("node"), "left")
+      // Fused round: propagation + two pointer jumps in ONE plan, every
+      // join input the checkpointed pre-round state (see scaladoc). The
+      // pre-round label rides along as `old`, so the convergence check
+      // is a filter on already-checkpointed state.
+      val step1 = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-      val next = rot.checkpoint(prop
-        .join(prop.select(col("node").as("label"), col("label").as("ll")),
+      val step2 = step1
+        .join(labels.select(col("node").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("node"), col("old"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+      val next = rot.checkpoint(step2
+        .join(labels.select(col("node").as("label"), col("label").as("ll2")),
+          Seq("label"), "left")
+        .select(col("node"), col("old"),
+          least(col("label"), coalesce(col("ll2"), col("label"))).as("label")))
       // Pointer jumping converges in O(log diameter) rounds, so paying
       // a count job every round buys little — check every 2nd round
       // (and always on the last permitted round, for the exit warning).

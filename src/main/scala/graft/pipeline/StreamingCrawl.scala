@@ -68,11 +68,13 @@ object StreamingCrawl {
   private def processBatch(spark: SparkSession, fetcher: Fetcher,
       dirs: Dirs, cfg: CrawlConfig, batch: DataFrame): Unit = {
     val visited = state(spark, s"${dirs.state}/visited")
-    val frontier = batch
+    // Pinned (base-dir) checkpoint: this runs on the streaming
+    // micro-batch thread, possibly concurrent with a Rotating loop —
+    // never checkpoint into a directory that could be rotated away.
+    val frontier = graft.Checkpoints.pinned(batch
       .filter(col("depth") <= cfg.maxDepth)
       .groupBy(col("url")).agg(min(col("depth")).as("depth"))
-      .join(visited, Seq("url"), "left_anti")
-      .checkpoint(true)
+      .join(visited, Seq("url"), "left_anti"))
     if (!frontier.isEmpty) {
       // Claim before expanding: later batches must not re-crawl.
       frontier.select("url").write.mode("append")

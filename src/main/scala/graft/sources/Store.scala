@@ -55,6 +55,31 @@ object Store {
       .mode(mode)
       .save()
 
+  /** True when `table` exists per JDBC metadata, probed on a direct
+    * driver-side connection. Used by insert-if-absent sinks to tell
+    * genuine first-batch table ABSENCE (degrade to empty target, let
+    * the writer create the table) from transient read failures on an
+    * existing table (which must propagate — treating an existing table
+    * as empty would re-append already-delivered rows). Identifier case
+    * folding differs by engine (Derby/Postgres), so the probe tries the
+    * name as-given, upper- and lower-cased.
+    */
+  def jdbcTableExists(url: String, table: String,
+      options: Map[String, String] = Map.empty): Boolean = {
+    val props = new java.util.Properties()
+    options.get("user").foreach(props.setProperty("user", _))
+    options.get("password").foreach(props.setProperty("password", _))
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val md = conn.getMetaData
+      def probe(name: String): Boolean = {
+        val rs = md.getTables(null, null, name, null)
+        try rs.next() finally rs.close()
+      }
+      probe(table) || probe(table.toUpperCase) || probe(table.toLowerCase)
+    } finally conn.close()
+  }
+
   /** JDBC scan (the lookup side of S16 round trips / existence joins). */
   def readJdbc(spark: SparkSession, url: String, table: String,
       options: Map[String, String] = Map.empty): DataFrame =

@@ -164,15 +164,23 @@ object Streams {
   /** One micro-batch of the JDBC insert-if-absent sink (also the batch
     * restart path). On the very first batch the table does not exist
     * yet — the reference ensures its schema at startup
-    * (`/root/reference/db/postgres_store.py`); here the failed
-    * existence read degrades to an empty target, so the whole deduped
-    * batch is appended and the JDBC writer creates the table.
+    * (`/root/reference/db/postgres_store.py`); table absence is probed
+    * via JDBC METADATA (not a failed read), degrades to an empty
+    * target, and the JDBC writer creates the table. Any other failure
+    * — network blip, auth, DB restart — propagates and lets the
+    * streaming query restart: silently treating an EXISTING table as
+    * empty would re-append the whole batch and permanently duplicate
+    * rows in a sink whose contract is content-hash dedup under
+    * at-least-once delivery (the reference is safe only because ON
+    * CONFLICT DO NOTHING dedups at the DB; this driver-side dedup has
+    * no such backstop).
     */
   def jdbcInsertIfAbsentBatch(batch: DataFrame, url: String, table: String,
       tieBreakCol: String, options: Map[String, String] = Map.empty): Unit = {
     val target =
-      try graft.sources.Store.readJdbc(batch.sparkSession, url, table, options)
-      catch { case _: Exception => batch.limit(0) }
+      if (graft.sources.Store.jdbcTableExists(url, table, options))
+        graft.sources.Store.readJdbc(batch.sparkSession, url, table, options)
+      else batch.limit(0)
     val fresh = Upsert.insertIfAbsent(target, batch, tieBreakCol)
       .select(batch.columns.map(col): _*)
     graft.sources.Store.writeJdbc(fresh, url, table, options)
