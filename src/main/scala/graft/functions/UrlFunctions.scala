@@ -57,6 +57,26 @@ object UrlFunctions {
     */
   def sanitizeSiteKey(site: Column): Column = translate(site, ".:/", "___")
 
+  /** Start path of a url for path-scoped storage
+    * (`filesystem_store.py:15-17`): the path component (missing/empty
+    * -> "/"), trailing slashes stripped, empty again -> "/".
+    */
+  def startPath(url: Column): Column = {
+    val stripped =
+      regexp_replace(coalesce(path(url), lit("")), "/+$", "")
+    when(stripped === "", lit("/")).otherwise(stripped)
+  }
+
+  /** Path-scoped site key (`filesystem_store.py:35-37`): the sanitized
+    * site key plus `__path_<sha1(startPath)[:8]>`, so two jobs crawling
+    * different subtrees of one site store into disjoint partitions.
+    * The suffix hash is sha1 like the reference's `hash_url`
+    * (`utils.py:11-12`).
+    */
+  def pathScopedSiteKey(site: Column, startUrl: Column): Column =
+    concat(sanitizeSiteKey(site), lit("__path_"),
+      substring(sha1(startPath(startUrl)), 1, 8))
+
   /** RFC-3986 resolution of a possibly-relative href against a base URL.
     * Needs real URI semantics, so this is the one URL op implemented as a
     * UDF (`java.net.URI.resolve`), mirroring `urljoin`

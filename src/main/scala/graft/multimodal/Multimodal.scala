@@ -17,12 +17,12 @@ final case class FrameRow(doc_id: Long, frame_idx: Int, offset_ms: Long)
   * `mapPartitions` stages — per-partition batches, codec state reused
   * across a partition, no shuffle.
   *
-  * Decode dispatches on `media_type`: `image/bmp` and `image/png` are
-  * REAL pure-JDK decoders (BITMAPINFOHEADER / IHDR parse — width,
-  * height and channels come from actual image bytes). Other media
-  * types fall to a clearly-marked
+  * Decode dispatches on `media_type`: `image/bmp`, `image/png` and
+  * `image/jpeg` are REAL pure-JDK decoders (BITMAPINFOHEADER / IHDR /
+  * SOF-marker parse — width, height and channels come from actual
+  * image bytes). Other media types fall to a clearly-marked
   * deterministic stub (dims derived from the payload hash; no
-  * PNG/JPEG/audio codec ships with this environment). Adding a real
+  * audio/video codec ships with this environment). Adding a real
   * codec for another format changes ONLY the dispatch — the schema,
   * partitioning, batch shape and the resize / frame-sample arithmetic
   * around it are shared and tested.
@@ -100,10 +100,53 @@ object Multimodal {
     } else None
   }
 
-  /** Dispatch: real decoder where one exists (BMP, PNG), deterministic
-    * stub elsewhere. A corrupt payload under a real-decoder media type
-    * yields (0, 0, 0) — downstream filters on width > 0, the image
-    * twin of S10's extraction-error sentinel.
+  /** REAL JPEG header decode (pure JDK): walk the marker stream from
+    * SOI and read the first frame header — any SOF0-SOF15 marker except
+    * DHT (C4), JPG (C8) and DAC (CC) — for big-endian height/width and
+    * the component count (1 = grayscale, 3 = YCbCr, 4 = CMYK).
+    * Standalone markers (RST, TEM) and 0xFF fill bytes are skipped per
+    * spec; segments are skipped by their declared length. Returns None
+    * for bytes that are not a plausible JPEG, or when SOS/EOI arrives
+    * before any frame header. Header-only — dims never need the
+    * entropy-coded data.
+    */
+  def decodeJpegDims(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (payload == null || payload.length < 4 ||
+        (payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 1 < payload.length) {
+      if ((payload(i) & 0xff) != 0xff) return None
+      // 0xFF fill bytes may pad before the marker code.
+      while (i + 1 < payload.length && (payload(i + 1) & 0xff) == 0xff)
+        i += 1
+      if (i + 1 >= payload.length) return None
+      val m = payload(i + 1) & 0xff
+      if (m == 0xd9 || m == 0xda) return None   // EOI/SOS before any SOF
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2   // standalone
+      else {
+        if (i + 3 >= payload.length) return None
+        val len = ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > payload.length) return None
+        val isSof = m >= 0xc0 && m <= 0xcf &&
+          m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (len < 8) return None
+          val h = ((payload(i + 5) & 0xff) << 8) | (payload(i + 6) & 0xff)
+          val w = ((payload(i + 7) & 0xff) << 8) | (payload(i + 8) & 0xff)
+          val c = payload(i + 9) & 0xff
+          return if (w > 0 && h > 0 && c > 0) Some((w, h, c)) else None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Dispatch: real decoder where one exists (BMP, PNG, JPEG),
+    * deterministic stub elsewhere. A corrupt payload under a
+    * real-decoder media type yields (0, 0, 0) — downstream filters on
+    * width > 0, the image twin of S10's extraction-error sentinel.
     */
   def decodeDims(payload: Array[Byte], mediaType: String): (Int, Int, Int) =
     if (mediaType == null) stubDims(payload)
@@ -111,6 +154,9 @@ object Multimodal {
       decodeBmpDims(payload).getOrElse((0, 0, 0))
     else if (mediaType.equalsIgnoreCase("image/png"))
       decodePngDims(payload).getOrElse((0, 0, 0))
+    else if (mediaType.equalsIgnoreCase("image/jpeg") ||
+        mediaType.equalsIgnoreCase("image/jpg"))
+      decodeJpegDims(payload).getOrElse((0, 0, 0))
     else stubDims(payload)
 
   /** Aspect-preserving downscale bound: images whose longest edge

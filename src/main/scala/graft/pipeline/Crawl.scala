@@ -19,7 +19,13 @@ final case class CrawlConfig(
     basePath: String = "/",
     allowedFileExtensions: Seq[String] = UrlFunctions.DocExtensions,
     downloadOnlySameDomain: Boolean = true,
-    maxFileBytes: Long = 25000000L)
+    maxFileBytes: Long = 25000000L,
+    // Page budget across the whole crawl (`models.py:23`
+    // max_pages_total, default 20000 — declared but unenforced in the
+    // reference; enforced here because an unbounded BFS at 100 TB is a
+    // cost bug). When a round's frontier would overflow the remaining
+    // budget, it is truncated deterministically by (depth, url).
+    maxPagesTotal: Int = 20000)
 
 /** Pluggable page source: urls (url) -> (url, payload binary,
   * content_type). Missing rows are fetch failures (dropped, F11). The
@@ -109,7 +115,11 @@ object Crawl {
         .isin(cfg.allowedFileExtensions: _*))
       .filter(if (cfg.downloadOnlySameDomain)
         UrlFunctions.domain(col("url")) === cfg.rootDomain else lit(true))
-      .select(col("url"), col("depth")).distinct()
+      // One fetch per file URL within the round: the same file linked
+      // at two depths keeps its first-arrival depth (the reference's
+      // processed-set semantics) — a (url, depth) distinct would fetch
+      // and extract it twice.
+      .groupBy(col("url")).agg(min(col("depth")).as("depth"))
       .join(processedFiles, Seq("url"), "left_anti")
     val files = fetcher.fetch(fileLinks)
       .filter(octet_length(col("payload")) <= cfg.maxFileBytes)  // F10
@@ -157,8 +167,19 @@ object Crawl {
     var pages = emptyPages
     var files = emptyFiles
 
-    while (!frontier.isEmpty) {
+    // Page budget (max_pages_total): cumulative count of frontier urls
+    // fetched. The count is one cheap job per round on an
+    // already-materialized checkpoint, and the truncation is a
+    // deterministic TakeOrdered by (depth, url) — same pages on every
+    // re-run, no driver-side collection.
+    var budget = cfg.maxPagesTotal.toLong
+    while (!frontier.isEmpty && budget > 0) {
       rot.advance()
+      val n = frontier.count()
+      if (n > budget)
+        frontier = rot.checkpoint(
+          frontier.orderBy(col("depth"), col("url")).limit(budget.toInt))
+      budget -= math.min(n, budget)
       val out = round(fetcher, frontier, processedFiles, cfg)
       pages = pages.unionByName(out.pages)
       files = files.unionByName(out.files)

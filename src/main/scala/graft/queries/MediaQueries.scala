@@ -112,6 +112,41 @@ object MediaQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL JPEG roundtrip: builder-synthesized spec-valid JPEGs (SOI /
+    // JFIF / DQT / SOF0 / DHT / SOS / EOI), dims+channels from the
+    // parsed SOF frame header. The oracle recomputes what the builder
+    // encoded (channels: even doc_id grayscale, odd YCbCr).
+    QueryDef(
+      "mm_jpeg_decode",
+      """WITH m AS (
+        |  SELECT doc_id, (16 + doc_id % 48)::INT AS width,
+        |         (16 + doc_id % 20)::INT AS height,
+        |         (CASE doc_id % 2 WHEN 0 THEN 1 ELSE 3 END)::INT AS channels
+        |  FROM documents)
+        |SELECT doc_id, width, height, channels,
+        |  CASE WHEN greatest(width, height) <= 32 THEN width
+        |       ELSE greatest(1, floor(width * 32.0 / greatest(width, height))::INT)
+        |  END AS resized_w,
+        |  CASE WHEN greatest(width, height) <= 32 THEN height
+        |       ELSE greatest(1, floor(height * 32.0 / greatest(width, height))::INT)
+        |  END AS resized_h
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val channels = when(col("doc_id") % 2 === 0, 1).otherwise(3)
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          DocBuild.jpegUdf((col("doc_id") % 48 + 16).cast("int"),
+            (col("doc_id") % 20 + 16).cast("int"),
+            channels.cast("int"),
+            (col("doc_id") % 251).cast("int")).as("payload"),
+          lit("image/jpeg").as("media_type"))
+        .as[MediaRow]
+      Multimodal.imageFeatures(media, maxEdge = 32)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("resized_w"), col("resized_h"))
+        .orderBy(col("doc_id"))
+    },
+
     // Video frame sampling (1 -> N) through mapPartitions: every 5th
     // frame of a fake-decoded 25 fps stream.
     QueryDef(

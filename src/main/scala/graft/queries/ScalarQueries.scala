@@ -287,6 +287,49 @@ object ScalarQueries {
         .orderBy(col("site_key"))
     },
 
+    // C20b (T1 path_mode): start-path normalization for path-scoped
+    // site keys (`/root/reference/storage/filesystem_store.py:15-17`,
+    // `:35-37`): path or '/', trailing slashes stripped, empty -> '/'.
+    // The sha1[:8] suffix itself is not DuckDB-expressible (no sha1);
+    // it is pinned by StoreSpec against literal digests.
+    QueryDef(
+      "c20b_path_scope_start_path",
+      UrlCte +
+        """, su AS (
+          |  SELECT CASE WHEN doc_id % 7 = 0
+          |           THEN regexp_extract(url, '^([a-z]+://[^/?#]+)', 1)
+          |         WHEN doc_id % 7 = 1
+          |           THEN regexp_replace(url, '[?#].*$', '') || '/'
+          |         ELSE regexp_replace(url, '[?#].*$', '') END AS start_url
+          |  FROM urls)
+          |SELECT site_key, start_path, count(*) AS n FROM (
+          |  SELECT translate(
+          |      regexp_replace(lower(regexp_extract(start_url,
+          |        '^[a-z]+://([^/?#]+)', 1)), '^www\.', ''),
+          |      '.:/', '___') AS site_key,
+          |    CASE WHEN rtrim(regexp_extract(start_url,
+          |           '^[a-z]+://[^/?#]+([^?#]*)', 1), '/') = '' THEN '/'
+          |         ELSE rtrim(regexp_extract(start_url,
+          |           '^[a-z]+://[^/?#]+([^?#]*)', 1), '/') END AS start_path
+          |  FROM su)
+          |GROUP BY site_key, start_path
+          |ORDER BY site_key, start_path""".stripMargin) { (s, d) =>
+      withUrl(Tables.documents(s, d))
+        .withColumn("start_url",
+          when(col("doc_id") % 7 === 0,
+            regexp_extract(col("url"), "^([a-z]+://[^/?#]+)", 1))
+            .when(col("doc_id") % 7 === 1,
+              concat(UrlFunctions.stripQuery(col("url")), lit("/")))
+            .otherwise(UrlFunctions.stripQuery(col("url"))))
+        .select(
+          UrlFunctions.sanitizeSiteKey(
+            UrlFunctions.domain(col("start_url"))).as("site_key"),
+          UrlFunctions.startPath(col("start_url")).as("start_path"))
+        .groupBy(col("site_key"), col("start_path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("site_key"), col("start_path"))
+    },
+
     // C24: URL shape validation filter (Pydantic HttpUrl analog).
     QueryDef(
       "c24_url_validation",

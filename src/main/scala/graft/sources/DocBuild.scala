@@ -168,6 +168,49 @@ object DocBuild {
       chunk("IEND", Array.emptyByteArray)
   }
 
+  /** Minimal real baseline JPEG: SOI, JFIF APP0, DQT, SOF0 carrying the
+    * true dims/component count, DHT, SOS with a one-byte stub entropy
+    * segment, EOI. The marker stream is spec-valid, so any header
+    * parser (dimension sniffers, this engine's SOF scan) reads the real
+    * dims without needing the (undecodable) pixel data. `channels`:
+    * 1 = grayscale, 3 = YCbCr. `px` varies the payload bytes so equal
+    * dims still produce distinct files.
+    */
+  def jpegBytes(w: Int, h: Int, channels: Int, px: Int): Array[Byte] = {
+    require(channels == 1 || channels == 3,
+      s"JPEG component count must be 1 or 3, got $channels")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    out.write(0xff); out.write(0xd8)                       // SOI
+    marker(0xe0, Array[Byte](                              // APP0 / JFIF 1.1
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    marker(0xdb,                                           // DQT table 0
+      (0 +: Seq.fill(64)(16)).map(_.toByte).toArray)
+    val sof = java.nio.ByteBuffer.allocate(6 + 3 * channels)
+    sof.put(8.toByte)                                      // precision
+      .putShort(h.toShort).putShort(w.toShort)             // big-endian
+      .put(channels.toByte)
+    (1 to channels).foreach { c =>
+      sof.put(c.toByte).put(0x11.toByte).put(0.toByte)     // id/sampling/qt
+    }
+    marker(0xc0, sof.array())                              // SOF0
+    marker(0xc4,                                           // DHT: DC table 0,
+      (0x00 +: (1 +: Seq.fill(15)(0)) :+ (px & 0x0f))      // 1 one-bit code
+        .map(_.toByte).toArray)
+    marker(0xda,                                           // SOS
+      (channels.toByte +:
+        (1 to channels).flatMap(c => Seq(c.toByte, 0x00.toByte)) ++:
+        Seq[Byte](0, 63, 0)).toArray)
+    out.write(px & 0x7f)                                   // stub entropy
+    out.write(0xff); out.write(0xd9)                       // EOI
+    out.toByteArray
+  }
+
   val docxUdf: UserDefinedFunction = udf((ls: Seq[String]) => docxBytes(ls))
   val pptxUdf: UserDefinedFunction = udf((ls: Seq[String]) => pptxBytes(ls))
   val xlsxUdf: UserDefinedFunction = udf((ls: Seq[String]) => xlsxBytes(ls))
@@ -178,4 +221,7 @@ object DocBuild {
   val pngUdf: UserDefinedFunction =
     udf((w: Int, h: Int, colorType: Int, px: Int) =>
       pngBytes(w, h, colorType, px))
+  val jpegUdf: UserDefinedFunction =
+    udf((w: Int, h: Int, channels: Int, px: Int) =>
+      jpegBytes(w, h, channels, px))
 }

@@ -32,6 +32,28 @@ object Store {
       partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** T1 partition key for a crawl job
+    * (`/root/reference/storage/filesystem_store.py:26-41`): the
+    * sanitized site key, plus the `__path_<sha1[:8]>` scope suffix when
+    * `pathMode` — two jobs crawling different subtrees of one site then
+    * land in disjoint partitions.
+    */
+  def sitePartitionKey(site: org.apache.spark.sql.Column,
+      startUrl: org.apache.spark.sql.Column,
+      pathMode: Boolean): org.apache.spark.sql.Column =
+    if (pathMode) graft.functions.UrlFunctions.pathScopedSiteKey(site, startUrl)
+    else graft.functions.UrlFunctions.sanitizeSiteKey(site)
+
+  /** S13/T1 with job-level path scoping: stamp the partition key from
+    * `siteCol`/`startUrlCol` and write site-partitioned parquet.
+    */
+  def writeSitePartitioned(df: DataFrame, path: String, siteCol: String,
+      startUrlCol: String, pathMode: Boolean): Unit =
+    writePartitioned(
+      df.withColumn("site_key",
+        sitePartitionKey(col(siteCol), col(startUrlCol), pathMode)),
+      path, "site_key")
+
   /** S16: relational row sink — the reference's Postgres store
     * (`/root/reference/db/postgres_store.py:70-103`,
     * `/root/reference/api/main.py:71-76`) as Spark's parallel JDBC
@@ -66,6 +88,9 @@ object Store {
     */
   def jdbcTableExists(url: String, table: String,
       options: Map[String, String] = Map.empty): Boolean = {
+    // Make sure the configured driver is registered with DriverManager
+    // (Spark's JDBC path loads it lazily on its own classloader).
+    options.get("driver").foreach(Class.forName)
     val props = new java.util.Properties()
     options.get("user").foreach(props.setProperty("user", _))
     options.get("password").foreach(props.setProperty("password", _))

@@ -70,6 +70,40 @@ class MultimodalSpec extends SparkSpec {
       "image/png") == ((20, 10, 4)))
   }
 
+  test("decodeJpegDims parses the SOF frame header of real marker streams") {
+    assert(Multimodal.decodeJpegDims(DocBuild.jpegBytes(17, 9, 1, 128))
+      .contains((17, 9, 1)))   // grayscale
+    assert(Multimodal.decodeJpegDims(DocBuild.jpegBytes(640, 480, 3, 5))
+      .contains((640, 480, 3))) // YCbCr
+    // SOF2 (progressive) frame headers parse the same way.
+    val prog = DocBuild.jpegBytes(32, 24, 3, 9).clone()
+    val sofAt = { // locate the FFC0 marker
+      val idx = prog.indices.dropRight(1).find(i =>
+        (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+      prog(idx + 1) = 0xc2.toByte
+      idx
+    }
+    assert(sofAt > 0 && Multimodal.decodeJpegDims(prog).contains((32, 24, 3)))
+  }
+
+  test("decodeJpegDims rejects non-JPEGs and truncated streams") {
+    assert(Multimodal.decodeJpegDims("not a jpeg".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeJpegDims(null).isEmpty)
+    assert(Multimodal.decodeJpegDims(DocBuild.pngBytes(8, 8, 2, 1)).isEmpty)
+    // SOI alone, and a stream truncated inside a segment.
+    assert(Multimodal.decodeJpegDims(
+      Array(0xff, 0xd8).map(_.toByte)).isEmpty)
+    assert(Multimodal.decodeJpegDims(
+      DocBuild.jpegBytes(20, 10, 3, 1).take(12)).isEmpty)
+    // decodeDims dispatch (both subtype spellings) + corrupt sentinel.
+    assert(Multimodal.decodeDims(DocBuild.jpegBytes(20, 10, 3, 1),
+      "image/jpeg") == ((20, 10, 3)))
+    assert(Multimodal.decodeDims(DocBuild.jpegBytes(20, 10, 1, 1),
+      "image/jpg") == ((20, 10, 1)))
+    assert(Multimodal.decodeDims("junk".getBytes("UTF-8"), "image/jpeg") ==
+      ((0, 0, 0)))
+  }
+
   test("pngBytes chunks carry valid lengths and CRCs") {
     // Walk the chunk list with an independent reader: every chunk's
     // CRC32 over type+data must match, and the list must be exactly

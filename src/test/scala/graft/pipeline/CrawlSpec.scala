@@ -83,6 +83,42 @@ class CrawlSpec extends SparkSpec {
       Seq(s"$root/index.html"))
   }
 
+  test("max_pages_total budget truncates the crawl deterministically") {
+    // 12-page site: index -> p01..p11. Budget 5 = index (round 1) +
+    // the first 4 links by (depth, url) order.
+    val links = (1 to 11).map(i => f"<a href=\"/p$i%02d.html\">$i</a>")
+    val bigSite = (page(s"$root/index.html",
+      s"<html><body>${links.mkString}</body></html>") +:
+      (1 to 11).map(i =>
+        page(f"$root/p$i%02d.html", s"<html><body>Page $i</body></html>")))
+      .toDF("url", "payload", "content_type")
+    val res = Crawl.run(spark, new LocalFetcher(bigSite),
+      Seq(s"$root/index.html"),
+      CrawlConfig(rootDomain = "ex.com", maxPagesTotal = 5))
+    val urls = res.pages.select("url").as[String].collect().toSet
+    assert(urls == Set(s"$root/index.html", s"$root/p01.html",
+      s"$root/p02.html", s"$root/p03.html", s"$root/p04.html"))
+  }
+
+  test("one round never double-extracts a file linked at two depths") {
+    // A mixed-depth frontier (the streaming micro-batch shape): both
+    // pages link the same file; it must be fetched once, keeping the
+    // first-arrival (min) depth.
+    val dupSite = Seq(
+      page(s"$root/a.html",
+        """<html><body><a href="/dup.txt">d</a></body></html>"""),
+      page(s"$root/b.html",
+        """<html><body><a href="/dup.txt">d</a></body></html>"""),
+      (s"$root/dup.txt", "dup text".getBytes("UTF-8"), "text/plain"))
+      .toDF("url", "payload", "content_type")
+    val frontier = Seq((s"$root/a.html", 1), (s"$root/b.html", 2))
+      .toDF("url", "depth")
+    val out = Crawl.round(new LocalFetcher(dupSite), frontier,
+      Seq.empty[String].toDF("url"), CrawlConfig(rootDomain = "ex.com"))
+    val files = out.files.select("url", "depth").as[(String, Int)].collect()
+    assert(files.toSeq == Seq((s"$root/dup.txt", 1)))
+  }
+
   test("incremental re-crawl merges zero changes into the store") {
     val res = Crawl.run(spark, new LocalFetcher(siteDf),
       Seq(s"$root/index.html"), CrawlConfig(rootDomain = "ex.com"))

@@ -30,6 +30,46 @@ class JdbcStoreSpec extends SparkSpec {
       (3L, "h3", "gamma")))
   }
 
+  test("reingestToJdbc: index JSON -> blobs -> dedup -> auto-created table") {
+    val url = freshUrl("graft_reingest")
+    val dir = java.nio.file.Files.createTempDirectory("reingest").toString
+
+    // §3.3 end to end: a JSON-lines page index on disk...
+    val index = Seq(
+      ("p1", "j1", "https://ex.com/a", "ex.com", 0, "/t/a.txt",
+        "text/html", "", 0),
+      ("p2", "j1", "https://ex.com/b", "ex.com", 1, "/t/b.txt",
+        "text/html", "", 0),
+      // ...including a mirror url whose blob has IDENTICAL content.
+      ("p3", "j1", "https://ex.com/b-mirror", "ex.com", 2, "/t/bm.txt",
+        "text/html", "", 0))
+      .toDF("page_id", "job_id", "url", "domain", "depth", "text_path",
+        "content_type", "content_hash", "text_len")
+    JsonIndex.write(index, s"$dir/pages_index")
+    val blobs = Seq(
+      ("/t/a.txt", "alpha text"),
+      ("/t/b.txt", "beta text"),
+      ("/t/bm.txt", "beta text"))
+      .toDF("text_path", "text")
+
+    // First batch: no table yet — created by the writer; content dedup
+    // keeps one of the two identical-beta rows (lowest page_id).
+    val readBack = JsonIndex.read(spark, s"$dir/pages_index")
+      .select("page_id", "url", "text_path")
+    graft.pipeline.Ingest.reingestToJdbc(readBack, blobs, url,
+      "raw_documents", "page_id", opts)
+    def state() = Store.readJdbc(spark, url, "raw_documents", opts)
+      .select("page_id", "url").as[(String, String)].collect().toSet
+    assert(state() == Set(("p1", "https://ex.com/a"),
+      ("p2", "https://ex.com/b")))
+
+    // Re-delivery of the same index+blobs inserts zero rows.
+    graft.pipeline.Ingest.reingestToJdbc(readBack, blobs, url,
+      "raw_documents", "page_id", opts)
+    assert(state() == Set(("p1", "https://ex.com/a"),
+      ("p2", "https://ex.com/b")))
+  }
+
   test("jdbcInsertIfAbsentBatch is idempotent under duplicate delivery") {
     val url = freshUrl("graft_iia")
     Store.writeJdbc(

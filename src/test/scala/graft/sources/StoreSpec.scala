@@ -42,6 +42,45 @@ class StoreSpec extends SparkSpec {
       4L -> "four"))
   }
 
+  test("path_mode site key carries the sha1 start-path suffix") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def sha1Hex8(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8)
+    val rows = Seq(
+      ("ex.com", "https://ex.com/docs/guide/", "d1"),
+      ("ex.com", "https://ex.com/docs/guide", "d2"),   // same after rstrip
+      ("ex.com", "https://ex.com/blog/", "d3"),
+      ("ex.com", "https://ex.com", "d4"))              // no path -> "/"
+      .toDF("site", "start_url", "text")
+    val got = rows.select(col("start_url"),
+      Store.sitePartitionKey(col("site"), col("start_url"), pathMode = true)
+        .as("key")).as[(String, String)].collect().toMap
+    assert(got("https://ex.com/docs/guide/") ==
+      s"ex_com__path_${sha1Hex8("/docs/guide")}")
+    assert(got("https://ex.com/docs/guide") ==
+      got("https://ex.com/docs/guide/"))
+    assert(got("https://ex.com/blog/") == s"ex_com__path_${sha1Hex8("/blog")}")
+    assert(got("https://ex.com") == s"ex_com__path_${sha1Hex8("/")}")
+    // pathMode off: plain sanitized site key, no suffix.
+    val plain = rows.limit(1).select(
+      Store.sitePartitionKey(col("site"), col("start_url"), pathMode = false)
+        .as("key")).as[String].head()
+    assert(plain == "ex_com")
+
+    // Composed into the partitioned layout: different subtrees of one
+    // site land in disjoint partition directories.
+    val dir = java.nio.file.Files.createTempDirectory("store-spec").toString
+    val path = s"$dir/docs"
+    Store.writeSitePartitioned(rows, path, "site", "start_url",
+      pathMode = true)
+    assert(new java.io.File(
+      s"$path/site_key=ex_com__path_${sha1Hex8("/docs/guide")}").isDirectory)
+    assert(new java.io.File(
+      s"$path/site_key=ex_com__path_${sha1Hex8("/blog")}").isDirectory)
+    assert(Store.read(spark, path).count() == 4)
+  }
+
   test("re-merging an applied batch rewrites nothing at all") {
     val dir = java.nio.file.Files.createTempDirectory("store-spec").toString
     val path = s"$dir/docs"
