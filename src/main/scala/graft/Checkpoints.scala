@@ -40,6 +40,37 @@ object Checkpoints {
     f.delete(): Unit
   }
 
+  /** Accumulating per-loop materializer for iterative loops whose
+    * cumulative state is a UNION OF DELTAS (BFS visited/enqueued sets,
+    * a crawl's processed-file set): each call writes one parquet dir
+    * under the session base checkpoint dir and returns a frame reading
+    * back from it. Later rounds keep the cumulative set as a LAZY
+    * union over these already-materialized deltas — so a k-round loop
+    * writes each url/node exactly once (O(total state) bytes), where
+    * re-checkpointing the growing union every round writes
+    * O(state × rounds). Files live for the loop's (and result's)
+    * lifetime; the session shutdown hook (or the cluster operator's
+    * checkpoint-dir policy) reclaims them. Use `Rotating` instead when
+    * each round REWRITES the full state (e.g. label tables).
+    */
+  final class Accumulating(spark: SparkSession) {
+    Checkpoints.ensure(spark)
+    private val root = s"${spark.sparkContext.getCheckpointDir.get}/acc-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    private var n = 0
+
+    /** Eagerly materialize `df` and return a frame reading back from
+      * its files (lineage ends there). Files are never deleted by this
+      * class — later rounds may keep referencing them.
+      */
+    def checkpoint(df: DataFrame): DataFrame = {
+      val path = s"$root/f$n"
+      n += 1
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+    }
+  }
+
   /** Round-rotating checkpoints for iterative driver loops.
     *
     * Reliable checkpoints normally live until JVM exit, so a

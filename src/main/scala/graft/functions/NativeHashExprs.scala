@@ -48,6 +48,15 @@ object NativeHashExprs {
     */
   def simhash60(text: Column): Column =
     ExpressionUtils.column(Simhash60Expr(ExpressionUtils.expression(text)))
+
+  /** Winnowing fingerprints: hash every word n-gram with the seed-0
+    * hash (`"0:" + shingle`), slide a `window`-wide rolling min over
+    * the POSITIONAL (non-distinct) shingle hashes, dedupe in
+    * first-occurrence order. Empty array when fewer than n tokens.
+    */
+  def winnowFingerprints(text: Column, n: Int, window: Int): Column =
+    ExpressionUtils.column(
+      WinnowFingerprintsExpr(ExpressionUtils.expression(text), n, window))
 }
 
 /** Static row kernels called from both interpreted eval and generated
@@ -141,6 +150,44 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
+  def winnowFingerprints(text: UTF8String, n: Int,
+      window: Int): ArrayData = {
+    val toks = tokens(text)
+    val m = toks.size
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val cnt = m - n + 1
+    val hs = new Array[Long](cnt)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < cnt) {
+      sb.setLength(0)
+      sb.append("0:")
+      var q = 0
+      while (q < n) {
+        if (q > 0) sb.append(' ')
+        sb.append(toks.get(j + q))
+        q += 1
+      }
+      hs(j) = hash60(sb.toString)
+      j += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < cnt) {
+      val start = math.max(0, i - window + 1)
+      var mn = Long.MaxValue
+      var k = start
+      while (k <= i) { if (hs(k) < mn) mn = hs(k); k += 1 }
+      seen.add(mn)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** null-marker variant is handled by the expression: returns
     * Long.MinValue for "no tokens" so the expression can emit null.
     */
@@ -177,6 +224,19 @@ case class HashedShinglesExpr(child: Expression, n: Int)
     ShingleOps.hashedShingles(input.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.hashedShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WinnowFingerprintsExpr(child: Expression, n: Int, window: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.winnowFingerprints(input.asInstanceOf[UTF8String], n, window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleOps.winnowFingerprints($c, $n, $window)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

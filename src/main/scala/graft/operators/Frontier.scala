@@ -27,27 +27,28 @@ object Frontier {
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     ensureCheckpointDir(seeds)
-    // Each round's state lands in its own rotated directory; two-rounds-
-    // old files are deleted as the loop advances, so a deep crawl holds
-    // a bounded number of checkpoint generations instead of one per
-    // round until JVM exit.
-    val rot = new graft.Checkpoints.Rotating(seeds.sparkSession)
-    var visited = rot.checkpoint(seeds.select(col("node")).distinct()
+    // Only each round's DELTA (the new frontier) is materialized; the
+    // visited set stays a lazy union over those already-materialized
+    // files (one branch per round, bounded by maxDepth), so a k-round
+    // BFS writes every node exactly once — not the growing union every
+    // round. The frontier count doubles as the loop-exit test.
+    val acc = new graft.Checkpoints.Accumulating(seeds.sparkSession)
+    var frontier = acc.checkpoint(seeds.select(col("node")).distinct()
       .withColumn("depth", lit(0)))
-    var frontier = visited
+    var visited = frontier
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    var n = frontier.count()
+    while (depth < maxDepth && n > 0) {
       depth += 1
-      rot.advance()
-      val next = rot.checkpoint(frontier
+      val next = acc.checkpoint(frontier
         .join(edges, frontier("node") === edges("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("depth", lit(depth)))
-      visited = rot.checkpoint(visited.unionByName(next))
+      visited = visited.unionByName(next)
       frontier = next
+      n = frontier.count()
     }
-    rot.close()
     visited
   }
 }

@@ -151,51 +151,54 @@ object Crawl {
     val emptyFiles = Seq.empty[(String, Int, String, String, Long)]
       .toDF("url", "depth", "ext", "text", "size_bytes")
 
-    // Crawl STATE (frontier/enqueued/processed) rotates — round i only
-    // reads round i-1, so older state checkpoints are deleted as the
-    // crawl advances. Fetched CONTENT (pages/files inside `round`) is
-    // pinned under the base dir: it is unioned into the final result,
-    // so it must outlive the loop.
-    val rot = new graft.Checkpoints.Rotating(spark)
+    // Crawl STATE: only each round's DELTA (the frontier) is
+    // materialized; the cumulative sets (enqueued urls, processed
+    // files) stay LAZY unions over the already-materialized frontier
+    // parquet and the pinned file checkpoints — every url is written
+    // once across the whole crawl (O(urls) total I/O), instead of
+    // rewriting the growing union each round (O(urls x depth)). The
+    // union plans are one branch per round — bounded by maxDepth.
+    // Fetched CONTENT (pages/files inside `round`) is pinned under the
+    // base dir: it is unioned into the final result, so it must
+    // outlive the loop.
+    val acc = new graft.Checkpoints.Accumulating(spark)
 
     // Seeds defragmented like every enqueued link (link_extractor.py:20).
-    var frontier = rot.checkpoint(seeds.toDF("raw")
+    var frontier = acc.checkpoint(seeds.toDF("raw")
       .select(UrlFunctions.defragment(col("raw")).as("url"))
       .distinct().withColumn("depth", lit(0)))
-    var enqueued = rot.checkpoint(frontier.select("url"))
+    var enqueued = frontier.select("url")
     var processedFiles = emptyFiles.select("url")
     var pages = emptyPages
     var files = emptyFiles
 
     // Page budget (max_pages_total): cumulative count of frontier urls
-    // fetched. The count is one cheap job per round on an
-    // already-materialized checkpoint, and the truncation is a
+    // fetched. ONE count job per round on the already-materialized
+    // checkpoint doubles as the loop-exit test, and the truncation is a
     // deterministic TakeOrdered by (depth, url) — same pages on every
     // re-run, no driver-side collection.
     var budget = cfg.maxPagesTotal.toLong
-    while (!frontier.isEmpty && budget > 0) {
-      rot.advance()
-      val n = frontier.count()
+    var n = frontier.count()
+    while (n > 0 && budget > 0) {
       if (n > budget)
-        frontier = rot.checkpoint(
+        frontier = acc.checkpoint(
           frontier.orderBy(col("depth"), col("url")).limit(budget.toInt))
       budget -= math.min(n, budget)
       val out = round(fetcher, frontier, processedFiles, cfg)
       pages = pages.unionByName(out.pages)
       files = files.unionByName(out.files)
-      processedFiles = rot.checkpoint(processedFiles
-        .unionByName(out.files.select("url")))
+      processedFiles = processedFiles.unionByName(out.files.select("url"))
 
       // X4/J2: expand one level within the depth cap.
       frontier =
-        if (cfg.singlePage) rot.checkpoint(frontier.limit(0))
-        else rot.checkpoint(out.pageLinks
+        if (cfg.singlePage) frontier.limit(0)
+        else acc.checkpoint(out.pageLinks
           .filter(col("depth") <= cfg.maxDepth)
           .groupBy(col("url")).agg(min(col("depth")).as("depth"))
           .join(enqueued, Seq("url"), "left_anti"))
-      enqueued = rot.checkpoint(enqueued.unionByName(frontier.select("url")))
+      enqueued = enqueued.unionByName(frontier.select("url"))
+      n = frontier.count()
     }
-    rot.close()
 
     CrawlResult(
       pages.withColumn("content_hash", HashFunctions.contentHash(col("text")))
