@@ -57,6 +57,15 @@ object Scratch {
     time("bands")(bands.write.format("noop").mode("overwrite").save())
     val cand = operators.Dedup.lshCandidatePairs(bands)
     time("cand")(cand.write.format("noop").mode("overwrite").save())
+    // Jaccard-blocking branch.
+    val hsP = hs.persist()
+    hsP.write.format("noop").mode("overwrite").save()
+    val exploded = hsP.select(col("doc_id"), explode(col("hs")).as("bh"))
+    time("exploded")(exploded.write.format("noop").mode("overwrite").save())
+    val blocked = operators.Dedup.shingleBlockedPairs(exploded, 20)
+    time("blockedPairs")(blocked.write.format("noop").mode("overwrite").save())
+    val jac = operators.Dedup.jaccard(blocked, hsP)
+    time("jaccard")(jac.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

@@ -163,18 +163,20 @@ object Dedup {
     * instead of docs. A belt-and-braces `a < b` filter below keeps
     * (x, x) self-pairs out of the output regardless.
     *
-    * One groupBy builds the inverted index AND applies the df cap; the
-    * <= maxDf^2/2 pairs per shingle are generated in-row from the sorted
-    * posting list (no shingle-keyed self-join, which would shuffle the
-    * full index twice).
+    * ONE groupBy builds the inverted index AND applies the df cap, with
+    * bounded memory: the posting lists are collected by the native
+    * [[graft.functions.CappedSortedList]] aggregate, whose buffers
+    * (partial and final) hold at most maxDf+1 longs — a stop-shingle
+    * never materializes its full posting list in one task, it just
+    * overflows to maxDf+1 elements and is dropped by the size filter.
+    * The <= maxDf^2/2 pairs per shingle are generated in-row from the
+    * sorted posting list (no shingle-keyed self-join, which would
+    * shuffle the full index twice).
     */
   def shingleBlockedPairs(shingleDf: DataFrame, maxDf: Int): DataFrame = {
     val groups = shingleDf
       .groupBy(col("bh"))
-      // collect_list, not collect_set: the input rows come from
-      // per-document DISTINCT shingle arrays, so (doc_id, bh) is
-      // already unique and the set's hash-dedup work is pure overhead.
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(graft.functions.CappedSortedList(col("doc_id"), maxDf).as("ids"))
       .filter(size(col("ids")).between(2, maxDf))
     val pairs = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),
