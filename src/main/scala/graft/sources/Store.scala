@@ -117,6 +117,30 @@ object Store {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed catalog table: `bucketBy(n, key)` + in-bucket sort at
+    * `path`. At 100 TB this is the co-location lever for the store's
+    * standing joins — a merge/dedup batch bucketed the same way joins
+    * the target with ZERO exchange on either side (both inputs are
+    * already hash-partitioned and sorted by the key), so the nightly
+    * re-merge stops re-shuffling the full store every run. Parquet
+    * directories cannot carry bucket metadata, hence the catalog table
+    * (`saveAsTable` with an explicit external path).
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Scan of a bucketed table (bucket metadata comes from the catalog;
+    * joins/aggs on the bucket key skip their shuffle).
+    */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** S17: MERGE `incoming` (key + content_hash + data) into the store
     * at `path`, rewriting only partitions with a real insert/update.
     * Returns the number of partitions rewritten.

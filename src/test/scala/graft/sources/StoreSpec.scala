@@ -81,6 +81,27 @@ class StoreSpec extends SparkSpec {
     assert(Store.read(spark, path).count() == 4)
   }
 
+  test("bucketed store joins on the bucket key with zero shuffles") {
+    val dir = java.nio.file.Files.createTempDirectory("store-spec").toString
+    val docs = hashed((1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", s"text $i")))
+    val batch = hashed((150L to 250L).map(i => (i, "a", s"text $i v2")))
+    Store.writeBucketed(docs, "bk_docs", s"$dir/bk_docs", "doc_id", 4)
+    Store.writeBucketed(batch, "bk_batch", s"$dir/bk_batch", "doc_id", 4)
+    try {
+      val joined = Store.readBucketed(spark, "bk_docs").as("t")
+        .join(Store.readBucketed(spark, "bk_batch").hint("merge").as("b"),
+          col("t.doc_id") === col("b.doc_id"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"bucketed join must be shuffle-free, got:\n$physical")
+      assert(joined.count() == 51)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_docs")
+      spark.sql("DROP TABLE IF EXISTS bk_batch")
+    }
+  }
+
   test("re-merging an applied batch rewrites nothing at all") {
     val dir = java.nio.file.Files.createTempDirectory("store-spec").toString
     val path = s"$dir/docs"
