@@ -141,6 +141,37 @@ object Store {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** S17 over the bucketed layout: MERGE `incoming` into bucketed
+    * table `table` without ever re-shuffling the store. The target side
+    * of the full-outer merge join reads pre-hashed, pre-sorted buckets
+    * (zero exchange); only the incoming batch — the small side — is
+    * shuffled to match. Staging first because a lazy plan cannot read
+    * and overwrite the files it scans.
+    *
+    * Layout tradeoff vs `mergeInto` (site-partitioned parquet): the
+    * bucketed store joins shuffle-free but a merge rewrites the whole
+    * table (vanilla Spark has no partition-level overwrite into
+    * bucketed tables), while the partitioned store rewrites only
+    * touched partitions but re-shuffles target + batch on every merge.
+    * At 100 TB pick by batch shape: crawl batches touching few sites →
+    * partitioned; org-wide nightly dedup/enrichment joins touching
+    * every partition anyway → bucketed.
+    */
+  def mergeIntoBucketed(spark: SparkSession, table: String, path: String,
+      incoming: DataFrame, key: String, numBuckets: Int): Unit = {
+    val target = readBucketed(spark, table)
+    val merged = Upsert.merge(target, incoming, key)
+    val stageTable = table + "_stage"
+    val stagePath = path.stripSuffix("/") + "_stage"
+    writeBucketed(merged, stageTable, stagePath, key, numBuckets)
+    writeBucketed(readBucketed(spark, stageTable), table, path, key,
+      numBuckets)
+    spark.sql(s"DROP TABLE IF EXISTS $stageTable")
+    val sp = new org.apache.hadoop.fs.Path(stagePath)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sp, true): Unit
+  }
+
   /** S17: MERGE `incoming` (key + content_hash + data) into the store
     * at `path`, rewriting only partitions with a real insert/update.
     * Returns the number of partitions rewritten.

@@ -96,8 +96,30 @@ class StoreSpec extends SparkSpec {
       assert(!physical.contains("Exchange"),
         s"bucketed join must be shuffle-free, got:\n$physical")
       assert(joined.count() == 51)
+
+      // Shuffle-free standing merge: the full-outer merge join reads
+      // the bucketed target with zero exchange — only the (small)
+      // incoming batch is shuffled to match the bucket layout.
+      val mergePlan = Upsert
+        .merge(Store.readBucketed(spark, "bk_docs"), batch, "doc_id")
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(mergePlan).size
+      assert(exchanges <= 1,
+        s"bucketed merge must only shuffle the batch side, got:\n$mergePlan")
+
+      Store.mergeIntoBucketed(spark, "bk_docs", s"$dir/bk_docs", batch,
+        "doc_id", 4)
+      val merged = Store.readBucketed(spark, "bk_docs")
+      assert(merged.count() == 250)
+      assert(merged.filter(col("doc_id") === 160L)
+        .select("text").as[String].head() == "text 160 v2")
+      assert(merged.filter(col("doc_id") === 10L)
+        .select("text").as[String].head() == "text 10")
+      assert(!new java.io.File(s"$dir/bk_docs_stage").exists(),
+        "stage table files must be cleaned up")
     } finally {
       spark.sql("DROP TABLE IF EXISTS bk_docs")
+      spark.sql("DROP TABLE IF EXISTS bk_docs_stage")
       spark.sql("DROP TABLE IF EXISTS bk_batch")
     }
   }
