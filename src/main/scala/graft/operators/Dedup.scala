@@ -240,8 +240,14 @@ object Dedup {
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct())
     val rot = new graft.Checkpoints.Rotating(spark)
-    var labels = rot.checkpoint(edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")))
+    // Label init fused with the first propagation: label0(v) =
+    // min(v, neighbors(v)) falls out of the same groupBy that would
+    // otherwise only build the distinct node set — one whole round
+    // (three joins + a checkpoint) cheaper than starting from identity
+    // labels.
+    var labels = rot.checkpoint(edges
+      .groupBy(col("a")).agg(min(col("b")).as("nb"))
+      .select(col("a").as("node"), least(col("a"), col("nb")).as("label")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -255,7 +261,7 @@ object Dedup {
       // Fused round: propagation + two pointer jumps in ONE plan, every
       // join input the checkpointed pre-round state (see scaladoc). The
       // pre-round label rides along as `old`, so the convergence check
-      // is a filter on already-checkpointed state.
+      // is an aggregate over the same frame.
       val step1 = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
@@ -264,16 +270,20 @@ object Dedup {
           Seq("label"), "left")
         .select(col("node"), col("old"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-      val next = rot.checkpoint(step2
+      val step3 = step2
         .join(labels.select(col("node").as("label"), col("label").as("ll2")),
           Seq("label"), "left")
         .select(col("node"), col("old"),
-          least(col("label"), coalesce(col("ll2"), col("label"))).as("label")))
-      // Pointer jumping converges in O(log diameter) rounds, so paying
-      // a count job every round buys little — check every 2nd round
-      // (and always on the last permitted round, for the exit warning).
-      if (i % 2 == 0 || i == maxIter)
-        changed = next.filter(col("label") =!= col("old")).count()
+          least(col("label"), coalesce(col("ll2"), col("label"))).as("label"))
+      // The convergence count rides the checkpoint write as an observed
+      // metric — no separate count job, and the loop exits on the
+      // EARLIEST stable round instead of the next even one.
+      val obs = org.apache.spark.sql.Observation(s"cc-round-$i")
+      val next = rot.checkpoint(step3.observe(obs,
+        sum(when(col("label") =!= col("old"), 1L).otherwise(0L))
+          .as("changed")))
+      changed = Option(obs.get("changed")).map(_.asInstanceOf[Long])
+        .getOrElse(0L)
       labels = next.select(col("node"), col("label"))
     }
     rot.close()
