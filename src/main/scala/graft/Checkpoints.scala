@@ -69,6 +69,19 @@ object Checkpoints {
       df.write.mode("overwrite").parquet(path)
       df.sparkSession.read.parquet(path)
     }
+
+    /** `checkpoint` plus the frame's row count, observed as a metric on
+      * the materializing write itself — iterative loops whose row count
+      * is the exit test (BFS frontier, crawl rounds) get it for free
+      * instead of paying a separate count job per round.
+      */
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(s"ckpt-n$n")
+      val out = checkpoint(df.observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows")))
+      (out, obs.get("rows").asInstanceOf[Long])
+    }
   }
 
   /** Round-rotating checkpoints for iterative driver loops.

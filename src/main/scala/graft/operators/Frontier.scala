@@ -31,23 +31,23 @@ object Frontier {
     // visited set stays a lazy union over those already-materialized
     // files (one branch per round, bounded by maxDepth), so a k-round
     // BFS writes every node exactly once — not the growing union every
-    // round. The frontier count doubles as the loop-exit test.
+    // round. The loop-exit count rides the checkpoint write as an
+    // observed metric (no per-round count job).
     val acc = new graft.Checkpoints.Accumulating(seeds.sparkSession)
-    var frontier = acc.checkpoint(seeds.select(col("node")).distinct()
-      .withColumn("depth", lit(0)))
+    var (frontier, n) = acc.checkpointCounted(
+      seeds.select(col("node")).distinct().withColumn("depth", lit(0)))
     var visited = frontier
     var depth = 0
-    var n = frontier.count()
     while (depth < maxDepth && n > 0) {
       depth += 1
-      val next = acc.checkpoint(frontier
+      val (next, m) = acc.checkpointCounted(frontier
         .join(edges, frontier("node") === edges("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("depth", lit(depth)))
       visited = visited.unionByName(next)
       frontier = next
-      n = frontier.count()
+      n = m
     }
     visited
   }

@@ -164,7 +164,7 @@ object Crawl {
     val acc = new graft.Checkpoints.Accumulating(spark)
 
     // Seeds defragmented like every enqueued link (link_extractor.py:20).
-    var frontier = acc.checkpoint(seeds.toDF("raw")
+    var (frontier, n) = acc.checkpointCounted(seeds.toDF("raw")
       .select(UrlFunctions.defragment(col("raw")).as("url"))
       .distinct().withColumn("depth", lit(0)))
     var enqueued = frontier.select("url")
@@ -173,12 +173,12 @@ object Crawl {
     var files = emptyFiles
 
     // Page budget (max_pages_total): cumulative count of frontier urls
-    // fetched. ONE count job per round on the already-materialized
-    // checkpoint doubles as the loop-exit test, and the truncation is a
-    // deterministic TakeOrdered by (depth, url) — same pages on every
-    // re-run, no driver-side collection.
+    // fetched. The per-round count rides each frontier checkpoint write
+    // as an observed metric (no separate count job), doubles as the
+    // loop-exit test, and the truncation is a deterministic TakeOrdered
+    // by (depth, url) — same pages on every re-run, no driver-side
+    // collection.
     var budget = cfg.maxPagesTotal.toLong
-    var n = frontier.count()
     while (n > 0 && budget > 0) {
       if (n > budget)
         frontier = acc.checkpoint(
@@ -190,14 +190,16 @@ object Crawl {
       processedFiles = processedFiles.unionByName(out.files.select("url"))
 
       // X4/J2: expand one level within the depth cap.
-      frontier =
-        if (cfg.singlePage) frontier.limit(0)
-        else acc.checkpoint(out.pageLinks
+      if (cfg.singlePage) { frontier = frontier.limit(0); n = 0L }
+      else {
+        val (next, m) = acc.checkpointCounted(out.pageLinks
           .filter(col("depth") <= cfg.maxDepth)
           .groupBy(col("url")).agg(min(col("depth")).as("depth"))
           .join(enqueued, Seq("url"), "left_anti"))
+        frontier = next
+        n = m
+      }
       enqueued = enqueued.unionByName(frontier.select("url"))
-      n = frontier.count()
     }
 
     CrawlResult(
