@@ -133,6 +133,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental LSH candidates: a NEW ingest batch against a STANDING
+    * store's band table — the daily shape of dedup at 100 TB. A full
+    * re-dedup re-pairs the whole store every run (O(store²) candidate
+    * work); here the store's bands are computed once and kept (written
+    * next to the store, ideally bucketed on the join key), and an
+    * incremental run computes signatures only for the batch and joins
+    * them against the standing index — store×store and batch×batch
+    * pairs are never generated. Output: (a = store doc, b = batch doc).
+    */
+  def lshIncrementalCandidates(storeBands: DataFrame,
+      batchBands: DataFrame): DataFrame =
+    storeBands.select(col("band"), col("band_key"), col("doc_id").as("a"))
+      .join(batchBands
+        .select(col("band"), col("band_key"), col("doc_id").as("b")),
+        Seq("band", "band_key"))
+      .select(col("a"), col("b"))
+      .distinct()
+
   /** Exact Jaccard for (a, b) candidate pairs: join each side to its
     * hashed-shingle array (doc_id, hs), intersect in-row. Two joins on
     * doc id — the candidate set is small by construction, so this never

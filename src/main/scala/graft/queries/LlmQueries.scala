@@ -146,6 +146,33 @@ object LlmQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // INCREMENTAL dedup: a new ingest batch (the mutants) against the
+    // standing store (the originals) — batch signatures join the
+    // store's precomputed band table; store×store and batch×batch pairs
+    // are never generated. The oracle reuses the full-corpus candidate
+    // CTE and restricts to cross pairs (store ids < 1000000 <= batch
+    // ids), which is the same set.
+    QueryDef(
+      "dd_incremental_lsh",
+      MinhashCandPrefix + JaccardTail.replace("WHERE n_inter",
+        "WHERE i.a < 1000000 AND i.b >= 1000000\n  AND n_inter")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val store = docs.select(col("doc_id"), col("text"))
+      val batch = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "zzz").as("text"))
+      val storeHs = Dedup.hashedShingleArrays(store, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batchHs = Dedup.hashedShingleArrays(batch, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Dedup.lshIncrementalCandidates(
+        Dedup.lshBands(Dedup.minhashSignatures(storeHs, 128), 128, 16),
+        Dedup.lshBands(Dedup.minhashSignatures(batchHs, 128), 128, 16))
+      Dedup.jaccard(cand, storeHs.unionByName(batchHs))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // Near-dup CLUSTERING: MinHash pairs -> connected components ->
     // one canonical representative (min doc id) per cluster — the step
     // that actually drops duplicates in a training-data pipeline. The

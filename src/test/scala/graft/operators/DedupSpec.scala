@@ -46,6 +46,20 @@ class DedupSpec extends SparkSpec {
     assert(!cand.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("lshIncrementalCandidates pairs batch only against the store") {
+    val hsArr = Dedup.hashedShingleArrays(docs, "doc_id", "text", 3)
+    val store = hsArr.filter($"doc_id" <= 2)   // docs 1, 2
+    val batch = hsArr.filter($"doc_id" > 2)    // doc 3 = copy of 1, doc 4
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(Dedup.minhashSignatures(df, 8), 8, 4)
+    val cand = Dedup.lshIncrementalCandidates(bands(store), bands(batch))
+      .as[(Long, Long)].collect().toSet
+    // The batch's exact copy of store doc 1 must surface as (1, 3).
+    assert(cand.contains((1L, 3L)))
+    // Never store×store or batch×batch: a is a store id, b a batch id.
+    assert(cand.forall { case (a, b) => a <= 2 && b > 2 })
+  }
+
   test("simhash: identical docs hash identically, disjoint docs differ") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
