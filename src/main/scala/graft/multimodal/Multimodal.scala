@@ -11,19 +11,24 @@ final case class ImageFeatureRow(doc_id: Long, width: Int, height: Int,
 
 final case class FrameRow(doc_id: Long, frame_idx: Int, offset_ms: Long)
 
+final case class AudioFeatureRow(doc_id: Long, channels: Int,
+    sample_rate: Int, bits_per_sample: Int, duration_ms: Long,
+    fingerprint: String)
+
 /** Multimodal column plumbing: image/audio/video travel as opaque
   * `binary` columns with typed metadata, and the compute-heavy steps
   * (decode, feature-extract, resize, frame-sample) run as
   * `mapPartitions` stages — per-partition batches, codec state reused
   * across a partition, no shuffle.
   *
-  * Decode dispatches on `media_type`: `image/bmp`, `image/png` and
-  * `image/jpeg` are REAL pure-JDK decoders (BITMAPINFOHEADER / IHDR /
-  * SOF-marker parse — width, height and channels come from actual
-  * image bytes). Other media types fall to a clearly-marked
-  * deterministic stub (dims derived from the payload hash; no
-  * audio/video codec ships with this environment). Adding a real
-  * codec for another format changes ONLY the dispatch — the schema,
+  * Decode dispatches on `media_type`: `image/bmp`, `image/png`,
+  * `image/jpeg` and `audio/wav` are REAL pure-JDK decoders
+  * (BITMAPINFOHEADER / IHDR / SOF-marker / RIFF-chunk parse — width,
+  * height, channels, sample rate and duration come from actual file
+  * bytes). Other media types fall to a clearly-marked deterministic
+  * stub (dims derived from the payload hash; no compressed-codec
+  * library ships with this environment). Adding a real codec for
+  * another format changes ONLY the dispatch — the schema,
   * partitioning, batch shape and the resize / frame-sample arithmetic
   * around it are shared and tested.
   */
@@ -141,6 +146,70 @@ object Multimodal {
       }
     }
     None
+  }
+
+  /** REAL WAV (RIFF) header decode (pure JDK): verify the
+    * 'RIFF'<size>'WAVE' preamble, then walk the chunk list — 'fmt ' for
+    * channels / sample rate / bits per sample, 'data' for the payload
+    * byte length. Duration is derived from the data size over the fmt
+    * chunk's byte rate (exact integer ms). Chunks are skipped by their
+    * declared size with RIFF's odd-size pad byte honored. Returns None
+    * for bytes that are not a plausible WAV or that end before both
+    * chunks arrive. Header-only — the sample data itself is never
+    * interpreted.
+    */
+  def decodeWavMeta(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def tag(off: Int): String =
+      if (payload.length >= off + 4) new String(payload, off, 4, "US-ASCII")
+      else ""
+    if (payload == null || payload.length < 44 ||
+        tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None   // ch, rate, bits, byteRate
+    var dataSize: Option[Long] = None
+    while (i + 8 <= payload.length && (fmt.isEmpty || dataSize.isEmpty)) {
+      val id = tag(i)
+      val size = bb.getInt(i + 4).toLong & 0xffffffffL
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= payload.length) {
+        val ch = bb.getShort(i + 10) & 0xffff
+        val rate = bb.getInt(i + 12)
+        val byteRate = bb.getInt(i + 16)
+        val bits = bb.getShort(i + 22) & 0xffff
+        if (ch > 0 && rate > 0 && bits > 0 && byteRate > 0)
+          fmt = Some((ch, rate, bits, byteRate))
+        else return None
+      } else if (id == "data") {
+        dataSize = Some(size)
+      }
+      if (size > Int.MaxValue - 9) return None
+      i += 8 + size.toInt + (size.toInt & 1)   // odd chunks carry a pad byte
+    }
+    for ((ch, rate, bits, byteRate) <- fmt; ds <- dataSize)
+      yield (ch, rate, bits, ds * 1000L / byteRate)
+  }
+
+  /** Audio metadata extraction, one mapPartitions stage over
+    * (doc_id, payload, media_type) rows: real WAV header parse for
+    * `audio/wav`/`audio/x-wav`, (0, 0, 0, 0) sentinel for anything else
+    * or corrupt bytes (the audio twin of the image decoders' zero-dims
+    * sentinel — no other audio codec ships with this environment).
+    */
+  def audioFeatures(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val meta =
+          if (m.media_type != null &&
+              (m.media_type.equalsIgnoreCase("audio/wav") ||
+                m.media_type.equalsIgnoreCase("audio/x-wav")))
+            decodeWavMeta(m.payload)
+          else None
+        val (ch, rate, bits, ms) = meta.getOrElse((0, 0, 0, 0L))
+        AudioFeatureRow(m.doc_id, ch, rate, bits, ms, md5Hex(m.payload))
+      }
+    }.toDF()
   }
 
   /** Dispatch: real decoder where one exists (BMP, PNG, JPEG),

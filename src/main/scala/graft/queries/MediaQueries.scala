@@ -147,6 +147,42 @@ object MediaQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL WAV roundtrip: builder-synthesized RIFF/fmt/data files,
+    // channels / sample rate / bits from the parsed fmt chunk and
+    // duration from the data size over the byte rate. The oracle
+    // recomputes what the builder encoded (duration_ms is exact integer
+    // division of samples*1000 by the sample rate).
+    QueryDef(
+      "mm_wav_decode",
+      """WITH m AS (
+        |  SELECT doc_id, (1 + doc_id % 2)::INT AS channels,
+        |    (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |     ELSE 44100 END)::INT AS sample_rate,
+        |    (CASE doc_id % 2 WHEN 0 THEN 8 ELSE 16 END)::INT
+        |      AS bits_per_sample,
+        |    100 + doc_id % 400 AS n_samples
+        |  FROM documents)
+        |SELECT doc_id, channels, sample_rate, bits_per_sample,
+        |  (n_samples * 1000) // sample_rate AS duration_ms
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val rate = when(col("doc_id") % 3 === 0, 8000)
+        .when(col("doc_id") % 3 === 1, 16000).otherwise(44100)
+      val bits = when(col("doc_id") % 2 === 0, 8).otherwise(16)
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          DocBuild.wavUdf((col("doc_id") % 2 + 1).cast("int"),
+            rate.cast("int"), bits.cast("int"),
+            (col("doc_id") % 400 + 100).cast("int"),
+            (col("doc_id") % 251).cast("int")).as("payload"),
+          lit("audio/wav").as("media_type"))
+        .as[MediaRow]
+      Multimodal.audioFeatures(media)
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("bits_per_sample"), col("duration_ms"))
+        .orderBy(col("doc_id"))
+    },
+
     // Video frame sampling (1 -> N) through mapPartitions: every 5th
     // frame of a fake-decoded 25 fps stream.
     QueryDef(

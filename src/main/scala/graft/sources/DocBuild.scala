@@ -211,6 +211,38 @@ object DocBuild {
     out.toByteArray
   }
 
+  /** Minimal real PCM WAV: RIFF/WAVE preamble, canonical 16-byte 'fmt '
+    * chunk and a 'data' chunk of `nSamples` frames whose bytes derive
+    * from `px` — a decodable file whose header any WAV reader (including
+    * `Multimodal.decodeWavMeta`) parses.
+    */
+  def wavBytes(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      nSamples: Int, px: Int): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && nSamples >= 0 &&
+      bitsPerSample % 8 == 0 && bitsPerSample > 0,
+      s"bad WAV params: ch=$channels rate=$sampleRate bits=$bitsPerSample")
+    val blockAlign = channels * bitsPerSample / 8
+    val byteRate = sampleRate * blockAlign
+    val dataSize = nSamples * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(36 + dataSize)               // RIFF payload size
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16)                          // canonical PCM fmt size
+    bb.putShort(1)                         // audio format: PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(byteRate)
+    bb.putShort(blockAlign.toShort)
+    bb.putShort(bitsPerSample.toShort)
+    bb.put("data".getBytes("US-ASCII"))
+    bb.putInt(dataSize)
+    (0 until dataSize).foreach(i => bb.put(((px + i) & 0xff).toByte))
+    bb.array()
+  }
+
   val docxUdf: UserDefinedFunction = udf((ls: Seq[String]) => docxBytes(ls))
   val pptxUdf: UserDefinedFunction = udf((ls: Seq[String]) => pptxBytes(ls))
   val xlsxUdf: UserDefinedFunction = udf((ls: Seq[String]) => xlsxBytes(ls))
@@ -224,4 +256,7 @@ object DocBuild {
   val jpegUdf: UserDefinedFunction =
     udf((w: Int, h: Int, channels: Int, px: Int) =>
       jpegBytes(w, h, channels, px))
+  val wavUdf: UserDefinedFunction =
+    udf((ch: Int, rate: Int, bits: Int, n: Int, px: Int) =>
+      wavBytes(ch, rate, bits, n, px))
 }

@@ -104,6 +104,43 @@ class MultimodalSpec extends SparkSpec {
       ((0, 0, 0)))
   }
 
+  test("decodeWavMeta parses real RIFF headers and rejects non-WAVs") {
+    // 16 kHz stereo 16-bit, 1600 samples -> exactly 100 ms.
+    assert(Multimodal.decodeWavMeta(DocBuild.wavBytes(2, 16000, 16, 1600, 5))
+      .contains((2, 16000, 16, 100L)))
+    // 44.1 kHz mono 8-bit, 441 samples -> floor(441000/44100) = 10 ms.
+    assert(Multimodal.decodeWavMeta(DocBuild.wavBytes(1, 44100, 8, 441, 0))
+      .contains((1, 44100, 8, 10L)))
+    // A LIST chunk (odd size, pad byte) before fmt/data must be skipped.
+    val wav = DocBuild.wavBytes(1, 8000, 8, 80, 9)
+    val list = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 'x', 'y', 'z', 0)
+    val withList = wav.take(12) ++ list ++ wav.drop(12)
+    val bb = java.nio.ByteBuffer.wrap(withList)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, withList.length - 8)   // fix RIFF size
+    assert(Multimodal.decodeWavMeta(withList).contains((1, 8000, 8, 10L)))
+    assert(Multimodal.decodeWavMeta("RIFFnope".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeWavMeta(wav.take(30)).isEmpty)
+    assert(Multimodal.decodeWavMeta(null).isEmpty)
+  }
+
+  test("audioFeatures carries real WAV metadata through the batch stage") {
+    val rows = Seq(
+      MediaRow(1L, DocBuild.wavBytes(2, 16000, 16, 1600, 5), "audio/wav"),
+      MediaRow(2L, DocBuild.wavBytes(1, 8000, 8, 80, 1), "AUDIO/X-WAV"),
+      MediaRow(3L, "not audio".getBytes("UTF-8"), "audio/wav"),
+      MediaRow(4L, DocBuild.wavBytes(1, 8000, 8, 80, 1), "video/mp4"))
+    val got = spark.createDataset(rows)
+      .transform(ds => Multimodal.audioFeatures(ds))
+      .select("doc_id", "channels", "sample_rate", "bits_per_sample",
+        "duration_ms")
+      .as[(Long, Int, Int, Int, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2, 16000, 16, 100L)))
+    assert(got(1) == ((2L, 1, 8000, 8, 10L)))
+    assert(got(2) == ((3L, 0, 0, 0, 0L)))   // corrupt -> sentinel
+    assert(got(3) == ((4L, 0, 0, 0, 0L)))   // no codec for this type
+  }
+
   test("pngBytes chunks carry valid lengths and CRCs") {
     // Walk the chunk list with an independent reader: every chunk's
     // CRC32 over type+data must match, and the list must be exactly
