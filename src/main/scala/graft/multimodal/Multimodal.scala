@@ -15,6 +15,9 @@ final case class AudioFeatureRow(doc_id: Long, channels: Int,
     sample_rate: Int, bits_per_sample: Int, duration_ms: Long,
     fingerprint: String)
 
+final case class VideoFeatureRow(doc_id: Long, timescale: Int,
+    duration_ms: Long, fingerprint: String)
+
 /** Multimodal column plumbing: image/audio/video travel as opaque
   * `binary` columns with typed metadata, and the compute-heavy steps
   * (decode, feature-extract, resize, frame-sample) run as
@@ -22,10 +25,10 @@ final case class AudioFeatureRow(doc_id: Long, channels: Int,
   * across a partition, no shuffle.
   *
   * Decode dispatches on `media_type`: `image/bmp`, `image/png`,
-  * `image/jpeg` and `audio/wav` are REAL pure-JDK decoders
-  * (BITMAPINFOHEADER / IHDR / SOF-marker / RIFF-chunk parse — width,
-  * height, channels, sample rate and duration come from actual file
-  * bytes). Other media types fall to a clearly-marked deterministic
+  * `image/jpeg`, `audio/wav` and `video/mp4` are REAL pure-JDK
+  * decoders (BITMAPINFOHEADER / IHDR / SOF-marker / RIFF-chunk /
+  * ISO-BMFF-box parse — width, height, channels, sample rate and
+  * duration come from actual file bytes). Other media types fall to a clearly-marked deterministic
   * stub (dims derived from the payload hash; no compressed-codec
   * library ships with this environment). Adding a real codec for
   * another format changes ONLY the dispatch — the schema,
@@ -190,6 +193,49 @@ object Multimodal {
       yield (ch, rate, bits, ds * 1000L / byteRate)
   }
 
+  /** REAL MP4 header decode (pure JDK): walk the top-level ISO-BMFF box
+    * list to `moov`, then its children to `mvhd`, and read the movie
+    * timescale (units/second) and duration (units) — big-endian u32 at
+    * payload offsets 12/16 for version 0, u32/u64 at 20/24 for
+    * version 1. Duration in exact integer ms is `units * 1000 /
+    * timescale`. Returns None for bytes that are not a plausible MP4
+    * (no `ftyp` leading box, no moov/mvhd, or a box overrunning the
+    * payload). Header-only — no sample data is touched.
+    */
+  def decodeMp4Meta(payload: Array[Byte]): Option[(Int, Long)] = {
+    if (payload == null || payload.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)   // ISO-BMFF ints are BE
+    def boxType(off: Int): String =
+      new String(payload, off + 4, 4, "US-ASCII")
+    def u32(off: Int): Long = bb.getInt(off).toLong & 0xffffffffL
+    if (boxType(0) != "ftyp") return None
+    // Find a top-level box by type; returns (payloadOff, payloadEnd).
+    def find(from: Int, end: Int, typ: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= end) {
+        val size = u32(i)
+        if (size < 8 || i + size > end) return None
+        if (boxType(i) == typ) return Some((i + 8, i + size.toInt))
+        i += size.toInt
+      }
+      None
+    }
+    for {
+      (moovOff, moovEnd) <- find(0, payload.length, "moov")
+      (o, e) <- find(moovOff, moovEnd, "mvhd")
+      meta <- {
+        val version = payload(o) & 0xff
+        if (version == 0 && o + 20 <= e)
+          Some((u32(o + 12).toInt, u32(o + 16)))
+        else if (version == 1 && o + 32 <= e)
+          Some((u32(o + 20).toInt, bb.getLong(o + 24)))
+        else None
+      }
+      (timescale, units) = meta
+      if timescale > 0 && units >= 0
+    } yield (timescale, units * 1000L / timescale)
+  }
+
   /** Audio metadata extraction, one mapPartitions stage over
     * (doc_id, payload, media_type) rows: real WAV header parse for
     * `audio/wav`/`audio/x-wav`, (0, 0, 0, 0) sentinel for anything else
@@ -208,6 +254,25 @@ object Multimodal {
           else None
         val (ch, rate, bits, ms) = meta.getOrElse((0, 0, 0, 0L))
         AudioFeatureRow(m.doc_id, ch, rate, bits, ms, md5Hex(m.payload))
+      }
+    }.toDF()
+  }
+
+  /** Video metadata extraction, one mapPartitions stage over
+    * (doc_id, payload, media_type) rows: real MP4 mvhd parse for
+    * `video/mp4`, (0, 0) sentinel for anything else or corrupt bytes.
+    */
+  def videoFeatures(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val meta =
+          if (m.media_type != null &&
+              m.media_type.equalsIgnoreCase("video/mp4"))
+            decodeMp4Meta(m.payload)
+          else None
+        val (ts, ms) = meta.getOrElse((0, 0L))
+        VideoFeatureRow(m.doc_id, ts, ms, md5Hex(m.payload))
       }
     }.toDF()
   }

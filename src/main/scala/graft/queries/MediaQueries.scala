@@ -183,6 +183,35 @@ object MediaQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL MP4 roundtrip: builder-synthesized ISO-BMFF files
+    // (ftyp / moov>mvhd / mdat), movie timescale and duration from the
+    // parsed version-0 mvhd box. The oracle recomputes what the builder
+    // encoded (duration_ms = units*1000 // timescale, exact integer).
+    QueryDef(
+      "mm_mp4_decode",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |     ELSE 90000 END)::INT AS timescale,
+        |    600 + doc_id % 36000 AS units
+        |  FROM documents)
+        |SELECT doc_id, timescale, (units * 1000) // timescale AS duration_ms
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ts = when(col("doc_id") % 3 === 0, 600)
+        .when(col("doc_id") % 3 === 1, 1000).otherwise(90000)
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          DocBuild.mp4Udf(ts.cast("int"),
+            (col("doc_id") % 36000 + 600).cast("int"),
+            (col("doc_id") % 251).cast("int")).as("payload"),
+          lit("video/mp4").as("media_type"))
+        .as[MediaRow]
+      Multimodal.videoFeatures(media)
+        .select(col("doc_id"), col("timescale"), col("duration_ms"))
+        .orderBy(col("doc_id"))
+    },
+
     // Video frame sampling (1 -> N) through mapPartitions: every 5th
     // frame of a fake-decoded 25 fps stream.
     QueryDef(

@@ -243,6 +243,44 @@ object DocBuild {
     bb.array()
   }
 
+  /** Minimal real MP4 (ISO-BMFF): `ftyp` box, then `moov` containing a
+    * version-0 `mvhd` with the given movie timescale and duration in
+    * timescale units, then an `mdat` stub whose bytes derive from `px`
+    * — a parseable file whose header any BMFF reader (including
+    * `Multimodal.decodeMp4Meta`) walks.
+    */
+  def mp4Bytes(timescale: Int, durationUnits: Int, px: Int): Array[Byte] = {
+    require(timescale > 0 && durationUnits >= 0,
+      s"bad MP4 params: timescale=$timescale duration=$durationUnits")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(typ.getBytes("US-ASCII"))
+      bb.put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp",
+      "isomisomiso2mp41".getBytes("US-ASCII"))   // brand + compat brands
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)  // canonical v0 payload
+      bb.putInt(0)                    // version 0 + flags
+      bb.putInt(0).putInt(0)          // creation/modification time
+      bb.putInt(timescale)
+      bb.putInt(durationUnits)
+      bb.putInt(0x00010000)           // rate 1.0
+      bb.putShort(0x0100.toShort)     // volume 1.0
+      // reserved(10), unity matrix(36), predefined(24), next track id
+      bb.position(36)
+      bb.putInt(0x00010000); bb.position(52); bb.putInt(0x00010000)
+      bb.position(68); bb.putInt(0x40000000)
+      bb.position(96); bb.putInt(2)
+      box("mvhd", bb.array())
+    }
+    val mdat = box("mdat",
+      (0 until 16).map(i => ((px + i) & 0xff).toByte).toArray)
+    ftyp ++ box("moov", mvhd) ++ mdat
+  }
+
   val docxUdf: UserDefinedFunction = udf((ls: Seq[String]) => docxBytes(ls))
   val pptxUdf: UserDefinedFunction = udf((ls: Seq[String]) => pptxBytes(ls))
   val xlsxUdf: UserDefinedFunction = udf((ls: Seq[String]) => xlsxBytes(ls))
@@ -259,4 +297,6 @@ object DocBuild {
   val wavUdf: UserDefinedFunction =
     udf((ch: Int, rate: Int, bits: Int, n: Int, px: Int) =>
       wavBytes(ch, rate, bits, n, px))
+  val mp4Udf: UserDefinedFunction =
+    udf((ts: Int, dur: Int, px: Int) => mp4Bytes(ts, dur, px))
 }

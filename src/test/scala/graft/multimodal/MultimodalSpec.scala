@@ -141,6 +141,49 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3) == ((4L, 0, 0, 0, 0L)))   // no codec for this type
   }
 
+  test("decodeMp4Meta parses real mvhd boxes and rejects non-MP4s") {
+    // 1000 units/s, 90500 units -> 90500 ms exactly.
+    assert(Multimodal.decodeMp4Meta(DocBuild.mp4Bytes(1000, 90500, 3))
+      .contains((1000, 90500L)))
+    // 90000 units/s, 123456 units -> floor(123456000/90000) = 1371 ms.
+    assert(Multimodal.decodeMp4Meta(DocBuild.mp4Bytes(90000, 123456, 0))
+      .contains((90000, 1371L)))
+    // A version-1 mvhd (64-bit times) parses through the v1 offsets.
+    val v1 = {
+      def box(typ: String, p: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + p.length)
+        bb.putInt(8 + p.length).put(typ.getBytes("US-ASCII")).put(p)
+        bb.array()
+      }
+      val mvhd = java.nio.ByteBuffer.allocate(112)
+      mvhd.putInt(0x01000000)          // version 1
+      mvhd.putLong(0L).putLong(0L)     // 64-bit ctime/mtime
+      mvhd.putInt(600)                 // timescale at offset 20
+      mvhd.putLong(1234L)              // 64-bit duration at offset 24
+      box("ftyp", "isom".getBytes("US-ASCII")) ++
+        box("moov", box("mvhd", mvhd.array()))
+    }
+    assert(Multimodal.decodeMp4Meta(v1).contains((600, 1234L * 1000 / 600)))
+    assert(Multimodal.decodeMp4Meta("ftypnope".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeMp4Meta(
+      DocBuild.mp4Bytes(1000, 500, 1).take(20)).isEmpty)
+    assert(Multimodal.decodeMp4Meta(null).isEmpty)
+  }
+
+  test("videoFeatures carries real MP4 metadata through the batch stage") {
+    val rows = Seq(
+      MediaRow(1L, DocBuild.mp4Bytes(1000, 2500, 7), "video/mp4"),
+      MediaRow(2L, "junk".getBytes("UTF-8"), "video/mp4"),
+      MediaRow(3L, DocBuild.mp4Bytes(1000, 2500, 7), "audio/wav"))
+    val got = spark.createDataset(rows)
+      .transform(ds => Multimodal.videoFeatures(ds))
+      .select("doc_id", "timescale", "duration_ms")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 1000, 2500L)))
+    assert(got(1) == ((2L, 0, 0L)))   // corrupt -> sentinel
+    assert(got(2) == ((3L, 0, 0L)))   // wrong media type
+  }
+
   test("pngBytes chunks carry valid lengths and CRCs") {
     // Walk the chunk list with an independent reader: every chunk's
     // CRC32 over type+data must match, and the list must be exactly
