@@ -189,6 +189,28 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     },
 
+    // Skew-salted join: events (the big, potentially hot-keyed side)
+    // against the customer dim with the key spread over 8 salt
+    // sub-keys — the skew tool for the plans AQE cannot rewrite
+    // (stream-static joins, non-algebraic downstream aggs). Results
+    // are identical to the plain join, which is exactly what the
+    // oracle checks.
+    QueryDef(
+      "join_salted_user_segment",
+      """SELECT c.c_mktsegment, count(*)::BIGINT AS n,
+        |  round(sum(e.value), 2) AS total_value
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("value"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.Salt.saltedJoin(ev, cust, "user_id", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     QueryDef(
       "join_anti_quiet_customers",
       """SELECT c.c_custkey, c.c_mktsegment FROM customer c
