@@ -141,6 +141,99 @@ object Streams {
     java.nio.file.Files.write(ptr, s"state_$batchId".getBytes("UTF-8"))
   }
 
+  // ---- near-dup-suppressing ingest sink -----------------------------------
+
+  /** Continuous document ingest with near-dup suppression — the
+    * streaming face of [[graft.operators.Dedup.lshIncrementalCandidates]]:
+    * each micro-batch MinHash-signs its docs and screens them against
+    * the STANDING store's persisted signature index; a batch doc whose
+    * verified Jaccard against any stored doc (or a lower-id doc in the
+    * same batch) reaches `minJaccard` is dropped, and survivors append
+    * their rows AND their signatures/bands to the store. Docs too short
+    * to shingle fall back to exact content-hash dedup. Re-delivery of a
+    * batch finds every doc Jaccard-1.0 against its stored self and
+    * inserts nothing, so at-least-once delivery converges.
+    *
+    * At 100 TB the store never recomputes signatures: the band index
+    * grows append-only next to the docs, and each batch pays only its
+    * own signing plus a band-bucket join against the index.
+    */
+  def neardupIngestSink(stream: DataFrame, storeDir: String, idCol: String,
+      textCol: String, checkpointDir: String,
+      minJaccard: Double = 0.9): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        neardupIngestBatch(batch, storeDir, idCol, textCol, minJaccard): Unit
+      }
+      .start()
+
+  /** One micro-batch of the near-dup ingest (also the batch restart
+    * path). Returns the number of docs actually inserted.
+    */
+  def neardupIngestBatch(batch: DataFrame, storeDir: String, idCol: String,
+      textCol: String, minJaccard: Double = 0.9): Long = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val docsDir = s"$storeDir/docs"
+    val hsDir = s"$storeDir/hs"
+    val bandsDir = s"$storeDir/bands"
+    def exists(p: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    }
+    val hashed = Upsert.withContentHash(
+      batch.dropDuplicates(idCol), textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchHs = Dedup.hashedShingleArrays(hashed, idCol, textCol, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchBands = Dedup.lshBands(
+      Dedup.minhashSignatures(batchHs, 128), 128, 16)
+
+    // Near-dups vs the standing index (batch side = b), then vs
+    // lower-id docs in the same batch (drop the higher id of a pair —
+    // the ingest-gate reading of "keep the canonical representative").
+    val vsStore =
+      if (exists(bandsDir)) {
+        val cand = Dedup.lshIncrementalCandidates(
+          spark.read.parquet(bandsDir), batchBands)
+        Dedup.jaccard(cand, spark.read.parquet(hsDir).unionByName(batchHs))
+          .filter(col("jaccard") >= minJaccard).select(col("b").as(idCol))
+      } else batchHs.select(col("doc_id").as(idCol)).limit(0)
+    val inBatch = Dedup.jaccard(
+      Dedup.lshCandidatePairs(batchBands), batchHs)
+      .filter(col("jaccard") >= minJaccard).select(col("b").as(idCol))
+    // Exact-hash fallback covers the docs with no shingles.
+    val exactDup =
+      if (exists(docsDir))
+        hashed.join(spark.read.parquet(docsDir).select("content_hash"),
+          Seq("content_hash"), "left_semi").select(col(idCol))
+      else hashed.limit(0).select(col(idCol))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col(idCol))
+    val exactInBatch = hashed
+      .withColumn("__rn", row_number().over(wExact))
+      .filter(col("__rn") > 1).select(col(idCol))
+
+    val dropIds = vsStore.unionByName(inBatch).unionByName(exactDup)
+      .unionByName(exactInBatch).distinct()
+    val survivors = hashed.join(dropIds, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = survivors.count()
+    if (n > 0) {
+      survivors.write.mode("append").parquet(docsDir)
+      batchHs.join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"),
+        "left_semi").write.mode("append").parquet(hsDir)
+      batchBands.join(survivors.select(col(idCol).as("doc_id")),
+        Seq("doc_id"), "left_semi").write.mode("append").parquet(bandsDir)
+    }
+    survivors.unpersist()
+    batchHs.unpersist()
+    hashed.unpersist()
+    n
+  }
+
   /** S16/ST6 over a relational target: each micro-batch inserts only
     * rows whose `content_hash` is absent from the table (the reference's
     * streaming page store — `ON CONFLICT (content_hash) DO NOTHING`,

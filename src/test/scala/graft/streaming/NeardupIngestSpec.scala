@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The near-dup-suppressing ingest: novel docs append, near-dups and
+  * exact re-deliveries are dropped against the standing signature
+  * index, shingle-less docs fall back to exact-hash dedup, and the
+  * whole sink converges under at-least-once delivery.
+  */
+class NeardupIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while seven wizards brew strong potions at midnight"
+
+  private def storeIds(dir: String): Set[Long] =
+    spark.read.parquet(s"$dir/docs").select("doc_id")
+      .as[Long].collect().toSet
+
+  test("neardupIngestBatch suppresses near-dups, exact dups, and re-delivery") {
+    val dir = java.nio.file.Files.createTempDirectory("nd-ingest").toString
+    val b1 = Seq(
+      (1L, base),
+      (2L, "completely different text about distributed query engines " +
+        "and columnar storage formats for analytical workloads at scale"),
+      (3L, "hi"))                                  // too short to shingle
+      .toDF("doc_id", "text")
+    assert(Streams.neardupIngestBatch(b1, dir, "doc_id", "text", 0.8) == 3)
+    assert(storeIds(dir) == Set(1L, 2L, 3L))
+
+    val b2 = Seq(
+      (4L, base.replaceFirst("\\S+", "zzz")),      // near-dup of stored 1
+      (5L, "an entirely novel document mentioning streaming watermarks " +
+        "checkpoint rotation and stateful aggregation semantics"),
+      (2L, b1.filter($"doc_id" === 2L).select("text").as[String].head()),
+      (6L, "hi"))                                  // exact dup of stored 3
+      .toDF("doc_id", "text")
+    assert(Streams.neardupIngestBatch(b2, dir, "doc_id", "text", 0.8) == 1)
+    assert(storeIds(dir) == Set(1L, 2L, 3L, 5L))
+
+    // Full re-delivery of batch 2: everything matches its stored self
+    // (or a stored near-dup) -> zero inserts.
+    assert(Streams.neardupIngestBatch(b2, dir, "doc_id", "text", 0.8) == 0)
+    assert(storeIds(dir) == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("within one batch the lower id wins for near- and exact dups") {
+    val dir = java.nio.file.Files.createTempDirectory("nd-ingest").toString
+    val b = Seq(
+      (11L, base),
+      (12L, base.replaceFirst("\\S+", "zzz")),     // near-dup of 11
+      (13L, "ok"), (14L, "ok"))                    // exact dup, no shingles
+      .toDF("doc_id", "text")
+    assert(Streams.neardupIngestBatch(b, dir, "doc_id", "text", 0.8) == 2)
+    assert(storeIds(dir) == Set(11L, 13L))
+  }
+
+  test("neardupIngestSink drives batches through foreachBatch") {
+    val dir = java.nio.file.Files.createTempDirectory("nd-ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("nd-ckpt").toString
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.neardupIngestSink(
+      in.toDF().toDF("doc_id", "text"), dir, "doc_id", "text", ckpt, minJaccard = 0.8)
+    in.addData((21L, base))
+    in.addData((22L, base.replaceFirst("\\S+", "qqq")),
+      (23L, "fresh streaming content with session windows and salted " +
+        "joins feeding the training data pipeline downstream"))
+    try q.processAllAvailable() finally q.stop()
+    assert(storeIds(dir) == Set(21L, 23L))
+  }
+}
