@@ -438,6 +438,67 @@ object LlmQueries {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    // The canonical TRAINING-DATA FILTER a corpus user actually runs,
+    // composed from the pipeline's own stages: exact dedup (lowest id
+    // canonical) -> quality gate -> English-only -> token-range gate.
+    // One shuffle (the dedup window); every gate is a codegen'd
+    // builtin over the token array.
+    QueryDef(
+      "pl_training_data_filter",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, text,
+        |    sha256(trim(regexp_replace(regexp_replace(text, e'\r\n|\r', e'\n', 'g'),
+        |      '\s+', ' ', 'g'))) AS content_hash
+        |  FROM corpus),
+        |canon AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY content_hash
+        |                         ORDER BY doc_id) AS rn
+        |    FROM hashed) WHERE rn = 1),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM canon),
+        |m AS (
+        |  SELECT doc_id, len(l) AS n_tokens,
+        |    round(least(1.0, len(l) / 32.0) * 0.4
+        |      + (len(list_distinct(l)) * 1.0 / len(l)) * 0.4
+        |      + least(1.0, len(list_filter(l,
+        |          x -> x IN ('the','a','of','and','to','in','is'))) * 8.0
+        |          / len(l)) * 0.2, 4) AS quality,
+        |    len(list_filter(l, x -> x IN ('the','a','of','and','to','in','is'))) AS en,
+        |    len(list_filter(l, x -> x IN ('der','die','das','und','ist','ein'))) AS de,
+        |    len(list_filter(l, x -> x IN ('le','la','les','et','est','un'))) AS fr,
+        |    len(list_filter(l, x -> x IN ('el','la','los','y','es','un'))) AS es
+        |  FROM t)
+        |SELECT doc_id, n_tokens, quality FROM m
+        |WHERE quality >= 0.5 AND n_tokens BETWEEN 8 AND 1000
+        |  AND en + de + fr + es > 0
+        |  AND en >= de AND en >= fr AND en >= es
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      graft.operators.Upsert.withContentHash(corpus, "text")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langId(col("text")).as("lang"))
+        .filter(col("quality") >= 0.5 &&
+          col("n_tokens").between(8, 1000) && col("lang") === "en")
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+
     // Token statistics: whitespace + BPE-ish counts.
     QueryDef(
       "txt_token_stats",
