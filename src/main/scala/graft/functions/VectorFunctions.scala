@@ -33,4 +33,28 @@ object VectorFunctions {
   /** Cosine similarity of two array<double> columns. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Per-vector symmetric int8 quantization scale: max|x| / 127
+    * (0 for the all-zero vector). At 100 TB this is the ANN memory
+    * lever — a 1024-dim float32 embedding is 4 KB; as (tinyint array,
+    * one double scale) it is ~1 KB, 4x more vectors per executor and
+    * per shuffle byte, while cosine ranking degrades only in the 4th
+    * decimal (cosine is scale-invariant, so the stored scale matters
+    * only for dot-product / L2 reconstruction).
+    */
+  def int8Scale(v: Column): Column =
+    aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
+
+  /** q_i = round(x_i / scale) as tinyint in [-127, 127]; the all-zero
+    * vector (scale 0) quantizes to zeros.
+    */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    when(scale === 0.0, transform(v, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(v, x => round(x / scale).cast("tinyint")))
+
+  /** Reconstructed double vector q_i * scale (what similarity math
+    * runs on).
+    */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 }

@@ -346,6 +346,49 @@ object LlmQueries {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    // Top-k over INT8-QUANTIZED embeddings: per-vector symmetric
+    // quantization (round(x/scale), scale = max|x|/127), ranking on the
+    // reconstructed vectors — the 4x-memory ANN path at 100 TB. The
+    // oracle replicates the quantize->dequantize arithmetic, so the
+    // approximation itself is bit-reproducible.
+    QueryDef(
+      "sim_int8_topk",
+      """WITH vs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT id, v,
+        |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |       FROM vs),
+        |dq AS (SELECT id,
+        |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x / scale) * scale)
+        |         END AS v
+        |       FROM sc),
+        |q AS (SELECT id AS qid, v AS qv FROM dq WHERE id < 10),
+        |c AS (SELECT id AS cid, v AS cv FROM dq),
+        |scores AS (
+        |  SELECT qid, cid,
+        |    round(list_inner_product(qv, cv) /
+        |      (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))),
+        |      6) AS score
+        |  FROM q, c WHERE cid <> qid),
+        |r AS (SELECT qid, cid, score,
+        |        row_number() OVER (PARTITION BY qid
+        |                           ORDER BY score DESC, cid) AS rnk
+        |      FROM scores)
+        |SELECT qid, cid, score, rnk FROM r WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      import graft.functions.VectorFunctions._
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"),
+          toDoubleArray(col("embedding")).as("v"))
+        .withColumn("scale", int8Scale(col("v")))
+      val deq = emb.select(col("id"),
+        dequantizeInt8(quantizeInt8(col("v"), col("scale")), col("scale"))
+          .as("vec"))
+      Similarity.bruteForceTopK(deq.filter(col("id") < 10), deq, 3)
+        .select(col("qid"), col("cid"), col("score"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     // Embedding-cosine near-dup pairs: hyperplane-LSH buckets generate
     // candidates (scaled copies keep every projection sign, so they
     // land in their original's bucket), exact cosine >= 0.999 verifies.
