@@ -22,6 +22,11 @@ object DocBuild {
   private def zip(entries: (String, String)*): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val z = new ZipOutputStream(bos)
+    // Level 0 = stored-deflate: the container stays a fully valid zip
+    // (every reader, including DocExtract, parses it unchanged) but the
+    // builder skips the compression work — it synthesizes test
+    // payloads, not archives worth shrinking.
+    z.setLevel(Deflater.NO_COMPRESSION)
     entries.foreach { case (name, content) =>
       z.putNextEntry(new ZipEntry(name))
       z.write(content.getBytes("UTF-8"))
