@@ -25,7 +25,20 @@ final case class CrawlConfig(
     // reference; enforced here because an unbounded BFS at 100 TB is a
     // cost bug). When a round's frontier would overflow the remaining
     // budget, it is truncated deterministically by (depth, url).
-    maxPagesTotal: Int = 20000)
+    maxPagesTotal: Int = 20000,
+    // `models.py:14` exclusive_depth: overrides max_depth_root as the
+    // depth cap when set (`crawler_core.py:89-90`).
+    exclusiveDepth: Option[Int] = None,
+    // `models.py:16` download_files: false skips file handling entirely
+    // (`crawler_core.py:95-96`).
+    downloadFiles: Boolean = true,
+    // `models.py:10` documents_only: pages are still crawled for their
+    // links but only file documents are persisted
+    // (`crawler_core.py:217`).
+    documentsOnly: Boolean = false) {
+  /** The effective depth cap (`crawler_core.py:89-90`). */
+  def depthCap: Int = exclusiveDepth.getOrElse(maxDepth)
+}
 
 /** Pluggable page source: urls (url) -> (url, payload binary,
   * content_type). Missing rows are fetch failures (dropped, F11). The
@@ -110,7 +123,9 @@ object Crawl {
       .filter(!UrlFunctions.isStaticBlocked(col("url")))
 
     // X3/F8/F9: file links -> extraction; J3: skip processed.
+    // download_files=false drops the whole branch (crawler_core.py:95).
     val fileLinks = links
+      .filter(lit(cfg.downloadFiles))
       .filter(UrlFunctions.ext(col("url"))
         .isin(cfg.allowedFileExtensions: _*))
       .filter(if (cfg.downloadOnlySameDomain)
@@ -193,7 +208,7 @@ object Crawl {
       if (cfg.singlePage) { frontier = frontier.limit(0); n = 0L }
       else {
         val (next, m) = acc.checkpointCounted(out.pageLinks
-          .filter(col("depth") <= cfg.maxDepth)
+          .filter(col("depth") <= cfg.depthCap)
           .groupBy(col("url")).agg(min(col("depth")).as("depth"))
           .join(enqueued, Seq("url"), "left_anti"))
         frontier = next
@@ -202,8 +217,13 @@ object Crawl {
       enqueued = enqueued.unionByName(frontier.select("url"))
     }
 
+    // documents_only: pages were still crawled for their links, but
+    // only file documents are persisted (crawler_core.py:217).
+    val outPages =
+      if (cfg.documentsOnly) pages.limit(0) else pages
     CrawlResult(
-      pages.withColumn("content_hash", HashFunctions.contentHash(col("text")))
+      outPages
+        .withColumn("content_hash", HashFunctions.contentHash(col("text")))
         .withColumn("text_len", length(col("text"))),
       files.withColumn("content_hash", HashFunctions.contentHash(col("text"))))
   }

@@ -72,7 +72,7 @@ object StreamingCrawl {
     // micro-batch thread, possibly concurrent with a Rotating loop —
     // never checkpoint into a directory that could be rotated away.
     val frontier = graft.Checkpoints.pinned(batch
-      .filter(col("depth") <= cfg.maxDepth)
+      .filter(col("depth") <= cfg.depthCap)
       .groupBy(col("url")).agg(min(col("depth")).as("depth"))
       .join(visited, Seq("url"), "left_anti"))
     if (!frontier.isEmpty) {
@@ -95,7 +95,7 @@ object StreamingCrawl {
 
       // Self-feed: new links become the next trigger's input.
       val next = out.pageLinks
-        .filter(col("depth") <= cfg.maxDepth)
+        .filter(col("depth") <= cfg.depthCap)
         .groupBy(col("url")).agg(min(col("depth")).as("depth"))
         .join(state(spark, s"${dirs.state}/visited"), Seq("url"), "left_anti")
       if (!cfg.singlePage && !next.isEmpty)

@@ -83,6 +83,38 @@ class CrawlSpec extends SparkSpec {
       Seq(s"$root/index.html"))
   }
 
+  test("exclusive_depth overrides max_depth_root as the cap") {
+    val res = Crawl.run(spark, new LocalFetcher(siteDf),
+      Seq(s"$root/index.html"),
+      CrawlConfig(rootDomain = "ex.com", maxDepth = 5,
+        exclusiveDepth = Some(1), maxFileBytes = 1000))
+    val urls = res.pages.select("url").as[String].collect().toSet
+    // c.html sits at depth 2 — beyond the exclusive cap of 1.
+    assert(urls == Set(s"$root/index.html", s"$root/a.html",
+      s"$root/b.html"))
+  }
+
+  test("download_files=false crawls pages but skips every file") {
+    val res = Crawl.run(spark, new LocalFetcher(siteDf),
+      Seq(s"$root/index.html"),
+      CrawlConfig(rootDomain = "ex.com", maxDepth = 5,
+        downloadFiles = false))
+    assert(res.pages.count() == 4)
+    assert(res.files.count() == 0)
+  }
+
+  test("documents_only persists files only but still walks the links") {
+    val res = Crawl.run(spark, new LocalFetcher(siteDf),
+      Seq(s"$root/index.html"),
+      CrawlConfig(rootDomain = "ex.com", maxDepth = 5,
+        documentsOnly = true))
+    assert(res.pages.count() == 0)
+    // Both files (doc.txt under the default 25 MB gate, report.docx)
+    // were still discovered via the crawled pages' links.
+    assert(res.files.select("url").as[String].collect().toSet ==
+      Set(s"$root/doc.txt", s"$root/big.txt", s"$root/report.docx"))
+  }
+
   test("max_pages_total budget truncates the crawl deterministically") {
     // 12-page site: index -> p01..p11. Budget 5 = index (round 1) +
     // the first 4 links by (depth, url) order.
