@@ -156,6 +156,29 @@ object Crawl {
       files, pageLinks)
   }
 
+  /** Crawled pages as full `PageRecord` rows
+    * (`/root/reference/models.py:43-57`): `page_id` = sha1(url)
+    * (`utils.py:11-12`), `text_path` following the store's
+    * `pages/text/<page_id>.txt` convention
+    * (`filesystem_store.py:89-90`), and the job/tenant stamps. Pure
+    * projection — stamping 100 TB of pages adds no shuffle.
+    */
+  def toPageRecords(pages: DataFrame, jobId: String, baseDir: String,
+      agentId: String = "default_agent_id", projectId: Int = 1): DataFrame =
+    pages.select(
+      sha1(col("url")).as("page_id"),
+      lit(jobId).as("job_id"),
+      col("url"),
+      UrlFunctions.domain(col("url")).as("domain"),
+      col("depth"),
+      concat(lit(s"${baseDir.stripSuffix("/")}/pages/text/"),
+        sha1(col("url")), lit(".txt")).as("text_path"),
+      col("content_type"),
+      col("content_hash"),
+      col("text_len"),
+      lit(agentId).as("agent_id"),
+      lit(projectId).as("project_id"))
+
   def run(spark: SparkSession, fetcher: Fetcher, seeds: Seq[String],
       cfg: CrawlConfig): CrawlResult = {
     import spark.implicits._

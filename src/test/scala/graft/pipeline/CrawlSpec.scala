@@ -151,6 +151,28 @@ class CrawlSpec extends SparkSpec {
     assert(files.toSeq == Seq((s"$root/dup.txt", 1)))
   }
 
+  test("toPageRecords pins the reference's PageRecord shape") {
+    def sha1Hex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val res = Crawl.run(spark, new LocalFetcher(siteDf),
+      Seq(s"$root/index.html"),
+      CrawlConfig(rootDomain = "ex.com", maxDepth = 5))
+    val recs = Crawl.toPageRecords(res.pages, jobId = "job-7",
+      baseDir = "/store/excom", agentId = "agent-x", projectId = 42)
+    assert(recs.columns.toSeq == Seq("page_id", "job_id", "url", "domain",
+      "depth", "text_path", "content_type", "content_hash", "text_len",
+      "agent_id", "project_id"))
+    val r = recs.filter($"url" === s"$root/a.html").collect().head
+    assert(r.getAs[String]("page_id") == sha1Hex(s"$root/a.html"))
+    assert(r.getAs[String]("text_path") ==
+      s"/store/excom/pages/text/${sha1Hex(s"$root/a.html")}.txt")
+    assert(r.getAs[String]("domain") == "ex.com")
+    assert(r.getAs[String]("job_id") == "job-7")
+    assert(r.getAs[String]("agent_id") == "agent-x")
+    assert(r.getAs[Int]("project_id") == 42)
+  }
+
   test("incremental re-crawl merges zero changes into the store") {
     val res = Crawl.run(spark, new LocalFetcher(siteDf),
       Seq(s"$root/index.html"), CrawlConfig(rootDomain = "ex.com"))
