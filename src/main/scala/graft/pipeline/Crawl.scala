@@ -141,7 +141,7 @@ object Crawl {
       .withColumn("ext", UrlFunctions.ext(col("url")))
       .withColumn("res",
         DocExtract.extractUdf(col("payload"), col("ext")))
-      .select(col("url"), col("depth"), col("ext"),
+      .select(col("url"), col("depth"), col("ext"), col("content_type"),
         col("res.text").as("text"),
         octet_length(col("payload")).cast("long").as("size_bytes"))
       .filter(length(col("text")) > 0)  // F11
@@ -179,6 +179,30 @@ object Crawl {
       lit(agentId).as("agent_id"),
       lit(projectId).as("project_id"))
 
+  /** Extracted files as full `FileRecord` rows
+    * (`/root/reference/models.py:58-70`): `file_id` = sha1(url),
+    * `file_path` following the store's `files_text/<file_id>.txt`
+    * convention (`filesystem_store.py:154-157`), and `size_bytes` as
+    * the UTF-8 byte length of the EXTRACTED text — the reference
+    * overrides the fetch size with it (`filesystem_store.py:193`).
+    */
+  def toFileRecords(files: DataFrame, jobId: String, baseDir: String,
+      agentId: String = "default_agent_id", projectId: Int = 1): DataFrame =
+    files.select(
+      sha1(col("url")).as("file_id"),
+      lit(jobId).as("job_id"),
+      col("url"),
+      UrlFunctions.domain(col("url")).as("domain"),
+      col("depth"),
+      concat(lit(s"${baseDir.stripSuffix("/")}/files_text/"),
+        sha1(col("url")), lit(".txt")).as("file_path"),
+      col("content_type"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long")
+        .as("size_bytes"),
+      lit(agentId).as("agent_id"),
+      lit(projectId).as("project_id"),
+      col("content_hash"))
+
   def run(spark: SparkSession, fetcher: Fetcher, seeds: Seq[String],
       cfg: CrawlConfig): CrawlResult = {
     import spark.implicits._
@@ -186,8 +210,8 @@ object Crawl {
 
     val emptyPages = Seq.empty[(String, Int, String, String)]
       .toDF("url", "depth", "content_type", "text")
-    val emptyFiles = Seq.empty[(String, Int, String, String, Long)]
-      .toDF("url", "depth", "ext", "text", "size_bytes")
+    val emptyFiles = Seq.empty[(String, Int, String, String, String, Long)]
+      .toDF("url", "depth", "ext", "content_type", "text", "size_bytes")
 
     // Crawl STATE: only each round's DELTA (the frontier) is
     // materialized; the cumulative sets (enqueued urls, processed

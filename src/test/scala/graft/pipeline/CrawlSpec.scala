@@ -171,6 +171,20 @@ class CrawlSpec extends SparkSpec {
     assert(r.getAs[String]("job_id") == "job-7")
     assert(r.getAs[String]("agent_id") == "agent-x")
     assert(r.getAs[Int]("project_id") == 42)
+
+    val fRecs = Crawl.toFileRecords(res.files, jobId = "job-7",
+      baseDir = "/store/excom", agentId = "agent-x", projectId = 42)
+    assert(fRecs.columns.toSeq == Seq("file_id", "job_id", "url", "domain",
+      "depth", "file_path", "content_type", "size_bytes", "agent_id",
+      "project_id", "content_hash"))
+    val f = fRecs.filter($"url" === s"$root/doc.txt").collect().head
+    assert(f.getAs[String]("file_id") == sha1Hex(s"$root/doc.txt"))
+    assert(f.getAs[String]("file_path") ==
+      s"/store/excom/files_text/${sha1Hex(s"$root/doc.txt")}.txt")
+    assert(f.getAs[String]("content_type") == "text/plain")
+    // size_bytes = UTF-8 byte length of the EXTRACTED text
+    // (filesystem_store.py:193), not the fetched payload size.
+    assert(f.getAs[Long]("size_bytes") == "plain text doc".length.toLong)
   }
 
   test("incremental re-crawl merges zero changes into the store") {
