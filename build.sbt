@@ -33,5 +33,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // A ~100-query bench session generates hundreds of whole-stage-codegen
+  // classes; the JDK default 240 MB code cache fills mid-session, the
+  // JIT stops compiling, and late heavy queries run 2-3x their isolated
+  // steady state (r5: dd_jaccard 14.3 s in-session vs 5.4 s warm
+  // standalone). Size the cache for the whole session instead.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -36,6 +36,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
+    // Session-health probes: cumulative GC ms and JIT code-cache
+    // occupancy. Both are per-JVM, not per-query, but the DELTA across a
+    // query's run attributes session effects (GC pressure, code-cache
+    // exhaustion stopping the JIT) to the queries that suffer them —
+    // r5's dd_jaccard ran 14.3 s in-session vs 5.4 s warm standalone
+    // with no plan difference, and these numbers are how that gap is
+    // diagnosed rather than guessed at.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    def codeCacheUsedMb(): Long =
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed).sum / (1024 * 1024)
+
+    final case class Run(sec: Double, gcMs: Long)
+
     // Returns None when the query throws so fail-fast timings never win
     // the per-query min. Cache is cleared after every query: a few LLM
     // queries persist intermediates for intra-query reuse, and letting
@@ -43,7 +61,8 @@ object Bench {
     // queries under eviction pressure (r4 showed dd_jaccard at 4.6× its
     // warm cost from exactly this).
     def runOne(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Run] = {
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -53,7 +72,7 @@ object Bench {
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      if (ok) Some(elapsed) else None
+      if (ok) Some(Run(elapsed, gcMillis() - gc0)) else None
     }
 
     // Untimed warmup: cheap queries covering scan, shuffle, join and
@@ -63,14 +82,14 @@ object Bench {
     queries.filter(q => warmupNames.contains(q._1))
       .foreach { case (n, f) => runOne(n, f) }
 
-    val timed: Seq[Map[String, Option[Double]]] = (1 to passes).map { _ =>
+    val timed: Seq[Map[String, Option[Run]]] = (1 to passes).map { _ =>
       queries.map { case (name, fn) => name -> runOne(name, fn) }.toMap
     }
     // Min over SUCCESSFUL passes only; a query that failed every pass is
     // reported by name, not by a (meaningless) fail-fast timing.
     val results = queries.flatMap { case (name, _) =>
       val oks = timed.flatMap(_(name))
-      if (oks.nonEmpty) Some(name -> oks.min) else None
+      if (oks.nonEmpty) Some(name -> oks.map(_.sec).min) else None
     }
     val failed = queries.map(_._1).filterNot(results.map(_._1).toSet)
     def r3(v: Double): String =
@@ -78,14 +97,31 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Diagnostics: every pass's (sec, gcMs) per query, so session
+    // inflation (pass-1 vs pass-2 spread, GC share of a slow run) is
+    // measurable from the output instead of re-run folklore.
+    val passesJson = queries.flatMap { case (name, _) =>
+      val runs = timed.map(_(name))
+      if (runs.forall(_.isEmpty)) None
+      else Some("\"" + name + "\":[" + runs.map {
+        case Some(r) => s"""{"sec":${r3(r.sec)},"gc_ms":${r.gcMs}}"""
+        case None => "null"
+      }.mkString(",") + "]")
+    }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // The per-pass diagnostics triple the line size, so they go to the
+    // FILE only — stdout lines past ~4 KB risk truncation in the
+    // driver's tail capture.
+    val fullWithDiag = full.dropRight(1) +
+      s""","passes":$passesJson,"gc_ms_total":${gcMillis()},""" +
+      s""""code_cache_used_mb":${codeCacheUsedMb()}}"""
     val short =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (full + "\n").getBytes("UTF-8"))
+      (fullWithDiag + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
