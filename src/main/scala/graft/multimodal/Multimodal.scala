@@ -9,7 +9,8 @@ final case class MediaRow(doc_id: Long, payload: Array[Byte],
 final case class ImageFeatureRow(doc_id: Long, width: Int, height: Int,
     channels: Int, resized_w: Int, resized_h: Int, fingerprint: String)
 
-final case class FrameRow(doc_id: Long, frame_idx: Int, offset_ms: Long)
+final case class FrameRow(doc_id: Long, frame_idx: Int, offset_ms: Long,
+    frame_bytes: Int)
 
 final case class AudioFeatureRow(doc_id: Long, channels: Int,
     sample_rate: Int, bits_per_sample: Int, duration_ms: Long,
@@ -236,6 +237,94 @@ object Multimodal {
     } yield (timescale, units * 1000L / timescale)
   }
 
+  /** REAL MP4 sample-table decode (pure JDK): walk
+    * `moov > trak > mdia > (mdhd, minf > stbl > (stts, stsz))` and
+    * return the media timescale (mdhd, units/second), the per-sample
+    * durations in media units (stts run-length entries EXPANDED — each
+    * `(sample_count, sample_delta)` run yields `sample_count` entries),
+    * and the per-sample byte sizes (stsz; a nonzero `sample_size`
+    * field means all samples share that size). Returns None for bytes
+    * without the full chain, a box overrun, or mismatched stts/stsz
+    * sample counts. Header-only — `mdat` is never touched.
+    */
+  def decodeMp4Samples(
+      payload: Array[Byte]): Option[(Int, Array[Int], Array[Int])] = {
+    if (payload == null || payload.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)   // ISO-BMFF ints are BE
+    def boxType(off: Int): String =
+      new String(payload, off + 4, 4, "US-ASCII")
+    def u32(off: Int): Long = bb.getInt(off).toLong & 0xffffffffL
+    if (boxType(0) != "ftyp") return None
+    // Find a box by type within [from, end); returns payload bounds.
+    def find(from: Int, end: Int, typ: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= end) {
+        val size = u32(i)
+        if (size < 8 || i + size > end) return None
+        if (boxType(i) == typ) return Some((i + 8, i + size.toInt))
+        i += size.toInt
+      }
+      None
+    }
+    for {
+      (moovO, moovE) <- find(0, payload.length, "moov")
+      (trakO, trakE) <- find(moovO, moovE, "trak")
+      (mdiaO, mdiaE) <- find(trakO, trakE, "mdia")
+      (mdhdO, mdhdE) <- find(mdiaO, mdiaE, "mdhd")
+      timescale <- {
+        val version = payload(mdhdO) & 0xff
+        if (version == 0 && mdhdO + 16 <= mdhdE)
+          Some(u32(mdhdO + 12).toInt)
+        else if (version == 1 && mdhdO + 24 <= mdhdE)
+          Some(u32(mdhdO + 20).toInt)
+        else None
+      }
+      if timescale > 0
+      (minfO, minfE) <- find(mdiaO, mdiaE, "minf")
+      (stblO, stblE) <- find(minfO, minfE, "stbl")
+      (sttsO, sttsE) <- find(stblO, stblE, "stts")
+      durations <- {
+        if (sttsO + 8 > sttsE) None
+        else {
+          val nRuns = u32(sttsO + 4)
+          if (sttsO + 8 + 8 * nRuns > sttsE || nRuns > (1 << 20)) None
+          else {
+            val durs = Array.newBuilder[Int]
+            var run = 0
+            var total = 0L
+            var bad = false
+            while (run < nRuns && !bad) {
+              val count = u32(sttsO + 8 + 8 * run)
+              val delta = u32(sttsO + 12 + 8 * run)
+              total += count
+              if (delta <= 0 || delta > Int.MaxValue || total > (1 << 24))
+                bad = true
+              else {
+                var j = 0L
+                while (j < count) { durs += delta.toInt; j += 1 }
+              }
+              run += 1
+            }
+            if (bad) None else Some(durs.result())
+          }
+        }
+      }
+      (stszO, stszE) <- find(stblO, stblE, "stsz")
+      sizes <- {
+        if (stszO + 12 > stszE) None
+        else {
+          val uniform = u32(stszO + 4)
+          val n = u32(stszO + 8)
+          if (n != durations.length) None
+          else if (uniform > 0) Some(Array.fill(n.toInt)(uniform.toInt))
+          else if (stszO + 12 + 4 * n > stszE) None
+          else Some(Array.tabulate(n.toInt)(i =>
+            u32(stszO + 12 + 4 * i).toInt))
+        }
+      }
+    } yield (timescale, durations, sizes)
+  }
+
   /** Audio metadata extraction, one mapPartitions stage over
     * (doc_id, payload, media_type) rows: real WAV header parse for
     * `audio/wav`/`audio/x-wav`, (0, 0, 0, 0) sentinel for anything else
@@ -322,17 +411,29 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Frame sampling (1 -> N): every `everyN`-th frame of a fake-decoded
-    * video (frame count from the payload hash, 25 fps), emitted from
-    * the same batch shape a real demuxer would use.
+  /** REAL frame sampling (1 -> N): parse the MP4 sample table
+    * (stts/stsz via `decodeMp4Samples`) and emit every `everyN`-th
+    * sample with its exact presentation offset — the cumulative
+    * duration of all earlier samples, converted from media-timescale
+    * units to integer ms — and its byte size from stsz. Variable frame
+    * rate (multiple stts runs) is honored, since offsets come from the
+    * expanded per-sample durations, not a fps constant. Payloads
+    * without a parseable sample table yield zero frames — the 1->N
+    * twin of the decoders' zero-dims sentinel. One mapPartitions
+    * stage; `mdat` is never read, so only header bytes are touched.
     */
   def sampleFrames(media: Dataset[MediaRow], everyN: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
-        val nFrames = (8 + payloadHash(m.payload) % 25).toInt
-        (0 until nFrames by everyN).map(i =>
-          FrameRow(m.doc_id, i, i * 40L))   // 25 fps -> 40 ms per frame
+        decodeMp4Samples(m.payload).toSeq.flatMap {
+          case (timescale, durations, sizes) =>
+            // offsetUnits[i] = sum of durations[0, i)
+            val offsets = durations.scanLeft(0L)(_ + _)
+            (0 until durations.length by everyN).map(i =>
+              FrameRow(m.doc_id, i, offsets(i) * 1000L / timescale,
+                sizes(i)))
+        }
       }
     }.toDF()
   }

@@ -212,21 +212,44 @@ object MediaQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Video frame sampling (1 -> N) through mapPartitions: every 5th
-    // frame of a fake-decoded 25 fps stream.
+    // REAL video frame sampling (1 -> N) through mapPartitions: every
+    // 5th sample of builder-synthesized MP4s whose stts holds TWO runs
+    // (25 fps first half, 12.5 fps second half — proving the RLE
+    // expansion, not an fps constant) and whose stsz carries explicit
+    // per-sample sizes. The oracle recomputes the exact cumulative
+    // offsets the sample table encodes: d1*1000/ts = 40 ms for every
+    // timescale used (all divisible by 25), so the expected offsets are
+    // ts-independent while the Spark side still must divide by the
+    // PARSED mdhd timescale to land on them.
     QueryDef(
       "mm_frame_sample",
       """WITH v AS (
-        |  SELECT doc_id,
-        |    (8 + ('0x'||substr(md5(text),1,15))::BIGINT % 25)::INT AS n_frames
-        |  FROM documents)
-        |SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_idx,
-        |  (unnest(range(0, n_frames, 5)) * 40)::BIGINT AS offset_ms
-        |FROM v ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+        |  SELECT doc_id, (8 + doc_id % 25)::INT AS n_frames,
+        |    ((8 + doc_id % 25) // 2)::INT AS k, (doc_id % 251)::INT AS px
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, k, px, unnest(range(0, n_frames, 5)) AS i
+        |  FROM v)
+        |SELECT doc_id, i::INT AS frame_idx,
+        |  (CASE WHEN i <= k THEN i * 40
+        |        ELSE k * 40 + (i - k) * 80 END)::BIGINT AS offset_ms,
+        |  (50 + (px + i) % 100)::INT AS frame_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
       import s.implicits._
+      val sampledUdf = udf((ts: Int, n: Int, px: Int) => {
+        val k = n / 2
+        val d1 = ts / 25
+        DocBuild.mp4SampledBytes(ts,
+          Array.tabulate(n)(i => if (i < k) d1 else 2 * d1),
+          Array.tabulate(n)(i => 50 + ((px + i) % 100)), px)
+      })
+      val ts = when(col("doc_id") % 3 === 0, 600)
+        .when(col("doc_id") % 3 === 1, 1000).otherwise(90000)
       val media = Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-          lit("video").as("media_type"))
+        .select(col("doc_id"),
+          sampledUdf(ts.cast("int"), (col("doc_id") % 25 + 8).cast("int"),
+            (col("doc_id") % 251).cast("int")).as("payload"),
+          lit("video/mp4").as("media_type"))
         .as[MediaRow]
       Multimodal.sampleFrames(media, everyN = 5)
         .orderBy(col("doc_id"), col("frame_idx"))

@@ -286,6 +286,83 @@ object DocBuild {
     ftyp ++ box("moov", mvhd) ++ mdat
   }
 
+  /** Real MP4 with a full sample table: `ftyp`, then `moov` holding a
+    * version-0 `mvhd` plus a `trak > mdia > (mdhd + minf > stbl)` chain
+    * whose `stts` carries the per-sample durations RUN-LENGTH encoded
+    * (adjacent equal durations collapse into one entry, as every real
+    * muxer writes them) and whose `stsz` carries one explicit u32 per
+    * sample (`sample_size` field 0). Movie and media timescale are both
+    * `timescale`; mvhd/mdhd duration is the duration sum. The `mdat`
+    * stub's bytes derive from `px`. This is the fixture for
+    * `Multimodal.sampleFrames`' stts/stsz walk — a file any ISO-BMFF
+    * demuxer would accept.
+    */
+  def mp4SampledBytes(timescale: Int, durations: Array[Int],
+      sizes: Array[Int], px: Int): Array[Byte] = {
+    require(timescale > 0 && durations.length == sizes.length &&
+      durations.forall(_ > 0) && sizes.forall(_ >= 0),
+      s"bad MP4 sample params: ts=$timescale n=${durations.length}")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(typ.getBytes("US-ASCII"))
+      bb.put(payload)
+      bb.array()
+    }
+    val totalUnits = durations.map(_.toLong).sum
+    require(totalUnits <= Int.MaxValue, "duration sum overflows v0 mvhd")
+    val ftyp = box("ftyp", "isomisomiso2mp41".getBytes("US-ASCII"))
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0)                    // version 0 + flags
+      bb.putInt(0).putInt(0)          // creation/modification time
+      bb.putInt(timescale)
+      bb.putInt(totalUnits.toInt)
+      bb.putInt(0x00010000)           // rate 1.0
+      bb.putShort(0x0100.toShort)     // volume 1.0
+      bb.position(36)
+      bb.putInt(0x00010000); bb.position(52); bb.putInt(0x00010000)
+      bb.position(68); bb.putInt(0x40000000)
+      bb.position(96); bb.putInt(2)
+      box("mvhd", bb.array())
+    }
+    val mdhd = {
+      val bb = java.nio.ByteBuffer.allocate(24)  // canonical v0 payload
+      bb.putInt(0)                    // version 0 + flags
+      bb.putInt(0).putInt(0)          // creation/modification time
+      bb.putInt(timescale)
+      bb.putInt(totalUnits.toInt)
+      bb.putShort(0x55c4.toShort)     // language 'und'
+      bb.putShort(0)                  // pre_defined
+      box("mdhd", bb.array())
+    }
+    val stts = {
+      // RLE: (count, delta) runs over adjacent equal durations.
+      val runs = durations.foldLeft(List.empty[(Int, Int)]) {
+        case ((c, d) :: tail, dur) if d == dur => (c + 1, d) :: tail
+        case (acc, dur) => (1, dur) :: acc
+      }.reverse
+      val bb = java.nio.ByteBuffer.allocate(8 + 8 * runs.length)
+      bb.putInt(0)                    // version 0 + flags
+      bb.putInt(runs.length)
+      runs.foreach { case (c, d) => bb.putInt(c); bb.putInt(d) }
+      box("stts", bb.array())
+    }
+    val stsz = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 4 * sizes.length)
+      bb.putInt(0)                    // version 0 + flags
+      bb.putInt(0)                    // sample_size 0 = per-sample table
+      bb.putInt(sizes.length)
+      sizes.foreach(bb.putInt)
+      box("stsz", bb.array())
+    }
+    val trak = box("trak", box("mdia",
+      mdhd ++ box("minf", box("stbl", stts ++ stsz))))
+    val mdat = box("mdat",
+      (0 until 16).map(i => ((px + i) & 0xff).toByte).toArray)
+    ftyp ++ box("moov", mvhd ++ trak) ++ mdat
+  }
+
   val docxUdf: UserDefinedFunction = udf((ls: Seq[String]) => docxBytes(ls))
   val pptxUdf: UserDefinedFunction = udf((ls: Seq[String]) => pptxBytes(ls))
   val xlsxUdf: UserDefinedFunction = udf((ls: Seq[String]) => xlsxBytes(ls))

@@ -184,6 +184,61 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2) == ((3L, 0, 0L)))   // wrong media type
   }
 
+  test("decodeMp4Samples expands stts runs and reads per-sample stsz") {
+    // Two stts runs (3 @ 40, 2 @ 80) must expand to five durations; the
+    // media timescale comes from mdhd, not mvhd.
+    val bytes = DocBuild.mp4SampledBytes(1000,
+      Array(40, 40, 40, 80, 80), Array(10, 11, 12, 13, 14), 3)
+    val Some((ts, durs, sizes)) = Multimodal.decodeMp4Samples(bytes)
+    assert(ts == 1000)
+    assert(durs.toSeq == Seq(40, 40, 40, 80, 80))
+    assert(sizes.toSeq == Seq(10, 11, 12, 13, 14))
+    // The same bytes still satisfy the mvhd-only reader (duration sum).
+    assert(Multimodal.decodeMp4Meta(bytes).contains((1000, 280L)))
+    // A uniform stsz (nonzero sample_size field) fans out to every
+    // sample: patch the per-sample table into the uniform form.
+    val uniform = {
+      val b = bytes.clone()
+      val at = {   // locate the stsz box payload
+        var i = 0
+        while (!(b(i + 4) == 's' && b(i + 5) == 't' && b(i + 6) == 's' &&
+          b(i + 7) == 'z')) i += 1
+        i + 8
+      }
+      java.nio.ByteBuffer.wrap(b).putInt(at + 4, 99)  // sample_size = 99
+      b
+    }
+    assert(Multimodal.decodeMp4Samples(uniform).get._3.toSeq ==
+      Seq(99, 99, 99, 99, 99))
+    // Rejections: no sample table (mvhd-only file), stts/stsz count
+    // mismatch is impossible from the builder, so corrupt the count.
+    assert(Multimodal.decodeMp4Samples(DocBuild.mp4Bytes(1000, 500, 1)).isEmpty)
+    assert(Multimodal.decodeMp4Samples("junk".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeMp4Samples(null).isEmpty)
+  }
+
+  test("sampleFrames emits exact stts offsets and stsz sizes") {
+    // Variable frame rate: 3 samples at 25 fps (40 units @ ts 1000),
+    // then 2 at 12.5 fps — offsets are cumulative sums, not i*constant.
+    val rows = Seq(
+      MediaRow(1L, DocBuild.mp4SampledBytes(1000,
+        Array(40, 40, 40, 80, 80), Array(10, 11, 12, 13, 14), 3),
+        "video/mp4"),
+      MediaRow(2L, "not a video".getBytes("UTF-8"), "video/mp4"))
+    val got = spark.createDataset(rows)
+      .transform(ds => Multimodal.sampleFrames(ds, everyN = 2))
+      .as[(Long, Int, Long, Int)].collect().sorted
+    // doc 1 offsets in units: 0, 40, 80, 120, 200 -> sampled idx 0/2/4.
+    assert(got.toSeq == Seq((1L, 0, 0L, 10), (1L, 2, 80L, 12),
+      (1L, 4, 200L, 14)))   // doc 2: no parseable table -> zero frames
+    // A 90 kHz timescale divides down to exact ms.
+    val hi = Seq(MediaRow(9L, DocBuild.mp4SampledBytes(90000,
+      Array.fill(4)(3600), Array.fill(4)(7), 0), "video/mp4")).toDS()
+    val hiGot = Multimodal.sampleFrames(hi, everyN = 1)
+      .as[(Long, Int, Long, Int)].collect().sorted
+    assert(hiGot.map(_._3).toSeq == Seq(0L, 40L, 80L, 120L))
+  }
+
   test("pngBytes chunks carry valid lengths and CRCs") {
     // Walk the chunk list with an independent reader: every chunk's
     // CRC32 over type+data must match, and the list must be exactly
