@@ -26,8 +26,9 @@ final case class VideoFeatureRow(doc_id: Long, timescale: Int,
   * across a partition, no shuffle.
   *
   * Decode dispatches on `media_type`: `image/bmp`, `image/png`,
-  * `image/jpeg`, `audio/wav` and `video/mp4` are REAL pure-JDK
-  * decoders (BITMAPINFOHEADER / IHDR / SOF-marker / RIFF-chunk /
+  * `image/jpeg`, `image/gif`, `image/webp`, `audio/wav` and
+  * `video/mp4` are REAL pure-JDK decoders (BITMAPINFOHEADER / IHDR /
+  * SOF-marker / logical-screen-descriptor / RIFF-VP8 / RIFF-chunk /
   * ISO-BMFF-box parse — width, height, channels, sample rate and
   * duration come from actual file bytes). Other media types fall to a clearly-marked deterministic
   * stub (dims derived from the payload hash; no compressed-codec
@@ -150,6 +151,76 @@ object Multimodal {
       }
     }
     None
+  }
+
+  /** REAL GIF header decode (pure JDK): verify the GIF87a/GIF89a
+    * signature, then read the logical-screen-descriptor dimensions —
+    * little-endian u16 at offsets 6/8. GIF pixels are palette indices
+    * into an RGB color table, so channels report as 3. Returns None
+    * for bytes that are not a plausible GIF.
+    */
+  def decodeGifDims(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    if (payload != null && payload.length >= 13 && {
+        val sig = new String(payload, 0, 6, "US-ASCII")
+        sig == "GIF87a" || sig == "GIF89a"
+      }) {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val w = bb.getShort(6) & 0xffff
+      val h = bb.getShort(8) & 0xffff
+      if (w > 0 && h > 0) Some((w, h, 3)) else None
+    } else None
+
+  /** REAL WebP header decode (pure JDK): verify the RIFF/WEBP
+    * preamble, then dispatch on the first chunk fourcc —
+    *   - `VP8 ` (lossy): 3-byte frame tag, the 9D 01 2A start code,
+    *     then 14-bit width/height in little-endian u16s;
+    *   - `VP8L` (lossless): the 0x2F signature byte, then width-1 /
+    *     height-1 as 14-bit fields of a little-endian u32 with the
+    *     alpha-hint at bit 28 (channels 4 when set);
+    *   - `VP8X` (extended): canvas width-1 / height-1 as little-endian
+    *     u24s at payload offsets 4/7, alpha flag 0x10 in the first
+    *     flags byte.
+    * Returns None for bytes that are not a plausible WebP. Header-only
+    * — no entropy-coded image data is touched.
+    */
+  def decodeWebpDims(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (payload == null || payload.length < 30) return None
+    def ascii(off: Int, n: Int): String =
+      new String(payload, off, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WEBP") return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val o = 20   // first chunk payload (fourcc at 12, size at 16)
+    ascii(12, 4) match {
+      case "VP8 " =>
+        if (payload.length < o + 10 || (payload(o + 3) & 0xff) != 0x9d ||
+            (payload(o + 4) & 0xff) != 0x01 ||
+            (payload(o + 5) & 0xff) != 0x2a) None
+        else {
+          val w = bb.getShort(o + 6) & 0x3fff
+          val h = bb.getShort(o + 8) & 0x3fff
+          if (w > 0 && h > 0) Some((w, h, 3)) else None
+        }
+      case "VP8L" =>
+        if (payload.length < o + 5 || (payload(o) & 0xff) != 0x2f) None
+        else {
+          val bits = bb.getInt(o + 1)
+          val w = (bits & 0x3fff) + 1
+          val h = ((bits >>> 14) & 0x3fff) + 1
+          Some((w, h, if (((bits >>> 28) & 1) == 1) 4 else 3))
+        }
+      case "VP8X" =>
+        if (payload.length < o + 10) None
+        else {
+          def u24(off: Int): Int = (payload(off) & 0xff) |
+            ((payload(off + 1) & 0xff) << 8) |
+            ((payload(off + 2) & 0xff) << 16)
+          val alpha = (payload(o) & 0x10) != 0
+          Some((u24(o + 4) + 1, u24(o + 7) + 1, if (alpha) 4 else 3))
+        }
+      case _ => None
+    }
   }
 
   /** REAL WAV (RIFF) header decode (pure JDK): verify the
@@ -366,8 +437,8 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Dispatch: real decoder where one exists (BMP, PNG, JPEG),
-    * deterministic stub elsewhere. A corrupt payload under a
+  /** Dispatch: real decoder where one exists (BMP, PNG, JPEG, GIF,
+    * WebP), deterministic stub elsewhere. A corrupt payload under a
     * real-decoder media type yields (0, 0, 0) — downstream filters on
     * width > 0, the image twin of S10's extraction-error sentinel.
     */
@@ -380,6 +451,10 @@ object Multimodal {
     else if (mediaType.equalsIgnoreCase("image/jpeg") ||
         mediaType.equalsIgnoreCase("image/jpg"))
       decodeJpegDims(payload).getOrElse((0, 0, 0))
+    else if (mediaType.equalsIgnoreCase("image/gif"))
+      decodeGifDims(payload).getOrElse((0, 0, 0))
+    else if (mediaType.equalsIgnoreCase("image/webp"))
+      decodeWebpDims(payload).getOrElse((0, 0, 0))
     else stubDims(payload)
 
   /** Aspect-preserving downscale bound: images whose longest edge

@@ -147,6 +147,73 @@ object MediaQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL GIF roundtrip: builder-synthesized fully-valid GIF89a files
+    // (logical screen descriptor, 4-entry palette, clear-code LZW
+    // stream), dims from the parsed descriptor. GIF pixels are palette
+    // indices into an RGB table, so channels are always 3. Width uses
+    // a modulus that keeps the longest edge above AND below the resize
+    // bound across doc_ids, so both resize branches execute.
+    QueryDef(
+      "mm_gif_decode",
+      """WITH m AS (
+        |  SELECT doc_id, (16 + doc_id % 40)::INT AS width,
+        |         (16 + doc_id % 28)::INT AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height, 3 AS channels,
+        |  CASE WHEN greatest(width, height) <= 32 THEN width
+        |       ELSE greatest(1, floor(width * 32.0 / greatest(width, height))::INT)
+        |  END AS resized_w,
+        |  CASE WHEN greatest(width, height) <= 32 THEN height
+        |       ELSE greatest(1, floor(height * 32.0 / greatest(width, height))::INT)
+        |  END AS resized_h
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          DocBuild.gifUdf((col("doc_id") % 40 + 16).cast("int"),
+            (col("doc_id") % 28 + 16).cast("int"),
+            (col("doc_id") % 251).cast("int")).as("payload"),
+          lit("image/gif").as("media_type"))
+        .as[MediaRow]
+      Multimodal.imageFeatures(media, maxEdge = 32)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("resized_w"), col("resized_h"))
+        .orderBy(col("doc_id"))
+    },
+
+    // REAL WebP roundtrip: builder-synthesized RIFF/WEBP files with a
+    // VP8L chunk, dims and the alpha hint from the parsed 14-bit
+    // header u32 (channels 4 on odd doc_ids prove the bit-28 unpack).
+    QueryDef(
+      "mm_webp_decode",
+      """WITH m AS (
+        |  SELECT doc_id, (16 + doc_id % 44)::INT AS width,
+        |         (16 + doc_id % 26)::INT AS height,
+        |         (3 + doc_id % 2)::INT AS channels
+        |  FROM documents)
+        |SELECT doc_id, width, height, channels,
+        |  CASE WHEN greatest(width, height) <= 32 THEN width
+        |       ELSE greatest(1, floor(width * 32.0 / greatest(width, height))::INT)
+        |  END AS resized_w,
+        |  CASE WHEN greatest(width, height) <= 32 THEN height
+        |       ELSE greatest(1, floor(height * 32.0 / greatest(width, height))::INT)
+        |  END AS resized_h
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          DocBuild.webpUdf((col("doc_id") % 44 + 16).cast("int"),
+            (col("doc_id") % 26 + 16).cast("int"),
+            col("doc_id") % 2 === 1,
+            (col("doc_id") % 251).cast("int")).as("payload"),
+          lit("image/webp").as("media_type"))
+        .as[MediaRow]
+      Multimodal.imageFeatures(media, maxEdge = 32)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("resized_w"), col("resized_h"))
+        .orderBy(col("doc_id"))
+    },
+
     // REAL WAV roundtrip: builder-synthesized RIFF/fmt/data files,
     // channels / sample rate / bits from the parsed fmt chunk and
     // duration from the data size over the byte rate. The oracle

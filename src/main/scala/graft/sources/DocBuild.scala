@@ -286,6 +286,96 @@ object DocBuild {
     ftyp ++ box("moov", mvhd) ++ mdat
   }
 
+  /** Fully valid GIF89a: logical screen descriptor with the given
+    * dims, a 4-entry global color table derived from `px`, and one
+    * image whose pixel stream (indices `(px+i) % 4`) is LZW-encoded
+    * with a clear code before every pixel — the classic
+    * "uncompressed GIF" trick that keeps every code at the initial
+    * 3-bit width, so the stream stays spec-valid without a dictionary.
+    */
+  def gifBytes(w: Int, h: Int, px: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff,
+      s"bad GIF dims: ${w}x$h")
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0x91)   // global table present, color res 2, size bits 1 (4 entries)
+    out.write(0)      // background color index
+    out.write(0)      // pixel aspect ratio
+    for (i <- 0 until 4; c <- 0 until 3)
+      out.write((px + i * 40 + c * 10) & 0xff)
+    out.write(0x2c)   // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(0)      // no local table, not interlaced
+    out.write(2)      // LZW minimum code size -> clear=4, end=5, width 3
+    val data = new ByteArrayOutputStream()
+    var acc = 0L
+    var nbits = 0
+    def putCode(c: Int): Unit = {
+      acc |= c.toLong << nbits
+      nbits += 3
+      while (nbits >= 8) { data.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+    }
+    (0 until w * h).foreach { i => putCode(4); putCode((px + i) % 4) }
+    putCode(5)
+    if (nbits > 0) data.write((acc & 0xff).toInt)
+    val lzw = data.toByteArray
+    var off = 0
+    while (off < lzw.length) {   // 255-byte data sub-blocks
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0)      // block terminator
+    out.write(0x3b)   // trailer
+    out.toByteArray
+  }
+
+  /** WebP (RIFF/WEBP) with a VP8L chunk: the 0x2F signature byte, the
+    * 14-bit width-1/height-1 + alpha-hint header u32, then a short
+    * `px`-derived stand-in for the entropy-coded stream (the analogue
+    * of mp4Bytes' `mdat` stub — headers real, pixel data opaque).
+    */
+  def webpBytes(w: Int, h: Int, alpha: Boolean, px: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14),
+      s"bad WebP dims: ${w}x$h")
+    val header = (w - 1) | ((h - 1) << 14) | ((if (alpha) 1 else 0) << 28)
+    val chunk = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    chunk.put(0x2f.toByte).putInt(header)
+    (0 until 8).foreach(i => chunk.put(((px + i) & 0xff).toByte))
+    webpContainer("VP8L", chunk.array())
+  }
+
+  /** WebP with a lossy `VP8 ` chunk: 3-byte frame tag, the 9D 01 2A
+    * keyframe start code, then the 14-bit dims in little-endian u16s.
+    */
+  def webpLossyBytes(w: Int, h: Int, px: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w < (1 << 14) && h < (1 << 14),
+      s"bad WebP dims: ${w}x$h")
+    val chunk = java.nio.ByteBuffer.allocate(18)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    chunk.put(0.toByte).put(0.toByte).put(0.toByte)   // frame tag
+    chunk.put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte)
+    chunk.putShort(w.toShort).putShort(h.toShort)
+    (0 until 8).foreach(i => chunk.put(((px + i) & 0xff).toByte))
+    webpContainer("VP8 ", chunk.array())
+  }
+
+  private def webpContainer(fourcc: String,
+      chunk: Array[Byte]): Array[Byte] = {
+    val padded = if (chunk.length % 2 == 1) chunk :+ 0.toByte else chunk
+    val bb = java.nio.ByteBuffer.allocate(20 + padded.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(12 + padded.length)   // 'WEBP' + chunk header + payload
+    bb.put("WEBP".getBytes("US-ASCII"))
+    bb.put(fourcc.getBytes("US-ASCII"))
+    bb.putInt(chunk.length)         // unpadded size, RIFF convention
+    bb.put(padded)
+    bb.array()
+  }
+
   /** Real MP4 with a full sample table: `ftyp`, then `moov` holding a
     * version-0 `mvhd` plus a `trak > mdia > (mdhd + minf > stbl)` chain
     * whose `stts` carries the per-sample durations RUN-LENGTH encoded
@@ -381,4 +471,9 @@ object DocBuild {
       wavBytes(ch, rate, bits, n, px))
   val mp4Udf: UserDefinedFunction =
     udf((ts: Int, dur: Int, px: Int) => mp4Bytes(ts, dur, px))
+  val gifUdf: UserDefinedFunction =
+    udf((w: Int, h: Int, px: Int) => gifBytes(w, h, px))
+  val webpUdf: UserDefinedFunction =
+    udf((w: Int, h: Int, alpha: Boolean, px: Int) =>
+      webpBytes(w, h, alpha, px))
 }

@@ -184,6 +184,123 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2) == ((3L, 0, 0L)))   // wrong media type
   }
 
+  test("decodeGifDims parses the logical screen descriptor") {
+    assert(Multimodal.decodeGifDims(DocBuild.gifBytes(40, 20, 7))
+      .contains((40, 20, 3)))
+    // GIF87a signature is accepted too.
+    val g87 = DocBuild.gifBytes(5, 6, 0)
+    g87(4) = '7'.toByte
+    assert(Multimodal.decodeGifDims(g87).contains((5, 6, 3)))
+    assert(Multimodal.decodeGifDims("GIFnope".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeGifDims(
+      DocBuild.gifBytes(5, 6, 0).take(10)).isEmpty)
+    assert(Multimodal.decodeGifDims(null).isEmpty)
+    // A zero-width descriptor is rejected.
+    val zero = DocBuild.gifBytes(1, 1, 0)
+    zero(6) = 0; zero(7) = 0
+    assert(Multimodal.decodeGifDims(zero).isEmpty)
+    assert(Multimodal.decodeDims(DocBuild.gifBytes(12, 9, 3), "image/gif") ==
+      ((12, 9, 3)))
+    assert(Multimodal.decodeDims("junk".getBytes("UTF-8"), "image/gif") ==
+      ((0, 0, 0)))
+  }
+
+  test("gifBytes is a fully valid GIF: independent LZW decode round-trips") {
+    // Walk the file with an independent reader: header, palette, image
+    // descriptor, then a GENERAL GIF-LZW decoder (dictionary growth,
+    // width escalation, KwKwK case) over the unwrapped sub-blocks. The
+    // encoder's clear-code trick must be invisible to a spec decoder.
+    val (w, h, px) = (21, 13, 77)
+    val gif = DocBuild.gifBytes(w, h, px)
+    val bb = java.nio.ByteBuffer.wrap(gif)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(new String(gif, 0, 6, "US-ASCII") == "GIF89a")
+    assert((bb.getShort(6) & 0xffff) == w && (bb.getShort(8) & 0xffff) == h)
+    val gctSize = 2 << (gif(10) & 0x07)   // 4 entries
+    var i = 13 + 3 * gctSize
+    assert(gif(i) == 0x2c)                // image descriptor
+    assert((bb.getShort(i + 5) & 0xffff) == w)
+    assert((bb.getShort(i + 7) & 0xffff) == h)
+    val minCode = gif(i + 10) & 0xff
+    i += 11
+    val data = new java.io.ByteArrayOutputStream()
+    while ((gif(i) & 0xff) != 0) {        // unwrap data sub-blocks
+      val n = gif(i) & 0xff
+      data.write(gif, i + 1, n)
+      i += 1 + n
+    }
+    assert(gif(i + 1) == 0x3b.toByte)     // trailer right after
+    val bytes = data.toByteArray
+    val clear = 1 << minCode
+    val end = clear + 1
+    var width = minCode + 1
+    val table = scala.collection.mutable.ArrayBuffer.empty[List[Int]]
+    var prev: List[Int] = null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var acc = 0L; var nbits = 0; var j = 0
+    def next(): Int = {
+      while (nbits < width && j < bytes.length) {
+        acc |= (bytes(j) & 0xff).toLong << nbits; nbits += 8; j += 1
+      }
+      val c = (acc & ((1L << width) - 1)).toInt
+      acc >>= width; nbits -= width; c
+    }
+    var done = false
+    while (!done) {
+      val c = next()
+      if (c == end) done = true
+      else if (c == clear) { table.clear(); width = minCode + 1; prev = null }
+      else {
+        val entry =
+          if (c < clear) List(c)
+          else if (c - clear - 2 < table.length) table(c - clear - 2)
+          else prev :+ prev.head          // KwKwK
+        out ++= entry
+        if (prev != null) {
+          table += (prev :+ entry.head)
+          if (clear + 2 + table.length == (1 << width) && width < 12)
+            width += 1
+        }
+        prev = entry
+      }
+    }
+    assert(out.toSeq == (0 until w * h).map(k => (px + k) % 4))
+  }
+
+  test("decodeWebpDims parses VP8L, VP8 and VP8X chunk headers") {
+    assert(Multimodal.decodeWebpDims(DocBuild.webpBytes(33, 21, false, 1))
+      .contains((33, 21, 3)))
+    assert(Multimodal.decodeWebpDims(DocBuild.webpBytes(16384, 1, true, 0))
+      .contains((16384, 1, 4)))          // 14-bit max width + alpha hint
+    assert(Multimodal.decodeWebpDims(DocBuild.webpLossyBytes(64, 48, 2))
+      .contains((64, 48, 3)))
+    // VP8X extended header: u24 canvas dims + 0x10 alpha flag.
+    val vp8x = {
+      val p = new Array[Byte](10)
+      p(0) = 0x10                         // alpha
+      p(4) = 0xff.toByte; p(5) = 0x01     // width-1 = 511
+      p(7) = 0x2b                         // height-1 = 43
+      val bb = java.nio.ByteBuffer.allocate(20 + p.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(12 + p.length)
+      bb.put("WEBP".getBytes("US-ASCII")).put("VP8X".getBytes("US-ASCII"))
+      bb.putInt(p.length).put(p)
+      bb.array()
+    }
+    assert(Multimodal.decodeWebpDims(vp8x).contains((512, 44, 4)))
+    assert(Multimodal.decodeWebpDims("RIFFxxxxWAVE".getBytes("US-ASCII")
+      ++ new Array[Byte](20)).isEmpty)
+    assert(Multimodal.decodeWebpDims(
+      DocBuild.webpBytes(9, 9, false, 0).take(22)).isEmpty)
+    assert(Multimodal.decodeWebpDims(null).isEmpty)
+    // Corrupt VP8L signature byte -> rejected.
+    val bad = DocBuild.webpBytes(9, 9, false, 0)
+    bad(20) = 0x00
+    assert(Multimodal.decodeWebpDims(bad).isEmpty)
+    assert(Multimodal.decodeDims(DocBuild.webpBytes(10, 4, true, 5),
+      "image/webp") == ((10, 4, 4)))
+  }
+
   test("decodeMp4Samples expands stts runs and reads per-sample stsz") {
     // Two stts runs (3 @ 40, 2 @ 80) must expand to five durations; the
     // media timescale comes from mdhd, not mvhd.
