@@ -171,6 +171,16 @@ object Streams {
 
   /** One micro-batch of the near-dup ingest (also the batch restart
     * path). Returns the number of docs actually inserted.
+    *
+    * In-batch policy (pinned, see NeardupIngestSpec chain test): a doc
+    * is dropped iff some LOWER-ID doc in the batch or the store is its
+    * near-dup — greedy, not transitive. In a chain A~B~C (A not ~ C),
+    * both B and C are dropped even though B, C's only witness, is
+    * itself dropped. This is the deliberate ingest-gate reading: each
+    * dropped doc had a direct near-duplicate with a smaller id at
+    * decision time, the rule needs no connected-components pass inside
+    * the hot ingest path, and it is stable under batch re-delivery
+    * (the surviving set never depends on iteration order).
     */
   def neardupIngestBatch(batch: DataFrame, storeDir: String, idCol: String,
       textCol: String, minJaccard: Double = 0.9): Long = {

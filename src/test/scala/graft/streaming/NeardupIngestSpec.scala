@@ -56,6 +56,29 @@ class NeardupIngestSpec extends SparkSpec {
     assert(storeIds(dir) == Set(11L, 13L))
   }
 
+  test("in-batch chains drop every doc with a lower-id witness (greedy)") {
+    // The pinned policy: a doc is dropped iff SOME lower-id doc in the
+    // batch (or the store) is its near-dup — even when that witness is
+    // itself dropped. Chain A~B~C with A !~ C: B falls to A, C falls
+    // to B although B does not survive, so only A is inserted. (The
+    // clustering alternative — one survivor per connected component —
+    // yields the same set here; the greedy reading is pinned because
+    // it never needs a transitive closure inside the ingest gate.)
+    //
+    // 122 distinct tokens -> 120 3-shingles; one changed token flips 3
+    // shingles. J(A,B) = J(B,C) = 117/123 = 0.951 >= 0.93;
+    // J(A,C) = 114/126 = 0.905 < 0.93.
+    val toks = (0 until 122).map(i => s"tok$i")
+    val a = toks.mkString(" ")
+    val b = toks.updated(60, "zzz").mkString(" ")
+    val c = toks.updated(30, "yyy").updated(60, "zzz").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("nd-ingest").toString
+    val batch = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    assert(Streams.neardupIngestBatch(
+      batch, dir, "doc_id", "text", minJaccard = 0.93) == 1)
+    assert(storeIds(dir) == Set(1L))
+  }
+
   test("neardupIngestSink drives batches through foreachBatch") {
     val dir = java.nio.file.Files.createTempDirectory("nd-ingest").toString
     val ckpt = java.nio.file.Files.createTempDirectory("nd-ckpt").toString
