@@ -333,6 +333,28 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     },
 
+    // Salted two-level aggregation (operators.Salt.saltedAgg) for
+    // non-algebraic state over skewed keys: collect_set per
+    // (user, salt) first, so a hot user's rows split across `salts`
+    // reducers, then a per-user merge of the (much smaller) partials.
+    // The result must be EXACTLY the unsalted aggregate — that
+    // equivalence is what the oracle checks.
+    QueryDef(
+      "agg_salted_distinct_seq",
+      """SELECT user_id, count(*)::BIGINT AS n,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS seq
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.operators.Salt.saltedAgg(
+        Tables.events(s, d), "user_id", salts = 8)(
+        partial = Seq(collect_set(col("event_type")).as("types"),
+          count(lit(1)).as("pn")),
+        merge = Seq(sum(col("pn")).as("n"),
+          concat_ws(",", array_sort(array_distinct(
+            flatten(collect_list(col("types")))))).as("seq")))
+        .select(col("user_id"), col("n"), col("seq"))
+        .orderBy(col("user_id"))
+    },
+
     // ---- Windows (§2.9) ---------------------------------------------------
 
     // Latest-version-per-key — the reference's upsert semantics (A7).
