@@ -34,14 +34,67 @@ object StreamingCrawl {
   val FrontierSchema: StructType = StructType(Seq(
     StructField("url", StringType), StructField("depth", IntegerType)))
 
-  /** Enqueue seed urls (defragmented, depth 0). */
-  def seed(spark: SparkSession, dirs: Dirs, urls: Seq[String]): Unit = {
+  /** The job id stamped into the persistent url_frontier table (one
+    * streaming crawl = one job; a multi-job deployment passes its own).
+    */
+  val DefaultJobId = "job-0"
+
+  /** The persistent frontier table under a crawl's state dir. */
+  def frontierTableDir(dirs: Dirs): String = s"${dirs.state}/url_frontier"
+
+  /** Enqueue seed urls (defragmented, depth 0) — into the streaming
+    * source AND the persistent url_frontier table (as `queued`).
+    */
+  def seed(spark: SparkSession, dirs: Dirs, urls: Seq[String],
+      jobId: String = DefaultJobId): Unit = {
     import spark.implicits._
-    urls.toDF("raw")
+    val seeds = urls.toDF("raw")
       .select(UrlFunctions.defragment(col("raw")).as("url"),
         lit(0).as("depth"))
       .distinct()
-      .write.mode("append").json(dirs.frontier)
+    FrontierStore.enqueue(frontierTableDir(dirs), jobId, "page",
+      seeds.withColumn("domain", UrlFunctions.domain(col("url"))),
+      System.currentTimeMillis())
+    seeds.write.mode("append").json(dirs.frontier)
+  }
+
+  /** Crash-resume from the persistent frontier: urls left `queued`,
+    * locked `processing` longer than `staleLockMs` (the previous run
+    * died mid-batch), or `failed` with retries left are flipped back
+    * to `queued` and re-fed into the streaming source. Call before
+    * `start` when restarting a crawl whose previous run may have died
+    * — works even when the streaming checkpoint dir is lost, because
+    * the frontier table, not the checkpoint, is the source of truth
+    * for per-url progress. Returns the number of urls requeued.
+    */
+  def resume(spark: SparkSession, dirs: Dirs,
+      jobId: String = DefaultJobId, staleLockMs: Long = 10 * 60 * 1000L,
+      maxRetries: Int = 3): Long = {
+    val slice = FrontierStore.requeue(spark, frontierTableDir(dirs),
+      jobId, "page", System.currentTimeMillis(), staleLockMs, maxRetries)
+    val n = slice.count()
+    if (n > 0) {
+      // Un-claim: processBatch marks a url visited BEFORE fetching
+      // (claim-before-expand), so a crashed/failed url is still in the
+      // visited set and the restarted stream's anti-join would skip
+      // it. Rewrite visited minus the requeued slice (staged through a
+      // tmp dir — parquet cannot overwrite a directory it is reading).
+      val visitedDir = s"${dirs.state}/visited"
+      if (new java.io.File(visitedDir).exists()) {
+        val tmp = s"${visitedDir}__resume_tmp"
+        spark.read.parquet(visitedDir)
+          .join(slice.select("url"), Seq("url"), "left_anti")
+          .write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp)
+          .write.mode("overwrite").parquet(visitedDir)
+        val tp = new org.apache.hadoop.fs.Path(tmp)
+        tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(tp, true): Unit
+      }
+      slice.write.mode("append").json(dirs.frontier)
+    }
+    slice.unpersist()
+    n
   }
 
   private def state(spark: SparkSession, path: String): DataFrame =
@@ -79,6 +132,16 @@ object StreamingCrawl {
       // Claim before expanding: later batches must not re-crawl.
       frontier.select("url").write.mode("append")
         .parquet(s"${dirs.state}/visited")
+      // Mirror the claim into the persistent frontier: links arriving
+      // from self-feed are enqueued here (seeds already are — enqueue
+      // keeps existing rows), then the whole slice locks `processing`.
+      val ftDir = frontierTableDir(dirs)
+      val nowMs = System.currentTimeMillis()
+      FrontierStore.enqueue(ftDir, DefaultJobId, "page",
+        frontier.withColumn("domain", UrlFunctions.domain(col("url"))),
+        nowMs)
+      FrontierStore.mark(ftDir, DefaultJobId, "page",
+        frontier.select("url"), FrontierStore.Processing, nowMs)
 
       val out = Crawl.round(fetcher, frontier,
         state(spark, s"${dirs.state}/visited_files"), cfg)
@@ -92,6 +155,21 @@ object StreamingCrawl {
         out.files.select("url").write.mode("append")
           .parquet(s"${dirs.state}/visited_files")
       }
+
+      // Frontier outcomes: a claimed url that produced a page is
+      // `done`; one that produced nothing (fetch miss or out of crawl
+      // scope) is `failed` with its retry count bumped — the row the
+      // resume path retries and the operator's monitoring surface.
+      // (out.pages is already checkpoint-backed by Crawl.round — no
+      // re-fetch on reuse.)
+      val fetched = out.pages.select("url")
+      val missed = frontier.select("url")
+        .join(fetched, Seq("url"), "left_anti")
+      val doneMs = System.currentTimeMillis()
+      FrontierStore.mark(ftDir, DefaultJobId, "page", fetched,
+        FrontierStore.Done, doneMs)
+      FrontierStore.mark(ftDir, DefaultJobId, "page", missed,
+        FrontierStore.Failed, doneMs, error = "no page fetched")
 
       // Self-feed: new links become the next trigger's input.
       val next = out.pageLinks

@@ -55,5 +55,56 @@ class StreamingCrawlSpec extends SparkSpec {
     val q2 = StreamingCrawl.start(spark, new LocalFetcher(siteDf), dirs, cfg)
     try q2.processAllAvailable() finally q2.stop()
     assert(spark.read.parquet(dirs.pages).count() == pages.size)
+
+    // The persistent frontier recorded every crawled page as done.
+    val ft = FrontierStore.read(spark, StreamingCrawl.frontierTableDir(dirs))
+    val states = ft.select("url", "state").as[(String, String)]
+      .collect().toMap
+    assert(pages.keySet.forall(u => states.get(u).contains("done")))
+  }
+
+  test("crash-resume: the frontier table re-feeds failed urls") {
+    val base = java.nio.file.Files.createTempDirectory("scrawl-resume").toString
+    val dirs = StreamingCrawl.Dirs(s"$base/frontier", s"$base/pages",
+      s"$base/files", s"$base/state", s"$base/ckpt")
+    val cfg = CrawlConfig(rootDomain = "ex.com", maxDepth = 4)
+    val ftDir = StreamingCrawl.frontierTableDir(dirs)
+
+    // Run 1: b.html is unreachable (dropped from the site) -> the
+    // claimed url produces no page and lands `failed` in the table.
+    val partial = siteDf.filter($"url" =!= s"$root/b.html")
+    StreamingCrawl.seed(spark, dirs, Seq(s"$root/index.html"))
+    val q1 = StreamingCrawl.start(spark, new LocalFetcher(partial), dirs, cfg)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(!spark.read.parquet(dirs.pages).select("url")
+      .as[String].collect().contains(s"$root/b.html"))
+    val failedRow = FrontierStore.read(spark, ftDir)
+      .filter($"state" === "failed")
+      .select("url", "retry_count", "last_error")
+      .as[(String, Int, String)].collect().toSeq
+    assert(failedRow == Seq((s"$root/b.html", 1, "no page fetched")))
+
+    // "Crash": the streaming checkpoint dir is LOST — the frontier
+    // table alone must drive the resume.
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(): Unit
+    }
+    rmrf(new java.io.File(dirs.checkpoint))
+    // resume() requeues the failed url AND un-claims it from visited,
+    // so the restarted stream (site healed) re-fetches it.
+    assert(StreamingCrawl.resume(spark, dirs, maxRetries = 3) == 1L)
+    assert(!spark.read.parquet(s"${dirs.state}/visited")
+      .select("url").as[String].collect().contains(s"$root/b.html"))
+    val q2 = StreamingCrawl.start(spark, new LocalFetcher(siteDf), dirs, cfg)
+    try q2.processAllAvailable() finally q2.stop()
+
+    assert(spark.read.parquet(dirs.pages).select("url")
+      .as[String].collect().count(_ == s"$root/b.html") == 1)
+    val after = FrontierStore.read(spark, ftDir)
+      .select("url", "state", "retry_count")
+      .as[(String, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(after(s"$root/b.html") == (("done", 1)))   // retry history kept
+    assert(after.values.forall(_._1 == "done"))
   }
 }
