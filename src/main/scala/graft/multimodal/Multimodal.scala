@@ -223,6 +223,53 @@ object Multimodal {
     }
   }
 
+  /** REAL TIFF header decode (pure JDK): read the byte-order mark
+    * (`II` little- or `MM` big-endian) and magic 42, follow the header
+    * offset to the first IFD, and walk its 12-byte entries for tags
+    * 256 (ImageWidth), 257 (ImageLength) and 277 (SamplesPerPixel,
+    * TIFF default 1 when absent). SHORT(3) and LONG(4) value types are
+    * honored — a SHORT inline value sits in the HIGH half-word reading
+    * of the value field per the file's endianness. Returns None for
+    * bytes that are not a plausible TIFF. Header-only — strip/pixel
+    * data is never touched.
+    */
+  def decodeTiffDims(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (payload == null || payload.length < 8) return None
+    val le =
+      if (payload(0) == 'I'.toByte && payload(1) == 'I'.toByte) true
+      else if (payload(0) == 'M'.toByte && payload(1) == 'M'.toByte) false
+      else return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(
+      if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    if ((bb.getShort(2) & 0xffff) != 42) return None
+    val ifd = bb.getInt(4)
+    if (ifd < 8 || ifd + 2 > payload.length) return None
+    val n = bb.getShort(ifd) & 0xffff
+    if (ifd + 2 + 12 * n > payload.length) return None
+    var (w, h, spp) = (0, 0, 1)
+    var i = 0
+    while (i < n) {
+      val off = ifd + 2 + 12 * i
+      val tag = bb.getShort(off) & 0xffff
+      val typ = bb.getShort(off + 2) & 0xffff
+      // Inline value: LONG fills the u32; SHORT occupies the FIRST two
+      // bytes of the value field (so the low address in both orders).
+      val v =
+        if (typ == 3) bb.getShort(off + 8) & 0xffff
+        else if (typ == 4) bb.getInt(off + 8)
+        else -1
+      if (v >= 0) tag match {
+        case 256 => w = v
+        case 257 => h = v
+        case 277 => spp = v
+        case _ => ()
+      }
+      i += 1
+    }
+    if (w > 0 && h > 0 && spp > 0) Some((w, h, spp)) else None
+  }
+
   /** REAL WAV (RIFF) header decode (pure JDK): verify the
     * 'RIFF'<size>'WAVE' preamble, then walk the chunk list — 'fmt ' for
     * channels / sample rate / bits per sample, 'data' for the payload
@@ -455,6 +502,8 @@ object Multimodal {
       decodeGifDims(payload).getOrElse((0, 0, 0))
     else if (mediaType.equalsIgnoreCase("image/webp"))
       decodeWebpDims(payload).getOrElse((0, 0, 0))
+    else if (mediaType.equalsIgnoreCase("image/tiff"))
+      decodeTiffDims(payload).getOrElse((0, 0, 0))
     else stubDims(payload)
 
   /** Aspect-preserving downscale bound: images whose longest edge

@@ -214,6 +214,43 @@ object MediaQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL TIFF roundtrip: builder-synthesized baseline TIFFs — even
+    // doc_ids little-endian (II), odd big-endian (MM), so both
+    // byte-order paths of the IFD walk are proven — dims from tags
+    // 256/257 and channels from SamplesPerPixel (277).
+    QueryDef(
+      "mm_tiff_decode",
+      """WITH m AS (
+        |  SELECT doc_id, (16 + doc_id % 36)::INT AS width,
+        |         (16 + doc_id % 22)::INT AS height,
+        |         (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::INT
+        |           AS channels
+        |  FROM documents)
+        |SELECT doc_id, width, height, channels,
+        |  CASE WHEN greatest(width, height) <= 32 THEN width
+        |       ELSE greatest(1, floor(width * 32.0 / greatest(width, height))::INT)
+        |  END AS resized_w,
+        |  CASE WHEN greatest(width, height) <= 32 THEN height
+        |       ELSE greatest(1, floor(height * 32.0 / greatest(width, height))::INT)
+        |  END AS resized_h
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val spp = when(col("doc_id") % 3 === 0, 1)
+        .when(col("doc_id") % 3 === 1, 3).otherwise(4)
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          DocBuild.tiffUdf((col("doc_id") % 36 + 16).cast("int"),
+            (col("doc_id") % 22 + 16).cast("int"), spp.cast("int"),
+            (col("doc_id") % 251).cast("int"),
+            col("doc_id") % 2 === 1).as("payload"),
+          lit("image/tiff").as("media_type"))
+        .as[MediaRow]
+      Multimodal.imageFeatures(media, maxEdge = 32)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("resized_w"), col("resized_h"))
+        .orderBy(col("doc_id"))
+    },
+
     // REAL WAV roundtrip: builder-synthesized RIFF/fmt/data files,
     // channels / sample rate / bits from the parsed fmt chunk and
     // duration from the data size over the byte rate. The oracle

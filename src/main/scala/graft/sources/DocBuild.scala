@@ -286,6 +286,59 @@ object DocBuild {
     ftyp ++ box("moov", mvhd) ++ mdat
   }
 
+  /** Minimal valid baseline TIFF in either byte order: header, one IFD
+    * with the 9 baseline tags sorted ascending (ImageWidth/Length as
+    * LONGs, BitsPerSample inline for <=2 samples or via an offset
+    * array, Compression 1, Photometric, StripOffsets, SamplesPerPixel,
+    * RowsPerStrip, StripByteCounts), then one uncompressed strip whose
+    * bytes derive from `px` — a complete file any TIFF reader walks.
+    */
+  def tiffBytes(w: Int, h: Int, spp: Int, px: Int,
+      bigEndian: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && spp > 0 && spp <= 4,
+      s"bad TIFF params: ${w}x$h spp=$spp")
+    val n = 9
+    val ifdOff = 8
+    val ifdSize = 2 + n * 12 + 4
+    val bpsExtra = if (spp > 2) spp * 2 else 0
+    val bpsOff = ifdOff + ifdSize
+    val stripOff = bpsOff + bpsExtra
+    val stripLen = w * h * spp
+    val bb = java.nio.ByteBuffer.allocate(stripOff + stripLen).order(
+      if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    val bom = if (bigEndian) 'M' else 'I'
+    bb.put(bom.toByte).put(bom.toByte)
+    bb.putShort(42)
+    bb.putInt(ifdOff)
+    bb.putShort(n.toShort)
+    // SHORT values are left-justified in the 4-byte field (first two
+    // bytes in file order), per the TIFF spec.
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3) { bb.putShort(value.toShort); bb.putShort(0) }
+      else bb.putInt(value)
+    }
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    if (spp <= 2) {                       // inline: spp SHORTs fit
+      bb.putShort(258).putShort(3).putInt(spp)
+      bb.putShort(8); bb.putShort(if (spp == 2) 8 else 0)
+    } else {                              // offset form: u32 to the array
+      bb.putShort(258).putShort(3).putInt(spp); bb.putInt(bpsOff)
+    }
+    entry(259, 3, 1, 1)                   // no compression
+    entry(262, 3, 1, if (spp >= 3) 2 else 1)
+    entry(273, 4, 1, stripOff)
+    entry(277, 3, 1, spp)
+    entry(278, 4, 1, h)
+    entry(279, 4, 1, stripLen)
+    bb.putInt(0)                          // no next IFD
+    if (spp > 2) (0 until spp).foreach(_ => bb.putShort(8))
+    (0 until stripLen).foreach(i => bb.put(((px + i) & 0xff).toByte))
+    bb.array()
+  }
+
   /** Fully valid GIF89a: logical screen descriptor with the given
     * dims, a 4-entry global color table derived from `px`, and one
     * image whose pixel stream (indices `(px+i) % 4`) is LZW-encoded
@@ -471,6 +524,9 @@ object DocBuild {
       wavBytes(ch, rate, bits, n, px))
   val mp4Udf: UserDefinedFunction =
     udf((ts: Int, dur: Int, px: Int) => mp4Bytes(ts, dur, px))
+  val tiffUdf: UserDefinedFunction =
+    udf((w: Int, h: Int, spp: Int, px: Int, be: Boolean) =>
+      tiffBytes(w, h, spp, px, be))
   val gifUdf: UserDefinedFunction =
     udf((w: Int, h: Int, px: Int) => gifBytes(w, h, px))
   val webpUdf: UserDefinedFunction =

@@ -267,6 +267,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == (0 until w * h).map(k => (px + k) % 4))
   }
 
+  test("decodeTiffDims walks the IFD in both byte orders") {
+    assert(Multimodal.decodeTiffDims(DocBuild.tiffBytes(40, 30, 3, 7))
+      .contains((40, 30, 3)))
+    assert(Multimodal.decodeTiffDims(
+      DocBuild.tiffBytes(25, 19, 1, 0, bigEndian = true))
+      .contains((25, 19, 1)))
+    assert(Multimodal.decodeTiffDims(DocBuild.tiffBytes(8, 8, 4, 2))
+      .contains((8, 8, 4)))
+    // Width/height as SHORTs (type 3) parse through the inline path:
+    // patch the LONG entries the builder writes into SHORT form.
+    val short = DocBuild.tiffBytes(12, 5, 1, 0)
+    val bb = java.nio.ByteBuffer.wrap(short)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(10 + 2, 3.toShort)    // entry 0 (tag 256) type -> SHORT
+    bb.putShort(10 + 12 + 2, 3.toShort)
+    assert(Multimodal.decodeTiffDims(short).contains((12, 5, 1)))
+    // Rejections: bad BOM, bad magic, truncated IFD, zero dims.
+    assert(Multimodal.decodeTiffDims("XX* ....".getBytes("US-ASCII")).isEmpty)
+    val badMagic = DocBuild.tiffBytes(4, 4, 1, 0)
+    badMagic(2) = 43
+    assert(Multimodal.decodeTiffDims(badMagic).isEmpty)
+    assert(Multimodal.decodeTiffDims(
+      DocBuild.tiffBytes(4, 4, 1, 0).take(20)).isEmpty)
+    assert(Multimodal.decodeTiffDims(null).isEmpty)
+    assert(Multimodal.decodeDims(DocBuild.tiffBytes(6, 7, 3, 1),
+      "image/tiff") == ((6, 7, 3)))
+    assert(Multimodal.decodeDims("junk".getBytes("UTF-8"), "image/tiff") ==
+      ((0, 0, 0)))
+  }
+
   test("decodeWebpDims parses VP8L, VP8 and VP8X chunk headers") {
     assert(Multimodal.decodeWebpDims(DocBuild.webpBytes(33, 21, false, 1))
       .contains((33, 21, 3)))
