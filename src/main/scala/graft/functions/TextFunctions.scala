@@ -78,4 +78,24 @@ object TextFunctions {
       .when(fr >= es, lit("fr"))
       .otherwise(lit("es"))
   }
+
+  /** PII patterns — intentionally simple character-class regexes so
+    * Java (Spark codegen) and RE2 (DuckDB oracle) agree exactly.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing: replace emails/US-style phone numbers with typed
+    * placeholder tokens. A codegen'd narrow map — the shape of every
+    * redaction pass over a training corpus (swap the pattern list for
+    * the jurisdiction's).
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+      lit(PhonePattern), lit("<PHONE>"))
+
+  /** Count of email / phone matches (for redaction audits). */
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
 }

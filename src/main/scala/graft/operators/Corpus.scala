@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Corpus-construction operators for LLM training-data pipelines:
+  * benchmark decontamination, deterministic stratified sampling, and
+  * concatenate-and-chunk sequence packing — the steps between "deduped
+  * documents" and "training batches".
+  */
+object Corpus {
+
+  /** Benchmark DECONTAMINATION: drop every doc sharing at least
+    * `minOverlap` distinct hashed n-gram shingles with the benchmark
+    * set — the standard guard against eval contamination, on the same
+    * 60-bit hashed shingling the dedup family uses (so oracle SQL and
+    * engine agree bit-for-bit).
+    *
+    * 100 TB shape: benchmark suites are KB-MB scale, so their distinct
+    * shingle index BROADCASTS; doc shingles flow through one semi-join
+    * (map-side, no shuffle of the corpus) and one hash-shuffle on
+    * doc_id for the overlap count, over only the rows that hit a
+    * benchmark shingle — a tiny fraction of the corpus. Docs too short
+    * to shingle cannot be contaminated and pass through.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int, minOverlap: Int): DataFrame = {
+    require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
+    val benchSh = Dedup.shingles(benchmark, idCol, textCol, n)
+      .select(col("bh")).distinct()
+    val contaminated = Dedup.shingles(docs, idCol, textCol, n)
+      .join(broadcast(benchSh), Seq("bh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("doc_id").as(idCol))
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Deterministic STRATIFIED SAMPLING: keep a row iff
+    * `stableHash64(id) % 1000 < ratePerMille(stratum)` — a pure narrow
+    * filter (no shuffle, no rand(): reproducible across retries and
+    * re-runs, and a doc's fate never depends on partitioning). Strata
+    * absent from `ratesPerMille` fall to `defaultPerMille`. This is
+    * how a corpus is reweighted to a target source mix at any scale —
+    * the filter pushes to the scan.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      ratesPerMille: Map[String, Int],
+      defaultPerMille: Int = 0): DataFrame = {
+    require((ratesPerMille.values ++ Seq(defaultPerMille))
+      .forall(r => r >= 0 && r <= 1000), "rates must be in [0, 1000]")
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(
+      HashFunctions.stableHash64(col(idCol).cast("string")) % 1000 < rate)
+  }
+
+  /** Concatenate-and-chunk SEQUENCE PACKING: per stratum, docs in id
+    * order form a virtual token stream that is cut every `budget`
+    * tokens; each doc is stamped with the chunk its first token lands
+    * in and its offset inside that chunk (docs may straddle chunk
+    * boundaries — the concat-then-chunk packing real LLM pipelines
+    * run, not bin packing). Deterministic: the assignment depends only
+    * on (stratum, id order, token counts).
+    *
+    * The prefix sum runs as one window per stratum, so each stratum
+    * lands on one reducer: right when strata (sources, domains,
+    * languages) are numerous relative to executors, which is the
+    * training-corpus shape. A single giant stratum would instead take
+    * the two-pass distributed prefix sum (partition-local sums +
+    * broadcast per-partition offsets).
+    */
+  def packSequences(df: DataFrame, idCol: String, stratumCol: String,
+      tokenCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("chunk_id", floor(col("__cum") / budget))
+      .withColumn("chunk_offset", col("__cum") % budget)
+      .drop("__cum")
+  }
+
+  /** The per-mille rate column `stratifiedSample` uses — exposed for
+    * tests that assert the keep/drop boundary directly.
+    */
+  def sampleHash(idCol: Column): Column =
+    HashFunctions.stableHash64(idCol.cast("string")) % 1000
+}

@@ -542,6 +542,118 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Benchmark DECONTAMINATION: docs sharing >= 5 distinct hashed
+    // 3-shingles with the benchmark slice (every 37th doc stands in
+    // for an eval set) are dropped — benchmark members remove
+    // themselves via full self-overlap. The benchmark shingle index
+    // broadcasts; the corpus never shuffles except the per-doc overlap
+    // count over the (tiny) hit set.
+    QueryDef(
+      "pl_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |dsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS bh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+        |    FROM toks)),
+        |bsh AS (SELECT DISTINCT bh FROM dsh WHERE doc_id % 37 = 0),
+        |contaminated AS (
+        |  SELECT d.doc_id FROM dsh d JOIN bsh b USING (bh)
+        |  GROUP BY d.doc_id HAVING count(*) >= 5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Corpus.decontaminate(docs,
+        docs.filter(col("doc_id") % 37 === 0), "doc_id", "text",
+        n = 3, minOverlap = 5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII scrubbing: synthetic emails/phones injected per doc_id, then
+    // redacted by the codegen'd scrub pass; the oracle re-runs the same
+    // regexes under RE2. Counts audit the redaction.
+    QueryDef(
+      "txt_pii_scrub",
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+        |      WHEN 1 THEN ' call 555-867-5309 today'
+        |      ELSE '' END AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+        |  strlen(regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_len
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val injected = Tables.documents(s, d)
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com now")))
+            .when(col("doc_id") % 3 === 1, lit(" call 555-867-5309 today"))
+            .otherwise(lit(""))).as("text2"))
+      injected.select(col("doc_id"),
+        TextFunctions.emailCount(col("text2")).as("n_email"),
+        TextFunctions.phoneCount(col("text2")).as("n_phone"),
+        length(TextFunctions.scrubPii(col("text2"))).as("scrubbed_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic STRATIFIED SAMPLING to a target source mix:
+    // hash-threshold filter (no rand(), no shuffle — pushes to the
+    // scan), per-mille rate derived per source. The oracle applies the
+    // identical stableHash64 primitive.
+    QueryDef(
+      "pl_stratified_sample",
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000
+        |      < 100 + 40 * (substr(source, 4)::INT % 5)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val rates = (0 until 20).map(i => s"src$i" -> (100 + 40 * (i % 5))).toMap
+      graft.operators.Corpus.stratifiedSample(
+        Tables.documents(s, d), "doc_id", "source", rates)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Concatenate-and-chunk SEQUENCE PACKING: per source, docs in id
+    // order fill 256-token chunks; each doc gets the chunk its first
+    // token lands in plus its offset. Exact window-prefix-sum parity
+    // with the oracle.
+    QueryDef(
+      "pl_pack_sequences",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(trim(text), ' '), x -> x <> ''))::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, (cum // 256)::BIGINT AS chunk_id,
+        |  (cum % 256)::BIGINT AS chunk_offset
+        |FROM c ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Corpus.packSequences(t, "doc_id", "source",
+        "n_tokens", budget = 256)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("chunk_id"), col("chunk_offset"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+
     // Token statistics: whitespace + BPE-ish counts.
     QueryDef(
       "txt_token_stats",

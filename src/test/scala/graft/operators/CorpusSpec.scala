@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators: decontamination overlap gating,
+  * hash-threshold stratified sampling, concat-and-chunk packing.
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate drops only docs reaching the overlap threshold") {
+    val toks = (0 until 30).map(i => s"w$i")
+    val benchText = toks.mkString(" ")                 // 28 shingles
+    val docs = Seq(
+      (1L, benchText),                                 // exact copy -> out
+      (2L, toks.take(9).mkString(" ")),                // 7 shared -> out
+      (3L, toks.take(6).mkString(" ") + " x y z"),     // 4 shared -> kept
+      (4L, "totally unrelated content about query engines and storage"),
+      (5L, "hi"))                                      // no shingles -> kept
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val kept = Corpus.decontaminate(docs, bench, "doc_id", "text",
+      n = 3, minOverlap = 5).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L))
+  }
+
+  test("stratifiedSample is an exact hash-threshold filter") {
+    val df = (0 until 400).map(i => (i.toLong, s"s${i % 4}"))
+      .toDF("doc_id", "stratum")
+    val rates = Map("s0" -> 0, "s1" -> 250, "s2" -> 1000)
+    val kept = Corpus.stratifiedSample(df, "doc_id", "stratum", rates)
+      .select("doc_id", "stratum").as[(Long, String)].collect().toSet
+    // Everything claims to pass the threshold, under the exact hash.
+    val hashes = df
+      .select(col("doc_id"), col("stratum"),
+        Corpus.sampleHash(col("doc_id")).as("h"))
+      .as[(Long, String, Long)].collect()
+    val want = hashes.collect {
+      case (id, s, h) if h < rates.getOrElse(s, 0) => (id, s)
+    }.toSet
+    assert(kept == want)
+    assert(!kept.exists(_._2 == "s0"))                  // rate 0 -> none
+    assert(kept.count(_._2 == "s2") == 100)             // rate 1000 -> all
+    val s1 = kept.count(_._2 == "s1")
+    assert(s1 > 0 && s1 < 100)                          // strictly partial
+    // Determinism: the same call yields the same set.
+    val again = Corpus.stratifiedSample(df, "doc_id", "stratum", rates)
+      .select("doc_id", "stratum").as[(Long, String)].collect().toSet
+    assert(again == kept)
+  }
+
+  test("packSequences chunks the per-stratum token stream") {
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), (4L, "a", 10L),
+      (10L, "b", 300L), (11L, "b", 1L))
+      .toDF("doc_id", "stratum", "n_tokens")
+    val got = Corpus.packSequences(df, "doc_id", "stratum", "n_tokens",
+      budget = 256)
+      .select("doc_id", "chunk_id", "chunk_offset")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // Stream a: cum-exclusive 0, 100, 200, 300 -> chunks 0,0,0,1.
+    assert(got(1L) == ((0L, 0L)))
+    assert(got(2L) == ((0L, 100L)))
+    assert(got(3L) == ((0L, 200L)))    // straddles into chunk 1
+    assert(got(4L) == ((1L, 44L)))     // 300 = 256 + 44
+    // Stream b starts fresh.
+    assert(got(10L) == ((0L, 0L)))
+    assert(got(11L) == ((1L, 44L)))    // 300 = 256 + 44
+  }
+}
