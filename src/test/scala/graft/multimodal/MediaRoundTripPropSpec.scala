@@ -1,0 +1,90 @@
+package graft.multimodal
+
+import graft.sources.DocBuild
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property round-trips: every builder/decoder pair must agree on
+  * randomly drawn parameters across the full supported ranges —
+  * including the boundary dims a hand-picked fixture misses (1-pixel
+  * images, 14-bit WebP maxima, single-sample MP4s).
+  */
+class MediaRoundTripPropSpec extends AnyFunSuite {
+
+  private def draw[A](gen: Gen[A], n: Int, seed: Long): Seq[A] =
+    Seq.tabulate(n)(i =>
+      gen.pureApply(Gen.Parameters.default, rng.Seed(seed + i)))
+
+  test("BMP/PNG/JPEG/GIF/TIFF dims round-trip over random parameters") {
+    val dims = for {
+      w <- Gen.chooseNum(1, 200)
+      h <- Gen.chooseNum(1, 150)
+      px <- Gen.chooseNum(0, 250)
+    } yield (w, h, px)
+    draw(dims, 40, 1L).foreach { case (w, h, px) =>
+      assert(Multimodal.decodeBmpDims(DocBuild.bmpBytes(w, h, px))
+        .contains((w, h, 3)), s"bmp $w x $h")
+      assert(Multimodal.decodeGifDims(DocBuild.gifBytes(w, h, px))
+        .contains((w, h, 3)), s"gif $w x $h")
+      // PNG color types: 0 gray(1ch), 2 rgb(3ch), 6 rgba(4ch).
+      val (ct, ch) = Seq((0, 1), (2, 3), (6, 4))(px % 3)
+      assert(Multimodal.decodePngDims(DocBuild.pngBytes(w, h, ct, px))
+        .contains((w, h, ch)), s"png $w x $h ct=$ct")
+      val jch = if (px % 2 == 0) 1 else 3
+      assert(Multimodal.decodeJpegDims(DocBuild.jpegBytes(w, h, jch, px))
+        .contains((w, h, jch)), s"jpeg $w x $h")
+      val spp = 1 + px % 4
+      assert(Multimodal.decodeTiffDims(
+        DocBuild.tiffBytes(w, h, spp, px, bigEndian = px % 2 == 1))
+        .contains((w, h, spp)), s"tiff $w x $h spp=$spp")
+    }
+  }
+
+  test("WebP dims round-trip including the 14-bit boundary") {
+    val dims = for {
+      w <- Gen.oneOf(Gen.chooseNum(1, 300), Gen.const(16384))
+      h <- Gen.chooseNum(1, 300)
+      alpha <- Gen.oneOf(true, false)
+    } yield (w, h, alpha)
+    draw(dims, 30, 7L).foreach { case (w, h, alpha) =>
+      assert(Multimodal.decodeWebpDims(DocBuild.webpBytes(w, h, alpha, 3))
+        .contains((w, h, if (alpha) 4 else 3)), s"vp8l $w x $h")
+      if (w < 16384 && h < 16384)
+        assert(Multimodal.decodeWebpDims(DocBuild.webpLossyBytes(w, h, 3))
+          .contains((w, h, 3)), s"vp8 $w x $h")
+    }
+  }
+
+  test("WAV and MP4 metadata round-trip over random parameters") {
+    val wavs = for {
+      ch <- Gen.chooseNum(1, 2)
+      rate <- Gen.oneOf(8000, 16000, 22050, 44100, 48000)
+      bits <- Gen.oneOf(8, 16)
+      n <- Gen.chooseNum(1, 2000)
+    } yield (ch, rate, bits, n)
+    draw(wavs, 30, 11L).foreach { case (ch, rate, bits, n) =>
+      val byteRate = rate * ch * bits / 8
+      val wantMs = n.toLong * ch * (bits / 8) * 1000L / byteRate
+      assert(Multimodal.decodeWavMeta(DocBuild.wavBytes(ch, rate, bits, n, 0))
+        .contains((ch, rate, bits, wantMs)), s"wav $ch/$rate/$bits/$n")
+    }
+    val mp4s = for {
+      ts <- Gen.oneOf(600, 1000, 90000)
+      n <- Gen.chooseNum(1, 40)
+      seed <- Gen.chooseNum(0, 200)
+    } yield (ts, n, seed)
+    draw(mp4s, 30, 13L).foreach { case (ts, n, seed) =>
+      val durs = Array.tabulate(n)(i => 1 + (seed + i * 7) % 500)
+      val sizes = Array.tabulate(n)(i => (seed + i * 13) % 900)
+      val got = Multimodal.decodeMp4Samples(
+        DocBuild.mp4SampledBytes(ts, durs, sizes, seed))
+      assert(got.map(_._1).contains(ts))
+      assert(got.exists(g => g._2.toSeq == durs.toSeq &&
+        g._3.toSeq == sizes.toSeq), s"mp4 ts=$ts n=$n seed=$seed")
+      // And the mvhd reader sees the duration sum.
+      assert(Multimodal.decodeMp4Meta(
+        DocBuild.mp4SampledBytes(ts, durs, sizes, seed))
+        .contains((ts, durs.map(_.toLong).sum * 1000L / ts)))
+    }
+  }
+}
