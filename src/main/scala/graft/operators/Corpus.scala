@@ -27,18 +27,10 @@ object Corpus {
     * to shingle cannot be contaminated and pass through.
     */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, n: Int, minOverlap: Int): DataFrame = {
-    require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
-    val benchSh = Dedup.shingles(benchmark, idCol, textCol, n)
-      .select(col("bh")).distinct()
-    val contaminated = Dedup.shingles(docs, idCol, textCol, n)
-      .join(broadcast(benchSh), Seq("bh"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_overlap"))
-      .filter(col("n_overlap") >= minOverlap)
-      .select(col("doc_id").as(idCol))
-    docs.join(contaminated, Seq(idCol), "left_anti")
-  }
+      textCol: String, n: Int, minOverlap: Int): DataFrame =
+    decontaminateAgainstIndex(docs,
+      Dedup.shingles(benchmark, idCol, textCol, n).select(col("bh")).distinct(),
+      idCol, textCol, n, minOverlap)
 
   /** Deterministic STRATIFIED SAMPLING: keep a row iff
     * `stableHash64(id) % 1000 < ratePerMille(stratum)` — a pure narrow
@@ -93,4 +85,33 @@ object Corpus {
     */
   def sampleHash(idCol: Column): Column =
     HashFunctions.stableHash64(idCol.cast("string")) % 1000
+
+  /** Persist the benchmark's distinct hashed-shingle index — the
+    * standing screen a continuous ingest decontaminates against
+    * (`Streams.decontamNeardupIngestBatch`). Benchmark suites are
+    * KB-MB scale, so the index is one small parquet dir built once per
+    * benchmark release and broadcast on every use.
+    */
+  def buildBenchmarkIndex(benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int, dir: String): Unit =
+    Dedup.shingles(benchmark, idCol, textCol, n)
+      .select(col("bh")).distinct()
+      .write.mode("overwrite").parquet(dir)
+
+  /** `decontaminate` against a prebuilt benchmark shingle index
+    * (as written by [[buildBenchmarkIndex]]).
+    */
+  def decontaminateAgainstIndex(docs: DataFrame, benchShingles: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      minOverlap: Int): DataFrame = {
+    require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
+    val contaminated = Dedup.shingles(docs, idCol, textCol, n)
+      .join(broadcast(benchShingles.select(col("bh"))), Seq("bh"),
+        "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("doc_id").as(idCol))
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -158,6 +158,43 @@ object Streams {
     * grows append-only next to the docs, and each batch pays only its
     * own signing plus a band-bucket join against the index.
     */
+  /** The full production ingest gate: benchmark DECONTAMINATION, then
+    * near-dup suppression, then insert — each micro-batch screens
+    * against the standing benchmark shingle index (built once per
+    * benchmark release by `Corpus.buildBenchmarkIndex`; broadcast, so
+    * the batch never shuffles for it) before the LSH near-dup gate.
+    * A missing index dir means "no benchmark yet" and skips the screen.
+    * Returns the number of docs inserted.
+    */
+  def decontamNeardupIngestBatch(batch: DataFrame, storeDir: String,
+      benchIndexDir: String, idCol: String, textCol: String,
+      minJaccard: Double = 0.9, shingleN: Int = 3,
+      minOverlap: Int = 5): Long = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(benchIndexDir)
+    val clean =
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        graft.operators.Corpus.decontaminateAgainstIndex(batch,
+          spark.read.parquet(benchIndexDir), idCol, textCol, shingleN,
+          minOverlap)
+      else batch
+    neardupIngestBatch(clean, storeDir, idCol, textCol, minJaccard)
+  }
+
+  /** Streaming face of [[decontamNeardupIngestBatch]]. */
+  def decontamNeardupIngestSink(stream: DataFrame, storeDir: String,
+      benchIndexDir: String, idCol: String, textCol: String,
+      checkpointDir: String, minJaccard: Double = 0.9,
+      shingleN: Int = 3, minOverlap: Int = 5): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        decontamNeardupIngestBatch(batch, storeDir, benchIndexDir, idCol,
+          textCol, minJaccard, shingleN, minOverlap): Unit
+      }
+      .start()
+
   def neardupIngestSink(stream: DataFrame, storeDir: String, idCol: String,
       textCol: String, checkpointDir: String,
       minJaccard: Double = 0.9): StreamingQuery =

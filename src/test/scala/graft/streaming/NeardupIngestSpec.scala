@@ -79,6 +79,43 @@ class NeardupIngestSpec extends SparkSpec {
     assert(storeIds(dir) == Set(1L))
   }
 
+  test("decontamination screens batches before the near-dup gate") {
+    val toks = (0 until 40).map(i => s"bench$i")
+    val benchText = toks.mkString(" ")
+    val store = java.nio.file.Files.createTempDirectory("nd-ingest").toString
+    val benchDir = java.nio.file.Files.createTempDirectory("nd-bench")
+      .toString + "/idx"
+    graft.operators.Corpus.buildBenchmarkIndex(
+      Seq((900L, benchText)).toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, benchDir)
+
+    val b1 = Seq(
+      (1L, benchText),                              // contaminated -> out
+      (2L, base),                                   // clean -> in
+      (3L, toks.take(6).mkString(" ") +             // 4 shared < 5 -> in
+        " unrelated tail words here"))
+      .toDF("doc_id", "text")
+    assert(Streams.decontamNeardupIngestBatch(
+      b1, store, benchDir, "doc_id", "text", minJaccard = 0.8) == 2)
+    assert(storeIds(store) == Set(2L, 3L))
+
+    // The near-dup gate still applies AFTER the screen.
+    val b2 = Seq(
+      (4L, base.replaceFirst("\\S+", "zzz")),       // near-dup of stored 2
+      (5L, "genuinely novel content on bucketed standing merges and " +
+        "watermarked session windows in the pipeline"))
+      .toDF("doc_id", "text")
+    assert(Streams.decontamNeardupIngestBatch(
+      b2, store, benchDir, "doc_id", "text", minJaccard = 0.8) == 1)
+    assert(storeIds(store) == Set(2L, 3L, 5L))
+
+    // Without an index dir the screen is skipped (no benchmark yet).
+    assert(Streams.decontamNeardupIngestBatch(
+      Seq((6L, benchText)).toDF("doc_id", "text"), store,
+      benchDir + "_missing", "doc_id", "text", minJaccard = 0.8) == 1)
+    assert(storeIds(store) == Set(2L, 3L, 5L, 6L))
+  }
+
   test("neardupIngestSink drives batches through foreachBatch") {
     val dir = java.nio.file.Files.createTempDirectory("nd-ingest").toString
     val ckpt = java.nio.file.Files.createTempDirectory("nd-ckpt").toString
