@@ -86,6 +86,39 @@ object Corpus {
   def sampleHash(idCol: Column): Column =
     HashFunctions.stableHash64(idCol.cast("string")) % 1000
 
+  /** BOILERPLATE RATIO: per doc, the fraction of its distinct hashed
+    * n-gram shingles that are corpus-common (document frequency >=
+    * `minDf`) — the RefinedWeb/C4-style signal for template/navigation
+    * text a quality gate thresholds on. Docs too short to shingle are
+    * absent from the output (no signal).
+    *
+    * Two shuffles: the df count over exploded shingles and the per-doc
+    * counts. The common-shingle set is the df-filtered tail; pick
+    * `minDf` as a corpus-relative rarity bound (boilerplate = "appears
+    * in far more docs than organic text would") so the set stays small
+    * enough for the join's build side at any scale — the optimizer
+    * broadcasts it when it fits.
+    */
+  def boilerplateRatio(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val sh = Dedup.shingles(docs, idCol, textCol, n)
+    val common = sh.groupBy(col("bh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("bh"))
+    val totals = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val commonCounts = sh.join(common, Seq("bh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_common"))
+    totals.join(commonCounts, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol), col("n_shingles"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") /
+          col("n_shingles"), 4).as("boilerplate_ratio"))
+  }
+
   /** Persist the benchmark's distinct hashed-shingle index — the
     * standing screen a continuous ingest decontaminates against
     * (`Streams.decontamNeardupIngestBatch`). Benchmark suites are

@@ -575,6 +575,38 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // BOILERPLATE RATIO (RefinedWeb/C4-style template-text signal):
+    // fraction of each doc's distinct shingles whose corpus document
+    // frequency reaches 5 — the quality-gate input for dropping
+    // navigation/template-heavy pages.
+    QueryDef(
+      "pl_boilerplate_ratio",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |dsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS bh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+        |    FROM toks)),
+        |common AS (SELECT bh FROM dsh GROUP BY bh HAVING count(*) >= 5),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM dsh GROUP BY doc_id),
+        |com AS (
+        |  SELECT d.doc_id, count(*) AS n_common
+        |  FROM dsh d JOIN common USING (bh) GROUP BY d.doc_id)
+        |SELECT t.doc_id, t.n_shingles,
+        |  coalesce(c.n_common, 0) AS n_common,
+        |  round(coalesce(c.n_common, 0) * 1.0 / t.n_shingles, 4)
+        |    AS boilerplate_ratio
+        |FROM tot t LEFT JOIN com c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Corpus.boilerplateRatio(
+        Tables.documents(s, d), "doc_id", "text", n = 3, minDf = 5)
+        .orderBy(col("doc_id"))
+    },
+
     // PII scrubbing: synthetic emails/phones injected per doc_id, then
     // redacted by the codegen'd scrub pass; the oracle re-runs the same
     // regexes under RE2. Counts audit the redaction.

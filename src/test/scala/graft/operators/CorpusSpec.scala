@@ -50,6 +50,26 @@ class CorpusSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("boilerplateRatio counts corpus-common shingles per doc") {
+    val template = "copyright footer nav menu home"      // 3 shingles
+    val docs = Seq(
+      (1L, template + " alpha beta gamma"),
+      (2L, template + " delta epsilon zeta"),
+      (3L, template + " eta theta iota"),
+      (4L, "entirely organic prose with no shared trigrams at all"),
+      (5L, "xy"))                                        // no shingles
+      .toDF("doc_id", "text")
+    val got = Corpus.boilerplateRatio(docs, "doc_id", "text", 3, minDf = 3)
+      .select("doc_id", "n_shingles", "n_common", "boilerplate_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // Docs 1-3 share the template's 3 shingles (df=3 >= 3); their
+    // bridge + organic shingles are unique (df=1).
+    assert(got(1L) == ((6L, 3L, 0.5)))
+    assert(got(4L) == ((7L, 0L, 0.0)))                   // coalesce path
+    assert(!got.contains(5L))                            // no signal
+  }
+
   test("packSequences chunks the per-stratum token stream") {
     val df = Seq(
       (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), (4L, "a", 10L),
