@@ -111,6 +111,29 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("saltedAgg: a 50% hot key keeps reducer inputs bounded") {
+    withListener("salted-agg") {
+      // Half the rows carry ONE key — the AQE-immune shape saltedAgg
+      // exists for (collect-style state, no map-side shrink of the hot
+      // key's row volume). Values are low-cardinality so the MERGE
+      // stage is also bounded: each (key, salt) partial is a <=50-set,
+      // and the hot key's 64 partials stay comparable to a cold key's.
+      val rows = (0 until 200000).map { i =>
+        val k = if (i % 2 == 0) "hot" else s"k${i % 128}"
+        (k, s"v${(i / 2) % 50}")
+      }.toDF("key", "value").repartition(64)
+      val out = Salt.saltedAgg(rows, "key", salts = 64)(
+        partial = Seq(collect_set(col("value")).as("vs"),
+          count(lit(1)).as("pn")),
+        merge = Seq(sum(col("pn")).as("n"),
+          size(array_distinct(flatten(collect_list(col("vs")))))
+            .as("n_distinct")))
+      val hot = out.filter(col("key") === "hot")
+        .select("n", "n_distinct").as[(Long, Int)].collect()
+      assert(hot.toSeq == Seq((100000L, 50)))
+    }
+  }
+
   test("sim_lsh: duplicated embeddings keep task inputs bounded") {
     withListener("sim-lsh") {
       val rnd = new scala.util.Random(11)
