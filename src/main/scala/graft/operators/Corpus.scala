@@ -106,17 +106,17 @@ object Corpus {
     val common = sh.groupBy(col("bh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-      .select(col("bh"))
-    val totals = sh.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"))
-    val commonCounts = sh.join(common, Seq("bh"), "left_semi")
+      .select(col("bh"), lit(1).as("__common"))
+    // One per-doc pass: total and common-hit counts from the same
+    // left join against the (small, optimizer-broadcast) common set —
+    // not a separate semi-join aggregate stitched back on afterwards.
+    sh.join(common, Seq("bh"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_common"))
-    totals.join(commonCounts, Seq("doc_id"), "left")
-      .select(col("doc_id").as(idCol), col("n_shingles"),
-        coalesce(col("n_common"), lit(0L)).as("n_common"),
-        round(coalesce(col("n_common"), lit(0L)).cast("double") /
-          col("n_shingles"), 4).as("boilerplate_ratio"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__common")).as("n_common"))
+      .select(col("doc_id").as(idCol), col("n_shingles"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_shingles"), 4)
+          .as("boilerplate_ratio"))
   }
 
   /** Persist the benchmark's distinct hashed-shingle index — the
