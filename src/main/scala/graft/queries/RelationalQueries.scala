@@ -333,6 +333,69 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     },
 
+    // PIVOT: status counts fan out to columns per priority — Spark's
+    // groupBy().pivot() with explicit values (no extra value-discovery
+    // job) vs the oracle's FILTERed aggregates.
+    QueryDef(
+      "agg_pivot_status_by_priority",
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS n_open,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT AS n_filled,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS n_pending
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_filled"),
+          coalesce(col("P"), lit(0L)).as("n_pending"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // GROUPING SETS beyond rollup/cube: two independent breakdowns plus
+    // the grand total in one pass, null markers disambiguated by
+    // grouping() flags so the sort is deterministic.
+    QueryDef(
+      "agg_grouping_sets_orders",
+      """SELECT coalesce(o_orderstatus, '-') AS status,
+        |  coalesce(o_orderpriority, '-') AS priority,
+        |  count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, '-') AS status,
+          coalesce(o_orderpriority, '-') AS priority,
+          count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")
+    },
+
+    // Exact interpolated percentiles (both engines use the same
+    // index = p*(n-1) linear interpolation), rounded to pin float
+    // formatting.
+    QueryDef(
+      "agg_quantity_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+        |  round(quantile_cont(l_quantity, 0.50), 2) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 2) AS p75
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 2).as("p25"),
+          round(expr("percentile(l_quantity, 0.50)"), 2).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 2).as("p75"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Salted two-level aggregation (operators.Salt.saltedAgg) for
     // non-algebraic state over skewed keys: collect_set per
     // (user, salt) first, so a hot user's rows split across `salts`
