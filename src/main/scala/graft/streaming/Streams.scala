@@ -55,6 +55,24 @@ object Streams {
       .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
         col("n"), col("total"))
 
+  /** Stream-stream inner join with bounded state: correlate two
+    * event-time streams on `key` within `within` of each other. Both
+    * sides carry watermarks and the join condition carries the
+    * two-sided time-range predicate, so Spark can evict state older
+    * than the watermark + range — without it a stream-stream join
+    * buffers forever. Column layout: left (key, ts, ...), right
+    * (key, rts, ...); batch frames join identically (shared body).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+      within: String, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+    val r = right.withWatermark("rts", watermarkDelay)
+    l.join(r, l(key) === r(key) &&
+        col("rts") >= col("ts") &&
+        col("rts") <= col("ts") + expr(s"INTERVAL $within"))
+      .drop(r(key))
+  }
+
   /** ST4: keep the first arrival per key. In streaming this is the
     * state-store dedup (`visited_pages` semantics,
     * `/root/reference/crawler/crawler_core.py:66-68`); pair with a

@@ -25,6 +25,34 @@ class StreamsSpec extends SparkSpec {
     Ev(ts(3), "click", 2L, 3.0), Ev(ts(14), "view", 1L, 4.0),
     Ev(ts(55), "view", 2L, 5.0), Ev(ts(56), "click", 1L, 6.0))
 
+  test("stream-stream join correlates within the bound, evicts beyond") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp)]
+    val buys = MemoryStream[(String, Timestamp)]
+    val joined = Streams.streamStreamJoin(
+      clicks.toDF().toDF("user", "ts"),
+      buys.toDF().toDF("user", "rts"), "user", within = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_t")
+      .outputMode("append").start()
+    try {
+      clicks.addData(("u1", ts(0)), ("u2", ts(0)), ("u4", ts(10)))
+      buys.addData(("u1", ts(3)),    // within 5 min -> joins
+        ("u2", ts(20)),              // beyond the range -> dropped
+        ("u3", ts(1)),               // no matching click
+        ("u4", ts(9)))               // purchase BEFORE click -> dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj_t").select("user").as[String].collect().toSeq
+    assert(got == Seq("u1"))
+    // Batch parity: the same body over batch frames gives the same pairs.
+    val batch = Streams.streamStreamJoin(
+      Seq(("u1", ts(0)), ("u2", ts(0)), ("u4", ts(10))).toDF("user", "ts"),
+      Seq(("u1", ts(3)), ("u2", ts(20)), ("u3", ts(1)), ("u4", ts(9)))
+        .toDF("user", "rts"), "user", within = "5 minutes")
+      .select("user").as[String].collect().toSeq
+    assert(batch == Seq("u1"))
+  }
+
   test("windowed aggs: streaming (complete mode) equals batch") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
