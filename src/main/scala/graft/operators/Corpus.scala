@@ -86,6 +86,88 @@ object Corpus {
   def sampleHash(idCol: Column): Column =
     HashFunctions.stableHash64(idCol.cast("string")) % 1000
 
+  /** [[packSequences]] for a GIANT stratum (or no stratum at all): the
+    * classic two-pass distributed prefix sum instead of a one-reducer
+    * window. Pass 1 range-partitions by (stratum, id) — so partition
+    * order IS stream order — and computes each partition's local token
+    * sum (a tiny aggregate, one row per partition). The per-partition
+    * base offsets (exclusive prefix over those sums, grouped per
+    * stratum on the driver: O(#partitions), not O(rows)) broadcast
+    * back, and pass 2 adds the partition-local running sum in one
+    * narrow mapPartitions. Output is identical to [[packSequences]]
+    * (PackSpec asserts exact equality); wall-clock now scales with
+    * partitions instead of serializing each stratum through one task.
+    *
+    * A stratum's rows may span several partitions; a partition may hold
+    * several strata — both are handled: local sums are tracked PER
+    * (partition, stratum), and the base offset for (p, s) sums only
+    * earlier partitions' s-sums.
+    */
+  def packSequencesDistributed(df: DataFrame, idCol: String,
+      stratumCol: String, tokenCol: String, budget: Int,
+      numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .select(col(stratumCol).cast("string").as("__s"),
+        col(idCol).cast("long").as("__id"),
+        col(tokenCol).cast("long").as("__tok"))
+      .repartitionByRange(parts, col("__s"), col("__id"))
+      .sortWithinPartitions(col("__s"), col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Pass 1: per-(partition, stratum) token sums — #partitions ×
+    // #strata-per-partition rows, collected to the driver (bounded by
+    // partition count, NOT row count).
+    val localSums = ranged
+      .mapPartitions { it =>
+        var pid = -1
+        val sums = scala.collection.mutable.LinkedHashMap[String, Long]()
+        it.foreach { r =>
+          pid = org.apache.spark.TaskContext.getPartitionId()
+          sums.updateWith(r.getString(0)) {
+            case Some(v) => Some(v + r.getLong(2)); case None => Some(r.getLong(2))
+          }
+        }
+        sums.iterator.map { case (s, sum) => (pid, s, sum) }
+      }.collect()
+    // Exclusive prefix per stratum across partition order.
+    val base = scala.collection.mutable.Map[(Int, String), Long]()
+    localSums.groupBy(_._2).foreach { case (s, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).foreach { case (pid, _, sum) =>
+        base((pid, s)) = acc
+        acc += sum
+      }
+    }
+    val baseB = spark.sparkContext.broadcast(base.toMap)
+    // Pass 2: narrow — add the partition's base offset to the local
+    // running sum; no shuffle, no window.
+    val packed = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val running = scala.collection.mutable.Map[String, Long]()
+      it.map { r =>
+        val (s, id, tok) = (r.getString(0), r.getLong(1), r.getLong(2))
+        val cum = baseB.value.getOrElse((pid, s), 0L) +
+          running.getOrElse(s, 0L)
+        running(s) = running.getOrElse(s, 0L) + tok
+        (s, id, tok, cum / budget, cum % budget)
+      }
+    }.toDF("__s", "__id", "__tok", "chunk_id", "chunk_offset")
+    // Materialize (lineage cut) BEFORE unpersisting: a re-executed
+    // range exchange re-samples its partition boundaries (the sample
+    // seed derives from the fresh RDD id), which would desync pass 2's
+    // partition membership from pass 1's collected sums.
+    val stamped = graft.Checkpoints.pinned(
+      packed.select(col("__s").as(stratumCol), col("__id").as(idCol),
+        col("chunk_id"), col("chunk_offset")))
+    ranged.unpersist()
+    df.join(stamped, Seq(stratumCol, idCol))
+  }
+
   /** BOILERPLATE RATIO: per doc, the fraction of its distinct hashed
     * n-gram shingles that are corpus-common (document frequency >=
     * `minDf`) — the RefinedWeb/C4-style signal for template/navigation

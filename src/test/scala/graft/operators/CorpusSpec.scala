@@ -70,6 +70,25 @@ class CorpusSpec extends SparkSpec {
     assert(!got.contains(5L))                            // no signal
   }
 
+  test("packSequencesDistributed equals the window version exactly") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, s"s${i % 3}", (1 + rnd.nextInt(400)).toLong)
+    }
+    val df = rows.toDF("doc_id", "stratum", "n_tokens")
+    val want = Corpus.packSequences(df, "doc_id", "stratum", "n_tokens", 512)
+      .select("doc_id", "chunk_id", "chunk_offset")
+      .as[(Long, Long, Long)].collect().toSet
+    // 7 partitions force every stratum to span several partitions and
+    // every partition to straddle stratum boundaries.
+    val got = Corpus.packSequencesDistributed(df, "doc_id", "stratum",
+      "n_tokens", 512, numPartitions = 7)
+      .select("doc_id", "chunk_id", "chunk_offset")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.size == 3000)
+  }
+
   test("packSequences chunks the per-stratum token stream") {
     val df = Seq(
       (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), (4L, "a", 10L),
