@@ -1,0 +1,74 @@
+package graft
+
+/** Structural plan-shape regression guard: the scale claims that the
+  * verdict-level plan audits check by hand, pinned as assertions so a
+  * future edit that degrades a plan (a dropped broadcast hint, an
+  * accidental cross join, a lost top-k pushdown) fails `sbt test`
+  * instead of a benchmark round later. Plans are built (not executed)
+  * against sf0.001 for every registered query.
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, String] = {
+    // AQE defers codegen collapse to runtime and wraps everything in
+    // AdaptiveSparkPlan — audit the STATIC plan (execution keeps AQE).
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution.executedPlan.toString()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("no query plans a cartesian product or nested-loop join") {
+    // Exceptions where the quadratic shape IS the operator's contract:
+    // the brute-force similarity baselines score queries x corpus by
+    // definition, and the stale-sweep joins a one-row cutoff frame.
+    val intended = Set("sim_cosine_topk_brute", "sim_int8_topk",
+      "c14_stale_cutoff_sweep")
+    val bad = plans.collect {
+      case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin")) => n
+    }
+    assert(bad.isEmpty, s"quadratic join shapes in: ${bad.mkString(", ")}")
+  }
+
+  test("explicitly broadcast small sides stay broadcast") {
+    // These operators call broadcast() by design — SF-independent.
+    Seq("pl_decontaminate", "pl_ingest_content_dedup",
+      "join_broadcast_geo_rollup").foreach { q =>
+      assert(plans(q).contains("BroadcastHashJoin"),
+        s"$q lost its broadcast join")
+    }
+  }
+
+  test("limit+order queries keep the TakeOrderedAndProject pushdown") {
+    Seq("topk_orders_by_price", "o1_job_pick_top1").foreach { q =>
+      assert(plans(q).contains("TakeOrderedAndProject"),
+        s"$q lost its top-k pushdown")
+    }
+  }
+
+  test("scan-predicate queries keep parquet filter pushdown") {
+    // Queries filtering plain scanned columns (derived-expression
+    // predicates like f10's length() are legitimately not pushable).
+    Seq("q3_shipping_priority", "q5_local_supplier_volume").foreach { q =>
+      assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plans(q)).nonEmpty,
+        s"$q lost parquet filter pushdown")
+    }
+  }
+
+  test("every query stays inside whole-stage codegen somewhere") {
+    // A plan with zero codegen spans has fallen off the Tungsten path
+    // entirely (an interpreted expression or object-only pipeline).
+    val bare = plans.collect {
+      case (n, p) if !p.linesIterator.exists(_.contains("*(")) => n
+    }
+    // mapPartitions-only pipelines (multimodal decode) legitimately
+    // run as object pipelines end-to-end; everything else must not.
+    val allowed = bare.filter(_.startsWith("mm_"))
+    assert((bare.toSet -- allowed).isEmpty,
+      s"no codegen span in: ${(bare.toSet -- allowed).mkString(", ")}")
+  }
+}
