@@ -490,6 +490,49 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     },
 
+    // Rank-distribution windows: percent_rank and cume_dist share one
+    // partition+order spec (one window exchange), rounded to pin float
+    // formatting across engines.
+    QueryDef(
+      "win_rank_distributions",
+      """SELECT c_custkey, c_mktsegment,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cume"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Frame-bounded first/last: each order's price vs the cheapest and
+    // priciest order in its customer's FULL history (explicit
+    // unbounded-both-sides frame — last_value defaults to a running
+    // frame without it, in both engines).
+    QueryDef(
+      "win_first_last_frames",
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_totalprice) OVER w AS cheapest,
+        |  last_value(o_totalprice) OVER w AS priciest
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          first(col("o_totalprice")).over(w).as("cheapest"),
+          last(col("o_totalprice")).over(w).as("priciest"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- Sorts / limits (§2.6) --------------------------------------------
 
     // O1: the job-queue "pick next PENDING" — orderBy.limit plans as
