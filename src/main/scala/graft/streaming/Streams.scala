@@ -224,6 +224,24 @@ object Streams {
       }
       .start()
 
+  /** Continuous embedding ingest into the standing ANN store
+    * ([[graft.operators.Similarity.annStoreAppend]]): each (id, vec)
+    * micro-batch is signed once (hyperplane bucket + int8
+    * quantization) and appended insert-if-absent; queries run against
+    * the store at any time via `Similarity.annStoreTopK` without
+    * re-signing anything. At-least-once re-delivery converges.
+    */
+  def annIngestSink(stream: DataFrame, storeDir: String, planes: Int,
+      dims: Int, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.annStoreAppend(batch, storeDir, planes,
+          dims): Unit
+      }
+      .start()
+
   /** One micro-batch of the near-dup ingest (also the batch restart
     * path). Returns the number of docs actually inserted.
     *

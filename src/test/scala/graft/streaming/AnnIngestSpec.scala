@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The standing ANN store: append-only int8+bucket index fed by a
+  * stream, insert-if-absent convergence under re-delivery, and query
+  * recall through the bucket-pruned path.
+  */
+class AnnIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 16
+
+  /** Deterministic unit-ish vector seeded per id. */
+  private def vec(seed: Int): Seq[Float] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(dims)(rnd.nextFloat() * 2 - 1)
+  }
+  /** A slightly perturbed copy — same bucket with high probability,
+    * near-1 cosine.
+    */
+  private def near(v: Seq[Float]): Seq[Float] = v.map(x => x * 0.95f + 0.01f)
+
+  test("annStoreAppend is insert-if-absent; annStoreTopK finds the near copy") {
+    val dir = java.nio.file.Files.createTempDirectory("ann").toString + "/idx"
+    val v1 = vec(1)
+    val base = (2 to 40).map(i => (i.toLong, vec(i))) :+ (1L, v1)
+    assert(Similarity.annStoreAppend(
+      base.toDF("id", "vec"), dir, planes = 4, dims = dims) == 40)
+    // Re-delivery of the same batch inserts nothing.
+    assert(Similarity.annStoreAppend(
+      base.toDF("id", "vec"), dir, planes = 4, dims = dims) == 0)
+    // A later batch adds the near-copy of id 1 (fresh id).
+    assert(Similarity.annStoreAppend(
+      Seq((100L, near(v1))).toDF("id", "vec"), dir, 4, dims) == 1)
+
+    // Query with id 1's exact vector: its stored near-copy must be the
+    // top hit (cosine(v, 0.95v + eps) ~ 1, int8 error can't flip it).
+    val got = Similarity.annStoreTopK(spark, dir,
+      Seq((1L, v1)).toDF("id", "vec"), planes = 4, dims = dims, k = 1)
+      .select("qid", "cid", "score").as[(Long, Long, Double)].collect()
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 100L)
+    assert(got.head._3 > 0.99)
+  }
+
+  test("annIngestSink feeds the store through foreachBatch") {
+    val dir = java.nio.file.Files.createTempDirectory("ann").toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("ann-ckpt").toString
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.annIngestSink(in.toDF().toDF("id", "vec"), dir,
+      planes = 4, dims = dims, checkpointDir = ckpt)
+    in.addData((1L, vec(1)), (2L, vec(2)))
+    in.addData((3L, vec(3)), (1L, vec(1)))   // dup id in later batch
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.read.parquet(dir).select("id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L))    // no duplicate row for id 1
+  }
+}
