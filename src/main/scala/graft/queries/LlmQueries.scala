@@ -448,6 +448,70 @@ object LlmQueries {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    // MULTI-PROBE ANN: each query also probes the planes buckets one
+    // hyperplane-flip away, recovering neighbors that fell across a
+    // single hyperplane. The oracle unions the probe buckets, dedupes
+    // candidate pairs, and scores the same exact-vs-dequantized cosine.
+    QueryDef(
+      "sim_ann_multiprobe",
+      """WITH w AS (
+        |  SELECT p.plane, dd.dim,
+        |    CASE WHEN ('0x'||substr(md5('hp:'||p.plane||':'||dd.dim),1,15))::BIGINT
+        |              % 2 = 1 THEN 1.0 ELSE -1.0 END AS w
+        |  FROM (SELECT unnest(range(0, 8)) AS plane) p,
+        |       (SELECT unnest(range(1, 65)) AS dim) dd),
+        |comps AS (
+        |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+        |         unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |proj AS (
+        |  SELECT c.id, w.plane, sum(c.x * w.w) AS proj
+        |  FROM comps c JOIN w ON w.dim = c.dim GROUP BY c.id, w.plane),
+        |buckets AS (
+        |  SELECT id, sum(CASE WHEN proj > 0 THEN 1::BIGINT << plane
+        |                      ELSE 0::BIGINT END) AS bucket
+        |  FROM proj GROUP BY id),
+        |vs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dq AS (SELECT id,
+        |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x / scale) * scale)
+        |         END AS v
+        |       FROM (SELECT id, v,
+        |               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |             FROM vs)),
+        |qb AS (SELECT id AS qid, bucket FROM buckets WHERE id < 10),
+        |probed AS (
+        |  SELECT qid, bucket FROM qb
+        |  UNION ALL
+        |  SELECT qid, xor(bucket, 1::BIGINT << p.plane) AS bucket
+        |  FROM qb, (SELECT unnest(range(0, 8)) AS plane) p),
+        |cands AS (
+        |  SELECT DISTINCT q.qid, b.id AS cid
+        |  FROM probed q JOIN buckets b ON b.bucket = q.bucket
+        |  WHERE b.id <> q.qid),
+        |scores AS (
+        |  SELECT qid, cid,
+        |    round(list_inner_product(a.v, b.v) /
+        |      (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+        |      6) AS score
+        |  FROM cands JOIN vs a ON a.id = qid JOIN dq b ON b.id = cid),
+        |r AS (SELECT qid, cid, score,
+        |        row_number() OVER (PARTITION BY qid
+        |                           ORDER BY score DESC, cid) AS rnk
+        |      FROM scores)
+        |SELECT qid, cid, score, rnk FROM r WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-ann")
+        .toString + "/idx"
+      Similarity.annStoreAppend(emb, dir, planes = 8, dims = 64)
+      Similarity.annStoreTopKProbed(s, dir,
+        emb.filter(col("id") < 10), planes = 8, dims = 64, k = 3)
+        .select(col("qid"), col("cid"), col("score"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     // Embedding-cosine near-dup pairs: hyperplane-LSH buckets generate
     // candidates (scaled copies keep every projection sign, so they
     // land in their original's bucket), exact cosine >= 0.999 verifies.
