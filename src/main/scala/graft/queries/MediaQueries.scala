@@ -359,6 +359,47 @@ object MediaQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // CSV source/sink roundtrip: documents (commas, quotes and unicode
+    // in the text column) write to headered CSV and read back with an
+    // explicit schema; the aggregate must match the pre-roundtrip
+    // table exactly, proving quoting/escaping fidelity. The oracle
+    // computes straight from documents — lossless is the contract.
+    QueryDef(
+      "src_csv_roundtrip",
+      """SELECT (doc_id % 5)::INT AS grp, count(*) AS n,
+        |  sum(n_chars)::BIGINT AS chars,
+        |  sum(strlen(text))::BIGINT AS text_len
+        |FROM documents GROUP BY grp ORDER BY grp""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft-csv")
+        .toString + "/docs"
+      docs.write.option("header", "true").mode("overwrite").csv(path)
+      s.read.option("header", "true").schema(docs.schema).csv(path)
+        .groupBy((col("doc_id") % 5).cast("int").as("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          sum(length(col("text"))).as("text_len"))
+        .orderBy(col("grp"))
+    },
+
+    // ORC source/sink roundtrip — same contract through the other
+    // columnar format Spark ships natively.
+    QueryDef(
+      "src_orc_roundtrip",
+      """SELECT (doc_id % 5)::INT AS grp, count(*) AS n,
+        |  sum(n_chars)::BIGINT AS chars,
+        |  sum(strlen(text))::BIGINT AS text_len
+        |FROM documents GROUP BY grp ORDER BY grp""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft-orc")
+        .toString + "/docs"
+      docs.write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy((col("doc_id") % 5).cast("int").as("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          sum(length(col("text"))).as("text_len"))
+        .orderBy(col("grp"))
+    },
+
     // S11/S15: JSON index sink + schema-first scan — write the index
     // rows as JSON Lines, read them back, aggregate. The oracle
     // computes the same aggregate straight from documents, so type
