@@ -37,7 +37,8 @@ class PlanRegressionSpec extends SparkSpec {
   test("explicitly broadcast small sides stay broadcast") {
     // These operators call broadcast() by design — SF-independent.
     Seq("pl_decontaminate", "pl_ingest_content_dedup",
-      "join_broadcast_geo_rollup").foreach { q =>
+      "join_broadcast_geo_rollup", "sim_ann_store_roundtrip",
+      "sim_ann_multiprobe").foreach { q =>
       assert(plans(q).contains("BroadcastHashJoin"),
         s"$q lost its broadcast join")
     }
