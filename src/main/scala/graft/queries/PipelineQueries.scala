@@ -133,6 +133,33 @@ object PipelineQueries {
         .orderBy(col("node"))
     },
 
+    // Exact triangle counting over a lineitem-derived sparse graph —
+    // the canonical a<b<c two-path join (each triangle built exactly
+    // once, no dedup of permuted copies), per-node participation
+    // counts as exact integers.
+    QueryDef(
+      "gr_triangle_counts",
+      """WITH raw AS (
+        |  SELECT DISTINCT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE least(src, dst) < greatest(src, dst)),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+        |SELECT node, count(*)::BIGINT AS n_triangles
+        |FROM n GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = Tables.lineitem(s, d)
+        .select((col("l_orderkey") % 5000).as("src"),
+          (col("l_partkey") % 5000).as("dst"))
+      graft.operators.Graph.triangleCounts(edges)
+        .orderBy(col("node"))
+    },
+
     // Multimodal plumbing, expression form: opaque binary payload
     // column + typed metadata derived in-row. The mapPartitions batch
     // path (decode/resize/frame-sample) is graft.multimodal.Multimodal,

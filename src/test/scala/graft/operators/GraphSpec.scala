@@ -1,0 +1,24 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Exact triangle counting on hand-built graphs. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangleCounts: square with one diagonal, dirty edge list") {
+    // 1-2-3-4-1 plus diagonal 1-3 -> triangles (1,2,3) and (1,3,4).
+    // Edge list carries duplicates, reversed copies and a self-loop —
+    // canonicalization must absorb all three.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (2L, 1L), (3L, 1L), (2L, 2L), (1L, 2L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    // No triangles -> empty output, not zero rows per node.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(path).count() == 0)
+  }
+}
