@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the single right row
+  * with the greatest `rightTs <= leftTs` in the same key group (ties at
+  * equal timestamps match — "at or before").
+  *
+  * Built as a union-tag + running `last(_, ignoreNulls)` over ONE
+  * key-partitioned window rather than a join: both sides shuffle once on
+  * the key, the window carries a single running value (no per-row
+  * candidate set), and there is no row-multiplying equi-join on the key
+  * followed by a filter — the classic join+window formulation explodes to
+  * |left per key| × |right per key| intermediate rows on hot keys, which
+  * at 100 TB is the difference between a linear sort-based pass and an
+  * OOM. AQE/salting never needs to get involved because no join exists.
+  *
+  * The right side must be unique per (keys, rightTs) — pre-aggregate if
+  * it isn't, otherwise which same-timestamp row wins is nondeterministic.
+  *
+  * `tolerance`: optional maximum age in milliseconds; a match older than
+  * `leftTs - tolerance` is nulled out (the row is kept, like a left
+  * join). Mirrors the bounded-staleness lookup of stream-stream joins.
+  */
+object Asof {
+
+  def joinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      toleranceMs: Option[Long] = None): DataFrame = {
+    val keyCols = keys.map(col)
+    // Tag sides into one frame: right rows carry their values in a struct
+    // (plus their own ts for the tolerance check); left rows carry their
+    // full row. Sorting (ts, side) with right=0 puts a right row at the
+    // same timestamp BEFORE the left rows it should match.
+    val rTagged = right.select(
+      keyCols :+
+        col(rightTs).cast("timestamp").as("__ts") :+
+        lit(0).as("__side") :+
+        struct(unix_millis(col(rightTs).cast("timestamp")).as("__rms") +:
+          valueCols.map(col): _*).as("__rv"): _*)
+    val lTagged = left.select(
+      keyCols :+
+        col(leftTs).cast("timestamp").as("__ts") :+
+        lit(1).as("__side") :+
+        struct(left.columns.map(col): _*).as("__lrow"): _*)
+    // unionByName fills the side-specific struct with a typed null.
+    val r2 = rTagged.withColumn("__lrow",
+      lit(null).cast(lTagged.schema("__lrow").dataType))
+    val l2 = lTagged.withColumn("__rv",
+      lit(null).cast(rTagged.schema("__rv").dataType))
+    val w = Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = r2.unionByName(l2)
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val aged = toleranceMs match {
+      case Some(ms) =>
+        matched.withColumn("__m",
+          when(unix_millis(col("__ts")) - col("__m.__rms") <= ms, col("__m")))
+      case None => matched
+    }
+    aged.select(
+      left.columns.map(c => col("__lrow").getField(c).as(c)) ++
+        valueCols.map(c => col("__m").getField(c).as(c)): _*)
+  }
+}

@@ -242,6 +242,67 @@ object RelationalQueries {
         .orderBy(col("p_brand"))
     },
 
+    // Backward as-of join (Asof.joinBackward): each click matched to the
+    // user's latest purchase at-or-before it. Union-tag + running last()
+    // over ONE key-partitioned window — no equi-join, so a hot user never
+    // produces |clicks|×|purchases| intermediates. Oracle uses DuckDB's
+    // native ASOF JOIN (an independent implementation of the semantics).
+    QueryDef(
+      "join_asof_purchase_before_click",
+      """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS lts
+        |           FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts::TIMESTAMP AS rts, max(value) AS pval
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, round(r.pval, 4) AS purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.lts >= r.rts
+        |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.Asof
+        .joinBackward(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("pval"))
+        .select(col("event_id"), col("user_id"),
+          round(col("pval"), 4).as("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // As-of with bounded staleness: matches older than 48 h are nulled
+    // (kept as unmatched, like a left join). The oracle expresses the
+    // tolerance as a millisecond-epoch CASE over the same ASOF JOIN.
+    QueryDef(
+      "join_asof_tolerance_48h",
+      """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS lts
+        |           FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts::TIMESTAMP AS rts, max(value) AS pval
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |m AS (SELECT l.user_id, l.lts, r.rts, r.pval
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.lts >= r.rts)
+        |SELECT user_id,
+        |  count(*)::BIGINT AS n_clicks,
+        |  count(CASE WHEN epoch_ms(lts) - epoch_ms(rts) <= 172800000
+        |             THEN 1 END)::BIGINT AS n_fresh,
+        |  round(sum(CASE WHEN epoch_ms(lts) - epoch_ms(rts) <= 172800000
+        |                 THEN pval END), 2) AS fresh_value
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.Asof
+        .joinBackward(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("pval"), toleranceMs = Some(48L * 3600 * 1000))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("pval")).as("n_fresh"),
+          round(sum(col("pval")), 2).as("fresh_value"))
+        .orderBy(col("user_id"))
+    },
+
     // Explicit broadcast of the dim tables (nation: 25 rows — at 100 TB the
     // fact side never shuffles for this join).
     QueryDef(
