@@ -79,11 +79,16 @@ object DocBuild {
       lines.map(l => s"(${escapePdf(l)}) Tj T* ").mkString + "ET"
     val body: Array[Byte] =
       if (flate) {
+        // end() in finally: an un-ended Deflater parks ~64 KB of native
+        // zlib state on the Cleaner queue; at one per document the
+        // backlog throttles every zip-touching query in the session.
         val d = new Deflater()
-        d.setInput(ops.getBytes("ISO-8859-1")); d.finish()
-        val buf = new Array[Byte](ops.length * 2 + 64)
-        val n = d.deflate(buf)
-        java.util.Arrays.copyOf(buf, n)
+        try {
+          d.setInput(ops.getBytes("ISO-8859-1")); d.finish()
+          val buf = new Array[Byte](ops.length * 2 + 64)
+          val n = d.deflate(buf)
+          java.util.Arrays.copyOf(buf, n)
+        } finally d.end()
       } else ops.getBytes("ISO-8859-1")
     val filter = if (flate) " /Filter /FlateDecode" else ""
     val head =

@@ -52,18 +52,22 @@ object DocExtract {
     * differential oracle).
     */
   private def zipEntries(bytes: Array[Byte]): Seq[(String, Array[Byte])] =
-    try {
+    {
+      // close() in finally ends the stream's native Inflater; leaking
+      // one per document throttles the whole session (Cleaner backlog).
       val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
-      val out = ArrayBuffer.empty[(String, Array[Byte])]
-      var e = zin.getNextEntry
-      while (e != null) {
-        out += ((e.getName, zin.readAllBytes()))
-        e = zin.getNextEntry
-      }
-      out.toSeq
-    } catch {
-      case _: Exception =>
-        throw new IllegalArgumentException("bad zip container")
+      try {
+        val out = ArrayBuffer.empty[(String, Array[Byte])]
+        var e = zin.getNextEntry
+        while (e != null) {
+          out += ((e.getName, zin.readAllBytes()))
+          e = zin.getNextEntry
+        }
+        out.toSeq
+      } catch {
+        case _: Exception =>
+          throw new IllegalArgumentException("bad zip container")
+      } finally zin.close()
     }
 
   private def unescapeXml(s: String): String =
@@ -156,15 +160,18 @@ object DocExtract {
       val body = m.group(2)
       val content =
         if (dict.contains("/FlateDecode")) {
+          // end() in finally — same native-state leak as zipEntries.
           val inf = new Inflater()
-          inf.setInput(body.getBytes("ISO-8859-1"))
-          val buf = new Array[Byte](1 << 16)
-          val out = new java.io.ByteArrayOutputStream()
-          while (!inf.finished() && !inf.needsInput()) {
-            val n = inf.inflate(buf)
-            if (n > 0) out.write(buf, 0, n)
-          }
-          new String(out.toByteArray, "ISO-8859-1")
+          try {
+            inf.setInput(body.getBytes("ISO-8859-1"))
+            val buf = new Array[Byte](1 << 16)
+            val out = new java.io.ByteArrayOutputStream()
+            while (!inf.finished() && !inf.needsInput()) {
+              val n = inf.inflate(buf)
+              if (n > 0) out.write(buf, 0, n)
+            }
+            new String(out.toByteArray, "ISO-8859-1")
+          } finally inf.end()
         } else body
       TJ.findAllMatchIn(content).map(t => unescapePdf(t.group(1)))
     }.mkString("\n")
