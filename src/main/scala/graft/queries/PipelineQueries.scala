@@ -33,6 +33,36 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // SCD2 history build (operators.History.scd2): collapse the event
+    // log into type-2 validity intervals per user — one row per run of
+    // consecutive identical event_type states, [valid_from, valid_to)
+    // epoch bounds, version counter, open-interval is_current. The
+    // whole build is one shuffle (both windows share the user_id
+    // partitioning).
+    QueryDef(
+      "scd2_user_state_history",
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts::TIMESTAMP AS t, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts::TIMESTAMP, event_id) AS prev_type
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, event_type, t, event_id FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS version,
+        |  event_type AS state,
+        |  cast(floor(epoch(t)) AS BIGINT) AS valid_from,
+        |  cast(floor(epoch(lead(t) OVER (PARTITION BY user_id
+        |                      ORDER BY t, event_id))) AS BIGINT) AS valid_to,
+        |  lead(t) OVER (PARTITION BY user_id
+        |                ORDER BY t, event_id) IS NULL AS is_current
+        |FROM changes ORDER BY user_id, version""".stripMargin) { (s, d) =>
+      graft.operators.History.scd2(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("user_id"), col("version"))
+    },
+
     // A9: the 3-way merge matrix — target=documents, incoming batch has
     // changed text for id%3=0, identical for id%3=1, misses id%3=2, plus
     // brand-new ids. Output: action histogram.
@@ -179,6 +209,140 @@ object PipelineQueries {
           (lit(64) + HashFunctions.stableHash64(concat(lit("h:"), col("text"))) % 385)
             .as("fake_height"))
         .orderBy(col("doc_id"))
+    },
+
+    // Column profiling (operators.Profile.columns): the QA pass before
+    // trusting a new source — row/null/exact-distinct counts and
+    // min/max per column, ALL columns in one scan (Expand-based
+    // multi-distinct, not a per-column loop). lang is null-injected so
+    // the null counting is actually exercised.
+    QueryDef(
+      "pl_column_profile",
+      """WITH d AS (
+        |  SELECT doc_id, nullif(lang, 'de') AS lang_n, source, n_chars
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'doc_id' AS column_name, count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |    count(DISTINCT doc_id)::BIGINT AS n_distinct,
+        |    min(doc_id)::VARCHAR AS min_str, max(doc_id)::VARCHAR AS max_str
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'lang_n', count(*)::BIGINT,
+        |    sum(CASE WHEN lang_n IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT lang_n)::BIGINT,
+        |    min(lang_n), max(lang_n) FROM d
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*)::BIGINT,
+        |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT n_chars)::BIGINT,
+        |    min(n_chars)::VARCHAR, max(n_chars)::VARCHAR FROM d
+        |  UNION ALL
+        |  SELECT 'source', count(*)::BIGINT,
+        |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT source)::BIGINT,
+        |    min(source), max(source) FROM d)
+        |ORDER BY column_name""".stripMargin) { (s, d) =>
+      val frame = Tables.documents(s, d).select(col("doc_id"),
+        when(col("lang") === "de", lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang_n"),
+        col("source"), col("n_chars"))
+      graft.operators.Profile.columns(frame,
+        Seq("doc_id", "lang_n", "n_chars", "source"))
+        .orderBy(col("column_name"))
+    },
+
+    // Fixed-iteration PageRank over the same lineitem-derived link
+    // graph — the crawl-prioritization signal ("fetch high-authority
+    // hosts first"). Three synchronous rounds of the un-normalized
+    // (1-d) + d*sum convention, oracle-replayed as chained CTEs. The
+    // top-20 ordering rounds BEFORE ranking so both engines break the
+    // float ties identically.
+    QueryDef(
+      "gr_pagerank_topk",
+      """WITH raw AS (
+        |  SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
+        |  FROM lineitem WHERE l_orderkey % 2000 <> l_partkey % 2000),
+        |nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+        |deg AS (SELECT src, count(*) AS outd FROM raw GROUP BY src),
+        |r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+        |r1 AS (
+        |  SELECT n.node, 0.15 + 0.85 * coalesce(sum(r.rank / dg.outd), 0) AS rank
+        |  FROM nodes n
+        |  LEFT JOIN raw e ON e.dst = n.node
+        |  LEFT JOIN r0 r ON r.node = e.src
+        |  LEFT JOIN deg dg ON dg.src = e.src
+        |  GROUP BY n.node),
+        |r2 AS (
+        |  SELECT n.node, 0.15 + 0.85 * coalesce(sum(r.rank / dg.outd), 0) AS rank
+        |  FROM nodes n
+        |  LEFT JOIN raw e ON e.dst = n.node
+        |  LEFT JOIN r1 r ON r.node = e.src
+        |  LEFT JOIN deg dg ON dg.src = e.src
+        |  GROUP BY n.node),
+        |r3 AS (
+        |  SELECT n.node, 0.15 + 0.85 * coalesce(sum(r.rank / dg.outd), 0) AS rank
+        |  FROM nodes n
+        |  LEFT JOIN raw e ON e.dst = n.node
+        |  LEFT JOIN r2 r ON r.node = e.src
+        |  LEFT JOIN deg dg ON dg.src = e.src
+        |  GROUP BY n.node)
+        |SELECT node, round(rank, 6) AS rank FROM r3
+        |ORDER BY round(rank, 6) DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+      val edges = Tables.lineitem(s, d)
+        .select((col("l_orderkey") % 2000).as("src"),
+          (col("l_partkey") % 2000).as("dst"))
+      graft.operators.Graph.pageRank(edges, iters = 3, damping = 0.85)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    },
+
+    // Anchor-text aggregation: the inbound-link description of a target
+    // page (what the web "calls" a url — the classic relevance signal a
+    // crawler's ranking layer feeds on). Positional zip of the href and
+    // anchor-text capture groups, explode, then an ordered distinct
+    // string-agg per target. One shuffle on the target url.
+    QueryDef(
+      "gr_anchor_text",
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    '<a href="https://s' || (doc_id % 40) || '.example.com/">'
+        |      || 'site ' || (doc_id % 40) || '</a>'
+        |    || '<a href="https://s' || ((doc_id + 1) % 40) || '.example.com/">'
+        |      || 'neighbor ' || ((doc_id + 1) % 40) || '</a>'
+        |    || '<a href="https://hub.example.com/">hub no ' || (doc_id % 3) || '</a>'
+        |    AS html
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS target,
+        |    unnest(regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS anchor
+        |  FROM pages)
+        |SELECT target, count(*) AS n_inbound,
+        |  count(DISTINCT anchor) AS n_anchors,
+        |  string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
+        |FROM pairs GROUP BY target ORDER BY target""".stripMargin) { (s, d) =>
+      val pat = "<a href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+      val pages = Tables.documents(s, d).withColumn("html",
+        concat(
+          lit("<a href=\"https://s"), col("doc_id") % 40,
+          lit(".example.com/\">site "), col("doc_id") % 40, lit("</a>"),
+          lit("<a href=\"https://s"), (col("doc_id") + 1) % 40,
+          lit(".example.com/\">neighbor "), (col("doc_id") + 1) % 40, lit("</a>"),
+          lit("<a href=\"https://hub.example.com/\">hub no "), col("doc_id") % 3,
+          lit("</a>")))
+      pages
+        .select(col("doc_id"),
+          explode(arrays_zip(
+            regexp_extract_all(col("html"), lit(pat), lit(1)),
+            regexp_extract_all(col("html"), lit(pat), lit(2)))).as("p"))
+        .select(col("p.0").as("target"), col("p.1").as("anchor"))
+        .groupBy(col("target"))
+        .agg(count(lit(1)).as("n_inbound"),
+          countDistinct(col("anchor")).as("n_anchors"),
+          concat_ws("|", array_sort(collect_set(col("anchor")))).as("anchors"))
+        .orderBy(col("target"))
     }
   )
 }
