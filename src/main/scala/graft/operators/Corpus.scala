@@ -201,6 +201,81 @@ object Corpus {
           .as("boilerplate_ratio"))
   }
 
+  /** PARAGRAPH-LEVEL exact dedup (the CCNet shape): across the whole
+    * corpus, keep only the FIRST occurrence of every distinct text unit
+    * (paragraph/line) — ordered by (doc id, position) — and reassemble
+    * each document from its surviving units. Docs whose units were all
+    * seen earlier come back empty and are dropped.
+    *
+    * `units`: one row per (idCol, posCol, unitCol). Output: idCol,
+    * n_kept, n_dropped, new_text (units joined by \n in position
+    * order).
+    *
+    * Scale shape: one shuffle on the unit text for the first-occurrence
+    * window (at 100 TB you'd key the exchange on xxhash64(unit) and
+    * carry the text alongside — same plan shape; the string key keeps
+    * the oracle exact here), one shuffle back on doc id for
+    * reassembly. The in-partition sort_array bounds memory by document
+    * size, never corpus size.
+    */
+  def dedupParagraphs(units: DataFrame, idCol: String, posCol: String,
+      unitCol: String): DataFrame = {
+    val w = Window.partitionBy(col(unitCol))
+      .orderBy(col(idCol), col(posCol))
+    val totals = units.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_total"))
+    val kept = units
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(posCol).as("p"),
+              col(unitCol).as("u")))),
+            x => x.getField("u")),
+          "\n").as("new_text"))
+    totals.join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        col("new_text"))
+      .filter(col("n_kept") > 0)
+  }
+
+  /** Gopher-style REPETITION signals per document, from pre-split text
+    * units (lines/paragraphs): the duplicate-unit fraction, the
+    * fraction of characters living in duplicated units, and the
+    * character share of the single most repeated unit — the gates that
+    * catch listing/template spam exact-dedup misses.
+    *
+    * Two hash aggregates — (doc, unit) counts, then per-doc — both with
+    * map-side partial aggregation; no windows, no full-row
+    * materialization. Per-task memory is bounded by distinct units per
+    * doc, never corpus size.
+    */
+  def repetitionSignals(units: DataFrame, idCol: String,
+      unitCol: String): DataFrame = {
+    val perUnit = units
+      .groupBy(col(idCol), col(unitCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__chars", col("__cnt") * length(col(unitCol)))
+    perUnit
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_units"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__chars")).as("n_chars_total"),
+        sum(when(col("__cnt") > 1, col("__chars")).otherwise(0L))
+          .as("n_chars_dup"),
+        max(col("__chars")).as("__max_unit_chars"))
+      .select(col(idCol), col("n_units"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_units"), 4)
+          .as("dup_unit_frac"),
+        round(col("n_chars_dup").cast("double") / col("n_chars_total"), 4)
+          .as("dup_char_frac"),
+        round(col("__max_unit_chars").cast("double") / col("n_chars_total"), 4)
+          .as("top_unit_char_frac"))
+  }
+
   /** Persist the benchmark's distinct hashed-shingle index — the
     * standing screen a continuous ingest decontaminates against
     * (`Streams.decontamNeardupIngestBatch`). Benchmark suites are

@@ -897,6 +897,153 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"),
           max(col("fp")).as("max_fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // PARAGRAPH-level exact dedup (Corpus.dedupParagraphs, the CCNet
+    // shape): corpus = documents plus prefix-24-token mutants with a
+    // unique tail — across the corpus only the FIRST occurrence of
+    // every 8-word chunk survives (ordered by doc id, position), docs
+    // are reassembled from surviving chunks, empty docs dropped. The
+    // mutants must lose their copied prefix chunks but keep the unique
+    // tail.
+    QueryDef(
+      "pl_paragraph_dedup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(
+        |      list_filter(string_split(trim(text), ' '), x -> x <> '')[1:24], ' ')
+        |    || ' unique tail for mutant ' || doc_id
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM corpus),
+        |lines AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, cast(ceil(len(l) / 8.0) AS INT) + 1),
+        |      i -> array_to_string(l[((i-1)*8+1):least(i*8, len(l))], ' ')) AS ls
+        |  FROM toks),
+        |u AS (
+        |  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+        |  FROM lines),
+        |ranked AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM u),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(line, chr(10) ORDER BY pos)) AS new_md5
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_total FROM u GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+        |  (t.n_total - coalesce(k.n_kept, 0))::BIGINT AS n_dropped, k.new_md5
+        |FROM tot t JOIN kept k ON k.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = TextFunctions.tokens(col("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.select((col("doc_id") + 1000000).as("doc_id"),
+          concat(concat_ws(" ", slice(toks, 1, 24)),
+            lit(" unique tail for mutant "), col("doc_id")).as("text")))
+      val units = corpus
+        .withColumn("toks", toks)
+        .withColumn("n_lines", ceil(size(col("toks")) / lit(8.0)).cast("int"))
+        .withColumn("ls",
+          transform(sequence(lit(1), col("n_lines")),
+            i => concat_ws(" ", slice(col("toks"), (i - lit(1)) * 8 + 1, lit(8)))))
+        .select(col("doc_id"), posexplode(col("ls")).as(Seq("pos0", "line")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("line"))
+      graft.operators.Corpus.dedupParagraphs(units, "doc_id", "pos", "line")
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("new_text")).as("new_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher-style repetition signals (Corpus.repetitionSignals): lines
+    // = 8-word chunks with the first two chunks re-appended (so every
+    // doc carries real duplicate units); per doc the duplicate-unit
+    // fraction, duplicated-character fraction, and the top unit's
+    // character share — the listing/template-spam gates.
+    QueryDef(
+      "txt_repetition_signals",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |lines0 AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, cast(ceil(len(l) / 8.0) AS INT) + 1),
+        |      i -> array_to_string(l[((i-1)*8+1):least(i*8, len(l))], ' ')) AS ls
+        |  FROM toks),
+        |lines AS (SELECT doc_id, list_concat(ls, ls[1:2]) AS ls FROM lines0),
+        |u AS (SELECT doc_id, unnest(ls) AS line FROM lines),
+        |pu AS (
+        |  SELECT doc_id, line, count(*) AS cnt,
+        |    count(*) * strlen(line) AS chars
+        |  FROM u GROUP BY doc_id, line)
+        |SELECT doc_id, sum(cnt)::BIGINT AS n_units,
+        |  count(*)::BIGINT AS n_distinct,
+        |  round(1.0 - count(*)::DOUBLE / sum(cnt), 4) AS dup_unit_frac,
+        |  round(sum(CASE WHEN cnt > 1 THEN chars ELSE 0 END)::DOUBLE
+        |    / sum(chars), 4) AS dup_char_frac,
+        |  round(max(chars)::DOUBLE / sum(chars), 4) AS top_unit_char_frac
+        |FROM pu GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = TextFunctions.tokens(col("text"))
+      val units = Tables.documents(s, d)
+        .withColumn("toks", toks)
+        .withColumn("n_lines", ceil(size(col("toks")) / lit(8.0)).cast("int"))
+        .withColumn("ls0",
+          transform(sequence(lit(1), col("n_lines")),
+            i => concat_ws(" ", slice(col("toks"), (i - lit(1)) * 8 + 1, lit(8)))))
+        .withColumn("ls", concat(col("ls0"), slice(col("ls0"), 1, 2)))
+        .select(col("doc_id"), explode(col("ls")).as("line"))
+      graft.operators.Corpus.repetitionSignals(units, "doc_id", "line")
+        .orderBy(col("doc_id"))
+    },
+
+    // K-means semantic clustering (Similarity.kmeansAssign): two Lloyd
+    // rounds from deterministic seeds (vectors with id < 4, cluster id
+    // = seed id), distances via the inner-product identity so both
+    // engines evaluate the same float expression; per-cluster size and
+    // mean squared distance. The oracle unrolls both rounds as CTEs.
+    QueryDef(
+      "sim_kmeans_clusters",
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT id AS cid, v FROM e WHERE id < 4),
+        |d1 AS (
+        |  SELECT e.id, c.cid,
+        |    list_inner_product(e.v, e.v) + list_inner_product(c.v, c.v)
+        |      - 2 * list_inner_product(e.v, c.v) AS d2,
+        |    row_number() OVER (PARTITION BY e.id
+        |      ORDER BY list_inner_product(e.v, e.v) + list_inner_product(c.v, c.v)
+        |        - 2 * list_inner_product(e.v, c.v), c.cid) AS rn
+        |  FROM e, c0 c),
+        |m1 AS (
+        |  SELECT a.cid, u.dim, avg(u.x) AS x
+        |  FROM (SELECT id, cid FROM d1 WHERE rn = 1) a
+        |  JOIN (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+        |        FROM e) u USING (id)
+        |  GROUP BY a.cid, u.dim),
+        |c1 AS (SELECT cid, list(x ORDER BY dim) AS v FROM m1 GROUP BY cid),
+        |d2i AS (
+        |  SELECT e.id, c.cid,
+        |    list_inner_product(e.v, e.v) + list_inner_product(c.v, c.v)
+        |      - 2 * list_inner_product(e.v, c.v) AS d2,
+        |    row_number() OVER (PARTITION BY e.id
+        |      ORDER BY list_inner_product(e.v, e.v) + list_inner_product(c.v, c.v)
+        |        - 2 * list_inner_product(e.v, c.v), c.cid) AS rn
+        |  FROM e, c1 c)
+        |SELECT cid AS cluster_id, count(*)::BIGINT AS n_members,
+        |  round(avg(d2), 4) AS avg_d2
+        |FROM d2i WHERE rn = 1 GROUP BY cid ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.kmeansAssign(emb, k = 4, iters = 2)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), round(avg(col("d2")), 4).as("avg_d2"))
+        .orderBy(col("cluster_id"))
     }
   )
 }

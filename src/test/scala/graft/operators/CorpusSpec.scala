@@ -108,4 +108,40 @@ class CorpusSpec extends SparkSpec {
     assert(got(10L) == ((0L, 0L)))
     assert(got(11L) == ((1L, 44L)))    // 300 = 256 + 44
   }
+
+  test("dedupParagraphs keeps first occurrence corpus-wide, drops empty docs") {
+    val units = Seq(
+      (1L, 1, "alpha"), (1L, 2, "beta"),
+      (2L, 1, "beta"), (2L, 2, "gamma"),   // beta already seen in doc 1
+      (3L, 1, "alpha"), (3L, 2, "beta"))   // fully duplicated -> dropped
+      .toDF("doc_id", "pos", "line")
+    val got = Corpus.dedupParagraphs(units, "doc_id", "pos", "line")
+      .select("doc_id", "n_kept", "n_dropped", "new_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 0L, "alpha\nbeta")),
+      2L -> ((1L, 1L, "gamma"))))
+    // Within one doc the repeated unit also dedups (first position wins).
+    val self = Seq((7L, 1, "x"), (7L, 2, "y"), (7L, 3, "x"))
+      .toDF("doc_id", "pos", "line")
+    val g2 = Corpus.dedupParagraphs(self, "doc_id", "pos", "line")
+      .select("n_kept", "new_text").as[(Long, String)].collect().head
+    assert(g2 == ((2L, "x\ny")))
+  }
+
+  test("repetitionSignals: hand-computed fractions") {
+    // doc 1: units aa, aa, bbbb -> n=3, distinct=2, chars 2+2+4=8,
+    // dup chars 4, top unit chars max(4, 4)=4.
+    val units = Seq((1L, "aa"), (1L, "aa"), (1L, "bbbb"))
+      .toDF("doc_id", "line")
+    val got = Corpus.repetitionSignals(units, "doc_id", "line")
+      .select("n_units", "n_distinct", "dup_unit_frac", "dup_char_frac",
+        "top_unit_char_frac")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == 3L && got._2 == 2L)
+    assert(got._3 == 0.3333)           // 1 - 2/3
+    assert(got._4 == 0.5)              // 4 / 8
+    assert(got._5 == 0.5)              // max(2*2, 1*4) / 8
+  }
 }

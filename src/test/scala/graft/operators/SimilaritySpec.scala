@@ -67,4 +67,22 @@ class SimilaritySpec extends SparkSpec {
     assert(w == expected)
     assert(w.forall(x => x == 1.0 || x == -1.0))
   }
+
+  test("kmeansAssign: seeds from id<k, converged toy clusters") {
+    // Two tight groups around (0,0) and (10,10); seeds 0 and 1 start
+    // one in each group, so two Lloyd rounds settle exactly.
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.1f)), (1L, Seq(10.0f, 10.0f)),
+      (2L, Seq(0.1f, 0.0f)), (3L, Seq(10.1f, 9.9f)),
+      (4L, Seq(0.0f, 0.0f)), (5L, Seq(9.9f, 10.1f)))
+      .toDF("id", "vec")
+    val got = Similarity.kmeansAssign(pts, k = 2, iters = 2)
+      .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 2L -> 0L, 4L -> 0L,
+      1L -> 1L, 3L -> 1L, 5L -> 1L))
+    // d2 is non-negative-ish and small inside tight clusters.
+    val d2s = Similarity.kmeansAssign(pts, k = 2, iters = 2)
+      .select("d2").as[Double].collect()
+    assert(d2s.forall(_ < 0.1))
+  }
 }
