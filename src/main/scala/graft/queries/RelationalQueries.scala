@@ -683,6 +683,29 @@ object RelationalQueries {
         .orderBy(col("tok"))
     },
 
+    // Bloom-filter join prefilter (operators.Bloom.semiJoin): the
+    // high-value orders' keys build a 2^20-bit filter that drops
+    // non-matching lineitem rows BEFORE the join's shuffle; false
+    // positives are removed by the exact semi join that follows, so the
+    // oracle is the plain semi join — the filter must be invisible in
+    // the result and visible only in the exchange volume.
+    QueryDef(
+      "join_bloom_prefilter",
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val keys = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("l_orderkey"))
+      graft.operators.Bloom.semiJoin(Tables.lineitem(s, d), keys,
+        "l_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // X2: first-occurrence-ordered distinct (Spark array_distinct preserves
     // first-seen order; the oracle reconstructs it via min(position)).
     QueryDef(

@@ -180,6 +180,59 @@ object SourceQueries {
         .orderBy(col("site"))
     },
 
+    // Small-file compaction (Store.compact): a fragmented
+    // site-partitioned store (16-way shuffled write = up to 16 files
+    // per site) is compacted to ceil(rows/40) files per site — file
+    // counts become a pure function of the data, verified against the
+    // REAL post-compaction directory listing, row counts against the
+    // re-read store.
+    QueryDef(
+      "s17_compact_small_files",
+      """SELECT source AS site, count(*)::BIGINT AS n_rows,
+        |  cast(ceil(count(*) / 40.0) AS BIGINT) AS n_files
+        |FROM documents GROUP BY source ORDER BY site""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source").as("site"), col("text"))
+      val path = java.nio.file.Files.createTempDirectory("graft-compact")
+        .toString + "/docs"
+      docs.repartition(16).write.partitionBy("site").parquet(path)
+      Store.compact(s, path, "site", maxRecordsPerFile = 40)
+      val files = Store.filesPerPartition(s, path).toDF("site", "n_files")
+      Store.read(s, path)
+        .groupBy(col("site")).agg(count(lit(1)).as("n_rows"))
+        .join(files, Seq("site"))
+        .select(col("site"), col("n_rows"), col("n_files"))
+        .orderBy(col("site"))
+    },
+
+    // Z-order layout (operators.Layout): Morton-interleave two bounded
+    // keys and bucket by fixed-width z-ranges — each bucket covers a
+    // small rectangle in (a, b) space, the file-level min/max pruning
+    // a single-key sort can't give. The oracle evaluates the identical
+    // generated bit formula.
+    QueryDef(
+      "s17_zorder_buckets",
+      s"""WITH k AS (
+         |  SELECT l_orderkey % 1024 AS a, l_partkey % 1024 AS b FROM lineitem),
+         |z AS (SELECT a, b,
+         |  ${graft.operators.Layout.zorderValueSql("a", "b", 10)} AS z FROM k)
+         |SELECT (z >> 15)::BIGINT AS bucket, count(*)::BIGINT AS n,
+         |  min(a)::BIGINT AS min_a, max(a)::BIGINT AS max_a,
+         |  min(b)::BIGINT AS min_b, max(b)::BIGINT AS max_b
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val k = Tables.lineitem(s, d)
+        .select((col("l_orderkey") % 1024).as("a"),
+          (col("l_partkey") % 1024).as("b"))
+      k.withColumn("z",
+          graft.operators.Layout.zorderValue(col("a"), col("b"), 10))
+        .groupBy(shiftright(col("z"), 15).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+          min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+        .orderBy(col("bucket"))
+    },
+
     // F15/C16: charset-fallback decode chain — header charset wins,
     // then strict UTF-8 (rejected on ý/þ mojibake), then windows-1254.
     QueryDef(

@@ -172,6 +172,62 @@ object Store {
       .delete(sp, true): Unit
   }
 
+  /** Small-file COMPACTION for a partitioned store — the maintenance
+    * pass every long-lived ingest needs: streaming/micro-batch appends
+    * leave each partition as hundreds of KB-scale files, and at 100 TB
+    * the resulting file-listing and task-per-file overhead dominates
+    * scan time long before the bytes do.
+    *
+    * Rewrites the store so each partition holds
+    * `ceil(rows / maxRecordsPerFile)` files: one shuffle keys every
+    * partition value to one task (distinct values hashing to the same
+    * task still write separate files — one per partition directory),
+    * and the writer's `maxRecordsPerFile` splits within the task. File
+    * counts are thus a pure function of the DATA, not of the incoming
+    * layout. Stage-then-overwrite because a lazy plan cannot read and
+    * replace the same files.
+    */
+  def compact(spark: SparkSession, path: String, partitionCol: String,
+      maxRecordsPerFile: Int): Unit = {
+    require(maxRecordsPerFile > 0,
+      s"maxRecordsPerFile must be positive, got $maxRecordsPerFile")
+    val stage = path.stripSuffix("/") + "_compact_stage"
+    read(spark, path)
+      .repartition(col(partitionCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(stage)
+    read(spark, stage)
+      .repartition(col(partitionCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(path)
+    val sp = new org.apache.hadoop.fs.Path(stage)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sp, true): Unit
+  }
+
+  /** Data files per partition-value directory of a partitioned store —
+    * the observability half of [[compact]] (one bounded driver-side
+    * listing; success files and hidden files excluded).
+    */
+  def filesPerPartition(spark: SparkSession,
+      path: String): Seq[(String, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { dir =>
+        val value = dir.getPath.getName.split("=", 2)(1)
+        val n = fs.listStatus(dir.getPath)
+          .count(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+        (value, n.toLong)
+      }
+  }
+
   /** S17: MERGE `incoming` (key + content_hash + data) into the store
     * at `path`, rewriting only partitions with a real insert/update.
     * Returns the number of partitions rewritten.
