@@ -32,6 +32,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ContextCleaner frees shuffle files / broadcasts via weak refs,
+      // i.e. only after a GC — and the 16 GB bench heap can run a
+      // hundred queries without one (the default periodic-GC interval
+      // is 30 MINUTES). Late heavy queries then pay for the whole
+      // session's accumulated shuffle/broadcast state; a tight
+      // periodic GC bounds it at a few ~100 ms full GCs per session.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -262,7 +262,8 @@ object PipelineQueries {
       "gr_pagerank_topk",
       """WITH raw AS (
         |  SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
-        |  FROM lineitem WHERE l_orderkey % 2000 <> l_partkey % 2000),
+        |  FROM lineitem
+        |  WHERE l_linenumber = 1 AND l_orderkey % 2000 <> l_partkey % 2000),
         |nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
         |deg AS (SELECT src, count(*) AS outd FROM raw GROUP BY src),
         |r0 AS (SELECT node, 1.0 AS rank FROM nodes),
@@ -290,6 +291,7 @@ object PipelineQueries {
         |SELECT node, round(rank, 6) AS rank FROM r3
         |ORDER BY round(rank, 6) DESC, node LIMIT 20""".stripMargin) { (s, d) =>
       val edges = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") === 1)
         .select((col("l_orderkey") % 2000).as("src"),
           (col("l_partkey") % 2000).as("dst"))
       graft.operators.Graph.pageRank(edges, iters = 3, damping = 0.85)

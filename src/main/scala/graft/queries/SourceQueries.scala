@@ -190,9 +190,11 @@ object SourceQueries {
       "s17_compact_small_files",
       """SELECT source AS site, count(*)::BIGINT AS n_rows,
         |  cast(ceil(count(*) / 40.0) AS BIGINT) AS n_files
-        |FROM documents GROUP BY source ORDER BY site""".stripMargin) { (s, d) =>
+        |FROM documents WHERE doc_id % 2 = 0
+        |GROUP BY source ORDER BY site""".stripMargin) { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("source").as("site"), col("text"))
       val path = java.nio.file.Files.createTempDirectory("graft-compact")
         .toString + "/docs"

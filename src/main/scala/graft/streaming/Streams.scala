@@ -81,6 +81,20 @@ object Streams {
   def dedupFirstPerKey(events: DataFrame, keys: Seq[String]): DataFrame =
     events.dropDuplicates(keys)
 
+  /** ST4 at unbounded key cardinality: watermark-BOUNDED streaming
+    * dedup. `dropDuplicates` keeps every key ever seen — at 100 TB of
+    * crawl/event traffic that state store only grows. This variant
+    * keeps a key's state only while it can still collide under the
+    * `delay` watermark on `tsCol`; duplicates farther apart than the
+    * watermark pass through (the at-least-once downstream merge
+    * absorbs them — the same contract as the near-dup ingest gate).
+    * Input must be a streaming frame with an event-time `tsCol`.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      tsCol: String, delay: String): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   // ---- ST5: stale-entity timeout ------------------------------------------
 
   /** One job-queue heartbeat (status poll row). */

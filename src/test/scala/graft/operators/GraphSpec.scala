@@ -21,4 +21,20 @@ class GraphSpec extends SparkSpec {
     val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     assert(Graph.triangleCounts(path).count() == 0)
   }
+
+  test("degree-oriented form matches id-ordered on a hub graph") {
+    // Star hub 0 connected to 1..20, plus rim edges i-(i+1) for odd i —
+    // triangles (0, i, i+1). The hub is exactly the shape that blows up
+    // the id-ordered two-path join; counts must match regardless.
+    val rim = (1 to 19 by 2).map(i => (i.toLong, (i + 1).toLong))
+    val star = (1 to 20).map(i => (0L, i.toLong))
+    val edges = (star ++ rim).toDF("src", "dst")
+    val a = Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.triangleCountsDegreeOriented(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a(0L) == 10L)               // hub is in every rim triangle
+    assert((1 to 20).forall(i => a(i.toLong) == 1L))
+  }
 }

@@ -113,6 +113,32 @@ class StreamsSpec extends SparkSpec {
     assert(got == Set((1L, "view", 1.0), (1L, "click", 2.0)))
   }
 
+  test("ST4 bounded: watermark dedup drops near dups, expires old state") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.dedupWithinWatermark(in.toDF(),
+      Seq("user_id", "event_type"), "ts", "5 minutes")
+      .writeStream.format("memory").queryName("dedup_wm_t")
+      .outputMode("append").start()
+    try {
+      // Batch 1: dup inside the watermark window -> one survivor.
+      in.addData(Ev(ts(1), "view", 1L, 1.0), Ev(ts(2), "view", 1L, 99.0))
+      q.processAllAvailable()
+      // Advance event time far past the watermark, then repeat the key:
+      // its state has expired, so the repeat is emitted again (the
+      // bounded-state contract — downstream merge absorbs it).
+      in.addData(Ev(ts(60), "tick", 9L, 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts(61), "view", 1L, 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_wm_t")
+      .select("user_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSeq
+      .filter(r => r._2 == "view")
+    assert(got.toSet == Set((1L, "view", 1.0), (1L, "view", 7.0)))
+  }
+
   test("ST5: stale jobs fail after the event-time timeout") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Streams.Heartbeat]
