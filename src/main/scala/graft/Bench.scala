@@ -41,7 +41,12 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Local-iteration filter (mirrors Verify): SPARK_GRAFT_ONLY=a,b
+    // benches just those queries. Unset (the driver) → all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Session-health probes: cumulative GC ms and JIT code-cache
     // occupancy. Both are per-JVM, not per-query, but the DELTA across a

@@ -211,6 +211,76 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Data-quality validation (operators.Checks.validate): the
+    // expectations gate before publishing a load — not-null, range,
+    // predicate, uniqueness and referential rules over a deliberately
+    // dirtied orders frame (nulled FKs, negated prices, duplicated
+    // keys, orphaned customer refs). Row-level rules + uniqueness fuse
+    // into ONE aggregate over one scan; the FK rule adds one anti-join
+    // against the (broadcast) customer key set.
+    QueryDef(
+      "pl_data_quality_checks",
+      """WITH dirty AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN NULL
+        |         WHEN o_orderkey % 89 = 0 THEN o_custkey + 9000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey % 500 = 0),
+        |checks AS (
+        |  SELECT 'not_null(o_custkey)' AS rule,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_violations
+        |  FROM dirty
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice, 0.0, 1000000.0)',
+        |    sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+        |             OR o_totalprice > 1000000 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM dirty
+        |  UNION ALL
+        |  SELECT 'satisfies(order_before_cutoff)',
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |             THEN 0 ELSE 1 END)::BIGINT
+        |  FROM dirty
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |    (count(*) - count(DISTINCT o_orderkey))::BIGINT FROM dirty
+        |  UNION ALL
+        |  SELECT 'foreign_key(o_custkey_in_customer)',
+        |    count(*)::BIGINT
+        |  FROM (SELECT o_custkey FROM dirty WHERE o_custkey IS NOT NULL) dd
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = dd.o_custkey))
+        |SELECT rule, n_violations, n_violations = 0 AS passed
+        |FROM checks ORDER BY rule""".stripMargin) { (s, d) =>
+      import graft.operators.Checks
+      val orders = Tables.orders(s, d)
+      val dirty = orders.select(col("o_orderkey"),
+          when(col("o_orderkey") % 100 === 0, lit(null).cast("long"))
+            .when(col("o_orderkey") % 89 === 0, col("o_custkey") + 9000000)
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderdate"))
+        .unionByName(orders.filter(col("o_orderkey") % 500 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderdate")))
+      Checks.validate(dirty, Seq(
+        Checks.NotNull("o_custkey"),
+        Checks.InRange("o_totalprice", 0.0, 1000000.0),
+        Checks.Satisfies("order_before_cutoff",
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+        Checks.Unique(Seq("o_orderkey")),
+        Checks.ForeignKey(Seq("o_custkey"), Tables.customer(s, d),
+          Seq("c_custkey"), "o_custkey_in_customer")))
+        .orderBy(col("rule"))
+    },
+
     // Column profiling (operators.Profile.columns): the QA pass before
     // trusting a new source — row/null/exact-distinct counts and
     // min/max per column, ALL columns in one scan (Expand-based

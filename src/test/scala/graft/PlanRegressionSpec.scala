@@ -60,6 +60,35 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("scd2 builds its whole history on one hash exchange") {
+    // Both windows (change detection, interval bounds) must share the
+    // user_id partitioning; the only other exchange is the final sort.
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plans("scd2_user_state_history")).length
+    assert(hashExchanges == 1,
+      s"scd2 shuffled $hashExchanges times (want 1)")
+  }
+
+  test("column profiler reads its table exactly once") {
+    val p = plans("pl_column_profile")
+    // Both "Scan parquet" and "FileScan parquet" lines contain this.
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"profiler scanned $scans times (want 1)")
+    assert(p.contains("Expand"),
+      "multi-distinct lost its single-pass Expand rewrite")
+  }
+
+  test("bloom prefilter probes on the scan side before the join") {
+    // The probe predicate (xxhash64 against the literal word array)
+    // must sit in a Filter below the semi join, not after it.
+    val p = plans("join_bloom_prefilter")
+    assert(p.contains("xxhash64"), "bloom probe predicate missing")
+    val probeAt = p.indexOf("xxhash64")
+    val joinAt = p.indexOf("LeftSemi")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      "probe filter not below the semi join in the plan tree")
+  }
+
   test("every query stays inside whole-stage codegen somewhere") {
     // A plan with zero codegen spans has fallen off the Tungsten path
     // entirely (an interpreted expression or object-only pipeline).
