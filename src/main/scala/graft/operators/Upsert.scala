@@ -77,6 +77,22 @@ object Upsert {
   }
 
   /** Convenience: attach the normalized content hash. */
+  /** Apply a CDC operation log with DELETE semantics: for each key,
+    * the latest operation (by `ts`, then `tiebreak`) wins; keys whose
+    * latest op is `deleteOp` vanish from the result, everything else
+    * keeps its latest row. One window over one shuffle on the key —
+    * the "replay the change stream into current state" half of a CDC
+    * pipeline (the merge half is [[classify]]/[[merge]]).
+    */
+  def applyCdc(ops: DataFrame, key: String, ts: String, tiebreak: String,
+      opCol: String, deleteOp: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ts).desc, col(tiebreak).desc)
+    ops.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rn")
+  }
+
   def withContentHash(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("content_hash", HashFunctions.contentHash(col(textCol)))
 }

@@ -19,6 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
+  /** HIGH-WATERMARK incremental extraction — the bookmark pattern every
+    * scheduled integration run uses: read the store's max `bookmarkCol`
+    * (one driver-side scalar from a 1-row aggregate — at scale this
+    * comes from table statistics, same contract) and pull only source
+    * rows strictly beyond it. The comparison is a plain column
+    * predicate, so it pushes down to the source scan (parquet min/max
+    * skipping, JDBC WHERE). An empty store pulls everything.
+    */
+  def incrementalSince(store: DataFrame, source: DataFrame,
+      bookmarkCol: String): DataFrame = {
+    val mx = store.agg(max(col(bookmarkCol))).head.get(0)
+    if (mx == null) source
+    else source.filter(col(bookmarkCol) > lit(mx))
+  }
+
   /** `index`: rows carrying `text_path` + metadata; `blobs`:
     * (text_path, text); `target`: existing rows with `content_hash`.
     * Returns the index rows (with text + hash) that are genuinely new

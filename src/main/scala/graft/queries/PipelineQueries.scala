@@ -171,7 +171,7 @@ object PipelineQueries {
       "gr_triangle_counts",
       """WITH raw AS (
         |  SELECT DISTINCT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_linenumber <= 2),
         |e AS (
         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         |  FROM raw WHERE least(src, dst) < greatest(src, dst)),
@@ -184,6 +184,7 @@ object PipelineQueries {
         |SELECT node, count(*)::BIGINT AS n_triangles
         |FROM n GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
       val edges = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") <= 2)
         .select((col("l_orderkey") % 5000).as("src"),
           (col("l_partkey") % 5000).as("dst"))
       graft.operators.Graph.triangleCounts(edges)
@@ -209,6 +210,52 @@ object PipelineQueries {
           (lit(64) + HashFunctions.stableHash64(concat(lit("h:"), col("text"))) % 385)
             .as("fake_height"))
         .orderBy(col("doc_id"))
+    },
+
+    // CDC replay with DELETE semantics (Upsert.applyCdc): the change
+    // stream collapses to current state — latest op per key wins,
+    // keys whose latest op is the delete marker ('error' here) vanish.
+    // One window on one key shuffle.
+    QueryDef(
+      "pl_cdc_apply_deletes",
+      """SELECT user_id, event_type AS last_op, round(value, 2) AS value
+        |FROM (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      Upsert.applyCdc(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type", deleteOp = "error")
+        .select(col("user_id"), col("event_type").as("last_op"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("user_id"))
+    },
+
+    // High-watermark incremental load (Ingest.incrementalSince): the
+    // bookmark pattern of every scheduled extraction — store holds
+    // events before the cutoff, the increment is everything strictly
+    // beyond the store's max timestamp, pulled via a pushed-down scan
+    // predicate.
+    QueryDef(
+      "pl_incremental_load",
+      """WITH store AS (
+        |  SELECT ts::TIMESTAMP AS t FROM events
+        |  WHERE ts::TIMESTAMP < TIMESTAMP '2024-01-03 00:00:00'),
+        |mx AS (SELECT max(t) AS m FROM store)
+        |SELECT count(*) AS n_new, count(DISTINCT user_id) AS n_users,
+        |  cast(floor(epoch(min(ts::TIMESTAMP))) AS BIGINT) AS first_s,
+        |  cast(floor(epoch(max(ts::TIMESTAMP))) AS BIGINT) AS last_s
+        |FROM events, mx WHERE ts::TIMESTAMP > mx.m""".stripMargin) { (s, d) =>
+      val events = Tables.events(s, d)
+      val cutoff = lit("2024-01-03 00:00:00").cast("timestamp")
+      val store = events.filter(col("ts") < cutoff)
+      graft.pipeline.Ingest.incrementalSince(store, events, "ts")
+        .agg(count(lit(1)).as("n_new"),
+          countDistinct(col("user_id")).as("n_users"),
+          unix_timestamp(min(col("ts"))).as("first_s"),
+          unix_timestamp(max(col("ts"))).as("last_s"))
     },
 
     // Data-quality validation (operators.Checks.validate): the

@@ -117,6 +117,15 @@ object Store {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read a store whose files were written under EVOLVING schemas
+    * (appends that gained columns over time): schema union across
+    * files, absent columns null-filled — the integration contract for
+    * additive evolution. Costs a footer read per file at planning, so
+    * it is a separate entry point rather than the default `read`.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Bucketed catalog table: `bucketBy(n, key)` + in-bucket sort at
     * `path`. At 100 TB this is the co-location lever for the store's
     * standing joins — a merge/dedup batch bucketed the same way joins

@@ -56,4 +56,18 @@ class UpsertSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(got == Set(11L, 13L))
   }
+
+  test("applyCdc: latest op wins, delete-last keys vanish") {
+    val ops = Seq(
+      ("k1", 1L, 1L, "upsert", "a"), ("k1", 2L, 2L, "upsert", "b"),
+      ("k2", 1L, 3L, "upsert", "x"), ("k2", 5L, 4L, "delete", ""),
+      ("k3", 1L, 5L, "delete", ""), ("k3", 1L, 6L, "upsert", "z"))
+      .toDF("key", "sec", "op_id", "op", "payload")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Upsert.applyCdc(ops, "key", "ts", "op_id", "op", "delete")
+      .select("key", "payload").as[(String, String)].collect().toMap
+    // k1: latest upsert 'b'; k2: delete last -> gone; k3: same ts,
+    // higher op_id (the upsert) wins the tie.
+    assert(got == Map("k1" -> "b", "k3" -> "z"))
+  }
 }
