@@ -78,6 +78,59 @@ object Multimodal {
       else None
     } else None
 
+  /** 8x8 AVERAGE-HASH (aHash) over an uncompressed 24bpp BMP — the
+    * perceptual fingerprint for image-level near-dup dedup, computed
+    * from REAL pixel data (blue channel as intensity; the builders
+    * write gray, all channels equal). The image is divided into an 8x8
+    * cell grid (dims must divide evenly); bit `cr*8+cc` is set iff the
+    * cell's pixel sum, scaled by 64, exceeds the whole image's pixel
+    * sum — integer arithmetic throughout, so the comparison is EXACT
+    * and a SQL oracle reproduces it bit-for-bit (float means would
+    * tie-break on summation order). Handles bottom-up and top-down row
+    * storage and 4-byte row padding. None for non-BMP / non-24bpp /
+    * non-divisible dims.
+    */
+  def averageHash(payload: Array[Byte]): Option[Long] =
+    decodeBmpDims(payload) match {
+      case Some((w, h, 3)) if w % 8 == 0 && h % 8 == 0 &&
+          payload.length >= 54 =>
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val bpp = bb.getShort(28) & 0xffff
+        val offset = bb.getInt(10)
+        val topDown = bb.getInt(22) < 0
+        val rowBytes = (w * 3 + 3) / 4 * 4
+        if (bpp != 24 || payload.length < offset + rowBytes * h) None
+        else {
+          val cellW = w / 8
+          val cellH = h / 8
+          val sums = new Array[Long](64)
+          var total = 0L
+          var r = 0
+          while (r < h) {
+            val storedRow = if (topDown) r else h - 1 - r
+            val base = offset + storedRow * rowBytes
+            val cr = r / cellH
+            var c = 0
+            while (c < w) {
+              val v = (payload(base + c * 3) & 0xff).toLong
+              sums(cr * 8 + c / cellW) += v
+              total += v
+              c += 1
+            }
+            r += 1
+          }
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            if (sums(i) * 64 > total) hash |= (1L << i)
+            i += 1
+          }
+          Some(hash)
+        }
+      case _ => None
+    }
+
   /** REAL PNG header decode (pure JDK): verify the 8-byte signature and
     * that the first chunk is IHDR, then read big-endian width/height at
     * offsets 16/20 and bit-depth/color-type at 24/25. Channel count

@@ -359,6 +359,101 @@ object MediaQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // Perceptual image near-dup (Multimodal.averageHash): REAL
+    // pixel-level work — analytic-gradient BMPs are built per doc
+    // (same seed per doc_id%25 group -> exact dups; row-coefficient
+    // split by parity -> near-dup families), the 8x8 average-hash is
+    // computed from the actual decoded bytes with integer-exact
+    // thresholds, and pairs meet through 16-bit band blocking + a
+    // Hamming cap — the image twin of SimHash text dedup. The oracle
+    // recomputes the hash from the closed-form pixel function,
+    // carrying it as two 32-bit halves (a 1<<63 would overflow
+    // DuckDB's checked shift).
+    QueryDef(
+      "mm_phash_near_dup",
+      """WITH p AS (
+        |  SELECT doc_id, ((doc_id * 11) % 256)::INT AS seed,
+        |         (1 + doc_id % 7)::INT AS rc
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, ((doc_id * 11) % 256)::INT,
+        |         (1 + doc_id % 7)::INT
+        |  FROM documents),
+        |px AS (
+        |  SELECT p.doc_id, (r.r // 6)::INT AS cr, (c.c // 8)::INT AS cc,
+        |    ((p.seed + r.r * p.rc + c.c * 13) % 256)::BIGINT AS v
+        |  FROM p,
+        |    (SELECT unnest(range(0, 48)) AS r) r,
+        |    (SELECT unnest(range(0, 64)) AS c) c),
+        |cells AS (
+        |  SELECT doc_id, cr, cc, sum(v)::BIGINT AS s
+        |  FROM px GROUP BY doc_id, cr, cc),
+        |tot AS (SELECT doc_id, sum(s)::BIGINT AS t FROM cells GROUP BY doc_id),
+        |hs AS (
+        |  SELECT c.doc_id,
+        |    bit_or(CASE WHEN c.s * 64 > t.t AND c.cr * 8 + c.cc >= 32
+        |      THEN 1::BIGINT << (c.cr * 8 + c.cc - 32) ELSE 0::BIGINT END) AS hi,
+        |    bit_or(CASE WHEN c.s * 64 > t.t AND c.cr * 8 + c.cc < 32
+        |      THEN 1::BIGINT << (c.cr * 8 + c.cc) ELSE 0::BIGINT END) AS lo
+        |  FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id),
+        |bands AS (
+        |  SELECT doc_id, hi, lo, b.b AS band,
+        |    CASE b.b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |             WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bv
+        |  FROM hs, (SELECT unnest(range(0, 4)) AS b) b),
+        |cand AS (
+        |  SELECT DISTINCT xa.doc_id AS a, xa.hi AS hia, xa.lo AS loa,
+        |    xb.doc_id AS b, xb.hi AS hib, xb.lo AS lob
+        |  FROM bands xa JOIN bands xb
+        |    ON xa.band = xb.band AND xa.bv = xb.bv AND xa.doc_id < xb.doc_id)
+        |SELECT a, b,
+        |  (bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)))::INT AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 8
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val hashUdf = udf((p: Array[Byte]) => Multimodal.averageHash(p))
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(col("doc_id")).unionByName(
+        docs.select((col("doc_id") + 1000000).as("doc_id")))
+      val hs = corpus
+        .select(col("doc_id"),
+          hashUdf(DocBuild.bmpPatternUdf(lit(64), lit(48),
+            ((col("doc_id") % 1000000) * 11 % 256).cast("int"),
+            (lit(1) + col("doc_id") % 1000000 % 7).cast("int"),
+            lit(13))).as("h"))
+        .select(col("doc_id"),
+          shiftrightunsigned(col("h"), 32).as("hi"),
+          col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("lo"))
+      val bands = hs.select(col("doc_id"), col("hi"), col("lo"),
+        explode(array(
+          struct(lit(0).as("band"),
+            col("lo").bitwiseAND(lit(65535L)).as("bv")),
+          struct(lit(1).as("band"),
+            shiftrightunsigned(col("lo"), 16).bitwiseAND(lit(65535L)).as("bv")),
+          struct(lit(2).as("band"),
+            col("hi").bitwiseAND(lit(65535L)).as("bv")),
+          struct(lit(3).as("band"),
+            shiftrightunsigned(col("hi"), 16).bitwiseAND(lit(65535L)).as("bv"))))
+          .as("bb"))
+        .select(col("doc_id"), col("hi"), col("lo"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val cand = bands.as("xa")
+        .join(bands.as("xb"),
+          col("xa.band") === col("xb.band") && col("xa.bv") === col("xb.bv") &&
+            col("xa.doc_id") < col("xb.doc_id"))
+        .select(col("xa.doc_id").as("a"), col("xa.hi").as("hia"),
+          col("xa.lo").as("loa"), col("xb.doc_id").as("b"),
+          col("xb.hi").as("hib"), col("xb.lo").as("lob"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          (bit_count(col("hia").bitwiseXOR(col("hib"))) +
+            bit_count(col("loa").bitwiseXOR(col("lob")))).cast("int"))
+        .filter(col("hamming") <= 8)
+        .select(col("a"), col("b"), col("hamming"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // CSV source/sink roundtrip: documents (commas, quotes and unicode
     // in the text column) write to headered CSV and read back with an
     // explicit schema; the aggregate must match the pre-roundtrip

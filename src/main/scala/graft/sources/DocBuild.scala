@@ -133,6 +133,46 @@ object DocBuild {
     bb.array()
   }
 
+  /** [[bmpBytes]] with an ANALYTIC gradient instead of a flat fill:
+    * gray intensity `(seed + r*rowCoef + c*colCoef) % 256` at logical
+    * row r (top-down), column c — real per-pixel image content whose
+    * derived features (perceptual hashes) a SQL oracle can recompute
+    * exactly from the closed form. BMP rows store bottom-up; the
+    * writer flips so logical r=0 is the top row.
+    */
+  def bmpPatternBytes(w: Int, h: Int, seed: Int, rowCoef: Int,
+      colCoef: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54 + dataSize)
+    bb.putInt(0)
+    bb.putInt(54)
+    bb.putInt(40)
+    bb.putInt(w)
+    bb.putInt(h)
+    bb.putShort(1)
+    bb.putShort(24)
+    bb.putInt(0)                   // BI_RGB
+    bb.putInt(dataSize)
+    bb.putInt(2835).putInt(2835)
+    bb.putInt(0).putInt(0)
+    val row = new Array[Byte](rowBytes)
+    (0 until h).foreach { br =>
+      val r = h - 1 - br           // bottom-up storage
+      var c = 0
+      while (c < w) {
+        val v = ((seed + r * rowCoef + c * colCoef) % 256).toByte
+        row(c * 3) = v; row(c * 3 + 1) = v; row(c * 3 + 2) = v
+        c += 1
+      }
+      bb.put(row)
+    }
+    bb.array()
+  }
+
   /** Minimal real PNG: signature, IHDR (big-endian dims, bit depth 8),
     * one deflated IDAT whose scanlines are filter-0 rows of `px` bytes,
     * IEND — all chunks CRC32'd, so any PNG reader accepts it.
@@ -518,6 +558,9 @@ object DocBuild {
     udf((ls: Seq[String], flate: Boolean) => pdfBytes(ls, flate))
   val bmpUdf: UserDefinedFunction =
     udf((w: Int, h: Int, px: Int) => bmpBytes(w, h, px))
+  val bmpPatternUdf: UserDefinedFunction =
+    udf((w: Int, h: Int, seed: Int, rc: Int, cc: Int) =>
+      bmpPatternBytes(w, h, seed, rc, cc))
   val pngUdf: UserDefinedFunction =
     udf((w: Int, h: Int, colorType: Int, px: Int) =>
       pngBytes(w, h, colorType, px))

@@ -87,4 +87,30 @@ class MediaRoundTripPropSpec extends AnyFunSuite {
         .contains((ts, durs.map(_.toLong).sum * 1000L / ts)))
     }
   }
+
+  test("averageHash matches the closed-form pixel computation") {
+    Seq((0, 7, 13), (42, 8, 13), (199, 7, 11), (17, 1, 1)).foreach {
+      case (seed, rc, cc) =>
+        val (w, h) = (64, 48)
+        val got = Multimodal.averageHash(
+          DocBuild.bmpPatternBytes(w, h, seed, rc, cc))
+        // Recompute from the analytic pattern with integer sums.
+        val sums = new Array[Long](64)
+        var total = 0L
+        for (r <- 0 until h; c <- 0 until w) {
+          val v = ((seed + r * rc + c * cc) % 256).toLong
+          sums((r / (h / 8)) * 8 + c / (w / 8)) += v
+          total += v
+        }
+        val want = (0 until 64).foldLeft(0L) { (acc, i) =>
+          if (sums(i) * 64 > total) acc | (1L << i) else acc
+        }
+        assert(got.contains(want), s"seed=$seed rc=$rc cc=$cc")
+    }
+    // Flat image: no cell strictly exceeds the mean -> hash 0.
+    assert(Multimodal.averageHash(DocBuild.bmpBytes(64, 48, 100))
+      .contains(0L))
+    // Identical patterns hash identically; not-a-BMP is None.
+    assert(Multimodal.averageHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
