@@ -365,6 +365,61 @@ object Multimodal {
       yield (ch, rate, bits, ds * 1000L / byteRate)
   }
 
+  /** One window of PCM loudness statistics ([[pcmWindowStats]]). */
+  final case class PcmWindow(win: Int, n: Int, sum_sq: Long, peak: Int)
+
+  /** REAL PCM sample analysis over a 16-bit mono WAV: per window of
+    * `windowSamples` samples, the count, sum of squared amplitudes and
+    * peak |amplitude| — the loudness/silence profile an audio ingest
+    * gates on (silence trim, clipping detection), computed from the
+    * ACTUAL little-endian sample bytes. All-integer outputs (sum of
+    * squares instead of RMS) so a SQL oracle matches bit-for-bit; the
+    * final short window is emitted with its true `n`. None for
+    * non-WAV, non-PCM-16, or non-mono payloads.
+    */
+  def pcmWindowStats(payload: Array[Byte],
+      windowSamples: Int): Option[Seq[PcmWindow]] = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    decodeWavMeta(payload) match {
+      case Some((1, _, 16, _)) =>
+        // Find the data chunk again (decodeWavMeta validated shape).
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 12
+        var dataOff = -1
+        var dataLen = 0
+        while (i + 8 <= payload.length && dataOff < 0) {
+          val id = new String(payload, i, 4, "US-ASCII")
+          val size = bb.getInt(i + 4)
+          if (id == "data") { dataOff = i + 8; dataLen = size }
+          else i += 8 + size + (size & 1)
+        }
+        if (dataOff < 0 || dataOff + dataLen > payload.length) None
+        else {
+          val nSamples = dataLen / 2
+          val out = Seq.newBuilder[PcmWindow]
+          var w = 0
+          while (w * windowSamples < nSamples) {
+            val start = w * windowSamples
+            val end = math.min(start + windowSamples, nSamples)
+            var sumSq = 0L
+            var peak = 0
+            var k = start
+            while (k < end) {
+              val s = bb.getShort(dataOff + 2 * k).toInt
+              sumSq += s.toLong * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              k += 1
+            }
+            out += PcmWindow(w, end - start, sumSq, peak)
+            w += 1
+          }
+          Some(out.result())
+        }
+      case _ => None
+    }
+  }
+
   /** REAL MP4 header decode (pure JDK): walk the top-level ISO-BMFF box
     * list to `moov`, then its children to `mvhd`, and read the movie
     * timescale (units/second) and duration (units) — big-endian u32 at

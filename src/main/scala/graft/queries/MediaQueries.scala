@@ -454,6 +454,44 @@ object MediaQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // REAL PCM loudness profile (Multimodal.pcmWindowStats): per-window
+    // sample count, sum of squared amplitudes and peak |amplitude| from
+    // the ACTUAL 16-bit little-endian sample bytes of synthesized mono
+    // WAVs — the silence/clipping gate of an audio ingest. All-integer
+    // outputs; the oracle recomputes each sample from the builder's
+    // closed-form sawtooth.
+    QueryDef(
+      "mm_wav_window_stats",
+      """WITH p AS (
+        |  SELECT doc_id, (doc_id % 251)::INT AS px,
+        |         (300 + doc_id % 100)::INT AS n FROM documents),
+        |smp AS (
+        |  SELECT p.doc_id, (k.k // 128)::INT AS win,
+        |    CASE WHEN ((p.px + 2*k.k) % 256) + 256 * ((p.px + 2*k.k + 1) % 256)
+        |              >= 32768
+        |         THEN ((p.px + 2*k.k) % 256) + 256 * ((p.px + 2*k.k + 1) % 256)
+        |              - 65536
+        |         ELSE ((p.px + 2*k.k) % 256) + 256 * ((p.px + 2*k.k + 1) % 256)
+        |    END AS s
+        |  FROM p, (SELECT unnest(range(0, 400)) AS k) k WHERE k.k < p.n)
+        |SELECT doc_id, win, count(*)::INT AS n,
+        |  sum(s::BIGINT * s)::BIGINT AS sum_sq, max(abs(s))::INT AS peak
+        |FROM smp GROUP BY doc_id, win
+        |ORDER BY doc_id, win""".stripMargin) { (s, d) =>
+      val statsUdf = udf((p: Array[Byte], w: Int) =>
+        Multimodal.pcmWindowStats(p, w))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          DocBuild.wavUdf(lit(1), lit(8000), lit(16),
+            (lit(300) + col("doc_id") % 100).cast("int"),
+            (col("doc_id") % 251).cast("int")).as("payload"))
+        .select(col("doc_id"),
+          explode(statsUdf(col("payload"), lit(128))).as("w"))
+        .select(col("doc_id"), col("w.win").as("win"), col("w.n").as("n"),
+          col("w.sum_sq").as("sum_sq"), col("w.peak").as("peak"))
+        .orderBy(col("doc_id"), col("win"))
+    },
+
     // CSV source/sink roundtrip: documents (commas, quotes and unicode
     // in the text column) write to headered CSV and read back with an
     // explicit schema; the aggregate must match the pre-roundtrip

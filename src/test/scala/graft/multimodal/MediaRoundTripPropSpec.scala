@@ -113,4 +113,26 @@ class MediaRoundTripPropSpec extends AnyFunSuite {
     // Identical patterns hash identically; not-a-BMP is None.
     assert(Multimodal.averageHash(Array[Byte](1, 2, 3)).isEmpty)
   }
+
+  test("pcmWindowStats matches the closed-form sawtooth samples") {
+    Seq((0, 300), (17, 301), (250, 256), (99, 1)).foreach { case (px, n) =>
+      val got = Multimodal.pcmWindowStats(
+        DocBuild.wavBytes(1, 8000, 16, n, px), 128).get
+      val samples = (0 until n).map { k =>
+        val u = ((px + 2 * k) % 256) + 256 * ((px + 2 * k + 1) % 256)
+        if (u >= 32768) u - 65536 else u
+      }
+      val want = samples.grouped(128).zipWithIndex.map { case (w, i) =>
+        Multimodal.PcmWindow(i, w.size,
+          w.map(s => s.toLong * s).sum, w.map(math.abs).max)
+      }.toSeq
+      assert(got == want, s"px=$px n=$n")
+    }
+    // Stereo / 8-bit / junk inputs are rejected, not mis-parsed.
+    assert(Multimodal.pcmWindowStats(
+      DocBuild.wavBytes(2, 8000, 16, 100, 0), 128).isEmpty)
+    assert(Multimodal.pcmWindowStats(
+      DocBuild.wavBytes(1, 8000, 8, 100, 0), 128).isEmpty)
+    assert(Multimodal.pcmWindowStats(Array[Byte](1, 2), 128).isEmpty)
+  }
 }
