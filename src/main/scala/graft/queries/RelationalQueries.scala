@@ -683,6 +683,75 @@ object RelationalQueries {
         .orderBy(col("tok"))
     },
 
+    // Count-min-sketch heavy hitters (operators.Sketch): a fixed
+    // depth-4 x width-1024 counter table summarizes the whole token
+    // frequency distribution; the exact top-20 tokens are then
+    // estimated back through the sketch — estimates biased high only
+    // (colliding buckets), never low. The oracle rebuilds the
+    // identical sketch from the same md5-derived hashes.
+    QueryDef(
+      "agg_cms_heavy_hitters",
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(trim(text), ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        |dd AS (SELECT unnest(range(0, 4)) AS d),
+        |bs AS (
+        |  SELECT d.d,
+        |    ('0x'||substr(md5('cms:'||d.d||':'||t.tok),1,15))::BIGINT % 1024 AS b,
+        |    sum(t.n)::BIGINT AS s
+        |  FROM tc t, dd d GROUP BY 1, 2),
+        |top AS (SELECT tok, n FROM tc ORDER BY n DESC, tok LIMIT 20),
+        |probes AS (
+        |  SELECT t.tok, d.d,
+        |    ('0x'||substr(md5('cms:'||d.d||':'||t.tok),1,15))::BIGINT % 1024 AS b
+        |  FROM top t, dd d),
+        |est AS (
+        |  SELECT p.tok, min(coalesce(bs.s, 0))::BIGINT AS cms_est
+        |  FROM probes p LEFT JOIN bs ON bs.d = p.d AND bs.b = p.b
+        |  GROUP BY p.tok)
+        |SELECT t.tok, t.n::BIGINT AS n, e.cms_est
+        |FROM top t JOIN est e USING (tok)
+        |ORDER BY n DESC, tok""".stripMargin) { (s, d) =>
+      import graft.operators.Sketch
+      val toks = Tables.documents(s, d)
+        .select(explode(filter(split(trim(col("text")), " "),
+          t => t =!= lit(""))).as("tok"))
+      val buckets = Sketch.cmsBuckets(toks, "tok", depth = 4, width = 1024)
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(20)
+      top.join(Sketch.cmsEstimate(top, buckets, "tok", 4, 1024), Seq("tok"))
+        .select(col("tok"), col("n"), col("cms_est"))
+        .orderBy(col("n").desc, col("tok"))
+    },
+
+    // Ordered funnel conversion (operators.Funnel): users completing
+    // view -> click (strictly after) -> purchase (strictly after), in
+    // ONE shuffle — per-user event arrays with stage times as chained
+    // array expressions. The oracle chains the min-after joins.
+    QueryDef(
+      "agg_funnel_conversion",
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts::TIMESTAMP AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t > s1.t1
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t > s2.t2
+        |       GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 'l1_view' AS stage, count(*)::BIGINT AS n_users FROM s1
+        |  UNION ALL SELECT 'l2_click', count(*)::BIGINT FROM s2
+        |  UNION ALL SELECT 'l3_purchase', count(*)::BIGINT FROM s3)
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      graft.operators.Funnel.conversion(Tables.events(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))
+    },
+
     // Bloom-filter join prefilter (operators.Bloom.semiJoin): the
     // high-value orders' keys build a 2^20-bit filter that drops
     // non-matching lineitem rows BEFORE the join's shuffle; false
