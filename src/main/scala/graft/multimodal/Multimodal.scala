@@ -388,13 +388,16 @@ object Multimodal {
         var i = 12
         var dataOff = -1
         var dataLen = 0
-        while (i + 8 <= payload.length && dataOff < 0) {
+        var malformed = false
+        while (i + 8 <= payload.length && dataOff < 0 && !malformed) {
           val id = new String(payload, i, 4, "US-ASCII")
           val size = bb.getInt(i + 4)
-          if (id == "data") { dataOff = i + 8; dataLen = size }
+          if (size < 0) malformed = true   // would walk backwards forever
+          else if (id == "data") { dataOff = i + 8; dataLen = size }
           else i += 8 + size + (size & 1)
         }
-        if (dataOff < 0 || dataOff + dataLen > payload.length) None
+        if (malformed || dataOff < 0 || dataLen < 0 ||
+            dataOff + dataLen > payload.length) None
         else {
           val nSamples = dataLen / 2
           val out = Seq.newBuilder[PcmWindow]

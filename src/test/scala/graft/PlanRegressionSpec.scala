@@ -38,7 +38,7 @@ class PlanRegressionSpec extends SparkSpec {
     // These operators call broadcast() by design — SF-independent.
     Seq("pl_decontaminate", "pl_ingest_content_dedup",
       "join_broadcast_geo_rollup", "sim_ann_store_roundtrip",
-      "sim_ann_multiprobe").foreach { q =>
+      "sim_ann_multiprobe", "agg_cms_heavy_hitters").foreach { q =>
       assert(plans(q).contains("BroadcastHashJoin"),
         s"$q lost its broadcast join")
     }
