@@ -385,4 +385,57 @@ object Streams {
       Some(spark.read.parquet(new java.io.File(targetDir, name).toString))
     } else None
   }
+
+  // ---- standing count-min sketch ingest -----------------------------------
+
+  /** Continuous STANDING COUNT-MIN SKETCH over a stream's items — the
+    * streaming face of [[graft.operators.Sketch]]: each micro-batch
+    * folds its item counts into the persisted depth x width bucket
+    * table, so heavy-hitter estimates are queryable at any time from a
+    * table whose size never grows with the vocabulary.
+    *
+    * Idempotency is stricter than the merge sink's: bucket addition is
+    * NOT idempotent per row, so a replayed batch must re-merge onto its
+    * PREDECESSOR state, not whatever `_current` points at. Each batch
+    * writes `state_<batchId>` built from the largest `state_<k>` with
+    * k < batchId; re-delivery of batch N rebuilds the identical
+    * `state_N` from `state_N-1` and repoints, converging under
+    * at-least-once delivery.
+    */
+  def cmsIngestSink(stream: DataFrame, itemCol: String, depth: Int,
+      width: Int, targetDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cmsIngestBatch(batch, itemCol, depth, width, targetDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch of the sketch ingest (also the restart path). */
+  def cmsIngestBatch(batch: DataFrame, itemCol: String, depth: Int,
+      width: Int, targetDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val delta = graft.operators.Sketch.cmsBuckets(batch, itemCol, depth,
+      width)
+    val dir = new java.io.File(targetDir)
+    dir.mkdirs()
+    val prev = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("state_"))
+      .map(_.getName.stripPrefix("state_").toLong)
+      .filter(_ < batchId)
+      .sorted.lastOption
+      .map(k => spark.read.parquet(
+        new java.io.File(targetDir, s"state_$k").toString))
+    val merged = prev match {
+      case Some(cur) => cur.unionByName(delta)
+        .groupBy(col("d"), col("b")).agg(sum(col("s")).as("s"))
+      case None => delta
+    }
+    val next = new java.io.File(targetDir, s"state_$batchId").toString
+    merged.write.mode("overwrite").parquet(next)
+    val ptr = new java.io.File(targetDir, "_current").toPath
+    java.nio.file.Files.write(ptr, s"state_$batchId".getBytes("UTF-8")): Unit
+  }
 }

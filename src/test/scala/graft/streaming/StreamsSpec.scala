@@ -167,6 +167,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("standing CMS ingest: totals exact, replay re-merges onto predecessor") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-cms-cp").toString
+    val in = MemoryStream[String]
+    val q = Streams.cmsIngestSink(in.toDF().toDF("tok"), "tok",
+      depth = 4, width = 256, dir, cp)
+    try {
+      in.addData("a", "b", "a")
+      q.processAllAvailable()
+      in.addData("a", "c")
+      q.processAllAvailable()
+    } finally q.stop()
+    def estimates(): Map[String, Long] = {
+      val buckets = Streams.readState(spark, dir).get
+      graft.operators.Sketch.cmsEstimate(
+        Seq("a", "b", "c").toDF("tok"), buckets, "tok", 4, 256)
+        .as[(String, Long)].collect().toMap
+    }
+    // 37-token-free vocabulary in 4x256 buckets: estimates are exact.
+    assert(estimates() == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    // Re-deliver batch 1 (the "a","c" batch): state_1 must rebuild from
+    // state_0, not double-count on top of itself.
+    Streams.cmsIngestBatch(Seq("a", "c").toDF("tok"), "tok", 4, 256,
+      dir, batchId = 1L)
+    assert(estimates() == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("ST6/ST8: merge sink converges and re-delivery is a no-op") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString
