@@ -33,6 +33,30 @@ object UrlFunctions {
   /** URL path component. */
   def path(url: Column): Column = parse_url(url, lit("PATH"))
 
+  /** Multi-label public suffixes the registered-domain heuristic
+    * recognizes (a working subset of the public-suffix list; the full
+    * list is a data file a deployment ships the same way).
+    */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au",
+    "co.jp", "co.in", "com.br", "com.cn", "co.nz", "co.za")
+
+  /** REGISTERED DOMAIN (eTLD+1) — the crawl-aggregation key that "one
+    * site" actually means: `news.bbc.co.uk` and `sport.bbc.co.uk` are
+    * both `bbc.co.uk`, while plain label-counting would call them
+    * different sites (or collapse all of `.co.uk`). Last two host
+    * labels, or three when the last two are a recognized multi-part
+    * public suffix. Pure codegen'd split/slice — no UDF.
+    */
+  def registeredDomain(url: Column): Column = {
+    val d = domain(url)
+    val parts = split(d, "\\.")
+    val lastTwo = concat_ws(".", slice(parts, -2, 2))
+    when(size(parts) <= 2, d)
+      .otherwise(when(lastTwo.isin(MultiPartSuffixes: _*),
+        concat_ws(".", slice(parts, -3, 3))).otherwise(lastTwo))
+  }
+
   /** Drop the `#fragment`. */
   def defragment(url: Column): Column = regexp_replace(url, "#.*$", "")
 

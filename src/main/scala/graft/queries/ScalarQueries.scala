@@ -65,6 +65,45 @@ object ScalarQueries {
         .orderBy(col("domain"))
     },
 
+    // Registered-domain (eTLD+1) rollup: subdomains of one
+    // registrable domain aggregate together while multi-part public
+    // suffixes (co.uk, gov.uk, com.au...) keep three labels — the key
+    // "one site" actually means in crawl accounting. The oracle states
+    // the expected registered domain per host-shape directly, so this
+    // is a fixed-truth differential test of the heuristic.
+    QueryDef(
+      "c25_registered_domain_rollup",
+      """WITH h AS (
+        |  SELECT doc_id, CASE doc_id % 6
+        |    WHEN 0 THEN 'www.example.com'
+        |    WHEN 1 THEN 'news.bbc.co.uk'
+        |    WHEN 2 THEN 'a.b.example.org'
+        |    WHEN 3 THEN 'data.gov.uk'
+        |    WHEN 4 THEN 'shop.papers.com.au'
+        |    ELSE 'example.io' END AS host
+        |  FROM documents)
+        |SELECT CASE doc_id % 6
+        |    WHEN 0 THEN 'example.com'
+        |    WHEN 1 THEN 'bbc.co.uk'
+        |    WHEN 2 THEN 'example.org'
+        |    WHEN 3 THEN 'data.gov.uk'
+        |    WHEN 4 THEN 'papers.com.au'
+        |    ELSE 'example.io' END AS rdomain,
+        |  count(*) AS n
+        |FROM h GROUP BY rdomain ORDER BY rdomain""".stripMargin) { (s, d) =>
+      val host = element_at(array(
+        lit("www.example.com"), lit("news.bbc.co.uk"),
+        lit("a.b.example.org"), lit("data.gov.uk"),
+        lit("shop.papers.com.au"), lit("example.io")),
+        (col("doc_id") % 6 + 1).cast("int"))
+      Tables.documents(s, d)
+        .select(concat(lit("https://"), host, lit("/p"), col("doc_id"))
+          .as("url"))
+        .select(UrlFunctions.registeredDomain(col("url")).as("rdomain"))
+        .groupBy(col("rdomain")).agg(count(lit(1)).as("n"))
+        .orderBy(col("rdomain"))
+    },
+
     // C5+C8: defragment / strip query; F2/C7: extension projection.
     QueryDef(
       "c5_defrag_and_ext",
