@@ -63,6 +63,33 @@ object UrlFunctions {
   /** Drop the `?query` (and fragment after it). */
   def stripQuery(url: Column): Column = regexp_replace(url, "[?#].*$", "")
 
+  /** Query parameter KEYS that carry tracking state, not content
+    * identity — two URLs differing only here are the same page to a
+    * crawler. `utm_` matches as a key prefix, the rest exactly (a
+    * plain-prefix "ref" would wrongly eat `refresh=`).
+    */
+  val TrackingParamKeys: Seq[String] =
+    Seq("gclid", "fbclid", "mc_cid", "mc_eid", "ref")
+
+  /** CANONICAL URL for visited-set identity: fragment dropped, tracking
+    * parameters removed, surviving parameters SORTED (param order never
+    * distinguishes pages), a bare trailing `?` cleaned up. Pure
+    * codegen'd split/filter/sort — the difference between re-crawling
+    * a page per ad-campaign link and fetching it once.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val defragged = defragment(url)
+    val base = stripQuery(url)
+    val query = regexp_extract(defragged, "\\?(.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"), p => {
+      val key = regexp_extract(p, "^([^=]*)", 1)
+      !(p === "") && !key.startsWith("utm_") &&
+        !key.isin(TrackingParamKeys: _*)
+    }))
+    when(size(kept) > 0, concat(base, lit("?"), array_join(kept, "&")))
+      .otherwise(base)
+  }
+
   /** Lowercased extension of the query-stripped path ("" if none) —
     * `get_ext` (`crawler_core.py:27-30`).
     */

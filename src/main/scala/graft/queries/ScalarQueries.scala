@@ -104,6 +104,33 @@ object ScalarQueries {
         .orderBy(col("rdomain"))
     },
 
+    // URL canonicalization for visited-set identity: fragment dropped,
+    // utm_*/click-id tracking params removed BY KEY (a plain "ref"
+    // prefix would wrongly eat refresh=), surviving params sorted. The
+    // oracle states the expected canonical form per shape — fixed-truth
+    // differential.
+    QueryDef(
+      "c26_url_canonicalize",
+      """SELECT doc_id,
+        |  'https://example.com/p' || doc_id || CASE doc_id % 4
+        |    WHEN 0 THEN '?a=1&b=2'
+        |    WHEN 1 THEN ''
+        |    WHEN 2 THEN '?a=1&b=2&refresh=1'
+        |    ELSE '' END AS canon
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val messy = element_at(array(
+        lit("?utm_source=x&b=2&a=1#frag"), lit("?gclid=abc"),
+        lit("?b=2&a=1&refresh=1"), lit("#top")),
+        (col("doc_id") % 4 + 1).cast("int"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://example.com/p"), col("doc_id"), messy)
+            .as("url"))
+        .select(col("doc_id"),
+          UrlFunctions.canonicalizeUrl(col("url")).as("canon"))
+        .orderBy(col("doc_id"))
+    },
+
     // C5+C8: defragment / strip query; F2/C7: extension projection.
     QueryDef(
       "c5_defrag_and_ext",
