@@ -45,6 +45,31 @@ object Checks {
     def name = s"foreign_key($label)"
   }
 
+  /** QUARANTINE ROUTING — the dead-letter half of validation: stamp
+    * every row with the names of the ROW-LEVEL rules it violates
+    * (`violations`, sorted; uniqueness/FK need cross-row state and are
+    * [[validate]]'s job) and a `route` of `main` or `quarantine`. A
+    * pure narrow projection: the routing decision never shuffles, so
+    * the gate runs at scan speed and each side streams to its sink.
+    */
+  def route(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val rowLevel = rules.collect {
+      case r: NotNull => r.name -> col(r.col).isNull
+      case r: InRange => r.name -> (col(r.col).isNull ||
+        col(r.col) < r.lo || col(r.col) > r.hi)
+      case r: Satisfies => r.name -> !coalesce(r.predicate, lit(false))
+    }
+    require(rowLevel.nonEmpty, "route needs at least one row-level rule")
+    val flags = rowLevel.map { case (n, bad) =>
+      when(bad, lit(n)).otherwise(lit(null).cast("string"))
+    }
+    df.withColumn("violations",
+        array_sort(filter(array(flags: _*), v => v.isNotNull)))
+      .withColumn("route",
+        when(size(col("violations")) === 0, lit("main"))
+          .otherwise(lit("quarantine")))
+  }
+
   /** Validation report: one row per rule — (rule, n_violations,
     * passed), in the given rule order made deterministic by sorting on
     * the rule name downstream if needed.

@@ -328,6 +328,57 @@ object PipelineQueries {
         .orderBy(col("rule"))
     },
 
+    // Quarantine routing (operators.Checks.route): the dead-letter
+    // half of validation — every row stamped with the sorted names of
+    // the row-level rules it violates and routed main/quarantine, as a
+    // pure narrow projection (the gate runs at scan speed; each side
+    // streams to its sink). Rows violating several rules carry every
+    // reason.
+    QueryDef(
+      "pl_quarantine_routing",
+      """WITH dirty AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN NULL
+        |         ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate
+        |  FROM orders),
+        |r AS (
+        |  SELECT *,
+        |    list_sort(list_filter([
+        |      CASE WHEN o_custkey IS NULL THEN 'not_null(o_custkey)' END,
+        |      CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+        |           OR o_totalprice > 1000000
+        |           THEN 'in_range(o_totalprice, 0.0, 1000000.0)' END,
+        |      CASE WHEN NOT coalesce(
+        |             o_orderdate < TIMESTAMP '1998-01-01 00:00:00', false)
+        |           THEN 'satisfies(order_before_cutoff)' END],
+        |      v -> v IS NOT NULL)) AS violations
+        |  FROM dirty)
+        |SELECT CASE WHEN len(violations) = 0 THEN 'main'
+        |            ELSE 'quarantine' END AS route,
+        |  coalesce(array_to_string(violations, '|'), '') AS reasons,
+        |  count(*) AS n
+        |FROM r GROUP BY 1, 2 ORDER BY route, reasons""".stripMargin) { (s, d) =>
+      import graft.operators.Checks
+      val dirty = Tables.orders(s, d).select(col("o_orderkey"),
+        when(col("o_orderkey") % 100 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderdate"))
+      Checks.route(dirty, Seq(
+        Checks.NotNull("o_custkey"),
+        Checks.InRange("o_totalprice", 0.0, 1000000.0),
+        Checks.Satisfies("order_before_cutoff",
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))))
+        .groupBy(col("route"),
+          array_join(col("violations"), "|").as("reasons"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("route"), col("reasons"))
+    },
+
     // Column profiling (operators.Profile.columns): the QA pass before
     // trusting a new source — row/null/exact-distinct counts and
     // min/max per column, ALL columns in one scan (Expand-based

@@ -386,6 +386,21 @@ object Streams {
     } else None
   }
 
+  /** Roll a versioned state store (merge sink / CMS sink) back to
+    * `batchId`: repoint `_current` at `state_<batchId>`. Later states
+    * stay on disk for audit; a stream resumed from an earlier
+    * checkpoint simply overwrites them batch by batch. This is the
+    * bad-batch recovery lever the versioned layout exists for —
+    * rollback is a one-line pointer move, not a data rewrite.
+    */
+  def rollbackTo(targetDir: String, batchId: Long): Unit = {
+    val state = new java.io.File(targetDir, s"state_$batchId")
+    require(state.isDirectory, s"no state_$batchId under $targetDir")
+    java.nio.file.Files.write(
+      new java.io.File(targetDir, "_current").toPath,
+      s"state_$batchId".getBytes("UTF-8")): Unit
+  }
+
   // ---- standing count-min sketch ingest -----------------------------------
 
   /** Continuous STANDING COUNT-MIN SKETCH over a stream's items — the

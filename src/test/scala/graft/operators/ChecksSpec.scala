@@ -35,4 +35,22 @@ class ChecksSpec extends SparkSpec {
       .as[(String, Long, Boolean)].collect()
     assert(rep.forall(_._3))
   }
+
+  test("route stamps sorted violation reasons and splits main/quarantine") {
+    val df = Seq(
+      (1L, Some(10L), 5.0),   // clean
+      (2L, None, -1.0),       // null fk AND out of range -> two reasons
+      (3L, Some(20L), 7.0))   // out of range only
+      .toDF("k", "fk", "v")
+    val got = Checks.route(df, Seq(
+      Checks.NotNull("fk"), Checks.InRange("v", 0.0, 6.0)))
+      .select(col("k"), col("route"),
+        concat_ws("|", col("violations")).as("reasons"))
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("main", "")))
+    assert(got(2L) ==
+      (("quarantine", "in_range(v, 0.0, 6.0)|not_null(fk)")))
+    assert(got(3L) == (("quarantine", "in_range(v, 0.0, 6.0)")))
+  }
 }

@@ -193,6 +193,12 @@ class StreamsSpec extends SparkSpec {
     Streams.cmsIngestBatch(Seq("a", "c").toDF("tok"), "tok", 4, 256,
       dir, batchId = 1L)
     assert(estimates() == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    // Bad-batch recovery: roll back to state_0 — estimates revert to
+    // batch 0 alone; rolling forward again restores the full view.
+    Streams.rollbackTo(dir, 0L)
+    assert(estimates() == Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
+    Streams.rollbackTo(dir, 1L)
+    assert(estimates() == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
   test("ST6/ST8: merge sink converges and re-delivery is a no-op") {
