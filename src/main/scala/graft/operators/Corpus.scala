@@ -86,6 +86,64 @@ object Corpus {
   def sampleHash(idCol: Column): Column =
     HashFunctions.stableHash64(idCol.cast("string")) % 1000
 
+  /** Deterministic TRAIN/VAL/TEST SPLIT assignment: the same
+    * stable-hash-per-mille mechanism as [[stratifiedSample]], cut into
+    * named bands — `splits` maps split name to its per-mille width, in
+    * declaration order (e.g. `Seq("train" -> 950, "val" -> 25,
+    * "test" -> 25)`). A doc's split depends only on its id: adding or
+    * removing other docs never moves it (no rand(), no row_number), so
+    * eval sets stay stable as the corpus grows — the property that
+    * matters for decontamination. Pure narrow projection.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000,
+      s"split widths must sum to 1000 per mille, got ${splits.map(_._2).sum}")
+    require(splits.forall(_._2 > 0), "every split needs positive width")
+    val h = sampleHash(col(idCol))
+    val cuts = splits.scanLeft(0)(_ + _._2).tail  // exclusive upper bounds
+    val expr = splits.zip(cuts).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), acc) => when(h < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Corpus DATASHEET: the per-source summary a corpus release ships
+    * with (Datasheets for Datasets shape) — document/language counts,
+    * size and token totals, exact-duplicate rate, and mean quality.
+    *
+    * One scan, one hash-shuffle on source (count_distinct expands the
+    * Expand way, still a single aggregate). Quality is averaged via
+    * exact integer micro-units (`sum(round(q*1e6))::bigint / n`) so the
+    * result hashes identically under any aggregation order — double
+    * sums across rows would not.
+    */
+  def datasheet(docs: DataFrame, sourceCol: String,
+      textCol: String, langCol: String): DataFrame = {
+    val q = graft.functions.TextFunctions.qualityScore(col(textCol))
+    docs
+      .select(col(sourceCol).as("source"),
+        col(langCol).as("__lang"),
+        length(col(textCol)).as("__chars"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).as("__toks"),
+        HashFunctions.contentHash(col(textCol)).as("__ch"),
+        round(q * lit(1e6)).cast("long").as("__q1e6"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__lang")).as("n_langs"),
+        sum(col("__chars")).as("total_chars"),
+        sum(col("__toks")).as("total_tokens"),
+        countDistinct(col("__ch")).as("n_distinct_contents"),
+        sum(col("__q1e6")).as("__qsum"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("total_chars"), col("total_tokens"),
+        round(lit(1.0) - col("n_distinct_contents").cast("double")
+          / col("n_docs").cast("double"), 4).as("dup_rate"),
+        round(col("__qsum").cast("double") / col("n_docs").cast("double")
+          / lit(1e6), 4).as("avg_quality"))
+  }
+
   /** [[packSequences]] for a GIANT stratum (or no stratum at all): the
     * classic two-pass distributed prefix sum instead of a one-reducer
     * window. Pass 1 range-partitions by (stratum, id) — so partition

@@ -26,4 +26,40 @@ object TextAnalysis {
         graft.functions.NativeHashExprs.winnowFingerprints(
           col(textCol), n, windowSize).as("fps"))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  /** Per-document CHARACTER ENTROPY — the low-entropy gate that catches
+    * base64 blobs, repeated-character spam and binary-leak text that
+    * token/stopword heuristics miss (Shannon entropy over the
+    * character distribution, in nats).
+    *
+    * Shape: explode to characters, count per (doc, char) with map-side
+    * combine, then a window total + final per-doc aggregate — the
+    * window and the aggregate share the doc_id partitioning so it is
+    * two exchanges total, with per-task memory bounded by the alphabet
+    * size, never document or corpus size.
+    *
+    * Determinism: each character's term `-(c/n)·ln(c/n)` is rounded to
+    * integer micro-nats per (doc, char) row and summed as BIGINT, so
+    * the cross-row sum is exact integer math — hash-stable under any
+    * aggregation order.
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val counts = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("__n", sum(col("c")).over(w))
+      .withColumn("__p", col("c").cast("double") / col("__n").cast("double"))
+      .withColumn("__term",
+        round(-col("__p") * log(col("__p")) * lit(1e6)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("__n")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("__term")).as("entropy_unats"))
+  }
 }

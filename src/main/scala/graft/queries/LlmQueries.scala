@@ -1044,6 +1044,91 @@ object LlmQueries {
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members"), round(avg(col("d2")), 4).as("avg_d2"))
         .orderBy(col("cluster_id"))
+    },
+
+    // BM25 keyword search (operators.Search.bm25TopK): ranked retrieval
+    // over the corpus for a literal 4-term query — per-doc tf computed
+    // IN-ROW over the token array (no explode/shuffle), corpus stats
+    // (N, avgdl, per-term df) one broadcast single-row aggregate, top-k
+    // via TakeOrderedAndProject. Scores are exact BIGINT micro-unit
+    // sums, so the hash compare is order-free.
+    QueryDef(
+      "search_bm25_topk",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, len(l) AS dl,
+        |    len(list_filter(l, x -> x = 'spark'))  AS tf0,
+        |    len(list_filter(l, x -> x = 'vector')) AS tf1,
+        |    len(list_filter(l, x -> x = 'stream')) AS tf2,
+        |    len(list_filter(l, x -> x = 'merge'))  AS tf3
+        |  FROM t),
+        |g AS (
+        |  SELECT count(*) AS n, sum(dl) AS sumdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        |  FROM p),
+        |s AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)
+        |      AS n_matched,
+        |    (CASE WHEN tf0 > 0 THEN round(
+        |        ln(1.0 + (n::DOUBLE - df0::DOUBLE + 0.5) / (df0::DOUBLE + 0.5))
+        |          * tf0::DOUBLE * 2.2
+        |          / (tf0::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+        |    + (CASE WHEN tf1 > 0 THEN round(
+        |        ln(1.0 + (n::DOUBLE - df1::DOUBLE + 0.5) / (df1::DOUBLE + 0.5))
+        |          * tf1::DOUBLE * 2.2
+        |          / (tf1::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+        |    + (CASE WHEN tf2 > 0 THEN round(
+        |        ln(1.0 + (n::DOUBLE - df2::DOUBLE + 0.5) / (df2::DOUBLE + 0.5))
+        |          * tf2::DOUBLE * 2.2
+        |          / (tf2::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+        |    + (CASE WHEN tf3 > 0 THEN round(
+        |        ln(1.0 + (n::DOUBLE - df3::DOUBLE + 0.5) / (df3::DOUBLE + 0.5))
+        |          * tf3::DOUBLE * 2.2
+        |          / (tf3::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+        |      AS score_1e6
+        |  FROM p, g)
+        |SELECT doc_id, n_matched, score_1e6 FROM s
+        |WHERE n_matched > 0
+        |ORDER BY score_1e6 DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      graft.operators.Search.bm25TopK(Tables.documents(s, d),
+        "doc_id", "text", Seq("spark", "vector", "stream", "merge"), k = 10)
+    },
+
+    // Character entropy (TextAnalysis.charEntropy): the low-entropy
+    // quality gate (base64/spam/binary-leak detector). Per-(doc, char)
+    // terms are rounded to integer micro-nats and summed as BIGINT —
+    // exact under any aggregation order.
+    QueryDef(
+      "txt_char_entropy",
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM ch
+        |  WHERE ch <> '' GROUP BY doc_id, ch),
+        |t AS (
+        |  SELECT doc_id, c,
+        |    sum(c) OVER (PARTITION BY doc_id) AS n
+        |  FROM cnt)
+        |SELECT doc_id, max(n)::BIGINT AS n_chars,
+        |  count(*) AS n_distinct_chars,
+        |  sum(round(-(c::DOUBLE / n::DOUBLE)
+        |    * ln(c::DOUBLE / n::DOUBLE) * 1e6)::BIGINT)::BIGINT AS entropy_unats
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
     }
   )
 }

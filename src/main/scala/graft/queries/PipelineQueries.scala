@@ -513,6 +513,76 @@ object PipelineQueries {
           countDistinct(col("anchor")).as("n_anchors"),
           concat_ws("|", array_sort(collect_set(col("anchor")))).as("anchors"))
         .orderBy(col("target"))
+    },
+
+    // Corpus DATASHEET (Corpus.datasheet): the per-source release
+    // summary — doc/lang counts, char/token totals, exact-dup rate,
+    // mean quality. One scan + one aggregate; quality averaged via
+    // exact integer micro-units so the hash compare is order-free.
+    QueryDef(
+      "pl_corpus_datasheet",
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text, lang, source FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |p AS (
+        |  SELECT source, lang, length(text) AS chars,
+        |    len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS toks,
+        |    sha256(trim(regexp_replace(regexp_replace(text, e'\r\n|\r', e'\n', 'g'),
+        |      '\s+', ' ', 'g'))) AS ch,
+        |    round(round(
+        |      least(1.0, len(list_filter(string_split(trim(text), ' '), x -> x <> '')) / 32.0) * 0.4
+        |      + (len(list_distinct(list_filter(string_split(trim(text), ' '), x -> x <> ''))) * 1.0
+        |         / len(list_filter(string_split(trim(text), ' '), x -> x <> ''))) * 0.4
+        |      + least(1.0, len(list_filter(list_filter(string_split(trim(text), ' '), x -> x <> ''),
+        |          x -> x IN ('the','a','of','and','to','in','is'))) * 8.0
+        |          / len(list_filter(string_split(trim(text), ' '), x -> x <> ''))) * 0.2,
+        |      4) * 1e6)::BIGINT AS q1e6
+        |  FROM corpus)
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  sum(chars)::BIGINT AS total_chars,
+        |  sum(toks)::BIGINT AS total_tokens,
+        |  round(1.0 - count(DISTINCT ch)::DOUBLE / count(*)::DOUBLE, 4) AS dup_rate,
+        |  round(sum(q1e6)::DOUBLE / count(*)::DOUBLE / 1e6, 4) AS avg_quality
+        |FROM p GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import graft.operators.Corpus
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"), col("text"),
+            col("lang"), col("source")))
+      Corpus.datasheet(corpus, "source", "text", "lang")
+        .orderBy(col("source"))
+    },
+
+    // Train/val/test SPLIT MANIFEST (Corpus.assignSplit): stable-hash
+    // band assignment — a doc's split depends only on its id, so eval
+    // membership never moves as the corpus grows. Pure narrow
+    // projection + one aggregate for the manifest.
+    QueryDef(
+      "pl_split_manifest",
+      """WITH p AS (
+        |  SELECT source,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 < 900
+        |           THEN 'train'
+        |         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 < 950
+        |           THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS toks
+        |  FROM documents)
+        |SELECT split, source, count(*) AS n_docs, sum(toks)::BIGINT AS total_tokens
+        |FROM p GROUP BY split, source ORDER BY split, source""".stripMargin) { (s, d) =>
+      import graft.operators.Corpus
+      import graft.functions.TextFunctions
+      Corpus.assignSplit(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 900, "val" -> 50, "test" -> 50))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
+        .orderBy(col("split"), col("source"))
     }
   )
 }

@@ -144,4 +144,53 @@ class CorpusSpec extends SparkSpec {
     assert(got._4 == 0.5)              // 4 / 8
     assert(got._5 == 0.5)              // max(2*2, 1*4) / 8
   }
+
+  test("assignSplit: stable bands, exhaustive, and growth-invariant") {
+    val df = (0 until 500).map(_.toLong).toDF("doc_id")
+    val splits = Seq("train" -> 900, "val" -> 50, "test" -> 50)
+    val got = Corpus.assignSplit(df, "doc_id", splits)
+      .select(col("doc_id"), col("split"), Corpus.sampleHash(col("doc_id")).as("h"))
+      .as[(Long, String, Long)].collect()
+    // Split is exactly the hash band.
+    got.foreach { case (id, s, h) =>
+      val want = if (h < 900) "train" else if (h < 950) "val" else "test"
+      assert(s == want, s"doc $id: h=$h got $s")
+    }
+    assert(got.map(_._2).toSet == Set("train", "val", "test"))
+    // Growth invariance: the same doc keeps its split in a larger corpus.
+    val grown = Corpus.assignSplit(
+      (0 until 2000).map(_.toLong).toDF("doc_id"), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    got.foreach { case (id, s, _) => assert(grown(id) == s) }
+    // Widths must sum to 1000.
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplit(df, "doc_id", Seq("a" -> 500, "b" -> 400))
+    }
+  }
+
+  test("datasheet: hand-computed per-source summary") {
+    val docs = Seq(
+      (1L, "the of and to in is a b", "en", "web"),   // 8 toks, q computable
+      (2L, "the of and to in is a b", "en", "web"),   // exact dup of 1
+      (3L, "x y", "de", "web"),
+      (4L, "hello world", "en", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.datasheet(docs, "source", "text", "lang")
+      .orderBy("source")
+      .select("source", "n_docs", "n_langs", "total_chars", "total_tokens",
+        "dup_rate", "avg_quality")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    val web = got.find(_._1 == "web").get
+    assert(web._2 == 3L && web._3 == 2L)               // 3 docs, en+de
+    assert(web._4 == (23L * 2 + 3L))                   // chars
+    assert(web._5 == 8L + 8L + 2L)                     // tokens
+    assert(web._6 == 0.3333)                           // 1 - 2/3 distinct
+    val books = got.find(_._1 == "books").get
+    assert(books._2 == 1L && books._6 == 0.0)
+    // avg_quality of a single doc equals its qualityScore.
+    val q = docs.filter(col("doc_id") === 4L)
+      .select(graft.functions.TextFunctions.qualityScore(col("text")))
+      .as[Double].collect().head
+    assert(math.abs(books._7 - q) < 1e-4)
+  }
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword search: score shape, matching semantics, determinism,
+  * and the zero-shuffle plan contract.
+  */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark engine spark spark"),          // high tf for 'spark'
+    (2L, "spark engine"),                      // short doc, one hit
+    (3L, "engine row scan filter merge sort"), // no query term
+    (4L, "vector vector index"),               // rare term
+    (5L, "a long document about nothing in particular with many words " +
+      "padding padding padding padding padding spark"))
+    .toDF("doc_id", "text")
+
+  test("bm25 ranks rare-term and high-tf docs above dilute matches") {
+    val r = Search.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "vector"), k = 10)
+      .select("doc_id", "n_matched", "score_1e6")
+      .as[(Long, Int, Long)].collect()
+    val byId = r.map(x => x._1 -> x).toMap
+    // Doc 3 has no query term: absent.
+    assert(!byId.contains(3L))
+    assert(r.map(_._1).toSet == Set(1L, 2L, 4L, 5L))
+    // 'vector' appears in 1/5 docs vs 'spark' in 3/5: doc 4 out-scores
+    // the single-hit 'spark' docs.
+    assert(byId(4L)._3 > byId(2L)._3)
+    // tf saturation still orders doc 1 (tf=3) above doc 2 (tf=1).
+    assert(byId(1L)._3 > byId(2L)._3)
+    // The long dilute doc scores below the short doc for the same term.
+    assert(byId(5L)._3 < byId(2L)._3)
+    // Results arrive sorted by (score desc, id).
+    assert(r.map(_._3).toSeq == r.map(_._3).sortBy(-_).toSeq)
+  }
+
+  test("bm25 n_matched counts distinct matched terms") {
+    val both = Seq((1L, "spark vector"), (2L, "spark spark"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val r = Search.bm25TopK(both, "doc_id", "text",
+      Seq("spark", "vector"), k = 10)
+      .select("doc_id", "n_matched").as[(Long, Int)].collect().toMap
+    assert(r == Map(1L -> 2, 2L -> 1))
+  }
+
+  test("bm25 plan has no hash-exchange (in-row tf + broadcast stats)") {
+    val plan = Search.bm25TopK(docs, "doc_id", "text",
+      Seq("spark"), k = 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"expected no hash exchange in:\n$plan")
+  }
+
+  test("bm25 is deterministic across runs and partitionings") {
+    val a = Search.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 5)
+      .collect().toSeq
+    val b = Search.bm25TopK(docs.repartition(7), "doc_id", "text",
+      Seq("spark"), k = 5).collect().toSeq
+    assert(a == b)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Character entropy: hand-computed values, the low-entropy gate
+  * property, and order-free exactness.
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("charEntropy: hand-computed micro-nat values") {
+    val docs = Seq(
+      (1L, "aaaa"),     // one symbol -> entropy 0
+      (2L, "ab"),       // two equiprobable -> ln 2
+      (3L, "aabb"))     // same distribution as doc 2
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .select("doc_id", "n_chars", "n_distinct_chars", "entropy_unats")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 1L, 0L)))
+    val ln2Micro = math.round(0.5 * math.log(2.0) * 1e6)  // per-char term
+    assert(got(2L) == ((2L, 2L, 2L, 2 * ln2Micro)))
+    assert(got(3L)._4 == got(2L)._4)  // distribution, not length
+  }
+
+  test("charEntropy separates repeated-char spam from organic text") {
+    val docs = Seq(
+      (1L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+      (2L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val e = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .select("doc_id", "entropy_unats").as[(Long, Long)].collect().toMap
+    assert(e(1L) == 0L)
+    assert(e(2L) > 2000000L)  // > 2 nats, well above any spam doc
+  }
+
+  test("charEntropy is exact under repartitioning") {
+    val docs = (0 until 50)
+      .map(i => (i.toLong, s"some text body number $i with shared chars"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.charEntropy(docs.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
