@@ -1129,6 +1129,122 @@ object LlmQueries {
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
+    },
+
+    // SPLIT DECONTAMINATION (assignSplit ∘ decontaminate): the composed
+    // pipeline real corpus builds run — drop from train every doc
+    // sharing >= 5 hashed 3-shingles with the held-out (val/test)
+    // bands. The held-out shingle index broadcasts; train never
+    // shuffles except the per-doc overlap count over the hit set.
+    QueryDef(
+      "pl_split_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |dsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS bh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+        |    FROM toks)),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 < 900
+        |           THEN 'train'
+        |         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 < 950
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |bsh AS (
+        |  SELECT DISTINCT bh FROM dsh JOIN sp USING (doc_id)
+        |  WHERE split <> 'train'),
+        |contaminated AS (
+        |  SELECT d.doc_id FROM dsh d JOIN bsh b USING (bh)
+        |  GROUP BY d.doc_id HAVING count(*) >= 5)
+        |SELECT doc_id FROM sp
+        |WHERE split = 'train'
+        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Corpus
+      val sp = Corpus.assignSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 900, "val" -> 50, "test" -> 50))
+      Corpus.decontaminate(
+          sp.filter(col("split") === "train"),
+          sp.filter(col("split") =!= "train"),
+          "doc_id", "text", n = 3, minOverlap = 5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Top n-grams per source (corpus inspection): the most frequent
+    // 3-shingles in each source — one explode + count + per-source
+    // top-3 window.
+    QueryDef(
+      "txt_top_ngrams_per_source",
+      """WITH toks AS (
+        |  SELECT source,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |sh AS (
+        |  SELECT source, unnest(list_transform(range(1, len(l) - 1),
+        |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+        |  FROM toks),
+        |g AS (SELECT source, sh, count(*) AS n FROM sh GROUP BY source, sh),
+        |r AS (SELECT source, sh, n,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY n DESC, sh) AS rnk
+        |      FROM g)
+        |SELECT source, sh, n, rnk FROM r WHERE rnk <= 3
+        |ORDER BY source, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("sh"))
+      Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextFunctions.shingles(col("text"), 3)).as("sh"))
+        .groupBy(col("source"), col("sh"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("source"), col("rnk"))
+    },
+
+    // Per-label semantic outliers (Similarity.centroidOutliers): exact
+    // integer-micro centroids per label, in-row d2 against a broadcast
+    // map literal, top-3 farthest members per label.
+    QueryDef(
+      "sim_centroid_outliers",
+      """WITH e AS (
+        |  SELECT vec_id AS id, label AS grp, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT id, grp, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+        |  FROM e),
+        |m AS (
+        |  SELECT grp, dim, sum(round(x * 1e6)::BIGINT)::BIGINT AS sm,
+        |    count(*) AS n
+        |  FROM dims GROUP BY grp, dim),
+        |c AS (
+        |  SELECT grp, list(sm::DOUBLE / n::DOUBLE / 1e6 ORDER BY dim) AS cv
+        |  FROM m GROUP BY grp),
+        |sc AS (
+        |  SELECT e.id, e.grp,
+        |    round(list_inner_product(e.v, e.v) + list_inner_product(c.cv, c.cv)
+        |      - 2 * list_inner_product(e.v, c.cv), 6) AS d2
+        |  FROM e JOIN c USING (grp)),
+        |r AS (SELECT grp, id, d2,
+        |        row_number() OVER (PARTITION BY grp
+        |                           ORDER BY d2 DESC, id) AS rnk
+        |      FROM sc)
+        |SELECT grp, id, d2, rnk FROM r WHERE rnk <= 3
+        |ORDER BY grp, rnk""".stripMargin) { (s, d) =>
+      Similarity.centroidOutliers(
+          Tables.embeddings(s, d)
+            .select(col("vec_id").as("id"), col("embedding").as("vec"),
+              col("label")),
+          "label", topK = 3)
+        .orderBy(col("grp"), col("rnk"))
     }
   )
 }

@@ -85,4 +85,25 @@ class SimilaritySpec extends SparkSpec {
       .select("d2").as[Double].collect()
     assert(d2s.forall(_ < 0.1))
   }
+
+  test("centroidOutliers: farthest members per group, exact centroid") {
+    // Group 0 centered at (1,1) with one far point; group 1 tight.
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f), 0), (1L, Seq(2.0f, 2.0f), 0),
+      (2L, Seq(1.0f, 1.0f), 0), (3L, Seq(9.0f, 1.0f), 0),
+      (10L, Seq(5.0f, 5.0f), 1), (11L, Seq(5.0f, 5.2f), 1))
+      .toDF("id", "vec", "label")
+    val got = Similarity.centroidOutliers(pts, "label", topK = 2)
+      .select("grp", "id", "rnk").as[(Long, Long, Int)].collect().toSet
+    // Group 0 centroid = (3, 1): farthest are id 3 (d2=36) then id 0
+    // (d2=10); ties elsewhere. Group 1 centroid (5, 5.1): both at
+    // d2=0.01, tie broken by id.
+    assert(got == Set((0L, 3L, 1), (0L, 0L, 2), (1L, 10L, 1), (1L, 11L, 2)))
+    // Exactness: repartitioning must not change a single value.
+    val a = Similarity.centroidOutliers(pts, "label", topK = 2)
+      .orderBy("grp", "rnk").collect().toSeq
+    val b = Similarity.centroidOutliers(pts.repartition(5), "label", topK = 2)
+      .orderBy("grp", "rnk").collect().toSeq
+    assert(a == b)
+  }
 }
