@@ -533,6 +533,30 @@ object MediaQueries {
         .orderBy(col("grp"))
     },
 
+    // XML source/sink roundtrip — Spark 4's built-in XML datasource
+    // (the sitemap/feed-shaped ingest a crawler meets in the wild):
+    // documents write as <doc> rows (markup-significant characters in
+    // the text column must escape), read back with an explicit schema,
+    // aggregate must match the pre-roundtrip table exactly.
+    QueryDef(
+      "src_xml_roundtrip",
+      """SELECT (doc_id % 5)::INT AS grp, count(*) AS n,
+        |  sum(n_chars)::BIGINT AS chars,
+        |  sum(strlen(text))::BIGINT AS text_len
+        |FROM documents GROUP BY grp ORDER BY grp""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft-xml")
+        .toString + "/docs"
+      docs.write.format("xml").option("rootTag", "corpus")
+        .option("rowTag", "doc").mode("overwrite").save(path)
+      s.read.format("xml").option("rowTag", "doc").schema(docs.schema)
+        .load(path)
+        .groupBy((col("doc_id") % 5).cast("int").as("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          sum(length(col("text"))).as("text_len"))
+        .orderBy(col("grp"))
+    },
+
     // S11/S15: JSON index sink + schema-first scan — write the index
     // rows as JSON Lines, read them back, aggregate. The oracle
     // computes the same aggregate straight from documents, so type
