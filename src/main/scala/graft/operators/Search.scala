@@ -82,4 +82,72 @@ object Search {
       .orderBy(col("score_1e6").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Build a STANDING INVERTED INDEX under `dir` — the store-side scale
+    * path: sign the corpus once, answer every later query from
+    * postings without touching document text.
+    *
+    *   - `dir/postings`: (term, doc_id, tf, dl) — doc length is
+    *     DENORMALIZED into each posting so scoring needs no join back
+    *     to a document table; rows are repartitioned and sorted by
+    *     term, so a term predicate prunes parquet row groups via
+    *     min/max stats (at 100 TB you'd bucket this table by term —
+    *     same layout idea, zero-exchange probes).
+    *   - `dir/stats`: one row (n_docs, sum_dl) for idf / length
+    *     normalization.
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
+    val perDoc = docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+    perDoc
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    docs.select(col(idCol).as("doc_id"), size(toks).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k answered FROM the standing index: filter postings to
+    * the query terms (pushed predicate — at scale this reads only the
+    * matching row groups / buckets, never the corpus), per-term df as
+    * one tiny aggregate broadcast back on term, then one hash-shuffle
+    * on doc_id to sum the per-(doc, term) micro-unit contributions.
+    * Bit-identical to [[bm25TopK]] over the same corpus (same
+    * contribution expression, same exact integer sum).
+    */
+  def bm25FromIndexTopK(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val hits = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(queryTerms: _*))
+    val stats = spark.read.parquet(s"$dir/stats")
+    val dfs = hits.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val n = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (n - col("__df").cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)))
+    val norm = tf + lit(k1) * (lit(1.0) - lit(b) +
+      lit(b) * col("dl").cast("double") / avgdl)
+    hits
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(idf * tf * lit(k1 + 1.0) / norm * lit(1e6)).cast("long")
+          .as("__contrib"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_matched"),
+        sum(col("__contrib")).as("score_1e6"))
+      .orderBy(col("score_1e6").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -1106,6 +1106,70 @@ object LlmQueries {
         "doc_id", "text", Seq("spark", "vector", "stream", "merge"), k = 10)
     },
 
+    // BM25 answered FROM the standing inverted index (Search.buildIndex
+    // + bm25FromIndexTopK): postings carry (term, doc_id, tf, dl)
+    // denormalized, laid out term-sorted so the query-term predicate
+    // prunes row groups; scoring never touches document text. Same
+    // oracle as search_bm25_topk — the index answer must be
+    // bit-identical to the scan answer.
+    QueryDef(
+      "search_bm25_index_topk",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, len(l) AS dl,
+        |    len(list_filter(l, x -> x = 'spark'))  AS tf0,
+        |    len(list_filter(l, x -> x = 'vector')) AS tf1,
+        |    len(list_filter(l, x -> x = 'stream')) AS tf2,
+        |    len(list_filter(l, x -> x = 'merge'))  AS tf3
+        |  FROM t),
+        |g AS (
+        |  SELECT count(*) AS n, sum(dl) AS sumdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        |  FROM p),
+        |s AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)
+        |      AS n_matched,
+        |    (CASE WHEN tf0 > 0 THEN round(
+        |        ln(1.0 + (n::DOUBLE - df0::DOUBLE + 0.5) / (df0::DOUBLE + 0.5))
+        |          * tf0::DOUBLE * 2.2
+        |          / (tf0::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+        |    + (CASE WHEN tf1 > 0 THEN round(
+        |        ln(1.0 + (n::DOUBLE - df1::DOUBLE + 0.5) / (df1::DOUBLE + 0.5))
+        |          * tf1::DOUBLE * 2.2
+        |          / (tf1::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+        |    + (CASE WHEN tf2 > 0 THEN round(
+        |        ln(1.0 + (n::DOUBLE - df2::DOUBLE + 0.5) / (df2::DOUBLE + 0.5))
+        |          * tf2::DOUBLE * 2.2
+        |          / (tf2::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+        |    + (CASE WHEN tf3 > 0 THEN round(
+        |        ln(1.0 + (n::DOUBLE - df3::DOUBLE + 0.5) / (df3::DOUBLE + 0.5))
+        |          * tf3::DOUBLE * 2.2
+        |          / (tf3::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+        |      AS score_1e6
+        |  FROM p, g)
+        |SELECT doc_id, n_matched, score_1e6 FROM s
+        |WHERE n_matched > 0
+        |ORDER BY score_1e6 DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      import graft.operators.Search
+      val dir = java.nio.file.Files.createTempDirectory("graft-bm25")
+        .toString + "/index"
+      Search.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
+      Search.bm25FromIndexTopK(s, dir,
+        Seq("spark", "vector", "stream", "merge"), k = 10)
+    },
+
     // Character entropy (TextAnalysis.charEntropy): the low-entropy
     // quality gate (base64/spam/binary-leak detector). Per-(doc, char)
     // terms are rounded to integer micro-nats and summed as BIGINT —

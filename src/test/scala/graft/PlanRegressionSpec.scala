@@ -24,9 +24,12 @@ class PlanRegressionSpec extends SparkSpec {
   test("no query plans a cartesian product or nested-loop join") {
     // Exceptions where the quadratic shape IS the operator's contract:
     // the brute-force similarity baselines score queries x corpus by
-    // definition, and the stale-sweep joins a one-row cutoff frame.
+    // definition, the stale-sweep joins a one-row cutoff frame, and
+    // the BM25 queries cross-join a ONE-ROW broadcast corpus-stats
+    // frame (O(1) build side by construction).
     val intended = Set("sim_cosine_topk_brute", "sim_int8_topk",
-      "c14_stale_cutoff_sweep")
+      "c14_stale_cutoff_sweep", "search_bm25_topk",
+      "search_bm25_index_topk")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
         p.contains("BroadcastNestedLoopJoin")) => n

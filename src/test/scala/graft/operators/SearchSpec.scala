@@ -61,4 +61,20 @@ class SearchSpec extends SparkSpec {
       Seq("spark"), k = 5).collect().toSeq
     assert(a == b)
   }
+
+  test("index answer is bit-identical to the scan answer") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-idx")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)
+    val terms = Seq("spark", "vector")
+    val scan = Search.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .collect().toSeq
+    val idx = Search.bm25FromIndexTopK(spark, dir, terms, k = 10)
+      .collect().toSeq
+    assert(idx == scan)
+    // The probe plan filters postings, never rescans text: postings
+    // for absent terms yield an empty result, not an error.
+    assert(Search.bm25FromIndexTopK(spark, dir, Seq("absent-term"), 5)
+      .collect().isEmpty)
+  }
 }
