@@ -93,24 +93,52 @@ object Search {
     *     term, so a term predicate prunes parquet row groups via
     *     min/max stats (at 100 TB you'd bucket this table by term —
     *     same layout idea, zero-exchange probes).
-    *   - `dir/stats`: one row (n_docs, sum_dl) for idf / length
-    *     normalization.
+    *   - `dir/docs`: (doc_id, dl) — the indexed-membership table that
+    *     makes appends insert-if-absent and supplies the corpus stats
+    *     (one skinny-table aggregate at probe time).
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
+    writeSlice(docs.dropDuplicates(idCol), idCol, textCol, dir, "overwrite")
+  }
+
+  /** INCREMENTALLY append a batch to the standing index: docs already
+    * in `dir/docs` are skipped (insert-if-absent on doc id), so
+    * at-least-once re-delivery converges; new docs' postings and
+    * membership rows append without rewriting anything. The standing
+    * store is never re-tokenized. Returns docs inserted.
+    */
+  def indexAppend(batch: DataFrame, idCol: String, textCol: String,
+      dir: String): Long = {
+    val spark = batch.sparkSession
+    val docsPath = new org.apache.hadoop.fs.Path(s"$dir/docs")
+    val fresh0 = batch.dropDuplicates(idCol)
+    val fresh = (if (docsPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(docsPath))
+      fresh0.join(spark.read.parquet(s"$dir/docs")
+          .select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+    else fresh0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) writeSlice(fresh, idCol, textCol, dir, "append")
+      n
+    } finally { fresh.unpersist(); () }
+  }
+
+  private def writeSlice(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, mode: String): Unit = {
     val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
-    val perDoc = docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("dl"),
         explode(col("__toks")).as("term"))
-    perDoc
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$dir/postings")
+      .write.mode(mode).parquet(s"$dir/postings")
     docs.select(col(idCol).as("doc_id"), size(toks).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode(mode).parquet(s"$dir/docs")
   }
 
   /** BM25 top-k answered FROM the standing index: filter postings to
@@ -127,7 +155,8 @@ object Search {
     require(queryTerms.nonEmpty, "empty query")
     val hits = spark.read.parquet(s"$dir/postings")
       .filter(col("term").isin(queryTerms: _*))
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = spark.read.parquet(s"$dir/docs")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val dfs = hits.groupBy(col("term"))
       .agg(count(lit(1)).as("__df"))
     val n = col("n_docs").cast("double")

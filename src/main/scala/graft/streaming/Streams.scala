@@ -256,6 +256,24 @@ object Streams {
       }
       .start()
 
+  /** Streaming INVERTED-INDEX ingest — the search twin of
+    * [[annIngestSink]]: each micro-batch of (id, text) docs is
+    * tokenized once and appended insert-if-absent to the standing
+    * postings store ([[graft.operators.Search.indexAppend]]); BM25
+    * queries run against the store at any time without re-tokenizing
+    * anything. At-least-once re-delivery converges.
+    */
+  def indexIngestSink(stream: DataFrame, idCol: String, textCol: String,
+      indexDir: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Search.indexAppend(batch, idCol, textCol,
+          indexDir): Unit
+      }
+      .start()
+
   /** One micro-batch of the near-dup ingest (also the batch restart
     * path). Returns the number of docs actually inserted.
     *

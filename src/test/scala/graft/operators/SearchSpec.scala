@@ -77,4 +77,21 @@ class SearchSpec extends SparkSpec {
     assert(Search.bm25FromIndexTopK(spark, dir, Seq("absent-term"), 5)
       .collect().isEmpty)
   }
+
+  test("indexAppend is insert-if-absent and converges to the batch build") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-inc")
+      .toString + "/index"
+    val (d1, d2) = (docs.filter(col("doc_id") <= 3),
+      docs.filter(col("doc_id") > 3))
+    assert(Search.indexAppend(d1, "doc_id", "text", dir) == 3L)
+    assert(Search.indexAppend(d1, "doc_id", "text", dir) == 0L)  // re-delivery
+    assert(Search.indexAppend(d2, "doc_id", "text", dir) == 2L)
+    assert(Search.indexAppend(docs, "doc_id", "text", dir) == 0L)
+    val full = java.nio.file.Files.createTempDirectory("bm25-full")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", full)
+    val terms = Seq("spark", "vector")
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10).collect().toSeq
+      == Search.bm25FromIndexTopK(spark, full, terms, 10).collect().toSeq)
+  }
 }
