@@ -116,6 +116,89 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // TPC-H Q7-shaped volume shipping: bilateral trade between two
+    // nations per ship year — the 6-join breadth test with a
+    // disjunctive cross-nation predicate (catalyst must keep it above
+    // the join, not lose it).
+    QueryDef(
+      "q7_volume_shipping",
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(sum(volume), 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l.l_shipdate) AS l_year,
+        |    l.l_extendedprice * (1 - l.l_discount) AS volume
+        |  FROM supplier s
+        |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        |  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.supplier(s, d)
+        .join(Tables.lineitem(s, d)
+            .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // TPC-H Q10-shaped returned-item reporting: top 20 customers by
+    // revenue lost to returns in a quarter — join breadth + top-k over
+    // an aggregate. Revenue sums as exact integer CENTS (per-row
+    // rounding, BIGINT sum): a plain double sum differs between
+    // engines in the last ulp at half-cent boundaries, which is enough
+    // to flip a rounded cent and reorder the top-k tail.
+    QueryDef(
+      "q10_returned_items",
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)::BIGINT
+        |    AS revenue_cents
+        |FROM customer c
+        |JOIN orders o   ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.nation(s, d), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * lit(100)).cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // ---- Join surface (§2.4) --------------------------------------------
 
     QueryDef(
