@@ -419,6 +419,37 @@ object Streams {
       s"state_$batchId".getBytes("UTF-8")): Unit
   }
 
+  /** VACUUM a versioned state store: delete every `state_<k>` except
+    * the `keep` most recent AND the one `_current` points at (audit /
+    * rollback headroom stays bounded instead of growing one full state
+    * copy per batch forever). Never touches `_current` or newer states
+    * a rollback might re-advance to; returns the deleted batch ids.
+    */
+  def vacuum(targetDir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val root = new java.io.File(targetDir)
+    val ptr = new java.io.File(root, "_current").toPath
+    val current: Option[String] =
+      if (java.nio.file.Files.exists(ptr))
+        Some(new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8"))
+      else None
+    val states = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("state_"))
+      .flatMap(f => f.getName.stripPrefix("state_").toLongOption
+        .map(_ -> f))
+      .sortBy(_._1)
+    val doomed = states.dropRight(keep)
+      .filterNot { case (_, f) => current.contains(f.getName) }
+    doomed.foreach { case (_, f) =>
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(): Unit
+      }
+      rm(f)
+    }
+    doomed.map(_._1).toSeq
+  }
+
   // ---- standing count-min sketch ingest -----------------------------------
 
   /** Continuous STANDING COUNT-MIN SKETCH over a stream's items — the

@@ -199,6 +199,18 @@ class StreamsSpec extends SparkSpec {
     assert(estimates() == Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
     Streams.rollbackTo(dir, 1L)
     assert(estimates() == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    // Vacuum: add a third state, keep the last 2 - state_0 goes,
+    // current state and estimates are untouched.
+    Streams.cmsIngestBatch(Seq("b").toDF("tok"), "tok", 4, 256,
+      dir, batchId = 2L)
+    assert(Streams.vacuum(dir, keep = 2) == Seq(0L))
+    assert(!new java.io.File(dir, "state_0").exists)
+    assert(estimates() == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    // The pointed-at state survives even when older than the keep set.
+    Streams.rollbackTo(dir, 1L)
+    assert(Streams.vacuum(dir, keep = 1) == Seq.empty)
+    assert(new java.io.File(dir, "state_1").exists)
+    assert(estimates() == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
   test("ST6/ST8: merge sink converges and re-delivery is a no-op") {
