@@ -47,4 +47,33 @@ object Funnel {
       .select(explode(array(rows: _*)).as("r"))
       .select(col("r.stage"), col("r.n_users"))
   }
+
+  /** Gap-based SESSIONIZATION (the batch twin of the streaming
+    * `session_window` aggregate): per user, events ordered by
+    * (ts, id) start a new session whenever the gap from the previous
+    * event exceeds `gapMinutes`; returns one row per session —
+    * (user, session_seq, n_events, dur_us).
+    *
+    * One exchange on the user key serves everything: the lag window,
+    * the running boundary sum, and the final per-session aggregate all
+    * share the same partitioning. Durations stay integer microseconds
+    * end-to-end — no float time math anywhere.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapMinutes: Int): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val us = unix_micros(col(tsCol))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val prev = lag(us, 1).over(w)
+    events
+      .withColumn("__new",
+        when(prev.isNull || us - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(us) - min(us)).as("dur_us"))
+  }
 }

@@ -83,6 +83,33 @@ object Search {
       .limit(k)
   }
 
+  /** EXACT-PHRASE top-k: rank docs by occurrence count of a literal
+    * token phrase. The positional match runs IN-ROW over the token
+    * array (a filtered index sequence testing `phrase.size` adjacent
+    * elements), so like [[bm25TopK]] the whole query is one scan plus
+    * `TakeOrderedAndProject` — no explode, no shuffle. This is the
+    * scan form; a positional postings index would serve dynamic
+    * phrases at scale, same layout idea as [[buildIndex]].
+    */
+  def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2, s"phrase needs >= 2 terms, got ${phrase.size}")
+    val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
+    val arr = col("__toks")
+    // 1-based start positions; element_at is 1-based too.
+    val starts = sequence(lit(1), size(arr) - lit(phrase.size - 1))
+    val hitAt = (i: Column) => phrase.zipWithIndex
+      .map { case (t, j) => element_at(arr, (i + lit(j)).cast("int")) === lit(t) }
+      .reduce(_ && _)
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"),
+        when(size(arr) >= phrase.size,
+          size(filter(starts, hitAt))).otherwise(lit(0)).as("tf_phrase"))
+      .filter(col("tf_phrase") > 0)
+      .orderBy(col("tf_phrase").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Build a STANDING INVERTED INDEX under `dir` — the store-side scale
     * path: sign the corpus once, answer every later query from
     * postings without touching document text.

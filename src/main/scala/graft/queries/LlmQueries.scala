@@ -1170,6 +1170,26 @@ object LlmQueries {
         Seq("spark", "vector", "stream", "merge"), k = 10)
     },
 
+    // Exact-phrase search (Search.phraseTopK): occurrence-ranked docs
+    // for a literal 2-token phrase, matched positionally IN-ROW over
+    // the token array — one scan + TakeOrderedAndProject, no explode.
+    QueryDef(
+      "search_phrase_topk",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    len(list_filter(range(1, len(l)),
+        |      i -> l[i] = 'table' AND l[i+1] = 'hash')) AS tf_phrase
+        |  FROM t)
+        |SELECT doc_id, tf_phrase FROM p WHERE tf_phrase > 0
+        |ORDER BY tf_phrase DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      graft.operators.Search.phraseTopK(Tables.documents(s, d),
+        "doc_id", "text", Seq("table", "hash"), k = 10)
+    },
+
     // Character entropy (TextAnalysis.charEntropy): the low-entropy
     // quality gate (base64/spam/binary-leak detector). Per-(doc, char)
     // terms are rounded to integer micro-nats and summed as BIGINT —

@@ -84,6 +84,36 @@ object StreamQueries {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id"))
         .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // Gap-based batch SESSIONIZATION (Funnel.sessionize, the batch twin
+    // of st_session_window_agg that returns the SESSIONS, not just
+    // their aggregates): 12-hour gap, one exchange on the user key
+    // shared by the lag window, the boundary running sum and the final
+    // per-session aggregate. Durations integer µs end-to-end.
+    QueryDef(
+      "win_sessionize_gap",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 43200000000
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                  ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  (max(us) - min(us))::BIGINT AS dur_us
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin) { (s, d) =>
+      graft.operators.Funnel.sessionize(Tables.events(s, d),
+          "user_id", "ts", "event_id", gapMinutes = 720)
+        .orderBy(col("user_id"), col("session_seq"))
     }
   )
 }

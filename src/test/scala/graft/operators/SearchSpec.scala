@@ -78,6 +78,23 @@ class SearchSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("phraseTopK counts overlapping in-order occurrences, skips short docs") {
+    val ds = Seq(
+      (1L, "a b a b a"),   // "a b" at 1 and 3 -> tf 2
+      (2L, "b a"),         // reversed -> 0
+      (3L, "a"),           // shorter than the phrase -> 0 (guard path)
+      (4L, "x a b y"),     // tf 1
+      (5L, ""))            // empty -> 0
+      .toDF("doc_id", "text")
+    val got = Search.phraseTopK(ds, "doc_id", "text", Seq("a", "b"), k = 10)
+      .as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 2), (4L, 1)))
+    // Three-term phrase: "a b a" appears at 1 and 3 in doc 1.
+    val tri = Search.phraseTopK(ds, "doc_id", "text", Seq("a", "b", "a"), 10)
+      .as[(Long, Int)].collect().toSeq
+    assert(tri == Seq((1L, 2)))
+  }
+
   test("indexAppend is insert-if-absent and converges to the batch build") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-inc")
       .toString + "/index"
