@@ -1170,6 +1170,34 @@ object LlmQueries {
         Seq("spark", "vector", "stream", "merge"), k = 10)
     },
 
+    // VOCABULARY EXPORT — the tokenizer-training precursor: every
+    // distinct whitespace token with its corpus frequency and a dense
+    // frequency-ranked id (count desc, token asc — fully stable).
+    // Vocabulary is tiny relative to any corpus (Heaps' law), so the
+    // unpartitioned ranking window over the aggregated vocab is fine at
+    // any corpus size; the heavy lifting is the map-side-combined
+    // token count.
+    QueryDef(
+      "txt_vocab_export",
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split(trim(text), ' '),
+        |    x -> x <> '')) AS token
+        |  FROM documents),
+        |g AS (SELECT token, count(*) AS n FROM t GROUP BY token)
+        |SELECT row_number() OVER (ORDER BY n DESC, token)::BIGINT AS token_id,
+        |  token, n
+        |FROM g ORDER BY token_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("token_id", row_number().over(
+          Window.orderBy(col("n").desc, col("token"))).cast("long"))
+        .select(col("token_id"), col("token"), col("n"))
+        .orderBy(col("token_id"))
+    },
+
     // Exact-phrase search (Search.phraseTopK): occurrence-ranked docs
     // for a literal 2-token phrase, matched positionally IN-ROW over
     // the token array — one scan + TakeOrderedAndProject, no explode.

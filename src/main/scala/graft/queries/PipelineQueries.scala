@@ -558,6 +558,45 @@ object PipelineQueries {
         .orderBy(col("source"))
     },
 
+    // IQR OUTLIER gate (Tukey fences) over order totals in integer
+    // cents — the robust numeric-QA pass (median-based, so a single
+    // corrupt row can't drag the gate the way mean/stddev z-scores
+    // can). Quartiles interpolate over exact integers (deterministic
+    // in both engines); fences are the same double ops in the same
+    // order.
+    QueryDef(
+      "pl_iqr_outliers",
+      """WITH c AS (
+        |  SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |q AS (
+        |  SELECT quantile_cont(cents, 0.25) AS q1,
+        |    quantile_cont(cents, 0.75) AS q3 FROM c)
+        |SELECT round(q1, 2) AS q1_cents, round(q3, 2) AS q3_cents,
+        |  round(q1 - 1.5 * (q3 - q1), 2) AS lo_fence,
+        |  round(q3 + 1.5 * (q3 - q1), 2) AS hi_fence,
+        |  sum(CASE WHEN cents < q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_low,
+        |  sum(CASE WHEN cents > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_high
+        |FROM c, q
+        |GROUP BY q1, q3""".stripMargin) { (s, d) =>
+      val cents = Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val q = cents.agg(expr("percentile(cents, 0.25)").as("q1"),
+        expr("percentile(cents, 0.75)").as("q3"))
+      val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
+      val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
+      cents.crossJoin(broadcast(q))
+        .groupBy(col("q1"), col("q3"))
+        .agg(
+          sum(when(col("cents") < lo, 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("cents") > hi, 1L).otherwise(0L)).as("n_high"))
+        .select(round(col("q1"), 2).as("q1_cents"),
+          round(col("q3"), 2).as("q3_cents"),
+          round(lo, 2).as("lo_fence"), round(hi, 2).as("hi_fence"),
+          col("n_low"), col("n_high"))
+    },
+
     // Train/val/test SPLIT MANIFEST (Corpus.assignSplit): stable-hash
     // band assignment — a doc's split depends only on its id, so eval
     // membership never moves as the corpus grows. Pure narrow

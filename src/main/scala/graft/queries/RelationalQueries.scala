@@ -540,6 +540,32 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Equi-width HISTOGRAM over order totals — the monitoring/profiling
+    // staple. All bucket math is exact integer arithmetic (prices to
+    // cents, integer DIV against the 1-row min/max stats broadcast):
+    // no float boundary can land a row in different buckets across
+    // engines.
+    QueryDef(
+      "agg_histogram_price",
+      """WITH c AS (
+        |  SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |g AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c)
+        |SELECT ((cents - mn) * 20 // (mx - mn + 1))::INT AS bucket,
+        |  count(*) AS n, min(cents)::BIGINT AS lo_cents,
+        |  max(cents)::BIGINT AS hi_cents
+        |FROM c, g GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val cents = Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val stats = cents.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      cents.crossJoin(broadcast(stats))
+        .select(expr("CAST((cents - mn) * 20 DIV (mx - mn + 1) AS INT)")
+          .as("bucket"), col("cents"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"))
+        .orderBy(col("bucket"))
+    },
+
     // Salted two-level aggregation (operators.Salt.saltedAgg) for
     // non-algebraic state over skewed keys: collect_set per
     // (user, salt) first, so a hot user's rows split across `salts`

@@ -25,11 +25,12 @@ class PlanRegressionSpec extends SparkSpec {
     // Exceptions where the quadratic shape IS the operator's contract:
     // the brute-force similarity baselines score queries x corpus by
     // definition, the stale-sweep joins a one-row cutoff frame, and
-    // the BM25 queries cross-join a ONE-ROW broadcast corpus-stats
+    // the stats-then-apply queries (BM25 corpus stats, histogram
+    // min/max, IQR quartiles) cross-join a ONE-ROW broadcast stats
     // frame (O(1) build side by construction).
     val intended = Set("sim_cosine_topk_brute", "sim_int8_topk",
       "c14_stale_cutoff_sweep", "search_bm25_topk",
-      "search_bm25_index_topk")
+      "search_bm25_index_topk", "agg_histogram_price", "pl_iqr_outliers")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
         p.contains("BroadcastNestedLoopJoin")) => n
