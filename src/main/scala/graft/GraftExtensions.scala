@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CappedSortedList, HashedShinglesExpr, MinhashSigExpr, Simhash60Expr, WinnowFingerprintsExpr}
+import graft.functions.{CappedSortedList, HashedShinglesExpr, MinhashSigExpr, PhraseCountExpr, Simhash60Expr, StringShinglesExpr, WinnowFingerprintsExpr}
 import graft.operators.Dedup
 
 /** SQL surface for the engine's native expressions: registered through
@@ -20,6 +21,8 @@ import graft.operators.Dedup
   *   - `minhash_sig(hs, k)`               -> array<bigint> (k mins)
   *   - `simhash60(text)`                  -> bigint (null if no tokens)
   *   - `winnow_fingerprints(text, n, w)`  -> array<bigint>
+  *   - `string_shingles(text, n)`         -> array<string> (dups kept)
+  *   - `phrase_count(text, 'a b c')`      -> int (overlaps counted)
   *   - `capped_sorted_list(v, cap)`       -> aggregate, array<bigint>
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -33,6 +36,12 @@ object GraftExtensions {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+  }
+
+  private def stringArg(e: Expression, fn: String, pos: Int): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a string literal, got $other")
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
@@ -66,6 +75,17 @@ object GraftExtensions {
         WinnowFingerprintsExpr(args.head,
           intArg(args(1), "winnow_fingerprints", 1),
           intArg(args(2), "winnow_fingerprints", 2))),
+    (FunctionIdentifier("string_shingles"),
+      info("string_shingles",
+        "string_shingles(text, n) - word n-gram shingles as strings, duplicates kept"),
+      (args: Seq[Expression]) =>
+        StringShinglesExpr(args.head, intArg(args(1), "string_shingles", 1))),
+    (FunctionIdentifier("phrase_count"),
+      info("phrase_count",
+        "phrase_count(text, phrase) - occurrences of the space-separated literal phrase"),
+      (args: Seq[Expression]) =>
+        PhraseCountExpr(args.head,
+          stringArg(args(1), "phrase_count", 1).split(" ").toSeq)),
     (FunctionIdentifier("capped_sorted_list"),
       info("capped_sorted_list",
         "capped_sorted_list(v, cap) - sorted collect_list bounded at cap+1 elements"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the dedup hot path.
@@ -57,6 +57,21 @@ object NativeHashExprs {
   def winnowFingerprints(text: Column, n: Int, window: Int): Column =
     ExpressionUtils.column(
       WinnowFingerprintsExpr(ExpressionUtils.expression(text), n, window))
+
+  /** All word n-gram shingles as STRINGS (duplicates kept, document
+    * order) — the native twin of `TextFunctions.shingles` for
+    * frequency-counting consumers; bit-identical output.
+    */
+  def stringShingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      StringShinglesExpr(ExpressionUtils.expression(text), n))
+
+  /** Occurrence count of a literal token phrase (overlaps counted),
+    * one pass; 0 for docs shorter than the phrase.
+    */
+  def phraseCount(text: Column, phrase: Seq[String]): Column =
+    ExpressionUtils.column(
+      PhraseCountExpr(ExpressionUtils.expression(text), phrase))
 }
 
 /** Static row kernels called from both interpreted eval and generated
@@ -127,6 +142,49 @@ object ShingleOps {
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
+  }
+
+  /** All n-gram shingles as strings, duplicates kept, document order. */
+  def stringShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokens(text)
+    val m = toks.size
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j <= m - n) {
+      sb.setLength(0)
+      var q = 0
+      while (q < n) {
+        if (q > 0) sb.append(' ')
+        sb.append(toks.get(j + q))
+        q += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Occurrences of the literal token `phrase` (overlaps counted). */
+  def phraseCount(text: UTF8String, phrase: Array[String]): Int = {
+    val toks = tokens(text)
+    val m = toks.size
+    val k = phrase.length
+    if (m < k) return 0
+    var cnt = 0
+    var i = 0
+    while (i <= m - k) {
+      var q = 0
+      var ok = true
+      while (ok && q < k) {
+        if (toks.get(i + q) != phrase(q)) ok = false
+        q += 1
+      }
+      if (ok) cnt += 1
+      i += 1
+    }
+    cnt
   }
 
   def minhashSig(hs: ArrayData, a: Array[Long], b: Array[Long],
@@ -290,6 +348,34 @@ case class Simhash60Expr(child: Expression) extends UnaryExpression {
         }
       """
     ev.copy(code = code)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class StringShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "string_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.stringShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.stringShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class PhraseCountExpr(child: Expression, phrase: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val arr: Array[String] = phrase.toArray
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "phrase_count"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.phraseCount(input.asInstanceOf[UTF8String], arr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("phrase", arr, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleOps.phraseCount($c, $pRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

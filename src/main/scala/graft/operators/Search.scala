@@ -94,17 +94,12 @@ object Search {
   def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String], k: Int): DataFrame = {
     require(phrase.size >= 2, s"phrase needs >= 2 terms, got ${phrase.size}")
-    val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
-    val arr = col("__toks")
-    // 1-based start positions; element_at is 1-based too.
-    val starts = sequence(lit(1), size(arr) - lit(phrase.size - 1))
-    val hitAt = (i: Column) => phrase.zipWithIndex
-      .map { case (t, j) => element_at(arr, (i + lit(j)).cast("int")) === lit(t) }
-      .reduce(_ && _)
-    docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
-      .select(col("doc_id"),
-        when(size(arr) >= phrase.size,
-          size(filter(starts, hitAt))).otherwise(lit(0)).as("tf_phrase"))
+    // Native codegen'd kernel: the builtin-composition form (a filtered
+    // index sequence probing element_at per position) runs interpreted
+    // and re-evaluates the token array per candidate position.
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.NativeHashExprs.phraseCount(col(textCol), phrase)
+          .as("tf_phrase"))
       .filter(col("tf_phrase") > 0)
       .orderBy(col("tf_phrase").desc, col("doc_id"))
       .limit(k)

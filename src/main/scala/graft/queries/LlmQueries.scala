@@ -1314,7 +1314,8 @@ object LlmQueries {
         .orderBy(col("n").desc, col("sh"))
       Tables.documents(s, d)
         .select(col("source"),
-          explode(TextFunctions.shingles(col("text"), 3)).as("sh"))
+          explode(graft.functions.NativeHashExprs
+            .stringShingles(col("text"), 3)).as("sh"))
         .groupBy(col("source"), col("sh"))
         .agg(count(lit(1)).as("n"))
         .withColumn("rnk", row_number().over(w))

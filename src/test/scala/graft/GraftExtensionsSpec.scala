@@ -63,6 +63,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got(2L).length == 4)             // overflow: capped at cap+1
   }
 
+  test("SQL string_shingles/phrase_count agree with the builtin forms") {
+    registered
+    Seq((1L, "a b a b a"), (2L, "b a"), (3L, "a"), (4L, "  x  a b  "))
+      .toDF("doc_id", "text").createOrReplaceTempView("ext_docs4")
+    // string_shingles == TextFunctions.shingles (duplicates, order).
+    val sqlSh = spark.sql(
+      "SELECT doc_id, string_shingles(text, 2) AS sh FROM ext_docs4")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val dfSh = spark.table("ext_docs4")
+      .select($"doc_id", functions.TextFunctions.shingles($"text", 2).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sqlSh == dfSh)
+    assert(sqlSh(1L) == Seq("a b", "b a", "a b", "b a"))  // dups kept
+    assert(sqlSh(3L).isEmpty)                             // short doc
+    // phrase_count: overlaps counted, whitespace-normalized tokens.
+    val pc = spark.sql(
+      "SELECT doc_id, phrase_count(text, 'a b') AS n FROM ext_docs4")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pc == Map(1L -> 2, 2L -> 0, 3L -> 0, 4L -> 1))
+  }
+
   test("non-literal size arguments are rejected with a clear error") {
     registered
     Seq((1L, "a b c")).toDF("doc_id", "text")
