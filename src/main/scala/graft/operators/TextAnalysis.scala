@@ -43,6 +43,36 @@ object TextAnalysis {
     * the cross-row sum is exact integer math — hash-stable under any
     * aggregation order.
     */
+  /** UNIGRAM LOG-PROBABILITY score — the cheap language-model quality
+    * gate (a KenLM stand-in): per doc, the sum of ln p(token) under the
+    * corpus's own unigram distribution, in integer micro-nats. Docs of
+    * improbable tokens (OCR garbage, codes, other-language text) score
+    * far below organic prose of the same length; consumers divide
+    * sum/n for a length-normalized gate.
+    *
+    * Shape: one token-count aggregate builds the unigram table (tiny
+    * vs the corpus — Heaps' law; the optimizer broadcasts it when it
+    * fits, hash-joins otherwise), one 1-row total broadcast, then a
+    * token→doc re-aggregation. Terms round to micro-nats per token row
+    * and sum as BIGINT — exact under any order.
+    */
+  def unigramLogprob(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n_t"))
+    val total = vocab.agg(sum(col("n_t")).as("tot"))
+    toks
+      .join(vocab, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("n_t").cast("double") / col("tot").cast("double"))
+          * lit(1e6)).cast("long").as("__term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__term")).as("sum_logp_unats"))
+  }
+
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))

@@ -1170,6 +1170,28 @@ object LlmQueries {
         Seq("spark", "vector", "stream", "merge"), k = 10)
     },
 
+    // Unigram log-probability (TextAnalysis.unigramLogprob): the cheap
+    // LM quality gate — per-doc sum of ln p(token) under the corpus's
+    // own unigram distribution, integer micro-nats (exact sum).
+    QueryDef(
+      "txt_unigram_logprob",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
+        |    x -> x <> '')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, count(*) AS n_t FROM t GROUP BY token),
+        |g AS (SELECT sum(n_t)::BIGINT AS tot FROM v),
+        |s AS (
+        |  SELECT doc_id,
+        |    round(ln(n_t::DOUBLE / tot::DOUBLE) * 1e6)::BIGINT AS term
+        |  FROM t JOIN v USING (token), g)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  sum(term)::BIGINT AS sum_logp_unats
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.unigramLogprob(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // VOCABULARY EXPORT — the tokenizer-training precursor: every
     // distinct whitespace token with its corpus frequency and a dense
     // frequency-ranked id (count desc, token asc — fully stable).

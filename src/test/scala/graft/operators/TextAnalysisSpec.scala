@@ -36,6 +36,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(e(2L) > 2000000L)  // > 2 nats, well above any spam doc
   }
 
+  test("unigramLogprob: rarer tokens score lower, exact micro-nat sums") {
+    // Corpus: 'common' x 8, 'rare' x 1, 'mid' x 3 across docs.
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common common rare"),
+      (3L, "mid mid mid"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogprob(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "sum_logp_unats")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val tot = 12.0
+    def term(n: Long) = math.round(math.log(n / tot) * 1e6)
+    assert(got(1L) == ((1L, 4L, 4 * term(8))))
+    assert(got(2L) == ((2L, 5L, 4 * term(8) + term(1))))
+    assert(got(3L) == ((3L, 3L, 3 * term(3))))
+    // The doc holding the rare token is less probable per token.
+    assert(got(2L)._3 / got(2L)._2 < got(1L)._3 / got(1L)._2)
+  }
+
   test("charEntropy is exact under repartitioning") {
     val docs = (0 until 50)
       .map(i => (i.toLong, s"some text body number $i with shared chars"))
