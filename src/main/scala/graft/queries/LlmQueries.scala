@@ -1170,6 +1170,72 @@ object LlmQueries {
         Seq("spark", "vector", "stream", "merge"), k = 10)
     },
 
+    // Training-data filter v2 — the composed gate using this round's
+    // NEW signals alongside the heuristic quality score: character
+    // entropy (spam/base64 gate), length-normalized unigram
+    // log-probability (LM gate, compared as an exact integer product
+    // sum_lp >= threshold * n — no division anywhere), and the v1
+    // quality threshold. Each signal is its own operator; the filter
+    // is one three-way join on doc_id.
+    QueryDef(
+      "pl_training_data_filter_v2",
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM ch
+        |  WHERE ch <> '' GROUP BY doc_id, ch),
+        |tt AS (
+        |  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+        |  FROM cnt),
+        |ent AS (
+        |  SELECT doc_id,
+        |    sum(round(-(c::DOUBLE / n::DOUBLE)
+        |      * ln(c::DOUBLE / n::DOUBLE) * 1e6)::BIGINT)::BIGINT AS entropy_unats
+        |  FROM tt GROUP BY doc_id),
+        |tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
+        |    x -> x <> '')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, count(*) AS n_t FROM tk GROUP BY token),
+        |g AS (SELECT sum(n_t)::BIGINT AS tot FROM v),
+        |lp AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    sum(round(ln(n_t::DOUBLE / tot::DOUBLE) * 1e6)::BIGINT)::BIGINT
+        |      AS sum_logp_unats
+        |  FROM tk JOIN v USING (token), g GROUP BY doc_id),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(1.0, len(l) / 32.0) * 0.4
+        |      + (len(list_distinct(l)) * 1.0 / len(l)) * 0.4
+        |      + least(1.0, len(list_filter(l,
+        |          x -> x IN ('the','a','of','and','to','in','is'))) * 8.0
+        |          / len(l)) * 0.2, 4) AS quality
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |        FROM documents))
+        |SELECT e.doc_id, e.entropy_unats, lp.n_tokens, lp.sum_logp_unats,
+        |  q.quality
+        |FROM ent e JOIN lp USING (doc_id) JOIN q USING (doc_id)
+        |WHERE e.entropy_unats >= 2800000
+        |  AND lp.sum_logp_unats >= -3410000 * lp.n_tokens
+        |  AND q.quality >= 0.5
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ent = TextAnalysis.charEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), col("entropy_unats"))
+      val lp = TextAnalysis.unigramLogprob(docs, "doc_id", "text")
+      val q = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      ent.join(lp, Seq("doc_id")).join(q, Seq("doc_id"))
+        .filter(col("entropy_unats") >= 2800000L &&
+          col("sum_logp_unats") >= lit(-3410000L) * col("n_tokens") &&
+          col("quality") >= 0.5)
+        .select(col("doc_id"), col("entropy_unats"), col("n_tokens"),
+          col("sum_logp_unats"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+
     // Unigram log-probability (TextAnalysis.unigramLogprob): the cheap
     // LM quality gate — per-doc sum of ln p(token) under the corpus's
     // own unigram distribution, integer micro-nats (exact sum).
