@@ -72,4 +72,56 @@ object Asof {
       left.columns.map(c => col("__lrow").getField(c).as(c)) ++
         valueCols.map(c => col("__m").getField(c).as(c)): _*)
   }
+
+  /** FORWARD as-of join: for each left row, the single right row with
+    * the smallest `rightTs >= leftTs` in the same key group ("at or
+    * after" — the "next event after X" lookup). Same union-tag
+    * single-window shape as [[joinBackward]], mirrored: left rows sort
+    * BEFORE right rows at equal timestamps and the running value is a
+    * `first(_, ignoreNulls)` over the FOLLOWING frame.
+    *
+    * `toleranceMs`: a match further than `leftTs + tolerance` in the
+    * future is nulled out (row kept, like a left join).
+    */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      toleranceMs: Option[Long] = None): DataFrame = {
+    val keyCols = keys.map(col)
+    val rTagged = right.select(
+      keyCols :+
+        col(rightTs).cast("timestamp").as("__ts") :+
+        lit(1).as("__side") :+
+        struct(unix_millis(col(rightTs).cast("timestamp")).as("__rms") +:
+          valueCols.map(col): _*).as("__rv"): _*)
+    val lTagged = left.select(
+      keyCols :+
+        col(leftTs).cast("timestamp").as("__ts") :+
+        lit(0).as("__side") :+
+        struct(left.columns.map(col): _*).as("__lrow"): _*)
+    val r2 = rTagged.withColumn("__lrow",
+      lit(null).cast(lTagged.schema("__lrow").dataType))
+    val l2 = lTagged.withColumn("__rv",
+      lit(null).cast(rTagged.schema("__rv").dataType))
+    val w = Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = r2.unionByName(l2)
+      .withColumn("__m", first(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    val aged = toleranceMs match {
+      case Some(ms) =>
+        matched.withColumn("__m",
+          when(col("__m.__rms") - unix_millis(col("__ts")) <= ms, col("__m")))
+      case None => matched
+    }
+    aged.select(
+      left.columns.map(c => col("__lrow").getField(c).as(c)) ++
+        valueCols.map(c => col("__m").getField(c).as(c)): _*)
+  }
 }

@@ -352,6 +352,31 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     },
 
+    // FORWARD as-of (Asof.joinForward): for each purchase, the NEXT
+    // click at-or-after it — the mirror of the backward lookup, same
+    // union-tag single-window shape (no row-multiplying join).
+    QueryDef(
+      "join_asof_click_after_purchase",
+      """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS lts
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts::TIMESTAMP AS rts, max(value) AS cval
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, round(r.cval, 4) AS click_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.lts <= r.rts
+        |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("cval"))
+      graft.operators.Asof
+        .joinForward(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("cval"))
+        .select(col("event_id"), col("user_id"),
+          round(col("cval"), 4).as("click_value"))
+        .orderBy(col("event_id"))
+    },
+
     // As-of with bounded staleness: matches older than 48 h are nulled
     // (kept as unmatched, like a left join). The oracle expresses the
     // tolerance as a millisecond-epoch CASE over the same ASOF JOIN.

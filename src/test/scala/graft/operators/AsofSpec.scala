@@ -29,6 +29,42 @@ class AsofSpec extends SparkSpec {
       101L -> Some(10.0), 102L -> Some(11.0), 103L -> None, 104L -> None))
   }
 
+  test("joinForward: at-or-after match, per key, nulls when none") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-01 00:02:00"), 11.0),
+      (2L, ts("2024-01-01 00:01:00"), 20.0))
+      .toDF("k", "ts", "px")
+    val trades = Seq(
+      (101L, 1L, ts("2024-01-01 00:00:30")), // next is 11.0 at 00:02
+      (102L, 1L, ts("2024-01-01 00:02:00")), // equal ts -> matches 11.0
+      (103L, 1L, ts("2024-01-01 00:03:00")), // after all quotes -> null
+      (104L, 2L, ts("2024-01-01 00:00:30")), // next is 20.0
+      (105L, 3L, ts("2024-01-01 00:00:00"))) // key with no quotes -> null
+      .toDF("id", "k", "ts")
+    val got = Asof
+      .joinForward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"))
+      .select($"id", $"px").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got == Map(101L -> Some(11.0), 102L -> Some(11.0),
+      103L -> None, 104L -> Some(20.0), 105L -> None))
+  }
+
+  test("joinForward: tolerance nulls far-future matches but keeps rows") {
+    val quotes = Seq((1L, ts("2024-01-01 00:02:00"), 10.0))
+      .toDF("k", "ts", "px")
+    val trades = Seq(
+      (201L, 1L, ts("2024-01-01 00:01:30")),  // 30 s ahead: fresh
+      (202L, 1L, ts("2024-01-01 00:00:00")))  // 120 s ahead: too far
+      .toDF("id", "k", "ts")
+    val got = Asof
+      .joinForward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"),
+        toleranceMs = Some(60000L))
+      .select($"id", $"px").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got == Map(201L -> Some(10.0), 202L -> None))
+  }
+
   test("joinBackward: tolerance nulls stale matches but keeps rows") {
     val quotes = Seq((1L, ts("2024-01-01 00:00:00"), 10.0))
       .toDF("k", "ts", "px")
