@@ -73,6 +73,34 @@ object TextAnalysis {
         sum(col("__term")).as("sum_logp_unats"))
   }
 
+  /** BIGRAM CONDITIONAL LOG-PROBABILITY — [[unigramLogprob]]'s sharper
+    * sibling: per doc, the sum of ln p(w_i | w_{i-1}) with
+    * p(w|prev) = c(prev w) / c(prev) over the corpus, in integer
+    * micro-nats. Catches token-salad text (each word common, the
+    * SEQUENCE improbable) that unigram scoring cannot. Bigrams come
+    * from the native codegen'd `string_shingles` kernel; counts join
+    * back on the bigram and its prefix (both tables Heaps'-law-small).
+    */
+  def bigramLogprob(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val bigrams = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.NativeHashExprs.stringShingles(col(textCol), 2))
+        .as("bg"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val c2 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = toks.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    bigrams
+      .join(c2, Seq("bg"))
+      .join(c1, substring_index(col("bg"), " ", 1) === col("token"))
+      .select(col("doc_id"),
+        round(log(col("c2").cast("double") / col("c1").cast("double"))
+          * lit(1e6)).cast("long").as("__term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__term")).as("sum_logp_unats"))
+  }
+
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))

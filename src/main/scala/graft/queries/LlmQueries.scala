@@ -1258,6 +1258,35 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bigram conditional log-probability (TextAnalysis.bigramLogprob):
+    // the sharper LM gate — ln p(w|prev) = ln(c(prev w)/c(prev)),
+    // catching token-salad text whose unigram stats look fine. Exact
+    // micro-nat BIGINT sums.
+    QueryDef(
+      "txt_bigram_logprob",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |    i -> l[i] || ' ' || l[i+1])) AS bg
+        |  FROM t),
+        |tk AS (SELECT unnest(l) AS token FROM t),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+        |c1 AS (SELECT token, count(*) AS c1 FROM tk GROUP BY token),
+        |s AS (
+        |  SELECT doc_id,
+        |    round(ln(c2.c2::DOUBLE / c1.c1::DOUBLE) * 1e6)::BIGINT AS term
+        |  FROM bg JOIN c2 USING (bg)
+        |  JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.token)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  sum(term)::BIGINT AS sum_logp_unats
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.bigramLogprob(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // VOCABULARY EXPORT — the tokenizer-training precursor: every
     // distinct whitespace token with its corpus frequency and a dense
     // frequency-ranked id (count desc, token asc — fully stable).

@@ -55,6 +55,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L)._3 / got(2L)._2 < got(1L)._3 / got(1L)._2)
   }
 
+  test("bigramLogprob: conditional terms, token-salad scores lower") {
+    // 'a b' always follows: p(b|a)=1 -> term 0. 'a c' once of a's two
+    // continuations in doc 2's corpus-half.
+    val docs = Seq((1L, "a b a b"), (2L, "a c"))
+      .toDF("doc_id", "text")
+    // c1: a=3, b=2, c=1; c2: 'a b'=2, 'b a'=1, 'a c'=1.
+    val got = TextAnalysis.bigramLogprob(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "sum_logp_unats")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def t(c2: Long, c1: Long) = math.round(math.log(c2.toDouble / c1) * 1e6)
+    assert(got(1L) == ((1L, 3L, t(2, 3) + t(1, 2) + t(2, 3))))
+    assert(got(2L) == ((2L, 1L, t(1, 3))))
+  }
+
   test("charEntropy is exact under repartitioning") {
     val docs = (0 until 50)
       .map(i => (i.toLong, s"some text body number $i with shared chars"))
