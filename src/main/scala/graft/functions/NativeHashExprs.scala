@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -69,9 +69,30 @@ object NativeHashExprs {
   /** Occurrence count of a literal token phrase (overlaps counted),
     * one pass; 0 for docs shorter than the phrase.
     */
-  def phraseCount(text: Column, phrase: Seq[String]): Column =
+  def phraseCount(text: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty),
+      "phrase_count: phrase must be non-empty tokens (no empty strings)")
     ExpressionUtils.column(
       PhraseCountExpr(ExpressionUtils.expression(text), phrase))
+  }
+
+  /** Minimum element of the intersection of two SORTED-ascending long
+    * arrays (null when disjoint): one two-pointer pass, no per-row hash
+    * set — `array_min(array_intersect(x, y))` costs ~2 µs/row building
+    * an OpenHashSet per evaluation, which dominated the blocked-Jaccard
+    * verify join; this is ~20 comparisons and zero allocation.
+    */
+  def sortedInterMin(x: Column, y: Column): Column =
+    ExpressionUtils.column(SortedInterMinExpr(
+      ExpressionUtils.expression(x), ExpressionUtils.expression(y)))
+
+  /** |intersection| of two SORTED-ascending long arrays — allocation-
+    * free twin of `size(array_intersect(x, y))` (inputs must each be
+    * duplicate-free, as shingle sets are).
+    */
+  def sortedInterCount(x: Column, y: Column): Column =
+    ExpressionUtils.column(SortedInterCountExpr(
+      ExpressionUtils.expression(x), ExpressionUtils.expression(y)))
 }
 
 /** Static row kernels called from both interpreted eval and generated
@@ -246,6 +267,42 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
+  /** Min of the intersection of two sorted-ascending long arrays;
+    * Long.MinValue marks "disjoint" (hash60 values are in [0, 2^60),
+    * so the sentinel is unambiguous) — the expression maps it to null.
+    */
+  def sortedInterMin(x: ArrayData, y: ArrayData): Long = {
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0
+    var j = 0
+    while (i < n && j < m) {
+      val a = x.getLong(i)
+      val b = y.getLong(j)
+      if (a == b) return a
+      else if (a < b) i += 1
+      else j += 1
+    }
+    Long.MinValue
+  }
+
+  /** |intersection| of two sorted-ascending duplicate-free long arrays. */
+  def sortedInterCount(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val a = x.getLong(i)
+      val b = y.getLong(j)
+      if (a == b) { c += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** null-marker variant is handled by the expression: returns
     * Long.MinValue for "no tokens" so the expression can emit null.
     */
@@ -363,6 +420,58 @@ case class StringShinglesExpr(child: Expression, n: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.stringShingles($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+case class SortedInterMinExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_inter_min"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val v = ShingleOps.sortedInterMin(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (v == Long.MinValue) null else java.lang.Long.valueOf(v)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGen = left.genCode(ctx)
+    val rGen = right.genCode(ctx)
+    val code =
+      code"""
+        ${lGen.code}
+        ${rGen.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${lGen.isNull} && !${rGen.isNull}) {
+          long graftIm = graft.functions.ShingleOps.sortedInterMin(
+            ${lGen.value}, ${rGen.value});
+          if (graftIm != Long.MIN_VALUE) {
+            ${ev.isNull} = false;
+            ${ev.value} = graftIm;
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+case class SortedInterCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_inter_count"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    ShingleOps.sortedInterCount(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ShingleOps.sortedInterCount($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
 case class PhraseCountExpr(child: Expression, phrase: Seq[String])

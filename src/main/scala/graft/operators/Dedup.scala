@@ -191,7 +191,23 @@ object Dedup {
     * sorted posting list (no shingle-keyed self-join, which would
     * shuffle the full index twice).
     */
-  def shingleBlockedPairs(shingleDf: DataFrame, maxDf: Int): DataFrame = {
+  def shingleBlockedPairs(shingleDf: DataFrame, maxDf: Int): DataFrame =
+    shingleBlockedPairsWitnessed(shingleDf, maxDf)
+      .select(col("a"), col("b"))
+      .distinct()
+
+  /** Candidate (a, b, bh) rows WITHOUT the dedup exchange: each pair
+    * appears once per shared blocking shingle, tagged with that
+    * shingle's hash `bh`. Meant to be consumed by [[jaccardWitnessed]],
+    * which keeps exactly ONE emission per pair in-row (the one whose
+    * `bh` is the pair's minimum shared blocking shingle) — the
+    * candidate stream never needs its own `distinct()` exchange, which
+    * at corpus scale re-shuffles every (near-dup doc pair × shared
+    * shingle) emission just to drop the duplicates that the verify
+    * join could have dropped for free.
+    */
+  def shingleBlockedPairsWitnessed(shingleDf: DataFrame,
+      maxDf: Int): DataFrame = {
     val groups = shingleDf
       .groupBy(col("bh"))
       .agg(graft.functions.CappedSortedList(col("doc_id"), maxDf).as("ids"))
@@ -199,10 +215,108 @@ object Dedup {
     val pairs = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),
         b => struct(a.as("a"), b.as("b")))))
-    groups.select(explode(pairs).as("p"))
+    groups.select(col("bh"), explode(pairs).as("p"))
       .filter(col("p.a") < col("p.b"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("bh"))
+  }
+
+  /** Blocked-Jaccard pipeline FUSED end-to-end with witness dedup —
+    * candidate generation and exact verification with NO candidate-pair
+    * `distinct()` exchange and NO driver-side state.
+    *
+    * Semantics (identical to `jaccard(shingleBlockedPairs(...), ...)`):
+    * all pairs sharing at least one blocking shingle (document
+    * frequency in [2, maxDf]), with their exact full-set Jaccard.
+    *
+    * How the distinct() disappears: candidate rows carry their emitting
+    * shingle `bh` ([[shingleBlockedPairsWitnessed]]), and the verify
+    * join keeps only the emission whose `bh` equals the pair's MINIMUM
+    * shared blocking shingle — exactly one emission per pair survives,
+    * in-row. The subtlety is that the minimum shared shingle overall
+    * may be a NON-blocking one (df > maxDf stop-shingle, or df = 1),
+    * which never emitted anything, so the witness must be the minimum
+    * over shared BLOCKING shingles only. To know blocking-ness in-row,
+    * each doc's shingle array is pre-split into `hs_rare` (its df in
+    * [2, maxDf] shingles — derived from the SAME posting-list aggregate
+    * that generates the pairs, so Spark's ReuseExchange computes that
+    * shuffle once) and `hs_hot` (the rest). The verify join then
+    * intersects the two splits separately:
+    *   - witness  = bh == array_min(hs_rare_a ∩ hs_rare_b)
+    *   - n_inter  = |hs_rare_a ∩ hs_rare_b| + |hs_hot_a ∩ hs_hot_b|
+    * (shingles only ever shared within the same split, so the split
+    * intersections partition the full intersection), which makes the
+    * witness check cost the SAME array_intersect the Jaccard needed
+    * anyway — no second pass, no df lookup, no hot-vocabulary literal.
+    *
+    * Scale shape at 100 TB: one hash-exchange builds the df-capped
+    * posting lists (memory-bounded by [[graft.functions
+    * .CappedSortedList]]); the rare-split table is one small exchange
+    * over the rare postings (Σ df ≤ maxDf per shingle — orders of
+    * magnitude below the pair stream the deleted distinct() was
+    * shuffling); the verify join carries each candidate emission
+    * exactly once. Nothing collects to the driver.
+    *
+    * `hashedShingles`: (doc_id, hs) from [[hashedShingleArrays]] —
+    * persist it, both the posting index and the verify join read it.
+    *
+    * `broadcastDocs`: the verify join must NEVER build on the pair
+    * stream (its Generate-fanout cardinality is invisible to Catalyst,
+    * which happily broadcast 10^6+ candidate rows in testing — 7×
+    * slower). True (default) pins the per-doc split table as the
+    * broadcast build side; set false when the corpus is too large to
+    * broadcast, which degrades to a doc_id sort-merge join on both
+    * sides — the correct 1000-executor plan.
+    */
+  def blockedJaccard(hashedShingles: DataFrame, maxDf: Int,
+      broadcastDocs: Boolean = true): DataFrame = {
+    val exploded = hashedShingles
+      .select(col("doc_id"), explode(col("hs")).as("bh"))
+    // Shared subplan: identical in the pair branch and the rare-split
+    // branch, so ReuseExchange materializes the aggregation once.
+    def groups(): DataFrame = exploded
+      .groupBy(col("bh"))
+      .agg(graft.functions.CappedSortedList(col("doc_id"), maxDf).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+    val pairsExpr = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(a.as("a"), b.as("b")))))
+    val pairs = groups().select(col("bh"), explode(pairsExpr).as("p"))
+      .filter(col("p.a") < col("p.b"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("bh"))
+    val rareArrs = groups()
+      .select(explode(col("ids")).as("doc_id"), col("bh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("bh"))).as("hs_rare"))
+    val docs = hashedShingles
+      .join(rareArrs, Seq("doc_id"), "left")
+      .withColumn("hs_rare",
+        coalesce(col("hs_rare"), typedLit(Array.empty[Long])))
+      // hs_hot SORTED like hs_rare: the verify join's witness and
+      // count run as two-pointer merges over sorted arrays (native
+      // kernels below) instead of an OpenHashSet per row.
+      .select(col("doc_id"), size(col("hs")).as("n_sh"), col("hs_rare"),
+        sort_array(array_except(col("hs"), col("hs_rare"))).as("hs_hot"))
+    // The two sides differ only in aliases, so their canonicalized
+    // broadcast subtrees are identical and ReuseExchange materializes
+    // the split table ONCE; likewise the pair branch and the rare
+    // branch share the posting-list aggregation's shuffle exchange.
+    def side(tag: String) = {
+      val s = docs.select(col("doc_id").as(tag), col("hs_rare").as(s"r$tag"),
+        col("hs_hot").as(s"h$tag"), col("n_sh").as(s"n_$tag"))
+      if (broadcastDocs) broadcast(s) else s.hint("merge")
+    }
+    import graft.functions.NativeHashExprs.{sortedInterCount, sortedInterMin}
+    pairs
+      .join(side("a"), Seq("a"))
+      .join(side("b"), Seq("b"))
+      .filter(col("bh") === sortedInterMin(col("ra"), col("rb")))
+      .select(col("a"), col("b"),
+        (sortedInterCount(col("ra"), col("rb")) +
+          sortedInterCount(col("ha"), col("hb"))).as("n_inter"),
+        col("n_a"), col("n_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
   }
 
   /** 60-bit SimHash per document over frequency-weighted tokens,

@@ -230,11 +230,16 @@ object LlmQueries {
       val corpus = nearDupCorpus(Tables.documents(s, d))
       val hsArr = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val exploded = hsArr.select(col("doc_id"), explode(col("hs")).as("bh"))
-      Dedup.jaccard(Dedup.shingleBlockedPairs(exploded, 20), hsArr)
+      // Fused witness-dedup pipeline: no candidate-pair distinct()
+      // exchange, no driver state (see Dedup.blockedJaccard scaladoc).
+      // Deterministic output order comes from repartition(1) + local
+      // sort, NOT orderBy: range-partition sampling re-executes an
+      // exchange-free child pipeline end-to-end (measured +3 s here —
+      // the sort's input is 600 rows).
+      Dedup.blockedJaccard(hsArr, 20)
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy(col("a"), col("b"))
+        .repartition(1).sortWithinPartitions(col("a"), col("b"))
     },
 
     // SimHash near-dup: 60-bit frequency-weighted simhash, FOUR 15-bit

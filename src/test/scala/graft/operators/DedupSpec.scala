@@ -128,4 +128,24 @@ class DedupSpec extends SparkSpec {
     val capped = Dedup.shingleBlockedPairs(sh, 2).as[(Long, Long)].collect().toSet
     assert(capped == Set((1L, 3L)))
   }
+
+  test("blockedJaccard (witness dedup) matches the distinct path exactly") {
+    val hsArr = Dedup.hashedShingleArrays(docs, "doc_id", "text", 3)
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    // maxDf=2 exercises the rare/hot split: "a b c" (df 3) is hot, and
+    // for pair (1,3) it may hash below the rare witness "b c d" —
+    // min-over-the-FULL-intersection would drop the pair entirely.
+    for (maxDf <- Seq(20, 2)) {
+      val want = Dedup.jaccard(Dedup.shingleBlockedPairs(sh, maxDf), hsArr)
+        .select("a", "b", "n_inter", "n_a", "n_b")
+        .as[(Long, Long, Int, Int, Int)].collect().toSeq.sorted
+      val got = Dedup.blockedJaccard(hsArr, maxDf)
+        .select("a", "b", "n_inter", "n_a", "n_b")
+        .as[(Long, Long, Int, Int, Int)].collect().toSeq.sorted
+      assert(got == want, s"maxDf=$maxDf witnessed path diverged")
+      // ONE row per pair: the witness must dedup multi-shingle sharers
+      // (docs 1,3 share both shingles at maxDf=20) without a distinct.
+      assert(got.map(t => (t._1, t._2)).distinct.size == got.size)
+    }
+  }
 }
