@@ -83,9 +83,17 @@ object GraftExtensions {
     (FunctionIdentifier("phrase_count"),
       info("phrase_count",
         "phrase_count(text, phrase) - occurrences of the space-separated literal phrase"),
-      (args: Seq[Expression]) =>
-        PhraseCountExpr(args.head,
-          stringArg(args(1), "phrase_count", 1).split(" ").toSeq)),
+      (args: Seq[Expression]) => {
+        // Mirror the tokenizer: repeated/leading/trailing spaces must
+        // not yield empty phrase tokens (an empty token never matches,
+        // so the count would silently be 0 for every row).
+        val phrase = stringArg(args(1), "phrase_count", 1)
+          .split(" ").toSeq.filter(_.nonEmpty)
+        if (phrase.isEmpty)
+          throw new IllegalArgumentException(
+            "phrase_count: phrase must contain at least one token")
+        PhraseCountExpr(args.head, phrase)
+      }),
     (FunctionIdentifier("capped_sorted_list"),
       info("capped_sorted_list",
         "capped_sorted_list(v, cap) - sorted collect_list bounded at cap+1 elements"),

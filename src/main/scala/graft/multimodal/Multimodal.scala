@@ -99,8 +99,15 @@ object Multimodal {
         val bpp = bb.getShort(28) & 0xffff
         val offset = bb.getInt(10)
         val topDown = bb.getInt(22) < 0
-        val rowBytes = (w * 3 + 3) / 4 * 4
-        if (bpp != 24 || payload.length < offset + rowBytes * h) None
+        // Untrusted-header guard (same class as the WAV chunk walker):
+        // a negative/overflowing pixel-data offset or a width whose row
+        // stride overflows Int must yield None, not an
+        // ArrayIndexOutOfBounds task crash — all bounds math in Long,
+        // and offsets inside the 54-byte header are rejected.
+        val rowBytesL = (w.toLong * 3 + 3) / 4 * 4
+        val rowBytes = rowBytesL.toInt
+        if (bpp != 24 || offset < 54 || rowBytesL != rowBytes.toLong ||
+          offset.toLong + rowBytesL * h.toLong > payload.length) None
         else {
           val cellW = w / 8
           val cellH = h / 8

@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   * at 100 TB is the difference between a linear sort-based pass and an
   * OOM. AQE/salting never needs to get involved because no join exists.
   *
-  * The right side must be unique per (keys, rightTs) — pre-aggregate if
-  * it isn't, otherwise which same-timestamp row wins is nondeterministic.
+  * Right rows sharing the same (keys, rightTs) are tie-broken
+  * deterministically by the value struct itself (`__rv` is the last
+  * window sort key): backward picks the greatest value struct, forward
+  * the smallest, under struct field-order comparison — the same run
+  * always returns the same match whatever the partitioning. Value
+  * columns must therefore be of orderable types (atomics/structs/
+  * arrays — no maps); pre-aggregate if a semantic winner is needed.
   *
   * `tolerance`: optional maximum age in milliseconds; a match older than
   * `leftTs - tolerance` is nulled out (the row is kept, like a left
@@ -57,7 +62,7 @@ object Asof {
       lit(null).cast(rTagged.schema("__rv").dataType))
     val w = Window
       .partitionBy(keyCols: _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = r2.unionByName(l2)
       .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
@@ -109,7 +114,7 @@ object Asof {
       lit(null).cast(rTagged.schema("__rv").dataType))
     val w = Window
       .partitionBy(keyCols: _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__rv"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val matched = r2.unionByName(l2)
       .withColumn("__m", first(col("__rv"), ignoreNulls = true).over(w))

@@ -27,6 +27,14 @@ object Graph {
     * not convergence loops).
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    // Lineage grows by two joins per round and nothing checkpoints it —
+    // fine for the 3-5 rounds this is for, pathological at 50. Fail
+    // loudly instead of letting a caller discover plan blow-up live;
+    // convergence-style runs belong on a checkpointed loop like
+    // Dedup.connectedComponents'.
+    require(iters >= 1 && iters <= 20,
+      s"pageRank: iters=$iters out of range [1, 20] — this is a " +
+        "fixed-iteration kernel with uncheckpointed lineage")
     val e = edges
       .select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
@@ -41,17 +49,23 @@ object Graph {
       .repartition(shufflePartitions, col("src"))
       .persist()
     var ranks = nodes.withColumn("rank", lit(1.0))
-    (1 to iters).foreach { _ =>
-      val contribs = withDeg
-        .join(ranks, withDeg("src") === ranks("node"))
-        .select(col("dst").as("node"), (col("rank") / col("outd")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(1 - damping) + lit(damping) * coalesce(col("s"), lit(0.0)))
-            .as("rank"))
-    }
-    ranks
+    try {
+      (1 to iters).foreach { _ =>
+        val contribs = withDeg
+          .join(ranks, withDeg("src") === ranks("node"))
+          .select(col("dst").as("node"), (col("rank") / col("outd")).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("s"))
+        ranks = nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(1 - damping) + lit(damping) * coalesce(col("s"), lit(0.0)))
+              .as("rank"))
+      }
+      // Materialize the final (node, rank) frame — one row per node,
+      // tiny next to the edges — so the cached degree-joined edge frame
+      // can be dropped HERE instead of lingering in the session until
+      // the periodic-GC ContextCleaner happens to reclaim it.
+      graft.Checkpoints.pinned(ranks)
+    } finally withDeg.unpersist()
   }
 
   /** Per-node triangle participation counts, exact.
