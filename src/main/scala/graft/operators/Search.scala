@@ -109,75 +109,188 @@ object Search {
     * path: sign the corpus once, answer every later query from
     * postings without touching document text.
     *
-    *   - `dir/postings`: (term, doc_id, tf, dl) — doc length is
+    * Layout (GENERATIONAL — supports the reference's changed-content
+    * upsert, `/root/reference/db/postgres_store.py:126-182`
+    * `ON CONFLICT ... DO UPDATE`):
+    *   - `dir/postings`: (term, doc_id, tf, dl, batch) — doc length
     *     DENORMALIZED into each posting so scoring needs no join back
-    *     to a document table; rows are repartitioned and sorted by
-    *     term, so a term predicate prunes parquet row groups via
-    *     min/max stats (at 100 TB you'd bucket this table by term —
-    *     same layout idea, zero-exchange probes).
-    *   - `dir/docs`: (doc_id, dl) — the indexed-membership table that
-    *     makes appends insert-if-absent and supplies the corpus stats
-    *     (one skinny-table aggregate at probe time).
+    *     to a document table; rows repartitioned and sorted by term,
+    *     so a term predicate prunes parquet row groups via min/max
+    *     stats (at 100 TB you'd bucket this table by term — same
+    *     layout idea, zero-exchange probes).
+    *   - `dir/docs`: (doc_id, dl, content_hash, batch) — the
+    *     membership/version table: a doc's CURRENT generation is its
+    *     max committed batch, and `content_hash` is what makes
+    *     re-delivery of unchanged text a no-op.
+    *   - `dir/_commits/b<batch>`: empty marker created LAST — the
+    *     linearization point of an append. A crash between the two
+    *     parquet writes leaves slices whose batch id has no marker;
+    *     readers never see them, and the next attempt allocates a
+    *     FRESH id (max batch present in the docs parquet + 1, which
+    *     counts orphans), so partial appends can never double a doc's
+    *     tf/df. Single-writer ingest assumed (the streaming sink is
+    *     serial); superseded/orphan generations are dead weight until
+    *     [[indexVacuum]] rewrites the live state.
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
-    writeSlice(docs.dropDuplicates(idCol), idCol, textCol, dir, "overwrite")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    writeSlice(docs.dropDuplicates(idCol), idCol, textCol, dir, 0L)
+    commitBatch(docs.sparkSession, dir, 0L)
   }
 
-  /** INCREMENTALLY append a batch to the standing index: docs already
-    * in `dir/docs` are skipped (insert-if-absent on doc id), so
-    * at-least-once re-delivery converges; new docs' postings and
-    * membership rows append without rewriting anything. The standing
-    * store is never re-tokenized. Returns docs inserted.
+  /** UPSERT a batch into the standing index: new doc ids insert;
+    * already-indexed ids with UNCHANGED content_hash are skipped
+    * (at-least-once re-delivery converges); ids with CHANGED content
+    * get a NEW GENERATION — their old postings stay on disk but stop
+    * being visible to [[bm25FromIndexTopK]] (the read side resolves
+    * each doc to its max committed batch). Matches the reference's
+    * changed-content upsert; deletes would be a tombstone generation,
+    * not implemented. The standing store is never re-tokenized.
+    * Returns docs written (inserted + updated).
     */
   def indexAppend(batch: DataFrame, idCol: String, textCol: String,
       dir: String): Long = {
     val spark = batch.sparkSession
-    val docsPath = new org.apache.hadoop.fs.Path(s"$dir/docs")
-    val fresh0 = batch.dropDuplicates(idCol)
-    val fresh = (if (docsPath.getFileSystem(
-        spark.sparkContext.hadoopConfiguration).exists(docsPath))
-      fresh0.join(spark.read.parquet(s"$dir/docs")
-          .select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
-    else fresh0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = batch.dropDuplicates(idCol)
+      .withColumn("__ch",
+        graft.functions.HashFunctions.contentHash(col(textCol)))
+    val cur = currentDocs(spark, dir)
+    val fresh = (if (cur.isEmpty) hashed
+    else {
+      val prev = cur.get
+        .select(col("doc_id").as(idCol), col("content_hash").as("__prev"))
+      hashed.join(prev, Seq(idCol), "left")
+        .filter(col("__prev").isNull || col("__prev") =!= col("__ch"))
+        .drop("__prev")
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = fresh.count()
-      if (n > 0) writeSlice(fresh, idCol, textCol, dir, "append")
+      if (n > 0) {
+        val batchId = nextBatchId(spark, dir)
+        writeSlice(fresh, idCol, textCol, dir, batchId)
+        commitBatch(spark, dir, batchId)
+      }
       n
     } finally { fresh.unpersist(); () }
   }
 
+  /** Compact the index to its LIVE state: current committed generation
+    * of every doc rewritten as batch 0, superseded/orphan rows dropped.
+    */
+  def indexVacuum(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val cur = currentDocs(spark, dir).getOrElse(return)
+    val curKeys = cur.select(col("doc_id"), col("batch"))
+    val livePost = spark.read.parquet(s"$dir/postings")
+      .join(curKeys, Seq("doc_id", "batch"))
+    val stage = s"$dir/_vacuum"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    livePost.withColumn("batch", lit(0L))
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.parquet(s"$stage/postings")
+    cur.withColumn("batch", lit(0L)).write.parquet(s"$stage/docs")
+    Seq("postings", "docs", "_commits").foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$p"), true))
+    Seq("postings", "docs").foreach(p =>
+      fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$p"),
+        new org.apache.hadoop.fs.Path(s"$dir/$p")): Unit)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    commitBatch(spark, dir, 0L)
+  }
+
+  /** Batch ids whose commit marker exists (the readable generations). */
+  private def committedBatches(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("b"))
+      .map(_.drop(1).toLong)
+  }
+
+  private def commitBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_commits/b$batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
+  /** Next unused batch id: max over the RAW docs parquet (orphans from
+    * crashed appends included — that is the point) plus one.
+    */
+  private def nextBatchId(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/docs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else spark.read.parquet(s"$dir/docs")
+      .agg(max(col("batch"))).head().getLong(0) + 1L
+  }
+
+  /** CURRENT committed generation of every indexed doc:
+    * (doc_id, dl, content_hash, batch). None when nothing committed.
+    */
+  private def currentDocs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val committed = committedBatches(spark, dir)
+    if (committed.isEmpty) None
+    else Some(spark.read.parquet(s"$dir/docs")
+      .filter(col("batch").isin(committed: _*))
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("dl"), col("batch")).as("dl"),
+        max_by(col("content_hash"), col("batch")).as("content_hash"),
+        max(col("batch")).as("batch")))
+  }
+
   private def writeSlice(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, mode: String): Unit = {
+      dir: String, batch: Long): Unit = {
     val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
     docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("dl"),
         explode(col("__toks")).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .withColumn("batch", lit(batch))
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode(mode).parquet(s"$dir/postings")
-    docs.select(col(idCol).as("doc_id"), size(toks).as("dl"))
-      .write.mode(mode).parquet(s"$dir/docs")
+      .write.mode("append").parquet(s"$dir/postings")
+    docs.select(col(idCol).as("doc_id"), size(toks).as("dl"),
+        graft.functions.HashFunctions.contentHash(col(textCol))
+          .as("content_hash"),
+        lit(batch).as("batch"))
+      .write.mode("append").parquet(s"$dir/docs")
   }
 
   /** BM25 top-k answered FROM the standing index: filter postings to
     * the query terms (pushed predicate — at scale this reads only the
-    * matching row groups / buckets, never the corpus), per-term df as
-    * one tiny aggregate broadcast back on term, then one hash-shuffle
-    * on doc_id to sum the per-(doc, term) micro-unit contributions.
-    * Bit-identical to [[bm25TopK]] over the same corpus (same
+    * matching row groups / buckets, never the corpus), drop superseded
+    * generations by joining the hits against each doc's max committed
+    * batch (the hit set is already tiny), per-term df as one tiny
+    * aggregate broadcast back on term, then one hash-shuffle on doc_id
+    * to sum the per-(doc, term) micro-unit contributions. Bit-identical
+    * to [[bm25TopK]] over the index's CURRENT corpus state (same
     * contribution expression, same exact integer sum).
     */
   def bm25FromIndexTopK(spark: org.apache.spark.sql.SparkSession,
       dir: String, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
+    val committed = committedBatches(spark, dir)
+    require(committed.nonEmpty, s"no committed index state under $dir")
+    val cur = currentDocs(spark, dir).get
     val hits = spark.read.parquet(s"$dir/postings")
-      .filter(col("term").isin(queryTerms: _*))
-    val stats = spark.read.parquet(s"$dir/docs")
+      .filter(col("term").isin(queryTerms: _*) &&
+        col("batch").isin(committed: _*))
+      .join(cur.select(col("doc_id"), col("batch")), Seq("doc_id", "batch"))
+    val stats = cur
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val dfs = hits.groupBy(col("term"))
       .agg(count(lit(1)).as("__df"))

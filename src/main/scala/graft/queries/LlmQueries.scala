@@ -68,6 +68,61 @@ object LlmQueries {
       |WHERE n_inter / (za.n_sh + zb.n_sh - n_inter) >= 0.5
       |ORDER BY a, b""".stripMargin
 
+  /** Oracle for the index-backed BM25 queries: the SCAN-path BM25 over
+    * the documents table — the standing index's answer must be
+    * bit-identical to it, both on a fresh build (search_bm25_index_topk)
+    * and after changed-content upserts (search_bm25_index_upsert).
+    */
+  private val Bm25IndexSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, len(l) AS dl,
+      |    len(list_filter(l, x -> x = 'spark'))  AS tf0,
+      |    len(list_filter(l, x -> x = 'vector')) AS tf1,
+      |    len(list_filter(l, x -> x = 'stream')) AS tf2,
+      |    len(list_filter(l, x -> x = 'merge'))  AS tf3
+      |  FROM t),
+      |g AS (
+      |  SELECT count(*) AS n, sum(dl) AS sumdl,
+      |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+      |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+      |  FROM p),
+      |s AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)
+      |      AS n_matched,
+      |    (CASE WHEN tf0 > 0 THEN round(
+      |        ln(1.0 + (n::DOUBLE - df0::DOUBLE + 0.5) / (df0::DOUBLE + 0.5))
+      |          * tf0::DOUBLE * 2.2
+      |          / (tf0::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+      |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+      |    + (CASE WHEN tf1 > 0 THEN round(
+      |        ln(1.0 + (n::DOUBLE - df1::DOUBLE + 0.5) / (df1::DOUBLE + 0.5))
+      |          * tf1::DOUBLE * 2.2
+      |          / (tf1::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+      |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+      |    + (CASE WHEN tf2 > 0 THEN round(
+      |        ln(1.0 + (n::DOUBLE - df2::DOUBLE + 0.5) / (df2::DOUBLE + 0.5))
+      |          * tf2::DOUBLE * 2.2
+      |          / (tf2::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+      |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+      |    + (CASE WHEN tf3 > 0 THEN round(
+      |        ln(1.0 + (n::DOUBLE - df3::DOUBLE + 0.5) / (df3::DOUBLE + 0.5))
+      |          * tf3::DOUBLE * 2.2
+      |          / (tf3::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+      |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+      |      AS score_1e6
+      |  FROM p, g)
+      |SELECT doc_id, n_matched, score_1e6 FROM s
+      |WHERE n_matched > 0
+      |ORDER BY score_1e6 DESC, doc_id LIMIT 10""".stripMargin
+
   /** Generated oracle prefix shared by the MinHash queries: signatures
     * from the SAME universal-hash coefficients as the Spark side, LSH
     * banding, and the `cand` candidate-pair CTE.
@@ -1119,58 +1174,40 @@ object LlmQueries {
     // bit-identical to the scan answer.
     QueryDef(
       "search_bm25_index_topk",
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, len(l) AS dl,
-        |    len(list_filter(l, x -> x = 'spark'))  AS tf0,
-        |    len(list_filter(l, x -> x = 'vector')) AS tf1,
-        |    len(list_filter(l, x -> x = 'stream')) AS tf2,
-        |    len(list_filter(l, x -> x = 'merge'))  AS tf3
-        |  FROM t),
-        |g AS (
-        |  SELECT count(*) AS n, sum(dl) AS sumdl,
-        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
-        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
-        |  FROM p),
-        |s AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
-        |      + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)
-        |      AS n_matched,
-        |    (CASE WHEN tf0 > 0 THEN round(
-        |        ln(1.0 + (n::DOUBLE - df0::DOUBLE + 0.5) / (df0::DOUBLE + 0.5))
-        |          * tf0::DOUBLE * 2.2
-        |          / (tf0::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
-        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
-        |    + (CASE WHEN tf1 > 0 THEN round(
-        |        ln(1.0 + (n::DOUBLE - df1::DOUBLE + 0.5) / (df1::DOUBLE + 0.5))
-        |          * tf1::DOUBLE * 2.2
-        |          / (tf1::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
-        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
-        |    + (CASE WHEN tf2 > 0 THEN round(
-        |        ln(1.0 + (n::DOUBLE - df2::DOUBLE + 0.5) / (df2::DOUBLE + 0.5))
-        |          * tf2::DOUBLE * 2.2
-        |          / (tf2::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
-        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
-        |    + (CASE WHEN tf3 > 0 THEN round(
-        |        ln(1.0 + (n::DOUBLE - df3::DOUBLE + 0.5) / (df3::DOUBLE + 0.5))
-        |          * tf3::DOUBLE * 2.2
-        |          / (tf3::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
-        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
-        |      AS score_1e6
-        |  FROM p, g)
-        |SELECT doc_id, n_matched, score_1e6 FROM s
-        |WHERE n_matched > 0
-        |ORDER BY score_1e6 DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      Bm25IndexSql) { (s, d) =>
       import graft.operators.Search
       val dir = java.nio.file.Files.createTempDirectory("graft-bm25")
         .toString + "/index"
       Search.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
+      Search.bm25FromIndexTopK(s, dir,
+        Seq("spark", "vector", "stream", "merge"), k = 10)
+    },
+
+    // CHANGED-CONTENT UPSERT into the standing index (the reference's
+    // ON CONFLICT ... DO UPDATE write semantic): the index is first
+    // built from a STALE corpus (every 7th doc's text prefixed with
+    // draft boilerplate), then the true corpus is delivered twice.
+    // The first delivery must update exactly the stale docs (new
+    // generation, old postings invisible); the second must be a no-op
+    // (content hashes unchanged). The oracle is the scan-path BM25
+    // over the FINAL corpus — hash-identity proves superseded postings
+    // stopped scoring.
+    QueryDef(
+      "search_bm25_index_upsert",
+      Bm25IndexSql) { (s, d) =>
+      import graft.operators.Search
+      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-up")
+        .toString + "/index"
+      val base = Tables.documents(s, d)
+      val stale = base.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(lit("stale draft spark spark vector "), col("text")))
+          .otherwise(col("text")))
+      Search.buildIndex(stale, "doc_id", "text", dir)
+      val updated = Search.indexAppend(base, "doc_id", "text", dir)
+      val noop = Search.indexAppend(base, "doc_id", "text", dir)
+      require(updated > 0 && noop == 0,
+        s"upsert semantics broken: updated=$updated redelivery=$noop")
       Search.bm25FromIndexTopK(s, dir,
         Seq("spark", "vector", "stream", "merge"), k = 10)
     },

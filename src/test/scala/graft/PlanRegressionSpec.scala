@@ -30,7 +30,8 @@ class PlanRegressionSpec extends SparkSpec {
     // frame (O(1) build side by construction).
     val intended = Set("sim_cosine_topk_brute", "sim_int8_topk",
       "c14_stale_cutoff_sweep", "search_bm25_topk",
-      "search_bm25_index_topk", "agg_histogram_price", "pl_iqr_outliers",
+      "search_bm25_index_topk", "search_bm25_index_upsert",
+      "agg_histogram_price", "pl_iqr_outliers",
       "txt_unigram_logprob", "pl_training_data_filter_v2")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||

@@ -6,6 +6,16 @@ import graft.SparkSpec
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pageRank rejects iteration counts past the lineage budget") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, iters = 21)
+    }
+    assert(e.getMessage.contains("fixed-iteration"))
+    // The guard must not reject the intended 3-5 round usage.
+    assert(Graph.pageRank(edges, iters = 3).count() == 3)
+  }
+
   test("triangleCounts: square with one diagonal, dirty edge list") {
     // 1-2-3-4-1 plus diagonal 1-3 -> triangles (1,2,3) and (1,3,4).
     // Edge list carries duplicates, reversed copies and a self-loop —

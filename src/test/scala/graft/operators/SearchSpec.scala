@@ -111,4 +111,47 @@ class SearchSpec extends SparkSpec {
     assert(Search.bm25FromIndexTopK(spark, dir, terms, 10).collect().toSeq
       == Search.bm25FromIndexTopK(spark, full, terms, 10).collect().toSeq)
   }
+
+  test("indexAppend upserts changed content; stale postings stop scoring") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-up")
+      .toString + "/index"
+    // v1: doc 4 has different text (contains 'spark', not 'vector').
+    val v1 = docs.withColumn("text",
+      when(col("doc_id") === 4L, lit("spark draft placeholder"))
+        .otherwise(col("text")))
+    Search.buildIndex(v1, "doc_id", "text", dir)
+    // Re-delivering v1 is a no-op (same content hashes).
+    assert(Search.indexAppend(v1, "doc_id", "text", dir) == 0L)
+    // Delivering the real corpus updates exactly doc 4.
+    assert(Search.indexAppend(docs, "doc_id", "text", dir) == 1L)
+    assert(Search.indexAppend(docs, "doc_id", "text", dir) == 0L)
+    val terms = Seq("spark", "vector")
+    val scan = Search.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .collect().toSeq
+    val idx = Search.bm25FromIndexTopK(spark, dir, terms, k = 10)
+      .collect().toSeq
+    assert(idx == scan,
+      "index after changed-content upsert must match the scan over the " +
+        "final corpus")
+    // The superseded generation's postings are physically present but
+    // invisible: doc 4's old 'draft' term never matches.
+    assert(Search.bm25FromIndexTopK(spark, dir, Seq("draft"), 5)
+      .collect().isEmpty)
+    // Vacuum rewrites the live state only — answers unchanged, the
+    // docs table shrinks to one row per doc.
+    Search.indexVacuum(spark, dir)
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, k = 10)
+      .collect().toSeq == scan)
+    val docRows = spark.read.parquet(s"$dir/docs")
+    assert(docRows.count() == docRows.select("doc_id").distinct().count())
+    assert(Search.bm25FromIndexTopK(spark, dir, Seq("draft"), 5)
+      .collect().isEmpty)
+    // Appends keep working after a vacuum.
+    val extra = Seq((9L, "vector spark extra")).toDF("doc_id", "text")
+    assert(Search.indexAppend(extra, "doc_id", "text", dir) == 1L)
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq ==
+        Search.bm25TopK(docs.unionByName(extra), "doc_id", "text", terms, 10)
+          .collect().toSeq)
+  }
 }

@@ -106,4 +106,16 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("grp", "rnk").collect().toSeq
     assert(a == b)
   }
+
+  test("centroidOutliers rejects group keys beyond the driver bound") {
+    // A doc-level key (every row its own group) must fail the
+    // maxGroups pre-check instead of collecting group-by-dims state.
+    val pts = (0 until 100)
+      .map(i => (i.toLong, Seq(i.toFloat, 1.0f), i))
+      .toDF("id", "vec", "label")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.centroidOutliers(pts, "label", topK = 1, maxGroups = 10)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+  }
 }
