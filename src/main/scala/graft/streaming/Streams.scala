@@ -274,6 +274,66 @@ object Streams {
       }
       .start()
 
+  /** COMPOSED store fan-out — one crawled/extracted document batch
+    * advances ALL the standing stores in a single pass, the way the
+    * reference's ingest worker composes its store write
+    * (`/root/reference/workers/raw_to_postgres.py:5-30`), extended to
+    * the three read surfaces a training-data platform serves:
+    *
+    *   1. content-hash MERGE store ([[mergeBatch]]) — the document of
+    *      record (id, text, content_hash);
+    *   2. standing INVERTED INDEX
+    *      ([[graft.operators.Search.indexAppend]]) — BM25 retrieval,
+    *      changed-content upsert;
+    *   3. standing ANN store
+    *      ([[graft.operators.Similarity.annStoreAppend]]) — embedding
+    *      search, when the batch carries `vecCol`.
+    *
+    * The batch is persisted ONCE: the crawl/extract lineage upstream is
+    * computed a single time and all three sinks read the materialized
+    * rows (shared scan, three writes). There is no cross-store
+    * transaction — each sink is individually idempotent (hash-compare
+    * merge, generation-committed index, insert-if-absent ANN), so an
+    * at-least-once redelivery after a mid-fanout crash converges every
+    * store, matching the standalone sinks' contract. Returns
+    * (docs indexed, vectors inserted).
+    */
+  def fanoutIngestBatch(batch: DataFrame, batchId: Long, storeDir: String,
+      indexDir: String, annDir: String, idCol: String, textCol: String,
+      vecCol: Option[String] = None, planes: Int = 16,
+      dims: Int = 8): (Long, Long) = {
+    val shared = batch.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      mergeBatch(
+        shared.select(col(idCol), col(textCol),
+          graft.functions.HashFunctions.contentHash(col(textCol))
+            .as("content_hash")),
+        storeDir, idCol, batchId)
+      val nIdx = graft.operators.Search.indexAppend(
+        shared.select(col(idCol), col(textCol)), idCol, textCol, indexDir)
+      val nAnn = vecCol.fold(0L)(v =>
+        graft.operators.Similarity.annStoreAppend(
+          shared.select(col(idCol).as("id"), col(v).as("vec")),
+          annDir, planes, dims))
+      (nIdx, nAnn)
+    } finally { shared.unpersist(); () }
+  }
+
+  /** Streaming face of [[fanoutIngestBatch]]. */
+  def fanoutIngestSink(stream: DataFrame, storeDir: String, indexDir: String,
+      annDir: String, idCol: String, textCol: String,
+      checkpointDir: String, vecCol: Option[String] = None,
+      planes: Int = 16, dims: Int = 8): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fanoutIngestBatch(batch, batchId, storeDir, indexDir, annDir,
+          idCol, textCol, vecCol, planes, dims): Unit
+      }
+      .start()
+
   /** One micro-batch of the near-dup ingest (also the batch restart
     * path). Returns the number of docs actually inserted.
     *

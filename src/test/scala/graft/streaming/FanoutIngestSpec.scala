@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.{Search, Similarity}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Composed ingest: one stream fans each micro-batch into the merge
+  * store, the standing inverted index, and the standing ANN store —
+  * after the run every store answers from the same corpus state,
+  * including a changed-content upsert and a redelivered batch.
+  */
+class FanoutIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fanoutIngestSink advances all three standing stores together") {
+    val root = java.nio.file.Files.createTempDirectory("fanout").toString
+    val (storeDir, indexDir, annDir, ckpt) =
+      (s"$root/store", s"$root/index", s"$root/ann", s"$root/ckpt")
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = Streams.fanoutIngestSink(
+      in.toDF().toDF("doc_id", "text", "vec"),
+      storeDir, indexDir, annDir, "doc_id", "text", ckpt,
+      vecCol = Some("vec"), planes = 4, dims = 3)
+    try {
+      in.addData(
+        (1L, "spark engine spark", Seq(1.0f, 0.0f, 0.0f)),
+        (2L, "vector draft placeholder", Seq(0.0f, 1.0f, 0.0f)))
+      q.processAllAvailable()
+      in.addData(
+        (1L, "spark engine spark", Seq(1.0f, 0.0f, 0.0f)),  // redelivered
+        (2L, "vector index merge", Seq(0.0f, 1.0f, 0.0f)),  // changed text
+        (3L, "stream merge sort", Seq(0.0f, 0.0f, 1.0f)))   // new
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val finalCorpus = Seq(
+      (1L, "spark engine spark"),
+      (2L, "vector index merge"),
+      (3L, "stream merge sort")).toDF("doc_id", "text")
+
+    // 1. Merge store: one row per doc, doc 2 carries the UPDATED text.
+    val state = Streams.readState(spark, storeDir).get
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(state == finalCorpus.as[(Long, String)].collect().toMap)
+
+    // 2. Inverted index: bit-identical to the scan-path BM25 over the
+    // final corpus — doc 2's superseded postings must not score.
+    val terms = Seq("spark", "vector", "merge")
+    assert(Search.bm25FromIndexTopK(spark, indexDir, terms, 10)
+      .collect().toSeq ==
+      Search.bm25TopK(finalCorpus, "doc_id", "text", terms, 10)
+        .collect().toSeq)
+    assert(Search.bm25FromIndexTopK(spark, indexDir, Seq("draft"), 5)
+      .collect().isEmpty)
+
+    // 3. ANN store: probing near each doc's vector surfaces that doc
+    // (query ids are fresh — the store excludes same-id self matches).
+    val queries = Seq(
+      (101L, Seq(0.9f, 0.1f, 0.0f)),
+      (103L, Seq(0.0f, 0.1f, 0.9f))).toDF("id", "vec")
+    val top = Similarity.annStoreTopK(spark, annDir, queries,
+      planes = 4, dims = 3, k = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    assert(top == Map(101L -> 1L, 103L -> 3L))
+  }
+}
