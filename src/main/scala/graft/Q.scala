@@ -35,4 +35,24 @@ object QueryDef {
   def noOracle(name: String)(
       fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+
+  /** Drop-in replacement for a TERMINAL `orderBy` on a BOUNDED result
+    * (the dump/compare surface every QueryDef ends with): one
+    * round-robin exchange into a single partition plus a local sort.
+    *
+    * A terminal `orderBy` plans a range exchange whose bounds-SAMPLING
+    * job executes the child plan a second time; on narrow
+    * scan→project pipelines (extraction, decode, per-doc scoring —
+    * no shuffle below the sort, so nothing is reused) that exactly
+    * doubles the query's cost (measured 2× on dd_jaccard's verify
+    * pipeline and the txt_/s4_ families). `orderBy(...).limit(k)`
+    * compiles to TakeOrderedAndProject and is NOT affected — keep it.
+    * Large/unbounded outputs should also keep `orderBy`: a parallel
+    * range sort is the scalable path; these dump queries emit
+    * hundreds-to-thousands of rows.
+    */
+  implicit final class PresentOps(private val df: DataFrame) extends AnyVal {
+    def presentSorted(cols: org.apache.spark.sql.Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+  }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.QueryDef.PresentOps
 import graft.{QueryDef, Tables}
 import graft.operators.Upsert
 import graft.pipeline.{Crawl, CrawlConfig, Ingest, LocalFetcher}
@@ -60,7 +61,7 @@ object CrawlQueries {
         CrawlConfig(rootDomain = "site.example.com", maxDepth = 3))
       res.pages
         .select(col("url"), col("depth"), length(col("text")).as("n_text"))
-        .orderBy(col("url"))
+        .presentSorted(col("url"))
     },
 
     // §3.3 + J8/S12/A8: re-ingest — index rows point at text blobs
@@ -103,7 +104,7 @@ object CrawlQueries {
         .select(col("content_hash"))
       Ingest.reingest(index, blobs, target, "doc_id")
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     }
   )
 }

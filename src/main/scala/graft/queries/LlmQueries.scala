@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.QueryDef.PresentOps
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Similarity, TextAnalysis}
@@ -177,7 +178,7 @@ object LlmQueries {
         docs.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
       Dedup.exactByContent(corpus, "doc_id", "text")
         .select(col("content_hash"), col("canonical_id"), col("n_copies"))
-        .orderBy(col("canonical_id"))
+        .presentSorted(col("canonical_id"))
     },
 
     // MinHash(128, universal-hash family) + LSH(16 bands x 8 rows)
@@ -198,7 +199,7 @@ object LlmQueries {
       Dedup.jaccard(cand, hsArr)
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy(col("a"), col("b"))
+        .presentSorted(col("a"), col("b"))
     },
 
     // INCREMENTAL dedup: a new ingest batch (the mutants) against the
@@ -225,7 +226,7 @@ object LlmQueries {
       Dedup.jaccard(cand, storeHs.unionByName(batchHs))
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy(col("a"), col("b"))
+        .presentSorted(col("a"), col("b"))
     },
 
     // Near-dup CLUSTERING: MinHash pairs -> connected components ->
@@ -268,7 +269,7 @@ object LlmQueries {
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"))
         .select(col("component").as("canonical_id"), col("n_members"))
-        .orderBy(col("canonical_id"))
+        .presentSorted(col("canonical_id"))
     },
 
     // Exact-recall variant: hashed-shingle blocking (df cap 20) +
@@ -333,7 +334,7 @@ object LlmQueries {
         |ORDER BY a, b""".stripMargin) { (s, d) =>
       val corpus = nearDupCorpus(Tables.documents(s, d))
       Dedup.simhashPairs(Dedup.simhash(corpus, "doc_id", "text"), 8, bands = 4)
-        .orderBy(col("a"), col("b"))
+        .presentSorted(col("a"), col("b"))
     },
 
     // Brute-force cosine top-5 (exact baseline; queries broadcast).
@@ -358,7 +359,7 @@ object LlmQueries {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.bruteForceTopK(emb.filter(col("id") < 10), emb, 5)
         .select(col("qid"), col("cid"), col("score"), col("rnk"))
-        .orderBy(col("qid"), col("rnk"))
+        .presentSorted(col("qid"), col("rnk"))
     },
 
     // Hyperplane-LSH top-3 within bucket (the ANN scale path).
@@ -403,7 +404,7 @@ object LlmQueries {
       Similarity.lshTopK(emb, emb.filter(col("id") < 10).select(col("id")),
         planes = 8, dims = 64, k = 3)
         .select(col("qid"), col("cid"), col("score"), col("rnk"))
-        .orderBy(col("qid"), col("rnk"))
+        .presentSorted(col("qid"), col("rnk"))
     },
 
     // Top-k over INT8-QUANTIZED embeddings: per-vector symmetric
@@ -446,7 +447,7 @@ object LlmQueries {
           .as("vec"))
       Similarity.bruteForceTopK(deq.filter(col("id") < 10), deq, 3)
         .select(col("qid"), col("cid"), col("score"), col("rnk"))
-        .orderBy(col("qid"), col("rnk"))
+        .presentSorted(col("qid"), col("rnk"))
     },
 
     // STANDING ANN STORE roundtrip: embeddings append to a temp store
@@ -505,7 +506,7 @@ object LlmQueries {
       Similarity.annStoreTopK(s, dir,
         emb.filter(col("id") < 10), planes = 8, dims = 64, k = 3)
         .select(col("qid"), col("cid"), col("score"), col("rnk"))
-        .orderBy(col("qid"), col("rnk"))
+        .presentSorted(col("qid"), col("rnk"))
     },
 
     // MULTI-PROBE ANN: each query also probes the planes buckets one
@@ -569,7 +570,7 @@ object LlmQueries {
       Similarity.annStoreTopKProbed(s, dir,
         emb.filter(col("id") < 10), planes = 8, dims = 64, k = 3)
         .select(col("qid"), col("cid"), col("score"), col("rnk"))
-        .orderBy(col("qid"), col("rnk"))
+        .presentSorted(col("qid"), col("rnk"))
     },
 
     // Embedding-cosine near-dup pairs: hyperplane-LSH buckets generate
@@ -619,7 +620,7 @@ object LlmQueries {
         transform(col("vec"), x => x * 1.001).as("vec")))
       Similarity.cosineNearDupPairs(corpus, planes = 8, dims = 64,
         minCosine = 0.999)
-        .orderBy(col("a"), col("b"))
+        .presentSorted(col("a"), col("b"))
     },
 
     // IVF-style ANN: coarse-quantize to the 16 deterministic centroid
@@ -661,7 +662,7 @@ object LlmQueries {
       Similarity.ivfTopK(emb, cents,
         emb.filter(col("id") < 10).select(col("id")), nprobe = 2, k = 3)
         .select(col("qid"), col("cid"), col("score"), col("rnk"))
-        .orderBy(col("qid"), col("rnk"))
+        .presentSorted(col("qid"), col("rnk"))
     },
 
     // The canonical TRAINING-DATA FILTER a corpus user actually runs,
@@ -722,7 +723,7 @@ object LlmQueries {
         .filter(col("quality") >= 0.5 &&
           col("n_tokens").between(8, 1000) && col("lang") === "en")
         .select(col("doc_id"), col("n_tokens"), col("quality"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // Benchmark DECONTAMINATION: docs sharing >= 5 distinct hashed
@@ -755,7 +756,7 @@ object LlmQueries {
         docs.filter(col("doc_id") % 37 === 0), "doc_id", "text",
         n = 3, minOverlap = 5)
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // BOILERPLATE RATIO (RefinedWeb/C4-style template-text signal):
@@ -787,7 +788,7 @@ object LlmQueries {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.operators.Corpus.boilerplateRatio(
         Tables.documents(s, d), "doc_id", "text", n = 3, minDf = 5)
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // PII scrubbing: synthetic emails/phones injected per doc_id, then
@@ -821,7 +822,7 @@ object LlmQueries {
         TextFunctions.emailCount(col("text2")).as("n_email"),
         TextFunctions.phoneCount(col("text2")).as("n_phone"),
         length(TextFunctions.scrubPii(col("text2"))).as("scrubbed_len"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // Deterministic STRATIFIED SAMPLING to a target source mix:
@@ -838,7 +839,7 @@ object LlmQueries {
       graft.operators.Corpus.stratifiedSample(
         Tables.documents(s, d), "doc_id", "source", rates)
         .select(col("doc_id"), col("source"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // Concatenate-and-chunk SEQUENCE PACKING: per source, docs in id
@@ -866,7 +867,7 @@ object LlmQueries {
         "n_tokens", budget = 256)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("chunk_id"), col("chunk_offset"))
-        .orderBy(col("source"), col("doc_id"))
+        .presentSorted(col("source"), col("doc_id"))
     },
 
     // Token statistics: whitespace + BPE-ish counts.
@@ -880,7 +881,7 @@ object LlmQueries {
         .select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_ws"),
           TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // Heuristic quality score.
@@ -900,7 +901,7 @@ object LlmQueries {
       Tables.documents(s, d)
         .select(col("doc_id"),
           TextFunctions.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // Marker-stopword language-ID.
@@ -926,7 +927,7 @@ object LlmQueries {
       Tables.documents(s, d)
         .select(col("doc_id"),
           TextFunctions.langId(col("text")).as("lang_pred"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // Winnowing fingerprints (rolling min-hash over shingle windows).
@@ -956,7 +957,7 @@ object LlmQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"),
           max(col("fp")).as("max_fp"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // PARAGRAPH-level exact dedup (Corpus.dedupParagraphs, the CCNet
@@ -1018,7 +1019,7 @@ object LlmQueries {
       graft.operators.Corpus.dedupParagraphs(units, "doc_id", "pos", "line")
         .select(col("doc_id"), col("n_kept"), col("n_dropped"),
           md5(col("new_text")).as("new_md5"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // Gopher-style repetition signals (Corpus.repetitionSignals): lines
@@ -1060,7 +1061,7 @@ object LlmQueries {
         .withColumn("ls", concat(col("ls0"), slice(col("ls0"), 1, 2)))
         .select(col("doc_id"), explode(col("ls")).as("line"))
       graft.operators.Corpus.repetitionSignals(units, "doc_id", "line")
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // K-means semantic clustering (Similarity.kmeansAssign): two Lloyd
@@ -1103,7 +1104,7 @@ object LlmQueries {
       Similarity.kmeansAssign(emb, k = 4, iters = 2)
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members"), round(avg(col("d2")), 4).as("avg_d2"))
-        .orderBy(col("cluster_id"))
+        .presentSorted(col("cluster_id"))
     },
 
     // BM25 keyword search (operators.Search.bm25TopK): ranked retrieval
@@ -1275,7 +1276,7 @@ object LlmQueries {
           col("quality") >= 0.5)
         .select(col("doc_id"), col("entropy_unats"), col("n_tokens"),
           col("sum_logp_unats"), col("quality"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // Unigram log-probability (TextAnalysis.unigramLogprob): the cheap
@@ -1297,7 +1298,7 @@ object LlmQueries {
         |  sum(term)::BIGINT AS sum_logp_unats
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.unigramLogprob(Tables.documents(s, d), "doc_id", "text")
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // Bigram conditional log-probability (TextAnalysis.bigramLogprob):
@@ -1326,7 +1327,7 @@ object LlmQueries {
         |  sum(term)::BIGINT AS sum_logp_unats
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.bigramLogprob(Tables.documents(s, d), "doc_id", "text")
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // VOCABULARY EXPORT — the tokenizer-training precursor: every
@@ -1354,7 +1355,7 @@ object LlmQueries {
         .withColumn("token_id", row_number().over(
           Window.orderBy(col("n").desc, col("token"))).cast("long"))
         .select(col("token_id"), col("token"), col("n"))
-        .orderBy(col("token_id"))
+        .presentSorted(col("token_id"))
     },
 
     // Exact-phrase search (Search.phraseTopK): occurrence-ranked docs
@@ -1399,7 +1400,7 @@ object LlmQueries {
         |    * ln(c::DOUBLE / n::DOUBLE) * 1e6)::BIGINT)::BIGINT AS entropy_unats
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text")
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // SPLIT DECONTAMINATION (assignSplit ∘ decontaminate): the composed
@@ -1445,7 +1446,7 @@ object LlmQueries {
           sp.filter(col("split") =!= "train"),
           "doc_id", "text", n = 3, minOverlap = 5)
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // Top n-grams per source (corpus inspection): the most frequent
@@ -1479,7 +1480,7 @@ object LlmQueries {
         .agg(count(lit(1)).as("n"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
-        .orderBy(col("source"), col("rnk"))
+        .presentSorted(col("source"), col("rnk"))
     },
 
     // Per-label semantic outliers (Similarity.centroidOutliers): exact
@@ -1516,7 +1517,7 @@ object LlmQueries {
             .select(col("vec_id").as("id"), col("embedding").as("vec"),
               col("label")),
           "label", topK = 3)
-        .orderBy(col("grp"), col("rnk"))
+        .presentSorted(col("grp"), col("rnk"))
     }
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.QueryDef.PresentOps
 import graft.{QueryDef, Tables}
 import graft.multimodal.{MediaRow, Multimodal}
 import graft.sources.{DocBuild, JsonIndex}
@@ -38,7 +39,7 @@ object MediaQueries {
       Multimodal.imageFeatures(media, maxEdge = 256)
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
           col("resized_w"), col("resized_h"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // REAL image decode: synthesize an actual 24-bit BMP per document
@@ -71,7 +72,7 @@ object MediaQueries {
       Multimodal.imageFeatures(media, maxEdge = 32)
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
           col("resized_w"), col("resized_h"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // REAL PNG decode: synthesize a valid PNG per document (signature,
@@ -109,7 +110,7 @@ object MediaQueries {
       Multimodal.imageFeatures(media, maxEdge = 32)
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
           col("resized_w"), col("resized_h"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // REAL JPEG roundtrip: builder-synthesized spec-valid JPEGs (SOI /
@@ -144,7 +145,7 @@ object MediaQueries {
       Multimodal.imageFeatures(media, maxEdge = 32)
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
           col("resized_w"), col("resized_h"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // REAL GIF roundtrip: builder-synthesized fully-valid GIF89a files
@@ -178,7 +179,7 @@ object MediaQueries {
       Multimodal.imageFeatures(media, maxEdge = 32)
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
           col("resized_w"), col("resized_h"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // REAL WebP roundtrip: builder-synthesized RIFF/WEBP files with a
@@ -211,7 +212,7 @@ object MediaQueries {
       Multimodal.imageFeatures(media, maxEdge = 32)
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
           col("resized_w"), col("resized_h"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // REAL TIFF roundtrip: builder-synthesized baseline TIFFs — even
@@ -248,7 +249,7 @@ object MediaQueries {
       Multimodal.imageFeatures(media, maxEdge = 32)
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
           col("resized_w"), col("resized_h"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // REAL WAV roundtrip: builder-synthesized RIFF/fmt/data files,
@@ -284,7 +285,7 @@ object MediaQueries {
       Multimodal.audioFeatures(media)
         .select(col("doc_id"), col("channels"), col("sample_rate"),
           col("bits_per_sample"), col("duration_ms"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // REAL MP4 roundtrip: builder-synthesized ISO-BMFF files
@@ -313,7 +314,7 @@ object MediaQueries {
         .as[MediaRow]
       Multimodal.videoFeatures(media)
         .select(col("doc_id"), col("timescale"), col("duration_ms"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // REAL video frame sampling (1 -> N) through mapPartitions: every
@@ -356,7 +357,7 @@ object MediaQueries {
           lit("video/mp4").as("media_type"))
         .as[MediaRow]
       Multimodal.sampleFrames(media, everyN = 5)
-        .orderBy(col("doc_id"), col("frame_idx"))
+        .presentSorted(col("doc_id"), col("frame_idx"))
     },
 
     // Perceptual image near-dup (Multimodal.averageHash): REAL
@@ -451,7 +452,7 @@ object MediaQueries {
             bit_count(col("loa").bitwiseXOR(col("lob")))).cast("int"))
         .filter(col("hamming") <= 8)
         .select(col("a"), col("b"), col("hamming"))
-        .orderBy(col("a"), col("b"))
+        .presentSorted(col("a"), col("b"))
     },
 
     // REAL PCM loudness profile (Multimodal.pcmWindowStats): per-window
@@ -489,7 +490,7 @@ object MediaQueries {
           explode(statsUdf(col("payload"), lit(128))).as("w"))
         .select(col("doc_id"), col("w.win").as("win"), col("w.n").as("n"),
           col("w.sum_sq").as("sum_sq"), col("w.peak").as("peak"))
-        .orderBy(col("doc_id"), col("win"))
+        .presentSorted(col("doc_id"), col("win"))
     },
 
     // CSV source/sink roundtrip: documents (commas, quotes and unicode
@@ -511,7 +512,7 @@ object MediaQueries {
         .groupBy((col("doc_id") % 5).cast("int").as("grp"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
           sum(length(col("text"))).as("text_len"))
-        .orderBy(col("grp"))
+        .presentSorted(col("grp"))
     },
 
     // ORC source/sink roundtrip — same contract through the other
@@ -530,7 +531,7 @@ object MediaQueries {
         .groupBy((col("doc_id") % 5).cast("int").as("grp"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
           sum(length(col("text"))).as("text_len"))
-        .orderBy(col("grp"))
+        .presentSorted(col("grp"))
     },
 
     // XML source/sink roundtrip — Spark 4's built-in XML datasource
@@ -554,7 +555,7 @@ object MediaQueries {
         .groupBy((col("doc_id") % 5).cast("int").as("grp"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
           sum(length(col("text"))).as("text_len"))
-        .orderBy(col("grp"))
+        .presentSorted(col("grp"))
     },
 
     // S11/S15: JSON index sink + schema-first scan — write the index
@@ -583,7 +584,7 @@ object MediaQueries {
       JsonIndex.read(s, path)
         .groupBy(col("depth"))
         .agg(count(lit(1)).as("n"), sum(col("text_len")).as("total_len"))
-        .orderBy(col("depth"))
+        .presentSorted(col("depth"))
     }
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.QueryDef.PresentOps
 import graft.{QueryDef, Tables}
 import graft.functions.HashFunctions
 import graft.operators.{Frontier, Upsert}
@@ -30,7 +31,7 @@ object PipelineQueries {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id"),
           round(col("value"), 2).as("value"))
-        .orderBy(col("user_id"), col("event_type"))
+        .presentSorted(col("user_id"), col("event_type"))
     },
 
     // SCD2 history build (operators.History.scd2): collapse the event
@@ -60,7 +61,7 @@ object PipelineQueries {
         |FROM changes ORDER BY user_id, version""".stripMargin) { (s, d) =>
       graft.operators.History.scd2(
         Tables.events(s, d), "user_id", "event_type", "ts", "event_id")
-        .orderBy(col("user_id"), col("version"))
+        .presentSorted(col("user_id"), col("version"))
     },
 
     // A9: the 3-way merge matrix — target=documents, incoming batch has
@@ -105,7 +106,7 @@ object PipelineQueries {
               sha2(concat(lit("new-doc-"), col("doc_id")), 256).as("content_hash")))
       Upsert.classify(target, incoming, "doc_id")
         .groupBy(col("action")).agg(count(lit(1)).as("n"))
-        .orderBy(col("action"))
+        .presentSorted(col("action"))
     },
 
     // A8 + J6/J7: insert-if-absent by content hash — incoming batch of
@@ -160,7 +161,7 @@ object PipelineQueries {
       val seeds = s.range(1).select(lit(0L).as("node"))
       Frontier.bfs(edges, seeds, 3)
         .groupBy(col("node")).agg(min(col("depth")).as("depth"))
-        .orderBy(col("node"))
+        .presentSorted(col("node"))
     },
 
     // Exact triangle counting over a lineitem-derived sparse graph —
@@ -188,7 +189,7 @@ object PipelineQueries {
         .select((col("l_orderkey") % 5000).as("src"),
           (col("l_partkey") % 5000).as("dst"))
       graft.operators.Graph.triangleCounts(edges)
-        .orderBy(col("node"))
+        .presentSorted(col("node"))
     },
 
     // Multimodal plumbing, expression form: opaque binary payload
@@ -209,7 +210,7 @@ object PipelineQueries {
           (lit(64) + HashFunctions.stableHash64(col("text")) % 513).as("fake_width"),
           (lit(64) + HashFunctions.stableHash64(concat(lit("h:"), col("text"))) % 385)
             .as("fake_height"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // CDC replay with DELETE semantics (Upsert.applyCdc): the change
@@ -230,7 +231,7 @@ object PipelineQueries {
         "event_type", deleteOp = "error")
         .select(col("user_id"), col("event_type").as("last_op"),
           round(col("value"), 2).as("value"))
-        .orderBy(col("user_id"))
+        .presentSorted(col("user_id"))
     },
 
     // High-watermark incremental load (Ingest.incrementalSince): the
@@ -325,7 +326,7 @@ object PipelineQueries {
         Checks.Unique(Seq("o_orderkey")),
         Checks.ForeignKey(Seq("o_custkey"), Tables.customer(s, d),
           Seq("c_custkey"), "o_custkey_in_customer")))
-        .orderBy(col("rule"))
+        .presentSorted(col("rule"))
     },
 
     // Quarantine routing (operators.Checks.route): the dead-letter
@@ -376,7 +377,7 @@ object PipelineQueries {
         .groupBy(col("route"),
           array_join(col("violations"), "|").as("reasons"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("route"), col("reasons"))
+        .presentSorted(col("route"), col("reasons"))
     },
 
     // Column profiling (operators.Profile.columns): the QA pass before
@@ -417,7 +418,7 @@ object PipelineQueries {
         col("source"), col("n_chars"))
       graft.operators.Profile.columns(frame,
         Seq("doc_id", "lang_n", "n_chars", "source"))
-        .orderBy(col("column_name"))
+        .presentSorted(col("column_name"))
     },
 
     // Fixed-iteration PageRank over the same lineitem-derived link
@@ -512,7 +513,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_inbound"),
           countDistinct(col("anchor")).as("n_anchors"),
           concat_ws("|", array_sort(collect_set(col("anchor")))).as("anchors"))
-        .orderBy(col("target"))
+        .presentSorted(col("target"))
     },
 
     // Corpus DATASHEET (Corpus.datasheet): the per-source release
@@ -555,7 +556,7 @@ object PipelineQueries {
           .select((col("doc_id") + 3000000).as("doc_id"), col("text"),
             col("lang"), col("source")))
       Corpus.datasheet(corpus, "source", "text", "lang")
-        .orderBy(col("source"))
+        .presentSorted(col("source"))
     },
 
     // IQR OUTLIER gate (Tukey fences) over order totals in integer
@@ -621,7 +622,7 @@ object PipelineQueries {
         .groupBy(col("split"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
-        .orderBy(col("split"), col("source"))
+        .presentSorted(col("split"), col("source"))
     }
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.QueryDef.PresentOps
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -50,7 +51,7 @@ object RelationalQueries {
           round(avg(col("l_extendedprice")), 2).as("avg_price"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        .presentSorted(col("l_returnflag"), col("l_linestatus"))
     },
 
     // Q3 shipping priority: 3-way join narrowed by pushed filters, top-10.
@@ -113,7 +114,7 @@ object RelationalQueries {
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .presentSorted(col("revenue").desc, col("n_name"))
     },
 
     // TPC-H Q7-shaped volume shipping: bilateral trade between two
@@ -161,7 +162,7 @@ object RelationalQueries {
           year(col("l_shipdate")).as("l_year"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
-        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .presentSorted(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
 
     // TPC-H Q10-shaped returned-item reporting: top 20 customers by
@@ -212,7 +213,7 @@ object RelationalQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("total_spend"))
-        .orderBy(col("c_mktsegment"))
+        .presentSorted(col("c_mktsegment"))
     },
 
     QueryDef(
@@ -226,7 +227,7 @@ object RelationalQueries {
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"),
           round(coalesce(sum(col("o_totalprice")), lit(0)), 2).as("spend"))
-        .orderBy(col("c_custkey"))
+        .presentSorted(col("c_custkey"))
     },
 
     QueryDef(
@@ -239,7 +240,7 @@ object RelationalQueries {
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
         .groupBy(col("c_custkey"), col("c_mktsegment"))
         .agg(count(col("o_orderkey")).as("n_orders"))
-        .orderBy(col("c_custkey"))
+        .presentSorted(col("c_custkey"))
     },
 
     QueryDef(
@@ -255,7 +256,7 @@ object RelationalQueries {
           coalesce(col("c_custkey"), col("s_suppkey")).as("k"),
           coalesce(col("c_name"), lit("(none)")).as("c_name"),
           coalesce(col("s_name"), lit("(none)")).as("s_name"))
-        .orderBy(col("k"), col("c_name"), col("s_name"))
+        .presentSorted(col("k"), col("c_name"), col("s_name"))
     },
 
     // Semi/anti joins — the reference's visited-set pattern (J1-J3).
@@ -269,7 +270,7 @@ object RelationalQueries {
         .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
           col("o_custkey") === col("c_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_mktsegment"))
-        .orderBy(col("c_custkey"))
+        .presentSorted(col("c_custkey"))
     },
 
     // Skew-salted join: events (the big, potentially hot-keyed side)
@@ -291,7 +292,7 @@ object RelationalQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("total_value"))
-        .orderBy(col("c_mktsegment"))
+        .presentSorted(col("c_mktsegment"))
     },
 
     QueryDef(
@@ -304,7 +305,7 @@ object RelationalQueries {
         .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
           col("o_custkey") === col("c_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_mktsegment"))
-        .orderBy(col("c_custkey"))
+        .presentSorted(col("c_custkey"))
     },
 
     // Equi + range residual: plans as a hash join with the BETWEEN as a
@@ -322,7 +323,7 @@ object RelationalQueries {
             col("l_quantity").between(col("p_size") - 2, col("p_size") + 2))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
-        .orderBy(col("p_brand"))
+        .presentSorted(col("p_brand"))
     },
 
     // Backward as-of join (Asof.joinBackward): each click matched to the
@@ -349,7 +350,7 @@ object RelationalQueries {
         .joinBackward(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("pval"))
         .select(col("event_id"), col("user_id"),
           round(col("pval"), 4).as("purchase_value"))
-        .orderBy(col("event_id"))
+        .presentSorted(col("event_id"))
     },
 
     // FORWARD as-of (Asof.joinForward): for each purchase, the NEXT
@@ -374,7 +375,7 @@ object RelationalQueries {
         .joinForward(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("cval"))
         .select(col("event_id"), col("user_id"),
           round(col("cval"), 4).as("click_value"))
-        .orderBy(col("event_id"))
+        .presentSorted(col("event_id"))
     },
 
     // As-of with bounded staleness: matches older than 48 h are nulled
@@ -408,7 +409,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_clicks"),
           count(col("pval")).as("n_fresh"),
           round(sum(col("pval")), 2).as("fresh_value"))
-        .orderBy(col("user_id"))
+        .presentSorted(col("user_id"))
     },
 
     // Explicit broadcast of the dim tables (nation: 25 rows — at 100 TB the
@@ -426,7 +427,7 @@ object RelationalQueries {
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
-        .orderBy(col("r_name"), col("n_name"))
+        .presentSorted(col("r_name"), col("n_name"))
     },
 
     // ---- Aggregation variants (§2.5 + parity headroom) -------------------
@@ -449,7 +450,7 @@ object RelationalQueries {
         .select(coalesce(col("r_name"), lit("(all)")).as("region"),
           coalesce(col("n_name"), lit("(all)")).as("nation"),
           col("n_cust"), col("total_bal"))
-        .orderBy(col("region"), col("nation"))
+        .presentSorted(col("region"), col("nation"))
     },
 
     QueryDef(
@@ -465,7 +466,7 @@ object RelationalQueries {
         .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
           col("n"), col("total"))
-        .orderBy(col("status"), col("priority"))
+        .presentSorted(col("status"), col("priority"))
     },
 
     QueryDef(
@@ -479,7 +480,7 @@ object RelationalQueries {
           count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("total_value"),
           round(avg(col("value")), 2).as("avg_value"))
-        .orderBy(col("event_type"))
+        .presentSorted(col("event_type"))
     },
 
     // Ordered string-agg — the reference's document-order text joins
@@ -499,7 +500,7 @@ object RelationalQueries {
                 col("event_type")))),
               x => x.getField("event_type")),
             ",").as("seq"))
-        .orderBy(col("user_id"))
+        .presentSorted(col("user_id"))
     },
 
     // PIVOT: status counts fan out to columns per priority — Spark's
@@ -521,7 +522,7 @@ object RelationalQueries {
           coalesce(col("O"), lit(0L)).as("n_open"),
           coalesce(col("F"), lit(0L)).as("n_filled"),
           coalesce(col("P"), lit(0L)).as("n_pending"))
-        .orderBy(col("o_orderpriority"))
+        .presentSorted(col("o_orderpriority"))
     },
 
     // GROUPING SETS beyond rollup/cube: two independent breakdowns plus
@@ -562,7 +563,7 @@ object RelationalQueries {
           round(expr("percentile(l_quantity, 0.25)"), 2).as("p25"),
           round(expr("percentile(l_quantity, 0.50)"), 2).as("p50"),
           round(expr("percentile(l_quantity, 0.75)"), 2).as("p75"))
-        .orderBy(col("l_returnflag"))
+        .presentSorted(col("l_returnflag"))
     },
 
     // Equi-width HISTOGRAM over order totals — the monitoring/profiling
@@ -588,7 +589,7 @@ object RelationalQueries {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), min(col("cents")).as("lo_cents"),
           max(col("cents")).as("hi_cents"))
-        .orderBy(col("bucket"))
+        .presentSorted(col("bucket"))
     },
 
     // Salted two-level aggregation (operators.Salt.saltedAgg) for
@@ -610,7 +611,7 @@ object RelationalQueries {
           concat_ws(",", array_sort(array_distinct(
             flatten(collect_list(col("types")))))).as("seq")))
         .select(col("user_id"), col("n"), col("seq"))
-        .orderBy(col("user_id"))
+        .presentSorted(col("user_id"))
     },
 
     // ---- Windows (§2.9) ---------------------------------------------------
@@ -629,7 +630,7 @@ object RelationalQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_id"), col("event_type"))
-        .orderBy(col("user_id"))
+        .presentSorted(col("user_id"))
     },
 
     QueryDef(
@@ -644,7 +645,7 @@ object RelationalQueries {
         .filter(col("rnk") <= 3)
         .select(col("p_brand"), col("p_partkey"),
           round(col("p_retailprice"), 2).as("price"), col("rnk"))
-        .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+        .presentSorted(col("p_brand"), col("rnk"), col("p_partkey"))
     },
 
     QueryDef(
@@ -659,7 +660,7 @@ object RelationalQueries {
         .withColumn("prev", lag(col("value"), 1).over(w))
         .filter(col("prev").isNotNull)
         .select(col("event_id"), round(col("value") - col("prev"), 2).as("delta"))
-        .orderBy(col("event_id"))
+        .presentSorted(col("event_id"))
     },
 
     QueryDef(
@@ -672,7 +673,7 @@ object RelationalQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
         .select(col("event_id"), round(sum(col("value")).over(w), 2).as("running"))
-        .orderBy(col("event_id"))
+        .presentSorted(col("event_id"))
     },
 
     QueryDef(
@@ -682,7 +683,7 @@ object RelationalQueries {
       val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
       Tables.customer(s, d)
         .select(col("c_custkey"), ntile(4).over(w).as("quartile"))
-        .orderBy(col("c_custkey"))
+        .presentSorted(col("c_custkey"))
     },
 
     // Rank-distribution windows: percent_rank and cume_dist share one
@@ -702,7 +703,7 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_mktsegment"),
           round(percent_rank().over(w), 4).as("pct_rank"),
           round(cume_dist().over(w), 4).as("cume"))
-        .orderBy(col("c_custkey"))
+        .presentSorted(col("c_custkey"))
     },
 
     // Frame-bounded first/last: each order's price vs the cheapest and
@@ -725,7 +726,7 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"),
           first(col("o_totalprice")).over(w).as("cheapest"),
           last(col("o_totalprice")).over(w).as("priciest"))
-        .orderBy(col("o_orderkey"))
+        .presentSorted(col("o_orderkey"))
     },
 
     // ---- Sorts / limits (§2.6) --------------------------------------------
@@ -762,7 +763,7 @@ object RelationalQueries {
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
         .union(Tables.supplier(s, d).select(col("s_nationkey")))
         .distinct()
-        .orderBy(col("nationkey"))
+        .presentSorted(col("nationkey"))
     },
 
     QueryDef(
@@ -771,7 +772,7 @@ object RelationalQueries {
         |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin) { (s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
         .except(Tables.supplier(s, d).select(col("s_nationkey")))
-        .orderBy(col("nationkey"))
+        .presentSorted(col("nationkey"))
     },
 
     QueryDef(
@@ -780,7 +781,7 @@ object RelationalQueries {
         |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin) { (s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
         .intersect(Tables.supplier(s, d).select(col("s_nationkey")))
-        .orderBy(col("nationkey"))
+        .presentSorted(col("nationkey"))
     },
 
     // U3: pages+files funnel into one table with a discriminator.
@@ -799,7 +800,7 @@ object RelationalQueries {
       pages.unionByName(files)
         .groupBy(col("source_type"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
-        .orderBy(col("source_type"))
+        .presentSorted(col("source_type"))
     },
 
     // ---- Explode / ordered-distinct (§2.3 X1, X2) ---------------------------
@@ -814,7 +815,7 @@ object RelationalQueries {
         .filter(col("tok") =!= "")
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("tok"))
+        .presentSorted(col("tok"))
     },
 
     // Count-min-sketch heavy hitters (operators.Sketch): a fixed
@@ -857,7 +858,7 @@ object RelationalQueries {
         .orderBy(col("n").desc, col("tok")).limit(20)
       top.join(Sketch.cmsEstimate(top, buckets, "tok", 4, 1024), Seq("tok"))
         .select(col("tok"), col("n"), col("cms_est"))
-        .orderBy(col("n").desc, col("tok"))
+        .presentSorted(col("n").desc, col("tok"))
     },
 
     // Ordered funnel conversion (operators.Funnel): users completing
@@ -883,7 +884,7 @@ object RelationalQueries {
         |ORDER BY stage""".stripMargin) { (s, d) =>
       graft.operators.Funnel.conversion(Tables.events(s, d),
         "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
-        .orderBy(col("stage"))
+        .presentSorted(col("stage"))
     },
 
     // Bloom-filter join prefilter (operators.Bloom.semiJoin): the
@@ -906,7 +907,7 @@ object RelationalQueries {
         "l_orderkey")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
-        .orderBy(col("l_returnflag"))
+        .presentSorted(col("l_returnflag"))
     },
 
     // X2: first-occurrence-ordered distinct (Spark array_distinct preserves
@@ -926,7 +927,7 @@ object RelationalQueries {
           array_join(array_distinct(
             filter(split(trim(col("text")), " "), t => t =!= lit(""))), ",")
             .as("toks"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     }
   )
 }

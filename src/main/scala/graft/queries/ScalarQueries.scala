@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.QueryDef.PresentOps
 import graft.{QueryDef, Tables}
 import graft.functions.{HashFunctions, UrlFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -62,7 +63,7 @@ object ScalarQueries {
       withUrl(Tables.documents(s, d))
         .select(UrlFunctions.domain(col("url")).as("domain"))
         .groupBy(col("domain")).agg(count(lit(1)).as("n"))
-        .orderBy(col("domain"))
+        .presentSorted(col("domain"))
     },
 
     // Registered-domain (eTLD+1) rollup: subdomains of one
@@ -101,7 +102,7 @@ object ScalarQueries {
           .as("url"))
         .select(UrlFunctions.registeredDomain(col("url")).as("rdomain"))
         .groupBy(col("rdomain")).agg(count(lit(1)).as("n"))
-        .orderBy(col("rdomain"))
+        .presentSorted(col("rdomain"))
     },
 
     // URL canonicalization for visited-set identity: fragment dropped,
@@ -128,7 +129,7 @@ object ScalarQueries {
             .as("url"))
         .select(col("doc_id"),
           UrlFunctions.canonicalizeUrl(col("url")).as("canon"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // C5+C8: defragment / strip query; F2/C7: extension projection.
@@ -146,7 +147,7 @@ object ScalarQueries {
           UrlFunctions.defragment(col("url")).as("defragged"),
           UrlFunctions.stripQuery(col("url")).as("clean_url"),
           UrlFunctions.ext(col("url")).as("ext"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // F1: the 23-extension static blocklist filter.
@@ -164,7 +165,7 @@ object ScalarQueries {
         .select(UrlFunctions.ext(col("url")).as("ext"))
         .filter(!col("ext").isin(UrlFunctions.StaticExtensions: _*))
         .groupBy(col("ext")).agg(count(lit(1)).as("n"))
-        .orderBy(col("ext"))
+        .presentSorted(col("ext"))
     },
 
     // X3: link routing — file / page / blocked split (F1+F8 together).
@@ -187,7 +188,7 @@ object ScalarQueries {
             .when(col("ext").isin(UrlFunctions.StaticExtensions: _*), lit("blocked"))
             .otherwise(lit("page")).as("route"))
         .groupBy(col("route")).agg(count(lit(1)).as("n"))
-        .orderBy(col("route"))
+        .presentSorted(col("route"))
     },
 
     // F4+F5: scope filter — same domain AND path prefix.
@@ -208,7 +209,7 @@ object ScalarQueries {
         .filter(col("domain") === "src1.example.com" &&
           col("path").startsWith("/de/"))
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // F6+F7+C23: depth cap with exclusive-depth override (coalesce).
@@ -226,7 +227,7 @@ object ScalarQueries {
             .as("exclusive_depth"))
         .filter(col("depth") <= coalesce(col("exclusive_depth"), lit(10)))
         .groupBy(col("depth")).agg(count(lit(1)).as("n"))
-        .orderBy(col("depth"))
+        .presentSorted(col("depth"))
     },
 
     // A6+C3: whitespace-normalized sha256 content hash — union the docs
@@ -269,7 +270,7 @@ object ScalarQueries {
       withUrl(Tables.documents(s, d))
         .select(col("doc_id"), sha2(col("url"), 256).as("url_sha256"),
           md5(col("url")).as("url_md5"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // C13: deterministic uuid-shaped row id derived from a hash (the
@@ -288,7 +289,7 @@ object ScalarQueries {
           concat_ws("-", substring(col("h"), 1, 8), substring(col("h"), 9, 4),
             substring(col("h"), 13, 4), substring(col("h"), 17, 4),
             substring(col("h"), 21, 12)).as("row_id"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // C14: timestamp/interval arithmetic — stale-cutoff sweep (ST5 batch
@@ -304,7 +305,7 @@ object ScalarQueries {
       ev.crossJoin(broadcast(cutoff))
         .filter(col("ts") < col("max_ts") - expr("INTERVAL 7 DAY"))
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_stale"))
-        .orderBy(col("event_type"))
+        .presentSorted(col("event_type"))
     },
 
     // C15: JSON access into the props payload (jobs.config analog).
@@ -316,7 +317,7 @@ object ScalarQueries {
       Tables.events(s, d)
         .select((get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"))
         .groupBy(col("k_mod")).agg(count(lit(1)).as("n"))
-        .orderBy(col("k_mod"))
+        .presentSorted(col("k_mod"))
     },
 
     // C17/C10/C22: length / octet_length / trim / substring.
@@ -329,7 +330,7 @@ object ScalarQueries {
         .select(col("doc_id"), length(col("text")).as("n_chars_actual"),
           octet_length(col("text")).as("n_bytes"),
           substring(trim(col("text")), 1, 10).as("head10"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // C20+C21+T1: site-key sanitization + path normalization.
@@ -350,7 +351,7 @@ object ScalarQueries {
           regexp_replace(UrlFunctions.path(col("url")), "/+$", ""),
           lit("/"))).as("site_key"))
         .groupBy(col("site_key")).agg(count(lit(1)).as("n"))
-        .orderBy(col("site_key"))
+        .presentSorted(col("site_key"))
     },
 
     // C20b (T1 path_mode): start-path normalization for path-scoped
@@ -393,7 +394,7 @@ object ScalarQueries {
           UrlFunctions.startPath(col("start_url")).as("start_path"))
         .groupBy(col("site_key"), col("start_path"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("site_key"), col("start_path"))
+        .presentSorted(col("site_key"), col("start_path"))
     },
 
     // C24: URL shape validation filter (Pydantic HttpUrl analog).
@@ -414,7 +415,7 @@ object ScalarQueries {
         .select(when(col("candidate").startsWith("https://") ||
           col("candidate").startsWith("http://"), 1).otherwise(0).as("is_valid"))
         .groupBy(col("is_valid")).agg(count(lit(1)).as("n"))
-        .orderBy(col("is_valid"))
+        .presentSorted(col("is_valid"))
     },
 
     // F16 (regex form) + X1: html -> text + link extraction over synthetic
@@ -459,7 +460,7 @@ object ScalarQueries {
           "\\s+", " ")).as("page_text"),
         size(regexp_extract_all(col("html"), lit("href=\"([^\"]*)\""), lit(1)))
           .as("n_links"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // X1 full form + C4: explode extracted links, resolve every href
@@ -514,7 +515,7 @@ object ScalarQueries {
           UrlFunctions.resolveUrl(col("url"), col("href"))).as("abs_url"))
       resolved.filter(col("abs_url").isNotNull && col("abs_url") =!= "")
         .groupBy(col("abs_url")).agg(count(lit(1)).as("n"))
-        .orderBy(col("abs_url"))
+        .presentSorted(col("abs_url"))
     },
 
     // F7: single-page mode — any frontier item beyond depth 0 is
@@ -531,7 +532,7 @@ object ScalarQueries {
           (col("user_id") % 2 === 0).as("single_page"))
         .filter(!col("single_page") || col("depth") === 0)
         .groupBy(col("depth")).agg(count(lit(1)).as("n"))
-        .orderBy(col("depth"))
+        .presentSorted(col("depth"))
     },
 
     // F8+F9: downloadable file links, restricted to the root domain
@@ -556,7 +557,7 @@ object ScalarQueries {
           .map(e => col("ext") === e).reduce(_ || _))
         .filter(col("domain") === "src1.example.com")
         .groupBy(col("domain")).agg(count(lit(1)).as("n"))
-        .orderBy(col("domain"))
+        .presentSorted(col("domain"))
     },
 
     // F13: null-stripping of the job-config map before storage
@@ -582,7 +583,7 @@ object ScalarQueries {
         .select(col("doc_id"),
           array_join(array_sort(map_keys(col("config"))), ",").as("kept_keys"),
           size(map_keys(col("config"))).as("n_keys"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // F14: schema-projection of the job config — from_json with an
@@ -606,7 +607,7 @@ object ScalarQueries {
         .groupBy(col("cfg.max_depth").as("max_depth"))
         .agg(count(lit(1)).as("n"),
           sum(col("cfg.single_page").cast("int")).as("n_single"))
-        .orderBy(col("max_depth"))
+        .presentSorted(col("max_depth"))
     },
 
     // A5 monitoring variant: approx_count_distinct within 10% of exact
@@ -628,7 +629,7 @@ object ScalarQueries {
         .select(col("event_type"), col("n_exact"),
           (abs(col("apx") - col("n_exact")) <=
             col("n_exact") * 0.1).as("within_10pct"))
-        .orderBy(col("event_type"))
+        .presentSorted(col("event_type"))
     },
 
     // F12: content-type routing predicate (case-insensitive contains).
@@ -652,7 +653,7 @@ object ScalarQueries {
         .select(when(lower(col("ctype")).contains("text/html"), lit("html"))
           .otherwise(lit("other")).as("route"))
         .groupBy(col("route")).agg(count(lit(1)).as("n"))
-        .orderBy(col("route"))
+        .presentSorted(col("route"))
     }
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.QueryDef.PresentOps
 import graft.{QueryDef, Tables}
 import graft.operators.Upsert
 import graft.sources.{DocBuild, DocExtract, Store}
@@ -55,7 +56,7 @@ object SourceQueries {
       val docs = withLines(Tables.documents(s, d))
       docs.select(col("doc_id"),
         extractedText(payload(docs), ext).as("text"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     }
 
   val defs: Seq[QueryDef] = Seq(
@@ -97,7 +98,7 @@ object SourceQueries {
         .otherwise(encode(lit("x"), "UTF-8"))
       docs.select(col("doc_id"),
         DocExtract.extractUdf(payload, ext).getField("text").as("text"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     },
 
     // F10: size gate before extraction (max_file_bytes,
@@ -123,7 +124,7 @@ object SourceQueries {
         .groupBy(col("route"))
         .agg(count(lit(1)).as("n"),
           sum(length(col("extracted"))).as("total_text"))
-        .orderBy(col("route"))
+        .presentSorted(col("route"))
     },
 
     // S13-S17 + T1: the physical store — write a site-partitioned
@@ -177,7 +178,7 @@ object SourceQueries {
           sum(when(col("text").startsWith("new "), 1).otherwise(0)).as("n_new"))
         .withColumn("partitions_rewritten_first", lit(first))
         .withColumn("partitions_rewritten_second", lit(second))
-        .orderBy(col("site"))
+        .presentSorted(col("site"))
     },
 
     // Small-file compaction (Store.compact): a fragmented
@@ -205,7 +206,7 @@ object SourceQueries {
         .groupBy(col("site")).agg(count(lit(1)).as("n_rows"))
         .join(files, Seq("site"))
         .select(col("site"), col("n_rows"), col("n_files"))
-        .orderBy(col("site"))
+        .presentSorted(col("site"))
     },
 
     // Z-order layout (operators.Layout): Morton-interleave two bounded
@@ -232,7 +233,7 @@ object SourceQueries {
         .agg(count(lit(1)).as("n"),
           min(col("a")).as("min_a"), max(col("a")).as("max_a"),
           min(col("b")).as("min_b"), max(col("b")).as("max_b"))
-        .orderBy(col("bucket"))
+        .presentSorted(col("bucket"))
     },
 
     // F15/C16: charset-fallback decode chain — header charset wins,
@@ -258,7 +259,7 @@ object SourceQueries {
         lit("text/html; charset=iso-8859-9")).otherwise(lit(null).cast("string"))
       docs.select(col("doc_id"),
         DocExtract.decodeHtmlUdf(payload, ctype).as("decoded"))
-        .orderBy(col("doc_id"))
+        .presentSorted(col("doc_id"))
     }
   )
 }

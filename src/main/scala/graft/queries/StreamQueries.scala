@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.QueryDef.PresentOps
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,7 +27,7 @@ object StreamQueries {
         |FROM events GROUP BY win_start, event_type
         |ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
       graft.streaming.Streams.tumblingAgg(Tables.events(s, d))
-        .orderBy(col("win_start"), col("event_type"))
+        .presentSorted(col("win_start"), col("event_type"))
     },
 
     // Sliding windows: 10 minutes long, every 5 minutes — each event
@@ -39,7 +40,7 @@ object StreamQueries {
         |  FROM events, (SELECT unnest([0, 1]) AS k) k)
         |GROUP BY win_start ORDER BY win_start""".stripMargin) { (s, d) =>
       graft.streaming.Streams.slidingAgg(Tables.events(s, d))
-        .orderBy(col("win_start"))
+        .presentSorted(col("win_start"))
     },
 
     // Session windows (30-minute gap) per user — gaps-and-islands oracle.
@@ -65,7 +66,7 @@ object StreamQueries {
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
       graft.streaming.Streams.sessionAgg(Tables.events(s, d))
-        .orderBy(col("user_id"), col("session_start"))
+        .presentSorted(col("user_id"), col("session_start"))
     },
 
     // ST4: streaming dropDuplicates state in batch form — first event per
@@ -83,7 +84,7 @@ object StreamQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id"))
-        .orderBy(col("user_id"), col("event_type"))
+        .presentSorted(col("user_id"), col("event_type"))
     },
 
     // Gap-based batch SESSIONIZATION (Funnel.sessionize, the batch twin
@@ -113,7 +114,7 @@ object StreamQueries {
         |ORDER BY user_id, session_seq""".stripMargin) { (s, d) =>
       graft.operators.Funnel.sessionize(Tables.events(s, d),
           "user_id", "ts", "event_id", gapMinutes = 720)
-        .orderBy(col("user_id"), col("session_seq"))
+        .presentSorted(col("user_id"), col("session_seq"))
     }
   )
 }
