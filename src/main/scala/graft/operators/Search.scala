@@ -204,36 +204,16 @@ object Search {
     commitBatch(spark, dir, 0L)
   }
 
-  /** Batch ids whose commit marker exists (the readable generations). */
   private def committedBatches(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_commits")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("b"))
-      .map(_.drop(1).toLong)
-  }
+      dir: String): Seq[Long] = graft.sources.Commits.committed(spark, dir)
 
   private def commitBatch(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_commits/b$batch")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(p.getParent)
-    fs.create(p, true).close()
-  }
+      dir: String, batch: Long): Unit =
+    graft.sources.Commits.commit(spark, dir, batch)
 
-  /** Next unused batch id: max over the RAW docs parquet (orphans from
-    * crashed appends included — that is the point) plus one.
-    */
   private def nextBatchId(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/docs")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else spark.read.parquet(s"$dir/docs")
-      .agg(max(col("batch"))).head().getLong(0) + 1L
-  }
+      dir: String): Long =
+    graft.sources.Commits.nextBatchId(spark, s"$dir/docs")
 
   /** CURRENT committed generation of every indexed doc:
     * (doc_id, dl, content_hash, batch). None when nothing committed.

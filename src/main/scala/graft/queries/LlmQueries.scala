@@ -124,6 +124,55 @@ object LlmQueries {
       |WHERE n_matched > 0
       |ORDER BY score_1e6 DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Oracle for the ANN-store queries: exact-query vs dequantized-
+    * candidate cosine over the embeddings table, bucket-pruned with the
+    * same seeded hyperplanes — the store must match it on a fresh build
+    * (sim_ann_store_roundtrip) and after re-embedding upserts
+    * (sim_ann_upsert_topk).
+    */
+  private val AnnRoundtripSql =
+    """WITH w AS (
+      |  SELECT p.plane, dd.dim,
+      |    CASE WHEN ('0x'||substr(md5('hp:'||p.plane||':'||dd.dim),1,15))::BIGINT
+      |              % 2 = 1 THEN 1.0 ELSE -1.0 END AS w
+      |  FROM (SELECT unnest(range(0, 8)) AS plane) p,
+      |       (SELECT unnest(range(1, 65)) AS dim) dd),
+      |comps AS (
+      |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+      |         unnest(embedding::DOUBLE[]) AS x
+      |  FROM embeddings),
+      |proj AS (
+      |  SELECT c.id, w.plane, sum(c.x * w.w) AS proj
+      |  FROM comps c JOIN w ON w.dim = c.dim GROUP BY c.id, w.plane),
+      |buckets AS (
+      |  SELECT id, sum(CASE WHEN proj > 0 THEN 1::BIGINT << plane
+      |                      ELSE 0::BIGINT END) AS bucket
+      |  FROM proj GROUP BY id),
+      |vs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |dq AS (SELECT id,
+      |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+      |              ELSE list_transform(v, x -> round(x / scale) * scale)
+      |         END AS v
+      |       FROM (SELECT id, v,
+      |               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |             FROM vs)),
+      |q AS (SELECT b.id AS qid, vs.v AS qv, b.bucket
+      |      FROM buckets b JOIN vs ON vs.id = b.id WHERE b.id < 10),
+      |c AS (SELECT b.id AS cid, dq.v AS cv, b.bucket
+      |      FROM buckets b JOIN dq ON dq.id = b.id),
+      |scores AS (
+      |  SELECT qid, cid,
+      |    round(list_inner_product(qv, cv) /
+      |      (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))),
+      |      6) AS score
+      |  FROM q JOIN c ON c.bucket = q.bucket AND cid <> qid),
+      |r AS (SELECT qid, cid, score,
+      |        row_number() OVER (PARTITION BY qid
+      |                           ORDER BY score DESC, cid) AS rnk
+      |      FROM scores)
+      |SELECT qid, cid, score, rnk FROM r WHERE rnk <= 3
+      |ORDER BY qid, rnk""".stripMargin
+
   /** Generated oracle prefix shared by the MinHash queries: signatures
     * from the SAME universal-hash coefficients as the Spark side, LSH
     * banding, and the `cand` candidate-pair CTE.
@@ -457,52 +506,40 @@ object LlmQueries {
     // the EXACT query vector against the DEQUANTIZED stored candidate.
     QueryDef(
       "sim_ann_store_roundtrip",
-      """WITH w AS (
-        |  SELECT p.plane, dd.dim,
-        |    CASE WHEN ('0x'||substr(md5('hp:'||p.plane||':'||dd.dim),1,15))::BIGINT
-        |              % 2 = 1 THEN 1.0 ELSE -1.0 END AS w
-        |  FROM (SELECT unnest(range(0, 8)) AS plane) p,
-        |       (SELECT unnest(range(1, 65)) AS dim) dd),
-        |comps AS (
-        |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
-        |         unnest(embedding::DOUBLE[]) AS x
-        |  FROM embeddings),
-        |proj AS (
-        |  SELECT c.id, w.plane, sum(c.x * w.w) AS proj
-        |  FROM comps c JOIN w ON w.dim = c.dim GROUP BY c.id, w.plane),
-        |buckets AS (
-        |  SELECT id, sum(CASE WHEN proj > 0 THEN 1::BIGINT << plane
-        |                      ELSE 0::BIGINT END) AS bucket
-        |  FROM proj GROUP BY id),
-        |vs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        |dq AS (SELECT id,
-        |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
-        |              ELSE list_transform(v, x -> round(x / scale) * scale)
-        |         END AS v
-        |       FROM (SELECT id, v,
-        |               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-        |             FROM vs)),
-        |q AS (SELECT b.id AS qid, vs.v AS qv, b.bucket
-        |      FROM buckets b JOIN vs ON vs.id = b.id WHERE b.id < 10),
-        |c AS (SELECT b.id AS cid, dq.v AS cv, b.bucket
-        |      FROM buckets b JOIN dq ON dq.id = b.id),
-        |scores AS (
-        |  SELECT qid, cid,
-        |    round(list_inner_product(qv, cv) /
-        |      (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))),
-        |      6) AS score
-        |  FROM q JOIN c ON c.bucket = q.bucket AND cid <> qid),
-        |r AS (SELECT qid, cid, score,
-        |        row_number() OVER (PARTITION BY qid
-        |                           ORDER BY score DESC, cid) AS rnk
-        |      FROM scores)
-        |SELECT qid, cid, score, rnk FROM r WHERE rnk <= 3
-        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      AnnRoundtripSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val dir = java.nio.file.Files.createTempDirectory("graft-ann")
         .toString + "/idx"
       Similarity.annStoreAppend(emb, dir, planes = 8, dims = 64)
+      Similarity.annStoreTopK(s, dir,
+        emb.filter(col("id") < 10), planes = 8, dims = 64, k = 3)
+        .select(col("qid"), col("cid"), col("score"), col("rnk"))
+        .presentSorted(col("qid"), col("rnk"))
+    },
+
+    // RE-EMBEDDING UPSERT into the standing ANN store (the vector twin
+    // of search_bm25_index_upsert): the store is first built with every
+    // 5th embedding NEGATED (stale model output), then the true
+    // embeddings are delivered twice — first delivery updates exactly
+    // the stale ids (new generation, old row invisible even though it
+    // sits in a different bucket), second is a no-op. The oracle is the
+    // exact ANN answer over the FINAL embeddings.
+    QueryDef(
+      "sim_ann_upsert_topk",
+      AnnRoundtripSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-ann-up")
+        .toString + "/idx"
+      val stale = emb.withColumn("vec",
+        when(col("id") % 5 === 0, transform(col("vec"), x => -x))
+          .otherwise(col("vec")))
+      Similarity.annStoreAppend(stale, dir, planes = 8, dims = 64)
+      val updated = Similarity.annStoreAppend(emb, dir, planes = 8, dims = 64)
+      val noop = Similarity.annStoreAppend(emb, dir, planes = 8, dims = 64)
+      require(updated > 0 && noop == 0,
+        s"ANN upsert semantics broken: updated=$updated redelivery=$noop")
       Similarity.annStoreTopK(s, dir,
         emb.filter(col("id") < 10), planes = 8, dims = 64, k = 3)
         .select(col("qid"), col("cid"), col("score"), col("rnk"))

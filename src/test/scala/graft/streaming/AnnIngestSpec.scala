@@ -45,6 +45,37 @@ class AnnIngestSpec extends SparkSpec {
     assert(got.head._3 > 0.99)
   }
 
+  test("annStoreAppend upserts a re-embedded id; the old vector stops matching") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-up").toString + "/idx"
+    val v1 = vec(1)
+    val v1b = vec(101)  // completely different embedding for the same id
+    val base = (1 to 30).map(i => (i.toLong, vec(i)))
+    assert(Similarity.annStoreAppend(
+      base.toDF("id", "vec"), dir, planes = 4, dims = dims) == 30)
+    // Re-embedding id 1 writes exactly one updated row...
+    assert(Similarity.annStoreAppend(
+      Seq((1L, v1b)).toDF("id", "vec"), dir, 4, dims) == 1)
+    // ...and redelivering the update is a no-op.
+    assert(Similarity.annStoreAppend(
+      Seq((1L, v1b)).toDF("id", "vec"), dir, 4, dims) == 0)
+    // A near-copy probe of the NEW embedding finds id 1; a probe of the
+    // OLD embedding must not (its row is superseded).
+    def top(q: Seq[Float]) = Similarity.annStoreTopK(spark, dir,
+      Seq((999L, q)).toDF("id", "vec"), planes = 4, dims = dims, k = 1)
+      .select("cid", "score").as[(Long, Double)].collect().toSeq
+    val hitNew = top(near(v1b))
+    assert(hitNew.nonEmpty && hitNew.head._1 == 1L && hitNew.head._2 > 0.99)
+    val hitOld = top(near(v1))
+    assert(hitOld.isEmpty || hitOld.head._1 != 1L || hitOld.head._2 < 0.99,
+      s"superseded vector still matching: $hitOld")
+    // Vacuum compacts to one row per id and preserves answers.
+    Similarity.annStoreVacuum(spark, dir)
+    val rows = spark.read.parquet(dir)
+    assert(rows.count() == 30 &&
+      rows.select("id").distinct().count() == 30)
+    assert(top(near(v1b)).head._1 == 1L)
+  }
+
   test("annIngestSink feeds the store through foreachBatch") {
     val dir = java.nio.file.Files.createTempDirectory("ann").toString + "/idx"
     val ckpt = java.nio.file.Files.createTempDirectory("ann-ckpt").toString
