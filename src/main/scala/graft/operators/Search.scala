@@ -88,8 +88,8 @@ object Search {
     * array (a filtered index sequence testing `phrase.size` adjacent
     * elements), so like [[bm25TopK]] the whole query is one scan plus
     * `TakeOrderedAndProject` — no explode, no shuffle. This is the
-    * scan form; a positional postings index would serve dynamic
-    * phrases at scale, same layout idea as [[buildIndex]].
+    * scan form; [[phraseFromIndexTopK]] answers the same query from
+    * the standing index's positional postings without touching text.
     */
   def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String], k: Int): DataFrame = {
@@ -233,11 +233,16 @@ object Search {
   private def writeSlice(docs: DataFrame, idCol: String, textCol: String,
       dir: String, batch: Long): Unit = {
     val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
+    // Positions ride in each posting (sorted, 0-based): tf queries
+    // never read the column (parquet pruning), and phrase queries
+    // become per-doc position-list intersections instead of text
+    // rescans ([[phraseFromIndexTopK]]).
     docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("dl"),
-        explode(col("__toks")).as("term"))
+        posexplode(col("__toks")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("batch", lit(batch))
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
@@ -292,6 +297,46 @@ object Search {
       .agg(count(lit(1)).cast("int").as("n_matched"),
         sum(col("__contrib")).as("score_1e6"))
       .orderBy(col("score_1e6").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** EXACT-PHRASE top-k answered FROM the standing index — the
+    * positional-postings scale path [[phraseTopK]]'s scaladoc promises:
+    * read ONLY the phrase terms' postings (pruned scan, never the
+    * corpus text), join them per doc, and fold positional adjacency
+    * over the sorted position lists:
+    *
+    *   occ_1 = positions(t_1);  occ_i = (occ_(i-1)+1) ∩ positions(t_i);
+    *   tf_phrase = |occ_n|
+    *
+    * — overlapping occurrences counted, exactly like the scan kernel,
+    * so the answer is bit-identical to [[phraseTopK]] over the index's
+    * CURRENT corpus state (generation-resolved like
+    * [[bm25FromIndexTopK]]). Per-doc work is a handful of tiny sorted
+    * lists; the join fans out only to docs containing every term.
+    */
+  def phraseFromIndexTopK(spark: org.apache.spark.sql.SparkSession,
+      dir: String, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2, s"phrase needs >= 2 terms, got ${phrase.size}")
+    val committed = committedBatches(spark, dir)
+    require(committed.nonEmpty, s"no committed index state under $dir")
+    val cur = currentDocs(spark, dir).get
+      .select(col("doc_id"), col("batch"))
+    val hits = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(phrase.distinct: _*) &&
+        col("batch").isin(committed: _*))
+      .join(cur, Seq("doc_id", "batch"))
+    val frames = phrase.zipWithIndex.map { case (t, i) =>
+      hits.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"__p$i"))
+    }
+    val joined = frames.reduce((a, b) => a.join(b, Seq("doc_id")))
+    val occ = phrase.indices.tail.foldLeft(col("__p0")) { (acc, i) =>
+      array_intersect(transform(acc, p => p + lit(1)), col(s"__p$i"))
+    }
+    joined.select(col("doc_id"), size(occ).as("tf_phrase"))
+      .filter(col("tf_phrase") > 0)
+      .orderBy(col("tf_phrase").desc, col("doc_id"))
       .limit(k)
   }
 }

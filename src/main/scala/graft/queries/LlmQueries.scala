@@ -1415,6 +1415,30 @@ object LlmQueries {
         "doc_id", "text", Seq("table", "hash"), k = 10)
     },
 
+    // The same phrase query answered FROM the standing index's
+    // POSITIONAL postings (pruned term scan + per-doc sorted
+    // position-list adjacency fold) — never touches document text,
+    // bit-identical to the scan kernel; same oracle.
+    QueryDef(
+      "search_phrase_index_topk",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    len(list_filter(range(1, len(l)),
+        |      i -> l[i] = 'table' AND l[i+1] = 'hash')) AS tf_phrase
+        |  FROM t)
+        |SELECT doc_id, tf_phrase FROM p WHERE tf_phrase > 0
+        |ORDER BY tf_phrase DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      import graft.operators.Search
+      val dir = java.nio.file.Files.createTempDirectory("graft-phr")
+        .toString + "/index"
+      Search.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
+      Search.phraseFromIndexTopK(s, dir, Seq("table", "hash"), k = 10)
+    },
+
     // Character entropy (TextAnalysis.charEntropy): the low-entropy
     // quality gate (base64/spam/binary-leak detector). Per-(doc, char)
     // terms are rounded to integer micro-nats and summed as BIGINT —

@@ -112,6 +112,31 @@ class SearchSpec extends SparkSpec {
       == Search.bm25FromIndexTopK(spark, full, terms, 10).collect().toSeq)
   }
 
+  test("phrase answer from the positional index matches the scan kernel") {
+    val ds = Seq(
+      (1L, "a b a b a"),   // "a b" at 0 and 2 -> tf 2; "a b a" -> tf 2
+      (2L, "b a"),         // reversed -> 0
+      (4L, "x a b y"),     // tf 1
+      (5L, "a a a b"))     // "a b" once; "a a" twice (overlap)
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("phr-idx")
+      .toString + "/index"
+    Search.buildIndex(ds, "doc_id", "text", dir)
+    for (ph <- Seq(Seq("a", "b"), Seq("a", "b", "a"), Seq("a", "a"))) {
+      val scan = Search.phraseTopK(ds, "doc_id", "text", ph, k = 10)
+        .collect().toSeq
+      val idx = Search.phraseFromIndexTopK(spark, dir, ph, k = 10)
+        .collect().toSeq
+      assert(idx == scan, s"phrase $ph: index $idx vs scan $scan")
+    }
+    // Changed-content upsert reflects in phrase answers too.
+    Search.indexAppend(Seq((1L, "c c c")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val after = Search.phraseFromIndexTopK(spark, dir, Seq("a", "b"), 10)
+      .as[(Long, Int)].collect().toSeq
+    assert(after == Seq((4L, 1), (5L, 1)))
+  }
+
   test("indexAppend upserts changed content; stale postings stop scoring") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-up")
       .toString + "/index"
