@@ -177,12 +177,51 @@ object Search {
     } finally { fresh.unpersist(); () }
   }
 
+  /** Tombstone marker in the docs table's content_hash column — real
+    * hashes are 64-hex sha256, so no collision is possible.
+    */
+  private val Tombstone = "__tombstone__"
+
+  /** DELETE docs from the standing index — the tombstone generation
+    * completing the write-semantics triangle (insert / changed-content
+    * update / delete): each currently-live requested id gets a
+    * postings-free docs row whose content_hash is the tombstone
+    * marker; on commit the doc's postings stop scoring and it leaves
+    * the corpus statistics. Idempotent (absent or already-deleted ids
+    * are skipped), and a later [[indexAppend]] of the id resurrects it
+    * (tombstone hash never equals a content hash). [[indexVacuum]]
+    * physically drops tombstoned docs. Returns docs tombstoned.
+    */
+  def indexDelete(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame): Long = {
+    val cur = currentDocs(spark, dir).getOrElse(return 0L)
+    val victims = cur
+      .filter(col("content_hash") =!= Tombstone)
+      .join(ids.select(col(ids.columns.head).as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id"), lit(0).as("dl"),
+        lit(Tombstone).as("content_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = victims.count()
+      if (n > 0) {
+        val batchId = nextBatchId(spark, dir)
+        victims.withColumn("batch", lit(batchId))
+          .write.mode("append").parquet(s"$dir/docs")
+        commitBatch(spark, dir, batchId)
+      }
+      n
+    } finally { victims.unpersist(); () }
+  }
+
   /** Compact the index to its LIVE state: current committed generation
-    * of every doc rewritten as batch 0, superseded/orphan rows dropped.
+    * of every non-tombstoned doc rewritten as batch 0,
+    * superseded/orphan/deleted rows dropped.
     */
   def indexVacuum(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val cur = currentDocs(spark, dir).getOrElse(return)
+      .filter(col("content_hash") =!= Tombstone)
     val curKeys = cur.select(col("doc_id"), col("batch"))
     val livePost = spark.read.parquet(s"$dir/postings")
       .join(curKeys, Seq("doc_id", "batch"))
@@ -271,6 +310,7 @@ object Search {
     val committed = committedBatches(spark, dir)
     require(committed.nonEmpty, s"no committed index state under $dir")
     val cur = currentDocs(spark, dir).get
+      .filter(col("content_hash") =!= Tombstone)
     val hits = spark.read.parquet(s"$dir/postings")
       .filter(col("term").isin(queryTerms: _*) &&
         col("batch").isin(committed: _*))
@@ -321,6 +361,7 @@ object Search {
     val committed = committedBatches(spark, dir)
     require(committed.nonEmpty, s"no committed index state under $dir")
     val cur = currentDocs(spark, dir).get
+      .filter(col("content_hash") =!= Tombstone)
       .select(col("doc_id"), col("batch"))
     val hits = spark.read.parquet(s"$dir/postings")
       .filter(col("term").isin(phrase.distinct: _*) &&

@@ -1221,6 +1221,29 @@ object LlmQueries {
         Seq("spark", "vector", "stream", "merge"), k = 10)
     },
 
+    // TOMBSTONE DELETES from the standing index: after deleting every
+    // 11th doc the index must answer exactly the scan-path BM25 over
+    // the remaining corpus — the deleted docs leave both scoring and
+    // the corpus statistics (N, avgdl, df), not just the hit list.
+    QueryDef(
+      "search_bm25_index_delete",
+      Bm25IndexSql.replace("FROM documents)",
+        "FROM documents WHERE doc_id % 11 <> 0)")) { (s, d) =>
+      import graft.operators.Search
+      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-del")
+        .toString + "/index"
+      val base = Tables.documents(s, d)
+      Search.buildIndex(base, "doc_id", "text", dir)
+      val victims = base.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"))
+      val deleted = Search.indexDelete(s, dir, victims)
+      val again = Search.indexDelete(s, dir, victims)
+      require(deleted > 0 && again == 0,
+        s"delete semantics broken: deleted=$deleted redelivery=$again")
+      Search.bm25FromIndexTopK(s, dir,
+        Seq("spark", "vector", "stream", "merge"), k = 10)
+    },
+
     // CHANGED-CONTENT UPSERT into the standing index (the reference's
     // ON CONFLICT ... DO UPDATE write semantic): the index is first
     // built from a STALE corpus (every 7th doc's text prefixed with

@@ -179,4 +179,34 @@ class SearchSpec extends SparkSpec {
         Search.bm25TopK(docs.unionByName(extra), "doc_id", "text", terms, 10)
           .collect().toSeq)
   }
+
+  test("indexDelete tombstones docs out of scoring; re-append resurrects") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-del")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)
+    val terms = Seq("spark", "vector")
+    // Delete docs 1 and 4 (an absent id is a no-op)...
+    val ids = Seq(1L, 4L, 999L).toDF("doc_id")
+    assert(Search.indexDelete(spark, dir, ids) == 2L)
+    // ...idempotently.
+    assert(Search.indexDelete(spark, dir, ids) == 0L)
+    val remaining = docs.filter(!col("doc_id").isin(1L, 4L))
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10).collect().toSeq
+      == Search.bm25TopK(remaining, "doc_id", "text", terms, 10)
+        .collect().toSeq,
+      "deleted docs must leave scoring AND the corpus statistics")
+    // Re-appending doc 1 resurrects it with its text.
+    assert(Search.indexAppend(docs.filter(col("doc_id") === 1L),
+      "doc_id", "text", dir) == 1L)
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10).collect().toSeq
+      == Search.bm25TopK(docs.filter(col("doc_id") =!= 4L),
+        "doc_id", "text", terms, 10).collect().toSeq)
+    // Vacuum physically drops the tombstoned doc and keeps answers.
+    Search.indexVacuum(spark, dir)
+    assert(!spark.read.parquet(s"$dir/docs").select("doc_id")
+      .as[Long].collect().contains(4L))
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10).collect().toSeq
+      == Search.bm25TopK(docs.filter(col("doc_id") =!= 4L),
+        "doc_id", "text", terms, 10).collect().toSeq)
+  }
 }

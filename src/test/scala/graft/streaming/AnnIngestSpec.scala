@@ -76,6 +76,29 @@ class AnnIngestSpec extends SparkSpec {
     assert(top(near(v1b)).head._1 == 1L)
   }
 
+  test("annStoreDelete tombstones ids out of probes; re-append resurrects") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-del").toString + "/idx"
+    val base = (1 to 20).map(i => (i.toLong, vec(i)))
+    assert(Similarity.annStoreAppend(
+      base.toDF("id", "vec"), dir, planes = 4, dims = dims) == 20)
+    def top(q: Seq[Float]) = Similarity.annStoreTopK(spark, dir,
+      Seq((999L, q)).toDF("id", "vec"), planes = 4, dims = dims, k = 1)
+      .select("cid").as[Long].collect().toSeq
+    assert(top(near(vec(7))) == Seq(7L))
+    // Delete id 7 (absent id 500 is a no-op), idempotently.
+    assert(Similarity.annStoreDelete(spark, dir,
+      Seq(7L, 500L).toDF("id")) == 1L)
+    assert(Similarity.annStoreDelete(spark, dir, Seq(7L).toDF("id")) == 0L)
+    assert(!top(near(vec(7))).contains(7L))
+    // Re-append resurrects, vacuum keeps the live answer.
+    assert(Similarity.annStoreAppend(
+      Seq((7L, vec(7))).toDF("id", "vec"), dir, 4, dims) == 1)
+    assert(top(near(vec(7))) == Seq(7L))
+    Similarity.annStoreVacuum(spark, dir)
+    assert(spark.read.parquet(dir).count() == 20)
+    assert(top(near(vec(7))) == Seq(7L))
+  }
+
   test("annIngestSink feeds the store through foreachBatch") {
     val dir = java.nio.file.Files.createTempDirectory("ann").toString + "/idx"
     val ckpt = java.nio.file.Files.createTempDirectory("ann-ckpt").toString
