@@ -31,7 +31,7 @@ class PlanRegressionSpec extends SparkSpec {
     val intended = Set("sim_cosine_topk_brute", "sim_int8_topk",
       "c14_stale_cutoff_sweep", "search_bm25_topk",
       "search_bm25_index_topk", "search_bm25_index_upsert",
-      "agg_histogram_price", "pl_iqr_outliers",
+      "search_bm25_index_delete", "agg_histogram_price", "pl_iqr_outliers",
       "txt_unigram_logprob", "pl_training_data_filter_v2")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
@@ -93,6 +93,17 @@ class PlanRegressionSpec extends SparkSpec {
     val joinAt = p.indexOf("LeftSemi")
     assert(joinAt >= 0 && probeAt > joinAt,
       "probe filter not below the semi join in the plan tree")
+  }
+
+  test("blocked-jaccard keeps the witness dedup (no pair-distinct exchange)") {
+    val p = plans("dd_jaccard_blocked_pairs")
+    assert(p.contains("sorted_inter_min"),
+      "witness filter (min-shingle kernel) missing from the plan")
+    // The deleted distinct() would reappear as an aggregate keyed on
+    // the candidate pair (a, b).
+    assert(!"HashAggregate\\(keys=\\[a#\\d+L, b#\\d+L\\]".r
+      .findFirstIn(p).isDefined,
+      "candidate-pair distinct exchange is back")
   }
 
   test("every query stays inside whole-stage codegen somewhere") {
