@@ -320,6 +320,46 @@ object Streams {
     } finally { shared.unpersist(); () }
   }
 
+  /** TAKEDOWN fan-out — the delete twin of [[fanoutIngestBatch]]: one
+    * id batch leaves ALL the standing stores together — the merge
+    * store's state is rewritten minus the victims (same
+    * pointer-swapped state dir as [[mergeBatch]], so the removal
+    * commits atomically), and the inverted index and ANN store get
+    * tombstone generations ([[graft.operators.Search.indexDelete]],
+    * [[graft.operators.Similarity.annStoreDelete]]). Each store's
+    * delete is idempotent, so redelivery after a mid-fanout crash
+    * converges. Returns (store, index, ann) deletion counts.
+    */
+  def fanoutDeleteBatch(ids: DataFrame, batchId: Long, storeDir: String,
+      indexDir: String, annDir: String,
+      idCol: String = "doc_id"): (Long, Long, Long) = {
+    val spark = ids.sparkSession
+    val victims = ids.select(col(ids.columns.head).as(idCol))
+      .dropDuplicates(idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nStore = readState(spark, storeDir) match {
+        case Some(st) =>
+          val n = st.join(victims, Seq(idCol), "left_semi").count()
+          if (n > 0) {
+            val next = new java.io.File(storeDir,
+              s"state_del_$batchId").toString
+            st.join(victims, Seq(idCol), "left_anti")
+              .write.mode("overwrite").parquet(next)
+            val ptr = new java.io.File(storeDir, "_current").toPath
+            java.nio.file.Files.write(ptr,
+              s"state_del_$batchId".getBytes("UTF-8"))
+          }
+          n
+        case None => 0L
+      }
+      val nIdx = graft.operators.Search.indexDelete(spark, indexDir, victims)
+      val nAnn = graft.operators.Similarity.annStoreDelete(spark, annDir,
+        victims.select(col(idCol).as("id")))
+      (nStore, nIdx, nAnn)
+    } finally { victims.unpersist(); () }
+  }
+
   /** Streaming face of [[fanoutIngestBatch]]. */
   def fanoutIngestSink(stream: DataFrame, storeDir: String, indexDir: String,
       annDir: String, idCol: String, textCol: String,

@@ -64,5 +64,24 @@ class FanoutIngestSpec extends SparkSpec {
       planes = 4, dims = 3, k = 1)
       .select("qid", "cid").as[(Long, Long)].collect().toMap
     assert(top == Map(101L -> 1L, 103L -> 3L))
+
+    // TAKEDOWN: doc 2 leaves all three stores in one composed call,
+    // idempotently.
+    val gone = Streams.fanoutDeleteBatch(Seq(2L).toDF("doc_id"), 99L,
+      storeDir, indexDir, annDir)
+    assert(gone == ((1L, 1L, 1L)), s"unexpected delete counts: $gone")
+    assert(Streams.fanoutDeleteBatch(Seq(2L).toDF("doc_id"), 100L,
+      storeDir, indexDir, annDir) == ((0L, 0L, 0L)))
+    assert(Streams.readState(spark, storeDir).get
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(Search.bm25FromIndexTopK(spark, indexDir, terms, 10)
+      .collect().toSeq ==
+      Search.bm25TopK(finalCorpus.filter($"doc_id" =!= 2L),
+        "doc_id", "text", terms, 10).collect().toSeq)
+    val probe2 = Similarity.annStoreTopK(spark, annDir,
+      Seq((102L, Seq(0.1f, 0.9f, 0.0f))).toDF("id", "vec"),
+      planes = 4, dims = 3, k = 1)
+      .select("cid").as[Long].collect().toSeq
+    assert(!probe2.contains(2L), s"deleted vector still matching: $probe2")
   }
 }
