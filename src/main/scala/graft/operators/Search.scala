@@ -340,6 +340,71 @@ object Search {
       .limit(k)
   }
 
+  /** MORE-LIKE-THIS top-k — BM25 where the query is a whole DOCUMENT's
+    * vocabulary, the query-by-document shape [[bm25TopK]]'s scaladoc
+    * defers to the exploded pipeline: a literal handful of terms fits
+    * in-row, a document's vocabulary does not. Answered FROM the
+    * standing index: the query doc's top-`maxTerms` (tf desc, term
+    * tie-break) term weights broadcast against the postings (only
+    * those terms' postings are read), each (doc, term) hit contributes
+    * `round(qtf · idf · tf·(k1+1)/norm · 1e6)` micro-units, and ONE
+    * doc_id hash-shuffle sums them — exact BIGINT math, deterministic
+    * under any partitioning. The query doc itself is excluded.
+    *
+    * `queryDoc`: a one-row (id, text) frame; `maxTerms` caps the
+    * broadcast at a constant independent of document length.
+    */
+  def moreLikeThisTopK(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queryDoc: DataFrame, k: Int, maxTerms: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val committed = committedBatches(spark, dir)
+    require(committed.nonEmpty, s"no committed index state under $dir")
+    val idCol = queryDoc.columns(0)
+    val textCol = queryDoc.columns(1)
+    val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
+    val qterms = queryDoc
+      .select(col(idCol).cast("long").as("__qid"), explode(toks).as("term"))
+      .groupBy(col("__qid"), col("term"))
+      .agg(count(lit(1)).as("__qtf"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__qid"))
+          .orderBy(col("__qtf").desc, col("term"))))
+      .filter(col("__rn") <= maxTerms)
+      .select(col("__qid"), col("term"), col("__qtf"))
+    val cur = currentDocs(spark, dir).get
+      .filter(col("content_hash") =!= Tombstone)
+    // df counts the query doc too (it is part of the corpus) — only
+    // the SCORED set excludes it.
+    val hits0 = spark.read.parquet(s"$dir/postings")
+      .filter(col("batch").isin(committed: _*))
+      .join(broadcast(qterms), Seq("term"))
+      .join(cur.select(col("doc_id"), col("batch")), Seq("doc_id", "batch"))
+    val hits = hits0.filter(col("doc_id") =!= col("__qid"))
+    val stats = cur
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfs = hits0.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val n = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (n - col("__df").cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)))
+    val norm = tf + lit(k1) * (lit(1.0) - lit(b) +
+      lit(b) * col("dl").cast("double") / avgdl)
+    hits
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(col("__qtf").cast("double") * idf * tf * lit(k1 + 1.0) / norm
+          * lit(1e6)).cast("long").as("__contrib"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_matched"),
+        sum(col("__contrib")).as("score_1e6"))
+      .orderBy(col("score_1e6").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** EXACT-PHRASE top-k answered FROM the standing index — the
     * positional-postings scale path [[phraseTopK]]'s scaladoc promises:
     * read ONLY the phrase terms' postings (pruned scan, never the

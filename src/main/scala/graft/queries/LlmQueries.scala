@@ -1221,6 +1221,60 @@ object LlmQueries {
         Seq("spark", "vector", "stream", "merge"), k = 10)
     },
 
+    // MORE-LIKE-THIS: BM25 where the query is doc 42's whole
+    // vocabulary (top-64 terms by tf, term tie-break) answered from
+    // the standing index — the query-by-document retrieval surface
+    // ("find docs like this one"). Per-(doc, term) contributions carry
+    // the query tf and round to micro-units; the oracle mirrors the
+    // exact formula term-for-term.
+    QueryDef(
+      "search_more_like_this",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |qc AS (
+        |  SELECT term, count(*) AS qtf FROM (
+        |    SELECT unnest(l) AS term FROM t WHERE doc_id = 42)
+        |  GROUP BY term),
+        |qtop AS (
+        |  SELECT term, qtf FROM (
+        |    SELECT term, qtf,
+        |      row_number() OVER (ORDER BY qtf DESC, term) AS rn
+        |    FROM qc) WHERE rn <= 64),
+        |pc AS (
+        |  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM (
+        |    SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM t)
+        |  GROUP BY doc_id, term),
+        |g AS (SELECT count(*) AS n, sum(len(l)) AS sumdl FROM t),
+        |df AS (
+        |  SELECT term, count(*) AS df FROM pc
+        |  JOIN qtop USING (term) GROUP BY term),
+        |s AS (
+        |  SELECT pc.doc_id,
+        |    count(*)::INT AS n_matched,
+        |    sum(round(qtop.qtf::DOUBLE *
+        |      ln(1.0 + (g.n::DOUBLE - df.df::DOUBLE + 0.5)
+        |        / (df.df::DOUBLE + 0.5)) *
+        |      pc.tf::DOUBLE * 2.2 /
+        |      (pc.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * pc.dl::DOUBLE
+        |        / (g.sumdl::DOUBLE / g.n::DOUBLE))) * 1e6)::BIGINT)::BIGINT
+        |      AS score_1e6
+        |  FROM pc JOIN qtop USING (term) JOIN df USING (term), g
+        |  WHERE pc.doc_id <> 42
+        |  GROUP BY pc.doc_id)
+        |SELECT doc_id, n_matched, score_1e6 FROM s
+        |ORDER BY score_1e6 DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      import graft.operators.Search
+      val dir = java.nio.file.Files.createTempDirectory("graft-mlt")
+        .toString + "/index"
+      val base = Tables.documents(s, d)
+      Search.buildIndex(base, "doc_id", "text", dir)
+      Search.moreLikeThisTopK(s, dir,
+        base.filter(col("doc_id") === 42L).select(col("doc_id"), col("text")),
+        k = 10)
+    },
+
     // TOMBSTONE DELETES from the standing index: after deleting every
     // 11th doc the index must answer exactly the scan-path BM25 over
     // the remaining corpus — the deleted docs leave both scoring and

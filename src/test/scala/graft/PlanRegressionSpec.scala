@@ -31,7 +31,8 @@ class PlanRegressionSpec extends SparkSpec {
     val intended = Set("sim_cosine_topk_brute", "sim_int8_topk",
       "c14_stale_cutoff_sweep", "search_bm25_topk",
       "search_bm25_index_topk", "search_bm25_index_upsert",
-      "search_bm25_index_delete", "agg_histogram_price", "pl_iqr_outliers",
+      "search_bm25_index_delete", "search_more_like_this",
+      "agg_histogram_price", "pl_iqr_outliers",
       "txt_unigram_logprob", "pl_training_data_filter_v2")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||

@@ -180,6 +180,35 @@ class SearchSpec extends SparkSpec {
           .collect().toSeq)
   }
 
+  test("moreLikeThisTopK ranks by shared vocabulary, excludes the query doc") {
+    val dir = java.nio.file.Files.createTempDirectory("mlt")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)
+    // Query = doc 1 ("spark engine spark spark"): doc 2 shares both
+    // terms, doc 5 shares only 'spark', docs 3/4 share less/none.
+    val got = Search.moreLikeThisTopK(spark, dir,
+      docs.filter(col("doc_id") === 1L).select("doc_id", "text"), k = 10)
+      .select("doc_id", "n_matched", "score_1e6")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(!got.exists(_._1 == 1L), "query doc must not match itself")
+    assert(got.head._1 == 2L, s"doc 2 shares the full vocab: $got")
+    assert(got.map(_._1).contains(5L))
+    // Deterministic across partitionings.
+    val again = Search.moreLikeThisTopK(spark, dir,
+      docs.repartition(7).filter(col("doc_id") === 1L)
+        .select("doc_id", "text"), k = 10)
+      .select("doc_id", "n_matched", "score_1e6")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(again == got)
+    // maxTerms caps the query vocabulary: with one term kept ('spark',
+    // tf 3 beats 'engine' tf 1), matches count at most one term.
+    val capped = Search.moreLikeThisTopK(spark, dir,
+      docs.filter(col("doc_id") === 1L).select("doc_id", "text"),
+      k = 10, maxTerms = 1)
+      .select("n_matched").as[Int].collect().toSeq
+    assert(capped.nonEmpty && capped.forall(_ == 1))
+  }
+
   test("indexDelete tombstones docs out of scoring; re-append resurrects") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-del")
       .toString + "/index"
