@@ -405,6 +405,38 @@ object Search {
       .limit(k)
   }
 
+  /** HYBRID retrieval — Reciprocal-Rank Fusion of the BM25 index
+    * answer and the ANN store answer, the standard way modern corpus
+    * search combines lexical and embedding evidence without score
+    * calibration: each doc scores `round(1e6/(rrfK + rank))` micro-
+    * units per list it appears in (rank from that list's own ordering,
+    * missing side contributes 0), summed exactly as BIGINTs. Both
+    * inputs are top-`kEach` lists — constant-size driver-independent
+    * frames — so the fusion join is trivially broadcastable whatever
+    * the corpus size.
+    */
+  def hybridTopK(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, annDir: String, queryTerms: Seq[String],
+      queryVec: DataFrame, planes: Int, dims: Int, k: Int,
+      kEach: Int = 20, rrfK: Int = 60): DataFrame = {
+    val bm = bm25FromIndexTopK(spark, indexDir, queryTerms, kEach)
+      .withColumn("r_bm25", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_1e6").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_bm25"))
+    val ann = graft.operators.Similarity
+      .annStoreTopK(spark, annDir, queryVec, planes, dims, kEach)
+      .select(col("cid").as("doc_id"), col("rnk").as("r_ann"))
+    bm.join(ann, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(round(lit(1e6) / (lit(rrfK) + col("r_bm25")))
+          .cast("long"), lit(0L)) +
+          coalesce(round(lit(1e6) / (lit(rrfK) + col("r_ann")))
+            .cast("long"), lit(0L))).as("rrf_1e6"))
+      .orderBy(col("rrf_1e6").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** EXACT-PHRASE top-k answered FROM the standing index — the
     * positional-postings scale path [[phraseTopK]]'s scaladoc promises:
     * read ONLY the phrase terms' postings (pruned scan, never the

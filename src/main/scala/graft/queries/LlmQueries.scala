@@ -173,6 +173,36 @@ object LlmQueries {
       |SELECT qid, cid, score, rnk FROM r WHERE rnk <= 3
       |ORDER BY qid, rnk""".stripMargin
 
+  /** Oracle for the hybrid RRF query: the BM25 chain's CTEs (t..s) and
+    * the ANN chain's CTEs (w..r) spliced into one statement — the
+    * SAME SQL the two standing-store oracles use, so the fusion's
+    * inputs are already proven — with top-20 rank lists fused by
+    * `round(1e6/(60+rank))` micro-units (missing side contributes 0).
+    */
+  private lazy val HybridRrfSql: String = {
+    val bmChain = Bm25IndexSql.substring(0,
+      Bm25IndexSql.lastIndexOf("SELECT doc_id, n_matched"))
+    val annChain0 = AnnRoundtripSql
+      .replace("WITH w AS (", ",w AS (")
+      .replace("WHERE b.id < 10", "WHERE b.id = 5")
+    val annChain = annChain0.substring(0,
+      annChain0.lastIndexOf("SELECT qid, cid, score, rnk"))
+    bmChain + annChain +
+      """,bmtop AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score_1e6 DESC, doc_id) AS r_bm25
+        |  FROM s WHERE n_matched > 0
+        |  ORDER BY score_1e6 DESC, doc_id LIMIT 20),
+        |anntop AS (SELECT cid, rnk FROM r WHERE rnk <= 20),
+        |f AS (
+        |  SELECT coalesce(b.doc_id, a.cid) AS doc_id,
+        |    coalesce(round(1e6 / (60 + b.r_bm25))::BIGINT, 0) +
+        |    coalesce(round(1e6 / (60 + a.rnk))::BIGINT, 0) AS rrf_1e6
+        |  FROM bmtop b FULL OUTER JOIN anntop a ON a.cid = b.doc_id)
+        |SELECT doc_id, rrf_1e6 FROM f
+        |ORDER BY rrf_1e6 DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** Generated oracle prefix shared by the MinHash queries: signatures
     * from the SAME universal-hash coefficients as the Spark side, LSH
     * banding, and the `cand` candidate-pair CTE.
@@ -1219,6 +1249,28 @@ object LlmQueries {
       Search.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
       Search.bm25FromIndexTopK(s, dir,
         Seq("spark", "vector", "stream", "merge"), k = 10)
+    },
+
+    // HYBRID retrieval: Reciprocal-Rank Fusion of the BM25 index top-20
+    // and the ANN store top-20 (query = embedding id 5) — lexical and
+    // embedding evidence fused without score calibration, micro-unit
+    // exact. The oracle splices the two standing oracles' CTE chains
+    // and fuses their rank lists with the same formula.
+    QueryDef(
+      "search_hybrid_rrf",
+      HybridRrfSql) { (s, d) =>
+      import graft.operators.{Search, Similarity}
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-hyb-i")
+        .toString + "/index"
+      val annDir = java.nio.file.Files.createTempDirectory("graft-hyb-a")
+        .toString + "/ann"
+      Search.buildIndex(Tables.documents(s, d), "doc_id", "text", idxDir)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.annStoreAppend(emb, annDir, planes = 8, dims = 64)
+      Search.hybridTopK(s, idxDir, annDir,
+        Seq("spark", "vector", "stream", "merge"),
+        emb.filter(col("id") === 5L), planes = 8, dims = 64, k = 10)
     },
 
     // MORE-LIKE-THIS: BM25 where the query is doc 42's whole

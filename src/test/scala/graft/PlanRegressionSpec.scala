@@ -32,7 +32,7 @@ class PlanRegressionSpec extends SparkSpec {
       "c14_stale_cutoff_sweep", "search_bm25_topk",
       "search_bm25_index_topk", "search_bm25_index_upsert",
       "search_bm25_index_delete", "search_more_like_this",
-      "agg_histogram_price", "pl_iqr_outliers",
+      "search_hybrid_rrf", "agg_histogram_price", "pl_iqr_outliers",
       "txt_unigram_logprob", "pl_training_data_filter_v2")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
