@@ -216,7 +216,10 @@ object Search {
 
   /** Compact the index to its LIVE state: current committed generation
     * of every non-tombstoned doc rewritten as batch 0,
-    * superseded/orphan/deleted rows dropped.
+    * superseded/orphan/deleted rows dropped. Offline maintenance op
+    * (single writer, no concurrent readers): the table swap and ledger
+    * reset are not one atomic step, so a reader racing the vacuum can
+    * briefly see no committed state.
     */
   def indexVacuum(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
