@@ -126,19 +126,30 @@ object Search {
     *     linearization point of an append. A crash between the two
     *     parquet writes leaves slices whose batch id has no marker;
     *     readers never see them, and the next attempt allocates a
-    *     FRESH id (max batch present in the docs parquet + 1, which
-    *     counts orphans), so partial appends can never double a doc's
-    *     tf/df. Single-writer ingest assumed (the streaming sink is
-    *     serial); superseded/orphan generations are dead weight until
+    *     FRESH id — max batch present in EITHER parquet table, plus
+    *     one, so an orphan on the postings side (written first) is
+    *     counted just like a docs-side one and partial appends can
+    *     never double a doc's tf/df under a committed id.
+    *   - `dir/_lock`: writer lease ([[graft.sources.Commits
+    *     .withWriterLock]]) held across every mutation — a concurrent
+    *     second writer fails loudly instead of double-allocating a
+    *     batch id. Superseded/orphan generations are dead weight until
     *     [[indexVacuum]] rewrites the live state.
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
+    val spark = docs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    writeSlice(docs.dropDuplicates(idCol), idCol, textCol, dir, 0L)
-    commitBatch(docs.sparkSession, dir, 0L)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    graft.sources.Commits.withWriterLock(spark, dir) {
+      // Destructive rebuild: drop the store's tables but keep the held
+      // lease file itself.
+      Seq("postings", "docs", "_commits", "_vacuum").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$p"), true))
+      writeSlice(docs.dropDuplicates(idCol), idCol, textCol, dir, 0L)
+      commitBatch(spark, dir, 0L)
+    }
   }
 
   /** UPSERT a batch into the standing index: new doc ids insert;
@@ -147,12 +158,13 @@ object Search {
     * get a NEW GENERATION — their old postings stay on disk but stop
     * being visible to [[bm25FromIndexTopK]] (the read side resolves
     * each doc to its max committed batch). Matches the reference's
-    * changed-content upsert; deletes would be a tombstone generation,
-    * not implemented. The standing store is never re-tokenized.
+    * changed-content upsert; [[indexDelete]] is the tombstone side of
+    * the same triangle. The standing store is never re-tokenized.
     * Returns docs written (inserted + updated).
     */
   def indexAppend(batch: DataFrame, idCol: String, textCol: String,
-      dir: String): Long = {
+      dir: String): Long =
+   graft.sources.Commits.withWriterLock(batch.sparkSession, dir) {
     val spark = batch.sparkSession
     val hashed = batch.dropDuplicates(idCol)
       .withColumn("__ch",
@@ -175,7 +187,7 @@ object Search {
       }
       n
     } finally { fresh.unpersist(); () }
-  }
+   }
 
   /** Tombstone marker in the docs table's content_hash column — real
     * hashes are 64-hex sha256, so no collision is possible.
@@ -193,7 +205,8 @@ object Search {
     * physically drops tombstoned docs. Returns docs tombstoned.
     */
   def indexDelete(spark: org.apache.spark.sql.SparkSession, dir: String,
-      ids: DataFrame): Long = {
+      ids: DataFrame): Long =
+   graft.sources.Commits.withWriterLock(spark, dir) {
     val cur = currentDocs(spark, dir).getOrElse(return 0L)
     val victims = cur
       .filter(col("content_hash") =!= Tombstone)
@@ -212,38 +225,66 @@ object Search {
       }
       n
     } finally { victims.unpersist(); () }
-  }
+   }
 
   /** Compact the index to its LIVE state: current committed generation
     * of every non-tombstoned doc rewritten as batch 0,
     * superseded/orphan/deleted rows dropped. Offline maintenance op
-    * (single writer, no concurrent readers): the table swap and ledger
-    * reset are not one atomic step, so a reader racing the vacuum can
-    * briefly see no committed state.
+    * (writer-lease held, no concurrent readers). Crash safety: the
+    * stage is written COMPLETE — tables plus a staged `_commits/b0`
+    * ledger — before any live piece is replaced, and the swap replaces
+    * piece-by-piece via renames; a crash mid-swap is repaired by the
+    * next vacuum call, which detects the finished stage + missing live
+    * ledger and completes the outstanding renames instead of
+    * re-compacting tables that may already be gone.
     */
   def indexVacuum(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+      dir: String): Unit =
+   graft.sources.Commits.withWriterLock(spark, dir) {
+    val stage = s"$dir/_vacuum"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedLedger = new org.apache.hadoop.fs.Path(s"$stage/_commits/b0")
+    if (fs.exists(new org.apache.hadoop.fs.Path(stage))) {
+      if (fs.exists(stagedLedger) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_commits"))) {
+        // A previous vacuum crashed mid-swap: the stage holds the
+        // complete live copy; finish its renames and stop.
+        swapFromStage(fs, dir, stage)
+        return
+      }
+      // Incomplete stage (crash mid-stage-write) or a stage whose swap
+      // never started (live ledger intact): discard and re-vacuum.
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    }
     val cur = currentDocs(spark, dir).getOrElse(return)
       .filter(col("content_hash") =!= Tombstone)
     val curKeys = cur.select(col("doc_id"), col("batch"))
     val livePost = spark.read.parquet(s"$dir/postings")
       .join(curKeys, Seq("doc_id", "batch"))
-    val stage = s"$dir/_vacuum"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     livePost.withColumn("batch", lit(0L))
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.parquet(s"$stage/postings")
     cur.withColumn("batch", lit(0L)).write.parquet(s"$stage/docs")
-    Seq("postings", "docs", "_commits").foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$p"), true))
-    Seq("postings", "docs").foreach(p =>
-      fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$p"),
-        new org.apache.hadoop.fs.Path(s"$dir/$p")): Unit)
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    commitBatch(spark, dir, 0L)
+    graft.sources.Commits.commit(spark, stage, 0L)
+    swapFromStage(fs, dir, stage)
+   }
+
+  /** Replace the live tables + ledger with the staged copies, piece by
+    * piece; pieces already renamed by a crashed predecessor are left in
+    * place (their staged source is gone).
+    */
+  private def swapFromStage(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, stage: String): Unit = {
+    Seq("postings", "docs", "_commits").foreach { p =>
+      val src = new org.apache.hadoop.fs.Path(s"$stage/$p")
+      if (fs.exists(src)) {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$p"), true)
+        fs.rename(src, new org.apache.hadoop.fs.Path(s"$dir/$p")): Unit
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
   }
 
   private def committedBatches(spark: org.apache.spark.sql.SparkSession,
@@ -253,9 +294,18 @@ object Search {
       dir: String, batch: Long): Unit =
     graft.sources.Commits.commit(spark, dir, batch)
 
+  /** Fresh batch id: above every id present in EITHER table. The
+    * postings slice is written before the docs slice, so an append
+    * crashing between the two leaves a postings-only orphan that a
+    * docs-only allocator would not see — and would then re-allocate,
+    * doubling that batch's tf/df once the retry commits. Taking the max
+    * over both tables costs one extra footer-stats read and closes the
+    * window (crash-simulation test in SearchSpec).
+    */
   private def nextBatchId(spark: org.apache.spark.sql.SparkSession,
       dir: String): Long =
-    graft.sources.Commits.nextBatchId(spark, s"$dir/docs")
+    math.max(graft.sources.Commits.nextBatchId(spark, s"$dir/docs"),
+      graft.sources.Commits.nextBatchId(spark, s"$dir/postings"))
 
   /** CURRENT committed generation of every indexed doc:
     * (doc_id, dl, content_hash, batch). None when nothing committed.
@@ -274,11 +324,21 @@ object Search {
 
   private def writeSlice(docs: DataFrame, idCol: String, textCol: String,
       dir: String, batch: Long): Unit = {
+    writePostingsSlice(docs, idCol, textCol, dir, batch)
+    writeDocsSlice(docs, idCol, textCol, dir, batch)
+  }
+
+  /** Postings half of a slice write — the FIRST of the two appends, so
+    * a crash right after it is the partial-append state the allocator
+    * must count ([[nextBatchId]]); package-private so SearchSpec can
+    * simulate exactly that crash. Positions ride in each posting
+    * (sorted, 0-based): tf queries never read the column (parquet
+    * pruning), and phrase queries become per-doc position-list
+    * intersections instead of text rescans ([[phraseFromIndexTopK]]).
+    */
+  private[operators] def writePostingsSlice(docs: DataFrame, idCol: String,
+      textCol: String, dir: String, batch: Long): Unit = {
     val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
-    // Positions ride in each posting (sorted, 0-based): tf queries
-    // never read the column (parquet pruning), and phrase queries
-    // become per-doc position-list intersections instead of text
-    // rescans ([[phraseFromIndexTopK]]).
     docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("dl"),
         posexplode(col("__toks")).as(Seq("pos", "term")))
@@ -289,6 +349,11 @@ object Search {
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("append").parquet(s"$dir/postings")
+  }
+
+  private def writeDocsSlice(docs: DataFrame, idCol: String,
+      textCol: String, dir: String, batch: Long): Unit = {
+    val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
     docs.select(col(idCol).as("doc_id"), size(toks).as("dl"),
         graft.functions.HashFunctions.contentHash(col(textCol))
           .as("content_hash"),
@@ -365,8 +430,11 @@ object Search {
     val idCol = queryDoc.columns(0)
     val textCol = queryDoc.columns(1)
     val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
+    // Self-exclusion compares ids as STRINGS: buildIndex accepts any id
+    // type, and a lossy cast (e.g. long on an alphanumeric id) would
+    // null out the comparison and silently drop every hit.
     val qterms = queryDoc
-      .select(col(idCol).cast("long").as("__qid"), explode(toks).as("term"))
+      .select(col(idCol).cast("string").as("__qid"), explode(toks).as("term"))
       .groupBy(col("__qid"), col("term"))
       .agg(count(lit(1)).as("__qtf"))
       .withColumn("__rn", row_number().over(
@@ -383,7 +451,7 @@ object Search {
       .filter(col("batch").isin(committed: _*))
       .join(broadcast(qterms), Seq("term"))
       .join(cur.select(col("doc_id"), col("batch")), Seq("doc_id", "batch"))
-    val hits = hits0.filter(col("doc_id") =!= col("__qid"))
+    val hits = hits0.filter(col("doc_id").cast("string") =!= col("__qid"))
     val stats = cur
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val dfs = hits0.groupBy(col("term")).agg(count(lit(1)).as("__df"))

@@ -13,12 +13,22 @@ import org.apache.spark.sql.functions.{col, max}
   * every id PRESENT in the data (committed or orphaned — that is why
   * [[nextBatchId]] reads the raw parquet, not the ledger), so
   * at-least-once redelivery can never double a row under an id a
-  * reader will trust. Single-writer ingest assumed (the streaming
-  * sinks are serial foreachBatch).
+  * reader will trust.
   *
-  * `_commits` is underscore-prefixed, so Spark's parquet reader ignores
-  * it — the ledger can live INSIDE a parquet directory (the ANN store)
-  * or beside table subdirectories (the inverted index).
+  * SINGLE WRITER ENFORCED by [[withWriterLock]]: the ledger's id
+  * allocation is read-then-write, so two concurrent appends could
+  * allocate the same batch id and double rows under one committed
+  * marker. The reference gets this safety from Postgres
+  * (`/root/reference/db/postgres_store.py:126-182` `ON CONFLICT`
+  * upserts, `:26-43` `FOR UPDATE SKIP LOCKED` claims); the parquet
+  * stores get it from a create-exclusive `_lock` marker — a second
+  * writer fails loudly instead of corrupting, and a crashed writer's
+  * stale lock is overridden after a TTL.
+  *
+  * `_commits` and `_lock` are underscore-prefixed, so Spark's parquet
+  * reader ignores them — the ledger can live INSIDE a parquet
+  * directory (the ANN store) or beside table subdirectories (the
+  * inverted index).
   */
 object Commits {
 
@@ -49,13 +59,79 @@ object Commits {
 
   /** Next unused batch id: max `batch` present in the parquet data at
     * `dataPath` — orphans from crashed appends included, that is the
-    * point — plus one; 0 for a store that does not exist yet.
+    * point — plus one; 0 for a store that does not exist yet or holds
+    * zero rows (a build from an empty frame still writes the table).
     */
   def nextBatchId(spark: SparkSession, dataPath: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dataPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else spark.read.parquet(dataPath)
-      .agg(max(col("batch"))).head().getLong(0) + 1L
+    // "Does not exist yet" includes a directory holding only metadata
+    // (`_lock`/`_commits`) — acquiring the writer lease creates the
+    // store dir before the first parquet write lands in it.
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!hasData) 0L
+    else {
+      val row = spark.read.parquet(dataPath).agg(max(col("batch"))).head()
+      (if (row.isNullAt(0)) -1L else row.getLong(0)) + 1L
+    }
+  }
+
+  /** Default stale-lock TTL: generously above any single append/vacuum
+    * (minutes at 100 TB), far below "operator went home".
+    */
+  val DefaultLockTtlMs: Long = 30 * 60 * 1000L
+
+  /** Acquire the store's writer lease: create `<dir>/_lock` with
+    * create-exclusive semantics (atomic on HDFS and local FS — the
+    * create FAILS if the file exists, there is no check-then-create
+    * window). If a lock is already held, throws — unless its
+    * modification time is older than `staleTtlMs` (a crashed writer),
+    * in which case the stale lock is broken and taken over.
+    */
+  def acquireWriterLock(spark: SparkSession, dir: String,
+      staleTtlMs: Long = DefaultLockTtlMs): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_lock")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(p, false) // overwrite=false: create-exclusive
+        try out.write(
+          s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}"
+            .getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val age = try {
+        System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+      } catch {
+        // Holder released between our create and stat: retry below.
+        case _: java.io.FileNotFoundException => Long.MaxValue
+      }
+      if (age > staleTtlMs) fs.delete(p, false): Unit
+      if (!tryCreate())
+        throw new IllegalStateException(
+          s"another writer holds $dir/_lock (age ${age / 1000}s, " +
+            s"ttl ${staleTtlMs / 1000}s); concurrent writes to a " +
+            "generational store would double rows under one batch id")
+    }
+  }
+
+  /** Release the writer lease (no-op if absent). */
+  def releaseWriterLock(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_lock")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, false): Unit
+  }
+
+  /** Run `f` under the store's writer lease. */
+  def withWriterLock[T](spark: SparkSession, dir: String,
+      staleTtlMs: Long = DefaultLockTtlMs)(f: => T): T = {
+    acquireWriterLock(spark, dir, staleTtlMs)
+    try f finally releaseWriterLock(spark, dir)
   }
 }

@@ -209,6 +209,80 @@ class SearchSpec extends SparkSpec {
     assert(capped.nonEmpty && capped.forall(_ == 1))
   }
 
+  test("a postings-only orphan from a crashed append never doubles tf/df") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-crash")
+      .toString + "/index"
+    val (d1, d2) = (docs.filter(col("doc_id") <= 3),
+      docs.filter(col("doc_id") > 3))
+    Search.buildIndex(d1, "doc_id", "text", dir) // batch 0 committed
+    // Simulated crash: an append of d2 that died BETWEEN its two slice
+    // writes — the postings slice for batch 1 is on disk, the docs
+    // slice and the commit marker are not.
+    Search.writePostingsSlice(d2, "doc_id", "text", dir, 1L)
+    // The at-least-once redelivery of the same batch must allocate a
+    // FRESH id (the orphan postings make max(batch)=1 even though the
+    // docs table still tops out at 0), append under it, and commit.
+    assert(Search.indexAppend(d2, "doc_id", "text", dir) == 2L)
+    // No (term, doc_id) appears twice within any committed batch...
+    val committed = graft.sources.Commits.committed(spark, dir)
+    assert(committed.sorted == Seq(0L, 2L),
+      s"orphan batch id 1 must be skipped, got $committed")
+    val dupes = spark.read.parquet(s"$dir/postings")
+      .filter(col("batch").isin(committed: _*))
+      .groupBy("term", "doc_id", "batch").count().filter(col("count") > 1)
+    assert(dupes.isEmpty, "committed postings doubled under one batch")
+    // ...and the index answer equals the scan answer (tf/df intact).
+    val terms = Seq("spark", "vector")
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10).collect().toSeq
+      == Search.bm25TopK(docs, "doc_id", "text", terms, 10)
+        .collect().toSeq)
+  }
+
+  test("writer lease: a second writer fails loudly; stale locks break") {
+    import graft.sources.Commits
+    val dir = java.nio.file.Files.createTempDirectory("bm25-lock")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)
+    // Another writer holds the lease (acquired out-of-band, as a
+    // concurrent process would): every mutation must throw, and the
+    // store must be untouched.
+    Commits.acquireWriterLock(spark, dir)
+    val before = spark.read.parquet(s"$dir/docs").count()
+    val extra = Seq((9L, "vector spark extra")).toDF("doc_id", "text")
+    intercept[IllegalStateException] {
+      Search.indexAppend(extra, "doc_id", "text", dir)
+    }
+    intercept[IllegalStateException] {
+      Search.indexDelete(spark, dir, Seq(1L).toDF("doc_id"))
+    }
+    intercept[IllegalStateException] { Search.indexVacuum(spark, dir) }
+    assert(spark.read.parquet(s"$dir/docs").count() == before)
+    // Released → the same mutation succeeds.
+    Commits.releaseWriterLock(spark, dir)
+    assert(Search.indexAppend(extra, "doc_id", "text", dir) == 1L)
+    // A crashed writer's stale lock (older than the TTL) is broken.
+    Commits.acquireWriterLock(spark, dir)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 60 * 60 * 1000L
+    fs.setTimes(lock, old, old)
+    assert(Search.indexDelete(spark, dir, Seq(9L).toDF("doc_id")) == 1L)
+  }
+
+  test("moreLikeThisTopK works on non-numeric doc ids") {
+    val sdocs = Seq(("alpha", "spark engine spark"),
+      ("beta", "spark engine"), ("gamma", "row scan"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mlt-str")
+      .toString + "/index"
+    Search.buildIndex(sdocs, "doc_id", "text", dir)
+    val got = Search.moreLikeThisTopK(spark, dir,
+      sdocs.filter(col("doc_id") === "alpha").select("doc_id", "text"),
+      k = 10).select("doc_id").as[String].collect().toSeq
+    assert(got == Seq("beta"),
+      s"string-id MLT must match doc beta and exclude alpha: $got")
+  }
+
   test("indexDelete tombstones docs out of scoring; re-append resurrects") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-del")
       .toString + "/index"

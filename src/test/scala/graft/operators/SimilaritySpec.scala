@@ -118,4 +118,24 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxGroups"))
   }
+
+  test("ANN store writer lease: a concurrent second writer fails loudly") {
+    import graft.sources.Commits
+    val dir = java.nio.file.Files.createTempDirectory("ann-lock")
+      .toString + "/idx"
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("id", "vec")
+    assert(Similarity.annStoreAppend(vecs, dir, planes = 4, dims = 2) == 2L)
+    Commits.acquireWriterLock(spark, dir)
+    intercept[IllegalStateException] {
+      Similarity.annStoreAppend(
+        Seq((3L, Seq(1.0f, 1.0f))).toDF("id", "vec"), dir, 4, 2)
+    }
+    intercept[IllegalStateException] {
+      Similarity.annStoreDelete(spark, dir, Seq(1L).toDF("id"))
+    }
+    Commits.releaseWriterLock(spark, dir)
+    assert(Similarity.annStoreAppend(
+      Seq((3L, Seq(1.0f, 1.0f))).toDF("id", "vec"), dir, 4, 2) == 1L)
+  }
 }
