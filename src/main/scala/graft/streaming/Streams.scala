@@ -147,7 +147,10 @@ object Streams {
     *
     * Plain parquet can't be read and overwritten in one job, so each
     * batch writes a fresh state dir and swaps a `_current` pointer —
-    * the stand-in for a transactional format's atomic commit.
+    * the stand-in for a transactional format's atomic commit. All
+    * pointer/state plumbing goes through the Hadoop `FileSystem` API
+    * (like `Store`/`Search`/`Similarity`), so the store runs against
+    * HDFS/object storage on a real cluster, not just the local disk.
     */
   def mergeSink(stream: DataFrame, targetDir: String, key: String,
       checkpointDir: String): StreamingQuery =
@@ -163,14 +166,18 @@ object Streams {
   def mergeBatch(batch: DataFrame, targetDir: String, key: String,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val state = s"state_$batchId"
+    // Redelivery after a COMPLETED commit: `_current` already points at
+    // this batch's state, so re-merging would read and overwrite the
+    // same files (Spark rejects that plan). The state is final — the
+    // replayed batch carries the same rows — so keep it as-is.
+    if (currentStateName(targetDir).contains(state)) return
     val merged = readState(spark, targetDir) match {
       case Some(target) => Upsert.merge(target, batch, key)
       case None => batch
     }
-    val next = new java.io.File(targetDir, s"state_$batchId").toString
-    merged.write.mode("overwrite").parquet(next)
-    val ptr = new java.io.File(targetDir, "_current").toPath
-    java.nio.file.Files.write(ptr, s"state_$batchId".getBytes("UTF-8"))
+    merged.write.mode("overwrite").parquet(stateDirPath(targetDir, state))
+    writePointer(targetDir, state)
   }
 
   // ---- near-dup-suppressing ingest sink -----------------------------------
@@ -342,13 +349,14 @@ object Streams {
         case Some(st) =>
           val n = st.join(victims, Seq(idCol), "left_semi").count()
           if (n > 0) {
-            val next = new java.io.File(storeDir,
-              s"state_del_$batchId").toString
+            // `state_del_<b>` keeps the takedown's provenance visible
+            // in the layout; [[vacuum]] reclaims these like any other
+            // state (recency is creation order, not a name parse) and
+            // [[rollbackToState]] can target them by name.
+            val state = s"state_del_$batchId"
             st.join(victims, Seq(idCol), "left_anti")
-              .write.mode("overwrite").parquet(next)
-            val ptr = new java.io.File(storeDir, "_current").toPath
-            java.nio.file.Files.write(ptr,
-              s"state_del_$batchId".getBytes("UTF-8"))
+              .write.mode("overwrite").parquet(stateDirPath(storeDir, state))
+            writePointer(storeDir, state)
           }
           n
         case None => 0L
@@ -494,15 +502,64 @@ object Streams {
     graft.sources.Store.writeJdbc(fresh, url, table, options)
   }
 
+  // ---- pointer-swap state-store plumbing (Hadoop FileSystem) ---------------
+  //
+  // Every path below goes through `hadoop.fs` like the other stores
+  // (Store/Search/Similarity/Commits) so the merge store, its
+  // rollback/vacuum, and the takedown fan-out run against whatever
+  // filesystem the cluster mounts, not just local disk. The `_current`
+  // pointer is COMMITTED by rename: write `_current.tmp`, rename over
+  // the old pointer (atomic on HDFS and local FS; object stores degrade
+  // to copy+delete of one tiny object).
+
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  private def fsFor(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(hadoopConf)
+
+  /** Fully-qualified path of `<targetDir>/<state>` (scheme preserved). */
+  private def stateDirPath(targetDir: String, state: String): String =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(targetDir), state).toString
+
+  /** Name of the state dir `_current` points at, if the pointer exists. */
+  def currentStateName(targetDir: String): Option[String] = {
+    val ptr = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(targetDir), "_current")
+    val fs = fsFor(ptr)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  /** Commit `_current` -> `state`: temp write + rename over the old
+    * pointer, so a reader never sees a half-written pointer file.
+    */
+  private def writePointer(targetDir: String, state: String): Unit = {
+    val root0 = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = fsFor(root0)
+    fs.mkdirs(root0)
+    val root = fs.makeQualified(root0)
+    val tmp = new org.apache.hadoop.fs.Path(root, "_current.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(state.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, hadoopConf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(root, "_current"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** The current merged state under a mergeSink target, if any. */
   def readState(spark: org.apache.spark.sql.SparkSession,
-      targetDir: String): Option[DataFrame] = {
-    val ptr = new java.io.File(targetDir, "_current").toPath
-    if (java.nio.file.Files.exists(ptr)) {
-      val name = new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8")
-      Some(spark.read.parquet(new java.io.File(targetDir, name).toString))
-    } else None
-  }
+      targetDir: String): Option[DataFrame] =
+    currentStateName(targetDir)
+      .map(name => spark.read.parquet(stateDirPath(targetDir, name)))
 
   /** Roll a versioned state store (merge sink / CMS sink) back to
     * `batchId`: repoint `_current` at `state_<batchId>`. Later states
@@ -511,43 +568,46 @@ object Streams {
     * bad-batch recovery lever the versioned layout exists for —
     * rollback is a one-line pointer move, not a data rewrite.
     */
-  def rollbackTo(targetDir: String, batchId: Long): Unit = {
-    val state = new java.io.File(targetDir, s"state_$batchId")
-    require(state.isDirectory, s"no state_$batchId under $targetDir")
-    java.nio.file.Files.write(
-      new java.io.File(targetDir, "_current").toPath,
-      s"state_$batchId".getBytes("UTF-8")): Unit
+  def rollbackTo(targetDir: String, batchId: Long): Unit =
+    rollbackToState(targetDir, s"state_$batchId")
+
+  /** General form of [[rollbackTo]] addressing a state dir by NAME —
+    * the takedown fan-out's `state_del_<b>` states have no numeric
+    * `state_<k>` alias, so this is how a store is pinned back to (or
+    * audited at) the post-takedown snapshot.
+    */
+  def rollbackToState(targetDir: String, state: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(targetDir), state)
+    val fs = fsFor(p)
+    require(fs.exists(p) && fs.getFileStatus(p).isDirectory,
+      s"no $state under $targetDir")
+    writePointer(targetDir, state)
   }
 
-  /** VACUUM a versioned state store: delete every `state_<k>` except
-    * the `keep` most recent AND the one `_current` points at (audit /
+  /** VACUUM a versioned state store: delete every state dir except the
+    * `keep` most recent AND the one `_current` points at (audit /
     * rollback headroom stays bounded instead of growing one full state
-    * copy per batch forever). Never touches `_current` or newer states
-    * a rollback might re-advance to; returns the deleted batch ids.
+    * copy per batch forever). Recency is CREATION order (modification
+    * time, name tie-break), so takedown states (`state_del_<b>`) age
+    * out exactly like merge states instead of accumulating forever.
+    * Never touches `_current` or newer states a rollback might
+    * re-advance to; returns the deleted states' batch ids.
     */
   def vacuum(targetDir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
-    val root = new java.io.File(targetDir)
-    val ptr = new java.io.File(root, "_current").toPath
-    val current: Option[String] =
-      if (java.nio.file.Files.exists(ptr))
-        Some(new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8"))
-      else None
-    val states = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("state_"))
-      .flatMap(f => f.getName.stripPrefix("state_").toLongOption
-        .map(_ -> f))
-      .sortBy(_._1)
+    val root = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = fsFor(root)
+    if (!fs.exists(root)) return Seq.empty
+    val current = currentStateName(targetDir)
+    val states = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("state_"))
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
     val doomed = states.dropRight(keep)
-      .filterNot { case (_, f) => current.contains(f.getName) }
-    doomed.foreach { case (_, f) =>
-      def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-        x.delete(): Unit
-      }
-      rm(f)
-    }
-    doomed.map(_._1).toSeq
+      .filterNot(s => current.contains(s.getPath.getName))
+    doomed.foreach(s => fs.delete(s.getPath, true))
+    doomed.map(s => s.getPath.getName.stripPrefix("state_")
+      .stripPrefix("del_").toLongOption.getOrElse(-1L))
   }
 
   // ---- standing count-min sketch ingest -----------------------------------
@@ -583,23 +643,25 @@ object Streams {
     val spark = batch.sparkSession
     val delta = graft.operators.Sketch.cmsBuckets(batch, itemCol, depth,
       width)
-    val dir = new java.io.File(targetDir)
-    dir.mkdirs()
-    val prev = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("state_"))
-      .map(_.getName.stripPrefix("state_").toLong)
+    val root = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = fsFor(root)
+    fs.mkdirs(root)
+    // Predecessor = largest NUMERIC state below this batch id (the
+    // bucket-add replay contract); takedown-style named states never
+    // appear in a CMS store and would not parse anyway.
+    val prev = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("state_"))
+      .flatMap(_.getPath.getName.stripPrefix("state_").toLongOption)
       .filter(_ < batchId)
       .sorted.lastOption
-      .map(k => spark.read.parquet(
-        new java.io.File(targetDir, s"state_$k").toString))
+      .map(k => spark.read.parquet(stateDirPath(targetDir, s"state_$k")))
     val merged = prev match {
       case Some(cur) => cur.unionByName(delta)
         .groupBy(col("d"), col("b")).agg(sum(col("s")).as("s"))
       case None => delta
     }
-    val next = new java.io.File(targetDir, s"state_$batchId").toString
-    merged.write.mode("overwrite").parquet(next)
-    val ptr = new java.io.File(targetDir, "_current").toPath
-    java.nio.file.Files.write(ptr, s"state_$batchId".getBytes("UTF-8")): Unit
+    merged.write.mode("overwrite")
+      .parquet(stateDirPath(targetDir, s"state_$batchId"))
+    writePointer(targetDir, s"state_$batchId")
   }
 }

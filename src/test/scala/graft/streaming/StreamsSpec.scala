@@ -241,6 +241,74 @@ class StreamsSpec extends SparkSpec {
       val again = Streams.readState(spark, dir).get
         .select("doc_id", "text").as[(Long, String)].collect().toMap
       assert(again == got)
+      // Redelivery of the LAST committed batch (crash after pointer
+      // swap, before the checkpoint advanced): _current already points
+      // at state_99 — the replay must keep it rather than read-and-
+      // overwrite the same files.
+      assert(Streams.currentStateName(dir).contains("state_99"))
+      Streams.mergeBatch(hashed(Seq(2L -> "two v2", 3L -> "three")),
+        dir, "doc_id", batchId = 99L)
+      assert(Streams.readState(spark, dir).get
+        .select("doc_id", "text").as[(Long, String)].collect().toMap == got)
     } finally q.stop()
+  }
+
+  test("state store runs through an explicit file:/// URI (Hadoop FS path)") {
+    // The pointer-swap family must work against a filesystem addressed
+    // by URI, the way a cluster addresses object storage — no
+    // local-path java.io assumptions anywhere in the chain.
+    val dir = "file://" +
+      java.nio.file.Files.createTempDirectory("graft-uri").toString + "/store"
+    def hashed(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("content_hash", HashFunctions.contentHash(col("text")))
+    Streams.mergeBatch(hashed(Seq(1L -> "one", 2L -> "two")), dir,
+      "doc_id", 0L)
+    Streams.mergeBatch(hashed(Seq(2L -> "two v2")), dir, "doc_id", 1L)
+    assert(Streams.readState(spark, dir).get
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+      == Map(1L -> "one", 2L -> "two v2"))
+    Streams.rollbackTo(dir, 0L)
+    assert(Streams.readState(spark, dir).get
+      .select("text").as[String].collect().toSet == Set("one", "two"))
+    Streams.rollbackTo(dir, 1L)
+    // Vacuum over the URI store: state_0 is older than the keep set.
+    Streams.mergeBatch(hashed(Seq(3L -> "three")), dir, "doc_id", 2L)
+    assert(Streams.vacuum(dir, keep = 2) == Seq(0L))
+    assert(Streams.readState(spark, dir).get.count() == 3)
+  }
+
+  test("vacuum reclaims takedown states; rollbackToState targets them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-del")
+      .toString + "/store"
+    def hashed(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("content_hash", HashFunctions.contentHash(col("text")))
+    val (idx, ann) = (
+      java.nio.file.Files.createTempDirectory("graft-del-i").toString + "/i",
+      java.nio.file.Files.createTempDirectory("graft-del-a").toString + "/a")
+    Streams.mergeBatch(hashed(Seq(1L -> "one", 2L -> "two")), dir,
+      "doc_id", 0L)
+    // Takedown writes state_del_7 and repoints _current at it.
+    val (nStore, _, _) = Streams.fanoutDeleteBatch(Seq(2L).toDF("doc_id"),
+      7L, dir, idx, ann)
+    assert(nStore == 1L)
+    assert(Streams.currentStateName(dir).contains("state_del_7"))
+    // A later merge advances past the takedown state...
+    Streams.mergeBatch(hashed(Seq(3L -> "three")), dir, "doc_id", 1L)
+    Streams.mergeBatch(hashed(Seq(4L -> "four")), dir, "doc_id", 2L)
+    // ...and vacuum ages it out by recency like any numeric state
+    // (state_0 and state_del_7 are the two oldest of four).
+    assert(Streams.vacuum(dir, keep = 2).toSet == Set(0L, 7L))
+    assert(Streams.readState(spark, dir).get
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    // rollbackToState can pin the store to a surviving named state.
+    Streams.mergeBatch(hashed(Seq(5L -> "five")), dir, "doc_id", 3L)
+    Streams.rollbackToState(dir, "state_2")
+    assert(Streams.readState(spark, dir).get
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      Streams.rollbackToState(dir, "state_del_99")
+    }
   }
 }
