@@ -385,6 +385,16 @@ object Search {
       .join(cur.select(col("doc_id"), col("batch")), Seq("doc_id", "batch"))
     val stats = cur
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    scoreHits(hits, stats, k, k1, b)
+  }
+
+  /** Shared BM25 scoring tail over a resolved hit set (doc_id, tf, dl):
+    * per-term df as one tiny aggregate broadcast back on term, the
+    * one-row corpus stats broadcast, per-(doc, term) contributions in
+    * exact micro-units, ONE doc_id hash-shuffle to sum them.
+    */
+  private def scoreHits(hits: DataFrame, stats: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
     val dfs = hits.groupBy(col("term"))
       .agg(count(lit(1)).as("__df"))
     val n = col("n_docs").cast("double")
@@ -406,6 +416,53 @@ object Search {
         sum(col("__contrib")).as("score_1e6"))
       .orderBy(col("score_1e6").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Materialize the index's CURRENT live postings as a TERM-BUCKETED
+    * catalog table at `dir/postings_bucketed` — the zero-exchange probe
+    * layout [[buildIndex]]'s scaladoc points at for 100 TB (same lever
+    * as `Store.writeBucketed`). Generation resolution happens ONCE here
+    * (committed batches only, each doc's max batch, tombstones
+    * dropped), so probes skip both the currentDocs join and the batch
+    * filter; a term predicate prunes whole BUCKETS (hash(term) picks
+    * the files) instead of row groups, and the probe-side df aggregate
+    * reads pre-hashed buckets with no exchange. The table is a
+    * SNAPSHOT: rebuild after appends, like any index compaction —
+    * the sorted-parquet path stays the always-fresh default.
+    */
+  def bucketPostings(spark: org.apache.spark.sql.SparkSession,
+      dir: String, table: String, numBuckets: Int = 32): Unit = {
+    val committed = committedBatches(spark, dir)
+    require(committed.nonEmpty, s"no committed index state under $dir")
+    val cur = currentDocs(spark, dir).get
+      .filter(col("content_hash") =!= Tombstone)
+      .select(col("doc_id"), col("batch"))
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("batch").isin(committed: _*))
+      .join(cur, Seq("doc_id", "batch"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$dir/postings_bucketed")
+      .bucketBy(numBuckets, "term")
+      .sortBy("term")
+      .saveAsTable(table)
+  }
+
+  /** [[bm25FromIndexTopK]] answered from the [[bucketPostings]] table:
+    * bit-identical result (same resolved postings, same scoring tail),
+    * but the postings side plans NO shuffle exchange — the term filter
+    * selects buckets and the df aggregate reuses the bucket hashing
+    * (pinned by PlanRegressionSpec).
+    */
+  def bm25FromBucketedIndexTopK(spark: org.apache.spark.sql.SparkSession,
+      dir: String, table: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val cur = currentDocs(spark, dir).get
+      .filter(col("content_hash") =!= Tombstone)
+    val hits = spark.table(table).filter(col("term").isin(queryTerms: _*))
+    val stats = cur
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    scoreHits(hits, stats, k, k1, b)
   }
 
   /** MORE-LIKE-THIS top-k — BM25 where the query is a whole DOCUMENT's
@@ -485,19 +542,30 @@ object Search {
     * inputs are top-`kEach` lists — constant-size driver-independent
     * frames — so the fusion join is trivially broadcastable whatever
     * the corpus size.
+    *
+    * `multiprobe` is the recall lever on the vector side: probe every
+    * bucket one hyperplane-flip away too
+    * ([[graft.operators.Similarity.annStoreTopKProbed]]), so the
+    * fusion's embedding evidence does not silently depend on which
+    * side of a single hyperplane a neighbor fell — planes+1 bucket
+    * reads instead of one.
     */
   def hybridTopK(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, annDir: String, queryTerms: Seq[String],
       queryVec: DataFrame, planes: Int, dims: Int, k: Int,
-      kEach: Int = 20, rrfK: Int = 60): DataFrame = {
+      kEach: Int = 20, rrfK: Int = 60,
+      multiprobe: Boolean = false): DataFrame = {
     val bm = bm25FromIndexTopK(spark, indexDir, queryTerms, kEach)
       .withColumn("r_bm25", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score_1e6").desc, col("doc_id"))))
       .select(col("doc_id"), col("r_bm25"))
-    val ann = graft.operators.Similarity
-      .annStoreTopK(spark, annDir, queryVec, planes, dims, kEach)
-      .select(col("cid").as("doc_id"), col("rnk").as("r_ann"))
+    val annTop =
+      if (multiprobe) graft.operators.Similarity
+        .annStoreTopKProbed(spark, annDir, queryVec, planes, dims, kEach)
+      else graft.operators.Similarity
+        .annStoreTopK(spark, annDir, queryVec, planes, dims, kEach)
+    val ann = annTop.select(col("cid").as("doc_id"), col("rnk").as("r_ann"))
     bm.join(ann, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         (coalesce(round(lit(1e6) / (lit(rrfK) + col("r_bm25")))

@@ -22,6 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
+  /** Session-scoped root for the standing-store queries' scratch
+    * stores. Each query reuses ONE fixed subdir per name — wiped
+    * before reuse — so repeated bench/verify passes stop leaking a
+    * full store copy to /tmp per execution, and the whole root goes
+    * away on JVM exit.
+    */
+  private lazy val storeRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-stores")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p.toFile)))
+    p
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  private def storeDir(name: String): String = {
+    val d = storeRoot.resolve(name)
+    deleteRec(d.toFile)
+    d.toString
+  }
+
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
   private def nearDupCorpus(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text")).unionByName(
@@ -187,21 +210,95 @@ object LlmQueries {
       .replace("WHERE b.id < 10", "WHERE b.id = 5")
     val annChain = annChain0.substring(0,
       annChain0.lastIndexOf("SELECT qid, cid, score, rnk"))
-    bmChain + annChain +
-      """,bmtop AS (
-        |  SELECT doc_id,
-        |    row_number() OVER (ORDER BY score_1e6 DESC, doc_id) AS r_bm25
-        |  FROM s WHERE n_matched > 0
-        |  ORDER BY score_1e6 DESC, doc_id LIMIT 20),
-        |anntop AS (SELECT cid, rnk FROM r WHERE rnk <= 20),
-        |f AS (
-        |  SELECT coalesce(b.doc_id, a.cid) AS doc_id,
-        |    coalesce(round(1e6 / (60 + b.r_bm25))::BIGINT, 0) +
-        |    coalesce(round(1e6 / (60 + a.rnk))::BIGINT, 0) AS rrf_1e6
-        |  FROM bmtop b FULL OUTER JOIN anntop a ON a.cid = b.doc_id)
-        |SELECT doc_id, rrf_1e6 FROM f
-        |ORDER BY rrf_1e6 DESC, doc_id LIMIT 10""".stripMargin
+    bmChain + annChain + RrfFusionTail
   }
+
+  /** RRF fusion tail shared by the hybrid oracles: top-20 rank lists
+    * from the BM25 chain's `s` and the ANN chain's `r`, fused by
+    * `round(1e6/(60+rank))` micro-units (missing side contributes 0).
+    */
+  private val RrfFusionTail =
+    """,bmtop AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY score_1e6 DESC, doc_id) AS r_bm25
+      |  FROM s WHERE n_matched > 0
+      |  ORDER BY score_1e6 DESC, doc_id LIMIT 20),
+      |anntop AS (SELECT cid, rnk FROM r WHERE rnk <= 20),
+      |f AS (
+      |  SELECT coalesce(b.doc_id, a.cid) AS doc_id,
+      |    coalesce(round(1e6 / (60 + b.r_bm25))::BIGINT, 0) +
+      |    coalesce(round(1e6 / (60 + a.rnk))::BIGINT, 0) AS rrf_1e6
+      |  FROM bmtop b FULL OUTER JOIN anntop a ON a.cid = b.doc_id)
+      |SELECT doc_id, rrf_1e6 FROM f
+      |ORDER BY rrf_1e6 DESC, doc_id LIMIT 10""".stripMargin
+
+  /** [[HybridRrfSql]] with the ANN side replaced by the MULTI-PROBE
+    * chain — the oracle for hybrid fusion with the recall lever on.
+    */
+  private lazy val HybridRrfMultiprobeSql: String = {
+    val bmChain = Bm25IndexSql.substring(0,
+      Bm25IndexSql.lastIndexOf("SELECT doc_id, n_matched"))
+    val annChain0 = AnnMultiprobeSql
+      .replace("WITH w AS (", ",w AS (")
+      .replace("WHERE id < 10", "WHERE id = 5")
+    val annChain = annChain0.substring(0,
+      annChain0.lastIndexOf("SELECT qid, cid, score, rnk"))
+    bmChain + annChain + RrfFusionTail
+  }
+
+  /** Oracle for the MULTI-PROBE ANN queries: like [[AnnRoundtripSql]]
+    * but each query also probes the planes one-flip buckets, candidate
+    * pairs deduped before scoring — the exact mirror of
+    * `Similarity.annStoreTopKProbed`.
+    */
+  private val AnnMultiprobeSql =
+    """WITH w AS (
+        |  SELECT p.plane, dd.dim,
+        |    CASE WHEN ('0x'||substr(md5('hp:'||p.plane||':'||dd.dim),1,15))::BIGINT
+        |              % 2 = 1 THEN 1.0 ELSE -1.0 END AS w
+        |  FROM (SELECT unnest(range(0, 8)) AS plane) p,
+        |       (SELECT unnest(range(1, 65)) AS dim) dd),
+        |comps AS (
+        |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+        |         unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |proj AS (
+        |  SELECT c.id, w.plane, sum(c.x * w.w) AS proj
+        |  FROM comps c JOIN w ON w.dim = c.dim GROUP BY c.id, w.plane),
+        |buckets AS (
+        |  SELECT id, sum(CASE WHEN proj > 0 THEN 1::BIGINT << plane
+        |                      ELSE 0::BIGINT END) AS bucket
+        |  FROM proj GROUP BY id),
+        |vs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dq AS (SELECT id,
+        |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x / scale) * scale)
+        |         END AS v
+        |       FROM (SELECT id, v,
+        |               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |             FROM vs)),
+        |qb AS (SELECT id AS qid, bucket FROM buckets WHERE id < 10),
+        |probed AS (
+        |  SELECT qid, bucket FROM qb
+        |  UNION ALL
+        |  SELECT qid, xor(bucket, 1::BIGINT << p.plane) AS bucket
+        |  FROM qb, (SELECT unnest(range(0, 8)) AS plane) p),
+        |cands AS (
+        |  SELECT DISTINCT q.qid, b.id AS cid
+        |  FROM probed q JOIN buckets b ON b.bucket = q.bucket
+        |  WHERE b.id <> q.qid),
+        |scores AS (
+        |  SELECT qid, cid,
+        |    round(list_inner_product(a.v, b.v) /
+        |      (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+        |      6) AS score
+        |  FROM cands JOIN vs a ON a.id = qid JOIN dq b ON b.id = cid),
+        |r AS (SELECT qid, cid, score,
+        |        row_number() OVER (PARTITION BY qid
+        |                           ORDER BY score DESC, cid) AS rnk
+        |      FROM scores)
+        |SELECT qid, cid, score, rnk FROM r WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin
 
   /** Generated oracle prefix shared by the MinHash queries: signatures
     * from the SAME universal-hash coefficients as the Spark side, LSH
@@ -539,8 +636,7 @@ object LlmQueries {
       AnnRoundtripSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-ann")
-        .toString + "/idx"
+      val dir = storeDir("ann-rt") + "/idx"
       Similarity.annStoreAppend(emb, dir, planes = 8, dims = 64)
       Similarity.annStoreTopK(s, dir,
         emb.filter(col("id") < 10), planes = 8, dims = 64, k = 3)
@@ -560,8 +656,7 @@ object LlmQueries {
       AnnRoundtripSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-ann-up")
-        .toString + "/idx"
+      val dir = storeDir("ann-up") + "/idx"
       val stale = emb.withColumn("vec",
         when(col("id") % 5 === 0, transform(col("vec"), x => -x))
           .otherwise(col("vec")))
@@ -582,57 +677,10 @@ object LlmQueries {
     // candidate pairs, and scores the same exact-vs-dequantized cosine.
     QueryDef(
       "sim_ann_multiprobe",
-      """WITH w AS (
-        |  SELECT p.plane, dd.dim,
-        |    CASE WHEN ('0x'||substr(md5('hp:'||p.plane||':'||dd.dim),1,15))::BIGINT
-        |              % 2 = 1 THEN 1.0 ELSE -1.0 END AS w
-        |  FROM (SELECT unnest(range(0, 8)) AS plane) p,
-        |       (SELECT unnest(range(1, 65)) AS dim) dd),
-        |comps AS (
-        |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
-        |         unnest(embedding::DOUBLE[]) AS x
-        |  FROM embeddings),
-        |proj AS (
-        |  SELECT c.id, w.plane, sum(c.x * w.w) AS proj
-        |  FROM comps c JOIN w ON w.dim = c.dim GROUP BY c.id, w.plane),
-        |buckets AS (
-        |  SELECT id, sum(CASE WHEN proj > 0 THEN 1::BIGINT << plane
-        |                      ELSE 0::BIGINT END) AS bucket
-        |  FROM proj GROUP BY id),
-        |vs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        |dq AS (SELECT id,
-        |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
-        |              ELSE list_transform(v, x -> round(x / scale) * scale)
-        |         END AS v
-        |       FROM (SELECT id, v,
-        |               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-        |             FROM vs)),
-        |qb AS (SELECT id AS qid, bucket FROM buckets WHERE id < 10),
-        |probed AS (
-        |  SELECT qid, bucket FROM qb
-        |  UNION ALL
-        |  SELECT qid, xor(bucket, 1::BIGINT << p.plane) AS bucket
-        |  FROM qb, (SELECT unnest(range(0, 8)) AS plane) p),
-        |cands AS (
-        |  SELECT DISTINCT q.qid, b.id AS cid
-        |  FROM probed q JOIN buckets b ON b.bucket = q.bucket
-        |  WHERE b.id <> q.qid),
-        |scores AS (
-        |  SELECT qid, cid,
-        |    round(list_inner_product(a.v, b.v) /
-        |      (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
-        |      6) AS score
-        |  FROM cands JOIN vs a ON a.id = qid JOIN dq b ON b.id = cid),
-        |r AS (SELECT qid, cid, score,
-        |        row_number() OVER (PARTITION BY qid
-        |                           ORDER BY score DESC, cid) AS rnk
-        |      FROM scores)
-        |SELECT qid, cid, score, rnk FROM r WHERE rnk <= 3
-        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      AnnMultiprobeSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-ann")
-        .toString + "/idx"
+      val dir = storeDir("ann-mp") + "/idx"
       Similarity.annStoreAppend(emb, dir, planes = 8, dims = 64)
       Similarity.annStoreTopKProbed(s, dir,
         emb.filter(col("id") < 10), planes = 8, dims = 64, k = 3)
@@ -1244,8 +1292,7 @@ object LlmQueries {
       "search_bm25_index_topk",
       Bm25IndexSql) { (s, d) =>
       import graft.operators.Search
-      val dir = java.nio.file.Files.createTempDirectory("graft-bm25")
-        .toString + "/index"
+      val dir = storeDir("bm25") + "/index"
       Search.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
       Search.bm25FromIndexTopK(s, dir,
         Seq("spark", "vector", "stream", "merge"), k = 10)
@@ -1260,10 +1307,8 @@ object LlmQueries {
       "search_hybrid_rrf",
       HybridRrfSql) { (s, d) =>
       import graft.operators.{Search, Similarity}
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-hyb-i")
-        .toString + "/index"
-      val annDir = java.nio.file.Files.createTempDirectory("graft-hyb-a")
-        .toString + "/ann"
+      val idxDir = storeDir("hyb-i") + "/index"
+      val annDir = storeDir("hyb-a") + "/ann"
       Search.buildIndex(Tables.documents(s, d), "doc_id", "text", idxDir)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -1271,6 +1316,45 @@ object LlmQueries {
       Search.hybridTopK(s, idxDir, annDir,
         Seq("spark", "vector", "stream", "merge"),
         emb.filter(col("id") === 5L), planes = 8, dims = 64, k = 10)
+    },
+
+    // HYBRID retrieval with the MULTI-PROBE recall lever on the vector
+    // side: same RRF fusion, but the ANN list probes the planes+1
+    // one-flip buckets (Similarity.annStoreTopKProbed), so a neighbor
+    // across one hyperplane still contributes embedding evidence.
+    // Oracle = the multiprobe ANN chain spliced with the BM25 chain,
+    // fused with the same formula.
+    QueryDef(
+      "search_hybrid_rrf_multiprobe",
+      HybridRrfMultiprobeSql) { (s, d) =>
+      import graft.operators.{Search, Similarity}
+      val idxDir = storeDir("hyb-mp-i") + "/index"
+      val annDir = storeDir("hyb-mp-a") + "/ann"
+      Search.buildIndex(Tables.documents(s, d), "doc_id", "text", idxDir)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.annStoreAppend(emb, annDir, planes = 8, dims = 64)
+      Search.hybridTopK(s, idxDir, annDir,
+        Seq("spark", "vector", "stream", "merge"),
+        emb.filter(col("id") === 5L), planes = 8, dims = 64, k = 10,
+        multiprobe = true)
+    },
+
+    // BM25 probe over the TERM-BUCKETED postings layout — the 100-TB
+    // probe path the index scaladoc promises: bucketPostings resolves
+    // generations once and lays postings out hash(term)-bucketed, so
+    // the probe reads selected buckets with NO shuffle exchange on the
+    // postings side (PlanRegressionSpec pins the plan shape). Same
+    // oracle as the sorted layout — answers must be hash-identical.
+    QueryDef(
+      "search_bm25_index_bucketed",
+      Bm25IndexSql) { (s, d) =>
+      import graft.operators.Search
+      val dir = storeDir("bm25-bk") + "/index"
+      Search.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
+      Search.bucketPostings(s, dir, "graft_postings_bucketed")
+      Search.bm25FromBucketedIndexTopK(s, dir, "graft_postings_bucketed",
+        Seq("spark", "vector", "stream", "merge"), k = 10)
     },
 
     // MORE-LIKE-THIS: BM25 where the query is doc 42's whole
@@ -1318,8 +1402,7 @@ object LlmQueries {
         |SELECT doc_id, n_matched, score_1e6 FROM s
         |ORDER BY score_1e6 DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
       import graft.operators.Search
-      val dir = java.nio.file.Files.createTempDirectory("graft-mlt")
-        .toString + "/index"
+      val dir = storeDir("mlt") + "/index"
       val base = Tables.documents(s, d)
       Search.buildIndex(base, "doc_id", "text", dir)
       Search.moreLikeThisTopK(s, dir,
@@ -1336,8 +1419,7 @@ object LlmQueries {
       Bm25IndexSql.replace("FROM documents)",
         "FROM documents WHERE doc_id % 11 <> 0)")) { (s, d) =>
       import graft.operators.Search
-      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-del")
-        .toString + "/index"
+      val dir = storeDir("bm25-del") + "/index"
       val base = Tables.documents(s, d)
       Search.buildIndex(base, "doc_id", "text", dir)
       val victims = base.filter(col("doc_id") % 11 === 0)
@@ -1363,8 +1445,7 @@ object LlmQueries {
       "search_bm25_index_upsert",
       Bm25IndexSql) { (s, d) =>
       import graft.operators.Search
-      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-up")
-        .toString + "/index"
+      val dir = storeDir("bm25-up") + "/index"
       val base = Tables.documents(s, d)
       val stale = base.withColumn("text",
         when(col("doc_id") % 7 === 0,
@@ -1562,8 +1643,7 @@ object LlmQueries {
         |SELECT doc_id, tf_phrase FROM p WHERE tf_phrase > 0
         |ORDER BY tf_phrase DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
       import graft.operators.Search
-      val dir = java.nio.file.Files.createTempDirectory("graft-phr")
-        .toString + "/index"
+      val dir = storeDir("phr") + "/index"
       Search.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
       Search.phraseFromIndexTopK(s, dir, Seq("table", "hash"), k = 10)
     },

@@ -32,8 +32,10 @@ class PlanRegressionSpec extends SparkSpec {
       "c14_stale_cutoff_sweep", "search_bm25_topk",
       "search_bm25_index_topk", "search_bm25_index_upsert",
       "search_bm25_index_delete", "search_more_like_this",
-      "search_hybrid_rrf", "agg_histogram_price", "pl_iqr_outliers",
-      "txt_unigram_logprob", "pl_training_data_filter_v2")
+      "search_hybrid_rrf", "search_hybrid_rrf_multiprobe",
+      "search_bm25_index_bucketed", "agg_histogram_price",
+      "pl_iqr_outliers", "txt_unigram_logprob",
+      "pl_training_data_filter_v2")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
         p.contains("BroadcastNestedLoopJoin")) => n
@@ -105,6 +107,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!"HashAggregate\\(keys=\\[a#\\d+L, b#\\d+L\\]".r
       .findFirstIn(p).isDefined,
       "candidate-pair distinct exchange is back")
+  }
+
+  test("bucketed index probe plans no exchange on the postings side") {
+    // The term-bucketed layout exists so the probe's term filter and
+    // df aggregate read pre-hashed buckets: bucket pruning must show
+    // in the scan and no hash exchange on term may reappear (the
+    // sorted-parquet probe pays one). The only hashpartitioning left
+    // is the final per-doc score sum.
+    val p = plans("search_bm25_index_bucketed")
+    assert(p.contains("SelectedBucketsCount"),
+      "bucket pruning missing from the bucketed postings scan")
+    assert(!"Exchange hashpartitioning\\(term".r.findFirstIn(p).isDefined,
+      "bucketed probe re-shuffled postings on term")
   }
 
   test("every query stays inside whole-stage codegen somewhere") {

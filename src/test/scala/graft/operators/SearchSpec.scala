@@ -269,6 +269,26 @@ class SearchSpec extends SparkSpec {
     assert(Search.indexDelete(spark, dir, Seq(9L).toDF("doc_id")) == 1L)
   }
 
+  test("bucketed postings probe is bit-identical to the sorted layout") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-bk")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)
+    // Mutate through the full write triangle so bucketing proves it
+    // resolves generations: update doc 4, delete doc 3.
+    Search.indexAppend(
+      Seq((4L, "vector vector index updated")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    Search.indexDelete(spark, dir, Seq(3L).toDF("doc_id"))
+    Search.bucketPostings(spark, dir, "graft_postings_bucketed_spec",
+      numBuckets = 4)
+    val terms = Seq("spark", "vector")
+    val sorted = Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq
+    val bucketed = Search.bm25FromBucketedIndexTopK(spark, dir,
+      "graft_postings_bucketed_spec", terms, 10).collect().toSeq
+    assert(bucketed == sorted)
+  }
+
   test("moreLikeThisTopK works on non-numeric doc ids") {
     val sdocs = Seq(("alpha", "spark engine spark"),
       ("beta", "spark engine"), ("gamma", "row scan"))
