@@ -368,6 +368,24 @@ object Streams {
     } finally { victims.unpersist(); () }
   }
 
+  /** Streaming face of [[fanoutDeleteBatch]] — the takedown queue as a
+    * stream of ids: each micro-batch of doc ids leaves the merge
+    * store, the inverted index, and the ANN store together. Each
+    * store's delete is idempotent, so the sink converges under
+    * at-least-once delivery like its ingest twin.
+    */
+  def fanoutDeleteSink(stream: DataFrame, storeDir: String,
+      indexDir: String, annDir: String, checkpointDir: String,
+      idCol: String = "doc_id"): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fanoutDeleteBatch(batch, batchId, storeDir, indexDir, annDir,
+          idCol): Unit
+      }
+      .start()
+
   /** Streaming face of [[fanoutIngestBatch]]. */
   def fanoutIngestSink(stream: DataFrame, storeDir: String, indexDir: String,
       annDir: String, idCol: String, textCol: String,

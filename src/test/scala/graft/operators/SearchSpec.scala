@@ -269,6 +269,48 @@ class SearchSpec extends SparkSpec {
     assert(Search.indexDelete(spark, dir, Seq(9L).toDF("doc_id")) == 1L)
   }
 
+  test("a vacuum crashed mid-swap is repaired by the next vacuum call") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-vac")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)
+    Search.indexAppend(
+      Seq((4L, "vector vector index updated")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val terms = Seq("spark", "vector")
+    val want = Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq
+    // Simulate the crash window the staged ledger exists for: the
+    // stage is complete (tables + _commits/b0) but the swap died after
+    // deleting the LIVE ledger — the store is visibly dead (readers
+    // require committed state)...
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$dir/_vacuum"
+    val cur = spark.read.parquet(s"$dir/docs")
+      .filter(col("content_hash") =!= "__tombstone__")
+      .groupBy("doc_id")
+      .agg(max_by(col("dl"), col("batch")).as("dl"),
+        max_by(col("content_hash"), col("batch")).as("content_hash"),
+        max(col("batch")).as("batch"))
+    spark.read.parquet(s"$dir/postings")
+      .join(cur.select("doc_id", "batch"), Seq("doc_id", "batch"))
+      .withColumn("batch", lit(0L)).write.parquet(s"$stage/postings")
+    cur.withColumn("batch", lit(0L)).write.parquet(s"$stage/docs")
+    graft.sources.Commits.commit(spark, stage, 0L)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits"), true)
+    intercept[IllegalArgumentException] {
+      Search.bm25FromIndexTopK(spark, dir, terms, 10)
+    }
+    // ...until the next vacuum detects the finished stage and completes
+    // the outstanding renames: answers return, compacted to batch 0.
+    Search.indexVacuum(spark, dir)
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq == want)
+    assert(graft.sources.Commits.committed(spark, dir) == Seq(0L))
+    val docRows = spark.read.parquet(s"$dir/docs")
+    assert(docRows.count() == docRows.select("doc_id").distinct().count())
+  }
+
   test("bucketed postings probe is bit-identical to the sorted layout") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-bk")
       .toString + "/index"

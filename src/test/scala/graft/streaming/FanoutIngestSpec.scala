@@ -84,4 +84,39 @@ class FanoutIngestSpec extends SparkSpec {
       .select("cid").as[Long].collect().toSeq
     assert(!probe2.contains(2L), s"deleted vector still matching: $probe2")
   }
+
+  test("fanoutDeleteSink streams takedowns across all three stores") {
+    val root = java.nio.file.Files.createTempDirectory("fanout-del").toString
+    val (storeDir, indexDir, annDir) =
+      (s"$root/store", s"$root/index", s"$root/ann")
+    implicit val sc = spark.sqlContext
+    // Seed the stores through the batch fan-out.
+    Streams.fanoutIngestBatch(
+      Seq((1L, "spark engine", Seq(1.0f, 0.0f)),
+        (2L, "vector merge", Seq(0.0f, 1.0f)),
+        (3L, "stream sort", Seq(1.0f, 1.0f)))
+        .toDF("doc_id", "text", "vec"),
+      0L, storeDir, indexDir, annDir, "doc_id", "text",
+      vecCol = Some("vec"), planes = 2, dims = 2)
+    // Stream two takedown batches (the second redelivers id 2).
+    val in = MemoryStream[Long]
+    val q = Streams.fanoutDeleteSink(in.toDF().toDF("doc_id"), storeDir,
+      indexDir, annDir, s"$root/ckpt")
+    try {
+      in.addData(2L)
+      q.processAllAvailable()
+      in.addData(2L, 3L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Streams.readState(spark, storeDir).get
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(Search.bm25FromIndexTopK(spark, indexDir,
+      Seq("spark", "vector", "stream"), 10)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    val probe = Similarity.annStoreTopK(spark, annDir,
+      Seq((101L, Seq(0.9f, 0.8f))).toDF("id", "vec"),
+      planes = 2, dims = 2, k = 3)
+      .select("cid").as[Long].collect().toSet
+    assert(probe == Set(1L), s"only doc 1 may remain probeable: $probe")
+  }
 }
