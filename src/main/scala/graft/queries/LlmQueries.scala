@@ -671,6 +671,27 @@ object LlmQueries {
         .presentSorted(col("qid"), col("rnk"))
     },
 
+    // BUCKET-PARTITIONED ANN layout (the vector twin of the bucketed
+    // postings): the store's live rows compacted one-directory-per-
+    // bucket, probed through a broadcast join that dynamically prunes
+    // the partitions (plan pinned) — at scale the scan reads only the
+    // probed buckets' directories. Same oracle as the standing store:
+    // answers must be hash-identical.
+    QueryDef(
+      "sim_ann_partitioned_topk",
+      AnnRoundtripSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val dir = storeDir("ann-part") + "/idx"
+      val part = storeDir("ann-part-p") + "/part"
+      Similarity.annStoreAppend(emb, dir, planes = 8, dims = 64)
+      Similarity.annStorePartition(s, dir, part)
+      Similarity.annStorePartitionedTopK(s, part,
+        emb.filter(col("id") < 10), planes = 8, dims = 64, k = 3)
+        .select(col("qid"), col("cid"), col("score"), col("rnk"))
+        .presentSorted(col("qid"), col("rnk"))
+    },
+
     // MULTI-PROBE ANN: each query also probes the planes buckets one
     // hyperplane-flip away, recovering neighbors that fell across a
     // single hyperplane. The oracle unions the probe buckets, dedupes

@@ -109,6 +109,14 @@ class PlanRegressionSpec extends SparkSpec {
       "candidate-pair distinct exchange is back")
   }
 
+  test("partitioned ANN probe plans dynamic partition pruning") {
+    // The bucket-partitioned layout exists so the probe reads only the
+    // probed buckets' directories: the scan's partition filters must
+    // carry a dynamic pruning expression fed by the broadcast queries.
+    assert(plans("sim_ann_partitioned_topk").contains("dynamicpruning"),
+      "bucket partitions not dynamically pruned")
+  }
+
   test("bucketed index probe plans no exchange on the postings side") {
     // The term-bucketed layout exists so the probe's term filter and
     // df aggregate read pre-hashed buckets: bucket pruning must show

@@ -119,6 +119,54 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("maxGroups"))
   }
 
+  test("partitioned ANN layout: pruned probe matches the standing store") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-part")
+      .toString + "/idx"
+    val part = java.nio.file.Files.createTempDirectory("ann-part-p")
+      .toString + "/part"
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.59).toFloat,
+        ((i % 9) - 4).toFloat / 4f))
+    }.toDF("id", "vec")
+    Similarity.annStoreAppend(vecs, dir, planes = 4, dims = 3)
+    Similarity.annStorePartition(spark, dir, part)
+    val queries = vecs.filter(col("id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "score", "rnk")
+        .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val fromStore = rows(Similarity.annStoreTopK(spark, dir, queries,
+      planes = 4, dims = 3, k = 3))
+    val probed = Similarity.annStorePartitionedTopK(spark, part, queries,
+      planes = 4, dims = 3, k = 3)
+    assert(rows(probed) == fromStore)
+    // The layout's point: the scan must carry a dynamic partition
+    // pruning filter fed by the broadcast query buckets. Audit the
+    // static plan (AQE wraps the executed plan in a placeholder until
+    // runtime), with the queries read from parquet — over a local
+    // in-memory relation the selective filter constant-folds away and
+    // Spark rightly skips DPP (nothing to prune a scan against).
+    val qPath = java.nio.file.Files.createTempDirectory("ann-part-q")
+      .toString + "/q"
+    vecs.filter(col("id") < 5).write.parquet(qPath)
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Similarity.annStorePartitionedTopK(spark, part,
+        spark.read.parquet(qPath).filter(col("id") < 5),
+        planes = 4, dims = 3, k = 3).queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"no dynamic partition pruning in:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+    // Rebuild after a delete: the tombstoned id leaves the layout.
+    Similarity.annStoreDelete(spark, dir, Seq(3L).toDF("id"))
+    Similarity.annStorePartition(spark, dir, part)
+    val after = rows(Similarity.annStorePartitionedTopK(spark, part,
+      queries, planes = 4, dims = 3, k = 3))
+    assert(after == rows(Similarity.annStoreTopK(spark, dir, queries,
+      planes = 4, dims = 3, k = 3)))
+    assert(!after.exists(_._2 == 3L))
+  }
+
   test("ANN store writer lease: a concurrent second writer fails loudly") {
     import graft.sources.Commits
     val dir = java.nio.file.Files.createTempDirectory("ann-lock")
