@@ -412,17 +412,33 @@ object Streams {
     * decision time, the rule needs no connected-components pass inside
     * the hot ingest path, and it is stable under batch re-delivery
     * (the surviving set never depends on iteration order).
+    *
+    * Crash atomicity matches the generational stores: a batch appends
+    * docs, signatures, and band-index rows tagged with one batch id
+    * and creates the `Commits` marker LAST. All three gate reads see
+    * COMMITTED batches only, so a crash anywhere between the appends
+    * leaves orphans no screen trusts — without this, docs that landed
+    * without their signatures were a permanent LSH blind spot, and
+    * orphan signatures could drop a redelivered batch against its own
+    * crashed remains. The id allocator counts orphans across all three
+    * tables; the writer lease serializes concurrent writers.
     */
   def neardupIngestBatch(batch: DataFrame, storeDir: String, idCol: String,
-      textCol: String, minJaccard: Double = 0.9): Long = {
+      textCol: String, minJaccard: Double = 0.9): Long =
+   graft.sources.Commits.withWriterLock(batch.sparkSession, storeDir) {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val docsDir = s"$storeDir/docs"
     val hsDir = s"$storeDir/hs"
     val bandsDir = s"$storeDir/bands"
-    def exists(p: String): Boolean = {
+    val committed = graft.sources.Commits.committed(spark, storeDir)
+    def readCommitted(p: String): Option[DataFrame] = {
       val path = new org.apache.hadoop.fs.Path(p)
-      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+      val there = path
+        .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+      if (committed.isEmpty || !there) None
+      else Some(spark.read.parquet(p)
+        .filter(col("batch").isin(committed: _*)))
     }
     val hashed = Upsert.withContentHash(
       batch.dropDuplicates(idCol), textCol)
@@ -435,22 +451,25 @@ object Streams {
     // Near-dups vs the standing index (batch side = b), then vs
     // lower-id docs in the same batch (drop the higher id of a pair —
     // the ingest-gate reading of "keep the canonical representative").
-    val vsStore =
-      if (exists(bandsDir)) {
-        val cand = Dedup.lshIncrementalCandidates(
-          spark.read.parquet(bandsDir), batchBands)
-        Dedup.jaccard(cand, spark.read.parquet(hsDir).unionByName(batchHs))
+    val vsStore = readCommitted(bandsDir) match {
+      case Some(storeBands) =>
+        val cand = Dedup.lshIncrementalCandidates(storeBands, batchBands)
+        Dedup.jaccard(cand,
+          readCommitted(hsDir).get.select(col("doc_id"), col("hs"))
+            .unionByName(batchHs))
           .filter(col("jaccard") >= minJaccard).select(col("b").as(idCol))
-      } else batchHs.select(col("doc_id").as(idCol)).limit(0)
+      case None => batchHs.select(col("doc_id").as(idCol)).limit(0)
+    }
     val inBatch = Dedup.jaccard(
       Dedup.lshCandidatePairs(batchBands), batchHs)
       .filter(col("jaccard") >= minJaccard).select(col("b").as(idCol))
     // Exact-hash fallback covers the docs with no shingles.
-    val exactDup =
-      if (exists(docsDir))
-        hashed.join(spark.read.parquet(docsDir).select("content_hash"),
-          Seq("content_hash"), "left_semi").select(col(idCol))
-      else hashed.limit(0).select(col(idCol))
+    val exactDup = readCommitted(docsDir) match {
+      case Some(docs) =>
+        hashed.join(docs.select("content_hash"), Seq("content_hash"),
+          "left_semi").select(col(idCol))
+      case None => hashed.limit(0).select(col(idCol))
+    }
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy(col("content_hash")).orderBy(col(idCol))
     val exactInBatch = hashed
@@ -463,17 +482,23 @@ object Streams {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = survivors.count()
     if (n > 0) {
-      survivors.write.mode("append").parquet(docsDir)
+      val batchId = Seq(docsDir, hsDir, bandsDir)
+        .map(graft.sources.Commits.nextBatchId(spark, _)).max
+      survivors.withColumn("batch", lit(batchId))
+        .write.mode("append").parquet(docsDir)
       batchHs.join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"),
-        "left_semi").write.mode("append").parquet(hsDir)
+        "left_semi").withColumn("batch", lit(batchId))
+        .write.mode("append").parquet(hsDir)
       batchBands.join(survivors.select(col(idCol).as("doc_id")),
-        Seq("doc_id"), "left_semi").write.mode("append").parquet(bandsDir)
+        Seq("doc_id"), "left_semi").withColumn("batch", lit(batchId))
+        .write.mode("append").parquet(bandsDir)
+      graft.sources.Commits.commit(spark, storeDir, batchId)
     }
     survivors.unpersist()
     batchHs.unpersist()
     hashed.unpersist()
     n
-  }
+   }
 
   /** S16/ST6 over a relational target: each micro-batch inserts only
     * rows whose `content_hash` is absent from the table (the reference's

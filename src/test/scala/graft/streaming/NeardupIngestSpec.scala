@@ -116,6 +116,37 @@ class NeardupIngestSpec extends SparkSpec {
     assert(storeIds(store) == Set(2L, 3L, 5L, 6L))
   }
 
+  test("a crashed partial append is invisible; redelivery converges whole") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("nd-crash").toString
+    val b1 = Seq((1L, base)).toDF("doc_id", "text")
+    assert(Streams.neardupIngestBatch(b1, dir, "doc_id", "text", 0.8) == 1)
+    // Simulated crash: a second batch's DOCS rows landed (next batch
+    // id, no signatures, no commit marker). Before the marker contract
+    // these rows made their docs a permanent LSH blind spot AND
+    // exact-hash-blocked their own redelivery without ever indexing
+    // their signatures.
+    val b2 = Seq(
+      (5L, "an entirely novel document mentioning streaming watermarks " +
+        "checkpoint rotation and stateful aggregation semantics"))
+      .toDF("doc_id", "text")
+    graft.operators.Upsert.withContentHash(b2, "text")
+      .withColumn("batch", lit(1L))
+      .write.mode("append").parquet(s"$dir/docs")
+    // Redelivery must re-screen from scratch (the orphan is invisible),
+    // insert under a FRESH id, and commit docs + signatures together.
+    assert(Streams.neardupIngestBatch(b2, dir, "doc_id", "text", 0.8) == 1)
+    val committed = graft.sources.Commits.committed(spark, dir).sorted
+    assert(committed == Seq(0L, 2L), s"orphan id 1 must be skipped: $committed")
+    assert(storeIds(dir) == Set(1L, 5L))
+    // The doc's signatures exist under the committed batch, so the LSH
+    // gate now sees it: a near-dup of doc 5 is dropped.
+    val nd = Seq((6L, ("an entirely novel document mentioning streaming " +
+      "watermarks checkpoint rotation and stateful aggregation semantics")
+      .replaceFirst("\\S+", "zzz"))).toDF("doc_id", "text")
+    assert(Streams.neardupIngestBatch(nd, dir, "doc_id", "text", 0.8) == 0)
+  }
+
   test("neardupIngestSink drives batches through foreachBatch") {
     val dir = java.nio.file.Files.createTempDirectory("nd-ingest").toString
     val ckpt = java.nio.file.Files.createTempDirectory("nd-ckpt").toString
