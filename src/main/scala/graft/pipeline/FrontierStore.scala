@@ -12,8 +12,11 @@ import org.apache.spark.sql.types._
   *
   * Layout: each update writes a full new `state_v<N>` snapshot and
   * flips the `_current` pointer file — the same crash-safe pattern as
-  * `Streams.mergeBatch` (readers always see a complete snapshot; a
-  * crash mid-write leaves the pointer on the previous version). At
+  * `Streams.mergeBatch`, through the same shared Hadoop-FS plumbing
+  * (`sources.StatePointer`, rename-committed pointer), so the frontier
+  * runs on HDFS/object storage like every other store (readers always
+  * see a complete snapshot; a crash mid-write leaves the pointer on
+  * the previous version). At
   * crawl scale the frontier is O(urls), orders of magnitude smaller
   * than the fetched corpus, so full-snapshot rewrites are the right
   * tradeoff for atomicity; a 100 TB multi-tenant frontier would swap
@@ -45,27 +48,21 @@ object FrontierStore {
     StructField("updated_at_ms", LongType)))
 
   /** The current frontier snapshot, empty if never written. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val ptr = new java.io.File(dir, "_current").toPath
-    if (java.nio.file.Files.exists(ptr)) {
-      val name = new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8")
-      spark.read.parquet(new java.io.File(dir, name).toString)
-    } else
-      spark.createDataFrame(
+  def read(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.StatePointer.currentStateName(dir) match {
+      case Some(name) => spark.read.parquet(
+        graft.sources.StatePointer.stateDirPath(dir, name))
+      case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema)
-  }
+    }
 
   private def write(state: DataFrame, dir: String): Unit = {
-    val ptr = new java.io.File(dir, "_current").toPath
-    val version =
-      if (java.nio.file.Files.exists(ptr))
-        new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8")
-          .stripPrefix("state_v").toLong + 1
-      else 0L
+    val version = graft.sources.StatePointer.currentStateName(dir)
+      .map(_.stripPrefix("state_v").toLong + 1).getOrElse(0L)
     val name = s"state_v$version"
     state.write.mode("overwrite")
-      .parquet(new java.io.File(dir, name).toString)
-    java.nio.file.Files.write(ptr, name.getBytes("UTF-8")): Unit
+      .parquet(graft.sources.StatePointer.stateDirPath(dir, name))
+    graft.sources.StatePointer.writePointer(dir, name)
   }
 
   /** Insert `rows` (url, domain, depth) as `queued` — urls the frontier

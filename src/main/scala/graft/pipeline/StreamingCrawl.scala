@@ -80,7 +80,7 @@ object StreamingCrawl {
       // it. Rewrite visited minus the requeued slice (staged through a
       // tmp dir — parquet cannot overwrite a directory it is reading).
       val visitedDir = s"${dirs.state}/visited"
-      if (new java.io.File(visitedDir).exists()) {
+      if (graft.sources.StatePointer.exists(visitedDir)) {
         val tmp = s"${visitedDir}__resume_tmp"
         spark.read.parquet(visitedDir)
           .join(slice.select("url"), Seq("url"), "left_anti")
@@ -98,7 +98,7 @@ object StreamingCrawl {
   }
 
   private def state(spark: SparkSession, path: String): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    if (graft.sources.StatePointer.exists(path)) spark.read.parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("url", StringType))))

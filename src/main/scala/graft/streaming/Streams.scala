@@ -547,56 +547,23 @@ object Streams {
 
   // ---- pointer-swap state-store plumbing (Hadoop FileSystem) ---------------
   //
-  // Every path below goes through `hadoop.fs` like the other stores
-  // (Store/Search/Similarity/Commits) so the merge store, its
+  // All pointer/state plumbing is the shared `sources.StatePointer`
+  // (also used by the url frontier), so the merge store, its
   // rollback/vacuum, and the takedown fan-out run against whatever
-  // filesystem the cluster mounts, not just local disk. The `_current`
-  // pointer is COMMITTED by rename: write `_current.tmp`, rename over
-  // the old pointer (atomic on HDFS and local FS; object stores degrade
-  // to copy+delete of one tiny object).
-
-  private def hadoopConf: org.apache.hadoop.conf.Configuration =
-    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+  // filesystem the cluster mounts, not just local disk.
 
   private def fsFor(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
-    p.getFileSystem(hadoopConf)
+    graft.sources.StatePointer.fsFor(p)
 
-  /** Fully-qualified path of `<targetDir>/<state>` (scheme preserved). */
   private def stateDirPath(targetDir: String, state: String): String =
-    new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(targetDir), state).toString
+    graft.sources.StatePointer.stateDirPath(targetDir, state)
 
   /** Name of the state dir `_current` points at, if the pointer exists. */
-  def currentStateName(targetDir: String): Option[String] = {
-    val ptr = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(targetDir), "_current")
-    val fs = fsFor(ptr)
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        Some(new String(buf.toByteArray, "UTF-8"))
-      } finally in.close()
-    }
-  }
+  def currentStateName(targetDir: String): Option[String] =
+    graft.sources.StatePointer.currentStateName(targetDir)
 
-  /** Commit `_current` -> `state`: temp write + rename over the old
-    * pointer, so a reader never sees a half-written pointer file.
-    */
-  private def writePointer(targetDir: String, state: String): Unit = {
-    val root0 = new org.apache.hadoop.fs.Path(targetDir)
-    val fs = fsFor(root0)
-    fs.mkdirs(root0)
-    val root = fs.makeQualified(root0)
-    val tmp = new org.apache.hadoop.fs.Path(root, "_current.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(state.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, hadoopConf)
-      .rename(tmp, new org.apache.hadoop.fs.Path(root, "_current"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  private def writePointer(targetDir: String, state: String): Unit =
+    graft.sources.StatePointer.writePointer(targetDir, state)
 
   /** The current merged state under a mergeSink target, if any. */
   def readState(spark: org.apache.spark.sql.SparkSession,
