@@ -167,6 +167,58 @@ class SimilaritySpec extends SparkSpec {
     assert(!after.exists(_._2 == 3L))
   }
 
+  test("an ANN vacuum crashed mid-swap is repaired by the next vacuum") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.Commits
+    val dir = java.nio.file.Files.createTempDirectory("ann-vac")
+      .toString + "/idx"
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.7).toFloat, math.sin(i * 1.3).toFloat))
+    }.toDF("id", "vec")
+    Similarity.annStoreAppend(vecs, dir, planes = 4, dims = 2)
+    Similarity.annStoreDelete(spark, dir, Seq(7L).toDF("id"))
+    val queries = vecs.filter(col("id") < 3)
+    def rows() = Similarity.annStoreTopK(spark, dir, queries,
+      planes = 4, dims = 2, k = 3)
+      .select("qid", "cid", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val want = rows()
+    // Simulate a vacuum that died MID-SWAP: stage complete (live rows
+    // + manifest + staged ledger), live ledger dropped, old data files
+    // deleted, and ONE staged file already moved in.
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$dir/_vacuum"
+    val committed = Commits.committed(spark, dir)
+    val all = spark.read.parquet(dir)
+      .filter(col("batch").isin(committed: _*))
+    val perId = all.groupBy(col("id")).agg(max(col("batch")).as("batch"))
+    all.join(perId, Seq("id", "batch")).filter(size(col("qvec")) > 0)
+      .withColumn("batch", lit(0L)).write.parquet(stage)
+    val staged = fs.listStatus(new Path(stage)).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSeq
+    val m = fs.create(new Path(s"$stage/_manifest"), true)
+    try m.write(staged.mkString("\n").getBytes("UTF-8")) finally m.close()
+    Commits.commit(spark, stage, 0L)
+    Commits.clear(spark, dir)
+    fs.listStatus(new Path(dir))
+      .filter { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") && !staged.contains(n)
+      }.foreach(s => fs.delete(s.getPath, true))
+    fs.rename(new Path(stage, staged.head), new Path(dir, staged.head))
+    // The store is visibly dead (readers require committed state)...
+    intercept[IllegalArgumentException] { rows() }
+    // ...until the next vacuum completes the swap: answers return,
+    // compacted to one committed batch with one row per live id.
+    Similarity.annStoreVacuum(spark, dir)
+    assert(rows() == want)
+    assert(Commits.committed(spark, dir) == Seq(0L))
+    val store = spark.read.parquet(dir)
+    assert(store.count() == store.select("id").distinct().count())
+    assert(!store.select("id").as[Long].collect().contains(7L))
+  }
+
   test("ANN store writer lease: a concurrent second writer fails loudly") {
     import graft.sources.Commits
     val dir = java.nio.file.Files.createTempDirectory("ann-lock")
