@@ -124,6 +124,15 @@ object FrontierStore {
     write(merged, dir)
   }
 
+  /** Bound the frontier's disk growth: every update writes a full
+    * snapshot, so a long crawl accumulates one frontier copy per
+    * enqueue/mark. Keeps the `keep` most recent versions plus the one
+    * `_current` points at; returns the deleted version numbers.
+    */
+  def vacuum(dir: String, keep: Int): Seq[Long] =
+    graft.sources.StatePointer.vacuum(dir, keep)
+      .map(_.stripPrefix("state_v").toLongOption.getOrElse(-1L))
+
   /** The (url, depth) slice a restarted crawl must re-process:
     * still-`queued` rows, `processing` rows whose lock is older than
     * `staleLockMs` (the holder died mid-fetch), and `failed` rows with

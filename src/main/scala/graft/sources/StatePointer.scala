@@ -47,6 +47,28 @@ object StatePointer {
     }
   }
 
+  /** VACUUM a versioned state store: delete every `state_*` dir except
+    * the `keep` most recent AND the one `_current` points at. Recency
+    * is CREATION order (modification time, name tie-break), so every
+    * naming scheme layered on the pointer store — numeric batches,
+    * `state_del_<b>` takedowns, `state_v<N>` frontier versions — ages
+    * out uniformly. Returns the deleted state names.
+    */
+  def vacuum(targetDir: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val root = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = fsFor(root)
+    if (!fs.exists(root)) return Seq.empty
+    val current = currentStateName(targetDir)
+    val states = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("state_"))
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
+    val doomed = states.dropRight(keep)
+      .filterNot(s => current.contains(s.getPath.getName))
+    doomed.foreach(s => fs.delete(s.getPath, true))
+    doomed.map(_.getPath.getName)
+  }
+
   /** Commit `_current` -> `state`: temp write + rename over the old
     * pointer, so a reader never sees a half-written pointer file.
     */

@@ -604,21 +604,10 @@ object Streams {
     * Never touches `_current` or newer states a rollback might
     * re-advance to; returns the deleted states' batch ids.
     */
-  def vacuum(targetDir: String, keep: Int): Seq[Long] = {
-    require(keep >= 1, s"keep must be >= 1, got $keep")
-    val root = new org.apache.hadoop.fs.Path(targetDir)
-    val fs = fsFor(root)
-    if (!fs.exists(root)) return Seq.empty
-    val current = currentStateName(targetDir)
-    val states = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("state_"))
-      .sortBy(s => (s.getModificationTime, s.getPath.getName))
-    val doomed = states.dropRight(keep)
-      .filterNot(s => current.contains(s.getPath.getName))
-    doomed.foreach(s => fs.delete(s.getPath, true))
-    doomed.map(s => s.getPath.getName.stripPrefix("state_")
-      .stripPrefix("del_").toLongOption.getOrElse(-1L))
-  }
+  def vacuum(targetDir: String, keep: Int): Seq[Long] =
+    graft.sources.StatePointer.vacuum(targetDir, keep)
+      .map(_.stripPrefix("state_").stripPrefix("del_").stripPrefix("v")
+        .toLongOption.getOrElse(-1L))
 
   // ---- standing count-min sketch ingest -----------------------------------
 

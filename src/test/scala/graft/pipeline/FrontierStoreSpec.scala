@@ -91,4 +91,22 @@ class FrontierStoreSpec extends SparkSpec {
       "f1" -> "queued", "live" -> "processing", "fmax" -> "failed",
       "d" -> "done"))
   }
+
+  test("vacuum bounds snapshot growth, keeps the current version") {
+    val dir = java.nio.file.Files.createTempDirectory("ft").toString
+    FrontierStore.enqueue(dir, "j", "page", rows("u1" -> 0), 100L)   // v0
+    FrontierStore.enqueue(dir, "j", "page", rows("u2" -> 1), 200L)   // v1
+    FrontierStore.mark(dir, "j", "page", urls("u1"),
+      FrontierStore.Done, 300L)                                      // v2
+    FrontierStore.mark(dir, "j", "page", urls("u2"),
+      FrontierStore.Processing, 400L)                                // v3
+    assert(FrontierStore.vacuum(dir, keep = 2) == Seq(0L, 1L))
+    // The surviving current snapshot is intact.
+    val states = FrontierStore.read(spark, dir)
+      .select("url", "state").as[(String, String)].collect().toMap
+    assert(states == Map("u1" -> "done", "u2" -> "processing"))
+    // The pointed-at version survives even when older than the keep set.
+    assert(FrontierStore.vacuum(dir, keep = 1) == Seq(2L))
+    assert(FrontierStore.read(spark, dir).count() == 2)
+  }
 }
