@@ -457,4 +457,31 @@ object Dedup {
       .select(col("a"), col("b2").as("b"), col("hamming"))
       .distinct()
   }
+
+  /** Canonical-representative selection by SCORE — the policy a
+    * production dedup actually wants: picking the min-id member keeps
+    * an ARBITRARY copy of each near-dup cluster, while this keeps the
+    * copy worth training on (highest quality, id tie-break). `scores`
+    * is one row per doc (`idCol`, `scoreCol`, ...); `clusters` is the
+    * (doc_id, component) membership from [[connectedComponents]]. Docs
+    * in no cluster pass through with their own id as the cluster.
+    * Cost: one hash-shuffle on component for the per-cluster argmax
+    * window; the membership join is on doc id and broadcasts whenever
+    * the clustered fraction is small (the usual case).
+    */
+  def keepBestPerCluster(scores: DataFrame, idCol: String,
+      scoreCol: String, clusters: DataFrame): DataFrame = {
+    val members = clusters
+      .select(col("doc_id").as(idCol), col("component"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val best = scores.join(members, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val singles = scores
+      .join(members.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("component", col(idCol))
+    best.unionByName(singles)
+  }
 }

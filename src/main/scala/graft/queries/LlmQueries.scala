@@ -300,6 +300,34 @@ object LlmQueries {
         |SELECT qid, cid, score, rnk FROM r WHERE rnk <= 3
         |ORDER BY qid, rnk""".stripMargin
 
+  /** Verified-pair -> transitive-component chain shared by the cluster
+    * oracles: Jaccard-verified pairs from `cand`/`hset`, symmetric edge
+    * closure by recursive reachability, `comp` = (node, component =
+    * min reachable id). Spliced after [[MinhashCandPrefix]] (with its
+    * WITH turned RECURSIVE).
+    */
+  private val ClusterCompChain =
+    """sizes AS (SELECT doc_id, count(*) AS n_sh FROM hset GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.a, c.b, count(*) AS n_inter
+      |  FROM cand c
+      |  JOIN hset sa ON sa.doc_id = c.a
+      |  JOIN hset sb ON sb.doc_id = c.b AND sb.bh = sa.bh
+      |  GROUP BY c.a, c.b),
+      |pairs AS (
+      |  SELECT i.a, i.b FROM inter i
+      |  JOIN sizes za ON za.doc_id = i.a
+      |  JOIN sizes zb ON zb.doc_id = i.b
+      |  WHERE n_inter / (za.n_sh + zb.n_sh - n_inter) >= 0.5),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS node FROM edges),
+      |reach AS (
+      |  SELECT node, node AS r FROM nodes
+      |  UNION
+      |  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON e.a = reach.r),
+      |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+      |""".stripMargin
+
   /** Generated oracle prefix shared by the MinHash queries: signatures
     * from the SAME universal-hash coefficients as the Spark side, LSH
     * banding, and the `cand` candidate-pair CTE.
@@ -412,26 +440,8 @@ object LlmQueries {
     QueryDef(
       "dd_neardup_clusters",
       MinhashCandPrefix.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """sizes AS (SELECT doc_id, count(*) AS n_sh FROM hset GROUP BY doc_id),
-          |inter AS (
-          |  SELECT c.a, c.b, count(*) AS n_inter
-          |  FROM cand c
-          |  JOIN hset sa ON sa.doc_id = c.a
-          |  JOIN hset sb ON sb.doc_id = c.b AND sb.bh = sa.bh
-          |  GROUP BY c.a, c.b),
-          |pairs AS (
-          |  SELECT i.a, i.b FROM inter i
-          |  JOIN sizes za ON za.doc_id = i.a
-          |  JOIN sizes zb ON zb.doc_id = i.b
-          |  WHERE n_inter / (za.n_sh + zb.n_sh - n_inter) >= 0.5),
-          |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
-          |nodes AS (SELECT DISTINCT a AS node FROM edges),
-          |reach AS (
-          |  SELECT node, node AS r FROM nodes
-          |  UNION
-          |  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON e.a = reach.r),
-          |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
-          |SELECT component AS canonical_id, count(*) AS n_members
+        ClusterCompChain +
+        """SELECT component AS canonical_id, count(*) AS n_members
           |FROM comp GROUP BY component ORDER BY canonical_id""".stripMargin) { (s, d) =>
       val corpus = nearDupCorpus(Tables.documents(s, d))
       val hsArr = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
@@ -446,6 +456,56 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_members"))
         .select(col("component").as("canonical_id"), col("n_members"))
         .presentSorted(col("canonical_id"))
+    },
+
+    // KEEP-BEST-PER-CLUSTER: the canonical-representative policy a
+    // production dedup wants — each near-dup cluster keeps its
+    // highest-QUALITY member (id tie-break), not an arbitrary min-id
+    // copy; unclustered docs pass through. Composes the cluster chain
+    // with the quality score; the oracle splices the recursive
+    // component chain with the quality CTE and an argmax window.
+    QueryDef(
+      "dd_keep_best_per_cluster",
+      MinhashCandPrefix.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ClusterCompChain +
+        """,q AS (
+          |  SELECT doc_id,
+          |    round(least(1.0, len(l) / 32.0) * 0.4
+          |      + (len(list_distinct(l)) * 1.0 / len(l)) * 0.4
+          |      + least(1.0, len(list_filter(l,
+          |          x -> x IN ('the','a','of','and','to','in','is'))) * 8.0
+          |          / len(l)) * 0.2, 4) AS quality
+          |  FROM toks),
+          |clustered AS (
+          |  SELECT q.doc_id, comp.component, q.quality,
+          |    row_number() OVER (PARTITION BY comp.component
+          |                       ORDER BY q.quality DESC, q.doc_id) AS rn
+          |  FROM q JOIN comp ON comp.node = q.doc_id),
+          |kept AS (
+          |  SELECT doc_id, component AS cluster_id, quality
+          |  FROM clustered WHERE rn = 1
+          |  UNION ALL
+          |  SELECT q.doc_id, q.doc_id AS cluster_id, q.quality
+          |  FROM q
+          |  WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.node = q.doc_id))
+          |SELECT doc_id, cluster_id, quality FROM kept
+          |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions
+      val corpus = nearDupCorpus(Tables.documents(s, d))
+      val hsArr = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Dedup.lshCandidatePairs(
+        Dedup.lshBands(Dedup.minhashSignatures(hsArr, 128), 128, 16))
+      val pairs = Dedup.jaccard(cand, hsArr)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"))
+      val clusters = Dedup.connectedComponents(pairs)
+      val scores = corpus.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      Dedup.keepBestPerCluster(scores, "doc_id", "quality", clusters)
+        .select(col("doc_id"), col("component").as("cluster_id"),
+          col("quality"))
+        .presentSorted(col("doc_id"))
     },
 
     // Exact-recall variant: hashed-shingle blocking (df cap 20) +

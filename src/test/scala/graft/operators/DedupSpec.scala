@@ -148,4 +148,20 @@ class DedupSpec extends SparkSpec {
       assert(got.map(t => (t._1, t._2)).distinct.size == got.size)
     }
   }
+
+  test("keepBestPerCluster keeps the top-scoring member, passes singletons") {
+    // Clusters from components: {1,2,3} (component 1) and {10,11}
+    // (component 10); doc 20 is unclustered.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val clusters = Dedup.connectedComponents(pairs)
+    val scores = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.9),   // tie at 0.9 -> lower id 2 wins
+      (10L, 0.5), (11L, 0.8),
+      (20L, 0.1))
+      .toDF("doc_id", "quality")
+    val kept = Dedup.keepBestPerCluster(scores, "doc_id", "quality", clusters)
+      .select("doc_id", "component", "quality")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(kept == Seq((2L, 1L, 0.9), (11L, 10L, 0.8), (20L, 20L, 0.1)))
+  }
 }
