@@ -113,7 +113,8 @@ object Bench {
       "s13_s17_partitioned_merge_store", "pl_crawl_bfs_site",
       "search_bm25_index_delete", "join_bloom_prefilter",
       "s17_compact_small_files", "sim_ann_upsert_topk",
-      "x4_bfs_reachability", "search_more_like_this",
+      "x4_bfs_reachability", "sim_ann_partitioned_topk",
+      "dd_keep_best_per_cluster", "search_more_like_this",
       "search_phrase_index_topk", "search_bm25_index_topk",
       "search_bm25_index_bucketed", "dd_incremental_lsh", "sim_ivf_topk",
       "dd_minhash_lsh_pairs", "dd_embedding_near_dup", "gr_pagerank_topk")

@@ -361,6 +361,43 @@ object Search {
       .write.mode("append").parquet(s"$dir/docs")
   }
 
+  /** Operational stats of the standing index — what a store operator
+    * watches to schedule [[indexVacuum]] and spot ingest trouble: one
+    * row with committed batch count, live vs tombstoned docs,
+    * superseded docs-table rows, and live vs total postings rows (the
+    * superseded+orphan tail the next vacuum reclaims). Reads the two
+    * tables once each with column pruning; no text is touched.
+    */
+  def indexStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val committed = committedBatches(spark, dir)
+    require(committed.nonEmpty, s"no committed index state under $dir")
+    val cur = currentDocs(spark, dir).get
+    val docsAgg = cur.agg(
+      sum(when(col("content_hash") =!= Tombstone, 1L).otherwise(0L))
+        .as("live_docs"),
+      sum(when(col("content_hash") === Tombstone, 1L).otherwise(0L))
+        .as("tombstoned_docs"))
+    val docRows = spark.read.parquet(s"$dir/docs")
+      .agg(count(lit(1)).as("doc_rows_total"))
+    val livePost = spark.read.parquet(s"$dir/postings")
+      .filter(col("batch").isin(committed: _*))
+      .join(cur.filter(col("content_hash") =!= Tombstone)
+        .select(col("doc_id"), col("batch")), Seq("doc_id", "batch"))
+      .agg(count(lit(1)).as("postings_rows_live"))
+    val totalPost = spark.read.parquet(s"$dir/postings")
+      .agg(count(lit(1)).as("postings_rows_total"))
+    docsAgg
+      .crossJoin(broadcast(docRows))
+      .crossJoin(broadcast(livePost))
+      .crossJoin(broadcast(totalPost))
+      .select(lit(committed.size).as("committed_batches"),
+        col("live_docs"), col("tombstoned_docs"),
+        (col("doc_rows_total") - col("live_docs") - col("tombstoned_docs"))
+          .as("superseded_doc_rows"),
+        col("postings_rows_live"), col("postings_rows_total"))
+  }
+
   /** BM25 top-k answered FROM the standing index: filter postings to
     * the query terms (pushed predicate — at scale this reads only the
     * matching row groups / buckets, never the corpus), drop superseded

@@ -368,6 +368,21 @@ object Streams {
     } finally { victims.unpersist(); () }
   }
 
+  /** Composed MAINTENANCE pass — the offline twin of the ingest and
+    * takedown fan-outs, one call a platform cron can own: compact the
+    * inverted index and the ANN store to their live state
+    * (crash-repairing vacuums, writer-lease held) and bound the merge
+    * store's snapshot history to `keepStates`. Returns the merge-store
+    * state ids deleted.
+    */
+  def fanoutVacuum(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, indexDir: String, annDir: String,
+      keepStates: Int = 3): Seq[Long] = {
+    graft.operators.Search.indexVacuum(spark, indexDir)
+    graft.operators.Similarity.annStoreVacuum(spark, annDir)
+    vacuum(storeDir, keepStates)
+  }
+
   /** Streaming face of [[fanoutDeleteBatch]] — the takedown queue as a
     * stream of ids: each micro-batch of doc ids leaves the merge
     * store, the inverted index, and the ANN store together. Each

@@ -269,6 +269,32 @@ class SearchSpec extends SparkSpec {
     assert(Search.indexDelete(spark, dir, Seq(9L).toDF("doc_id")) == 1L)
   }
 
+  test("indexStats reports the store's live/superseded/tombstone shape") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-stats")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)                 // b0
+    Search.indexAppend(
+      Seq((4L, "vector vector index updated")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)                                       // b1
+    Search.indexDelete(spark, dir, Seq(1L).toDF("doc_id"))         // b2
+    val s1 = Search.indexStats(spark, dir).collect().head
+    assert(s1.getAs[Int]("committed_batches") == 3)
+    assert(s1.getAs[Long]("live_docs") == 4L)
+    assert(s1.getAs[Long]("tombstoned_docs") == 1L)
+    assert(s1.getAs[Long]("superseded_doc_rows") == 2L) // old docs 1, 4
+    assert(s1.getAs[Long]("postings_rows_live") <
+      s1.getAs[Long]("postings_rows_total"))
+    // Vacuum collapses everything the stats flagged as reclaimable.
+    Search.indexVacuum(spark, dir)
+    val s2 = Search.indexStats(spark, dir).collect().head
+    assert(s2.getAs[Int]("committed_batches") == 1)
+    assert(s2.getAs[Long]("live_docs") == 4L)
+    assert(s2.getAs[Long]("tombstoned_docs") == 0L)
+    assert(s2.getAs[Long]("superseded_doc_rows") == 0L)
+    assert(s2.getAs[Long]("postings_rows_live") ==
+      s2.getAs[Long]("postings_rows_total"))
+  }
+
   test("a vacuum crashed mid-swap is repaired by the next vacuum call") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-vac")
       .toString + "/index"

@@ -167,6 +167,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!after.exists(_._2 == 3L))
   }
 
+  test("annStoreStats reports live/superseded/tombstone shape") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-stats")
+      .toString + "/idx"
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.7).toFloat, math.sin(i * 1.3).toFloat))
+    }.toDF("id", "vec")
+    Similarity.annStoreAppend(vecs, dir, planes = 4, dims = 2)      // b0
+    Similarity.annStoreDelete(spark, dir, Seq(7L).toDF("id"))       // b1
+    Similarity.annStoreAppend(                                      // b2
+      Seq((3L, Seq(0.5f, -0.5f))).toDF("id", "vec"), dir, 4, 2)
+    val s = Similarity.annStoreStats(spark, dir).collect().head
+    assert(s.getAs[Int]("committed_batches") == 3)
+    assert(s.getAs[Long]("live_ids") == 19L)
+    assert(s.getAs[Long]("tombstoned_ids") == 1L)
+    assert(s.getAs[Long]("superseded_rows") == 2L) // old rows of 7 and 3
+    assert(s.getAs[Long]("occupied_buckets") >= 1L)
+    Similarity.annStoreVacuum(spark, dir)
+    val v = Similarity.annStoreStats(spark, dir).collect().head
+    assert(v.getAs[Int]("committed_batches") == 1)
+    assert(v.getAs[Long]("live_ids") == 19L)
+    assert(v.getAs[Long]("tombstoned_ids") == 0L)
+    assert(v.getAs[Long]("superseded_rows") == 0L)
+  }
+
   test("an ANN vacuum crashed mid-swap is repaired by the next vacuum") {
     import org.apache.hadoop.fs.Path
     import graft.sources.Commits

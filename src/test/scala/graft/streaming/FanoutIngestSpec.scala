@@ -118,5 +118,19 @@ class FanoutIngestSpec extends SparkSpec {
       planes = 2, dims = 2, k = 3)
       .select("cid").as[Long].collect().toSet
     assert(probe == Set(1L), s"only doc 1 may remain probeable: $probe")
+    // Composed maintenance: both standing stores compact to one
+    // committed batch with zero reclaimable rows, and the merge-store
+    // history is bounded (nothing to delete here: only 3 states).
+    Streams.fanoutVacuum(spark, storeDir, indexDir, annDir,
+      keepStates = 3)
+    val is = Search.indexStats(spark, indexDir).collect().head
+    assert(is.getAs[Int]("committed_batches") == 1)
+    assert(is.getAs[Long]("tombstoned_docs") == 0L)
+    assert(is.getAs[Long]("superseded_doc_rows") == 0L)
+    val as = Similarity.annStoreStats(spark, annDir).collect().head
+    assert(as.getAs[Int]("committed_batches") == 1)
+    assert(as.getAs[Long]("superseded_rows") == 0L)
+    assert(Streams.readState(spark, storeDir).get
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 }
