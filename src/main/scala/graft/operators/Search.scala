@@ -640,6 +640,29 @@ object Search {
       .filter(col("term").isin(phrase.distinct: _*) &&
         col("batch").isin(committed: _*))
       .join(cur, Seq("doc_id", "batch"))
+    phrasePositionFold(hits, phrase, k)
+  }
+
+  /** [[phraseFromIndexTopK]] against the [[bucketPostings]] table: the
+    * positions column rides into the bucketed layout, so the SAME
+    * bucket-pruned, exchange-free term read serves phrase queries too —
+    * bit-identical to the sorted layout and the scan kernel.
+    */
+  def phraseFromBucketedIndexTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2, s"phrase needs >= 2 terms, got ${phrase.size}")
+    phrasePositionFold(
+      spark.table(table).filter(col("term").isin(phrase.distinct: _*)),
+      phrase, k)
+  }
+
+  /** Shared positional-adjacency fold over a resolved phrase hit set:
+    * occ_1 = positions(t_1); occ_i = (occ_(i-1)+1) ∩ positions(t_i);
+    * tf_phrase = |occ_n| — overlapping occurrences counted, exactly
+    * like the scan kernel.
+    */
+  private def phrasePositionFold(hits: DataFrame, phrase: Seq[String],
+      k: Int): DataFrame = {
     val frames = phrase.zipWithIndex.map { case (t, i) =>
       hits.filter(col("term") === t)
         .select(col("doc_id"), col("positions").as(s"__p$i"))

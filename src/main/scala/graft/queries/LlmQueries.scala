@@ -1729,6 +1729,30 @@ object LlmQueries {
       Search.phraseFromIndexTopK(s, dir, Seq("table", "hash"), k = 10)
     },
 
+    // The same phrase query over the TERM-BUCKETED layout: positions
+    // ride into the bucketed table, so the bucket-pruned exchange-free
+    // read serves phrase probes too. Same oracle; hash-identical.
+    QueryDef(
+      "search_phrase_index_bucketed",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    len(list_filter(range(1, len(l)),
+        |      i -> l[i] = 'table' AND l[i+1] = 'hash')) AS tf_phrase
+        |  FROM t)
+        |SELECT doc_id, tf_phrase FROM p WHERE tf_phrase > 0
+        |ORDER BY tf_phrase DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      import graft.operators.Search
+      val dir = storeDir("phr-bk") + "/index"
+      Search.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
+      Search.bucketPostings(s, dir, "graft_postings_bucketed_phr")
+      Search.phraseFromBucketedIndexTopK(s, "graft_postings_bucketed_phr",
+        Seq("table", "hash"), k = 10)
+    },
+
     // Character entropy (TextAnalysis.charEntropy): the low-entropy
     // quality gate (base64/spam/binary-leak detector). Per-(doc, char)
     // terms are rounded to integer micro-nats and summed as BIGINT —

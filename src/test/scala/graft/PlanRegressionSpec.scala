@@ -128,6 +128,13 @@ class PlanRegressionSpec extends SparkSpec {
       "bucket pruning missing from the bucketed postings scan")
     assert(!"Exchange hashpartitioning\\(term".r.findFirstIn(p).isDefined,
       "bucketed probe re-shuffled postings on term")
+    // The phrase probe over the same layout: its fold joins on doc_id,
+    // so the planner rightly auto-disables the bucketed scan (nothing
+    // consumes the term distribution) — but the term predicate must
+    // still push into the parquet scan.
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r
+      .findFirstIn(plans("search_phrase_index_bucketed")).nonEmpty,
+      "bucketed phrase probe lost its term pushdown")
   }
 
   test("every query stays inside whole-stage codegen somewhere") {

@@ -355,6 +355,14 @@ class SearchSpec extends SparkSpec {
     val bucketed = Search.bm25FromBucketedIndexTopK(spark, dir,
       "graft_postings_bucketed_spec", terms, 10).collect().toSeq
     assert(bucketed == sorted)
+    // The positions column rides along: phrase probes answer from the
+    // same bucketed table, identically to the sorted layout.
+    for (ph <- Seq(Seq("vector", "vector"), Seq("spark", "engine"))) {
+      assert(Search.phraseFromBucketedIndexTopK(spark,
+        "graft_postings_bucketed_spec", ph, 10).collect().toSeq
+        == Search.phraseFromIndexTopK(spark, dir, ph, 10)
+          .collect().toSeq, s"phrase $ph diverged on the bucketed layout")
+    }
   }
 
   test("moreLikeThisTopK works on non-numeric doc ids") {
