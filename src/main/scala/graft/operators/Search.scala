@@ -232,11 +232,17 @@ object Search {
     * superseded/orphan/deleted rows dropped. Offline maintenance op
     * (writer-lease held, no concurrent readers). Crash safety: the
     * stage is written COMPLETE — tables plus a staged `_commits/b0`
-    * ledger — before any live piece is replaced, and the swap replaces
-    * piece-by-piece via renames; a crash mid-swap is repaired by the
-    * next vacuum call, which detects the finished stage + missing live
-    * ledger and completes the outstanding renames instead of
-    * re-compacting tables that may already be gone.
+    * ledger — before any live piece is touched, then the LIVE LEDGER IS
+    * DROPPED FIRST (so "staged ledger present, live ledger missing"
+    * means exactly "swap in progress", and readers fail the loud
+    * no-committed-state way rather than see half-swapped tables), then
+    * the swap replaces piece-by-piece via renames. A crash anywhere
+    * mid-swap is repaired by the next vacuum call, which detects that
+    * signature and completes the outstanding renames instead of
+    * re-compacting tables that may already be gone; a complete stage
+    * whose swap never started (live ledger intact) is DISCARDED, never
+    * installed — appends may have landed after the crash, so the stage
+    * can be stale.
     */
   def indexVacuum(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
@@ -268,6 +274,15 @@ object Search {
       .write.parquet(s"$stage/postings")
     cur.withColumn("batch", lit(0L)).write.parquet(s"$stage/docs")
     graft.sources.Commits.commit(spark, stage, 0L)
+    // Swap: drop the live ledger FIRST. Until the staged ledger is
+    // renamed in (the swap's last step) the store has no committed
+    // state, so a reader — or an append's currentDocs — fails loudly
+    // instead of joining batch-0 postings against old-generation doc
+    // keys; and the repair branch above keys off exactly this
+    // ledger-missing signature, which would otherwise miss crashes
+    // during the postings/docs renames and delete the stage holding
+    // their only copy.
+    graft.sources.Commits.clear(spark, dir)
     swapFromStage(fs, dir, stage)
    }
 

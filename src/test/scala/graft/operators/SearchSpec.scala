@@ -337,6 +337,60 @@ class SearchSpec extends SparkSpec {
     assert(docRows.count() == docRows.select("doc_id").distinct().count())
   }
 
+  test("vacuum repair covers mid-rename crashes; a never-swapped stage " +
+      "is discarded as stale") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-vac2")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)
+    Search.indexAppend(
+      Seq((4L, "vector vector index updated")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val terms = Seq("spark", "vector")
+    val want = Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$dir/_vacuum"
+    def stageLiveCopy(): Unit = {
+      val cur = spark.read.parquet(s"$dir/docs")
+        .filter(col("content_hash") =!= "__tombstone__")
+        .groupBy("doc_id")
+        .agg(max_by(col("dl"), col("batch")).as("dl"),
+          max_by(col("content_hash"), col("batch")).as("content_hash"),
+          max(col("batch")).as("batch"))
+      spark.read.parquet(s"$dir/postings")
+        .join(cur.select("doc_id", "batch"), Seq("doc_id", "batch"))
+        .withColumn("batch", lit(0L)).write.parquet(s"$stage/postings")
+      cur.withColumn("batch", lit(0L)).write.parquet(s"$stage/docs")
+      graft.sources.Commits.commit(spark, stage, 0L)
+    }
+    // Window 1 — the swap died BETWEEN deleting the live postings dir
+    // and renaming the staged one in: live ledger gone (dropped first),
+    // live postings gone, stage holds their only copy. A repair keyed
+    // on anything but the missing live ledger would discard that copy.
+    stageLiveCopy()
+    graft.sources.Commits.clear(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
+    Search.indexVacuum(spark, dir)
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq == want)
+    assert(graft.sources.Commits.committed(spark, dir) == Seq(0L))
+    // Window 2 — a complete stage whose swap never started (live ledger
+    // intact), then an append landed. The stage is STALE: vacuum must
+    // discard it and re-compact, never install it over the newer data.
+    stageLiveCopy()
+    Search.indexAppend(
+      Seq((6L, "spark spark spark freshly appended")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val wantWithNew = Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq
+    assert(wantWithNew.exists(_.getLong(0) == 6L))
+    Search.indexVacuum(spark, dir)
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq == wantWithNew)
+    assert(graft.sources.Commits.committed(spark, dir) == Seq(0L))
+  }
+
   test("bucketed postings probe is bit-identical to the sorted layout") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-bk")
       .toString + "/index"
