@@ -71,7 +71,8 @@ object FrontierStore {
     * re-delivered enqueue, the UNIQUE(job_id, url, kind) reading).
     */
   def enqueue(dir: String, jobId: String, kind: String, rows: DataFrame,
-      nowMs: Long): Unit = {
+      nowMs: Long): Unit =
+   graft.sources.Commits.withWriterLock(rows.sparkSession, dir) {
     val spark = rows.sparkSession
     val target = read(spark, dir)
     val fresh = rows
@@ -88,7 +89,7 @@ object FrontierStore {
         lit(null).cast("long").as("locked_at_ms"),
         lit(nowMs).as("updated_at_ms"))
     write(target.unionByName(fresh), dir)
-  }
+   }
 
   /** Transition the given urls of (job, kind) to `state`:
     * `processing` stamps `locked_at_ms`, `failed` increments
@@ -96,7 +97,8 @@ object FrontierStore {
     * lock. Unknown urls are ignored (no upsert — enqueue first).
     */
   def mark(dir: String, jobId: String, kind: String, urls: DataFrame,
-      state: String, nowMs: Long, error: String = null): Unit = {
+      state: String, nowMs: Long, error: String = null): Unit =
+   graft.sources.Commits.withWriterLock(urls.sparkSession, dir) {
     require(Seq(Queued, Processing, Done, Failed).contains(state),
       s"unknown frontier state: $state")
     val spark = urls.sparkSession
@@ -122,7 +124,7 @@ object FrontierStore {
       .withColumn("state", when(cond, lit(state)).otherwise(col("state")))
       .drop("__hit")
     write(merged, dir)
-  }
+   }
 
   /** Bound the frontier's disk growth: every update writes a full
     * snapshot, so a long crawl accumulates one frontier copy per
@@ -130,8 +132,11 @@ object FrontierStore {
     * `_current` points at; returns the deleted version numbers.
     */
   def vacuum(dir: String, keep: Int): Seq[Long] =
+   graft.sources.Commits.withWriterLock(
+       org.apache.spark.sql.SparkSession.active, dir) {
     graft.sources.StatePointer.vacuum(dir, keep)
       .map(_.stripPrefix("state_v").toLongOption.getOrElse(-1L))
+   }
 
   /** The (url, depth) slice a restarted crawl must re-process:
     * still-`queued` rows, `processing` rows whose lock is older than
@@ -154,7 +159,10 @@ object FrontierStore {
     * (for StreamingCrawl: append it to the frontier JSON dir and the
     * restarted stream picks it up). Returns the requeued slice,
     * materialized BEFORE the state flip so it reflects the pre-resume
-    * frontier.
+    * frontier. Composed of a lock-free read plus the locked [[mark]]
+    * (the lease is not reentrant); a competing writer between the two
+    * can only re-mark rows this slice already carries — the slice
+    * itself stays consistent because it was materialized first.
     */
   def requeue(spark: SparkSession, dir: String, jobId: String,
       kind: String, nowMs: Long, staleLockMs: Long,

@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions.{col, max}
   * SINGLE WRITER ENFORCED by [[withWriterLock]]: the ledger's id
   * allocation is read-then-write, so two concurrent appends could
   * allocate the same batch id and double rows under one committed
-  * marker. The reference gets this safety from Postgres
+  * marker. The pointer-swap state stores (`Streams` merge/CMS, the
+  * url frontier) hold the same lease around their read-merge-swap:
+  * their pointer write is atomic, but uncoordinated writers merging
+  * onto the same base state would silently lose the losing writer's
+  * rows. The reference gets this safety from Postgres
   * (`/root/reference/db/postgres_store.py:126-182` `ON CONFLICT`
   * upserts, `:26-43` `FOR UPDATE SKIP LOCKED` claims); the parquet
   * stores get it from a create-exclusive `_lock` marker — a second
@@ -90,6 +94,16 @@ object Commits {
     * window). If a lock is already held, throws — unless its
     * modification time is older than `staleTtlMs` (a crashed writer),
     * in which case the stale lock is broken and taken over.
+    *
+    * KNOWN LIMIT of filesystem leases: breaking a stale lock is
+    * delete-then-create, not compare-and-swap, so two writers arriving
+    * at the same expired lock can both break it and both proceed — the
+    * same window every FS-marker lease has (object stores offer no
+    * fencing token). It needs two writers racing within one create's
+    * latency AFTER a third writer already sat dead for the whole TTL;
+    * the TTL is sized so that takeover is a rare operator-visible
+    * event, not a steady-state path. True fencing needs a coordination
+    * service, which this engine deliberately does not require.
     */
   def acquireWriterLock(spark: SparkSession, dir: String,
       staleTtlMs: Long = DefaultLockTtlMs): Unit = {

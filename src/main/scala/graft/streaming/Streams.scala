@@ -162,9 +162,16 @@ object Streams {
       }
       .start()
 
-  /** One micro-batch of the merge sink (also the batch/ST8 restart path). */
+  /** One micro-batch of the merge sink (also the batch/ST8 restart
+    * path). Holds the store's writer lease for the read-merge-swap —
+    * the pointer swap itself is atomic, but two uncoordinated writers
+    * would each merge onto the same base state and the last pointer
+    * win would silently drop the other's rows (same reasoning as the
+    * generational stores' lease, `sources.Commits`).
+    */
   def mergeBatch(batch: DataFrame, targetDir: String, key: String,
-      batchId: Long): Unit = {
+      batchId: Long): Unit =
+   graft.sources.Commits.withWriterLock(batch.sparkSession, targetDir) {
     val spark = batch.sparkSession
     val state = s"state_$batchId"
     // Redelivery after a COMPLETED commit: `_current` already points at
@@ -178,7 +185,7 @@ object Streams {
     }
     merged.write.mode("overwrite").parquet(stateDirPath(targetDir, state))
     writePointer(targetDir, state)
-  }
+   }
 
   // ---- near-dup-suppressing ingest sink -----------------------------------
 
@@ -345,21 +352,24 @@ object Streams {
       .dropDuplicates(idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nStore = readState(spark, storeDir) match {
-        case Some(st) =>
-          val n = st.join(victims, Seq(idCol), "left_semi").count()
-          if (n > 0) {
-            // `state_del_<b>` keeps the takedown's provenance visible
-            // in the layout; [[vacuum]] reclaims these like any other
-            // state (recency is creation order, not a name parse) and
-            // [[rollbackToState]] can target them by name.
-            val state = s"state_del_$batchId"
-            st.join(victims, Seq(idCol), "left_anti")
-              .write.mode("overwrite").parquet(stateDirPath(storeDir, state))
-            writePointer(storeDir, state)
-          }
-          n
-        case None => 0L
+      val nStore = graft.sources.Commits.withWriterLock(spark, storeDir) {
+        readState(spark, storeDir) match {
+          case Some(st) =>
+            val n = st.join(victims, Seq(idCol), "left_semi").count()
+            if (n > 0) {
+              // `state_del_<b>` keeps the takedown's provenance visible
+              // in the layout; [[vacuum]] reclaims these like any other
+              // state (recency is creation order, not a name parse) and
+              // [[rollbackToState]] can target them by name.
+              val state = s"state_del_$batchId"
+              st.join(victims, Seq(idCol), "left_anti")
+                .write.mode("overwrite")
+                .parquet(stateDirPath(storeDir, state))
+              writePointer(storeDir, state)
+            }
+            n
+          case None => 0L
+        }
       }
       val nIdx = graft.operators.Search.indexDelete(spark, indexDir, victims)
       val nAnn = graft.operators.Similarity.annStoreDelete(spark, annDir,
@@ -601,14 +611,16 @@ object Streams {
     * `state_<k>` alias, so this is how a store is pinned back to (or
     * audited at) the post-takedown snapshot.
     */
-  def rollbackToState(targetDir: String, state: String): Unit = {
+  def rollbackToState(targetDir: String, state: String): Unit =
+   graft.sources.Commits.withWriterLock(
+       org.apache.spark.sql.SparkSession.active, targetDir) {
     val p = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(targetDir), state)
     val fs = fsFor(p)
     require(fs.exists(p) && fs.getFileStatus(p).isDirectory,
       s"no $state under $targetDir")
     writePointer(targetDir, state)
-  }
+   }
 
   /** VACUUM a versioned state store: delete every state dir except the
     * `keep` most recent AND the one `_current` points at (audit /
@@ -620,9 +632,12 @@ object Streams {
     * re-advance to; returns the deleted states' batch ids.
     */
   def vacuum(targetDir: String, keep: Int): Seq[Long] =
+   graft.sources.Commits.withWriterLock(
+       org.apache.spark.sql.SparkSession.active, targetDir) {
     graft.sources.StatePointer.vacuum(targetDir, keep)
       .map(_.stripPrefix("state_").stripPrefix("del_").stripPrefix("v")
         .toLongOption.getOrElse(-1L))
+   }
 
   // ---- standing count-min sketch ingest -----------------------------------
 
@@ -651,9 +666,14 @@ object Streams {
       }
       .start()
 
-  /** One micro-batch of the sketch ingest (also the restart path). */
+  /** One micro-batch of the sketch ingest (also the restart path).
+    * Writer-lease-held like [[mergeBatch]]: bucket addition is not
+    * idempotent, so an uncoordinated second writer is the one failure
+    * the replay contract cannot converge away.
+    */
   def cmsIngestBatch(batch: DataFrame, itemCol: String, depth: Int,
-      width: Int, targetDir: String, batchId: Long): Unit = {
+      width: Int, targetDir: String, batchId: Long): Unit =
+   graft.sources.Commits.withWriterLock(batch.sparkSession, targetDir) {
     val spark = batch.sparkSession
     val delta = graft.operators.Sketch.cmsBuckets(batch, itemCol, depth,
       width)
@@ -677,5 +697,5 @@ object Streams {
     merged.write.mode("overwrite")
       .parquet(stateDirPath(targetDir, s"state_$batchId"))
     writePointer(targetDir, s"state_$batchId")
-  }
+   }
 }

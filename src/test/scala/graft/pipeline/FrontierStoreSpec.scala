@@ -109,4 +109,25 @@ class FrontierStoreSpec extends SparkSpec {
     assert(FrontierStore.vacuum(dir, keep = 1) == Seq(2L))
     assert(FrontierStore.read(spark, dir).count() == 2)
   }
+
+  test("frontier mutations hold the writer lease") {
+    val dir = java.nio.file.Files.createTempDirectory("ft").toString
+    FrontierStore.enqueue(dir, "j", "page", rows("u1" -> 0), 100L)
+    graft.sources.Commits.acquireWriterLock(spark, dir)
+    try {
+      intercept[IllegalStateException] {
+        FrontierStore.enqueue(dir, "j", "page", rows("u2" -> 0), 200L)
+      }
+      intercept[IllegalStateException] {
+        FrontierStore.mark(dir, "j", "page", urls("u1"),
+          FrontierStore.Done, 200L)
+      }
+    } finally graft.sources.Commits.releaseWriterLock(spark, dir)
+    // Reads never needed the lease; a released store mutates again.
+    FrontierStore.mark(dir, "j", "page", urls("u1"), FrontierStore.Done,
+      300L)
+    assert(FrontierStore.read(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("state") === "done")
+      .count() == 1L)
+  }
 }

@@ -311,4 +311,27 @@ class StreamsSpec extends SparkSpec {
       Streams.rollbackToState(dir, "state_del_99")
     }
   }
+
+  test("pointer-store mutations hold the writer lease") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease")
+      .toString + "/store"
+    def hashed(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("content_hash", HashFunctions.contentHash(col("text")))
+    Streams.mergeBatch(hashed(Seq(1L -> "one")), dir, "doc_id", 0L)
+    // A held lock rejects every mutator — merge, rollback, vacuum —
+    // instead of letting a second writer merge onto the same base
+    // state and win the pointer race.
+    graft.sources.Commits.acquireWriterLock(spark, dir)
+    try {
+      intercept[IllegalStateException] {
+        Streams.mergeBatch(hashed(Seq(2L -> "two")), dir, "doc_id", 1L)
+      }
+      intercept[IllegalStateException] { Streams.rollbackTo(dir, 0L) }
+      intercept[IllegalStateException] { Streams.vacuum(dir, 1) }
+    } finally graft.sources.Commits.releaseWriterLock(spark, dir)
+    // Released: the same merge lands and reads ignore the lease file.
+    Streams.mergeBatch(hashed(Seq(2L -> "two")), dir, "doc_id", 1L)
+    assert(Streams.readState(spark, dir).get.count() == 2)
+  }
 }
