@@ -492,6 +492,10 @@ object Search {
     spark.read.parquet(s"$dir/postings")
       .filter(col("batch").isin(committed: _*))
       .join(cur, Seq("doc_id", "batch"))
+      // Pre-shuffle on the bucket function (repartition and bucketBy
+      // both pmod-murmur3 the column), so each task holds exactly one
+      // bucket and writes ONE file — not one file per bucket per task.
+      .repartition(numBuckets, col("term"))
       .write.mode("overwrite").format("parquet")
       .option("path", s"$dir/postings_bucketed")
       .bucketBy(numBuckets, "term")

@@ -417,6 +417,13 @@ class SearchSpec extends SparkSpec {
         == Search.phraseFromIndexTopK(spark, dir, ph, 10)
           .collect().toSeq, s"phrase $ph diverged on the bucketed layout")
     }
+    // Layout: the pre-shuffle on the bucket function means ONE data
+    // file per bucket, not one per (task x bucket) — the property that
+    // keeps the compacted table listable at 100 TB.
+    val files = new java.io.File(s"$dir/postings_bucketed").listFiles()
+      .map(_.getName).filter(n => n.endsWith(".parquet"))
+    assert(files.length <= 4, s"expected <= 4 bucket files, got: " +
+      files.mkString(", "))
   }
 
   test("moreLikeThisTopK works on non-numeric doc ids") {

@@ -157,6 +157,13 @@ class SimilaritySpec extends SparkSpec {
       assert(plan.contains("dynamicpruning"),
         s"no dynamic partition pruning in:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+    // Layout: the bucket-aligned pre-shuffle means each bucket dir
+    // holds ONE data file, not one per writing task.
+    for (d <- new java.io.File(part).listFiles()
+        if d.isDirectory && d.getName.startsWith("bucket=")) {
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${d.getName}: expected 1 data file, got $n")
+    }
     // Rebuild after a delete: the tombstoned id leaves the layout.
     Similarity.annStoreDelete(spark, dir, Seq(3L).toDF("id"))
     Similarity.annStorePartition(spark, dir, part)
