@@ -382,14 +382,23 @@ object Streams {
     * takedown fan-outs, one call a platform cron can own: compact the
     * inverted index and the ANN store to their live state
     * (crash-repairing vacuums, writer-lease held) and bound the merge
-    * store's snapshot history to `keepStates`. Returns the merge-store
-    * state ids deleted.
+    * store's snapshot history to `keepStates`. When the read side
+    * serves from the compacted snapshot layouts, pass `postingsTable`
+    * / `annPartDir` and the pass REFRESHES them right after the
+    * vacuums — snapshot staleness becomes "at most one maintenance
+    * interval", owned by the same cron instead of a second one.
+    * Returns the merge-store state ids deleted.
     */
   def fanoutVacuum(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, indexDir: String, annDir: String,
-      keepStates: Int = 3): Seq[Long] = {
+      keepStates: Int = 3, postingsTable: Option[String] = None,
+      annPartDir: Option[String] = None): Seq[Long] = {
     graft.operators.Search.indexVacuum(spark, indexDir)
     graft.operators.Similarity.annStoreVacuum(spark, annDir)
+    postingsTable.foreach(t =>
+      graft.operators.Search.bucketPostings(spark, indexDir, t))
+    annPartDir.foreach(d =>
+      graft.operators.Similarity.annStorePartition(spark, annDir, d))
     vacuum(storeDir, keepStates)
   }
 

@@ -119,10 +119,23 @@ class FanoutIngestSpec extends SparkSpec {
       .select("cid").as[Long].collect().toSet
     assert(probe == Set(1L), s"only doc 1 may remain probeable: $probe")
     // Composed maintenance: both standing stores compact to one
-    // committed batch with zero reclaimable rows, and the merge-store
+    // committed batch with zero reclaimable rows, the snapshot probe
+    // layouts are refreshed in the same pass, and the merge-store
     // history is bounded (nothing to delete here: only 3 states).
+    val annPart = s"$root/ann-part"
     Streams.fanoutVacuum(spark, storeDir, indexDir, annDir,
-      keepStates = 3)
+      keepStates = 3, postingsTable = Some("graft_fanout_vac_postings"),
+      annPartDir = Some(annPart))
+    // Refreshed snapshots answer identically to the live stores.
+    assert(Search.bm25FromBucketedIndexTopK(spark, indexDir,
+      "graft_fanout_vac_postings", Seq("spark", "vector", "stream"), 10)
+      .collect().toSeq ==
+      Search.bm25FromIndexTopK(spark, indexDir,
+        Seq("spark", "vector", "stream"), 10).collect().toSeq)
+    assert(Similarity.annStorePartitionedTopK(spark, annPart,
+      Seq((101L, Seq(0.9f, 0.8f))).toDF("id", "vec"),
+      planes = 2, dims = 2, k = 3)
+      .select("cid").as[Long].collect().toSet == Set(1L))
     val is = Search.indexStats(spark, indexDir).collect().head
     assert(is.getAs[Int]("committed_batches") == 1)
     assert(is.getAs[Long]("tombstoned_docs") == 0L)
