@@ -501,6 +501,11 @@ object Search {
       .bucketBy(numBuckets, "term")
       .sortBy("term")
       .saveAsTable(table)
+    // Staleness marker: records the committed set THIS snapshot
+    // resolved; `Commits.snapshotFresh(spark, s"$dir/postings_bucketed",
+    // dir)` tells the maintenance cron whether a rebuild is due.
+    graft.sources.Commits.writeSnapshotMarker(spark,
+      s"$dir/postings_bucketed", committed)
   }
 
   /** [[bm25FromIndexTopK]] answered from the [[bucketPostings]] table:

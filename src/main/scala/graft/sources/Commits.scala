@@ -135,6 +135,47 @@ object Commits {
     }
   }
 
+  /** Record beside a compacted SNAPSHOT layout (the bucketed postings
+    * table, the partitioned ANN dir) the committed-batch set it
+    * resolved, so [[snapshotFresh]] can answer "is the probe layout
+    * stale?" from two listings — an operational check for the
+    * maintenance cron, not something an operator has to remember.
+    * `batches` is the set captured WHEN the snapshot resolved
+    * generations (not re-read at marker time, which could claim
+    * batches the snapshot never saw).
+    */
+  def writeSnapshotMarker(spark: SparkSession, snapshotDir: String,
+      batches: Seq[Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$snapshotDir/_snapshot")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(batches.sorted.mkString(",").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Is the snapshot layout at `snapshotDir` current w.r.t. the store
+    * at `storeDir`? True iff its marker records exactly the store's
+    * committed-batch set. Every append/delete/vacuum changes that set,
+    * so any mutation after the snapshot reads as stale; the one alias
+    * (a vacuum-then-appends sequence recreating a previously-recorded
+    * set) is unobservable when refresh follows vacuum in the same
+    * maintenance pass, the `Streams.fanoutVacuum` order.
+    */
+  def snapshotFresh(spark: SparkSession, snapshotDir: String,
+      storeDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$snapshotDir/_snapshot")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val in = fs.open(p)
+      val recorded = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+      recorded == committed(spark, storeDir).sorted.mkString(",")
+    }
+  }
+
   /** Release the writer lease (no-op if absent). */
   def releaseWriterLock(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_lock")

@@ -424,6 +424,16 @@ class SearchSpec extends SparkSpec {
       .map(_.getName).filter(n => n.endsWith(".parquet"))
     assert(files.length <= 4, s"expected <= 4 bucket files, got: " +
       files.mkString(", "))
+    // Staleness marker: fresh now, stale after the next mutation,
+    // fresh again after a rebuild.
+    val snap = s"$dir/postings_bucketed"
+    assert(graft.sources.Commits.snapshotFresh(spark, snap, dir))
+    Search.indexAppend(Seq((7L, "brand new doc")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(!graft.sources.Commits.snapshotFresh(spark, snap, dir))
+    Search.bucketPostings(spark, dir, "graft_postings_bucketed_spec",
+      numBuckets = 4)
+    assert(graft.sources.Commits.snapshotFresh(spark, snap, dir))
   }
 
   test("moreLikeThisTopK works on non-numeric doc ids") {

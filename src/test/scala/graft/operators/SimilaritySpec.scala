@@ -164,9 +164,13 @@ class SimilaritySpec extends SparkSpec {
       val n = d.listFiles().count(_.getName.endsWith(".parquet"))
       assert(n == 1, s"${d.getName}: expected 1 data file, got $n")
     }
-    // Rebuild after a delete: the tombstoned id leaves the layout.
+    // Rebuild after a delete: the tombstoned id leaves the layout, and
+    // the staleness marker flips across the mutation.
+    assert(graft.sources.Commits.snapshotFresh(spark, part, dir))
     Similarity.annStoreDelete(spark, dir, Seq(3L).toDF("id"))
+    assert(!graft.sources.Commits.snapshotFresh(spark, part, dir))
     Similarity.annStorePartition(spark, dir, part)
+    assert(graft.sources.Commits.snapshotFresh(spark, part, dir))
     val after = rows(Similarity.annStorePartitionedTopK(spark, part,
       queries, planes = 4, dims = 3, k = 3))
     assert(after == rows(Similarity.annStoreTopK(spark, dir, queries,
