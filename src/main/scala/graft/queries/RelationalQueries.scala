@@ -200,6 +200,67 @@ object RelationalQueries {
         .limit(20)
     },
 
+    // TPC-H Q4-shaped order-priority check, adapted to this schema
+    // (lineitem has no commit/receipt dates): orders in a quarter with
+    // at least one RETURNED line, counted by priority — the canonical
+    // EXISTS decorrelation; Catalyst must plan the probe as a LEFT
+    // SEMI join on o_orderkey, never a per-order subquery.
+    QueryDef(
+      "q4_order_priority_check",
+      """SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .presentSorted(col("o_orderpriority"))
+    },
+
+    // TPC-H Q14-shaped promotion effect: share of one month's revenue
+    // from PROMO parts. part is the broadcast dim; revenue sums as
+    // exact integer cents on both engines, and the percentage divides
+    // the two identical BIGINTs, so the double division is identical
+    // to the last bit.
+    QueryDef(
+      "q14_promo_revenue",
+      """SELECT promo_cents, total_cents,
+        |  round(100.0 * promo_cents / total_cents, 4) AS promo_pct
+        |FROM (
+        |  SELECT
+        |    sum(CASE WHEN p.p_type LIKE 'PROMO%'
+        |        THEN round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT
+        |        ELSE 0 END)::BIGINT AS promo_cents,
+        |    sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)::BIGINT
+        |      AS total_cents
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |    AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00')""".stripMargin) { (s, d) =>
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * lit(100)).cast("long")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)),
+          col("p_partkey") === col("l_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"), cents).otherwise(0L))
+            .as("promo_cents"),
+          sum(cents).as("total_cents"))
+        .select(col("promo_cents"), col("total_cents"),
+          round(lit(100.0) * col("promo_cents") / col("total_cents"), 4)
+            .as("promo_pct"))
+    },
+
     // ---- Join surface (§2.4) --------------------------------------------
 
     QueryDef(
