@@ -481,9 +481,15 @@ object Search {
     * reads pre-hashed buckets with no exchange. The table is a
     * SNAPSHOT: rebuild after appends, like any index compaction —
     * the sorted-parquet path stays the always-fresh default.
+    * Maintenance op like [[indexVacuum]]: holds the STORE's writer
+    * lease (so the resolved generations and the `_snapshot` marker
+    * describe one consistent committed set, and two rebuilds cannot
+    * interleave), and the overwrite is not readable mid-rebuild —
+    * pause probes across a refresh exactly as across a vacuum.
     */
   def bucketPostings(spark: org.apache.spark.sql.SparkSession,
-      dir: String, table: String, numBuckets: Int = 32): Unit = {
+      dir: String, table: String, numBuckets: Int = 32): Unit =
+   graft.sources.Commits.withWriterLock(spark, dir) {
     val committed = committedBatches(spark, dir)
     require(committed.nonEmpty, s"no committed index state under $dir")
     val cur = currentDocs(spark, dir).get
@@ -506,7 +512,7 @@ object Search {
     // dir)` tells the maintenance cron whether a rebuild is due.
     graft.sources.Commits.writeSnapshotMarker(spark,
       s"$dir/postings_bucketed", committed)
-  }
+   }
 
   /** [[bm25FromIndexTopK]] answered from the [[bucketPostings]] table:
     * bit-identical result (same resolved postings, same scoring tail),

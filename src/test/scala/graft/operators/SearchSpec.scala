@@ -256,6 +256,9 @@ class SearchSpec extends SparkSpec {
       Search.indexDelete(spark, dir, Seq(1L).toDF("doc_id"))
     }
     intercept[IllegalStateException] { Search.indexVacuum(spark, dir) }
+    intercept[IllegalStateException] {
+      Search.bucketPostings(spark, dir, "graft_lease_spec_postings")
+    }
     assert(spark.read.parquet(s"$dir/docs").count() == before)
     // Released → the same mutation succeeds.
     Commits.releaseWriterLock(spark, dir)

@@ -269,6 +269,11 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalStateException] {
       Similarity.annStoreDelete(spark, dir, Seq(1L).toDF("id"))
     }
+    intercept[IllegalStateException] {
+      Similarity.annStorePartition(spark, dir,
+        java.nio.file.Files.createTempDirectory("ann-lock-p").toString
+          + "/part")
+    }
     Commits.releaseWriterLock(spark, dir)
     assert(Similarity.annStoreAppend(
       Seq((3L, Seq(1.0f, 1.0f))).toDF("id", "vec"), dir, 4, 2) == 1L)
