@@ -78,6 +78,35 @@ class PlanRegressionSpec extends SparkSpec {
       s"scd2 shuffled $hashExchanges times (want 1)")
   }
 
+  test("sessionize shares one user_id exchange across windows and agg") {
+    // lag-window, running-sum window and the session aggregation must
+    // all reuse the user_id hash partitioning — one exchange total.
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plans("win_sessionize_gap")).length
+    assert(hashExchanges == 1,
+      s"sessionize shuffled $hashExchanges times (want 1)")
+  }
+
+  test("as-of joins stay union+window: each row shuffles once, no join") {
+    // The union-tag formulation plans one hash exchange per union
+    // branch (every input row crosses the network exactly once) and NO
+    // equi-join — a join+filter rewrite would explode on hot keys. The
+    // tolerance variant adds one more exchange for its staleness
+    // re-window.
+    for ((name, maxHash) <- Seq(
+        "join_asof_purchase_before_click" -> 2,
+        "join_asof_click_after_purchase" -> 2,
+        "join_asof_tolerance_48h" -> 3)) {
+      val p = plans(name)
+      val hashExchanges =
+        "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashExchanges <= maxHash,
+        s"$name shuffled $hashExchanges times (want <= $maxHash)")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$name planned a key join — union+window formulation lost")
+    }
+  }
+
   test("column profiler reads its table exactly once") {
     val p = plans("pl_column_profile")
     // Both "Scan parquet" and "FileScan parquet" lines contain this.
