@@ -309,18 +309,19 @@ object Search {
       dir: String, batch: Long): Unit =
     graft.sources.Commits.commit(spark, dir, batch)
 
-  /** Fresh batch id: above every id present in EITHER table. The
-    * postings slice is written before the docs slice, so an append
-    * crashing between the two leaves a postings-only orphan that a
-    * docs-only allocator would not see — and would then re-allocate,
-    * doubling that batch's tf/df once the retry commits. Taking the max
-    * over both tables costs one extra footer-stats read and closes the
-    * window (crash-simulation test in SearchSpec).
+  /** Fresh batch id: above every id ever attempted, from one ledger-dir
+    * listing ([[graft.sources.Commits.allocateBatchId]] — no data
+    * scan). The postings slice is written before the docs slice, so an
+    * append crashing between the two leaves a postings-only orphan; its
+    * attempt marker (recorded before the write) keeps the id burned, so
+    * a retry can never double that batch's tf/df (crash-simulation test
+    * in SearchSpec). Legacy marker-less stores fall back to a
+    * max(batch) scan over BOTH tables once.
     */
   private def nextBatchId(spark: org.apache.spark.sql.SparkSession,
       dir: String): Long =
-    math.max(graft.sources.Commits.nextBatchId(spark, s"$dir/docs"),
-      graft.sources.Commits.nextBatchId(spark, s"$dir/postings"))
+    graft.sources.Commits.allocateBatchId(spark, dir,
+      Seq(s"$dir/docs", s"$dir/postings"))
 
   /** CURRENT committed generation of every indexed doc:
     * (doc_id, dl, content_hash, batch). None when nothing committed.

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions.{col, max}
   * point. Readers only ever see committed batches, so a crash between
   * the slice writes and the marker leaves orphan rows that are
   * invisible forever; the next delivery allocates a fresh id above
-  * every id PRESENT in the data (committed or orphaned — that is why
-  * [[nextBatchId]] reads the raw parquet, not the ledger), so
+  * every id ever ATTEMPTED (recorded as an `a<batch>` marker before
+  * the batch's first data write — see [[allocateBatchId]]), so
   * at-least-once redelivery can never double a row under an id a
-  * reader will trust.
+  * reader will trust. The legacy allocator [[nextBatchId]] scanned
+  * max(batch) over the raw parquet instead; it remains only as the
+  * one-time fallback for stores that predate attempt markers.
   *
   * SINGLE WRITER ENFORCED by [[withWriterLock]]: the ledger's id
   * allocation is read-then-write, so two concurrent appends could
@@ -81,6 +83,60 @@ object Commits {
       val row = spark.read.parquet(dataPath).agg(max(col("batch"))).head()
       (if (row.isNullAt(0)) -1L else row.getLong(0)) + 1L
     }
+  }
+
+  /** Batch ids ever ATTEMPTED: the `a<batch>` markers recorded at
+    * allocation time, committed or not.
+    */
+  def attempted(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("a"))
+      .map(_.drop(1).toLong)
+  }
+
+  /** Durably record that `batch` was allocated (`_commits/a<batch>`) —
+    * MUST precede the batch's first data write (call sites hold the
+    * writer lease, so the create cannot race another allocator).
+    */
+  def recordAttempt(spark: SparkSession, dir: String, batch: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_commits/a$batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
+  /** Allocate and durably record the next batch id for the store whose
+    * ledger lives at `storeDir` and whose data tables live under
+    * `dataPaths` — from one LISTING of the ledger dir (committed `b<N>`
+    * ∪ attempted `a<N>`), no data scan. [[nextBatchId]]'s max(batch)
+    * over the raw parquet launches a Spark job reading the batch column
+    * of the whole store per mutation — linear in store size, a full
+    * column scan at 100 TB — where the listing is one metadata op
+    * regardless of scale. Crash safety is unchanged from the data-scan
+    * allocator: the attempt marker lands BEFORE any data write, so a
+    * crash at any later point burns the id (orphan rows stay invisible
+    * to readers, vacuum drops them, and the staged-ledger swap clears
+    * the spent markers) — the postings-only-orphan window stays closed
+    * without reading the postings. Stores written before attempt
+    * markers existed (data present, ledger listing empty) fall back to
+    * the data scan once; this allocation then records a marker and
+    * every later call is listing-only. (A pre-marker store that has
+    * BOTH committed entries and a marker-less orphan is the one state
+    * the listing would mis-allocate — unreachable through this code,
+    * since every mutation records its attempt before writing; vacuum
+    * such a store before pointing this allocator at it.)
+    */
+  def allocateBatchId(spark: SparkSession, storeDir: String,
+      dataPaths: Seq[String]): Long = {
+    val listed = committed(spark, storeDir) ++ attempted(spark, storeDir)
+    val id =
+      if (listed.nonEmpty) listed.max + 1L
+      else dataPaths.map(nextBatchId(spark, _)).max
+    recordAttempt(spark, storeDir, id)
+    id
   }
 
   /** Default stale-lock TTL: generously above any single append/vacuum

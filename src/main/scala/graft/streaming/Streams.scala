@@ -454,8 +454,10 @@ object Streams {
     * leaves orphans no screen trusts — without this, docs that landed
     * without their signatures were a permanent LSH blind spot, and
     * orphan signatures could drop a redelivered batch against its own
-    * crashed remains. The id allocator counts orphans across all three
-    * tables; the writer lease serializes concurrent writers.
+    * crashed remains. The id allocator burns every attempted id via
+    * the ledger's attempt markers (legacy fallback: max(batch) across
+    * all three tables); the writer lease serializes concurrent
+    * writers.
     */
   def neardupIngestBatch(batch: DataFrame, storeDir: String, idCol: String,
       textCol: String, minJaccard: Double = 0.9): Long =
@@ -516,8 +518,8 @@ object Streams {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = survivors.count()
     if (n > 0) {
-      val batchId = Seq(docsDir, hsDir, bandsDir)
-        .map(graft.sources.Commits.nextBatchId(spark, _)).max
+      val batchId = graft.sources.Commits.allocateBatchId(spark, storeDir,
+        Seq(docsDir, hsDir, bandsDir))
       survivors.withColumn("batch", lit(batchId))
         .write.mode("append").parquet(docsDir)
       batchHs.join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"),

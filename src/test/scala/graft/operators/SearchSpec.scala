@@ -216,12 +216,14 @@ class SearchSpec extends SparkSpec {
       docs.filter(col("doc_id") > 3))
     Search.buildIndex(d1, "doc_id", "text", dir) // batch 0 committed
     // Simulated crash: an append of d2 that died BETWEEN its two slice
-    // writes — the postings slice for batch 1 is on disk, the docs
-    // slice and the commit marker are not.
+    // writes — the attempt marker and the postings slice for batch 1
+    // are on disk, the docs slice and the commit marker are not (the
+    // real append records the attempt before its first data write).
+    graft.sources.Commits.recordAttempt(spark, dir, 1L)
     Search.writePostingsSlice(d2, "doc_id", "text", dir, 1L)
     // The at-least-once redelivery of the same batch must allocate a
-    // FRESH id (the orphan postings make max(batch)=1 even though the
-    // docs table still tops out at 0), append under it, and commit.
+    // FRESH id (the attempt marker burns id 1 even though the docs
+    // table still tops out at 0), append under it, and commit.
     assert(Search.indexAppend(d2, "doc_id", "text", dir) == 2L)
     // No (term, doc_id) appears twice within any committed batch...
     val committed = graft.sources.Commits.committed(spark, dir)

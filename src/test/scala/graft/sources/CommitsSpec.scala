@@ -1,0 +1,44 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Ledger-level contract of the batch-id allocator (the store-level
+  * crash/orphan behaviors are covered in SearchSpec / SimilaritySpec /
+  * NeardupIngestSpec; this pins the allocator itself).
+  */
+class CommitsSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("commits-spec").toString + "/st"
+
+  test("allocation is listing-only: ids burn without any data write") {
+    val dir = tmp()
+    // Fresh store: first id is 0, recorded as an attempt marker.
+    assert(Commits.allocateBatchId(spark, dir, Seq(dir)) == 0L)
+    assert(Commits.attempted(spark, dir) == Seq(0L))
+    // Nothing committed, NO data ever written — the next allocation
+    // must still skip id 0 (a crash between allocation and data write
+    // burns the id; reuse would double rows under a later commit).
+    assert(Commits.allocateBatchId(spark, dir, Seq(dir)) == 1L)
+    // Committing advances the floor the same way.
+    Commits.commit(spark, dir, 1L)
+    assert(Commits.allocateBatchId(spark, dir, Seq(dir)) == 2L)
+    assert(Commits.committed(spark, dir) == Seq(1L))
+    assert(Commits.attempted(spark, dir).sorted == Seq(0L, 1L, 2L))
+  }
+
+  test("ledger-less legacy store falls back to a data scan exactly once") {
+    import spark.implicits._
+    val dir = tmp()
+    // Data at batches 0-2 with no ledger dir at all (a store whose
+    // _commits was lost, or pre-marker data): the one-time data-scan
+    // fallback allocates above the orphans.
+    Seq((1L, 0L), (2L, 1L), (3L, 2L)).toDF("id", "batch")
+      .write.parquet(dir)
+    assert(Commits.allocateBatchId(spark, dir, Seq(dir)) == 3L)
+    // That allocation recorded a marker, so the next one is pure
+    // listing.
+    assert(Commits.attempted(spark, dir) == Seq(3L))
+    assert(Commits.allocateBatchId(spark, dir, Seq(dir)) == 4L)
+  }
+}

@@ -121,15 +121,16 @@ class NeardupIngestSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("nd-crash").toString
     val b1 = Seq((1L, base)).toDF("doc_id", "text")
     assert(Streams.neardupIngestBatch(b1, dir, "doc_id", "text", 0.8) == 1)
-    // Simulated crash: a second batch's DOCS rows landed (next batch
-    // id, no signatures, no commit marker). Before the marker contract
-    // these rows made their docs a permanent LSH blind spot AND
-    // exact-hash-blocked their own redelivery without ever indexing
-    // their signatures.
+    // Simulated crash: a second batch's attempt marker and DOCS rows
+    // landed (no signatures, no commit marker). Before the marker
+    // contract these rows made their docs a permanent LSH blind spot
+    // AND exact-hash-blocked their own redelivery without ever
+    // indexing their signatures.
     val b2 = Seq(
       (5L, "an entirely novel document mentioning streaming watermarks " +
         "checkpoint rotation and stateful aggregation semantics"))
       .toDF("doc_id", "text")
+    graft.sources.Commits.recordAttempt(spark, dir, 1L)
     graft.operators.Upsert.withContentHash(b2, "text")
       .withColumn("batch", lit(1L))
       .write.mode("append").parquet(s"$dir/docs")
