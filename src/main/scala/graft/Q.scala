@@ -13,8 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - every floating-point output column is `round(...)`-ed the same way
   *     on both sides;
   *   - raw timestamps are never emitted (epoch seconds / dates instead —
-  *     `events.ts` is nanosecond-precision parquet, which Spark truncates
-  *     to micros while DuckDB keeps ns);
+  *     `events.ts`'s parquet encoding varies across fixture
+  *     regenerations, see [[Tables.events]], and keeping instants as
+  *     integers makes both sides encoding-agnostic);
   *   - all outputs have a deterministic ORDER BY, and ties at any
   *     LIMIT/top-k boundary are broken by a unique key;
   *   - aggregate/computed columns carry the same alias on both sides
@@ -24,6 +25,23 @@ final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
+
+/** Build/probe split of a STANDING-STORE lifecycle query, for the
+  * benchmark only. The monolithic [[QueryDef.fn]] (what Verify and the
+  * driver's correctness gate run) builds its scratch store and probes
+  * it in one call — correct, but it re-pays the full store build on
+  * every bench pass, so the reported pass-to-pass spread measured
+  * build-I/O variance rather than the probe the deployment actually
+  * repeats (a real deployment amortizes one build across many probes).
+  * `build` constructs the store once per bench session (timed and
+  * reported separately); `probe` is the read-only query against it,
+  * timed warm across passes. Both must compose to EXACTLY the work the
+  * monolithic fn does — Bench reports the query's headline seconds as
+  * `build + min(probe)` so round-over-round numbers stay comparable.
+  */
+final case class BenchPhases(
+    build: (SparkSession, String) => Unit,
+    probe: (SparkSession, String) => DataFrame)
 
 object QueryDef {
   /** Query with a full DuckDB oracle. */

@@ -46,4 +46,10 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Bench-only build/probe splits for the standing-store lifecycle
+    * queries (see [[BenchPhases]]); keys are a subset of [[queries]].
+    */
+  def benchPhases: Map[String, BenchPhases] =
+    graft.queries.LlmQueries.benchPhases
 }

@@ -1,10 +1,10 @@
 package graft.queries
 
 import graft.QueryDef.PresentOps
-import graft.{QueryDef, Tables}
+import graft.{BenchPhases, QueryDef, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity, TextAnalysis}
-import org.apache.spark.sql.DataFrame
+import graft.operators.{Dedup, Search, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** North-star LLM-pipeline operators (BASELINE.json): deduplication
@@ -44,6 +44,104 @@ object LlmQueries {
     deleteRec(d.toFile)
     d.toString
   }
+
+  /** Stable (un-wiped) path for `name`'s store: the bench probe phase
+    * re-reads the store its build phase created.
+    */
+  private def storePath(name: String): String =
+    storeRoot.resolve(name).toString
+
+  private def embOf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  // ---- build/probe phases of the standing-store lifecycle queries.
+  // Each QueryDef below composes its build + probe (what Verify and the
+  // correctness gate run); Bench additionally times them separately
+  // through [[benchPhases]] so probes are measured warm.
+
+  private def annUpsertBuild(s: SparkSession, d: String): Unit = {
+    val emb = embOf(s, d)
+    val dir = storeDir("ann-up") + "/idx"
+    val stale = emb.withColumn("vec",
+      when(col("id") % 5 === 0, transform(col("vec"), x => -x))
+        .otherwise(col("vec")))
+    Similarity.annStoreAppend(stale, dir, planes = 8, dims = 64)
+    val updated = Similarity.annStoreAppend(emb, dir, planes = 8, dims = 64)
+    val noop = Similarity.annStoreAppend(emb, dir, planes = 8, dims = 64)
+    require(updated > 0 && noop == 0,
+      s"ANN upsert semantics broken: updated=$updated redelivery=$noop")
+  }
+
+  private def annUpsertProbe(s: SparkSession, d: String): DataFrame =
+    Similarity.annStoreTopK(s, storePath("ann-up") + "/idx",
+      embOf(s, d).filter(col("id") < 10), planes = 8, dims = 64, k = 3)
+      .select(col("qid"), col("cid"), col("score"), col("rnk"))
+      .presentSorted(col("qid"), col("rnk"))
+
+  private def annPartBuild(s: SparkSession, d: String): Unit = {
+    val dir = storeDir("ann-part") + "/idx"
+    val part = storeDir("ann-part-p") + "/part"
+    Similarity.annStoreAppend(embOf(s, d), dir, planes = 8, dims = 64)
+    Similarity.annStorePartition(s, dir, part)
+  }
+
+  private def annPartProbe(s: SparkSession, d: String): DataFrame =
+    Similarity.annStorePartitionedTopK(s, storePath("ann-part-p") + "/part",
+      embOf(s, d).filter(col("id") < 10), planes = 8, dims = 64, k = 3)
+      .select(col("qid"), col("cid"), col("score"), col("rnk"))
+      .presentSorted(col("qid"), col("rnk"))
+
+  private def bm25UpsertBuild(s: SparkSession, d: String): Unit = {
+    val dir = storeDir("bm25-up") + "/index"
+    val base = Tables.documents(s, d)
+    val stale = base.withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(lit("stale draft spark spark vector "), col("text")))
+        .otherwise(col("text")))
+    Search.buildIndex(stale, "doc_id", "text", dir)
+    val updated = Search.indexAppend(base, "doc_id", "text", dir)
+    val noop = Search.indexAppend(base, "doc_id", "text", dir)
+    require(updated > 0 && noop == 0,
+      s"upsert semantics broken: updated=$updated redelivery=$noop")
+  }
+
+  private def bm25UpsertProbe(s: SparkSession, d: String): DataFrame =
+    Search.bm25FromIndexTopK(s, storePath("bm25-up") + "/index",
+      Seq("spark", "vector", "stream", "merge"), k = 10)
+
+  private def hybridBuild(idxName: String, annName: String)(
+      s: SparkSession, d: String): Unit = {
+    Search.buildIndex(Tables.documents(s, d), "doc_id", "text",
+      storeDir(idxName) + "/index")
+    Similarity.annStoreAppend(embOf(s, d), storeDir(annName) + "/ann",
+      planes = 8, dims = 64)
+  }
+
+  private def hybridProbe(idxName: String, annName: String,
+      multiprobe: Boolean)(s: SparkSession, d: String): DataFrame =
+    Search.hybridTopK(s, storePath(idxName) + "/index",
+      storePath(annName) + "/ann",
+      Seq("spark", "vector", "stream", "merge"),
+      embOf(s, d).filter(col("id") === 5L), planes = 8, dims = 64, k = 10,
+      multiprobe = multiprobe)
+
+  /** Bench-only build/probe splits (see [[graft.BenchPhases]]) for the
+    * standing-store lifecycle heavyweights — the queries whose bench
+    * cost was dominated by rebuilding their store every pass (r8
+    * measured pass-1/min spreads up to 5.8× on exactly these five).
+    */
+  val benchPhases: Map[String, BenchPhases] = Map(
+    "sim_ann_upsert_topk" -> BenchPhases(annUpsertBuild, annUpsertProbe),
+    "sim_ann_partitioned_topk" -> BenchPhases(annPartBuild, annPartProbe),
+    "search_bm25_index_upsert" -> BenchPhases(bm25UpsertBuild, bm25UpsertProbe),
+    "search_hybrid_rrf" -> BenchPhases(
+      hybridBuild("hyb-i", "hyb-a"),
+      hybridProbe("hyb-i", "hyb-a", multiprobe = false)),
+    "search_hybrid_rrf_multiprobe" -> BenchPhases(
+      hybridBuild("hyb-mp-i", "hyb-mp-a"),
+      hybridProbe("hyb-mp-i", "hyb-mp-a", multiprobe = true)),
+  )
 
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
   private def nearDupCorpus(docs: DataFrame): DataFrame =
@@ -714,21 +812,8 @@ object LlmQueries {
     QueryDef(
       "sim_ann_upsert_topk",
       AnnRoundtripSql) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val dir = storeDir("ann-up") + "/idx"
-      val stale = emb.withColumn("vec",
-        when(col("id") % 5 === 0, transform(col("vec"), x => -x))
-          .otherwise(col("vec")))
-      Similarity.annStoreAppend(stale, dir, planes = 8, dims = 64)
-      val updated = Similarity.annStoreAppend(emb, dir, planes = 8, dims = 64)
-      val noop = Similarity.annStoreAppend(emb, dir, planes = 8, dims = 64)
-      require(updated > 0 && noop == 0,
-        s"ANN upsert semantics broken: updated=$updated redelivery=$noop")
-      Similarity.annStoreTopK(s, dir,
-        emb.filter(col("id") < 10), planes = 8, dims = 64, k = 3)
-        .select(col("qid"), col("cid"), col("score"), col("rnk"))
-        .presentSorted(col("qid"), col("rnk"))
+      annUpsertBuild(s, d)
+      annUpsertProbe(s, d)
     },
 
     // BUCKET-PARTITIONED ANN layout (the vector twin of the bucketed
@@ -740,16 +825,8 @@ object LlmQueries {
     QueryDef(
       "sim_ann_partitioned_topk",
       AnnRoundtripSql) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val dir = storeDir("ann-part") + "/idx"
-      val part = storeDir("ann-part-p") + "/part"
-      Similarity.annStoreAppend(emb, dir, planes = 8, dims = 64)
-      Similarity.annStorePartition(s, dir, part)
-      Similarity.annStorePartitionedTopK(s, part,
-        emb.filter(col("id") < 10), planes = 8, dims = 64, k = 3)
-        .select(col("qid"), col("cid"), col("score"), col("rnk"))
-        .presentSorted(col("qid"), col("rnk"))
+      annPartBuild(s, d)
+      annPartProbe(s, d)
     },
 
     // MULTI-PROBE ANN: each query also probes the planes buckets one
@@ -1387,16 +1464,8 @@ object LlmQueries {
     QueryDef(
       "search_hybrid_rrf",
       HybridRrfSql) { (s, d) =>
-      import graft.operators.{Search, Similarity}
-      val idxDir = storeDir("hyb-i") + "/index"
-      val annDir = storeDir("hyb-a") + "/ann"
-      Search.buildIndex(Tables.documents(s, d), "doc_id", "text", idxDir)
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.annStoreAppend(emb, annDir, planes = 8, dims = 64)
-      Search.hybridTopK(s, idxDir, annDir,
-        Seq("spark", "vector", "stream", "merge"),
-        emb.filter(col("id") === 5L), planes = 8, dims = 64, k = 10)
+      hybridBuild("hyb-i", "hyb-a")(s, d)
+      hybridProbe("hyb-i", "hyb-a", multiprobe = false)(s, d)
     },
 
     // HYBRID retrieval with the MULTI-PROBE recall lever on the vector
@@ -1408,17 +1477,8 @@ object LlmQueries {
     QueryDef(
       "search_hybrid_rrf_multiprobe",
       HybridRrfMultiprobeSql) { (s, d) =>
-      import graft.operators.{Search, Similarity}
-      val idxDir = storeDir("hyb-mp-i") + "/index"
-      val annDir = storeDir("hyb-mp-a") + "/ann"
-      Search.buildIndex(Tables.documents(s, d), "doc_id", "text", idxDir)
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.annStoreAppend(emb, annDir, planes = 8, dims = 64)
-      Search.hybridTopK(s, idxDir, annDir,
-        Seq("spark", "vector", "stream", "merge"),
-        emb.filter(col("id") === 5L), planes = 8, dims = 64, k = 10,
-        multiprobe = true)
+      hybridBuild("hyb-mp-i", "hyb-mp-a")(s, d)
+      hybridProbe("hyb-mp-i", "hyb-mp-a", multiprobe = true)(s, d)
     },
 
     // BM25 probe over the TERM-BUCKETED postings layout — the 100-TB
@@ -1525,20 +1585,8 @@ object LlmQueries {
     QueryDef(
       "search_bm25_index_upsert",
       Bm25IndexSql) { (s, d) =>
-      import graft.operators.Search
-      val dir = storeDir("bm25-up") + "/index"
-      val base = Tables.documents(s, d)
-      val stale = base.withColumn("text",
-        when(col("doc_id") % 7 === 0,
-          concat(lit("stale draft spark spark vector "), col("text")))
-          .otherwise(col("text")))
-      Search.buildIndex(stale, "doc_id", "text", dir)
-      val updated = Search.indexAppend(base, "doc_id", "text", dir)
-      val noop = Search.indexAppend(base, "doc_id", "text", dir)
-      require(updated > 0 && noop == 0,
-        s"upsert semantics broken: updated=$updated redelivery=$noop")
-      Search.bm25FromIndexTopK(s, dir,
-        Seq("spark", "vector", "stream", "merge"), k = 10)
+      bm25UpsertBuild(s, d)
+      bm25UpsertProbe(s, d)
     },
 
     // Training-data filter v2 — the composed gate using this round's
