@@ -80,6 +80,74 @@ object Corpus {
       .drop("__cum")
   }
 
+  /** Sliding-window CHUNKING with overlap: each doc's whitespace
+    * tokens split into windows of `window` tokens advancing by
+    * `window - overlap`, the doc→passage step of embedding/retrieval
+    * pipelines (a trailing partial window is kept; a doc at or under
+    * `window` tokens is one chunk). Output: (id, chunk_seq, n_tokens,
+    * chunk_text).
+    *
+    * 100 TB shape: a pure narrow projection — tokenize, compute the
+    * chunk count arithmetically, posexplode a `sequence`, slice. No
+    * shuffle, no state; parallelism is the scan's. Each token is
+    * copied at most ceil(window/stride) times (bounded fan-out chosen
+    * by the caller, not data-dependent).
+    */
+  def chunkSlidingWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int, overlap: Int): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      // chunks = 1 + ceil((n - window) / stride) for n > window, else 1
+      // — integer-exact: truncation is floor (operands non-negative).
+      .withColumn("__nc",
+        when(col("__n") <= window, lit(1)).otherwise(
+          (lit(1) + (col("__n") - window + (stride - 1)) / stride)
+            .cast("int")))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), col("__nc") - 1)))
+      .withColumn("__chunk", slice(col("__toks"), col("pos") * stride + 1,
+        lit(window)))
+      .select(col(idCol), col("pos").cast("long").as("chunk_seq"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
+  /** MIXTURE-WEIGHTED BUDGET TAKE: compose a training mix by filling
+    * each stratum's token budget — `weightPerMille(stratum) / 1000 *
+    * totalTokens`, integer-exact — with that stratum's docs in id
+    * order; the first doc that would overflow its budget is cut there
+    * (kept docs satisfy cumulative(tokens) <= budget). Deterministic:
+    * a doc's fate depends only on ids at or before it in its stratum.
+    *
+    * 100 TB shape: same single hash-exchange running-sum window as
+    * [[packSequences]] — one shuffle on the stratum key, no driver
+    * state, no global sort. Strata without a weight take nothing
+    * (budget 0) — the mix is exactly what the weights name.
+    */
+  def mixtureBudgetTake(df: DataFrame, idCol: String, stratumCol: String,
+      tokenCol: String, weightsPerMille: Map[String, Int],
+      totalTokens: Long): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive")
+    require(weightsPerMille.values.forall(w => w >= 0 && w <= 1000),
+      "weights must be in [0, 1000]")
+    val budget = weightsPerMille.foldLeft(lit(0L)) {
+      case (acc, (stratum, w)) =>
+        when(col(stratumCol) === stratum,
+          lit(totalTokens * w / 1000L)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .withColumn("cum_tokens", col("__cum"))
+      .drop("__cum")
+  }
+
   /** The per-mille rate column `stratifiedSample` uses — exposed for
     * tests that assert the keep/drop boundary directly.
     */

@@ -1143,6 +1143,68 @@ object LlmQueries {
         .presentSorted(col("source"), col("doc_id"))
     },
 
+    // Sliding-window CHUNKING with overlap (window 32, stride 24 —
+    // the doc→passage step of embedding/retrieval pipelines, window
+    // sized so the fixture's ~54-token docs produce multi-chunk
+    // output): every doc becomes ceil-strided windows over its
+    // whitespace tokens, trailing partial window kept. Pure narrow
+    // projection — no shuffle; the oracle mirrors the arithmetic
+    // chunk count and 1-based slices exactly.
+    QueryDef(
+      "pl_chunk_sliding_windows",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |n AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0),
+        |c AS (
+        |  SELECT doc_id, l,
+        |    CASE WHEN n <= 32 THEN 1
+        |         ELSE 1 + (n - 32 + 23) // 24 END AS nc
+        |  FROM n),
+        |e AS (SELECT doc_id, l, unnest(range(nc)) AS i FROM c)
+        |SELECT doc_id, i::BIGINT AS chunk_seq,
+        |  len(list_slice(l, i*24 + 1, i*24 + 32))::BIGINT AS n_tokens,
+        |  array_to_string(list_slice(l, i*24 + 1, i*24 + 32), ' ')
+        |    AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_seq""".stripMargin) { (s, d) =>
+      graft.operators.Corpus.chunkSlidingWindows(
+        Tables.documents(s, d), "doc_id", "text",
+        window = 32, overlap = 8)
+        .presentSorted(col("doc_id"), col("chunk_seq"))
+    },
+
+    // MIXTURE-WEIGHTED BUDGET TAKE: fill each source's share of a
+    // 500k-token training mix (per-mille weights) with its docs in id
+    // order — the mixture-composition step after dedup/filtering.
+    // Single hash-exchange running sum; integer-exact budgets.
+    QueryDef(
+      "pl_mixture_budget_take",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(trim(text), ' '), x -> x <> ''))::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <=
+        |  (500000 * (50 + 30 * (substr(source, 4)::INT % 4))) // 1000
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val weights =
+        (0 until 20).map(i => s"src$i" -> (50 + 30 * (i % 4))).toMap
+      val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Corpus.mixtureBudgetTake(t, "doc_id", "source",
+        "n_tokens", weights, totalTokens = 500000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+        .presentSorted(col("doc_id"))
+    },
+
     // Token statistics: whitespace + BPE-ish counts.
     QueryDef(
       "txt_token_stats",

@@ -193,4 +193,43 @@ class CorpusSpec extends SparkSpec {
       .as[Double].collect().head
     assert(math.abs(books._7 - q) < 1e-4)
   }
+
+  test("chunkSlidingWindows: strided windows, trailing partial kept") {
+    val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, text10),          // 10 tokens, window 4 stride 3 -> 3 chunks
+      (2L, "a b c"),         // at window size -> 1 chunk
+      (3L, "only"),          // 1 token -> 1 chunk
+      (4L, "   "))           // no tokens -> no chunks
+      .toDF("doc_id", "text")
+    val got = Corpus.chunkSlidingWindows(docs, "doc_id", "text",
+      window = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_seq")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 3L, "a b c"),
+      (3L, 0L, 1L, "only")))
+    // Exact-cover case: 10 tokens, window 4, stride 2 -> 4 chunks, the
+    // last ending exactly at the final token (no empty trailing chunk).
+    val even = Corpus.chunkSlidingWindows(docs.filter(col("doc_id") === 1),
+      "doc_id", "text", window = 4, overlap = 2)
+      .as[(Long, Long, Long, String)].collect()
+    assert(even.length == 4 && even.forall(_._3 == 4L))
+  }
+
+  test("mixtureBudgetTake fills per-stratum budgets in id order") {
+    val docs = Seq(
+      (1L, "a", 40L), (2L, "a", 40L), (3L, "a", 40L),  // budget 100: 1,2
+      (4L, "b", 100L), (5L, "b", 1L),                  // budget 100: 4
+      (6L, "c", 5L))                                   // no weight: none
+      .toDF("doc_id", "stratum", "n_tokens")
+    val got = Corpus.mixtureBudgetTake(docs, "doc_id", "stratum",
+      "n_tokens", Map("a" -> 100, "b" -> 100), totalTokens = 1000L)
+      .select("doc_id", "cum_tokens").orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 40L), (2L, 80L), (4L, 100L)))
+  }
 }
