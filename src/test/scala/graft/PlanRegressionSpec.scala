@@ -107,6 +107,18 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("chunking is narrow and mixture take shuffles once") {
+    // Sliding-window chunking is tokenize + arithmetic + explode —
+    // any hash exchange means the narrow shape regressed; the mixture
+    // budget take is exactly its one running-sum exchange on source.
+    val chunkEx = "Exchange hashpartitioning".r
+      .findAllIn(plans("pl_chunk_sliding_windows")).length
+    assert(chunkEx == 0, s"chunking shuffled $chunkEx times (want 0)")
+    val mixEx = "Exchange hashpartitioning".r
+      .findAllIn(plans("pl_mixture_budget_take")).length
+    assert(mixEx == 1, s"mixture take shuffled $mixEx times (want 1)")
+  }
+
   test("column profiler reads its table exactly once") {
     val p = plans("pl_column_profile")
     // Both "Scan parquet" and "FileScan parquet" lines contain this.
