@@ -74,10 +74,79 @@ object LlmQueries {
   }
 
   private def annUpsertProbe(s: SparkSession, d: String): DataFrame =
-    Similarity.annStoreTopK(s, storePath("ann-up") + "/idx",
-      embOf(s, d).filter(col("id") < 10), planes = 8, dims = 64, k = 3)
-      .select(col("qid"), col("cid"), col("score"), col("rnk"))
+    annProbe("ann-up")(s, d)
+
+  /** Standing-ANN-store probe against `name`'s store (single-bucket or
+    * multi-probe) — the shared read side of the sim_ann_* splits.
+    */
+  private def annProbe(name: String, multiprobe: Boolean = false)(
+      s: SparkSession, d: String): DataFrame = {
+    val q = embOf(s, d).filter(col("id") < 10)
+    val dir = storePath(name) + "/idx"
+    val hits =
+      if (multiprobe)
+        Similarity.annStoreTopKProbed(s, dir, q, planes = 8, dims = 64, k = 3)
+      else Similarity.annStoreTopK(s, dir, q, planes = 8, dims = 64, k = 3)
+    hits.select(col("qid"), col("cid"), col("score"), col("rnk"))
       .presentSorted(col("qid"), col("rnk"))
+  }
+
+  private def annBuild(name: String)(s: SparkSession, d: String): Unit = {
+    Similarity.annStoreAppend(embOf(s, d), storeDir(name) + "/idx",
+      planes = 8, dims = 64): Unit
+  }
+
+  private def idxBuild(name: String)(s: SparkSession, d: String): Unit =
+    Search.buildIndex(Tables.documents(s, d), "doc_id", "text",
+      storeDir(name) + "/index")
+
+  private def bm25IdxProbe(name: String)(s: SparkSession, d: String): DataFrame =
+    Search.bm25FromIndexTopK(s, storePath(name) + "/index",
+      Seq("spark", "vector", "stream", "merge"), k = 10)
+
+  private def bm25DeleteBuild(s: SparkSession, d: String): Unit = {
+    idxBuild("bm25-del")(s, d)
+    val dir = storePath("bm25-del") + "/index"
+    val victims = Tables.documents(s, d).filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"))
+    val deleted = Search.indexDelete(s, dir, victims)
+    val again = Search.indexDelete(s, dir, victims)
+    require(deleted > 0 && again == 0,
+      s"delete semantics broken: deleted=$deleted redelivery=$again")
+  }
+
+  private def mltProbe(s: SparkSession, d: String): DataFrame =
+    Search.moreLikeThisTopK(s, storePath("mlt") + "/index",
+      Tables.documents(s, d).filter(col("doc_id") === 42L)
+        .select(col("doc_id"), col("text")),
+      k = 10)
+
+  private val PhraseTerms = Seq("table", "hash")
+
+  private def bm25BucketedBuild(s: SparkSession, d: String): Unit = {
+    idxBuild("bm25-bk")(s, d)
+    Search.bucketPostings(s, storePath("bm25-bk") + "/index",
+      "graft_postings_bucketed")
+  }
+
+  private def bm25BucketedProbe(s: SparkSession, d: String): DataFrame =
+    Search.bm25FromBucketedIndexTopK(s, storePath("bm25-bk") + "/index",
+      "graft_postings_bucketed",
+      Seq("spark", "vector", "stream", "merge"), k = 10)
+
+  private def phraseBucketedBuild(s: SparkSession, d: String): Unit = {
+    idxBuild("phr-bk")(s, d)
+    Search.bucketPostings(s, storePath("phr-bk") + "/index",
+      "graft_postings_bucketed_phr")
+  }
+
+  private def phraseBucketedProbe(s: SparkSession, d: String): DataFrame =
+    Search.phraseFromBucketedIndexTopK(s, "graft_postings_bucketed_phr",
+      PhraseTerms, k = 10)
+
+  private def phraseIdxProbe(s: SparkSession, d: String): DataFrame =
+    Search.phraseFromIndexTopK(s, storePath("phr") + "/index",
+      PhraseTerms, k = 10)
 
   private def annPartBuild(s: SparkSession, d: String): Unit = {
     val dir = storeDir("ann-part") + "/idx"
@@ -141,6 +210,21 @@ object LlmQueries {
     "search_hybrid_rrf_multiprobe" -> BenchPhases(
       hybridBuild("hyb-mp-i", "hyb-mp-a"),
       hybridProbe("hyb-mp-i", "hyb-mp-a", multiprobe = true)),
+    "sim_ann_store_roundtrip" -> BenchPhases(annBuild("ann-rt"),
+      annProbe("ann-rt")),
+    "sim_ann_multiprobe" -> BenchPhases(annBuild("ann-mp"),
+      annProbe("ann-mp", multiprobe = true)),
+    "search_bm25_index_topk" -> BenchPhases(idxBuild("bm25"),
+      bm25IdxProbe("bm25")),
+    "search_bm25_index_delete" -> BenchPhases(bm25DeleteBuild,
+      bm25IdxProbe("bm25-del")),
+    "search_more_like_this" -> BenchPhases(idxBuild("mlt"), mltProbe),
+    "search_phrase_index_topk" -> BenchPhases(idxBuild("phr"),
+      phraseIdxProbe),
+    "search_bm25_index_bucketed" -> BenchPhases(bm25BucketedBuild,
+      bm25BucketedProbe),
+    "search_phrase_index_bucketed" -> BenchPhases(phraseBucketedBuild,
+      phraseBucketedProbe),
   )
 
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
@@ -792,14 +876,8 @@ object LlmQueries {
     QueryDef(
       "sim_ann_store_roundtrip",
       AnnRoundtripSql) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val dir = storeDir("ann-rt") + "/idx"
-      Similarity.annStoreAppend(emb, dir, planes = 8, dims = 64)
-      Similarity.annStoreTopK(s, dir,
-        emb.filter(col("id") < 10), planes = 8, dims = 64, k = 3)
-        .select(col("qid"), col("cid"), col("score"), col("rnk"))
-        .presentSorted(col("qid"), col("rnk"))
+      annBuild("ann-rt")(s, d)
+      annProbe("ann-rt")(s, d)
     },
 
     // RE-EMBEDDING UPSERT into the standing ANN store (the vector twin
@@ -836,14 +914,8 @@ object LlmQueries {
     QueryDef(
       "sim_ann_multiprobe",
       AnnMultiprobeSql) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val dir = storeDir("ann-mp") + "/idx"
-      Similarity.annStoreAppend(emb, dir, planes = 8, dims = 64)
-      Similarity.annStoreTopKProbed(s, dir,
-        emb.filter(col("id") < 10), planes = 8, dims = 64, k = 3)
-        .select(col("qid"), col("cid"), col("score"), col("rnk"))
-        .presentSorted(col("qid"), col("rnk"))
+      annBuild("ann-mp")(s, d)
+      annProbe("ann-mp", multiprobe = true)(s, d)
     },
 
     // Embedding-cosine near-dup pairs: hyperplane-LSH buckets generate
@@ -1511,11 +1583,8 @@ object LlmQueries {
     QueryDef(
       "search_bm25_index_topk",
       Bm25IndexSql) { (s, d) =>
-      import graft.operators.Search
-      val dir = storeDir("bm25") + "/index"
-      Search.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
-      Search.bm25FromIndexTopK(s, dir,
-        Seq("spark", "vector", "stream", "merge"), k = 10)
+      idxBuild("bm25")(s, d)
+      bm25IdxProbe("bm25")(s, d)
     },
 
     // HYBRID retrieval: Reciprocal-Rank Fusion of the BM25 index top-20
@@ -1552,12 +1621,8 @@ object LlmQueries {
     QueryDef(
       "search_bm25_index_bucketed",
       Bm25IndexSql) { (s, d) =>
-      import graft.operators.Search
-      val dir = storeDir("bm25-bk") + "/index"
-      Search.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
-      Search.bucketPostings(s, dir, "graft_postings_bucketed")
-      Search.bm25FromBucketedIndexTopK(s, dir, "graft_postings_bucketed",
-        Seq("spark", "vector", "stream", "merge"), k = 10)
+      bm25BucketedBuild(s, d)
+      bm25BucketedProbe(s, d)
     },
 
     // MORE-LIKE-THIS: BM25 where the query is doc 42's whole
@@ -1604,13 +1669,8 @@ object LlmQueries {
         |  GROUP BY pc.doc_id)
         |SELECT doc_id, n_matched, score_1e6 FROM s
         |ORDER BY score_1e6 DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
-      import graft.operators.Search
-      val dir = storeDir("mlt") + "/index"
-      val base = Tables.documents(s, d)
-      Search.buildIndex(base, "doc_id", "text", dir)
-      Search.moreLikeThisTopK(s, dir,
-        base.filter(col("doc_id") === 42L).select(col("doc_id"), col("text")),
-        k = 10)
+      idxBuild("mlt")(s, d)
+      mltProbe(s, d)
     },
 
     // TOMBSTONE DELETES from the standing index: after deleting every
@@ -1621,18 +1681,8 @@ object LlmQueries {
       "search_bm25_index_delete",
       Bm25IndexSql.replace("FROM documents)",
         "FROM documents WHERE doc_id % 11 <> 0)")) { (s, d) =>
-      import graft.operators.Search
-      val dir = storeDir("bm25-del") + "/index"
-      val base = Tables.documents(s, d)
-      Search.buildIndex(base, "doc_id", "text", dir)
-      val victims = base.filter(col("doc_id") % 11 === 0)
-        .select(col("doc_id"))
-      val deleted = Search.indexDelete(s, dir, victims)
-      val again = Search.indexDelete(s, dir, victims)
-      require(deleted > 0 && again == 0,
-        s"delete semantics broken: deleted=$deleted redelivery=$again")
-      Search.bm25FromIndexTopK(s, dir,
-        Seq("spark", "vector", "stream", "merge"), k = 10)
+      bm25DeleteBuild(s, d)
+      bm25IdxProbe("bm25-del")(s, d)
     },
 
     // CHANGED-CONTENT UPSERT into the standing index (the reference's
@@ -1833,10 +1883,8 @@ object LlmQueries {
         |  FROM t)
         |SELECT doc_id, tf_phrase FROM p WHERE tf_phrase > 0
         |ORDER BY tf_phrase DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
-      import graft.operators.Search
-      val dir = storeDir("phr") + "/index"
-      Search.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
-      Search.phraseFromIndexTopK(s, dir, Seq("table", "hash"), k = 10)
+      idxBuild("phr")(s, d)
+      phraseIdxProbe(s, d)
     },
 
     // The same phrase query over the TERM-BUCKETED layout: positions
@@ -1855,12 +1903,8 @@ object LlmQueries {
         |  FROM t)
         |SELECT doc_id, tf_phrase FROM p WHERE tf_phrase > 0
         |ORDER BY tf_phrase DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
-      import graft.operators.Search
-      val dir = storeDir("phr-bk") + "/index"
-      Search.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
-      Search.bucketPostings(s, dir, "graft_postings_bucketed_phr")
-      Search.phraseFromBucketedIndexTopK(s, "graft_postings_bucketed_phr",
-        Seq("table", "hash"), k = 10)
+      phraseBucketedBuild(s, d)
+      phraseBucketedProbe(s, d)
     },
 
     // Character entropy (TextAnalysis.charEntropy): the low-entropy

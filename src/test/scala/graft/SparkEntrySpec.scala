@@ -29,6 +29,12 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
+  test("every bench build/probe split belongs to a registered query") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.benchPhases.keys.foreach(name =>
+      assert(qs.contains(name), s"bench split for unknown query $name"))
+  }
+
   test("entry returns rows on sf0.001") {
     val spark = SparkSpec.session
     assert(SparkEntry.entry(spark).count() > 0)
