@@ -419,15 +419,31 @@ object Corpus {
     */
   def decontaminateAgainstIndex(docs: DataFrame, benchShingles: DataFrame,
       idCol: String, textCol: String, n: Int,
+      minOverlap: Int): DataFrame =
+    docs.join(
+      contaminationReport(docs, benchShingles, idCol, textCol, n,
+        minOverlap).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** CONTAMINATION REPORT — the audit surface behind
+    * [[decontaminateAgainstIndex]]'s binary drop: per doc reaching
+    * `minOverlap`, its distinct-shingle overlap count with the
+    * benchmark index, so a decontamination pass can be reviewed
+    * (which docs would go, and how hard they hit) before it runs.
+    * Same shape as the drop: broadcast semi-join against the KB-MB
+    * benchmark shingle set, then one doc_id aggregation over only the
+    * rows that hit — the corpus itself never shuffles.
+    */
+  def contaminationReport(docs: DataFrame, benchShingles: DataFrame,
+      idCol: String, textCol: String, n: Int,
       minOverlap: Int): DataFrame = {
     require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
-    val contaminated = Dedup.shingles(docs, idCol, textCol, n)
+    Dedup.shingles(docs, idCol, textCol, n)
       .join(broadcast(benchShingles.select(col("bh"))), Seq("bh"),
         "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
-      .select(col("doc_id").as(idCol))
-    docs.join(contaminated, Seq(idCol), "left_anti")
+      .select(col("doc_id").as(idCol), col("n_overlap"))
   }
 }

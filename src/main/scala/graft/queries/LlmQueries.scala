@@ -1104,6 +1104,36 @@ object LlmQueries {
         .presentSorted(col("doc_id"))
     },
 
+    // CONTAMINATION REPORT — the audit twin of pl_decontaminate: per
+    // contaminated doc, its distinct-shingle overlap count with the
+    // benchmark set (review the would-be drops before running the
+    // pass). Same broadcast-semi-join shape; same fixture benchmark.
+    QueryDef(
+      "pl_contamination_report",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |dsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS bh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+        |    FROM toks)),
+        |bsh AS (SELECT DISTINCT bh FROM dsh WHERE doc_id % 37 = 0)
+        |SELECT d.doc_id, count(*)::BIGINT AS n_overlap
+        |FROM dsh d JOIN bsh b USING (bh)
+        |GROUP BY d.doc_id HAVING count(*) >= 5
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Corpus.contaminationReport(docs,
+        graft.operators.Dedup.shingles(
+          docs.filter(col("doc_id") % 37 === 0), "doc_id", "text", 3)
+          .select(col("bh")).distinct(),
+        "doc_id", "text", n = 3, minOverlap = 5)
+        .presentSorted(col("doc_id"))
+    },
+
     // BOILERPLATE RATIO (RefinedWeb/C4-style template-text signal):
     // fraction of each doc's distinct shingles whose corpus document
     // frequency reaches 5 — the quality-gate input for dropping

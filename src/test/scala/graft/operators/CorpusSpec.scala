@@ -194,6 +194,28 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(books._7 - q) < 1e-4)
   }
 
+  test("contaminationReport counts exactly the overlaps decontaminate gates on") {
+    val toks = (0 until 30).map(i => s"w$i")
+    val benchText = toks.mkString(" ")
+    val docs = Seq(
+      (1L, benchText),                                 // 28 overlaps
+      (2L, toks.take(9).mkString(" ")),                // 7 overlaps
+      (3L, toks.take(6).mkString(" ") + " x y z"),     // 4 — below gate
+      (4L, "totally unrelated content about query engines and storage"))
+      .toDF("doc_id", "text")
+    val bench = Dedup.shingles(Seq((100L, benchText)).toDF("doc_id", "text"),
+      "doc_id", "text", 3).select(col("bh")).distinct()
+    val got = Corpus.contaminationReport(docs, bench, "doc_id", "text",
+      n = 3, minOverlap = 5)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 28L), (2L, 7L)))
+    // The report's doc set IS decontaminate's drop set.
+    val kept = Corpus.decontaminateAgainstIndex(docs, bench, "doc_id",
+      "text", n = 3, minOverlap = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+  }
+
   test("chunkSlidingWindows: strided windows, trailing partial kept") {
     val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
     val docs = Seq(
