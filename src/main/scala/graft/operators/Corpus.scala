@@ -98,7 +98,9 @@ object Corpus {
     require(window > 0 && overlap >= 0 && overlap < window,
       s"need 0 <= overlap < window, got window=$window overlap=$overlap")
     val stride = window - overlap
-    val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
+    // The canonical tokenizer — chunk boundaries must agree with every
+    // token count the rest of the pipeline derives from the same text.
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
     df.select(col(idCol), toks.as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") > 0)
@@ -126,8 +128,12 @@ object Corpus {
     *
     * 100 TB shape: same single hash-exchange running-sum window as
     * [[packSequences]] — one shuffle on the stratum key, no driver
-    * state, no global sort. Strata without a weight take nothing
-    * (budget 0) — the mix is exactly what the weights name.
+    * state, no global sort. The budgets ship as a BROADCAST
+    * (stratum, budget) frame, not a per-weight CASE chain — a real mix
+    * names thousands of sources, and a thousands-deep nested `when`
+    * would blow codegen long before the data became the problem.
+    * Strata without a weight (or with weight 0) take nothing — the
+    * mix is exactly what the weights name.
     */
   def mixtureBudgetTake(df: DataFrame, idCol: String, stratumCol: String,
       tokenCol: String, weightsPerMille: Map[String, Int],
@@ -135,17 +141,21 @@ object Corpus {
     require(totalTokens > 0, s"totalTokens must be positive")
     require(weightsPerMille.values.forall(w => w >= 0 && w <= 1000),
       "weights must be in [0, 1000]")
-    val budget = weightsPerMille.foldLeft(lit(0L)) {
-      case (acc, (stratum, w)) =>
-        when(col(stratumCol) === stratum,
-          lit(totalTokens * w / 1000L)).otherwise(acc)
-    }
+    val spark = df.sparkSession
+    val budgets = spark.createDataFrame(
+      weightsPerMille.toSeq.map { case (stratum, w) =>
+        (stratum, totalTokens * w / 1000L)
+      }).toDF(stratumCol, "__budget")
     val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn("__cum", sum(col(tokenCol)).over(w))
-      .filter(col("__cum") <= budget)
+    df.join(broadcast(budgets), Seq(stratumCol), "left")
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      // The __budget > 0 guard also evicts zero-token docs from
+      // unweighted/zero-weight strata (their running sum is 0, which
+      // a bare __cum <= budget comparison would admit).
+      .filter(col("__budget") > 0 && col("__cum") <= col("__budget"))
       .withColumn("cum_tokens", col("__cum"))
-      .drop("__cum")
+      .drop("__cum", "__budget")
   }
 
   /** The per-mille rate column `stratifiedSample` uses — exposed for

@@ -181,10 +181,9 @@ object LlmQueries {
 
   private def hybridBuild(idxName: String, annName: String)(
       s: SparkSession, d: String): Unit = {
-    Search.buildIndex(Tables.documents(s, d), "doc_id", "text",
-      storeDir(idxName) + "/index")
+    idxBuild(idxName)(s, d)
     Similarity.annStoreAppend(embOf(s, d), storeDir(annName) + "/ann",
-      planes = 8, dims = 64)
+      planes = 8, dims = 64): Unit
   }
 
   private def hybridProbe(idxName: String, annName: String,

@@ -48,11 +48,18 @@ object Commits {
       .map(_.drop(1).toLong)
   }
 
-  /** Create the marker — the append's atomic commit point. */
+  /** Create the marker — the append's atomic commit point. Also
+    * records the batch's attempt marker (idempotent): build/vacuum
+    * paths commit fixed ids without going through [[allocateBatchId]],
+    * and a committed id must count as attempted so the allocator's
+    * listing-only fast path stays armed after them.
+    */
   def commit(spark: SparkSession, dir: String, batch: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_commits/b$batch")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_commits/a$batch"), true)
+      .close()
     fs.create(p, true).close()
   }
 
@@ -120,21 +127,32 @@ object Commits {
     * crash at any later point burns the id (orphan rows stay invisible
     * to readers, vacuum drops them, and the staged-ledger swap clears
     * the spent markers) — the postings-only-orphan window stays closed
-    * without reading the postings. Stores written before attempt
-    * markers existed (data present, ledger listing empty) fall back to
-    * the data scan once; this allocation then records a marker and
-    * every later call is listing-only. (A pre-marker store that has
-    * BOTH committed entries and a marker-less orphan is the one state
-    * the listing would mis-allocate — unreachable through this code,
-    * since every mutation records its attempt before writing; vacuum
-    * such a store before pointing this allocator at it.)
+    * without reading the postings. A store with NO attempt markers yet
+    * (pre-marker data, or a ledger freshly reset by build/vacuum) may
+    * hold marker-less orphans the ledger cannot see, so that first
+    * allocation also consults the data scan and takes the max of both;
+    * it then records a marker, making every later call listing-only.
+    * [[commit]] records the attempt marker alongside the commit marker,
+    * so build/vacuum paths that commit batch 0 directly re-arm the
+    * fast path immediately.
     */
   def allocateBatchId(spark: SparkSession, storeDir: String,
       dataPaths: Seq[String]): Long = {
-    val listed = committed(spark, storeDir) ++ attempted(spark, storeDir)
+    val attempts = attempted(spark, storeDir)
+    val committedIds = committed(spark, storeDir)
     val id =
-      if (listed.nonEmpty) listed.max + 1L
-      else dataPaths.map(nextBatchId(spark, _)).max
+      if (attempts.nonEmpty) (attempts ++ committedIds).max + 1L
+      else {
+        // No allocation was ever RECORDED here (pre-marker store, or a
+        // ledger reset by an old-code vacuum): the data may hold
+        // marker-less orphans from an old-code crash that the ledger
+        // cannot see, so take the max over the ledger AND a one-time
+        // data scan. This allocation records a marker, so every later
+        // call is listing-only.
+        val fromLedger = committedIds.maxOption.map(_ + 1L).getOrElse(0L)
+        val fromData = dataPaths.map(nextBatchId(spark, _)).max
+        math.max(fromLedger, fromData)
+      }
     recordAttempt(spark, storeDir, id)
     id
   }

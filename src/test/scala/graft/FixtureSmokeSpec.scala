@@ -79,6 +79,16 @@ class FixtureSmokeSpec extends SparkSpec {
            emb == ArrayType(FloatType, containsNull = false), s"embedding dtype drifted: $emb")
     // documents.text drives shingling/minhash; must stay a string.
     assert(Tables.documents(spark, sfDir).schema("text").dataType == StringType)
+    // documents.source domain: pl_stratified_sample and
+    // pl_mixture_budget_take hard-code per-source rates for src0-src19
+    // while their oracles derive a rate for ANY 'srcN' — a regenerated
+    // fixture with new source values would silently diverge the two
+    // sides, so fail here instead.
+    val sources = Tables.documents(spark, sfDir)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    val expected = (0 until 20).map(i => s"src$i").toSet
+    assert(sources.subsetOf(expected),
+      s"documents.source grew beyond src0-src19: ${sources -- expected}")
     // TPC-H date columns: queries assume timestamp-or-date, branch-normalized.
     for ((t, c) <- Seq(("orders", "o_orderdate"), ("lineitem", "l_shipdate"))) {
       val dt = Tables.load(spark, sfDir, t).schema(c).dataType

@@ -246,10 +246,15 @@ class CorpusSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a", 40L), (2L, "a", 40L), (3L, "a", 40L),  // budget 100: 1,2
       (4L, "b", 100L), (5L, "b", 1L),                  // budget 100: 4
-      (6L, "c", 5L))                                   // no weight: none
+      (6L, "c", 5L),                                   // no weight: none
+      (7L, "c", 0L),   // zero-token doc in an unweighted stratum: its
+                       // running sum is 0, but budget 0 must still
+                       // evict it — unweighted strata take NOTHING
+      (8L, "z", 0L))   // same via an explicit weight of 0
       .toDF("doc_id", "stratum", "n_tokens")
     val got = Corpus.mixtureBudgetTake(docs, "doc_id", "stratum",
-      "n_tokens", Map("a" -> 100, "b" -> 100), totalTokens = 1000L)
+      "n_tokens", Map("a" -> 100, "b" -> 100, "z" -> 0),
+      totalTokens = 1000L)
       .select("doc_id", "cum_tokens").orderBy("doc_id")
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 40L), (2L, 80L), (4L, 100L)))
