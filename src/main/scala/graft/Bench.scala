@@ -155,6 +155,11 @@ object Bench {
                       s"[bench] $name build failed: ${e.getMessage}")
                     false
                   }
+                // Drop build-time cache residue FIRST so the untimed
+                // warm-up probe below measures-and-warms exactly the
+                // state every timed probe will see (runOne clears after
+                // itself, so probes all start cache-cold and equal).
+                spark.catalog.clearCache()
                 if (ok) {
                   buildSecs(name) = (System.nanoTime() - t0) / 1e9
                   // One untimed probe: the first read of a fresh store
@@ -164,7 +169,6 @@ object Bench {
                   // to 3.5x the warm cost from exactly this).
                   runOne(name, ph.probe): Unit
                 }
-                spark.catalog.clearCache()
               }
               if (buildSecs.contains(name)) runOne(name, ph.probe) else None
             case None => runOne(name, fn)

@@ -15,6 +15,7 @@ object PlanAudit {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       // AQE wraps the plan in AdaptiveSparkPlan and defers codegen
       // collapse to runtime; turn it off so the STATIC audit shows the
       // *(n) whole-stage-codegen spans (execution keeps AQE on).

@@ -66,6 +66,14 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampType => raw
       case TimestampNTZType | DateType =>
+        // The NTZ→TimestampType cast is a wall-clock identity ONLY in a
+        // UTC session — assert it HERE so the invariant travels with the
+        // loader instead of relying on each entry point (Verify/Bench/
+        // tests pin UTC; an ad-hoc session that doesn't would otherwise
+        // silently shift every instant relative to the DuckDB oracle).
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables.events requires spark.sql.session.timeZone=UTC for the " +
+            "NTZ timestamp fixture; set it in the SparkSession builder")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case other =>
         throw new IllegalStateException(

@@ -104,12 +104,15 @@ object Corpus {
     df.select(col(idCol), toks.as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") > 0)
-      // chunks = 1 + ceil((n - window) / stride) for n > window, else 1
-      // — integer-exact: truncation is floor (operands non-negative).
+      // chunks = 1 + ceil((n - window) / stride) for n > window, else 1.
+      // `div` is SQL integer floor-division — exact for ANY integral
+      // width, with no round-trip through double (Column `/` is double
+      // division, which is only exact below ~2^53).
+      .withColumn("__q", col("__n") - window + (stride - 1))
       .withColumn("__nc",
         when(col("__n") <= window, lit(1)).otherwise(
-          (lit(1) + (col("__n") - window + (stride - 1)) / stride)
-            .cast("int")))
+          (lit(1) + expr(s"__q div $stride")).cast("int")))
+      .drop("__q")
       .select(col(idCol), col("__toks"),
         posexplode(sequence(lit(0), col("__nc") - 1)))
       .withColumn("__chunk", slice(col("__toks"), col("pos") * stride + 1,

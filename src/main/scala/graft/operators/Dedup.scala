@@ -432,6 +432,17 @@ object Dedup {
     * recall and spread hot near-identical clusters over more, smaller
     * buckets than a single wide band would (a single hot bucket going
     * quadratic is the classic boilerplate-dedup failure).
+    *
+    * WITNESS DEDUP, no pair-`distinct()` exchange: a pair matching in k
+    * of the bands meets once per matching band, and which bands match
+    * is fully determined in-row by `sim_a XOR sim_b` (band b matches
+    * iff the XOR's band-b bits are all zero). Each emission keeps only
+    * the row whose band IS the pair's minimum matching band — exactly
+    * one emission per pair survives, for the price of a bit-test chain
+    * instead of re-shuffling the whole pair stream just to drop
+    * duplicates (the same min-witness trick as [[blockedJaccard]]; at
+    * 100 TB the dedup pair stream is the corpus build's biggest
+    * intermediate, and this keeps it exchange-free).
     */
   def simhashPairs(sims: DataFrame, maxHamming: Int,
       bands: Int = 4): DataFrame = {
@@ -450,12 +461,24 @@ object Dedup {
       col("simhash").as("sim_a"))
     val y = banded.select(col("b"), col("bv"), col("doc_id").as("b2"),
       col("simhash").as("sim_b"))
+    // Minimum matching band of the pair, computed from the XOR in-row:
+    // the first band (lowest b) whose bits are all zero in the XOR.
+    def bandZero(xor: Column, b: Int): Column =
+      shiftright(xor, b * bits).bitwiseAND(lit(mask)) === 0L
+    def minMatchingBand(xor: Column): Column =
+      (bands - 1 to 0 by -1).foldLeft(lit(bands): Column) { (acc, b) =>
+        when(bandZero(xor, b), lit(b)).otherwise(acc)
+      }
     x.join(y, Seq("b", "bv"))
       .filter(col("a") < col("b2"))
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .withColumn("__xor", col("sim_a").bitwiseXOR(col("sim_b")))
+      // Witness filter: only the emission from the pair's minimum
+      // matching band survives (the joined band ALWAYS matches, so a
+      // minimum exists and b == min picks exactly one row per pair).
+      .filter(col("b") === minMatchingBand(col("__xor")))
+      .withColumn("hamming", bit_count(col("__xor")))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b2").as("b"), col("hamming"))
-      .distinct()
   }
 
   /** Canonical-representative selection by SCORE — the policy a

@@ -150,7 +150,8 @@ object Commits {
         // data scan. This allocation records a marker, so every later
         // call is listing-only.
         val fromLedger = committedIds.maxOption.map(_ + 1L).getOrElse(0L)
-        val fromData = dataPaths.map(nextBatchId(spark, _)).max
+        val fromData = dataPaths.map(nextBatchId(spark, _))
+          .maxOption.getOrElse(0L)
         math.max(fromLedger, fromData)
       }
     recordAttempt(spark, storeDir, id)

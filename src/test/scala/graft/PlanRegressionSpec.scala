@@ -150,6 +150,19 @@ class PlanRegressionSpec extends SparkSpec {
       "candidate-pair distinct exchange is back")
   }
 
+  test("simhash pairs keep the witness dedup (no pair-distinct exchange)") {
+    // A pair matching k bands is emitted k times; the min-matching-band
+    // witness filter keeps exactly one in-row. A reintroduced
+    // .distinct() would plan as an aggregate keyed on the pair (a, b).
+    val p = plans("dd_simhash_pairs")
+    assert(!"HashAggregate\\(keys=\\[a#\\d+L, b#\\d+L".r
+      .findFirstIn(p).isDefined,
+      "simhash pair-distinct exchange is back")
+    // The witness bit-test chain compiles to the band CASE over the XOR.
+    assert(p.contains("CASE WHEN"),
+      "min-matching-band witness filter missing from the plan")
+  }
+
   test("partitioned ANN probe plans dynamic partition pruning") {
     // The bucket-partitioned layout exists so the probe reads only the
     // probed buckets' directories: the scan's partition filters must
