@@ -242,6 +242,109 @@ class CorpusSpec extends SparkSpec {
     assert(even.length == 4 && even.forall(_._3 == 4L))
   }
 
+  test("chunkSlidingWindows agrees with the canonical tokenizer (property)") {
+    // Deterministic scalacheck texts over a whitespace-adversarial
+    // alphabet: runs of spaces, tabs, NBSP and newlines interleaved with
+    // letters. The CANONICAL tokenizer (TextFunctions.tokens) splits on
+    // single ' ' after space-trim — tabs/NBSP/newlines are NOT
+    // separators and must ride INSIDE tokens, which is exactly what a
+    // naive \\s+ oracle would get wrong.
+    import org.scalacheck.{Gen, rng}
+    val gen = Gen.listOfN(80, Gen.stringOfN(40,
+      Gen.oneOf(('a' to 'd') ++ Seq(' ', ' ', ' ', '\t', ' ', '\n'))))
+    val texts = gen.pureApply(Gen.Parameters.default, rng.Seed(7L))
+    // Scala-side mirror of filter(split(trim(text), " "), _ != "").
+    def canonToks(t: String): Seq[String] =
+      t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        .split(" ", -1).toSeq.filter(_.nonEmpty)
+    for ((window, overlap) <- Seq((4, 0), (4, 1), (5, 3), (1, 0), (7, 6))) {
+      val stride = window - overlap
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Corpus.chunkSlidingWindows(docs, "doc_id", "text",
+        window, overlap)
+        .select("doc_id", "chunk_seq", "n_tokens", "chunk_text")
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = canonToks(t)
+        val chunks = got.getOrElse(i.toLong, Seq.empty)
+        if (toks.isEmpty) assert(chunks.isEmpty, s"doc $i: empty doc chunked")
+        else {
+          val want = (0 until (
+            if (toks.size <= window) 1
+            else 1 + (toks.size - window + stride - 1) / stride))
+            .map(c => toks.slice(c * stride, c * stride + window))
+          assert(chunks.size == want.size,
+            s"doc $i w=$window o=$overlap: ${chunks.size} chunks, " +
+              s"want ${want.size} (n=${toks.size})")
+          chunks.zip(want).foreach { case ((_, seq, n, text), w) =>
+            assert(n == w.size && text == w.mkString(" "),
+              s"doc $i chunk $seq w=$window o=$overlap mismatch")
+          }
+          // Trailing window non-empty and the cover is exact: the last
+          // chunk ends at the final token.
+          assert(chunks.last._3 > 0)
+          assert((chunks.size - 1) * stride + chunks.last._3 == toks.size)
+        }
+      }
+    }
+  }
+
+  test("mixtureBudgetTake matches a per-stratum running-sum oracle (property)") {
+    import org.scalacheck.{Gen, rng}
+    val gen = Gen.listOfN(300, for {
+      s <- Gen.oneOf("a", "b", "c", "d", "ghost")
+      n <- Gen.oneOf(0L, 0L, 1L, 7L, 40L, 400L)   // zero-heavy mix
+    } yield (s, n))
+    val rows = gen.pureApply(Gen.Parameters.default, rng.Seed(11L))
+      .zipWithIndex.map { case ((s, n), i) => (i.toLong, s, n) }
+    val docs = rows.toDF("doc_id", "stratum", "n_tokens")
+    // Weights SUM OVER 1000 (1550‰) — each stratum's budget is
+    // independent, so an over-subscribed mix is legal and just means
+    // the take can exceed totalTokens; "missing" names a stratum absent
+    // from the frame; "d" is in the frame but unweighted.
+    val weights = Map("a" -> 700, "b" -> 500, "c" -> 300,
+      "z" -> 0, "missing" -> 50)
+    val total = 1000L
+    val got = Corpus.mixtureBudgetTake(docs, "doc_id", "stratum",
+      "n_tokens", weights, total)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    val want = rows.groupBy(_._2).flatMap { case (s, docsOfS) =>
+      val budget = weights.get(s).map(w => total * w / 1000L).getOrElse(0L)
+      var cum = 0L
+      docsOfS.sortBy(_._1).flatMap { case (id, _, n) =>
+        cum += n
+        if (budget > 0 && cum <= budget) Some(id -> cum) else None
+      }
+    }
+    assert(got == want)
+    assert(!got.keySet.exists(id => rows(id.toInt)._2 == "d"),
+      "unweighted stratum took docs")
+    assert(!got.keySet.exists(id => rows(id.toInt)._2 == "ghost"),
+      "stratum absent from the weights took docs")
+  }
+
+  test("mixtureBudgetTake pins the zero-weight/zero-token guard") {
+    // A zero-token doc in a zero-weight (or unweighted) stratum has
+    // running sum 0; a bare cum <= budget comparison would admit it.
+    // The budget > 0 guard at the filter must evict it — pinned here so
+    // a refactor that drops the guard fails fast.
+    val docs = Seq((1L, "w", 0L), (2L, "u", 0L), (3L, "w", 1L))
+      .toDF("doc_id", "stratum", "n_tokens")
+    val got = Corpus.mixtureBudgetTake(docs, "doc_id", "stratum",
+      "n_tokens", Map("w" -> 0), totalTokens = 100L)
+      .select("doc_id").as[Long].collect()
+    assert(got.isEmpty, s"zero-weight strata must take nothing, got " +
+      got.mkString(","))
+    // And the inverse: weighted stratum keeps its zero-token doc (it
+    // consumes nothing and sits within budget).
+    val kept = Corpus.mixtureBudgetTake(docs, "doc_id", "stratum",
+      "n_tokens", Map("w" -> 100, "u" -> 100), totalTokens = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
   test("mixtureBudgetTake fills per-stratum budgets in id order") {
     val docs = Seq(
       (1L, "a", 40L), (2L, "a", 40L), (3L, "a", 40L),  // budget 100: 1,2
