@@ -115,6 +115,32 @@ object LlmQueries {
       s"delete semantics broken: deleted=$deleted redelivery=$again")
   }
 
+  private def chunkStoreBuild(s: SparkSession, d: String): Unit = {
+    val dir = storeDir("chunk-rt") + "/store"
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // Generation 1: a seventh of the docs carry a stale draft prefix;
+    // generation 2 re-chunks exactly those (changed content hash);
+    // generation 3 redelivers generation 2 and must append NOTHING —
+    // the at-least-once convergence contract of the ingest family.
+    val stale = base.withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(lit("stale draft chunk "), col("text")))
+        .otherwise(col("text")))
+    graft.streaming.Streams.chunkIngestBatch(stale, dir, "doc_id", "text",
+      window = 32, overlap = 8)
+    val updated = graft.streaming.Streams.chunkIngestBatch(base, dir,
+      "doc_id", "text", window = 32, overlap = 8)
+    val noop = graft.streaming.Streams.chunkIngestBatch(base, dir,
+      "doc_id", "text", window = 32, overlap = 8)
+    require(updated > 0 && noop == 0,
+      s"chunk upsert semantics broken: updated=$updated redelivery=$noop")
+  }
+
+  private def chunkStoreProbe(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.chunkStoreRead(s, storePath("chunk-rt") + "/store")
+      .getOrElse(sys.error("chunk store has no committed batches"))
+      .presentSorted(col("doc_id"), col("chunk_seq"))
+
   private def mltProbe(s: SparkSession, d: String): DataFrame =
     Search.moreLikeThisTopK(s, storePath("mlt") + "/index",
       Tables.documents(s, d).filter(col("doc_id") === 42L)
@@ -224,6 +250,8 @@ object LlmQueries {
       bm25BucketedProbe),
     "search_phrase_index_bucketed" -> BenchPhases(phraseBucketedBuild,
       phraseBucketedProbe),
+    "pl_chunk_store_roundtrip" -> BenchPhases(chunkStoreBuild,
+      chunkStoreProbe),
   )
 
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
@@ -1273,6 +1301,35 @@ object LlmQueries {
         Tables.documents(s, d), "doc_id", "text",
         window = 32, overlap = 8)
         .presentSorted(col("doc_id"), col("chunk_seq"))
+    },
+
+    // Standing CHUNK STORE lifecycle (streaming chunk ingest, batch
+    // face): generation 1 chunks a stale draft of a seventh of the
+    // docs, generation 2 re-chunks exactly those (changed content),
+    // generation 3 redelivers and appends nothing. The read face must
+    // resolve every doc to its latest generation — so the final state
+    // IS the plain chunking of the true documents, and the oracle is
+    // the same SQL as pl_chunk_sliding_windows.
+    QueryDef(
+      "pl_chunk_store_roundtrip",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |n AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0),
+        |c AS (
+        |  SELECT doc_id, l,
+        |    CASE WHEN n <= 32 THEN 1
+        |         ELSE 1 + (n - 32 + 23) // 24 END AS nc
+        |  FROM n),
+        |e AS (SELECT doc_id, l, unnest(range(nc)) AS i FROM c)
+        |SELECT doc_id, i::BIGINT AS chunk_seq,
+        |  len(list_slice(l, i*24 + 1, i*24 + 32))::BIGINT AS n_tokens,
+        |  array_to_string(list_slice(l, i*24 + 1, i*24 + 32), ' ')
+        |    AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_seq""".stripMargin) { (s, d) =>
+      chunkStoreBuild(s, d)
+      chunkStoreProbe(s, d)
     },
 
     // MIXTURE-WEIGHTED BUDGET TAKE: fill each source's share of a

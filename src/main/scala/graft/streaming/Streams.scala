@@ -288,6 +288,109 @@ object Streams {
       }
       .start()
 
+  /** One micro-batch of the standing CHUNK STORE ingest (also the
+    * batch restart path) — the doc→passage step
+    * ([[graft.operators.Corpus.chunkSlidingWindows]]) run continuously,
+    * so an embedding/retrieval pipeline downstream reads current
+    * passages at any time without re-chunking anything. Layout mirrors
+    * the inverted index's generational store:
+    *
+    *   - `dir/chunks`: (doc_id, chunk_seq, n_tokens, chunk_text, batch)
+    *   - `dir/docs`:   (doc_id, content_hash, batch) — the
+    *     membership/version table; a doc's CURRENT generation is its
+    *     max committed batch
+    *   - `dir/_commits` + `_lock`: marker-LAST commit and writer lease
+    *     ([[graft.sources.Commits]]).
+    *
+    * Idempotency under at-least-once delivery: docs whose (id,
+    * content-hash) already sit at the current generation are skipped,
+    * so a redelivered batch appends nothing; CHANGED text gets a new
+    * generation whose chunks replace the old ones at read time
+    * ([[chunkStoreRead]] resolves each doc to its max committed batch
+    * — superseded chunks stay on disk until a vacuum but never
+    * surface). Chunks are written before docs rows: a crash between
+    * the appends leaves chunk orphans under an uncommitted batch id
+    * that readers never see and whose burned attempt marker keeps the
+    * id from being reused. A doc chunking to NOTHING (whitespace-only
+    * text) still records its docs row, so its redelivery is a no-op
+    * too. Returns docs (re)chunked.
+    */
+  def chunkIngestBatch(batch: DataFrame, storeDir: String, idCol: String,
+      textCol: String, window: Int, overlap: Int): Long =
+   graft.sources.Commits.withWriterLock(batch.sparkSession, storeDir) {
+    val spark = batch.sparkSession
+    val chunksDir = s"$storeDir/chunks"
+    val docsDir = s"$storeDir/docs"
+    val hashed = batch.dropDuplicates(idCol)
+      .withColumn("__ch",
+        graft.functions.HashFunctions.contentHash(col(textCol)))
+    val committed = graft.sources.Commits.committed(spark, storeDir)
+    val fresh = (if (committed.isEmpty) hashed
+    else {
+      val prev = spark.read.parquet(docsDir)
+        .filter(col("batch").isin(committed: _*))
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("content_hash"), col("batch")).as("__prev"))
+        .select(col("doc_id").as(idCol), col("__prev"))
+      hashed.join(prev, Seq(idCol), "left")
+        .filter(col("__prev").isNull || col("__prev") =!= col("__ch"))
+        .drop("__prev")
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        val batchId = graft.sources.Commits.allocateBatchId(spark,
+          storeDir, Seq(docsDir, chunksDir))
+        graft.operators.Corpus.chunkSlidingWindows(fresh, idCol, textCol,
+          window, overlap)
+          .withColumnRenamed(idCol, "doc_id")
+          .withColumn("batch", lit(batchId))
+          .write.mode("append").parquet(chunksDir)
+        fresh.select(col(idCol).as("doc_id"),
+            col("__ch").as("content_hash"))
+          .withColumn("batch", lit(batchId))
+          .write.mode("append").parquet(docsDir)
+        graft.sources.Commits.commit(spark, storeDir, batchId)
+      }
+      n
+    } finally { fresh.unpersist(); () }
+   }
+
+  /** Streaming face of [[chunkIngestBatch]]. */
+  def chunkIngestSink(stream: DataFrame, storeDir: String, idCol: String,
+      textCol: String, window: Int, overlap: Int,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        chunkIngestBatch(batch, storeDir, idCol, textCol, window,
+          overlap): Unit
+      }
+      .start()
+
+  /** CURRENT committed chunks of a chunk store: every doc resolved to
+    * its max committed generation — superseded generations' chunks
+    * stay invisible. None when nothing is committed. One hash join on
+    * (doc_id, batch) against the per-doc version table; the chunks
+    * scan only reads committed batches.
+    */
+  def chunkStoreRead(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Option[DataFrame] = {
+    val committed = graft.sources.Commits.committed(spark, storeDir)
+    if (committed.isEmpty) None
+    else {
+      val cur = spark.read.parquet(s"$storeDir/docs")
+        .filter(col("batch").isin(committed: _*))
+        .groupBy(col("doc_id")).agg(max(col("batch")).as("batch"))
+      Some(spark.read.parquet(s"$storeDir/chunks")
+        .filter(col("batch").isin(committed: _*))
+        .join(cur, Seq("doc_id", "batch"), "left_semi")
+        .select(col("doc_id"), col("chunk_seq"), col("n_tokens"),
+          col("chunk_text")))
+    }
+  }
+
   /** COMPOSED store fan-out — one crawled/extracted document batch
     * advances ALL the standing stores in a single pass, the way the
     * reference's ingest worker composes its store write
