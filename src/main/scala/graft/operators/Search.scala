@@ -355,14 +355,22 @@ object Search {
   private[operators] def writePostingsSlice(docs: DataFrame, idCol: String,
       textCol: String, dir: String, batch: Long): Unit = {
     val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
+    // ONE exchange, not two: hash-partitioning by term alone satisfies
+    // the (term, doc_id) groupBy's clustered distribution (equal terms
+    // land together, so equal (term, doc_id) do too), so repartitioning
+    // FIRST lets the aggregation run in place and the slice write skips
+    // the second full shuffle of the positions volume that
+    // agg-then-repartition(term) paid. The position lists carry every
+    // occurrence either way, so aggregating before shuffling saved no
+    // bytes — it only doubled them.
     docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("dl"),
         posexplode(col("__toks")).as(Seq("pos", "term")))
+      .repartition(col("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"),
         sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("batch", lit(batch))
-      .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("append").parquet(s"$dir/postings")
   }
