@@ -94,6 +94,15 @@ object Bench {
       "join_broadcast_geo_rollup", "a5_approx_distinct_monitor")
     queries.filter(q => warmupNames.contains(q._1))
       .foreach { case (n, f) => runOne(n, f) }
+    // The dd_* block's shared substrate — the documents scan and the
+    // native shingle/minhash kernels — warmed once, untimed: r9
+    // measured dd_keep_best_per_cluster pass-1 at 2.4x its min and
+    // dd_minhash at 2.5x with near-zero GC share, i.e. page-cache/JIT
+    // cold-start on exactly these frames, not plan or memory pressure.
+    runOne("warm_dd_shingles", (s, dir) =>
+      graft.operators.Dedup.minhashSignatures(
+        graft.operators.Dedup.hashedShingleArrays(
+          Tables.documents(s, dir), "doc_id", "text", 3), 128))
 
     // SESSION SCHEDULE: the measured heavyweights run FIRST — on the
     // session's cleanest page-cache/JIT state — with one extra pass
