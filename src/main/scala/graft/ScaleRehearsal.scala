@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCALE REHEARSAL main (results committed as SCALE.md): synthesizes an
+  * R-times corpus from the sf0.1 `documents`/`embeddings` fixtures and
+  * runs the standing-store lifecycle plus near-dup clustering
+  * end-to-end at each requested scale, printing one JSON line per
+  * (scale, phase) wall time. This converts the "100 TB by design"
+  * plan-shape arguments (pruned probes, flat mutation cost, banded
+  * pair streams) into measured growth curves.
+  *
+  * Synthesis (deterministic, no RNG): replica r of a doc keeps its
+  * text for r=0 and suffixes EVERY token with `_r` otherwise — replicas
+  * are fully distinct documents (own vocabulary, own shingles, own
+  * near-dup structure mirroring the fixture's), so scaling up grows
+  * corpus diversity the way real data does instead of manufacturing
+  * one giant duplicate cluster. Embedding replicas add a deterministic
+  * sin-perturbation so they spread across LSH buckets rather than
+  * piling into the originals'.
+  *
+  * Phases, per scale R (probes run 3x warm, min reported):
+  *   synth            write documents/embeddings at R-times rows
+  *   bm25_build       full index build
+  *   bm25_upsert1/2   changed-content generations (1/7th, then 1/13th)
+  *   bm25_append_500  FIXED 500-doc batch -> mutation-cost-vs-store-size
+  *   bm25_takedown    tombstone 1/11th of docs
+  *   bm25_vacuum      live-state compaction
+  *   probe_bm25/phrase/hybrid   warm index probes
+  *   ann_build        full ANN store build
+  *   ann_append_500   FIXED 500-vector batch  -> mutation flat?
+  *   ann_partition    bucket-partitioned probe layout
+  *   probe_ann        plain store probe (skinny store-wide currency agg)
+  *   probe_ann_part   DPP bucket-pruned probe (the scale path)
+  *   dd_pairs         LSH-banded candidate pairs + exact Jaccard verify
+  *   dd_cluster       connected components over the >= 0.5 pairs
+  *   dd_keep_best     per-cluster argmax representative
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val workRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale")
+    val scales = (if (args.nonEmpty) args.toSeq else Seq("1", "10", "100"))
+      .map(_.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{Dedup, Search, Similarity}
+
+    val out = new StringBuilder
+    def report(scale: Int, phase: String, sec: Double, rows: Long): Unit = {
+      val line = f"""{"scale":$scale,"phase":"$phase","sec":$sec%.2f,"rows":$rows}"""
+      println(line); out.append(line).append('\n')
+    }
+    def timed(scale: Int, phase: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      report(scale, phase, (System.nanoTime() - t0) / 1e9, rows)
+    }
+    /** min-of-3 warm probe; result forced through the noop writer. */
+    def probe(scale: Int, phase: String)(f: => DataFrame): Unit = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      report(scale, phase, runs.min, -1L)
+    }
+
+    for (r <- scales) {
+      val root = s"$workRoot/r$r"
+      val docsPath = s"$root/documents.parquet"
+      val embPath = s"$root/embeddings.parquet"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+
+      timed(r, "synth") {
+        val reps = spark.range(r).select(col("id").as("r"))
+        val base = Tables.documents(spark, sfDir)
+        val toks = filter(split(trim(col("text")), " +"), t => t =!= "")
+        base.crossJoin(broadcast(reps))
+          .select((col("doc_id") + col("r") * 10000000L).as("doc_id"),
+            when(col("r") === 0, col("text")).otherwise(
+              array_join(transform(toks,
+                t => concat(t, lit("_"), col("r"))), " ")).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .repartition(cpus.toInt)
+          .write.parquet(docsPath)
+        val emb = Tables.embeddings(spark, sfDir)
+        emb.crossJoin(broadcast(reps))
+          .select((col("vec_id") + col("r") * 10000000L).as("vec_id"),
+            when(col("r") === 0, col("embedding")).otherwise(
+              transform(col("embedding"), (x, i) =>
+                (x + sin(col("vec_id") * 0.7 + i * 1.3 + col("r")) * lit(0.2))
+                  .cast("float"))).as("embedding"),
+            col("label"))
+          .repartition(cpus.toInt)
+          .write.parquet(embPath)
+        spark.read.parquet(docsPath).count()
+      }
+      val docs = spark.read.parquet(docsPath)
+      val emb = spark.read.parquet(embPath)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+      // ---- standing inverted index lifecycle
+      val idx = s"$root/bm25/index"
+      timed(r, "bm25_build") {
+        Search.buildIndex(docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", idx)
+        -1L
+      }
+      timed(r, "bm25_upsert1") {
+        Search.indexAppend(
+          docs.filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id"),
+              concat(lit("rev2 edit "), col("text")).as("text")),
+          "doc_id", "text", idx)
+      }
+      timed(r, "bm25_upsert2") {
+        Search.indexAppend(
+          docs.filter(col("doc_id") % 13 === 0)
+            .select(col("doc_id"),
+              concat(lit("rev3 final "), col("text")).as("text")),
+          "doc_id", "text", idx)
+      }
+      timed(r, "bm25_append_500") {
+        // FIXED-size new-doc batch against the grown store: if mutation
+        // cost scales with the store instead of the batch, it shows as
+        // growth on this line.
+        Search.indexAppend(
+          Tables.documents(spark, sfDir).limit(500)
+            .select((col("doc_id") + 900000000L).as("doc_id"),
+              concat(lit("fresh batch "), col("text")).as("text")),
+          "doc_id", "text", idx)
+      }
+      timed(r, "bm25_takedown") {
+        Search.indexDelete(spark, idx,
+          docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")))
+      }
+      timed(r, "bm25_vacuum") { Search.indexVacuum(spark, idx); -1L }
+      probe(r, "probe_bm25") {
+        Search.bm25FromIndexTopK(spark, idx,
+          Seq("spark", "vector", "stream", "merge"), 10)
+      }
+      probe(r, "probe_phrase") {
+        Search.phraseFromIndexTopK(spark, idx, Seq("table", "hash"), 10)
+      }
+
+      // ---- standing ANN store lifecycle
+      val ann = s"$root/ann/idx"
+      val annPart = s"$root/annpart/part"
+      timed(r, "ann_build") {
+        Similarity.annStoreAppend(emb, ann, planes = 8, dims = 64)
+      }
+      timed(r, "ann_append_500") {
+        Similarity.annStoreAppend(
+          Tables.embeddings(spark, sfDir).limit(500)
+            .select((col("vec_id") + 900000000L).as("id"),
+              transform(col("embedding"),
+                x => (x * lit(0.9f)).cast("float")).as("vec")),
+          ann, planes = 8, dims = 64)
+      }
+      timed(r, "ann_partition") {
+        Similarity.annStorePartition(spark, ann, annPart); -1L
+      }
+      val queryVecs = emb.filter(col("id") < 10)
+      probe(r, "probe_ann") {
+        Similarity.annStoreTopK(spark, ann, queryVecs,
+          planes = 8, dims = 64, k = 3)
+      }
+      probe(r, "probe_ann_part") {
+        Similarity.annStorePartitionedTopK(spark, annPart, queryVecs,
+          planes = 8, dims = 64, k = 3)
+      }
+      probe(r, "probe_hybrid") {
+        Search.hybridTopK(spark, idx, ann,
+          Seq("spark", "vector", "stream", "merge"), queryVecs,
+          planes = 8, dims = 64, k = 10)
+      }
+
+      // ---- near-dup clustering over the scaled corpus
+      val hsArr = Dedup.hashedShingleArrays(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var pairs: DataFrame = null
+      timed(r, "dd_pairs") {
+        pairs = Dedup.jaccard(
+          Dedup.lshCandidatePairs(
+            Dedup.lshBands(Dedup.minhashSignatures(hsArr, 128), 128, 16)),
+          hsArr)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("a"), col("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.count()
+      }
+      var clusters: DataFrame = null
+      timed(r, "dd_cluster") {
+        clusters = Dedup.connectedComponents(pairs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        clusters.count()
+      }
+      timed(r, "dd_keep_best") {
+        val scores = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.qualityScore(col("text"))
+            .as("quality"))
+        Dedup.keepBestPerCluster(scores, "doc_id", "quality", clusters)
+          .select(col("doc_id")).count()
+      }
+      hsArr.unpersist(); pairs.unpersist(); clusters.unpersist()
+      spark.catalog.clearCache()
+    }
+
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "scale_out.jsonl")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      out.toString.getBytes("UTF-8"))
+    spark.stop()
+  }
+}
