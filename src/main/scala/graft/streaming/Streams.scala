@@ -325,10 +325,15 @@ object Streams {
       .withColumn("__ch",
         graft.functions.HashFunctions.contentHash(col(textCol)))
     val committed = graft.sources.Commits.committed(spark, storeDir)
+    // Membership resolve scoped to the batch's ids (semi-join before
+    // the per-doc aggregate), like Search.indexAppend — an unscoped
+    // aggregate costs the store's full membership per micro-batch.
     val fresh = (if (committed.isEmpty) hashed
     else {
       val prev = spark.read.parquet(docsDir)
         .filter(col("batch").isin(committed: _*))
+        .join(hashed.select(col(idCol).as("doc_id")), Seq("doc_id"),
+          "left_semi")
         .groupBy(col("doc_id"))
         .agg(max_by(col("content_hash"), col("batch")).as("__prev"))
         .select(col("doc_id").as(idCol), col("__prev"))
