@@ -351,9 +351,11 @@ object Search {
     * per-doc aggregate, so mutation-path currency resolves cost the
     * batch's overlap, not the store's full membership (the read paths
     * keep the corpus-wide [[currentDocs]] — they genuinely need every
-    * doc's generation).
+    * doc's generation). Package-private so the spec can pin the
+    * semi-below-aggregate plan shape.
     */
-  private def currentDocsFor(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def currentDocsFor(
+      spark: org.apache.spark.sql.SparkSession,
       dir: String, ids: DataFrame): Option[DataFrame] = {
     val committed = committedBatches(spark, dir)
     if (committed.isEmpty) None

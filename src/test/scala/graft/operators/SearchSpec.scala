@@ -484,4 +484,28 @@ class SearchSpec extends SparkSpec {
       == Search.bm25TopK(docs.filter(col("doc_id") =!= 4L),
         "doc_id", "text", terms, 10).collect().toSeq)
   }
+
+  test("mutation currency resolve semi-joins BELOW the per-doc aggregate") {
+    // The 1000x rehearsal caught the unscoped shape: a per-id aggregate
+    // over the store's whole membership table serving a 500-row batch
+    // (store-linear mutations). Pin the fix: the batch-id semi-join
+    // must sit UNDER the aggregate in the resolve plan, so only the
+    // batch's overlap is aggregated.
+    val dir = java.nio.file.Files.createTempDirectory("scoped")
+      .toString + "/index"
+    Search.buildIndex(Seq((1L, "a b"), (2L, "c d"), (3L, "e f"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir)
+    val plan = Search.currentDocsFor(spark, dir, Seq(2L).toDF("doc_id"))
+      .get.queryExecution.executedPlan.toString()
+    // String max_by plans sort-based aggregation; long-only plans hash.
+    val aggAt = "(Hash|Sort|ObjectHash)Aggregate".r.findFirstMatchIn(plan)
+      .map(_.start).getOrElse(-1)
+    val semiAt = plan.indexOf("LeftSemi")
+    assert(aggAt >= 0 && semiAt >= 0,
+      s"resolve plan lost its aggregate or semi-join:\n$plan")
+    // Parents print above children: the semi-join below the aggregate
+    // appears LATER in the tree dump.
+    assert(semiAt > aggAt,
+      s"batch-id semi-join no longer under the aggregate:\n$plan")
+  }
 }

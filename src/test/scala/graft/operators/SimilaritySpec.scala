@@ -278,4 +278,26 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.annStoreAppend(
       Seq((3L, Seq(1.0f, 1.0f))).toDF("id", "vec"), dir, 4, 2) == 1L)
   }
+
+  test("ANN mutation currency resolve semi-joins BELOW the aggregate") {
+    // Same pin as SearchSpec's: the scoped resolve must aggregate only
+    // the batch's overlap (semi-join under the per-id aggregate), not
+    // the store's whole membership — the store-linear shape the 1000x
+    // rehearsal caught.
+    val dir = java.nio.file.Files.createTempDirectory("ann-scoped")
+      .toString + "/idx"
+    Similarity.annStoreAppend(
+      Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+        .toDF("id", "vec"), dir, planes = 4, dims = 2)
+    val committed = graft.sources.Commits.committed(spark, dir)
+    val plan = Similarity.annCurrentKeysFor(spark, dir, committed,
+      Seq(2L).toDF("id")).queryExecution.executedPlan.toString()
+    val aggAt = "(Hash|Sort|ObjectHash)Aggregate".r.findFirstMatchIn(plan)
+      .map(_.start).getOrElse(-1)
+    val semiAt = plan.indexOf("LeftSemi")
+    assert(aggAt >= 0 && semiAt >= 0,
+      s"resolve plan lost its aggregate or semi-join:\n$plan")
+    assert(semiAt > aggAt,
+      s"batch-id semi-join no longer under the aggregate:\n$plan")
+  }
 }
