@@ -228,7 +228,7 @@ object Search {
       if (n > 0) {
         val batchId = nextBatchId(spark, dir)
         victims.withColumn("batch", lit(batchId))
-          .write.mode("append").parquet(s"$dir/docs")
+          .write.parquet(s"$dir/docs/b$batchId")
         commitBatch(spark, dir, batchId)
       }
       n
@@ -271,16 +271,17 @@ object Search {
       // never started (live ledger intact): discard and re-vacuum.
       fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     }
+    val committed = committedBatches(spark, dir)
     val cur = currentDocs(spark, dir).getOrElse(return)
       .filter(col("content_hash") =!= Tombstone)
     val curKeys = cur.select(col("doc_id"), col("batch"))
-    val livePost = spark.read.parquet(s"$dir/postings")
+    val livePost = readCommittedPostings(spark, dir, committed)
       .join(curKeys, Seq("doc_id", "batch"))
     livePost.withColumn("batch", lit(0L))
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.parquet(s"$stage/postings")
-    cur.withColumn("batch", lit(0L)).write.parquet(s"$stage/docs")
+      .write.parquet(s"$stage/postings/b0")
+    cur.withColumn("batch", lit(0L)).write.parquet(s"$stage/docs/b0")
     graft.sources.Commits.commit(spark, stage, 0L)
     // Swap: drop the live ledger FIRST. Until the staged ledger is
     // renamed in (the swap's last step) the store has no committed
@@ -310,6 +311,146 @@ object Search {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
   }
 
+  /** INCREMENTAL vacuum: reclaim only the DIRTY batches — those holding
+    * dead rows (superseded generations, or any row of a tombstoned doc,
+    * the tombstone marker included) at a dead fraction of at least
+    * `minDeadFraction` — and leave clean batches' files untouched.
+    * Maintenance cost scales with the DEAD data, not the corpus: after
+    * a 500-doc upsert against a 100 TB store, only the batches holding
+    * those 500 docs' old generations rewrite, where [[indexVacuum]]
+    * rewrites the full live state (keep it for offline ledger resets).
+    *
+    * Mechanics: the dirty batches' surviving rows — live current
+    * generations, plus tombstones whose doc still has rows in
+    * UNSELECTED batches (dropping such a tombstone would RESURRECT the
+    * older generation; one carried forward keeps suppressing it) — are
+    * rewritten as one fresh committed batch, then the dirty batches'
+    * commit markers are removed and their directories deleted.
+    *
+    * Crash safety, step by step (writer-lease held; attempt markers
+    * burn ids as everywhere): a crash before the new batch's commit
+    * leaves an invisible orphan dir that the NEXT vacuum's orphan sweep
+    * deletes; after the commit but before the marker removals, the old
+    * generations are merely superseded by the rewrite (max-batch
+    * resolution already ignores them — no double counting, tombstones
+    * agree between copies), and the next vacuum reclaims them as
+    * all-dead batches; between marker removals and dir deletes, the
+    * unmarked dirs are invisible orphans, swept next time. Every state
+    * is readable and converges — no staged swap needed.
+    *
+    * Returns the number of batches reclaimed.
+    */
+  def indexVacuumIncremental(spark: org.apache.spark.sql.SparkSession,
+      dir: String, minDeadFraction: Double = 0.0): Int =
+   graft.sources.Commits.withWriterLock(spark, dir) {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = committedBatches(spark, dir)
+    // Orphan sweep: batch dirs without a commit marker are either a
+    // crashed append's invisible leftovers or a predecessor vacuum's
+    // half-deleted reclaim — both safe to drop under the lease.
+    for (table <- Seq("postings", "docs");
+         (id, path) <- presentBatchDirs(fs,
+           new org.apache.hadoop.fs.Path(s"$dir/$table"))
+         if !committed.contains(id))
+      fs.delete(path, true): Unit
+    if (committed.isEmpty) return 0
+    val selected = dirtyBatches(spark, dir, committed, minDeadFraction)
+    if (selected.isEmpty) return 0
+    vacuumRewriteAndCommit(spark, dir, committed, selected)
+    dropReclaimedBatches(spark, fs, dir, selected)
+    selected.size
+   }
+
+  /** The committed batches whose dead-row fraction reaches the
+    * threshold. Dead = superseded by a later generation, or any row of
+    * a tombstoned doc. Driver-side result: bounded by the batch COUNT
+    * (vacuum cadence), never by rows.
+    */
+  private[operators] def dirtyBatches(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, committed: Seq[Long],
+      minDeadFraction: Double): Seq[Long] = {
+    val docs = readCommittedTable(spark, dir, "docs", committed)
+      .getOrElse(return Seq.empty)
+    val cur = docs.groupBy(col("doc_id"))
+      .agg(max(col("batch")).as("__cur_batch"),
+        max_by(col("content_hash"), col("batch")).as("__cur_hash"))
+    docs.join(cur, Seq("doc_id"))
+      .withColumn("__dead",
+        col("batch") < col("__cur_batch") || col("__cur_hash") === Tombstone)
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("__total"),
+        sum(when(col("__dead"), 1L).otherwise(0L)).as("__dead_rows"))
+      .collect()
+      .filter { r =>
+        val dead = r.getAs[Long]("__dead_rows")
+        dead > 0 &&
+          dead.toDouble / r.getAs[Long]("__total") >= minDeadFraction
+      }
+      .map(_.getAs[Long]("batch")).toSeq.sorted
+  }
+
+  /** Steps 1–2 of the incremental vacuum: rewrite the selected batches'
+    * surviving rows as one fresh batch and COMMIT it. Package-private
+    * so the spec can simulate a crash exactly here — new batch
+    * committed, reclaimed markers still present.
+    */
+  private[operators] def vacuumRewriteAndCommit(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      committed: Seq[Long], selected: Seq[Long]): Unit = {
+    val docs = readCommittedTable(spark, dir, "docs", committed).get
+    val cur = docs.groupBy(col("doc_id"))
+      .agg(max(col("batch")).as("__cur_batch"),
+        max_by(col("content_hash"), col("batch")).as("__cur_hash"))
+    val inSelected = col("batch").isin(selected: _*)
+    // Live current-generation rows sitting in a selected batch.
+    val live = docs.join(cur, Seq("doc_id"))
+      .filter(inSelected && col("batch") === col("__cur_batch") &&
+        col("__cur_hash") =!= Tombstone)
+    // Tombstones in a selected batch whose doc still has rows in an
+    // UNSELECTED batch: carried forward, or those rows would resurrect.
+    val tomb = docs.join(cur, Seq("doc_id"))
+      .filter(inSelected && col("batch") === col("__cur_batch") &&
+        col("__cur_hash") === Tombstone)
+      .join(docs.filter(!col("batch").isin(selected: _*))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val survivors = live.unionByName(tomb)
+      .select(col("doc_id"), col("dl"), col("content_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (survivors.count() > 0) {
+        val batchId = graft.sources.Commits.allocateBatchId(spark, dir,
+          Seq(s"$dir/docs", s"$dir/postings"))
+        val liveKeys = live.select(col("doc_id"), col("batch"))
+        readCommittedTable(spark, dir, "postings", selected)
+          .foreach(_.join(liveKeys, Seq("doc_id", "batch"))
+            .withColumn("batch", lit(batchId))
+            .repartition(col("term"))
+            .sortWithinPartitions(col("term"), col("doc_id"))
+            .write.parquet(s"$dir/postings/b$batchId"))
+        survivors.withColumn("batch", lit(batchId))
+          .write.parquet(s"$dir/docs/b$batchId")
+        graft.sources.Commits.commit(spark, dir, batchId)
+      }
+    } finally { survivors.unpersist(); () }
+  }
+
+  /** Step 3: remove the reclaimed batches' commit markers, then their
+    * directories (marker first — a dir without a marker is an
+    * invisible orphan; a marker without a dir would be a readable
+    * missing batch).
+    */
+  private def dropReclaimedBatches(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      selected: Seq[Long]): Unit = {
+    selected.foreach(b => graft.sources.Commits.uncommit(spark, dir, b))
+    for (table <- Seq("postings", "docs"); b <- selected)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$table/b$b"),
+        true): Unit
+  }
+
   private def committedBatches(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[Long] = graft.sources.Commits.committed(spark, dir)
 
@@ -331,6 +472,78 @@ object Search {
     graft.sources.Commits.allocateBatchId(spark, dir,
       Seq(s"$dir/docs", s"$dir/postings"))
 
+  /** The `b<id>` batch subdirectories present under a store table —
+    * one filesystem listing, no data touched. Batches live in their
+    * own subdirectory so COMMITTED reads are an explicit path list
+    * (file-level selection, stronger than any pushed batch filter) and
+    * [[indexVacuumIncremental]] can reclaim a dirty batch by deleting
+    * its directory without rewriting clean neighbors.
+    */
+  private def presentBatchDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path): Map[Long, org.apache.hadoop.fs.Path] =
+    if (!fs.exists(table)) Map.empty
+    else fs.listStatus(table).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b") &&
+        s.getPath.getName.drop(1).forall(_.isDigit))
+      .map(s => s.getPath.getName.drop(1).toLong -> s.getPath)
+      .toMap
+
+  /** Read the COMMITTED generations of `table` (`postings` or `docs`):
+    * the committed batch ids' subdirectories, intersected with what is
+    * physically present (a delete-only batch writes no postings slice).
+    * Legacy flat-file stores (pre-subdir layout, or a stage swapped in
+    * by old code) fall back to a whole-dir read filtered on the batch
+    * column. None when nothing readable exists.
+    */
+  private def readCommittedTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, table: String, committed: Seq[Long]): Option[DataFrame] = {
+    val base = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present = presentBatchDirs(fs, base)
+    // Skip data-less dirs (a rewrite whose join produced zero rows
+    // writes only _SUCCESS): they would break schema inference when
+    // every selected dir is empty.
+    val paths = committed.filter(b => present.contains(b) &&
+        fs.listStatus(present(b)).exists(s =>
+          s.isFile && !s.getPath.getName.startsWith("_")))
+      .map(b => s"$dir/$table/b$b")
+    if (paths.nonEmpty) Some(spark.read.parquet(paths: _*))
+    else if (fs.exists(base) && fs.listStatus(base).exists(_.isFile))
+      Some(spark.read.parquet(s"$dir/$table")
+        .filter(col("batch").isin(committed: _*)))
+    else None
+  }
+
+  /** Committed postings read; a store whose live state is postings-free
+    * (every doc tombstoned, or delete-only generations) yields an
+    * EMPTY frame with the real schema (doc_id typed from the docs
+    * table), so probes return zero hits instead of failing the read.
+    */
+  private def readCommittedPostings(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, committed: Seq[Long]): DataFrame =
+    readCommittedTable(spark, dir, "postings", committed).getOrElse {
+      val idType = readCommittedTable(spark, dir, "docs", committed)
+        .map(_.schema("doc_id").dataType)
+        .getOrElse(org.apache.spark.sql.types.LongType)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", idType),
+          org.apache.spark.sql.types.StructField("dl",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("tf",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("positions",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType)),
+          org.apache.spark.sql.types.StructField("batch",
+            org.apache.spark.sql.types.LongType))))
+    }
+
   /** CURRENT committed generation of every indexed doc:
     * (doc_id, dl, content_hash, batch). None when nothing committed.
     */
@@ -338,12 +551,11 @@ object Search {
       dir: String): Option[DataFrame] = {
     val committed = committedBatches(spark, dir)
     if (committed.isEmpty) None
-    else Some(spark.read.parquet(s"$dir/docs")
-      .filter(col("batch").isin(committed: _*))
-      .groupBy(col("doc_id"))
-      .agg(max_by(col("dl"), col("batch")).as("dl"),
-        max_by(col("content_hash"), col("batch")).as("content_hash"),
-        max(col("batch")).as("batch")))
+    else readCommittedTable(spark, dir, "docs", committed)
+      .map(_.groupBy(col("doc_id"))
+        .agg(max_by(col("dl"), col("batch")).as("dl"),
+          max_by(col("content_hash"), col("batch")).as("content_hash"),
+          max(col("batch")).as("batch")))
   }
 
   /** [[currentDocs]] restricted to `ids` (a one-column doc_id frame):
@@ -359,13 +571,12 @@ object Search {
       dir: String, ids: DataFrame): Option[DataFrame] = {
     val committed = committedBatches(spark, dir)
     if (committed.isEmpty) None
-    else Some(spark.read.parquet(s"$dir/docs")
-      .filter(col("batch").isin(committed: _*))
-      .join(ids, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(max_by(col("dl"), col("batch")).as("dl"),
-        max_by(col("content_hash"), col("batch")).as("content_hash"),
-        max(col("batch")).as("batch")))
+    else readCommittedTable(spark, dir, "docs", committed)
+      .map(_.join(ids, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("dl"), col("batch")).as("dl"),
+          max_by(col("content_hash"), col("batch")).as("content_hash"),
+          max(col("batch")).as("batch")))
   }
 
   private def writeSlice(docs: DataFrame, idCol: String, textCol: String,
@@ -402,7 +613,7 @@ object Search {
         sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("batch", lit(batch))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("append").parquet(s"$dir/postings")
+      .write.parquet(s"$dir/postings/b$batch")
   }
 
   private def writeDocsSlice(docs: DataFrame, idCol: String,
@@ -412,7 +623,7 @@ object Search {
         graft.functions.HashFunctions.contentHash(col(textCol))
           .as("content_hash"),
         lit(batch).as("batch"))
-      .write.mode("append").parquet(s"$dir/docs")
+      .write.parquet(s"$dir/docs/b$batch")
   }
 
   /** Operational stats of the standing index — what a store operator
@@ -432,14 +643,19 @@ object Search {
         .as("live_docs"),
       sum(when(col("content_hash") === Tombstone, 1L).otherwise(0L))
         .as("tombstoned_docs"))
-    val docRows = spark.read.parquet(s"$dir/docs")
+    // Totals COUNT orphan rows (uncommitted batch dirs from crashed
+    // appends) — that reclaimable tail is what the stats exist to
+    // surface — so they read the whole table dir recursively, not just
+    // the committed subdirectories.
+    val docRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs")
       .agg(count(lit(1)).as("doc_rows_total"))
-    val livePost = spark.read.parquet(s"$dir/postings")
-      .filter(col("batch").isin(committed: _*))
+    val livePost = readCommittedPostings(spark, dir, committed)
       .join(cur.filter(col("content_hash") =!= Tombstone)
         .select(col("doc_id"), col("batch")), Seq("doc_id", "batch"))
       .agg(count(lit(1)).as("postings_rows_live"))
-    val totalPost = spark.read.parquet(s"$dir/postings")
+    val totalPost = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/postings")
       .agg(count(lit(1)).as("postings_rows_total"))
     docsAgg
       .crossJoin(broadcast(docRows))
@@ -470,9 +686,8 @@ object Search {
     require(committed.nonEmpty, s"no committed index state under $dir")
     val cur = currentDocs(spark, dir).get
       .filter(col("content_hash") =!= Tombstone)
-    val hits = spark.read.parquet(s"$dir/postings")
-      .filter(col("term").isin(queryTerms: _*) &&
-        col("batch").isin(committed: _*))
+    val hits = readCommittedPostings(spark, dir, committed)
+      .filter(col("term").isin(queryTerms: _*))
       .join(cur.select(col("doc_id"), col("batch")), Seq("doc_id", "batch"))
     val stats = cur
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -534,8 +749,7 @@ object Search {
     val cur = currentDocs(spark, dir).get
       .filter(col("content_hash") =!= Tombstone)
       .select(col("doc_id"), col("batch"))
-    spark.read.parquet(s"$dir/postings")
-      .filter(col("batch").isin(committed: _*))
+    readCommittedPostings(spark, dir, committed)
       .join(cur, Seq("doc_id", "batch"))
       // Pre-shuffle on the bucket function (repartition and bucketBy
       // both pmod-murmur3 the column), so each task holds exactly one
@@ -610,8 +824,7 @@ object Search {
       .filter(col("content_hash") =!= Tombstone)
     // df counts the query doc too (it is part of the corpus) — only
     // the SCORED set excludes it.
-    val hits0 = spark.read.parquet(s"$dir/postings")
-      .filter(col("batch").isin(committed: _*))
+    val hits0 = readCommittedPostings(spark, dir, committed)
       .join(broadcast(qterms), Seq("term"))
       .join(cur.select(col("doc_id"), col("batch")), Seq("doc_id", "batch"))
     val hits = hits0.filter(col("doc_id").cast("string") =!= col("__qid"))
@@ -705,9 +918,8 @@ object Search {
     val cur = currentDocs(spark, dir).get
       .filter(col("content_hash") =!= Tombstone)
       .select(col("doc_id"), col("batch"))
-    val hits = spark.read.parquet(s"$dir/postings")
-      .filter(col("term").isin(phrase.distinct: _*) &&
-        col("batch").isin(committed: _*))
+    val hits = readCommittedPostings(spark, dir, committed)
+      .filter(col("term").isin(phrase.distinct: _*))
       .join(cur, Seq("doc_id", "batch"))
     phrasePositionFold(hits, phrase, k)
   }

@@ -115,6 +115,22 @@ object LlmQueries {
       s"delete semantics broken: deleted=$deleted redelivery=$again")
   }
 
+  private def bm25VacuumBuild(s: SparkSession, d: String): Unit = {
+    val dir = storeDir("bm25-vac") + "/index"
+    val base = Tables.documents(s, d)
+    val stale = base.withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(lit("stale draft spark spark vector "), col("text")))
+        .otherwise(col("text")))
+    Search.buildIndex(stale, "doc_id", "text", dir)
+    Search.indexAppend(base, "doc_id", "text", dir): Unit
+    Search.indexDelete(s, dir,
+      base.filter(col("doc_id") % 11 === 0).select(col("doc_id"))): Unit
+    val reclaimed = Search.indexVacuumIncremental(s, dir)
+    require(reclaimed > 0,
+      s"incremental vacuum found nothing dirty after upsert+delete")
+  }
+
   private def chunkStoreBuild(s: SparkSession, d: String): Unit = {
     val dir = storeDir("chunk-rt") + "/store"
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -243,6 +259,8 @@ object LlmQueries {
       bm25IdxProbe("bm25")),
     "search_bm25_index_delete" -> BenchPhases(bm25DeleteBuild,
       bm25IdxProbe("bm25-del")),
+    "search_bm25_index_vacuum" -> BenchPhases(bm25VacuumBuild,
+      bm25IdxProbe("bm25-vac")),
     "search_more_like_this" -> BenchPhases(idxBuild("mlt"), mltProbe),
     "search_phrase_index_topk" -> BenchPhases(idxBuild("phr"),
       phraseIdxProbe),
@@ -1769,6 +1787,23 @@ object LlmQueries {
         "FROM documents WHERE doc_id % 11 <> 0)")) { (s, d) =>
       bm25DeleteBuild(s, d)
       bm25IdxProbe("bm25-del")(s, d)
+    },
+
+    // INCREMENTAL VACUUM over the full write triangle: stale build,
+    // changed-content upsert (superseded generations), tombstone
+    // deletes — then Search.indexVacuumIncremental reclaims exactly
+    // the dirty batches (clean batch files untouched, no full live-
+    // state rewrite) and the probe must STILL be hash-identical to
+    // the scan-path BM25 over the final corpus. This is the routine
+    // maintenance path at scale: vacuum cost follows the DEAD data,
+    // not the corpus (SCALE.md measures the full rewrite at 95x for
+    // 1000x data; the incremental pass only touches mutated batches).
+    QueryDef(
+      "search_bm25_index_vacuum",
+      Bm25IndexSql.replace("FROM documents)",
+        "FROM documents WHERE doc_id % 11 <> 0)")) { (s, d) =>
+      bm25VacuumBuild(s, d)
+      bm25IdxProbe("bm25-vac")(s, d)
     },
 
     // CHANGED-CONTENT UPSERT into the standing index (the reference's

@@ -63,6 +63,18 @@ object Commits {
     fs.create(p, true).close()
   }
 
+  /** Remove ONE batch's commit marker — the incremental vacuum's
+    * reclaim step (its attempt marker stays, so the id is never
+    * reallocated). The batch's rows become invisible the moment the
+    * marker is gone; its directories are deleted after.
+    */
+  def uncommit(spark: SparkSession, dir: String, batch: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_commits/b$batch")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, false)
+    ()
+  }
+
   /** Drop the whole ledger (vacuum/rebuild resets to batch 0). */
   def clear(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_commits")
@@ -87,7 +99,12 @@ object Commits {
     }
     if (!hasData) 0L
     else {
-      val row = spark.read.parquet(dataPath).agg(max(col("batch"))).head()
+      // recursiveFileLookup: table layouts that keep each batch in its
+      // own `b<id>` subdirectory (the inverted index) scan the same as
+      // flat stores (the ANN dir), orphans included — which is the
+      // point of this fallback.
+      val row = spark.read.option("recursiveFileLookup", "true")
+        .parquet(dataPath).agg(max(col("batch"))).head()
       (if (row.isNullAt(0)) -1L else row.getLong(0)) + 1L
     }
   }

@@ -500,8 +500,16 @@ object Streams {
   def fanoutVacuum(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, indexDir: String, annDir: String,
       keepStates: Int = 3, postingsTable: Option[String] = None,
-      annPartDir: Option[String] = None): Seq[Long] = {
-    graft.operators.Search.indexVacuum(spark, indexDir)
+      annPartDir: Option[String] = None,
+      incremental: Boolean = false): Seq[Long] = {
+    // incremental=true is the ROUTINE cadence at scale: reclaim only
+    // the batches the interval's mutations dirtied
+    // (Search.indexVacuumIncremental) instead of rewriting the full
+    // live state — keep the full compaction for occasional offline
+    // ledger resets.
+    if (incremental)
+      graft.operators.Search.indexVacuumIncremental(spark, indexDir): Unit
+    else graft.operators.Search.indexVacuum(spark, indexDir)
     graft.operators.Similarity.annStoreVacuum(spark, annDir)
     postingsTable.foreach(t =>
       graft.operators.Search.bucketPostings(spark, indexDir, t))

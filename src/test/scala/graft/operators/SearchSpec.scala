@@ -167,7 +167,8 @@ class SearchSpec extends SparkSpec {
     Search.indexVacuum(spark, dir)
     assert(Search.bm25FromIndexTopK(spark, dir, terms, k = 10)
       .collect().toSeq == scan)
-    val docRows = spark.read.parquet(s"$dir/docs")
+    val docRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs")
     assert(docRows.count() == docRows.select("doc_id").distinct().count())
     assert(Search.bm25FromIndexTopK(spark, dir, Seq("draft"), 5)
       .collect().isEmpty)
@@ -229,7 +230,8 @@ class SearchSpec extends SparkSpec {
     val committed = graft.sources.Commits.committed(spark, dir)
     assert(committed.sorted == Seq(0L, 2L),
       s"orphan batch id 1 must be skipped, got $committed")
-    val dupes = spark.read.parquet(s"$dir/postings")
+    val dupes = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/postings")
       .filter(col("batch").isin(committed: _*))
       .groupBy("term", "doc_id", "batch").count().filter(col("count") > 1)
     assert(dupes.isEmpty, "committed postings doubled under one batch")
@@ -249,7 +251,8 @@ class SearchSpec extends SparkSpec {
     // concurrent process would): every mutation must throw, and the
     // store must be untouched.
     Commits.acquireWriterLock(spark, dir)
-    val before = spark.read.parquet(s"$dir/docs").count()
+    val before = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs").count()
     val extra = Seq((9L, "vector spark extra")).toDF("doc_id", "text")
     intercept[IllegalStateException] {
       Search.indexAppend(extra, "doc_id", "text", dir)
@@ -259,9 +262,13 @@ class SearchSpec extends SparkSpec {
     }
     intercept[IllegalStateException] { Search.indexVacuum(spark, dir) }
     intercept[IllegalStateException] {
+      Search.indexVacuumIncremental(spark, dir)
+    }
+    intercept[IllegalStateException] {
       Search.bucketPostings(spark, dir, "graft_lease_spec_postings")
     }
-    assert(spark.read.parquet(s"$dir/docs").count() == before)
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs").count() == before)
     // Released → the same mutation succeeds.
     Commits.releaseWriterLock(spark, dir)
     assert(Search.indexAppend(extra, "doc_id", "text", dir) == 1L)
@@ -317,16 +324,18 @@ class SearchSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = s"$dir/_vacuum"
-    val cur = spark.read.parquet(s"$dir/docs")
+    val cur = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs")
       .filter(col("content_hash") =!= "__tombstone__")
       .groupBy("doc_id")
       .agg(max_by(col("dl"), col("batch")).as("dl"),
         max_by(col("content_hash"), col("batch")).as("content_hash"),
         max(col("batch")).as("batch"))
-    spark.read.parquet(s"$dir/postings")
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/postings")
       .join(cur.select("doc_id", "batch"), Seq("doc_id", "batch"))
-      .withColumn("batch", lit(0L)).write.parquet(s"$stage/postings")
-    cur.withColumn("batch", lit(0L)).write.parquet(s"$stage/docs")
+      .withColumn("batch", lit(0L)).write.parquet(s"$stage/postings/b0")
+    cur.withColumn("batch", lit(0L)).write.parquet(s"$stage/docs/b0")
     graft.sources.Commits.commit(spark, stage, 0L)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits"), true)
     intercept[IllegalArgumentException] {
@@ -338,7 +347,8 @@ class SearchSpec extends SparkSpec {
     assert(Search.bm25FromIndexTopK(spark, dir, terms, 10)
       .collect().toSeq == want)
     assert(graft.sources.Commits.committed(spark, dir) == Seq(0L))
-    val docRows = spark.read.parquet(s"$dir/docs")
+    val docRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs")
     assert(docRows.count() == docRows.select("doc_id").distinct().count())
   }
 
@@ -357,16 +367,18 @@ class SearchSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = s"$dir/_vacuum"
     def stageLiveCopy(): Unit = {
-      val cur = spark.read.parquet(s"$dir/docs")
+      val cur = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/docs")
         .filter(col("content_hash") =!= "__tombstone__")
         .groupBy("doc_id")
         .agg(max_by(col("dl"), col("batch")).as("dl"),
           max_by(col("content_hash"), col("batch")).as("content_hash"),
           max(col("batch")).as("batch"))
-      spark.read.parquet(s"$dir/postings")
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/postings")
         .join(cur.select("doc_id", "batch"), Seq("doc_id", "batch"))
-        .withColumn("batch", lit(0L)).write.parquet(s"$stage/postings")
-      cur.withColumn("batch", lit(0L)).write.parquet(s"$stage/docs")
+        .withColumn("batch", lit(0L)).write.parquet(s"$stage/postings/b0")
+      cur.withColumn("batch", lit(0L)).write.parquet(s"$stage/docs/b0")
       graft.sources.Commits.commit(spark, stage, 0L)
     }
     // Window 1 — the swap died BETWEEN deleting the live postings dir
@@ -478,7 +490,8 @@ class SearchSpec extends SparkSpec {
         "doc_id", "text", terms, 10).collect().toSeq)
     // Vacuum physically drops the tombstoned doc and keeps answers.
     Search.indexVacuum(spark, dir)
-    assert(!spark.read.parquet(s"$dir/docs").select("doc_id")
+    assert(!spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs").select("doc_id")
       .as[Long].collect().contains(4L))
     assert(Search.bm25FromIndexTopK(spark, dir, terms, 10).collect().toSeq
       == Search.bm25TopK(docs.filter(col("doc_id") =!= 4L),
@@ -507,5 +520,122 @@ class SearchSpec extends SparkSpec {
     // appears LATER in the tree dump.
     assert(semiAt > aggAt,
       s"batch-id semi-join no longer under the aggregate:\n$plan")
+  }
+
+  private def batchDirs(dir: String, table: String): Map[Long, Long] = {
+    // name -> modification time, for asserting clean batches untouched
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).filter(_.getPath.getName.startsWith("b"))
+      .map(s => s.getPath.getName.drop(1).toLong -> s.getModificationTime)
+      .toMap
+  }
+
+  test("incremental vacuum reclaims dirty batches, leaves clean ones " +
+      "byte-untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-ivac")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)                  // b0
+    Search.indexAppend(
+      Seq((4L, "vector vector index updated")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)                                        // b1
+    Search.indexDelete(spark, dir, Seq(3L).toDF("doc_id"))          // b2
+    val terms = Seq("spark", "vector")
+    val want = Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq
+    // b0 holds doc 4's superseded row and tombstoned doc 3's row;
+    // b2 is the tombstone itself; b1 (doc 4's live generation) is clean.
+    val cleanBefore = batchDirs(dir, "postings")(1L)
+    assert(Search.indexVacuumIncremental(spark, dir) == 2)
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq == want)
+    // The clean batch's files were not rewritten.
+    assert(batchDirs(dir, "postings")(1L) == cleanBefore,
+      "clean batch was rewritten by an incremental vacuum")
+    // Doc 3 is fully gone (its tombstone had no surviving older
+    // generation to suppress), docs are single-generation again.
+    val docRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs")
+    assert(docRows.count() == docRows.select("doc_id").distinct().count())
+    assert(!docRows.select("doc_id").as[Long].collect().contains(3L))
+    // Nothing dirty remains: a second pass is a no-op.
+    assert(Search.indexVacuumIncremental(spark, dir) == 0)
+    // The store keeps serving mutations afterwards.
+    assert(Search.indexAppend(
+      Seq((9L, "vector spark extra")).toDF("doc_id", "text"),
+      "doc_id", "text", dir) == 1L)
+  }
+
+  test("incremental vacuum carries a tombstone whose older generation " +
+      "survives in an unselected batch") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-ivac2")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)                  // b0
+    Search.indexDelete(spark, dir, Seq(1L).toDF("doc_id"))          // b1
+    val terms = Seq("spark", "vector")
+    val want = Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq
+    assert(!want.exists(_.getLong(0) == 1L))
+    // b0 is 1/5 dead (doc 1's old row), b1 is 1/1 dead: the threshold
+    // selects ONLY the tombstone batch. Dropping its tombstone would
+    // resurrect doc 1 out of b0 — it must be carried forward instead.
+    assert(Search.indexVacuumIncremental(spark, dir,
+      minDeadFraction = 0.5) == 1)
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq == want, "carried tombstone stopped suppressing")
+    // A full-threshold pass then reclaims b0 AND the carried tombstone
+    // together: doc 1 disappears physically, answers unchanged.
+    assert(Search.indexVacuumIncremental(spark, dir) == 2)
+    val docRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs")
+    assert(!docRows.select("doc_id").as[Long].collect().contains(1L))
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq == want)
+  }
+
+  test("a crash between the vacuum rewrite commit and the reclaim " +
+      "stays correct and converges") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-ivac3")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)                  // b0
+    Search.indexAppend(
+      Seq((4L, "vector vector index updated")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)                                        // b1
+    Search.indexDelete(spark, dir, Seq(3L).toDF("doc_id"))          // b2
+    val terms = Seq("spark", "vector")
+    val want = Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq
+    // Crash point: the rewrite batch is COMMITTED but the reclaimed
+    // batches' markers are still present — both generations visible.
+    val committed = graft.sources.Commits.committed(spark, dir)
+    val selected = Search.dirtyBatches(spark, dir, committed, 0.0)
+    Search.vacuumRewriteAndCommit(spark, dir, committed, selected)
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq == want,
+      "duplicate generations across the crash window changed answers")
+    // The next incremental vacuum reclaims the now-all-dead originals.
+    assert(Search.indexVacuumIncremental(spark, dir) >= 2)
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq == want)
+    val docRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs")
+    assert(docRows.count() == docRows.select("doc_id").distinct().count())
+  }
+
+  test("incremental vacuum sweeps orphan batch dirs from crashed appends") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-ivac4")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)                  // b0
+    // Crashed append: attempt recorded, postings written, no commit.
+    graft.sources.Commits.recordAttempt(spark, dir, 1L)
+    Search.writePostingsSlice(
+      Seq((9L, "spark orphan")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 1L)
+    assert(batchDirs(dir, "postings").contains(1L))
+    // Nothing is dirty, but the sweep still reclaims the orphan.
+    assert(Search.indexVacuumIncremental(spark, dir) == 0)
+    assert(!batchDirs(dir, "postings").contains(1L),
+      "orphan batch dir survived the vacuum sweep")
   }
 }

@@ -22,7 +22,8 @@ class IndexIngestSpec extends SparkSpec {
     in.addData((3L, "spark row"), (1L, "spark engine spark"))  // dup id later
     try q.processAllAvailable() finally q.stop()
     // Membership has no duplicate for doc 1.
-    val ids = spark.read.parquet(s"$dir/docs")
+    val ids = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs")
       .select("doc_id").as[Long].collect().toSeq
     assert(ids.sorted == Seq(1L, 2L, 3L))
     // The store probe equals the batch answer over the same corpus.
