@@ -186,6 +186,70 @@ object ScaleRehearsal {
           planes = 8, dims = 64, k = 10)
       }
 
+      // ---- INCREMENTAL vacuum cadence: a realistic maintenance
+      // interval against the ALREADY-COMPACTED stores — a fixed small
+      // mutation wave (500 changed docs delivered twice, 300 of them
+      // taken down), then the dirty-batch-only vacuum at threshold
+      // 0.5. The full vacuums above rewrite the live corpus (their
+      // lines grow with R); these lines must NOT grow with R beyond
+      // the skinny membership scan the dirty analysis reads — that is
+      // the claim `indexVacuumIncremental`/`annStoreVacuumIncremental`
+      // exist to prove. The giant compacted batch is sub-threshold
+      // dirty afterwards (500/N dead rows) and must NOT be selected.
+      val smallDocs = Tables.documents(spark, sfDir).limit(500)
+        .select(col("doc_id"), col("text"))
+      timed(r, "bm25_upsert_small") {
+        Search.indexAppend(
+          smallDocs.select(col("doc_id"),
+            concat(lit("ivac rev "), col("text")).as("text")),
+          "doc_id", "text", idx)
+      }
+      timed(r, "bm25_upsert_small2") {
+        // Fully supersedes the previous wave: that batch goes 100% dead.
+        Search.indexAppend(
+          smallDocs.select(col("doc_id"),
+            concat(lit("ivac rev2 "), col("text")).as("text")),
+          "doc_id", "text", idx)
+      }
+      timed(r, "bm25_takedown_small") {
+        Search.indexDelete(spark, idx,
+          smallDocs.limit(300).select(col("doc_id")))
+      }
+      timed(r, "bm25_vacuum_incr") {
+        Search.indexVacuumIncremental(spark, idx,
+          minDeadFraction = 0.5).toLong
+      }
+      probe(r, "probe_bm25_incr") {
+        Search.bm25FromIndexTopK(spark, idx,
+          Seq("spark", "vector", "stream", "merge"), 10)
+      }
+      val smallVecs = Tables.embeddings(spark, sfDir).limit(500)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      timed(r, "ann_upsert_small") {
+        Similarity.annStoreAppend(
+          smallVecs.select(col("id"), transform(col("vec"),
+            x => (x * lit(0.8f)).cast("float")).as("vec")),
+          ann, planes = 8, dims = 64)
+      }
+      timed(r, "ann_upsert_small2") {
+        Similarity.annStoreAppend(
+          smallVecs.select(col("id"), transform(col("vec"),
+            x => (x * lit(0.7f)).cast("float")).as("vec")),
+          ann, planes = 8, dims = 64)
+      }
+      timed(r, "ann_takedown_small") {
+        Similarity.annStoreDelete(spark, ann,
+          smallVecs.limit(300).select(col("id")))
+      }
+      timed(r, "ann_vacuum_incr") {
+        Similarity.annStoreVacuumIncremental(spark, ann,
+          minDeadFraction = 0.5).toLong
+      }
+      probe(r, "probe_ann_incr") {
+        Similarity.annStoreTopK(spark, ann, queryVecs,
+          planes = 8, dims = 64, k = 3)
+      }
+
       // ---- near-dup clustering over the scaled corpus
       val hsArr = Dedup.hashedShingleArrays(
         docs.select(col("doc_id"), col("text")), "doc_id", "text", 3)

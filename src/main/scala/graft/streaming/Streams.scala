@@ -507,10 +507,14 @@ object Streams {
     // (Search.indexVacuumIncremental) instead of rewriting the full
     // live state — keep the full compaction for occasional offline
     // ledger resets.
-    if (incremental)
+    if (incremental) {
       graft.operators.Search.indexVacuumIncremental(spark, indexDir): Unit
-    else graft.operators.Search.indexVacuum(spark, indexDir)
-    graft.operators.Similarity.annStoreVacuum(spark, annDir)
+      graft.operators.Similarity
+        .annStoreVacuumIncremental(spark, annDir): Unit
+    } else {
+      graft.operators.Search.indexVacuum(spark, indexDir)
+      graft.operators.Similarity.annStoreVacuum(spark, annDir)
+    }
     postingsTable.foreach(t =>
       graft.operators.Search.bucketPostings(spark, indexDir, t))
     annPartDir.foreach(d =>

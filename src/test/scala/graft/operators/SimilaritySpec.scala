@@ -218,30 +218,28 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "cid", "score", "rnk")
       .as[(Long, Long, Double, Int)].collect().toSeq.sorted
     val want = rows()
-    // Simulate a vacuum that died MID-SWAP: stage complete (live rows
-    // + manifest + staged ledger), live ledger dropped, old data files
-    // deleted, and ONE staged file already moved in.
+    // Simulate a vacuum that died MID-SWAP in the WORST window: stage
+    // complete (live rows + staged ledger), live ledger dropped, old
+    // batch dirs deleted, and the staged b0 ALREADY MOVED IN — the
+    // repair must recognize the moved dir as the only live copy and
+    // keep it, not delete it as stale junk.
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = s"$dir/_vacuum"
     val committed = Commits.committed(spark, dir)
-    val all = spark.read.parquet(dir)
+    val all = spark.read.option("recursiveFileLookup", "true").parquet(dir)
       .filter(col("batch").isin(committed: _*))
     val perId = all.groupBy(col("id")).agg(max(col("batch")).as("batch"))
     all.join(perId, Seq("id", "batch")).filter(size(col("qvec")) > 0)
-      .withColumn("batch", lit(0L)).write.parquet(stage)
-    val staged = fs.listStatus(new Path(stage)).map(_.getPath.getName)
-      .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSeq
-    val m = fs.create(new Path(s"$stage/_manifest"), true)
-    try m.write(staged.mkString("\n").getBytes("UTF-8")) finally m.close()
+      .withColumn("batch", lit(0L)).write.parquet(s"$stage/b0")
     Commits.commit(spark, stage, 0L)
     Commits.clear(spark, dir)
     fs.listStatus(new Path(dir))
       .filter { s =>
         val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".") && !staged.contains(n)
+        !n.startsWith("_") && !n.startsWith(".")
       }.foreach(s => fs.delete(s.getPath, true))
-    fs.rename(new Path(stage, staged.head), new Path(dir, staged.head))
+    fs.rename(new Path(s"$stage/b0"), new Path(s"$dir/b0"))
     // The store is visibly dead (readers require committed state)...
     intercept[IllegalArgumentException] { rows() }
     // ...until the next vacuum completes the swap: answers return,
@@ -249,9 +247,54 @@ class SimilaritySpec extends SparkSpec {
     Similarity.annStoreVacuum(spark, dir)
     assert(rows() == want)
     assert(Commits.committed(spark, dir) == Seq(0L))
-    val store = spark.read.parquet(dir)
+    val store = spark.read.option("recursiveFileLookup", "true").parquet(dir)
     assert(store.count() == store.select("id").distinct().count())
     assert(!store.select("id").as[Long].collect().contains(7L))
+  }
+
+  test("incremental ANN vacuum reclaims dirty batches, carries " +
+      "tombstones, and converges across the crash window") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.Commits
+    val dir = java.nio.file.Files.createTempDirectory("ann-ivac")
+      .toString + "/idx"
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.7).toFloat, math.sin(i * 1.3).toFloat))
+    }.toDF("id", "vec")
+    Similarity.annStoreAppend(vecs, dir, planes = 4, dims = 2)   // b0
+    // Re-embed ids 0-4 (b1 supersedes their b0 rows), delete id 7 (b2).
+    val reemb = vecs.filter(col("id") < 5)
+      .withColumn("vec", transform(col("vec"), x => x * lit(0.5f)))
+    Similarity.annStoreAppend(reemb, dir, planes = 4, dims = 2)  // b1
+    Similarity.annStoreDelete(spark, dir, Seq(7L).toDF("id"))    // b2
+    val queries = vecs.filter(col("id") < 3)
+    def rows() = Similarity.annStoreTopK(spark, dir, queries,
+      planes = 4, dims = 2, k = 3)
+      .select("qid", "cid", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val want = rows()
+    // Threshold pass selects only the all-dead tombstone batch (b2:
+    // 1/1 dead; b0 is 6/20 dead): id 7's tombstone must be CARRIED —
+    // its b0 row survives in an unselected batch.
+    assert(Similarity.annStoreVacuumIncremental(spark, dir,
+      minDeadFraction = 0.5) == 1)
+    assert(rows() == want, "carried ANN tombstone stopped suppressing")
+    // Crash window: rewrite committed, reclaimed markers still there.
+    val committed = Commits.committed(spark, dir)
+    Similarity.annVacuumRewriteAndCommit(spark, dir, committed,
+      Seq(0L))
+    assert(rows() == want,
+      "duplicate generations across the crash window changed answers")
+    // Full-threshold pass converges: only live current rows remain,
+    // id 7 is physically gone, answers unchanged.
+    assert(Similarity.annStoreVacuumIncremental(spark, dir) >= 1)
+    assert(rows() == want)
+    val store = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+    assert(store.count() == store.select("id").distinct().count())
+    assert(!store.select("id").as[Long].collect().contains(7L))
+    // Mutations keep working afterwards.
+    assert(Similarity.annStoreAppend(
+      Seq((99L, Seq(0.3f, 0.4f))).toDF("id", "vec"), dir, 4, 2) == 1L)
   }
 
   test("ANN store writer lease: a concurrent second writer fails loudly") {
@@ -273,6 +316,9 @@ class SimilaritySpec extends SparkSpec {
       Similarity.annStorePartition(spark, dir,
         java.nio.file.Files.createTempDirectory("ann-lock-p").toString
           + "/part")
+    }
+    intercept[IllegalStateException] {
+      Similarity.annStoreVacuumIncremental(spark, dir)
     }
     Commits.releaseWriterLock(spark, dir)
     assert(Similarity.annStoreAppend(

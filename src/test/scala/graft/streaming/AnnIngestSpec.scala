@@ -70,7 +70,8 @@ class AnnIngestSpec extends SparkSpec {
       s"superseded vector still matching: $hitOld")
     // Vacuum compacts to one row per id and preserves answers.
     Similarity.annStoreVacuum(spark, dir)
-    val rows = spark.read.parquet(dir)
+    val rows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(dir)
     assert(rows.count() == 30 &&
       rows.select("id").distinct().count() == 30)
     assert(top(near(v1b)).head._1 == 1L)
@@ -95,7 +96,8 @@ class AnnIngestSpec extends SparkSpec {
       Seq((7L, vec(7))).toDF("id", "vec"), dir, 4, dims) == 1)
     assert(top(near(vec(7))) == Seq(7L))
     Similarity.annStoreVacuum(spark, dir)
-    assert(spark.read.parquet(dir).count() == 20)
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(dir).count() == 20)
     assert(top(near(vec(7))) == Seq(7L))
   }
 
@@ -109,7 +111,8 @@ class AnnIngestSpec extends SparkSpec {
     in.addData((1L, vec(1)), (2L, vec(2)))
     in.addData((3L, vec(3)), (1L, vec(1)))   // dup id in later batch
     try q.processAllAvailable() finally q.stop()
-    val ids = spark.read.parquet(dir).select("id").as[Long].collect().toSeq
+    val ids = spark.read.option("recursiveFileLookup", "true")
+      .parquet(dir).select("id").as[Long].collect().toSeq
     assert(ids.sorted == Seq(1L, 2L, 3L))    // no duplicate row for id 1
   }
 }
