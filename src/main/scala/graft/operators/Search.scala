@@ -346,14 +346,8 @@ object Search {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = committedBatches(spark, dir)
-    // Orphan sweep: batch dirs without a commit marker are either a
-    // crashed append's invisible leftovers or a predecessor vacuum's
-    // half-deleted reclaim — both safe to drop under the lease.
-    for (table <- Seq("postings", "docs");
-         (id, path) <- presentBatchDirs(fs,
-           new org.apache.hadoop.fs.Path(s"$dir/$table"))
-         if !committed.contains(id))
-      fs.delete(path, true): Unit
+    Seq("postings", "docs").foreach(t => graft.sources.Commits
+      .sweepOrphanBatchDirs(spark, s"$dir/$t", committed))
     if (committed.isEmpty) return 0
     val selected = dirtyBatches(spark, dir, committed, minDeadFraction)
     if (selected.isEmpty) return 0
@@ -472,48 +466,16 @@ object Search {
     graft.sources.Commits.allocateBatchId(spark, dir,
       Seq(s"$dir/docs", s"$dir/postings"))
 
-  /** The `b<id>` batch subdirectories present under a store table —
-    * one filesystem listing, no data touched. Batches live in their
-    * own subdirectory so COMMITTED reads are an explicit path list
-    * (file-level selection, stronger than any pushed batch filter) and
-    * [[indexVacuumIncremental]] can reclaim a dirty batch by deleting
-    * its directory without rewriting clean neighbors.
-    */
-  private def presentBatchDirs(
-      fs: org.apache.hadoop.fs.FileSystem,
-      table: org.apache.hadoop.fs.Path): Map[Long, org.apache.hadoop.fs.Path] =
-    if (!fs.exists(table)) Map.empty
-    else fs.listStatus(table).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b") &&
-        s.getPath.getName.drop(1).forall(_.isDigit))
-      .map(s => s.getPath.getName.drop(1).toLong -> s.getPath)
-      .toMap
-
-  /** Read the COMMITTED generations of `table` (`postings` or `docs`):
-    * the committed batch ids' subdirectories, intersected with what is
-    * physically present (a delete-only batch writes no postings slice).
-    * Legacy flat-file stores (pre-subdir layout, or a stage swapped in
-    * by old code) fall back to a whole-dir read filtered on the batch
-    * column. None when nothing readable exists.
+  /** Read the COMMITTED generations of `table` (`postings` or `docs`)
+    * — [[graft.sources.Commits.readCommittedBatches]] over the shared
+    * per-batch-directory layout (a delete-only batch writes no
+    * postings slice, so the postings path list can be a strict subset
+    * of the committed set).
     */
   private def readCommittedTable(spark: org.apache.spark.sql.SparkSession,
-      dir: String, table: String, committed: Seq[Long]): Option[DataFrame] = {
-    val base = new org.apache.hadoop.fs.Path(s"$dir/$table")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val present = presentBatchDirs(fs, base)
-    // Skip data-less dirs (a rewrite whose join produced zero rows
-    // writes only _SUCCESS): they would break schema inference when
-    // every selected dir is empty.
-    val paths = committed.filter(b => present.contains(b) &&
-        fs.listStatus(present(b)).exists(s =>
-          s.isFile && !s.getPath.getName.startsWith("_")))
-      .map(b => s"$dir/$table/b$b")
-    if (paths.nonEmpty) Some(spark.read.parquet(paths: _*))
-    else if (fs.exists(base) && fs.listStatus(base).exists(_.isFile))
-      Some(spark.read.parquet(s"$dir/$table")
-        .filter(col("batch").isin(committed: _*)))
-    else None
-  }
+      dir: String, table: String, committed: Seq[Long]): Option[DataFrame] =
+    graft.sources.Commits.readCommittedBatches(spark, s"$dir/$table",
+      committed)
 
   /** Committed postings read; a store whose live state is postings-free
     * (every doc tombstoned, or delete-only generations) yields an

@@ -131,6 +131,33 @@ object LlmQueries {
       s"incremental vacuum found nothing dirty after upsert+delete")
   }
 
+  private def chunkTakedownBuild(s: SparkSession, d: String): Unit = {
+    val dir = storeDir("chunk-del") + "/store"
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val stale = base.withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(lit("stale draft chunk "), col("text")))
+        .otherwise(col("text")))
+    graft.streaming.Streams.chunkIngestBatch(stale, dir, "doc_id", "text",
+      window = 32, overlap = 8)
+    graft.streaming.Streams.chunkIngestBatch(base, dir,
+      "doc_id", "text", window = 32, overlap = 8): Unit
+    val deleted = graft.streaming.Streams.chunkStoreDelete(s, dir,
+      base.filter(col("doc_id") % 11 === 0).select(col("doc_id")))
+    val again = graft.streaming.Streams.chunkStoreDelete(s, dir,
+      base.filter(col("doc_id") % 11 === 0).select(col("doc_id")))
+    require(deleted > 0 && again == 0,
+      s"chunk takedown semantics broken: deleted=$deleted again=$again")
+    val reclaimed = graft.streaming.Streams.chunkStoreVacuum(s, dir)
+    require(reclaimed > 0,
+      "chunk vacuum found nothing dirty after upsert+takedown")
+  }
+
+  private def chunkTakedownProbe(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams
+      .chunkStoreRead(s, storePath("chunk-del") + "/store")
+      .get.presentSorted(col("doc_id"), col("chunk_seq"))
+
   private def chunkStoreBuild(s: SparkSession, d: String): Unit = {
     val dir = storeDir("chunk-rt") + "/store"
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -270,6 +297,8 @@ object LlmQueries {
       phraseBucketedProbe),
     "pl_chunk_store_roundtrip" -> BenchPhases(chunkStoreBuild,
       chunkStoreProbe),
+    "pl_chunk_store_takedown" -> BenchPhases(chunkTakedownBuild,
+      chunkTakedownProbe),
   )
 
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
@@ -1348,6 +1377,34 @@ object LlmQueries {
         |FROM e ORDER BY doc_id, chunk_seq""".stripMargin) { (s, d) =>
       chunkStoreBuild(s, d)
       chunkStoreProbe(s, d)
+    },
+
+    // CHUNK-STORE TAKEDOWN + INCREMENTAL VACUUM: the passage surface's
+    // compliance path — after tombstoning every 11th doc and reclaiming
+    // the dirty generations (stale-draft supersessions + the takedown
+    // wave), the read face must equal the plain chunking of the
+    // remaining corpus. The composed fan-out delete drives exactly
+    // this store (Streams.fanoutDeleteBatch chunkDir).
+    QueryDef(
+      "pl_chunk_store_takedown",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |n AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0),
+        |c AS (
+        |  SELECT doc_id, l,
+        |    CASE WHEN n <= 32 THEN 1
+        |         ELSE 1 + (n - 32 + 23) // 24 END AS nc
+        |  FROM n),
+        |e AS (SELECT doc_id, l, unnest(range(nc)) AS i FROM c)
+        |SELECT doc_id, i::BIGINT AS chunk_seq,
+        |  len(list_slice(l, i*24 + 1, i*24 + 32))::BIGINT AS n_tokens,
+        |  array_to_string(list_slice(l, i*24 + 1, i*24 + 32), ' ')
+        |    AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_seq""".stripMargin) { (s, d) =>
+      chunkTakedownBuild(s, d)
+      chunkTakedownProbe(s, d)
     },
 
     // MIXTURE-WEIGHTED BUDGET TAKE: fill each source's share of a

@@ -63,6 +63,64 @@ object Commits {
     fs.create(p, true).close()
   }
 
+  /** The `b<id>` batch subdirectories present under a generational
+    * store table — one filesystem listing, no data touched. Each batch
+    * in its own subdirectory is the layout contract all three standing
+    * stores share (inverted index, ANN store, chunk store): committed
+    * reads become an explicit path list (file-level selection,
+    * stronger than any pushed batch filter) and the incremental
+    * vacuums reclaim a dirty batch by deleting its directory without
+    * rewriting clean neighbors.
+    */
+  def batchDirs(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path): Map[Long, org.apache.hadoop.fs.Path] =
+    if (!fs.exists(table)) Map.empty
+    else fs.listStatus(table).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b") &&
+        s.getPath.getName.drop(1).forall(_.isDigit))
+      .map(s => s.getPath.getName.drop(1).toLong -> s.getPath)
+      .toMap
+
+  /** Read the COMMITTED generations of the per-batch-directory table
+    * at `tableDir`: the committed ids' subdirectories that hold data
+    * files (a rewrite whose join produced zero rows leaves a file-less
+    * dir that would break schema inference), plus — for legacy
+    * flat-file stores or a mid-migration mix — the dir's own top-level
+    * files, batch-filtered. None when nothing readable exists.
+    */
+  def readCommittedBatches(spark: SparkSession, tableDir: String,
+      committed: Seq[Long]): Option[
+      org.apache.spark.sql.DataFrame] = {
+    val base = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present = batchDirs(fs, base)
+    val dirPaths = committed.filter(b => present.contains(b) &&
+        fs.listStatus(present(b)).exists(s =>
+          s.isFile && !s.getPath.getName.startsWith("_")))
+      .map(b => s"$tableDir/b$b")
+    val hasFlat = fs.exists(base) && fs.listStatus(base).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    if (hasFlat)
+      Some(spark.read.parquet((dirPaths :+ tableDir): _*)
+        .filter(col("batch").isin(committed: _*)))
+    else if (dirPaths.nonEmpty) Some(spark.read.parquet(dirPaths: _*))
+    else None
+  }
+
+  /** Delete every batch subdirectory of `tableDir` whose id is not in
+    * `committed` — the incremental vacuums' orphan sweep (crashed
+    * appends' invisible leftovers, or a predecessor's half-finished
+    * reclaim). Caller holds the writer lease.
+    */
+  def sweepOrphanBatchDirs(spark: SparkSession, tableDir: String,
+      committed: Seq[Long]): Unit = {
+    val base = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((id, path) <- batchDirs(fs, base) if !committed.contains(id))
+      fs.delete(path, true): Unit
+  }
+
   /** Remove ONE batch's commit marker — the incremental vacuum's
     * reclaim step (its attempt marker stays, so the id is never
     * reallocated). The batch's rows become invisible the moment the

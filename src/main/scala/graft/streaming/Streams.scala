@@ -330,8 +330,10 @@ object Streams {
     // aggregate costs the store's full membership per micro-batch.
     val fresh = (if (committed.isEmpty) hashed
     else {
-      val prev = spark.read.parquet(docsDir)
-        .filter(col("batch").isin(committed: _*))
+      val prev = graft.sources.Commits
+        .readCommittedBatches(spark, docsDir, committed)
+        .getOrElse(throw new IllegalStateException(
+          s"committed chunk store at $storeDir has no readable docs"))
         .join(hashed.select(col(idCol).as("doc_id")), Seq("doc_id"),
           "left_semi")
         .groupBy(col("doc_id"))
@@ -350,15 +352,133 @@ object Streams {
           window, overlap)
           .withColumnRenamed(idCol, "doc_id")
           .withColumn("batch", lit(batchId))
-          .write.mode("append").parquet(chunksDir)
+          .write.parquet(s"$chunksDir/b$batchId")
         fresh.select(col(idCol).as("doc_id"),
             col("__ch").as("content_hash"))
           .withColumn("batch", lit(batchId))
-          .write.mode("append").parquet(docsDir)
+          .write.parquet(s"$docsDir/b$batchId")
         graft.sources.Commits.commit(spark, storeDir, batchId)
       }
       n
     } finally { fresh.unpersist(); () }
+   }
+
+  /** Tombstone marker in the chunk store's membership table — same
+    * convention as the inverted index's docs table (real content
+    * hashes are 64-hex sha256, no collision possible).
+    */
+  private val ChunkTombstone = "__tombstone__"
+
+  /** DELETE docs from the standing chunk store — the takedown side the
+    * passage surface needs just like the index and the ANN store: each
+    * currently-live requested id gets a chunk-free docs row carrying
+    * the tombstone marker; on commit its passages stop surfacing from
+    * [[chunkStoreRead]] (generation resolution — the chunks stay on
+    * disk until a vacuum reclaims them). Idempotent, and a later
+    * [[chunkIngestBatch]] of the id re-chunks it (a tombstone never
+    * equals a content hash, so redelivered text reads as changed).
+    * Returns docs tombstoned.
+    */
+  def chunkStoreDelete(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, ids: DataFrame): Long =
+   graft.sources.Commits.withWriterLock(spark, storeDir) {
+    val committed = graft.sources.Commits.committed(spark, storeDir)
+    if (committed.isEmpty) return 0L
+    val victims = graft.sources.Commits
+      .readCommittedBatches(spark, s"$storeDir/docs", committed)
+      .getOrElse(return 0L)
+      .join(ids.select(col(ids.columns.head).as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("content_hash"), col("batch")).as("__cur"))
+      .filter(col("__cur") =!= ChunkTombstone)
+      .select(col("doc_id"), lit(ChunkTombstone).as("content_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = victims.count()
+      if (n > 0) {
+        val batchId = graft.sources.Commits.allocateBatchId(spark,
+          storeDir, Seq(s"$storeDir/docs", s"$storeDir/chunks"))
+        victims.withColumn("batch", lit(batchId))
+          .write.parquet(s"$storeDir/docs/b$batchId")
+        graft.sources.Commits.commit(spark, storeDir, batchId)
+      }
+      n
+    } finally { victims.unpersist(); () }
+   }
+
+  /** INCREMENTAL chunk-store vacuum — the passage-store member of the
+    * same family as `Search.indexVacuumIncremental` /
+    * `Similarity.annStoreVacuumIncremental`: batches whose dead-row
+    * fraction (superseded generations + rows of tombstoned docs)
+    * reaches `minDeadFraction` rewrite their survivors — live current
+    * docs WITH their chunks, plus tombstones whose doc still has rows
+    * in an unselected batch — into one fresh committed batch; markers
+    * drop, directories delete, orphans sweep. Same crash-window
+    * convergence argument as the twins. Returns batches reclaimed.
+    */
+  def chunkStoreVacuum(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, minDeadFraction: Double = 0.0): Int =
+   graft.sources.Commits.withWriterLock(spark, storeDir) {
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = graft.sources.Commits.committed(spark, storeDir)
+    Seq("chunks", "docs").foreach(t => graft.sources.Commits
+      .sweepOrphanBatchDirs(spark, s"$storeDir/$t", committed))
+    if (committed.isEmpty) return 0
+    val docs = graft.sources.Commits
+      .readCommittedBatches(spark, s"$storeDir/docs", committed)
+      .getOrElse(return 0)
+    val cur = docs.groupBy(col("doc_id"))
+      .agg(max(col("batch")).as("__cur_batch"),
+        max_by(col("content_hash"), col("batch")).as("__cur_hash"))
+    val marked = docs.join(cur, Seq("doc_id"))
+      .withColumn("__dead", col("batch") < col("__cur_batch") ||
+        col("__cur_hash") === ChunkTombstone)
+    val selected = marked.groupBy(col("batch"))
+      .agg(count(lit(1)).as("__total"),
+        sum(when(col("__dead"), 1L).otherwise(0L)).as("__dead_rows"))
+      .collect()
+      .filter { r =>
+        val dead = r.getAs[Long]("__dead_rows")
+        dead > 0 &&
+          dead.toDouble / r.getAs[Long]("__total") >= minDeadFraction
+      }
+      .map(_.getAs[Long]("batch")).toSeq.sorted
+    if (selected.isEmpty) return 0
+    val inSelected = col("batch").isin(selected: _*)
+    val currentInSelected = marked
+      .filter(inSelected && col("batch") === col("__cur_batch"))
+    val live = currentInSelected
+      .filter(col("__cur_hash") =!= ChunkTombstone)
+    val tomb = currentInSelected
+      .filter(col("__cur_hash") === ChunkTombstone)
+      .join(docs.filter(!col("batch").isin(selected: _*))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val survivors = live.unionByName(tomb)
+      .select(col("doc_id"), col("content_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (survivors.count() > 0) {
+        val batchId = graft.sources.Commits.allocateBatchId(spark,
+          storeDir, Seq(s"$storeDir/docs", s"$storeDir/chunks"))
+        graft.sources.Commits
+          .readCommittedBatches(spark, s"$storeDir/chunks", selected)
+          .foreach(_.join(live.select(col("doc_id"), col("batch")),
+              Seq("doc_id", "batch"))
+            .withColumn("batch", lit(batchId))
+            .write.parquet(s"$storeDir/chunks/b$batchId"))
+        survivors.withColumn("batch", lit(batchId))
+          .write.parquet(s"$storeDir/docs/b$batchId")
+        graft.sources.Commits.commit(spark, storeDir, batchId)
+      }
+    } finally { survivors.unpersist(); () }
+    selected.foreach(b =>
+      graft.sources.Commits.uncommit(spark, storeDir, b))
+    for (t <- Seq("chunks", "docs"); b <- selected)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/$t/b$b"),
+        true): Unit
+    selected.size
    }
 
   /** Streaming face of [[chunkIngestBatch]]. */
@@ -384,15 +504,22 @@ object Streams {
       storeDir: String): Option[DataFrame] = {
     val committed = graft.sources.Commits.committed(spark, storeDir)
     if (committed.isEmpty) None
-    else {
-      val cur = spark.read.parquet(s"$storeDir/docs")
-        .filter(col("batch").isin(committed: _*))
-        .groupBy(col("doc_id")).agg(max(col("batch")).as("batch"))
-      Some(spark.read.parquet(s"$storeDir/chunks")
-        .filter(col("batch").isin(committed: _*))
-        .join(cur, Seq("doc_id", "batch"), "left_semi")
+    else for {
+      docs <- graft.sources.Commits
+        .readCommittedBatches(spark, s"$storeDir/docs", committed)
+      chunks <- graft.sources.Commits
+        .readCommittedBatches(spark, s"$storeDir/chunks", committed)
+    } yield {
+      // Tombstoned docs (chunkStoreDelete) resolve to the marker and
+      // drop out here — their superseded chunks never surface.
+      val cur = docs.groupBy(col("doc_id"))
+        .agg(max(col("batch")).as("batch"),
+          max_by(col("content_hash"), col("batch")).as("__cur_hash"))
+        .filter(col("__cur_hash") =!= ChunkTombstone)
+        .select(col("doc_id"), col("batch"))
+      chunks.join(cur, Seq("doc_id", "batch"), "left_semi")
         .select(col("doc_id"), col("chunk_seq"), col("n_tokens"),
-          col("chunk_text")))
+          col("chunk_text"))
     }
   }
 
@@ -454,7 +581,8 @@ object Streams {
     */
   def fanoutDeleteBatch(ids: DataFrame, batchId: Long, storeDir: String,
       indexDir: String, annDir: String,
-      idCol: String = "doc_id"): (Long, Long, Long) = {
+      idCol: String = "doc_id",
+      chunkDir: Option[String] = None): (Long, Long, Long) = {
     val spark = ids.sparkSession
     val victims = ids.select(col(ids.columns.head).as(idCol))
       .dropDuplicates(idCol)
@@ -482,6 +610,11 @@ object Streams {
       val nIdx = graft.operators.Search.indexDelete(spark, indexDir, victims)
       val nAnn = graft.operators.Similarity.annStoreDelete(spark, annDir,
         victims.select(col(idCol).as("id")))
+      // A takedown that leaves the doc's PASSAGES readable is not a
+      // takedown: the chunk store leaves with the other three surfaces
+      // when the pipeline runs one ([[chunkStoreDelete]] is idempotent
+      // like the rest, so the composed batch converges unchanged).
+      chunkDir.foreach(d => chunkStoreDelete(spark, d, victims): Unit)
       (nStore, nIdx, nAnn)
     } finally { victims.unpersist(); () }
   }
@@ -501,7 +634,8 @@ object Streams {
       storeDir: String, indexDir: String, annDir: String,
       keepStates: Int = 3, postingsTable: Option[String] = None,
       annPartDir: Option[String] = None,
-      incremental: Boolean = false): Seq[Long] = {
+      incremental: Boolean = false,
+      chunkDir: Option[String] = None): Seq[Long] = {
     // incremental=true is the ROUTINE cadence at scale: reclaim only
     // the batches the interval's mutations dirtied
     // (Search.indexVacuumIncremental) instead of rewriting the full
@@ -515,6 +649,10 @@ object Streams {
       graft.operators.Search.indexVacuum(spark, indexDir)
       graft.operators.Similarity.annStoreVacuum(spark, annDir)
     }
+    // The chunk store's only vacuum is the incremental form (threshold
+    // 0 reclaims every dirty batch — the full-rewrite reset the other
+    // two keep for ledger hygiene has no extra value here).
+    chunkDir.foreach(d => chunkStoreVacuum(spark, d): Unit)
     postingsTable.foreach(t =>
       graft.operators.Search.bucketPostings(spark, indexDir, t))
     annPartDir.foreach(d =>
@@ -530,13 +668,14 @@ object Streams {
     */
   def fanoutDeleteSink(stream: DataFrame, storeDir: String,
       indexDir: String, annDir: String, checkpointDir: String,
-      idCol: String = "doc_id"): StreamingQuery =
+      idCol: String = "doc_id",
+      chunkDir: Option[String] = None): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         fanoutDeleteBatch(batch, batchId, storeDir, indexDir, annDir,
-          idCol): Unit
+          idCol, chunkDir): Unit
       }
       .start()
 

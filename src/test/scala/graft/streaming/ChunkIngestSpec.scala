@@ -49,7 +49,8 @@ class ChunkIngestSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(after == Seq((2L, 0L, 4L, "a b c d"), (2L, 1L, 2L, "d e")))
     // The superseded generation is still on disk but never surfaces.
-    val rawChunks = spark.read.parquet(s"$dir/chunks")
+    val rawChunks = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/chunks")
       .filter(col("doc_id") === 2L).count()
     assert(rawChunks == 3, "old generation should remain on disk")
   }
@@ -72,7 +73,8 @@ class ChunkIngestSpec extends SparkSpec {
       (1L, 1L, 3L, "z p q"),
       (2L, 0L, 1L, "solo")))
     // Exactly one generation per doc despite the duplicate delivery.
-    val gens = spark.read.parquet(s"$dir/docs").groupBy("doc_id")
+    val gens = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs").groupBy("doc_id")
       .count().as[(Long, Long)].collect().toMap
     assert(gens == Map(1L -> 1L, 2L -> 1L))
   }
@@ -87,7 +89,7 @@ class ChunkIngestSpec extends SparkSpec {
       Seq(s"$dir/docs", s"$dir/chunks"))
     Seq((9L, 0L, 2L, "zz zz", orphanId))
       .toDF("doc_id", "chunk_seq", "n_tokens", "chunk_text", "batch")
-      .write.mode("append").parquet(s"$dir/chunks")
+      .write.parquet(s"$dir/chunks/b$orphanId")
     // Readers never see the orphan.
     val ids = Streams.chunkStoreRead(spark, dir).get
       .select("doc_id").distinct().as[Long].collect().toSeq
@@ -98,7 +100,8 @@ class ChunkIngestSpec extends SparkSpec {
       Seq((9L, "zz yy xx")).toDF("doc_id", "text"), dir, "doc_id", "text",
       4, 1)
     assert(n == 1)
-    val batches = spark.read.parquet(s"$dir/chunks")
+    val batches = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/chunks")
       .filter(col("doc_id") === 9L).select("batch").distinct()
       .as[Long].collect().toSeq.sorted
     assert(batches.size == 2 && batches.last > orphanId,
@@ -107,5 +110,75 @@ class ChunkIngestSpec extends SparkSpec {
       .filter(col("doc_id") === 9L).select("chunk_text")
       .as[String].collect().toSeq
     assert(got == Seq("zz yy xx"))
+  }
+
+  test("chunkStoreDelete tombstones a doc's passages; re-ingest " +
+      "resurrects; vacuum reclaims") {
+    val dir = tmp("chunkdel") + "/store"
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"),
+      (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    Streams.chunkIngestBatch(docs, dir, "doc_id", "text", 4, 1)  // b0
+    // Takedown doc 1: its passages leave the read face at once.
+    assert(Streams.chunkStoreDelete(spark, dir,
+      Seq(1L).toDF("doc_id")) == 1L)                             // b1
+    assert(Streams.chunkStoreDelete(spark, dir,
+      Seq(1L).toDF("doc_id")) == 0L, "delete must be idempotent")
+    val afterDel = Streams.chunkStoreRead(spark, dir).get
+      .select("doc_id").distinct().as[Long].collect().toSeq.sorted
+    assert(afterDel == Seq(2L, 3L))
+    // Update doc 2 (b2 supersedes its b0 generation).
+    Streams.chunkIngestBatch(Seq((2L, "a b c d e")).toDF("doc_id", "text"),
+      dir, "doc_id", "text", 4, 1)                               // b2
+    val want = Streams.chunkStoreRead(spark, dir).get
+      .orderBy("doc_id", "chunk_seq")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // Vacuum reclaims: b0 (doc1 dead via tombstone, doc2 superseded),
+    // b1 (tombstone, carried? doc1 has rows ONLY in b0 — also selected
+    // — so it drops entirely). Read face unchanged, doc 1 physically
+    // gone, single generation per doc.
+    assert(Streams.chunkStoreVacuum(spark, dir) >= 2)
+    assert(Streams.chunkStoreRead(spark, dir).get
+      .orderBy("doc_id", "chunk_seq")
+      .as[(Long, Long, Long, String)].collect().toSeq == want)
+    val docRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs")
+    assert(docRows.count() == docRows.select("doc_id").distinct().count())
+    assert(!docRows.select("doc_id").as[Long].collect().contains(1L))
+    // Second pass: nothing dirty.
+    assert(Streams.chunkStoreVacuum(spark, dir) == 0)
+    // Re-ingest of the deleted id resurrects it.
+    assert(Streams.chunkIngestBatch(
+      Seq((1L, "back again ok")).toDF("doc_id", "text"),
+      dir, "doc_id", "text", 4, 1) == 1L)
+    assert(Streams.chunkStoreRead(spark, dir).get
+      .filter(col("doc_id") === 1L).select("chunk_text")
+      .as[String].collect().toSeq == Seq("back again ok"))
+  }
+
+  test("a thresholded chunk vacuum carries a tombstone whose older " +
+      "generation survives") {
+    val dir = tmp("chunkcarry") + "/store"
+    val docs = (1L to 5L).map(i => (i, s"d$i w x y z"))
+      .toDF("doc_id", "text")
+    Streams.chunkIngestBatch(docs, dir, "doc_id", "text", 4, 1)  // b0
+    Streams.chunkStoreDelete(spark, dir, Seq(1L).toDF("doc_id")) // b1
+    val want = Streams.chunkStoreRead(spark, dir).get
+      .select("doc_id").distinct().as[Long].collect().toSeq.sorted
+    assert(want == Seq(2L, 3L, 4L, 5L))
+    // b0 is 1/5 dead, b1 is 1/1 dead: threshold selects only b1 — the
+    // tombstone must be carried or doc 1 resurrects out of b0.
+    assert(Streams.chunkStoreVacuum(spark, dir,
+      minDeadFraction = 0.5) == 1)
+    assert(Streams.chunkStoreRead(spark, dir).get
+      .select("doc_id").distinct().as[Long].collect().toSeq.sorted
+      == want, "carried chunk tombstone stopped suppressing")
+    // Full-threshold pass reclaims the rest; doc 1 gone physically.
+    assert(Streams.chunkStoreVacuum(spark, dir) == 2)
+    val docRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs")
+    assert(!docRows.select("doc_id").as[Long].collect().contains(1L))
   }
 }

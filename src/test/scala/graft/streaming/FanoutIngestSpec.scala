@@ -98,10 +98,16 @@ class FanoutIngestSpec extends SparkSpec {
         .toDF("doc_id", "text", "vec"),
       0L, storeDir, indexDir, annDir, "doc_id", "text",
       vecCol = Some("vec"), planes = 2, dims = 2)
+    // ...and the passage surface: the chunk store leaves with them.
+    val chunkDir = s"$root/chunks"
+    Streams.chunkIngestBatch(
+      Seq((1L, "spark engine"), (2L, "vector merge"), (3L, "stream sort"))
+        .toDF("doc_id", "text"),
+      chunkDir, "doc_id", "text", window = 4, overlap = 1)
     // Stream two takedown batches (the second redelivers id 2).
     val in = MemoryStream[Long]
     val q = Streams.fanoutDeleteSink(in.toDF().toDF("doc_id"), storeDir,
-      indexDir, annDir, s"$root/ckpt")
+      indexDir, annDir, s"$root/ckpt", chunkDir = Some(chunkDir))
     try {
       in.addData(2L)
       q.processAllAvailable()
@@ -110,6 +116,9 @@ class FanoutIngestSpec extends SparkSpec {
     } finally q.stop()
     assert(Streams.readState(spark, storeDir).get
       .select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(Streams.chunkStoreRead(spark, chunkDir).get
+      .select("doc_id").distinct().as[Long].collect().toSeq == Seq(1L),
+      "taken-down docs' passages must leave the chunk store too")
     assert(Search.bm25FromIndexTopK(spark, indexDir,
       Seq("spark", "vector", "stream"), 10)
       .select("doc_id").as[Long].collect().toSeq == Seq(1L))
@@ -125,7 +134,7 @@ class FanoutIngestSpec extends SparkSpec {
     val annPart = s"$root/ann-part"
     Streams.fanoutVacuum(spark, storeDir, indexDir, annDir,
       keepStates = 3, postingsTable = Some("graft_fanout_vac_postings"),
-      annPartDir = Some(annPart))
+      annPartDir = Some(annPart), chunkDir = Some(chunkDir))
     // Refreshed snapshots answer identically to the live stores.
     assert(Search.bm25FromBucketedIndexTopK(spark, indexDir,
       "graft_fanout_vac_postings", Seq("spark", "vector", "stream"), 10)
@@ -145,5 +154,14 @@ class FanoutIngestSpec extends SparkSpec {
     assert(as.getAs[Long]("superseded_rows") == 0L)
     assert(Streams.readState(spark, storeDir).get
       .select("doc_id").as[Long].collect().toSet == Set(1L))
+    // Chunk store reclaimed too: answers unchanged, one generation per
+    // doc, the taken-down ids physically gone.
+    assert(Streams.chunkStoreRead(spark, chunkDir).get
+      .select("doc_id").distinct().as[Long].collect().toSeq == Seq(1L))
+    val chunkDocs = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$chunkDir/docs")
+    assert(chunkDocs.count() ==
+      chunkDocs.select("doc_id").distinct().count())
+    assert(chunkDocs.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 }
