@@ -307,6 +307,68 @@ object Corpus {
     df.join(stamped, Seq(stratumCol, idCol))
   }
 
+  /** DETERMINISTIC CORPUS SHUFFLE — the global training order every
+    * run of a corpus must reproduce bit-identically: each row's sort
+    * key is the portable seeded hash of its id
+    * ([[HashFunctions.stableHash64]], so any engine — including the
+    * DuckDB oracle — derives the same order), and `pos` is the row's
+    * 0-based position in the (key, id) order. Changing `seed` is a
+    * fresh epoch permutation; same seed, same corpus → same order on
+    * any cluster, any partitioning.
+    *
+    * Scale shape: ONE range exchange on the hash key (Spark's
+    * distributed sort), then positions by the two-pass trick
+    * [[packSequencesDistributed]] uses — per-partition row counts
+    * (driver-side O(#partitions)), exclusive prefix, narrow second
+    * pass. No global window, no single-reducer row_number.
+    *
+    * Returns (idCol, shuffle_key, pos); join back to the full rows on
+    * idCol (kept skinny here so the exchange moves ids, not text).
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .select(col(idCol).cast("long").as("__id"))
+      .withColumn("__k", HashFunctions.stableHash64(
+        concat(lit(s"$seed:"), col("__id").cast("string"))))
+      .repartitionByRange(parts, col("__k"), col("__id"))
+      .sortWithinPartitions(col("__k"), col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranged.mapPartitions { it =>
+      var pid = -1
+      var n = 0L
+      it.foreach { _ =>
+        pid = org.apache.spark.TaskContext.getPartitionId(); n += 1
+      }
+      if (n > 0) Iterator((pid, n)) else Iterator.empty
+    }.collect()
+    val base = scala.collection.mutable.Map[Int, Long]()
+    var acc = 0L
+    counts.sortBy(_._1).foreach { case (pid, n) =>
+      base(pid) = acc; acc += n
+    }
+    val baseB = spark.sparkContext.broadcast(base.toMap)
+    val positioned = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var i = baseB.value.getOrElse(pid, 0L)
+      it.map { r =>
+        val out = (r.getLong(0), r.getLong(1), i); i += 1; out
+      }
+    }.toDF("__id", "shuffle_key", "pos")
+    // Lineage cut BEFORE unpersist — a re-executed range exchange
+    // re-samples partition boundaries, which would desync pass 2's
+    // membership from the collected counts (same invariant as
+    // packSequencesDistributed).
+    val stamped = graft.Checkpoints.pinned(positioned)
+    ranged.unpersist()
+    stamped.select(col("__id").as(idCol), col("shuffle_key"), col("pos"))
+  }
+
   /** BOILERPLATE RATIO: per doc, the fraction of its distinct hashed
     * n-gram shingles that are corpus-common (document frequency >=
     * `minDf`) — the RefinedWeb/C4-style signal for template/navigation

@@ -356,6 +356,37 @@ object Search {
     selected.size
    }
 
+  /** COMPACT the index's committed-batch count down to `maxBatches`:
+    * the smallest batches' surviving rows (live current generations +
+    * carried tombstones — the same rewrite the incremental vacuum
+    * runs, so superseded/fully-dead rows drop on the way) fold into
+    * one fresh committed batch, and the folded batches' directories
+    * delete. [[indexVacuumIncremental]] bounds the DEAD data without
+    * full rewrites; this bounds the BATCH COUNT the micro-batch ingest
+    * cadence grows (per-batch directory listings and file handles at
+    * 100 TB) — together they close the loop that previously needed the
+    * offline full [[indexVacuum]]. Returns batches folded (0 when
+    * already within bound).
+    */
+  def indexCompactBatches(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxBatches: Int = 16): Int =
+   graft.sources.Commits.withWriterLock(spark, dir) {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = committedBatches(spark, dir)
+    Seq("postings", "docs").foreach(t => graft.sources.Commits
+      .sweepOrphanBatchDirs(spark, s"$dir/$t", committed))
+    if (committed.isEmpty) return 0
+    val docs = readCommittedTable(spark, dir, "docs", committed)
+      .getOrElse(return 0)
+    val selected = graft.sources.Commits
+      .compactionSelection(docs, committed, maxBatches)
+    if (selected.isEmpty) return 0
+    vacuumRewriteAndCommit(spark, dir, committed, selected)
+    dropReclaimedBatches(spark, fs, dir, selected)
+    selected.size
+   }
+
   /** The committed batches whose dead-row fraction reaches the
     * threshold. Dead = superseded by a later generation, or any row of
     * a tombstoned doc. Driver-side result: bounded by the batch COUNT

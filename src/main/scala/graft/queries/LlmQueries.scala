@@ -129,6 +129,10 @@ object LlmQueries {
     val reclaimed = Search.indexVacuumIncremental(s, dir)
     require(reclaimed > 0,
       s"incremental vacuum found nothing dirty after upsert+delete")
+    // Fold the surviving batches down too — the probe after vacuum +
+    // compaction still hashes against the same oracle, so the whole
+    // incremental maintenance cadence is oracle-covered.
+    Search.indexCompactBatches(s, dir, maxBatches = 2): Unit
   }
 
   private def chunkTakedownBuild(s: SparkSession, d: String): Unit = {
@@ -1289,6 +1293,27 @@ object LlmQueries {
         Tables.documents(s, d), "doc_id", "source", rates)
         .select(col("doc_id"), col("source"))
         .presentSorted(col("doc_id"))
+    },
+
+    // DETERMINISTIC CORPUS SHUFFLE: the global training order — every
+    // doc's epoch position from the portable seeded 60-bit hash
+    // (stableHash64, bit-identical in DuckDB), positions assigned by
+    // one range exchange + the two-pass distributed count (no global
+    // window). Same seed, same corpus, any partitioning → identical
+    // permutation; the oracle recomputes it with row_number.
+    QueryDef(
+      "pl_corpus_shuffle",
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('shuf42:' || doc_id), 1, 15))::BIGINT
+        |      AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos
+        |FROM k ORDER BY pos""".stripMargin) { (s, d) =>
+      graft.operators.Corpus.deterministicShuffle(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", "shuf42")
+        .presentSorted(col("pos"))
     },
 
     // Concatenate-and-chunk SEQUENCE PACKING: per source, docs in id

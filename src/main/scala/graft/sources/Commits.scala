@@ -108,6 +108,32 @@ object Commits {
     else None
   }
 
+  /** Batches to fold together so the committed count comes down to
+    * `maxBatches`: the SMALLEST by membership-row count (ties on id),
+    * `count - maxBatches + 1` of them — they rewrite into one fresh
+    * batch, so the store lands at exactly `maxBatches` committed
+    * batches. Empty when already within bound. This is the
+    * generational stores' answer to micro-batch accumulation: the
+    * incremental vacuums keep DEAD data bounded without full rewrites,
+    * and compaction keeps the BATCH COUNT (directory listings, open
+    * file handles, per-batch planning overhead at 100 TB) bounded the
+    * same way — move the smallest batches' survivors, never the bulk.
+    * Driver-side result bounded by the batch count, never rows.
+    */
+  def compactionSelection(membership: org.apache.spark.sql.DataFrame,
+      committed: Seq[Long], maxBatches: Int): Seq[Long] = {
+    require(maxBatches >= 1, s"maxBatches must be >= 1, got $maxBatches")
+    if (committed.size <= maxBatches) return Seq.empty
+    val sizes = membership.groupBy(col("batch"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__rows"))
+      .collect()
+      .map(r => r.getAs[Long]("batch") -> r.getAs[Long]("__rows"))
+      .toMap
+    committed.sortBy(b => (sizes.getOrElse(b, 0L), b))
+      .take(committed.size - maxBatches + 1)
+  }
+
   /** Delete every batch subdirectory of `tableDir` whose id is not in
     * `committed` — the incremental vacuums' orphan sweep (crashed
     * appends' invisible leftovers, or a predecessor's half-finished

@@ -446,8 +446,51 @@ object Streams {
       }
       .map(_.getAs[Long]("batch")).toSeq.sorted
     if (selected.isEmpty) return 0
+    chunkRewriteAndCommit(spark, storeDir, committed, selected)
+    dropChunkBatches(spark, fs, storeDir, selected)
+    selected.size
+   }
+
+  /** COMPACT the chunk store's committed-batch count down to
+    * `maxBatches` — same fold-the-smallest policy and survivor rewrite
+    * as `Search.indexCompactBatches`. Returns batches folded.
+    */
+  def chunkStoreCompactBatches(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, maxBatches: Int = 16): Int =
+   graft.sources.Commits.withWriterLock(spark, storeDir) {
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = graft.sources.Commits.committed(spark, storeDir)
+    Seq("chunks", "docs").foreach(t => graft.sources.Commits
+      .sweepOrphanBatchDirs(spark, s"$storeDir/$t", committed))
+    if (committed.isEmpty) return 0
+    val docs = graft.sources.Commits
+      .readCommittedBatches(spark, s"$storeDir/docs", committed)
+      .getOrElse(return 0)
+    val selected = graft.sources.Commits
+      .compactionSelection(docs, committed, maxBatches)
+    if (selected.isEmpty) return 0
+    chunkRewriteAndCommit(spark, storeDir, committed, selected)
+    dropChunkBatches(spark, fs, storeDir, selected)
+    selected.size
+   }
+
+  /** Survivor rewrite shared by [[chunkStoreVacuum]] and
+    * [[chunkStoreCompactBatches]]: the selected batches' live current
+    * docs move WITH their chunks into one fresh committed batch,
+    * tombstones carry while an older generation survives outside the
+    * selection, dead rows drop.
+    */
+  private def chunkRewriteAndCommit(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      committed: Seq[Long], selected: Seq[Long]): Unit = {
+    val docs = graft.sources.Commits
+      .readCommittedBatches(spark, s"$storeDir/docs", committed).get
+    val cur = docs.groupBy(col("doc_id"))
+      .agg(max(col("batch")).as("__cur_batch"),
+        max_by(col("content_hash"), col("batch")).as("__cur_hash"))
     val inSelected = col("batch").isin(selected: _*)
-    val currentInSelected = marked
+    val currentInSelected = docs.join(cur, Seq("doc_id"))
       .filter(inSelected && col("batch") === col("__cur_batch"))
     val live = currentInSelected
       .filter(col("__cur_hash") =!= ChunkTombstone)
@@ -473,13 +516,17 @@ object Streams {
         graft.sources.Commits.commit(spark, storeDir, batchId)
       }
     } finally { survivors.unpersist(); () }
+  }
+
+  private def dropChunkBatches(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, storeDir: String,
+      selected: Seq[Long]): Unit = {
     selected.foreach(b =>
       graft.sources.Commits.uncommit(spark, storeDir, b))
     for (t <- Seq("chunks", "docs"); b <- selected)
       fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/$t/b$b"),
         true): Unit
-    selected.size
-   }
+  }
 
   /** Streaming face of [[chunkIngestBatch]]. */
   def chunkIngestSink(stream: DataFrame, storeDir: String, idCol: String,
@@ -635,7 +682,8 @@ object Streams {
       keepStates: Int = 3, postingsTable: Option[String] = None,
       annPartDir: Option[String] = None,
       incremental: Boolean = false,
-      chunkDir: Option[String] = None): Seq[Long] = {
+      chunkDir: Option[String] = None,
+      maxBatches: Option[Int] = None): Seq[Long] = {
     // incremental=true is the ROUTINE cadence at scale: reclaim only
     // the batches the interval's mutations dirtied
     // (Search.indexVacuumIncremental) instead of rewriting the full
@@ -653,6 +701,16 @@ object Streams {
     // 0 reclaims every dirty batch — the full-rewrite reset the other
     // two keep for ledger hygiene has no extra value here).
     chunkDir.foreach(d => chunkStoreVacuum(spark, d): Unit)
+    // Bound the committed-batch count the micro-batch cadence grows —
+    // only meaningful on the incremental path (the full vacuums reset
+    // to one batch anyway).
+    maxBatches.filter(_ => incremental).foreach { m =>
+      graft.operators.Search.indexCompactBatches(spark, indexDir, m): Unit
+      graft.operators.Similarity
+        .annStoreCompactBatches(spark, annDir, m): Unit
+      chunkDir.foreach(d =>
+        chunkStoreCompactBatches(spark, d, m): Unit)
+    }
     postingsTable.foreach(t =>
       graft.operators.Search.bucketPostings(spark, indexDir, t))
     annPartDir.foreach(d =>

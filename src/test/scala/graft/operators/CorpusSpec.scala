@@ -362,4 +362,31 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 40L), (2L, 80L), (4L, 100L)))
   }
+
+  test("deterministicShuffle is a partitioning-independent permutation " +
+      "keyed by the portable hash") {
+    val ids = (1L to 500L).toDF("doc_id")
+    val got = Corpus.deterministicShuffle(ids, "doc_id", "epoch1")
+      .as[(Long, Long, Long)].collect().toSeq
+    // Positions are exactly 0..n-1 and each id appears once.
+    assert(got.map(_._3).sorted == (0L until 500L))
+    assert(got.map(_._1).toSet.size == 500)
+    // Position order IS (shuffle_key, id) order — the oracle's
+    // row_number contract.
+    val byPos = got.sortBy(_._3)
+    assert(byPos == byPos.sortBy(t => (t._2, t._1)))
+    // The key matches the driver-side twin of stableHash64.
+    val k7 = graft.functions.HashFunctions.stableHash64Local("epoch1:7")
+    assert(got.find(_._1 == 7L).get._2 == k7)
+    // Partitioning-independent: a different input layout and explicit
+    // partition count give the identical permutation.
+    val again = Corpus.deterministicShuffle(ids.repartition(13), "doc_id",
+      "epoch1", numPartitions = 5)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(again == byPos)
+    // A different seed is a genuinely different epoch order.
+    val epoch2 = Corpus.deterministicShuffle(ids, "doc_id", "epoch2")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(epoch2.map(_._1) != byPos.map(_._1))
+  }
 }

@@ -623,6 +623,41 @@ class SearchSpec extends SparkSpec {
     assert(docRows.count() == docRows.select("doc_id").distinct().count())
   }
 
+  test("indexCompactBatches folds the smallest batches, keeps answers, " +
+      "carries tombstones") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-cpt")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)                // b0 (big)
+    // Five micro-appends + one takedown: 7 committed batches.
+    (1 to 5).foreach { i =>
+      Search.indexAppend(
+        Seq((100L + i, s"micro doc $i spark vector")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+    }
+    Search.indexDelete(spark, dir, Seq(2L).toDF("doc_id"))
+    assert(graft.sources.Commits.committed(spark, dir).size == 7)
+    val terms = Seq("spark", "vector")
+    val want = Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq
+    assert(!want.exists(_.getLong(0) == 2L))
+    // Fold down to 3 batches: the 5 smallest (the micro-appends and
+    // the tombstone batch) rewrite into one; b0 — the biggest — keeps
+    // its files, so doc 2's tombstone MUST carry or it resurrects.
+    assert(Search.indexCompactBatches(spark, dir, maxBatches = 3) == 5)
+    assert(graft.sources.Commits.committed(spark, dir).size == 3)
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq == want,
+      "compaction changed answers (or dropped a carried tombstone)")
+    // Within bound now: a second call is a no-op.
+    assert(Search.indexCompactBatches(spark, dir, maxBatches = 3) == 0)
+    // Mutations keep working; the folded micro docs are still there.
+    assert(Search.bm25FromIndexTopK(spark, dir, Seq("micro"), 10)
+      .collect().length == 5)
+    assert(Search.indexAppend(
+      Seq((200L, "spark post compact")).toDF("doc_id", "text"),
+      "doc_id", "text", dir) == 1L)
+  }
+
   test("incremental vacuum sweeps orphan batch dirs from crashed appends") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-ivac4")
       .toString + "/index"

@@ -297,6 +297,37 @@ class SimilaritySpec extends SparkSpec {
       Seq((99L, Seq(0.3f, 0.4f))).toDF("id", "vec"), dir, 4, 2) == 1L)
   }
 
+  test("annStoreCompactBatches folds micro-batches without changing " +
+      "answers") {
+    import graft.sources.Commits
+    val dir = java.nio.file.Files.createTempDirectory("ann-cpt")
+      .toString + "/idx"
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.7).toFloat, math.sin(i * 1.3).toFloat))
+    }.toDF("id", "vec")
+    Similarity.annStoreAppend(vecs, dir, planes = 4, dims = 2)   // b0 (big)
+    (1 to 4).foreach { i =>
+      Similarity.annStoreAppend(
+        Seq((100L + i, Seq(0.1f * i, 0.2f * i))).toDF("id", "vec"),
+        dir, planes = 4, dims = 2)
+    }
+    Similarity.annStoreDelete(spark, dir, Seq(7L).toDF("id"))
+    assert(Commits.committed(spark, dir).size == 6)
+    val queries = vecs.filter(col("id") < 3)
+    def rows() = Similarity.annStoreTopK(spark, dir, queries,
+      planes = 4, dims = 2, k = 3)
+      .select("qid", "cid", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val want = rows()
+    assert(Similarity.annStoreCompactBatches(spark, dir,
+      maxBatches = 2) == 5)
+    assert(Commits.committed(spark, dir).size == 2)
+    assert(rows() == want,
+      "ANN compaction changed answers (or dropped a carried tombstone)")
+    assert(Similarity.annStoreCompactBatches(spark, dir,
+      maxBatches = 2) == 0)
+  }
+
   test("ANN store writer lease: a concurrent second writer fails loudly") {
     import graft.sources.Commits
     val dir = java.nio.file.Files.createTempDirectory("ann-lock")

@@ -158,6 +158,32 @@ class ChunkIngestSpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("back again ok"))
   }
 
+  test("chunkStoreCompactBatches folds micro-batches, read face " +
+      "unchanged") {
+    val dir = tmp("chunkcpt") + "/store"
+    Streams.chunkIngestBatch(
+      (1L to 8L).map(i => (i, s"d$i w x y z")).toDF("doc_id", "text"),
+      dir, "doc_id", "text", 4, 1)                               // b0
+    (1 to 4).foreach { i =>
+      Streams.chunkIngestBatch(
+        Seq((100L + i, s"micro $i a b")).toDF("doc_id", "text"),
+        dir, "doc_id", "text", 4, 1)
+    }
+    Streams.chunkStoreDelete(spark, dir, Seq(3L).toDF("doc_id"))
+    assert(graft.sources.Commits.committed(spark, dir).size == 6)
+    val want = Streams.chunkStoreRead(spark, dir).get
+      .orderBy("doc_id", "chunk_seq")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(Streams.chunkStoreCompactBatches(spark, dir,
+      maxBatches = 2) == 5)
+    assert(graft.sources.Commits.committed(spark, dir).size == 2)
+    assert(Streams.chunkStoreRead(spark, dir).get
+      .orderBy("doc_id", "chunk_seq")
+      .as[(Long, Long, Long, String)].collect().toSeq == want)
+    assert(Streams.chunkStoreCompactBatches(spark, dir,
+      maxBatches = 2) == 0)
+  }
+
   test("a thresholded chunk vacuum carries a tombstone whose older " +
       "generation survives") {
     val dir = tmp("chunkcarry") + "/store"
