@@ -126,7 +126,13 @@ object LlmQueries {
     Search.indexAppend(base, "doc_id", "text", dir): Unit
     Search.indexDelete(s, dir,
       base.filter(col("doc_id") % 11 === 0).select(col("doc_id"))): Unit
-    val reclaimed = Search.indexVacuumIncremental(s, dir)
+    // Threshold 0.5 reclaims the all-dead tombstone batch but KEEPS
+    // the big batches whose dead fraction is ~0.23 — so the oracle
+    // hash-checks the carried-tombstone path (deleted docs' older
+    // generations survive in unselected batches and must stay
+    // suppressed), the subtle half of the vacuum contract.
+    val reclaimed = Search.indexVacuumIncremental(s, dir,
+      minDeadFraction = 0.5)
     require(reclaimed > 0,
       s"incremental vacuum found nothing dirty after upsert+delete")
     // Fold the surviving batches down too — the probe after vacuum +
@@ -152,7 +158,11 @@ object LlmQueries {
       base.filter(col("doc_id") % 11 === 0).select(col("doc_id")))
     require(deleted > 0 && again == 0,
       s"chunk takedown semantics broken: deleted=$deleted again=$again")
-    val reclaimed = graft.streaming.Streams.chunkStoreVacuum(s, dir)
+    // Threshold 0.5: reclaim the all-dead takedown batch, keep the
+    // ~23%-dead bulk batches — oracle-checks the carried-tombstone
+    // suppression path (see bm25VacuumBuild).
+    val reclaimed = graft.streaming.Streams.chunkStoreVacuum(s, dir,
+      minDeadFraction = 0.5)
     require(reclaimed > 0,
       "chunk vacuum found nothing dirty after upsert+takedown")
   }
