@@ -223,6 +223,31 @@ object ScaleRehearsal {
         Search.bm25FromIndexTopK(spark, idx,
           Seq("spark", "vector", "stream", "merge"), 10)
       }
+      // ---- fragmentation: 20 micro-appends accumulate 20 batch dirs
+      // (a day of micro-batch ingest between maintenance passes), then
+      // compaction folds them back. The probe pair around the compact
+      // measures the read amplification a fragmented ledger costs and
+      // what the fold recovers — the empirical WHY of compactBatches.
+      timed(r, "bm25_micro_appends_20") {
+        (1 to 20).map { i =>
+          Search.indexAppend(
+            Tables.documents(spark, sfDir).limit(25)
+              .select((col("doc_id") + 910000000L + i * 1000L).as("doc_id"),
+                concat(lit(s"micro $i "), col("text")).as("text")),
+            "doc_id", "text", idx)
+        }.sum
+      }
+      probe(r, "probe_bm25_fragmented") {
+        Search.bm25FromIndexTopK(spark, idx,
+          Seq("spark", "vector", "stream", "merge"), 10)
+      }
+      timed(r, "bm25_compact") {
+        Search.indexCompactBatches(spark, idx, maxBatches = 4).toLong
+      }
+      probe(r, "probe_bm25_compacted") {
+        Search.bm25FromIndexTopK(spark, idx,
+          Seq("spark", "vector", "stream", "merge"), 10)
+      }
       val smallVecs = Tables.embeddings(spark, sfDir).limit(500)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       timed(r, "ann_upsert_small") {

@@ -127,6 +127,24 @@ class FanoutIngestSpec extends SparkSpec {
       planes = 2, dims = 2, k = 3)
       .select("cid").as[Long].collect().toSet
     assert(probe == Set(1L), s"only doc 1 may remain probeable: $probe")
+    // ROUTINE maintenance first — the incremental cadence: dirty-batch
+    // vacuums plus batch-count compaction across all three stores, one
+    // call. Answers must be unchanged on every surface.
+    Streams.fanoutVacuum(spark, storeDir, indexDir, annDir,
+      keepStates = 3, incremental = true, chunkDir = Some(chunkDir),
+      maxBatches = Some(2))
+    assert(Search.bm25FromIndexTopK(spark, indexDir,
+      Seq("spark", "vector", "stream"), 10)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(Similarity.annStoreTopK(spark, annDir,
+      Seq((101L, Seq(0.9f, 0.8f))).toDF("id", "vec"),
+      planes = 2, dims = 2, k = 3)
+      .select("cid").as[Long].collect().toSet == Set(1L))
+    assert(Streams.chunkStoreRead(spark, chunkDir).get
+      .select("doc_id").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(graft.sources.Commits.committed(spark, indexDir).size <= 2)
+    assert(graft.sources.Commits.committed(spark, annDir).size <= 2)
+    assert(graft.sources.Commits.committed(spark, chunkDir).size <= 2)
     // Composed maintenance: both standing stores compact to one
     // committed batch with zero reclaimable rows, the snapshot probe
     // layouts are refreshed in the same pass, and the merge-store
