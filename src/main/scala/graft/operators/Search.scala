@@ -348,6 +348,7 @@ object Search {
     val committed = committedBatches(spark, dir)
     Seq("postings", "docs").foreach(t => graft.sources.Commits
       .sweepOrphanBatchDirs(spark, s"$dir/$t", committed))
+    graft.sources.Commits.pruneAttemptMarkers(spark, dir)
     if (committed.isEmpty) return 0
     val selected = dirtyBatches(spark, dir, committed, minDeadFraction)
     if (selected.isEmpty) return 0
@@ -376,6 +377,7 @@ object Search {
     val committed = committedBatches(spark, dir)
     Seq("postings", "docs").foreach(t => graft.sources.Commits
       .sweepOrphanBatchDirs(spark, s"$dir/$t", committed))
+    graft.sources.Commits.pruneAttemptMarkers(spark, dir)
     if (committed.isEmpty) return 0
     val docs = readCommittedTable(spark, dir, "docs", committed)
       .getOrElse(return 0)

@@ -259,6 +259,28 @@ object Commits {
     id
   }
 
+  /** Prune spent attempt markers, keeping only the LARGEST `a<id>` —
+    * the allocator takes max(attempted ∪ committed) + 1, so every
+    * marker below the max is dead weight, and under an
+    * incremental-only maintenance cadence (which never resets the
+    * ledger the way the full vacuums do) one marker per mutation would
+    * otherwise grow the ledger LISTING — the op on every mutation
+    * path — without bound. Caller holds the writer lease. A crash
+    * mid-prune leaves some stale markers: harmless, next prune gets
+    * them.
+    */
+  def pruneAttemptMarkers(spark: SparkSession, dir: String): Unit = {
+    val ids = attempted(spark, dir)
+    if (ids.size <= 1) return
+    val keep = ids.max
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/_commits")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ids.filter(_ != keep).foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits/a$id"),
+        false): Unit
+    }
+  }
+
   /** Default stale-lock TTL: generously above any single append/vacuum
     * (minutes at 100 TB), far below "operator went home".
     */

@@ -425,6 +425,7 @@ object Streams {
     val committed = graft.sources.Commits.committed(spark, storeDir)
     Seq("chunks", "docs").foreach(t => graft.sources.Commits
       .sweepOrphanBatchDirs(spark, s"$storeDir/$t", committed))
+    graft.sources.Commits.pruneAttemptMarkers(spark, storeDir)
     if (committed.isEmpty) return 0
     val docs = graft.sources.Commits
       .readCommittedBatches(spark, s"$storeDir/docs", committed)
@@ -463,6 +464,7 @@ object Streams {
     val committed = graft.sources.Commits.committed(spark, storeDir)
     Seq("chunks", "docs").foreach(t => graft.sources.Commits
       .sweepOrphanBatchDirs(spark, s"$storeDir/$t", committed))
+    graft.sources.Commits.pruneAttemptMarkers(spark, storeDir)
     if (committed.isEmpty) return 0
     val docs = graft.sources.Commits
       .readCommittedBatches(spark, s"$storeDir/docs", committed)

@@ -650,6 +650,11 @@ class SearchSpec extends SparkSpec {
       "compaction changed answers (or dropped a carried tombstone)")
     // Within bound now: a second call is a no-op.
     assert(Search.indexCompactBatches(spark, dir, maxBatches = 3) == 0)
+    // Spent attempt markers were pruned: the ledger listing stays
+    // bounded under incremental-only maintenance (only the max spent
+    // marker survives, plus any the pass itself allocated).
+    assert(graft.sources.Commits.attempted(spark, dir).size <= 2,
+      "attempt markers accumulated past the prune bound")
     // Mutations keep working; the folded micro docs are still there.
     assert(Search.bm25FromIndexTopK(spark, dir, Seq("micro"), 10)
       .collect().length == 5)
