@@ -137,7 +137,7 @@ object ScaleRehearsal {
         // growth on this line.
         Search.indexAppend(
           Tables.documents(spark, sfDir).limit(500)
-            .select((col("doc_id") + 900000000L).as("doc_id"),
+            .select((col("doc_id") + 100000000000L).as("doc_id"),
               concat(lit("fresh batch "), col("text")).as("text")),
           "doc_id", "text", idx)
       }
@@ -163,7 +163,7 @@ object ScaleRehearsal {
       timed(r, "ann_append_500") {
         Similarity.annStoreAppend(
           Tables.embeddings(spark, sfDir).limit(500)
-            .select((col("vec_id") + 900000000L).as("id"),
+            .select((col("vec_id") + 100000000000L).as("id"),
               transform(col("embedding"),
                 x => (x * lit(0.9f)).cast("float")).as("vec")),
           ann, planes = 8, dims = 64)
@@ -232,7 +232,7 @@ object ScaleRehearsal {
         (1 to 20).map { i =>
           Search.indexAppend(
             Tables.documents(spark, sfDir).limit(25)
-              .select((col("doc_id") + 910000000L + i * 1000L).as("doc_id"),
+              .select((col("doc_id") + 110000000000L + i * 1000000L).as("doc_id"),
                 concat(lit(s"micro $i "), col("text")).as("text")),
             "doc_id", "text", idx)
         }.sum

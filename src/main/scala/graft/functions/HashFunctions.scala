@@ -19,8 +19,16 @@ object HashFunctions {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(text, "\r\n|\r", "\n"), "\\s+", " "))
 
-  /** sha256 hex of normalized text — the reference's `content_hash`. */
-  def contentHash(text: Column): Column = sha2(normalizeText(text), 256)
+  /** sha256 hex of normalized text — the reference's `content_hash`.
+    * NULL text hashes as the empty string rather than propagating to a
+    * null hash: the generational stores' redelivery no-op test is
+    * `stored_hash <=> delivered_hash`-shaped only if hashes are never
+    * null — a null stored hash reads as "changed" on every
+    * at-least-once redelivery, appending a new generation per delivery
+    * forever.
+    */
+  def contentHash(text: Column): Column =
+    sha2(coalesce(normalizeText(text), lit("")), 256)
 
   /** sha1 hex of a url — the reference's `source_id` (`utils.py:11-12`). */
   def urlHash(url: Column): Column = sha1(url)

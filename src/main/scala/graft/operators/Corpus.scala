@@ -327,6 +327,18 @@ object Corpus {
     */
   def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
       numPartitions: Int = 0): DataFrame = {
+    // Integral ids only: the silent long cast would null out string
+    // ids (collapsing distinct docs and NPE-ing the position pass
+    // deep inside a task) — fail at plan time instead.
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"deterministicShuffle needs an integral id column; '$idCol' is " +
+          s"$other (hash the string form into a surrogate id first)")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val parts =

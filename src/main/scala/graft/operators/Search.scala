@@ -258,15 +258,8 @@ object Search {
     val stage = s"$dir/_vacuum"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stagedLedger = new org.apache.hadoop.fs.Path(s"$stage/_commits/b0")
+    if (repairCrashedSwap(fs, dir)) return
     if (fs.exists(new org.apache.hadoop.fs.Path(stage))) {
-      if (fs.exists(stagedLedger) &&
-          !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_commits"))) {
-        // A previous vacuum crashed mid-swap: the stage holds the
-        // complete live copy; finish its renames and stop.
-        swapFromStage(fs, dir, stage)
-        return
-      }
       // Incomplete stage (crash mid-stage-write) or a stage whose swap
       // never started (live ledger intact): discard and re-vacuum.
       fs.delete(new org.apache.hadoop.fs.Path(stage), true)
@@ -294,6 +287,26 @@ object Search {
     graft.sources.Commits.clear(spark, dir)
     swapFromStage(fs, dir, stage)
    }
+
+  /** Detect-and-repair the full vacuum's crashed-mid-swap window:
+    * staged ledger present, live ledger missing means the stage (or
+    * the pieces already renamed into place) holds the store's ONLY
+    * copy — finish the swap. EVERY maintenance entry point must call
+    * this BEFORE its orphan sweep: in this window the committed set
+    * reads empty, so an unguarded sweep would delete the just-renamed
+    * `b0` dirs as orphans and destroy the corpus. Returns true when a
+    * repair ran (the caller should re-read the ledger or return).
+    */
+  private def repairCrashedSwap(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Boolean = {
+    val stagedLedger =
+      new org.apache.hadoop.fs.Path(s"$dir/_vacuum/_commits/b0")
+    if (fs.exists(stagedLedger) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_commits"))) {
+      swapFromStage(fs, dir, s"$dir/_vacuum")
+      true
+    } else false
+  }
 
   /** Replace the live tables + ledger with the staged copies, piece by
     * piece; pieces already renamed by a crashed predecessor are left in
@@ -345,6 +358,10 @@ object Search {
    graft.sources.Commits.withWriterLock(spark, dir) {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A full vacuum crashed mid-swap leaves committed reading empty
+    // while the freshly-renamed b0 dirs hold the only copy — repair
+    // BEFORE the orphan sweep or the sweep destroys the store.
+    repairCrashedSwap(fs, dir): Unit
     val committed = committedBatches(spark, dir)
     Seq("postings", "docs").foreach(t => graft.sources.Commits
       .sweepOrphanBatchDirs(spark, s"$dir/$t", committed))
@@ -374,6 +391,7 @@ object Search {
    graft.sources.Commits.withWriterLock(spark, dir) {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairCrashedSwap(fs, dir): Unit  // see indexVacuumIncremental
     val committed = committedBatches(spark, dir)
     Seq("postings", "docs").foreach(t => graft.sources.Commits
       .sweepOrphanBatchDirs(spark, s"$dir/$t", committed))

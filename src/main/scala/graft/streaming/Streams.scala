@@ -631,7 +631,7 @@ object Streams {
   def fanoutDeleteBatch(ids: DataFrame, batchId: Long, storeDir: String,
       indexDir: String, annDir: String,
       idCol: String = "doc_id",
-      chunkDir: Option[String] = None): (Long, Long, Long) = {
+      chunkDir: Option[String] = None): (Long, Long, Long, Long) = {
     val spark = ids.sparkSession
     val victims = ids.select(col(ids.columns.head).as(idCol))
       .dropDuplicates(idCol)
@@ -662,9 +662,13 @@ object Streams {
       // A takedown that leaves the doc's PASSAGES readable is not a
       // takedown: the chunk store leaves with the other three surfaces
       // when the pipeline runs one ([[chunkStoreDelete]] is idempotent
-      // like the rest, so the composed batch converges unchanged).
-      chunkDir.foreach(d => chunkStoreDelete(spark, d, victims): Unit)
-      (nStore, nIdx, nAnn)
+      // like the rest, so the composed batch converges unchanged). Its
+      // count rides in the result so callers can verify the passage
+      // surface's takedown propagated like the other three (0 when no
+      // chunk store is attached).
+      val nChunk = chunkDir
+        .map(d => chunkStoreDelete(spark, d, victims)).getOrElse(0L)
+      (nStore, nIdx, nAnn, nChunk)
     } finally { victims.unpersist(); () }
   }
 
@@ -685,24 +689,31 @@ object Streams {
       annPartDir: Option[String] = None,
       incremental: Boolean = false,
       chunkDir: Option[String] = None,
-      maxBatches: Option[Int] = None): Seq[Long] = {
+      maxBatches: Option[Int] = None,
+      minDeadFraction: Double = 0.25): Seq[Long] = {
     // incremental=true is the ROUTINE cadence at scale: reclaim only
     // the batches the interval's mutations dirtied
     // (Search.indexVacuumIncremental) instead of rewriting the full
     // live state — keep the full compaction for occasional offline
-    // ledger resets.
+    // ledger resets. `minDeadFraction` guards the cadence's whole
+    // point: at threshold 0 a single dead row inside the store's big
+    // compacted batch would select it for a full rewrite every
+    // interval — the default 0.25 leaves lightly-dirty bulk batches
+    // alone (their dead tail is bounded by the SAME threshold) and
+    // reclaims the mutation waves, which go mostly-dead quickly.
     if (incremental) {
-      graft.operators.Search.indexVacuumIncremental(spark, indexDir): Unit
+      graft.operators.Search
+        .indexVacuumIncremental(spark, indexDir, minDeadFraction): Unit
       graft.operators.Similarity
-        .annStoreVacuumIncremental(spark, annDir): Unit
+        .annStoreVacuumIncremental(spark, annDir, minDeadFraction): Unit
     } else {
       graft.operators.Search.indexVacuum(spark, indexDir)
       graft.operators.Similarity.annStoreVacuum(spark, annDir)
     }
-    // The chunk store's only vacuum is the incremental form (threshold
-    // 0 reclaims every dirty batch — the full-rewrite reset the other
-    // two keep for ledger hygiene has no extra value here).
-    chunkDir.foreach(d => chunkStoreVacuum(spark, d): Unit)
+    // The chunk store's only vacuum is the incremental form; on the
+    // non-incremental pass run it at threshold 0 (its full reclaim).
+    chunkDir.foreach(d => chunkStoreVacuum(spark, d,
+      if (incremental) minDeadFraction else 0.0): Unit)
     // Bound the committed-batch count the micro-batch cadence grows —
     // only meaningful on the incremental path (the full vacuums reset
     // to one batch anyway).

@@ -663,6 +663,57 @@ class SearchSpec extends SparkSpec {
       "doc_id", "text", dir) == 1L)
   }
 
+  test("incremental maintenance inside a crashed full-vacuum swap " +
+      "repairs it — never sweeps the only copy") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-ivac5")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)
+    Search.indexAppend(
+      Seq((4L, "vector vector index updated")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val terms = Seq("spark", "vector")
+    val want = Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq
+    // Construct the WORST mid-swap window: stage complete (live copy +
+    // staged ledger), live ledger dropped, live tables deleted, and the
+    // postings piece ALREADY renamed in. committed reads EMPTY here —
+    // an unguarded orphan sweep would delete postings/b0, the only
+    // copy of the corpus.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$dir/_vacuum"
+    val cur = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/docs")
+      .groupBy("doc_id")
+      .agg(max_by(col("dl"), col("batch")).as("dl"),
+        max_by(col("content_hash"), col("batch")).as("content_hash"),
+        max(col("batch")).as("batch"))
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/postings")
+      .join(cur.select("doc_id", "batch"), Seq("doc_id", "batch"))
+      .withColumn("batch", lit(0L)).write.parquet(s"$stage/postings/b0")
+    cur.withColumn("batch", lit(0L)).write.parquet(s"$stage/docs/b0")
+    graft.sources.Commits.commit(spark, stage, 0L)
+    graft.sources.Commits.clear(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/docs"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/postings"),
+      new org.apache.hadoop.fs.Path(s"$dir/postings"))
+    // The incremental vacuum must detect the window, complete the
+    // swap, and find nothing dirty — not sweep postings/b0.
+    assert(Search.indexVacuumIncremental(spark, dir) == 0)
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq == want,
+      "crashed-swap repair lost data on the incremental path")
+    assert(graft.sources.Commits.committed(spark, dir) == Seq(0L))
+    // Same guard on the compaction entry point: a second crash window
+    // is repaired there too.
+    Search.indexAppend(
+      Seq((9L, "vector spark extra")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(Search.indexCompactBatches(spark, dir, maxBatches = 8) == 0)
+  }
+
   test("incremental vacuum sweeps orphan batch dirs from crashed appends") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-ivac4")
       .toString + "/index"

@@ -297,6 +297,43 @@ class SimilaritySpec extends SparkSpec {
       Seq((99L, Seq(0.3f, 0.4f))).toDF("id", "vec"), dir, 4, 2) == 1L)
   }
 
+  test("incremental ANN maintenance repairs a crashed full-vacuum swap " +
+      "instead of sweeping the only copy") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.Commits
+    val dir = java.nio.file.Files.createTempDirectory("ann-ivac-swap")
+      .toString + "/idx"
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.7).toFloat, math.sin(i * 1.3).toFloat))
+    }.toDF("id", "vec")
+    Similarity.annStoreAppend(vecs, dir, planes = 4, dims = 2)
+    val queries = vecs.filter(col("id") < 3)
+    def rows() = Similarity.annStoreTopK(spark, dir, queries,
+      planes = 4, dims = 2, k = 3)
+      .select("qid", "cid", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val want = rows()
+    // Mid-swap window: stage complete, live ledger dropped, live batch
+    // dirs deleted, staged b0 already renamed in (uncommitted).
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$dir/_vacuum"
+    spark.read.option("recursiveFileLookup", "true").parquet(dir)
+      .withColumn("batch", lit(0L)).write.parquet(s"$stage/b0")
+    Commits.commit(spark, stage, 0L)
+    Commits.clear(spark, dir)
+    fs.listStatus(new Path(dir)).filter { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }.foreach(s => fs.delete(s.getPath, true))
+    fs.rename(new Path(s"$stage/b0"), new Path(s"$dir/b0"))
+    // Must repair, not sweep b0 as an orphan.
+    assert(Similarity.annStoreVacuumIncremental(spark, dir) == 0)
+    assert(rows() == want,
+      "ANN crashed-swap repair lost data on the incremental path")
+    assert(Commits.committed(spark, dir) == Seq(0L))
+  }
+
   test("annStoreCompactBatches folds micro-batches without changing " +
       "answers") {
     import graft.sources.Commits

@@ -69,9 +69,9 @@ class FanoutIngestSpec extends SparkSpec {
     // idempotently.
     val gone = Streams.fanoutDeleteBatch(Seq(2L).toDF("doc_id"), 99L,
       storeDir, indexDir, annDir)
-    assert(gone == ((1L, 1L, 1L)), s"unexpected delete counts: $gone")
+    assert(gone == ((1L, 1L, 1L, 0L)), s"unexpected delete counts: $gone")
     assert(Streams.fanoutDeleteBatch(Seq(2L).toDF("doc_id"), 100L,
-      storeDir, indexDir, annDir) == ((0L, 0L, 0L)))
+      storeDir, indexDir, annDir) == ((0L, 0L, 0L, 0L)))
     assert(Streams.readState(spark, storeDir).get
       .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
     assert(Search.bm25FromIndexTopK(spark, indexDir, terms, 10)
