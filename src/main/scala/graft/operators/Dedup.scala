@@ -107,10 +107,48 @@ object Dedup {
         (0 until numHashes).map(i =>
           element_at(col("sig"), i + 1).as(s"mh$i")): _*)
 
-  /** LSH banding: signature -> (doc_id, band, band_key) rows, band_key =
-    * md5 of the band's concatenated minhashes.
+  /** Per-doc LSH band-key ARRAY: (doc_id, band_keys) with one row per
+    * doc, band_keys(b) = the 60-bit md5-derived hash of band b's
+    * concatenated minhashes (same truncation the shingle hashes use —
+    * 8-byte longs through every shuffle, reproducible in any engine).
+    * This compact form is the band STORAGE format for standing stores
+    * (16 longs per doc beats 16 exploded rows of 32-char md5 strings)
+    * and what the candidate join carries in-row for witness dedup.
     */
-  def lshBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def lshBandKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val keyCols = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+      conv(substring(md5(concat_ws("_", cols: _*)), 1, 15), 16, 10)
+        .cast("long")
+    }
+    sigs.select(col("doc_id"), array(keyCols: _*).as("band_keys"))
+  }
+
+  /** Exploded banded form of [[lshBandKeys]] output: (doc_id, band,
+    * band_key, band_keys) — one row per (doc, band), each row still
+    * carrying the doc's full key array so the candidate join can
+    * compute a pair's minimum matching band IN-ROW (witness dedup).
+    * A narrow projection: band tables stored compact explode to this
+    * for free.
+    */
+  def lshBandsFromKeys(keys: DataFrame): DataFrame =
+    keys.select(col("doc_id"), col("band_keys"),
+      posexplode(col("band_keys")).as(Seq("band", "band_key")))
+
+  /** LSH banding: signature -> (doc_id, band, band_key, band_keys). */
+  def lshBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    lshBandsFromKeys(lshBandKeys(sigs, numHashes, bands))
+
+  /** LEGACY banded form (md5-STRING band keys, no carried key array) —
+    * the on-disk format of band tables written before the long-key
+    * migration. Kept so an old standing store's band index can still
+    * be probed (batch bands must be computed in the SAME key space as
+    * the store's: a long key never equals an md5 string, so mixing
+    * formats would silently drop every candidate). New stores use
+    * [[lshBandKeys]]; legacy candidate paths dedup by `distinct()`.
+    */
+  def lshBandsMd5(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
@@ -121,35 +159,84 @@ object Dedup {
         col("bk.band_key").as("band_key"))
   }
 
+  /** The pair's minimum matching band, computed IN-ROW from the two
+    * carried key arrays: 0-based index of the first position where the
+    * arrays agree. The joined band always matches, so a minimum exists
+    * and `band === minMatchingBand` keeps exactly one emission per
+    * pair — the witness trick ([[blockedJaccard]], [[simhashPairs]])
+    * that replaces a full exchange of the candidate stream with a
+    * 16-element zip per joined row.
+    */
+  private def minMatchingBand(ka: Column, kb: Column): Column =
+    array_position(zip_with(ka, kb, (p, q) => p === q), true) - 1
+
   /** Candidate pairs (a < b) sharing at least one LSH band bucket. The
     * join key is (band, band_key) — only same-bucket docs ever meet.
+    *
+    * WITNESS DEDUP, no pair-`distinct()` exchange: a pair agreeing in
+    * k bands meets once per matching band; each side carries its full
+    * band-key array (bands longs — trivial width) and only the
+    * emission from the pair's minimum matching band survives, in-row.
+    * At 100 TB the near-dup candidate stream is the corpus build's
+    * biggest intermediate; re-shuffling it just to drop duplicate
+    * emissions was the last pair-`distinct()` in the dedup family.
+    * Legacy banded input (md5-string keys, no `band_keys` column)
+    * falls back to the exchange-based dedup.
     */
-  def lshCandidatePairs(bands: DataFrame): DataFrame = {
-    val x = bands.select(col("band"), col("band_key"), col("doc_id").as("a"))
-    val y = bands.select(col("band"), col("band_key"), col("doc_id").as("b"))
-    x.join(y, Seq("band", "band_key"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
-  }
+  def lshCandidatePairs(bands: DataFrame): DataFrame =
+    if (!bands.columns.contains("band_keys")) {
+      val x = bands.select(col("band"), col("band_key"), col("doc_id").as("a"))
+      val y = bands.select(col("band"), col("band_key"), col("doc_id").as("b"))
+      x.join(y, Seq("band", "band_key"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+        .distinct()
+    } else {
+      val x = bands.select(col("band"), col("band_key"),
+        col("doc_id").as("a"), col("band_keys").as("__ka"))
+      val y = bands.select(col("band"), col("band_key"),
+        col("doc_id").as("b"), col("band_keys").as("__kb"))
+      x.join(y, Seq("band", "band_key"))
+        .filter(col("a") < col("b"))
+        .filter(col("band") === minMatchingBand(col("__ka"), col("__kb")))
+        .select(col("a"), col("b"))
+    }
 
   /** Incremental LSH candidates: a NEW ingest batch against a STANDING
     * store's band table — the daily shape of dedup at 100 TB. A full
     * re-dedup re-pairs the whole store every run (O(store²) candidate
     * work); here the store's bands are computed once and kept (written
-    * next to the store, ideally bucketed on the join key), and an
+    * next to the store in the compact [[lshBandKeys]] form), and an
     * incremental run computes signatures only for the batch and joins
     * them against the standing index — store×store and batch×batch
     * pairs are never generated. Output: (a = store doc, b = batch doc).
+    * Witness-deduped like [[lshCandidatePairs]] (legacy string-keyed
+    * inputs on BOTH sides fall back to `distinct()`; mixed formats are
+    * rejected — the key spaces are disjoint, a silent empty join).
     */
   def lshIncrementalCandidates(storeBands: DataFrame,
-      batchBands: DataFrame): DataFrame =
-    storeBands.select(col("band"), col("band_key"), col("doc_id").as("a"))
-      .join(batchBands
-        .select(col("band"), col("band_key"), col("doc_id").as("b")),
-        Seq("band", "band_key"))
-      .select(col("a"), col("b"))
-      .distinct()
+      batchBands: DataFrame): DataFrame = {
+    val storeKeyed = storeBands.columns.contains("band_keys")
+    val batchKeyed = batchBands.columns.contains("band_keys")
+    require(storeKeyed == batchKeyed,
+      "mixed band formats: store and batch bands must both carry " +
+        "band_keys (new long-key format) or neither (legacy md5 format)")
+    if (!storeKeyed)
+      storeBands.select(col("band"), col("band_key"), col("doc_id").as("a"))
+        .join(batchBands
+          .select(col("band"), col("band_key"), col("doc_id").as("b")),
+          Seq("band", "band_key"))
+        .select(col("a"), col("b"))
+        .distinct()
+    else
+      storeBands.select(col("band"), col("band_key"),
+        col("doc_id").as("a"), col("band_keys").as("__ka"))
+        .join(batchBands.select(col("band"), col("band_key"),
+          col("doc_id").as("b"), col("band_keys").as("__kb")),
+          Seq("band", "band_key"))
+        .filter(col("band") === minMatchingBand(col("__ka"), col("__kb")))
+        .select(col("a"), col("b"))
+  }
 
   /** Exact Jaccard for (a, b) candidate pairs: join each side to its
     * hashed-shingle array (doc_id, hs), intersect in-row. Two joins on
@@ -190,6 +277,16 @@ object Dedup {
     * The <= maxDf^2/2 pairs per shingle are generated in-row from the
     * sorted posting list (no shingle-keyed self-join, which would
     * shuffle the full index twice).
+    *
+    * The `distinct()` here is LOAD-BEARING, not redundant: the
+    * witnessed stream emits one row per (pair, shared blocking
+    * shingle) — a pair sharing k blocking shingles appears k times —
+    * and the witness FILTER (keep only the minimum shared blocking
+    * shingle's emission) can only be evaluated once each side's rare-
+    * shingle array is joined in, which is exactly the verify join this
+    * standalone candidate API doesn't have. Callers who go on to
+    * verify should use [[blockedJaccard]], where the witness filter is
+    * fused into the verify join and no candidate exchange exists.
     */
   def shingleBlockedPairs(shingleDf: DataFrame, maxDf: Int): DataFrame =
     shingleBlockedPairsWitnessed(shingleDf, maxDf)

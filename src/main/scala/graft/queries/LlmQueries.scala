@@ -608,10 +608,14 @@ object LlmQueries {
     val sigCols = Dedup.minhashCoeffs(k).zipWithIndex.map {
       case ((a, b), i) => s"    min((bh * $a + $b) % $p) AS mh$i"
     }.mkString(",\n")
+    // Same 60-bit md5 truncation as Dedup.lshBandKeys — the candidate
+    // sets must be BIT-identical, including on a (negligible but
+    // possible) truncated-key collision.
     val bandSelects = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => s"mh${b * rows + r}")
         .mkString(" || '_' || ")
-      s"  SELECT doc_id, $b AS band, md5($cols) AS band_key FROM sig"
+      s"  SELECT doc_id, $b AS band, " +
+        s"('0x' || substr(md5($cols), 1, 15))::BIGINT AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n")
     NearDupCte +
       s""", bhset AS (

@@ -93,14 +93,19 @@ object Commits {
       org.apache.spark.sql.DataFrame] = {
     val base = new org.apache.hadoop.fs.Path(tableDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Same visibility predicate for both checks: a batch dir holding
+    // only hidden files ("."-prefixed checksums, "_"-prefixed markers)
+    // must be skipped like an empty one, not passed to the parquet
+    // reader to fail schema inference.
+    def isData(s: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
     val present = batchDirs(fs, base)
     val dirPaths = committed.filter(b => present.contains(b) &&
-        fs.listStatus(present(b)).exists(s =>
-          s.isFile && !s.getPath.getName.startsWith("_")))
+        fs.listStatus(present(b)).exists(isData))
       .map(b => s"$tableDir/b$b")
-    val hasFlat = fs.exists(base) && fs.listStatus(base).exists(s =>
-      s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
+    val hasFlat = fs.exists(base) && fs.listStatus(base).exists(isData)
     if (hasFlat)
       Some(spark.read.parquet((dirPaths :+ tableDir): _*)
         .filter(col("batch").isin(committed: _*)))

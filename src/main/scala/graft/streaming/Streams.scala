@@ -811,14 +811,30 @@ object Streams {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchHs = Dedup.hashedShingleArrays(hashed, idCol, textCol, 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchBands = Dedup.lshBands(
-      Dedup.minhashSignatures(batchHs, 128), 128, 16)
+    // Band-store format stickiness: new stores keep the COMPACT
+    // per-doc key-array rows (Dedup.lshBandKeys — 16 longs/doc, and
+    // the witness-deduped candidate joins need the carried array); a
+    // store written before the long-key migration keeps its legacy
+    // exploded md5-string rows, and the batch MUST be banded in the
+    // store's key space (a long key never equals an md5 string — a
+    // mixed join would silently drop every store candidate).
+    val storeBandRows = readCommitted(bandsDir)
+    val legacyBands = storeBandRows.exists(df =>
+      !df.columns.contains("band_keys"))
+    val sigs = Dedup.minhashSignatures(batchHs, 128)
+    val batchKeys =
+      if (legacyBands) None else Some(Dedup.lshBandKeys(sigs, 128, 16))
+    val batchBands =
+      if (legacyBands) Dedup.lshBandsMd5(sigs, 128, 16)
+      else Dedup.lshBandsFromKeys(batchKeys.get)
 
     // Near-dups vs the standing index (batch side = b), then vs
     // lower-id docs in the same batch (drop the higher id of a pair —
     // the ingest-gate reading of "keep the canonical representative").
-    val vsStore = readCommitted(bandsDir) match {
-      case Some(storeBands) =>
+    val vsStore = storeBandRows match {
+      case Some(storeRows) =>
+        val storeBands =
+          if (legacyBands) storeRows else Dedup.lshBandsFromKeys(storeRows)
         val cand = Dedup.lshIncrementalCandidates(storeBands, batchBands)
         Dedup.jaccard(cand,
           readCommitted(hsDir).get.select(col("doc_id"), col("hs"))
@@ -855,8 +871,9 @@ object Streams {
       batchHs.join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"),
         "left_semi").withColumn("batch", lit(batchId))
         .write.mode("append").parquet(hsDir)
-      batchBands.join(survivors.select(col(idCol).as("doc_id")),
-        Seq("doc_id"), "left_semi").withColumn("batch", lit(batchId))
+      batchKeys.getOrElse(batchBands)
+        .join(survivors.select(col(idCol).as("doc_id")),
+          Seq("doc_id"), "left_semi").withColumn("batch", lit(batchId))
         .write.mode("append").parquet(bandsDir)
       graft.sources.Commits.commit(spark, storeDir, batchId)
     }

@@ -164,6 +164,25 @@ class PlanRegressionSpec extends SparkSpec {
       "min-matching-band witness filter missing from the plan")
   }
 
+  test("minhash LSH candidates keep the witness dedup (no pair-distinct exchange)") {
+    // A pair agreeing in k bands meets once per matching band; each
+    // side carries its band-key array and the min-matching-band filter
+    // (array_position over the zipped equality) keeps exactly one
+    // emission in-row. A reintroduced .distinct() would plan as an
+    // aggregate keyed on the candidate pair (a, b). (dd_neardup_clusters
+    // shares the same candidate chain but its final plan reads from the
+    // connected-components checkpoint, so the candidate stage is not
+    // visible to pin there.)
+    Seq("dd_minhash_lsh_pairs", "dd_incremental_lsh").foreach { q =>
+      val p = plans(q)
+      assert(!"HashAggregate\\(keys=\\[a#\\d+L, b#\\d+L".r
+        .findFirstIn(p).isDefined,
+        s"$q: minhash candidate pair-distinct exchange is back")
+      assert(p.contains("array_position"),
+        s"$q: min-matching-band witness filter missing from the plan")
+    }
+  }
+
   test("partitioned ANN probe plans dynamic partition pruning") {
     // The bucket-partitioned layout exists so the probe reads only the
     // probed buckets' directories: the scan's partition filters must

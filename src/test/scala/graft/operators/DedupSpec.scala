@@ -60,6 +60,58 @@ class DedupSpec extends SparkSpec {
     assert(cand.forall { case (a, b) => a <= 2 && b > 2 })
   }
 
+  test("witnessed LSH candidates: exactly one emission per pair, same set as legacy") {
+    // A corpus with heavy mutual overlap so pairs agree in MANY bands
+    // (exact copies agree in all): the witness filter must still emit
+    // each pair exactly once, and the pair SET must equal the legacy
+    // md5-keyed distinct() path's.
+    val corpus = ((1L to 12L).map(i => (i, "w0 w1 w2 w3 w4 w5 w6 w7 w8")) ++
+      (13L to 18L).map(i => (i, s"zz$i w1 w2 w3 w4 w5 w6 w7 w8")) ++
+      Seq((19L, "totally unrelated text about something else entirely here")))
+      .toDF("doc_id", "text")
+    val hs = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSignatures(hs, 16).persist()
+    val witnessed = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, 16, 4))
+      .as[(Long, Long)].collect().toSeq
+    val legacy = Dedup.lshCandidatePairs(Dedup.lshBandsMd5(sigs, 16, 4))
+      .as[(Long, Long)].collect().toSeq
+    assert(witnessed.size == witnessed.toSet.size,
+      "witness filter let a duplicate emission through")
+    assert(witnessed.toSet == legacy.toSet,
+      "witnessed pair set differs from the legacy distinct() path")
+    // The exact-copy clique must be fully present: 12*11/2 pairs.
+    assert(witnessed.count { case (a, b) => a <= 12 && b <= 12 } == 66)
+    sigs.unpersist(); ()
+  }
+
+  test("witnessed incremental LSH: exactly-once, legacy parity, mixed rejected") {
+    val corpus = ((1L to 6L).map(i => (i, "w0 w1 w2 w3 w4 w5 w6 w7 w8")) ++
+      (7L to 9L).map(i => (i, s"zz$i w1 w2 w3 w4 w5 w6 w7 w8")))
+      .toDF("doc_id", "text")
+    val hs = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
+    val store = Dedup.minhashSignatures(hs.filter($"doc_id" <= 4), 16)
+      .persist()
+    val batch = Dedup.minhashSignatures(hs.filter($"doc_id" > 4), 16)
+      .persist()
+    val witnessed = Dedup.lshIncrementalCandidates(
+      Dedup.lshBands(store, 16, 4), Dedup.lshBands(batch, 16, 4))
+      .as[(Long, Long)].collect().toSeq
+    val legacy = Dedup.lshIncrementalCandidates(
+      Dedup.lshBandsMd5(store, 16, 4), Dedup.lshBandsMd5(batch, 16, 4))
+      .as[(Long, Long)].collect().toSeq
+    assert(witnessed.size == witnessed.toSet.size)
+    assert(witnessed.toSet == legacy.toSet)
+    // Exact copies 1-4 (store) x 5-6 (batch) all surface.
+    assert(witnessed.toSet.intersect(
+      (for (a <- 1L to 4L; b <- 5L to 6L) yield (a, b)).toSet).size == 8)
+    // Mixed key formats would be a silently-empty join: rejected loud.
+    intercept[IllegalArgumentException] {
+      Dedup.lshIncrementalCandidates(
+        Dedup.lshBandsMd5(store, 16, 4), Dedup.lshBands(batch, 16, 4))
+    }
+    store.unpersist(); batch.unpersist(); ()
+  }
+
   test("simhash: identical docs hash identically, disjoint docs differ") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

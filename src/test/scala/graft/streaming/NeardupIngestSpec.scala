@@ -45,6 +45,42 @@ class NeardupIngestSpec extends SparkSpec {
     assert(storeIds(dir) == Set(1L, 2L, 3L, 5L))
   }
 
+  test("a legacy md5-keyed band store stays legacy and still gates near-dups") {
+    import graft.operators.{Dedup, Upsert}
+    import org.apache.spark.sql.functions.lit
+    val dir = java.nio.file.Files.createTempDirectory("nd-legacy").toString
+    // Simulate a store written BEFORE the long-key band migration:
+    // docs + hs as today, bands in the legacy exploded md5-string form.
+    val b1 = Seq(
+      (1L, base),
+      (2L, "completely different text about distributed query engines " +
+        "and columnar storage formats for analytical workloads at scale"))
+      .toDF("doc_id", "text")
+    val hashed = Upsert.withContentHash(b1, "text")
+    hashed.withColumn("batch", lit(0L)).write.parquet(s"$dir/docs")
+    val hs = Dedup.hashedShingleArrays(hashed, "doc_id", "text", 3)
+    hs.withColumn("batch", lit(0L)).write.parquet(s"$dir/hs")
+    Dedup.lshBandsMd5(Dedup.minhashSignatures(hs, 128), 128, 16)
+      .withColumn("batch", lit(0L)).write.parquet(s"$dir/bands")
+    graft.sources.Commits.commit(spark, dir, 0L)
+
+    // New-code ingest against the legacy store: the near-dup of stored
+    // doc 1 must be dropped — proof the batch was banded in the
+    // store's (md5) key space, since a long-keyed join would silently
+    // miss every store candidate — and the appended band rows must
+    // stay in the legacy schema (format stickiness).
+    val b2 = Seq(
+      (4L, base.replaceFirst("\\S+", "zzz")),
+      (5L, "an entirely novel document mentioning streaming watermarks " +
+        "checkpoint rotation and stateful aggregation semantics"))
+      .toDF("doc_id", "text")
+    assert(Streams.neardupIngestBatch(b2, dir, "doc_id", "text", 0.8) == 1)
+    assert(storeIds(dir) == Set(1L, 2L, 5L))
+    val bandCols = spark.read.parquet(s"$dir/bands").columns.toSet
+    assert(bandCols.contains("band_key") && !bandCols.contains("band_keys"),
+      s"legacy band store changed schema: $bandCols")
+  }
+
   test("within one batch the lower id wins for near- and exact dups") {
     val dir = java.nio.file.Files.createTempDirectory("nd-ingest").toString
     val b = Seq(
