@@ -169,31 +169,44 @@ object Search {
     val hashed = batch.dropDuplicates(idCol)
       .withColumn("__ch",
         graft.functions.HashFunctions.contentHash(col(textCol)))
-    // Membership resolve SCOPED to the batch's ids (semi-join before
-    // the per-doc aggregate): an unscoped currentDocs aggregates the
-    // whole docs table per mutation — store-linear, measured at 7 s
-    // for a 500-doc append against a 5M-doc store (SCALE.md); scoped,
-    // only the batch's overlap shuffles. AQE broadcasts micro-batch id
-    // sets; backfill-sized batches degrade to a shuffle join.
-    val cur = currentDocsFor(spark, dir,
-      hashed.select(col(idCol).as("doc_id")))
-    val fresh = (if (cur.isEmpty) hashed
-    else {
-      val prev = cur.get
-        .select(col("doc_id").as(idCol), col("content_hash").as("__prev"))
-      hashed.join(prev, Seq(idCol), "left")
-        .filter(col("__prev").isNull || col("__prev") =!= col("__ch"))
-        .drop("__prev")
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = fresh.count()
-      if (n > 0) {
-        val batchId = nextBatchId(spark, dir)
-        writeSlice(fresh, idCol, textCol, dir, batchId)
-        commitBatch(spark, dir, batchId)
-      }
-      n
-    } finally { fresh.unpersist(); () }
+      // Membership resolve plan picked by batch-vs-store size
+      // ([[graft.sources.Commits.scopeMutationResolve]]): SCOPED
+      // (semi-join before the per-doc aggregate) for micro-batches —
+      // an unscoped currentDocs aggregates the whole docs table per
+      // mutation, store-linear, measured at 7 s for a 500-doc append
+      // against a 5M-doc store (SCALE.md) — but UNSCOPED for
+      // backfill-sized batches, where the id set stops broadcasting
+      // and the semi-join degrades to a corpus-sized shuffle join
+      // worse than the aggregate it was avoiding.
+      val committed = committedBatches(spark, dir)
+      val cur =
+        if (committed.isEmpty) None
+        else if (graft.sources.Commits.scopeMutationResolve(hashed.count(),
+            graft.sources.Commits.committedRowCount(spark, s"$dir/docs",
+              committed)))
+          currentDocsFor(spark, dir, hashed.select(col(idCol).as("doc_id")))
+        else currentDocs(spark, dir)
+      val fresh = (cur match {
+        case None => hashed
+        case Some(c) =>
+          val prev = c.select(col("doc_id").as(idCol),
+            col("content_hash").as("__prev"))
+          hashed.join(prev, Seq(idCol), "left")
+            .filter(col("__prev").isNull || col("__prev") =!= col("__ch"))
+            .drop("__prev")
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = fresh.count()
+        if (n > 0) {
+          val batchId = nextBatchId(spark, dir)
+          writeSlice(fresh, idCol, textCol, dir, batchId)
+          commitBatch(spark, dir, batchId)
+        }
+        n
+      } finally { fresh.unpersist(); () }
+    } finally { hashed.unpersist(); () }
    }
 
   /** Tombstone marker in the docs table's content_hash column — real
@@ -214,10 +227,22 @@ object Search {
   def indexDelete(spark: org.apache.spark.sql.SparkSession, dir: String,
       ids: DataFrame): Long =
    graft.sources.Commits.withWriterLock(spark, dir) {
-    // Scoped like indexAppend: only the requested ids' docs rows reach
-    // the currency aggregate.
-    val cur = currentDocsFor(spark, dir,
-      ids.select(col(ids.columns.head).as("doc_id"))).getOrElse(return 0L)
+    // Adaptive like indexAppend: scoped resolve (only the requested
+    // ids' docs rows reach the currency aggregate) for normal
+    // takedowns, store-wide aggregate + post-filter for corpus-sized
+    // ones where the id semi-join would stop broadcasting.
+    val idsF = ids.select(col(ids.columns.head).as("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val committed = committedBatches(spark, dir)
+    val cur = (
+      if (committed.isEmpty) None
+      else if (graft.sources.Commits.scopeMutationResolve(idsF.count(),
+          graft.sources.Commits.committedRowCount(spark, s"$dir/docs",
+            committed)))
+        currentDocsFor(spark, dir, idsF)
+      else currentDocs(spark, dir)
+        .map(_.join(idsF, Seq("doc_id"), "left_semi"))
+    ).getOrElse { idsF.unpersist(); return 0L }
     val victims = cur
       .filter(col("content_hash") =!= Tombstone)
       .select(col("doc_id"), lit(0).as("dl"),
@@ -232,7 +257,7 @@ object Search {
         commitBatch(spark, dir, batchId)
       }
       n
-    } finally { victims.unpersist(); () }
+    } finally { victims.unpersist(); idsF.unpersist(); () }
    }
 
   /** Compact the index to its LIVE state: current committed generation

@@ -113,6 +113,46 @@ object Commits {
     else None
   }
 
+  /** Row count of the committed generations of the per-batch table at
+    * `tableDir` — a zero-column parquet count: Spark prunes the scan's
+    * required schema to nothing and the row counts come from the file
+    * FOOTERS, so the cost is proportional to the store's FILE count
+    * (bounded by compaction), not its rows. The store-size signal for
+    * [[scopeMutationResolve]].
+    */
+  def committedRowCount(spark: SparkSession, tableDir: String,
+      committed: Seq[Long]): Long =
+    readCommittedBatches(spark, tableDir, committed)
+      .map(_.count()).getOrElse(0L)
+
+  /** Below this batch size a mutation NEVER counts the store: the id
+    * set broadcasts for sure (≲2 MB of longs, far under the 10 MB
+    * broadcast threshold), so the scoped semi-join is always the right
+    * plan and the micro-batch hot path pays zero extra jobs for the
+    * decision.
+    */
+  val ScopedResolveFloor: Long = 1L << 18
+
+  /** Plan choice for a mutation's membership/currency resolve against
+    * a generational store. The SCOPED resolve (store scan semi-joined
+    * against the batch's ids BEFORE the per-id aggregate) is flat for
+    * micro-batches — only the batch's overlap shuffles, and AQE
+    * broadcasts the id set. But when the batch approaches the store
+    * (the re-embed-everything-on-a-new-model backfill), the id set
+    * stops being broadcastable and the semi-join degrades to a
+    * corpus-sized shuffle JOIN — strictly worse than the store-wide
+    * aggregate it was scoped to avoid (measured: a store-sized upsert
+    * at 1000x paid ~4x over the unscoped aggregate, SCALE.md). So:
+    * scoped below the floor unconditionally (no store count spent),
+    * else scoped only while the batch is under a quarter of the
+    * store's rows — past that the overlap is the store and the
+    * aggregate-everything plan is the cheaper one. `storeRows` is
+    * by-name: the floor short-circuits it, so small batches never pay
+    * the (footer-only) store count.
+    */
+  def scopeMutationResolve(batchRows: Long, storeRows: => Long): Boolean =
+    batchRows <= ScopedResolveFloor || batchRows * 4L < storeRows
+
   /** Batches to fold together so the committed count comes down to
     * `maxBatches`: the SMALLEST by membership-row count (ties on id),
     * `count - maxBatches + 1` of them — they rewrite into one fresh

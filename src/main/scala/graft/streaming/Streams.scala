@@ -324,18 +324,28 @@ object Streams {
     val hashed = batch.dropDuplicates(idCol)
       .withColumn("__ch",
         graft.functions.HashFunctions.contentHash(col(textCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val committed = graft.sources.Commits.committed(spark, storeDir)
-    // Membership resolve scoped to the batch's ids (semi-join before
-    // the per-doc aggregate), like Search.indexAppend — an unscoped
-    // aggregate costs the store's full membership per micro-batch.
+    // Membership resolve plan picked by batch-vs-store size, like
+    // Search.indexAppend: scoped to the batch's ids (semi-join before
+    // the per-doc aggregate) for micro-batches — an unscoped aggregate
+    // costs the store's full membership per micro-batch — and the
+    // store-wide aggregate for backfill-sized batches, where the id
+    // semi-join stops broadcasting (Commits.scopeMutationResolve).
     val fresh = (if (committed.isEmpty) hashed
     else {
-      val prev = graft.sources.Commits
+      val docs = graft.sources.Commits
         .readCommittedBatches(spark, docsDir, committed)
         .getOrElse(throw new IllegalStateException(
           s"committed chunk store at $storeDir has no readable docs"))
-        .join(hashed.select(col(idCol).as("doc_id")), Seq("doc_id"),
-          "left_semi")
+      val scoped = graft.sources.Commits.scopeMutationResolve(
+        hashed.count(),
+        graft.sources.Commits.committedRowCount(spark, docsDir, committed))
+      val prev =
+        (if (scoped)
+          docs.join(hashed.select(col(idCol).as("doc_id")), Seq("doc_id"),
+            "left_semi")
+         else docs)
         .groupBy(col("doc_id"))
         .agg(max_by(col("content_hash"), col("batch")).as("__prev"))
         .select(col("doc_id").as(idCol), col("__prev"))
@@ -360,7 +370,7 @@ object Streams {
         graft.sources.Commits.commit(spark, storeDir, batchId)
       }
       n
-    } finally { fresh.unpersist(); () }
+    } finally { fresh.unpersist(); hashed.unpersist(); () }
    }
 
   /** Tombstone marker in the chunk store's membership table — same
@@ -384,13 +394,22 @@ object Streams {
    graft.sources.Commits.withWriterLock(spark, storeDir) {
     val committed = graft.sources.Commits.committed(spark, storeDir)
     if (committed.isEmpty) return 0L
-    val victims = graft.sources.Commits
+    val docs = graft.sources.Commits
       .readCommittedBatches(spark, s"$storeDir/docs", committed)
       .getOrElse(return 0L)
-      .join(ids.select(col(ids.columns.head).as("doc_id")), Seq("doc_id"),
-        "left_semi")
+    // Scoped resolve for normal takedowns, store-wide aggregate +
+    // post-filter for corpus-sized ones (Commits.scopeMutationResolve).
+    val idsF = ids.select(col(ids.columns.head).as("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scoped = graft.sources.Commits.scopeMutationResolve(idsF.count(),
+      graft.sources.Commits.committedRowCount(spark, s"$storeDir/docs",
+        committed))
+    val victims =
+      (if (scoped) docs.join(idsF, Seq("doc_id"), "left_semi") else docs)
       .groupBy(col("doc_id"))
       .agg(max_by(col("content_hash"), col("batch")).as("__cur"))
+      .transform(df =>
+        if (scoped) df else df.join(idsF, Seq("doc_id"), "left_semi"))
       .filter(col("__cur") =!= ChunkTombstone)
       .select(col("doc_id"), lit(ChunkTombstone).as("content_hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -404,7 +423,7 @@ object Streams {
         graft.sources.Commits.commit(spark, storeDir, batchId)
       }
       n
-    } finally { victims.unpersist(); () }
+    } finally { victims.unpersist(); idsF.unpersist(); () }
    }
 
   /** INCREMENTAL chunk-store vacuum — the passage-store member of the

@@ -62,6 +62,42 @@ class SearchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("backfill-sized index append flips to the unscoped resolve and " +
+      "converges identically") {
+    import graft.sources.Commits
+    // Batch just over the scoped-resolve floor vs a much smaller
+    // store: the membership resolve takes the store-wide aggregate.
+    // Semantics must match the scoped path exactly: unchanged docs
+    // skip, changed re-generate, redelivery converges, and the probe
+    // matches an index built fresh at the final state.
+    val dir = java.nio.file.Files.createTempDirectory("bm25-backfill")
+      .toString + "/index"
+    val nBatch = Commits.ScopedResolveFloor + 8
+    def text(gen: String) = concat(lit("w"), col("id") % 7,
+      lit(s" spark $gen t"), col("id") % 1000)
+    Search.buildIndex(
+      spark.range(0, 50000).select(col("id").as("doc_id"),
+        text("x").as("text")), "doc_id", "text", dir)
+    assert(!Commits.scopeMutationResolve(nBatch,
+      Commits.committedRowCount(spark, s"$dir/docs",
+        Commits.committed(spark, dir))),
+      "test premise: this batch/store ratio must take the unscoped path")
+    val backfill = spark.range(0, nBatch).select(col("id").as("doc_id"),
+      when(col("id") < 25000, text("x")).otherwise(text("y")).as("text"))
+    assert(Search.indexAppend(backfill, "doc_id", "text", dir)
+      == nBatch - 25000)
+    assert(Search.indexAppend(backfill, "doc_id", "text", dir) == 0L)
+    val fresh = java.nio.file.Files.createTempDirectory("bm25-backfill-f")
+      .toString + "/index"
+    Search.buildIndex(backfill, "doc_id", "text", fresh)
+    val terms = Seq("spark", "t13")
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, k = 10)
+      .collect().toSeq ==
+      Search.bm25FromIndexTopK(spark, fresh, terms, k = 10)
+        .collect().toSeq,
+      "backfilled index probes differently from a fresh build")
+  }
+
   test("index answer is bit-identical to the scan answer") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-idx")
       .toString + "/index"

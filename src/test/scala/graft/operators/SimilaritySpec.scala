@@ -297,6 +297,50 @@ class SimilaritySpec extends SparkSpec {
       Seq((99L, Seq(0.3f, 0.4f))).toDF("id", "vec"), dir, 4, 2) == 1L)
   }
 
+  test("backfill-sized append flips to the unscoped resolve and " +
+      "converges identically") {
+    import graft.sources.Commits
+    // A batch just over the scoped-resolve floor against a store a
+    // fraction of its size: scopeMutationResolve picks the store-wide
+    // aggregate (batch * 4 >= store rows). The semantics must be
+    // indistinguishable from the scoped path: unchanged vectors skip,
+    // changed get a new generation, redelivery converges to zero, and
+    // probes match a store built fresh at the final state.
+    val dir = java.nio.file.Files.createTempDirectory("ann-backfill")
+      .toString + "/idx"
+    val nBatch = Commits.ScopedResolveFloor + 8   // 262152
+    val nStore = 50000L
+    def v0(id: org.apache.spark.sql.Column) = array(
+      (id % 97).cast("float"), ((id * 17) % 89).cast("float"))
+    // Initial store: ids [0, 50000) at generation v0.
+    Similarity.annStoreAppend(
+      spark.range(0, nStore).select(col("id"), v0(col("id")).as("vec")),
+      dir, planes = 4, dims = 2)
+    assert(!Commits.scopeMutationResolve(nBatch,
+      Commits.committedRowCount(spark, dir, Commits.committed(spark, dir))),
+      "test premise: this batch/store ratio must take the unscoped path")
+    // Backfill: ids [0, 262152) — first 25k unchanged, the rest at a
+    // new generation (re-embedded overlap + fresh tail).
+    val backfill = spark.range(0, nBatch).select(col("id"),
+      when(col("id") < 25000, v0(col("id")))
+        .otherwise(array((col("id") % 97 + 1).cast("float"),
+          ((col("id") * 17) % 89).cast("float"))).as("vec"))
+    assert(Similarity.annStoreAppend(backfill, dir, 4, 2) == nBatch - 25000)
+    // Redelivery of the whole backfill: everything unchanged now.
+    assert(Similarity.annStoreAppend(backfill, dir, 4, 2) == 0L)
+    // Probe parity with a store built fresh at the final state.
+    val fresh = java.nio.file.Files.createTempDirectory("ann-backfill-f")
+      .toString + "/idx"
+    Similarity.annStoreAppend(backfill, fresh, 4, 2)
+    val queries = backfill.filter(col("id").isin(3L, 30000L, 100000L))
+    def rows(d: String) = Similarity.annStoreTopK(spark, d, queries,
+      planes = 4, dims = 2, k = 5)
+      .select("qid", "cid", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(rows(dir) == rows(fresh),
+      "backfilled store probes differently from a fresh build")
+  }
+
   test("incremental ANN maintenance repairs a crashed full-vacuum swap " +
       "instead of sweeping the only copy") {
     import org.apache.hadoop.fs.Path

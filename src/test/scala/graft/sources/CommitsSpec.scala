@@ -11,6 +11,21 @@ class CommitsSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("commits-spec").toString + "/st"
 
+  test("scopeMutationResolve: scoped under the floor without counting, " +
+      "crossover at a quarter of the store") {
+    // Under the floor the store count must NEVER be evaluated — the
+    // micro-batch hot path pays zero extra jobs for the decision.
+    def boom: Long = throw new IllegalStateException("store counted")
+    assert(Commits.scopeMutationResolve(1L, boom))
+    assert(Commits.scopeMutationResolve(Commits.ScopedResolveFloor, boom))
+    // Above the floor: scoped only while batch < store / 4.
+    val floor = Commits.ScopedResolveFloor
+    assert(Commits.scopeMutationResolve(floor + 1, (floor + 1) * 4 + 1))
+    assert(!Commits.scopeMutationResolve(floor + 1, (floor + 1) * 4))
+    assert(!Commits.scopeMutationResolve(5_000_000L, 5_000_000L))
+    assert(Commits.scopeMutationResolve(500_000L, 5_000_000L))
+  }
+
   test("allocation is listing-only: ids burn without any data write") {
     val dir = tmp()
     // Fresh store: first id is 0, recorded as an attempt marker.
