@@ -589,6 +589,15 @@ object Search {
       dir: String): Option[DataFrame] = {
     val committed = committedBatches(spark, dir)
     if (committed.isEmpty) None
+    // Freshly-maintained shortcut: one committed batch holds one row
+    // per doc (every write path dedups within its batch), so the
+    // per-doc currency aggregate is the identity — after a full
+    // vacuum/compaction-to-one the probe's membership read is a pure
+    // scan (same shortcut as Similarity.annCurrentRows).
+    else if (committed.sizeIs == 1)
+      readCommittedTable(spark, dir, "docs", committed)
+        .map(_.select(col("doc_id"), col("dl"), col("content_hash"),
+          col("batch")))
     else readCommittedTable(spark, dir, "docs", committed)
       .map(_.groupBy(col("doc_id"))
         .agg(max_by(col("dl"), col("batch")).as("dl"),

@@ -98,6 +98,24 @@ class SearchSpec extends SparkSpec {
       "backfilled index probes differently from a fresh build")
   }
 
+  test("a freshly-vacuumed index's probe plans no membership aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-fresh")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)
+    Search.indexAppend(Seq((100L, "spark vector extra doc"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir)
+    def probe() = Search.bm25FromIndexTopK(spark, dir,
+      Seq("spark", "vector"), k = 10)
+    def plan() = probe().queryExecution.executedPlan.toString()
+    assert(plan().contains("max_by"),
+      "multi-batch probe lost its membership resolve")
+    val want = probe().collect().toSeq
+    Search.indexVacuum(spark, dir)
+    assert(!plan().contains("max_by"),
+      "freshly-vacuumed probe still plans the membership aggregate")
+    assert(probe().collect().toSeq == want)
+  }
+
   test("index answer is bit-identical to the scan answer") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-idx")
       .toString + "/index"

@@ -297,6 +297,36 @@ class SimilaritySpec extends SparkSpec {
       Seq((99L, Seq(0.3f, 0.4f))).toDF("id", "vec"), dir, 4, 2) == 1L)
   }
 
+  test("a freshly-vacuumed store's probe plans no currency aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-fresh")
+      .toString + "/idx"
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.7).toFloat, math.sin(i * 1.3).toFloat))
+    }.toDF("id", "vec")
+    Similarity.annStoreAppend(vecs, dir, planes = 4, dims = 2)
+    Similarity.annStoreAppend(
+      Seq((3L, Seq(0.5f, -0.5f))).toDF("id", "vec"), dir, 4, 2)
+    val queries = vecs.filter(col("id") < 3)
+    def probe() = Similarity.annStoreTopK(spark, dir, queries,
+      planes = 4, dims = 2, k = 3)
+    def plan() = probe().queryExecution.executedPlan.toString()
+    // Multi-batch store: the probe must resolve currency (max_by per
+    // id). Single-batch store after a full vacuum: one row per id by
+    // construction, the aggregate is the identity and must be GONE —
+    // the plain probe's fastest-growing term across store decades.
+    // (the probe's currency join uses only (id, batch), so Catalyst
+    // prunes max_by and keeps max(batch) — match that.)
+    assert(plan().contains("max(batch"),
+      "multi-batch probe lost its currency resolve")
+    val want = probe().select("qid", "cid", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    Similarity.annStoreVacuum(spark, dir)
+    assert(!plan().contains("max(batch"),
+      "freshly-vacuumed probe still plans the currency aggregate")
+    assert(probe().select("qid", "cid", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted == want)
+  }
+
   test("backfill-sized append flips to the unscoped resolve and " +
       "converges identically") {
     import graft.sources.Commits
