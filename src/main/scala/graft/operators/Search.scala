@@ -388,14 +388,30 @@ object Search {
     // BEFORE the orphan sweep or the sweep destroys the store.
     repairCrashedSwap(fs, dir): Unit
     val committed = committedBatches(spark, dir)
-    Seq("postings", "docs").foreach(t => graft.sources.Commits
-      .sweepOrphanBatchDirs(spark, s"$dir/$t", committed))
+    Seq("postings", "docs").foreach { t =>
+      graft.sources.Commits
+        .sweepOrphanBatchDirs(spark, s"$dir/$t", committed)
+      // File-level analog of the orphan sweep: legacy flat files whose
+      // batches are no longer committed (a crash between a previous
+      // migration's uncommit and its delete) go now.
+      graft.sources.Commits.sweepFlatFiles(spark, s"$dir/$t", committed)
+    }
     graft.sources.Commits.pruneAttemptMarkers(spark, dir)
     if (committed.isEmpty) return 0
-    val selected = dirtyBatches(spark, dir, committed, minDeadFraction)
+    // Committed batches still living in the legacy flat-file layout
+    // are FORCED into the rewrite regardless of dead fraction — the
+    // only way the incremental cadence can ever reclaim their bytes
+    // (see Commits.committedFlatBatches).
+    val legacyFlat = Seq("postings", "docs").flatMap(t => graft.sources
+      .Commits.committedFlatBatches(spark, s"$dir/$t", committed))
+      .distinct.sorted
+    val selected = (dirtyBatches(spark, dir, committed, minDeadFraction)
+      ++ legacyFlat).distinct.sorted
     if (selected.isEmpty) return 0
     vacuumRewriteAndCommit(spark, dir, committed, selected)
     dropReclaimedBatches(spark, fs, dir, selected)
+    Seq("postings", "docs").foreach(t => graft.sources.Commits
+      .sweepFlatFiles(spark, s"$dir/$t", committedBatches(spark, dir)))
     selected.size
    }
 
@@ -418,17 +434,28 @@ object Search {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCrashedSwap(fs, dir): Unit  // see indexVacuumIncremental
     val committed = committedBatches(spark, dir)
-    Seq("postings", "docs").foreach(t => graft.sources.Commits
-      .sweepOrphanBatchDirs(spark, s"$dir/$t", committed))
+    Seq("postings", "docs").foreach { t =>
+      graft.sources.Commits
+        .sweepOrphanBatchDirs(spark, s"$dir/$t", committed)
+      graft.sources.Commits.sweepFlatFiles(spark, s"$dir/$t", committed)
+    }
     graft.sources.Commits.pruneAttemptMarkers(spark, dir)
     if (committed.isEmpty) return 0
     val docs = readCommittedTable(spark, dir, "docs", committed)
       .getOrElse(return 0)
-    val selected = graft.sources.Commits
+    // Legacy flat batches fold in even when the batch count is within
+    // bound — compaction is also the migration off the flat layout.
+    val legacyFlat = Seq("postings", "docs").flatMap(t => graft.sources
+      .Commits.committedFlatBatches(spark, s"$dir/$t", committed))
+      .distinct.sorted
+    val selected = (graft.sources.Commits
       .compactionSelection(docs, committed, maxBatches)
+      ++ legacyFlat).distinct.sorted
     if (selected.isEmpty) return 0
     vacuumRewriteAndCommit(spark, dir, committed, selected)
     dropReclaimedBatches(spark, fs, dir, selected)
+    Seq("postings", "docs").foreach(t => graft.sources.Commits
+      .sweepFlatFiles(spark, s"$dir/$t", committedBatches(spark, dir)))
     selected.size
    }
 

@@ -192,6 +192,59 @@ object Commits {
       fs.delete(path, true): Unit
   }
 
+  /** `tableDir`'s legacy top-level data files — the pre-`b<id>` flat
+    * append layout, where every batch's rows share one pool of files
+    * distinguished only by the `batch` column.
+    */
+  private def flatDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath)
+
+  /** The batches among `committed` whose rows live in `tableDir`'s
+    * legacy flat files. The incremental vacuums and compactions FORCE
+    * these into their rewrite selection: a flat batch's files mix
+    * batches, so reclaiming it can only drop its commit marker — the
+    * bytes would stay on disk forever, invisible but unreclaimable —
+    * unless its survivors are first rewritten into a fresh `b<id>`
+    * batch and the flat files then swept by [[sweepFlatFiles]]. One
+    * listing when the layout is already per-batch; a skinny
+    * batch-column scan of just the flat files otherwise.
+    */
+  def committedFlatBatches(spark: SparkSession, tableDir: String,
+      committed: Seq[Long]): Seq[Long] = {
+    val base = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = flatDataFiles(fs, base)
+    if (files.isEmpty) Seq.empty
+    else spark.read.parquet(files.map(_.toString): _*)
+      .select(col("batch")).distinct().collect()
+      .map(_.getLong(0)).filter(committed.contains).sorted.toSeq
+  }
+
+  /** Delete `tableDir`'s legacy flat files once NO committed batch
+    * still has rows in them — the migration's final step (after the
+    * forced rewrite uncommitted the flat batches), and the repair for
+    * a crash between that uncommit and this delete. One listing, then
+    * a no-op, when nothing flat exists; refuses (no-op) while any
+    * flat row is still committed-readable.
+    */
+  def sweepFlatFiles(spark: SparkSession, tableDir: String,
+      committed: Seq[Long]): Unit = {
+    val base = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = flatDataFiles(fs, base)
+    if (files.nonEmpty) {
+      val live = spark.read.parquet(files.map(_.toString): _*)
+        .select(col("batch")).distinct().collect().map(_.getLong(0))
+      if (!live.exists(committed.contains))
+        files.foreach(f => fs.delete(f, false): Unit)
+    }
+  }
+
   /** Remove ONE batch's commit marker — the incremental vacuum's
     * reclaim step (its attempt marker stays, so the id is never
     * reallocated). The batch's rows become invisible the moment the

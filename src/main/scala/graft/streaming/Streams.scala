@@ -442,8 +442,12 @@ object Streams {
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = graft.sources.Commits.committed(spark, storeDir)
-    Seq("chunks", "docs").foreach(t => graft.sources.Commits
-      .sweepOrphanBatchDirs(spark, s"$storeDir/$t", committed))
+    Seq("chunks", "docs").foreach { t =>
+      graft.sources.Commits
+        .sweepOrphanBatchDirs(spark, s"$storeDir/$t", committed)
+      graft.sources.Commits
+        .sweepFlatFiles(spark, s"$storeDir/$t", committed)
+    }
     graft.sources.Commits.pruneAttemptMarkers(spark, storeDir)
     if (committed.isEmpty) return 0
     val docs = graft.sources.Commits
@@ -465,10 +469,19 @@ object Streams {
           dead.toDouble / r.getAs[Long]("__total") >= minDeadFraction
       }
       .map(_.getAs[Long]("batch")).toSeq.sorted
-    if (selected.isEmpty) return 0
-    chunkRewriteAndCommit(spark, storeDir, committed, selected)
-    dropChunkBatches(spark, fs, storeDir, selected)
-    selected.size
+    // Legacy flat-layout batches are forced into the rewrite — the
+    // only path that reclaims their bytes (Commits.committedFlatBatches).
+    val withFlat = (selected ++ Seq("chunks", "docs").flatMap(t =>
+      graft.sources.Commits
+        .committedFlatBatches(spark, s"$storeDir/$t", committed)))
+      .distinct.sorted
+    if (withFlat.isEmpty) return 0
+    chunkRewriteAndCommit(spark, storeDir, committed, withFlat)
+    dropChunkBatches(spark, fs, storeDir, withFlat)
+    Seq("chunks", "docs").foreach(t => graft.sources.Commits
+      .sweepFlatFiles(spark, s"$storeDir/$t",
+        graft.sources.Commits.committed(spark, storeDir)))
+    withFlat.size
    }
 
   /** COMPACT the chunk store's committed-batch count down to
@@ -481,18 +494,28 @@ object Streams {
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = graft.sources.Commits.committed(spark, storeDir)
-    Seq("chunks", "docs").foreach(t => graft.sources.Commits
-      .sweepOrphanBatchDirs(spark, s"$storeDir/$t", committed))
+    Seq("chunks", "docs").foreach { t =>
+      graft.sources.Commits
+        .sweepOrphanBatchDirs(spark, s"$storeDir/$t", committed)
+      graft.sources.Commits
+        .sweepFlatFiles(spark, s"$storeDir/$t", committed)
+    }
     graft.sources.Commits.pruneAttemptMarkers(spark, storeDir)
     if (committed.isEmpty) return 0
     val docs = graft.sources.Commits
       .readCommittedBatches(spark, s"$storeDir/docs", committed)
       .getOrElse(return 0)
-    val selected = graft.sources.Commits
+    val selected = (graft.sources.Commits
       .compactionSelection(docs, committed, maxBatches)
+      ++ Seq("chunks", "docs").flatMap(t => graft.sources.Commits
+        .committedFlatBatches(spark, s"$storeDir/$t", committed)))
+      .distinct.sorted
     if (selected.isEmpty) return 0
     chunkRewriteAndCommit(spark, storeDir, committed, selected)
     dropChunkBatches(spark, fs, storeDir, selected)
+    Seq("chunks", "docs").foreach(t => graft.sources.Commits
+      .sweepFlatFiles(spark, s"$storeDir/$t",
+        graft.sources.Commits.committed(spark, storeDir)))
     selected.size
    }
 

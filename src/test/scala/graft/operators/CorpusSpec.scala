@@ -89,6 +89,31 @@ class CorpusSpec extends SparkSpec {
     assert(got.size == 3000)
   }
 
+  test("mixtureBudgetTakeDistributed equals the window version exactly") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 3000).map { i =>
+      // Zero-heavy token mix, one unweighted stratum ("s3") in frame.
+      (i.toLong, s"s${i % 4}",
+        Seq(0L, 0L, 1L, 9L, 50L, 400L)(rnd.nextInt(6)))
+    }
+    val df = rows.toDF("doc_id", "stratum", "n_tokens")
+    val weights = Map("s0" -> 500, "s1" -> 300, "s2" -> 100, "zz" -> 50)
+    val total = rows.map(_._3).sum / 2
+    def cols(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "stratum", "n_tokens", "cum_tokens")
+        .as[(Long, String, Long, Long)].collect().toSet
+    val want = cols(Corpus.mixtureBudgetTake(df, "doc_id", "stratum",
+      "n_tokens", weights, total))
+    // 7 partitions force strata to span partitions and partitions to
+    // straddle stratum boundaries — the shapes the two-pass engine
+    // must keep exact.
+    val got = cols(Corpus.mixtureBudgetTakeDistributed(df, "doc_id",
+      "stratum", "n_tokens", weights, total, numPartitions = 7))
+    assert(got == want)
+    assert(want.nonEmpty && !want.exists(_._2 == "s3"),
+      "unweighted stratum leaked into the take")
+  }
+
   test("packSequences chunks the per-stratum token stream") {
     val df = Seq(
       (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), (4L, "a", 10L),
@@ -388,5 +413,51 @@ class CorpusSpec extends SparkSpec {
     val epoch2 = Corpus.deterministicShuffle(ids, "doc_id", "epoch2")
       .as[(Long, Long, Long)].collect().toSeq.sortBy(_._3)
     assert(epoch2.map(_._1) != byPos.map(_._1))
+  }
+
+  test("deterministicShuffle invariants over arbitrary corpora and " +
+      "partitionings (property)") {
+    // Deterministic scalacheck corpora (sign-mixed ids, including the
+    // extremes a naive hash-to-string path could mangle) crossed with
+    // arbitrary input partitionings and output partition counts: the
+    // (id -> pos) map must be IDENTICAL across all of them, positions
+    // must be exactly 0..n-1, the published shuffle_key must ORDER the
+    // permutation, and a new seed must be a genuinely new permutation.
+    import org.scalacheck.{Gen, rng}
+    val idGen = Gen.listOfN(400, Gen.frequency(
+      8 -> Gen.chooseNum(-1000000000000L, 1000000000000L),
+      1 -> Gen.oneOf(0L, 1L, -1L, Long.MaxValue, Long.MinValue + 1)))
+    for (caseSeed <- Seq(3L, 5L, 9L)) {
+      val ids = idGen.pureApply(Gen.Parameters.default,
+        rng.Seed(caseSeed)).distinct
+      val parts = Gen.chooseNum(1, 17).pureApply(Gen.Parameters.default,
+        rng.Seed(caseSeed + 100))
+      val df = ids.toDF("doc_id")
+      def run(inParts: Int, outParts: Int, seed: String) =
+        Corpus.deterministicShuffle(df.repartition(inParts), "doc_id",
+          seed, outParts)
+          .select("doc_id", "shuffle_key", "pos")
+          .as[(Long, Long, Long)].collect().toSeq
+      val a = run(3, parts, "epoch1")
+      assert(a.map(_._3).sorted == (0L until ids.size.toLong),
+        s"case $caseSeed: positions are not exactly 0..n-1")
+      // pos is the rank of (shuffle_key, id) — the published key
+      // really is the sort key any engine could reproduce.
+      assert(a.sortBy(t => (t._2, t._1)).map(_._3)
+          == (0L until ids.size.toLong),
+        s"case $caseSeed: pos does not rank (shuffle_key, id)")
+      val aMap = a.map(t => t._1 -> t._3).toMap
+      // Invariant to input partitioning AND output partition count.
+      assert(run(7, parts, "epoch1").map(t => t._1 -> t._3).toMap == aMap,
+        s"case $caseSeed: input partitioning changed the permutation")
+      assert(run(5, parts / 2 + 1, "epoch1")
+          .map(t => t._1 -> t._3).toMap == aMap,
+        s"case $caseSeed: output partition count changed the permutation")
+      // A different seed permutes differently (collision odds ~ 0).
+      val b = run(3, parts, "epoch2")
+      assert(b.map(_._3).sorted == (0L until ids.size.toLong))
+      assert(b.map(t => t._1 -> t._3).toMap != aMap,
+        s"case $caseSeed: seed change did not change the permutation")
+    }
   }
 }

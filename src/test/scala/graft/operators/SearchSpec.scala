@@ -783,4 +783,37 @@ class SearchSpec extends SparkSpec {
     assert(!batchDirs(dir, "postings").contains(1L),
       "orphan batch dir survived the vacuum sweep")
   }
+
+  test("incremental vacuum migrates a legacy flat-file store and " +
+      "reclaims its bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-legacy")
+      .toString + "/index"
+    Search.buildIndex(docs, "doc_id", "text", dir)                  // b0
+    Search.indexAppend(Seq((6L, "spark legacy store doc"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir)               // b1
+    // Rewind the layout to the pre-b<id> flat append era.
+    flattenBatchDirs(s"$dir/docs")
+    flattenBatchDirs(s"$dir/postings")
+    assert(flatFiles(s"$dir/docs").nonEmpty)
+    val terms = Seq("spark", "vector")
+    val want = Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq
+    assert(want.nonEmpty, "flat layout must stay readable pre-migration")
+    // Both flat batches are clean (no dead rows) yet FORCED into the
+    // rewrite — dropping only their markers would strand the bytes.
+    assert(Search.indexVacuumIncremental(spark, dir) == 2)
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().toSeq == want, "migration changed answers")
+    assert(flatFiles(s"$dir/docs").isEmpty &&
+      flatFiles(s"$dir/postings").isEmpty,
+      "legacy flat files survived the migration")
+    assert(batchDirs(dir, "docs").nonEmpty)
+    // Migration is one-shot: the next pass has nothing to do.
+    assert(Search.indexVacuumIncremental(spark, dir) == 0)
+    // The migrated store keeps serving mutations and probes.
+    assert(Search.indexAppend(Seq((9L, "vector spark extra"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir) == 1L)
+    assert(Search.bm25FromIndexTopK(spark, dir, terms, 10)
+      .collect().exists(_.getLong(0) == 9L))
+  }
 }

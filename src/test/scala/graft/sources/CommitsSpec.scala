@@ -85,4 +85,39 @@ class CommitsSpec extends SparkSpec {
     assert(Commits.attempted(spark, dir) == Seq(3L))
     assert(Commits.allocateBatchId(spark, dir, Seq(dir)) == 4L)
   }
+
+  test("mid-migration mix: flat and b<id> rows each read exactly once; " +
+      "flat sweep refuses while committed") {
+    import spark.implicits._
+    val dir = tmp()
+    // Old append layout: batches 0 and 1 as top-level flat files...
+    Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("id", "batch")
+      .write.parquet(dir)
+    // ...then the new layout appends batch 2 in its own directory.
+    Seq((4L, 2L)).toDF("id", "batch").write.parquet(s"$dir/b2")
+    Seq(0L, 1L, 2L).foreach(Commits.commit(spark, dir, _))
+    val committed = Commits.committed(spark, dir).sorted
+    assert(committed == Seq(0L, 1L, 2L))
+    // The mixed read sees every committed row EXACTLY once — the root
+    // path contributes only the flat files, never the b2 dir's rows.
+    val read = Commits.readCommittedBatches(spark, dir, committed).get
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(read == Seq(1L, 2L, 3L, 4L))
+    // Only the flat-resident batches report as legacy.
+    assert(Commits.committedFlatBatches(spark, dir, committed)
+      == Seq(0L, 1L))
+    // The sweep refuses while any flat batch is still committed.
+    Commits.sweepFlatFiles(spark, dir, committed)
+    assert(Commits.committedFlatBatches(spark, dir, committed)
+      == Seq(0L, 1L))
+    // Once the flat batches are uncommitted (the migration's rewrite
+    // did that after moving their survivors), the files go — and the
+    // store reads only the per-batch layout.
+    Seq(0L, 1L).foreach(Commits.uncommit(spark, dir, _))
+    Commits.sweepFlatFiles(spark, dir, Commits.committed(spark, dir))
+    assert(Commits.committedFlatBatches(spark, dir, Seq(0L, 1L, 2L))
+      .isEmpty)
+    assert(Commits.readCommittedBatches(spark, dir, Seq(2L)).get
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+  }
 }
