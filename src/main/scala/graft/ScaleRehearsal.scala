@@ -36,6 +36,16 @@ import org.apache.spark.sql.functions._
   *   dd_pairs         LSH-banded candidate pairs + exact Jaccard verify
   *   dd_cluster       connected components over the >= 0.5 pairs
   *   dd_keep_best     per-cluster argmax representative
+  *   cb_shuffle       deterministic epoch permutation (range exchange +
+  *                    two-pass position count)
+  *   cb_pack          packSequencesDistributed @4096-token budget
+  *   cb_mixture_window/_dist   mixtureBudgetTake (window vs two-pass)
+  *   cb_chunk         sliding-window chunking 128/16
+  *   cb_paragraph_dedup  8-token units, first-occurrence global dedup
+  *
+  * `SPARK_GRAFT_PHASES` (comma list of `stores`, `corpus`; default
+  * both) selects the phase families — the corpus-build sweep can run
+  * on its own without rebuilding the standing stores.
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
@@ -43,6 +53,8 @@ object ScaleRehearsal {
     val workRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale")
     val scales = (if (args.nonEmpty) args.toSeq else Seq("1", "10", "100"))
       .map(_.toInt)
+    val phases = sys.env.getOrElse("SPARK_GRAFT_PHASES", "stores,corpus")
+      .split(",").map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -80,6 +92,12 @@ object ScaleRehearsal {
       val embPath = s"$root/embeddings.parquet"
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // SPARK_GRAFT_REUSE=1 keeps an existing synth (a corpus-only
+      // re-run need not pay the fixture write again).
+      val reuse = sys.env.get("SPARK_GRAFT_REUSE").contains("1") &&
+        fs.exists(new org.apache.hadoop.fs.Path(docsPath)) &&
+        fs.exists(new org.apache.hadoop.fs.Path(embPath))
+      if (!reuse) {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
 
       timed(r, "synth") {
@@ -106,10 +124,12 @@ object ScaleRehearsal {
           .write.parquet(embPath)
         spark.read.parquet(docsPath).count()
       }
+      }
       val docs = spark.read.parquet(docsPath)
       val emb = spark.read.parquet(embPath)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
+      if (phases.contains("stores")) {
       // ---- standing inverted index lifecycle
       val idx = s"$root/bm25/index"
       timed(r, "bm25_build") {
@@ -305,6 +325,58 @@ object ScaleRehearsal {
       }
       hsArr.unpersist(); pairs.unpersist(); clusters.unpersist()
       spark.catalog.clearCache()
+      }
+
+      if (phases.contains("corpus")) {
+      // ---- corpus-build operators over the scaled corpus: the
+      // non-store §2.11 families' growth curves. All phases below must
+      // scale ~linearly with R; any super-linear line is a
+      // driver-state or single-reducer wall the plan pins missed.
+      import graft.operators.Corpus
+      val tokStats = docs.select(col("doc_id"), col("source"),
+          size(filter(split(trim(col("text")), " +"), t => t =!= ""))
+            .cast("long").as("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      timed(r, "cb_shuffle") {
+        Corpus.deterministicShuffle(docs.select(col("doc_id")),
+          "doc_id", "epoch1").count()
+      }
+      timed(r, "cb_pack") {
+        Corpus.packSequencesDistributed(tokStats, "doc_id", "source",
+          "n_tokens", budget = 4096).count()
+      }
+      // Even per-mille weights across the fixture's sources; half the
+      // corpus's tokens as the mix budget. The fixture has FEW sources,
+      // so at high R each stratum is giant: the windowed take
+      // serializes each through one reducer (its documented trade) —
+      // the _dist line is the two-pass scale path on identical output.
+      val sources = tokStats.select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val perMille = 1000 / math.max(1, sources.length)
+      val mixTotal = math.max(1L,
+        tokStats.agg(sum(col("n_tokens"))).head().getLong(0) / 2)
+      timed(r, "cb_mixture_window") {
+        Corpus.mixtureBudgetTake(tokStats, "doc_id", "source",
+          "n_tokens", sources.map(_ -> perMille).toMap, mixTotal).count()
+      }
+      timed(r, "cb_mixture_dist") {
+        Corpus.mixtureBudgetTakeDistributed(tokStats, "doc_id", "source",
+          "n_tokens", sources.map(_ -> perMille).toMap, mixTotal).count()
+      }
+      timed(r, "cb_chunk") {
+        Corpus.chunkSlidingWindows(docs, "doc_id", "text",
+          window = 128, overlap = 16).count()
+      }
+      timed(r, "cb_paragraph_dedup") {
+        val units = Corpus.chunkSlidingWindows(docs, "doc_id", "text",
+            window = 8, overlap = 0)
+          .select(col("doc_id"), col("chunk_seq").as("pos"),
+            col("chunk_text").as("unit"))
+        Corpus.dedupParagraphs(units, "doc_id", "pos", "unit").count()
+      }
+      tokStats.unpersist()
+      spark.catalog.clearCache()
+      }
     }
 
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",

@@ -246,6 +246,74 @@ object Corpus {
       stratumCol: String, tokenCol: String, budget: Int,
       numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    val cum = stratumRunningTotals(df, idCol, stratumCol, tokenCol,
+      numPartitions)
+    // `div` is SQL integer floor-division — exact for any long, no
+    // round-trip through double.
+    val packed = cum.select(col("__s").as(stratumCol),
+      col("__id").as(idCol),
+      expr(s"__cum div $budget").as("chunk_id"),
+      (col("__cum") % budget).as("chunk_offset"))
+    df.join(packed, Seq(stratumCol, idCol))
+  }
+
+  /** [[mixtureBudgetTake]] for a mix of FEW GIANT strata — the same
+    * output (MixtureSpec asserts exact equality), but the per-stratum
+    * running sum comes from the two-pass distributed prefix sum
+    * ([[stratumRunningTotals]]) instead of a one-reducer-per-stratum
+    * window. A production mix names a handful of mega-sources next to
+    * thousands of small ones; the windowed plan serializes each
+    * mega-source through one task, this one scales with partitions.
+    */
+  def mixtureBudgetTakeDistributed(df: DataFrame, idCol: String,
+      stratumCol: String, tokenCol: String,
+      weightsPerMille: Map[String, Int], totalTokens: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive")
+    require(weightsPerMille.values.forall(w => w >= 0 && w <= 1000),
+      "weights must be in [0, 1000]")
+    val spark = df.sparkSession
+    val budgets = spark.createDataFrame(
+      weightsPerMille.toSeq.map { case (stratum, w) =>
+        (stratum, totalTokens * w / 1000L)
+      }).toDF(stratumCol, "__budget")
+    val cum = stratumRunningTotals(df, idCol, stratumCol, tokenCol,
+      numPartitions)
+    // The window in mixtureBudgetTake is INCLUSIVE of the current row;
+    // the shared engine's prefix is exclusive — add the row's tokens.
+    val incl = cum.select(col("__s").as(stratumCol),
+      col("__id").as(idCol), (col("__cum") + col("__tok")).as("__cum"))
+    df.join(incl, Seq(stratumCol, idCol))
+      .join(broadcast(budgets), Seq(stratumCol), "left")
+      .filter(col("__budget") > 0 && col("__cum") <= col("__budget"))
+      .withColumn("cum_tokens", col("__cum"))
+  }
+
+  /** Two-pass distributed EXCLUSIVE per-stratum running token sum in
+    * (stratum, id) order — the shared engine of
+    * [[packSequencesDistributed]] and [[mixtureBudgetTakeDistributed]].
+    * Pass 1 range-partitions by (stratum, id) — so partition order IS
+    * stream order — and computes each partition's local token sum (a
+    * tiny aggregate, one row per (partition, stratum), collected to
+    * the driver: bounded by partition count, NOT row count). The
+    * exclusive prefix over those sums broadcasts back, and pass 2 adds
+    * the partition-local running sum in one narrow mapPartitions — no
+    * window, no single-reducer stratum.
+    *
+    * A stratum's rows may span several partitions; a partition may
+    * hold several strata — both are handled: local sums are tracked
+    * PER (partition, stratum), and the base offset for (p, s) sums
+    * only earlier partitions' s-sums.
+    *
+    * Returns (__s string, __id long, __tok long, __cum long), PINNED
+    * (lineage cut) against range-boundary re-sampling: a re-executed
+    * range exchange re-samples its partition boundaries (the sample
+    * seed derives from the fresh RDD id), which would desync pass 2's
+    * partition membership from pass 1's collected sums.
+    */
+  private def stratumRunningTotals(df: DataFrame, idCol: String,
+      stratumCol: String, tokenCol: String,
+      numPartitions: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts =
@@ -258,9 +326,6 @@ object Corpus {
       .repartitionByRange(parts, col("__s"), col("__id"))
       .sortWithinPartitions(col("__s"), col("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Pass 1: per-(partition, stratum) token sums — #partitions ×
-    // #strata-per-partition rows, collected to the driver (bounded by
-    // partition count, NOT row count).
     val localSums = ranged
       .mapPartitions { it =>
         var pid = -1
@@ -273,7 +338,6 @@ object Corpus {
         }
         sums.iterator.map { case (s, sum) => (pid, s, sum) }
       }.collect()
-    // Exclusive prefix per stratum across partition order.
     val base = scala.collection.mutable.Map[(Int, String), Long]()
     localSums.groupBy(_._2).foreach { case (s, rows) =>
       var acc = 0L
@@ -283,9 +347,7 @@ object Corpus {
       }
     }
     val baseB = spark.sparkContext.broadcast(base.toMap)
-    // Pass 2: narrow — add the partition's base offset to the local
-    // running sum; no shuffle, no window.
-    val packed = ranged.mapPartitions { it =>
+    val summed = ranged.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val running = scala.collection.mutable.Map[String, Long]()
       it.map { r =>
@@ -293,18 +355,12 @@ object Corpus {
         val cum = baseB.value.getOrElse((pid, s), 0L) +
           running.getOrElse(s, 0L)
         running(s) = running.getOrElse(s, 0L) + tok
-        (s, id, tok, cum / budget, cum % budget)
+        (s, id, tok, cum)
       }
-    }.toDF("__s", "__id", "__tok", "chunk_id", "chunk_offset")
-    // Materialize (lineage cut) BEFORE unpersisting: a re-executed
-    // range exchange re-samples its partition boundaries (the sample
-    // seed derives from the fresh RDD id), which would desync pass 2's
-    // partition membership from pass 1's collected sums.
-    val stamped = graft.Checkpoints.pinned(
-      packed.select(col("__s").as(stratumCol), col("__id").as(idCol),
-        col("chunk_id"), col("chunk_offset")))
+    }.toDF("__s", "__id", "__tok", "__cum")
+    val stamped = graft.Checkpoints.pinned(summed)
     ranged.unpersist()
-    df.join(stamped, Seq(stratumCol, idCol))
+    stamped
   }
 
   /** DETERMINISTIC CORPUS SHUFFLE — the global training order every

@@ -141,6 +141,58 @@ object LlmQueries {
     Search.indexCompactBatches(s, dir, maxBatches = 2): Unit
   }
 
+  /** Build phase of search_bm25_index_migrate: a LEGACY flat-layout
+    * store (built normally, then rewound to the pre-`b<id>` era: every
+    * batch dir's files moved up to the table root) receives a
+    * new-layout upsert — the mid-migration mix — and one incremental
+    * vacuum, which must force the flat batch through the rewrite and
+    * physically reclaim its files (markers alone would strand the
+    * bytes forever).
+    */
+  private def bm25MigrateBuild(s: SparkSession, d: String): Unit = {
+    val dir = storeDir("bm25-mig") + "/index"
+    val base = Tables.documents(s, d)
+    val stale = base.withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(lit("stale draft spark spark vector "), col("text")))
+        .otherwise(col("text")))
+    Search.buildIndex(stale, "doc_id", "text", dir)
+    Seq("docs", "postings").foreach(t => rewindToFlatLayout(s, s"$dir/$t"))
+    // True content lands as a NEW-layout generation on the flat store.
+    Search.indexAppend(base, "doc_id", "text", dir): Unit
+    val reclaimed = Search.indexVacuumIncremental(s, dir)
+    require(reclaimed > 0, "migration vacuum reclaimed nothing")
+    Seq("docs", "postings").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val flat = fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      require(!flat, s"legacy flat files survived the migration in $t")
+    }
+  }
+
+  /** Move every `b<id>` batch dir's data files up to the table root
+    * (batch-prefixed against name collisions) and drop the dirs — the
+    * legacy flat append layout the migration path exists for.
+    */
+  private def rewindToFlatLayout(s: SparkSession, table: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(table)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    for (dir <- fs.listStatus(base)
+        if dir.isDirectory && dir.getPath.getName.startsWith("b") &&
+          dir.getPath.getName.drop(1).forall(_.isDigit)) {
+      for (f <- fs.listStatus(dir.getPath) if f.isFile) {
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith("."))
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(base,
+            s"${dir.getPath.getName}-$n")): Unit
+      }
+      fs.delete(dir.getPath, true): Unit
+    }
+  }
+
   private def chunkTakedownBuild(s: SparkSession, d: String): Unit = {
     val dir = storeDir("chunk-del") + "/store"
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -302,6 +354,8 @@ object LlmQueries {
       bm25IdxProbe("bm25-del")),
     "search_bm25_index_vacuum" -> BenchPhases(bm25VacuumBuild,
       bm25IdxProbe("bm25-vac")),
+    "search_bm25_index_migrate" -> BenchPhases(bm25MigrateBuild,
+      bm25IdxProbe("bm25-mig")),
     "search_more_like_this" -> BenchPhases(idxBuild("mlt"), mltProbe),
     "search_phrase_index_topk" -> BenchPhases(idxBuild("phr"),
       phraseIdxProbe),
@@ -1477,6 +1531,37 @@ object LlmQueries {
         .presentSorted(col("doc_id"))
     },
 
+    // Same mixture take on the TWO-PASS distributed prefix sum (the
+    // few-giant-strata scale path: per-partition sums + broadcast
+    // offsets instead of one reducer per stratum) — output identical
+    // to the windowed take, same oracle.
+    QueryDef(
+      "pl_mixture_budget_take_dist",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(trim(text), ' '), x -> x <> ''))::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <=
+        |  (500000 * (50 + 30 * (substr(source, 4)::INT % 4))) // 1000
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val weights =
+        (0 until 20).map(i => s"src$i" -> (50 + 30 * (i % 4))).toMap
+      val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Corpus.mixtureBudgetTakeDistributed(t, "doc_id",
+        "source", "n_tokens", weights, totalTokens = 500000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+        .presentSorted(col("doc_id"))
+    },
+
     // Token statistics: whitespace + BPE-ish counts.
     QueryDef(
       "txt_token_stats",
@@ -1916,6 +2001,20 @@ object LlmQueries {
       Bm25IndexSql) { (s, d) =>
       bm25UpsertBuild(s, d)
       bm25UpsertProbe(s, d)
+    },
+
+    // LEGACY FLAT-LAYOUT MIGRATION: a pre-`b<id>` store (every batch's
+    // files pooled at the table root) takes a new-layout upsert — the
+    // mid-migration mix readCommittedBatches supports — then one
+    // incremental vacuum forces the flat batch through the survivor
+    // rewrite and physically reclaims its files. The probe hashes
+    // against the scan-path BM25 over the final corpus: migration must
+    // be invisible to answers while the bytes actually go.
+    QueryDef(
+      "search_bm25_index_migrate",
+      Bm25IndexSql) { (s, d) =>
+      bm25MigrateBuild(s, d)
+      bm25IdxProbe("bm25-mig")(s, d)
     },
 
     // Training-data filter v2 — the composed gate using this round's
