@@ -1412,6 +1412,33 @@ object LlmQueries {
         .presentSorted(col("source"), col("doc_id"))
     },
 
+    // Same packing on the TWO-PASS distributed prefix sum (the
+    // giant-stratum scale path — no one-reducer-per-source window);
+    // output identical, same oracle.
+    QueryDef(
+      "pl_pack_sequences_dist",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(trim(text), ' '), x -> x <> ''))::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, (cum // 256)::BIGINT AS chunk_id,
+        |  (cum % 256)::BIGINT AS chunk_offset
+        |FROM c ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Corpus.packSequencesDistributed(t, "doc_id",
+        "source", "n_tokens", budget = 256)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("chunk_id"), col("chunk_offset"))
+        .presentSorted(col("source"), col("doc_id"))
+    },
+
     // Sliding-window CHUNKING with overlap (window 32, stride 24 —
     // the doc→passage step of embedding/retrieval pipelines, window
     // sized so the fixture's ~54-token docs produce multi-chunk
