@@ -363,6 +363,27 @@ object ScaleRehearsal {
         Corpus.mixtureBudgetTakeDistributed(tokStats, "doc_id", "source",
           "n_tokens", sources.map(_ -> perMille).toMap, mixTotal).count()
       }
+      // SINGLE-STRATUM stress: the whole corpus as ONE stratum is the
+      // regime the two-pass engines exist for — the windowed plans
+      // funnel every row through one reducer's sort+scan, the
+      // distributed ones keep range-partition parallelism.
+      val oneStratum = tokStats.withColumn("source", lit("all"))
+      timed(r, "cb_pack1_window") {
+        Corpus.packSequences(oneStratum, "doc_id", "source",
+          "n_tokens", budget = 4096).count()
+      }
+      timed(r, "cb_pack1_dist") {
+        Corpus.packSequencesDistributed(oneStratum, "doc_id", "source",
+          "n_tokens", budget = 4096).count()
+      }
+      timed(r, "cb_mixture1_window") {
+        Corpus.mixtureBudgetTake(oneStratum, "doc_id", "source",
+          "n_tokens", Map("all" -> 500), mixTotal).count()
+      }
+      timed(r, "cb_mixture1_dist") {
+        Corpus.mixtureBudgetTakeDistributed(oneStratum, "doc_id",
+          "source", "n_tokens", Map("all" -> 500), mixTotal).count()
+      }
       timed(r, "cb_chunk") {
         Corpus.chunkSlidingWindows(docs, "doc_id", "text",
           window = 128, overlap = 16).count()
