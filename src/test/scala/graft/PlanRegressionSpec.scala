@@ -32,7 +32,7 @@ class PlanRegressionSpec extends SparkSpec {
       "c14_stale_cutoff_sweep", "search_bm25_topk",
       "search_bm25_index_topk", "search_bm25_index_upsert",
       "search_bm25_index_delete", "search_bm25_index_vacuum",
-      "search_more_like_this",
+      "search_bm25_index_migrate", "search_more_like_this",
       "search_hybrid_rrf", "search_hybrid_rrf_multiprobe",
       "search_bm25_index_bucketed", "agg_histogram_price",
       "pl_iqr_outliers", "txt_unigram_logprob",
