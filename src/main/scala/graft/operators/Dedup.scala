@@ -129,12 +129,27 @@ object Dedup {
     * band_key, band_keys) — one row per (doc, band), each row still
     * carrying the doc's full key array so the candidate join can
     * compute a pair's minimum matching band IN-ROW (witness dedup).
-    * A narrow projection: band tables stored compact explode to this
-    * for free.
+    *
+    * The generator is `explode(transform(band_keys, …))`, NOT
+    * `posexplode(band_keys)` — a measured 20× whole-stage-codegen
+    * difference on the SAME logical rows when `band_keys` is an
+    * unmaterialized expensive projection (fresh [[lshBandKeys]]
+    * output): with a bare posexplode over the attribute, the child
+    * Project's band-key array (16 md5s over the 128-element native
+    * minhash signature) ends up re-evaluated inside the per-output-row
+    * Generate loop (~16×/doc — 20.3 s vs ~1 s at sf0.1, BENCH_r11's
+    * one regression), while the transform-wrapped generator forces the
+    * array to evaluate once per INPUT row before the loop.
+    * PlanRegressionSpec pins the shape (no bare posexplode in the
+    * dd_* plans).
     */
   def lshBandsFromKeys(keys: DataFrame): DataFrame =
-    keys.select(col("doc_id"), col("band_keys"),
-      posexplode(col("band_keys")).as(Seq("band", "band_key")))
+    keys
+      .select(col("doc_id"), col("band_keys"),
+        explode(transform(col("band_keys"), (k, i) =>
+          struct(i.as("band"), k.as("band_key")))).as("bk"))
+      .select(col("doc_id"), col("band_keys"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
 
   /** LSH banding: signature -> (doc_id, band, band_key, band_keys). */
   def lshBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame =

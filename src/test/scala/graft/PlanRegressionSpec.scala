@@ -183,6 +183,21 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("LSH banding keeps the transform-wrapped explode (no bare posexplode)") {
+    // lshBandsFromKeys must generate via explode(transform(band_keys,…)),
+    // never posexplode(band_keys): with a bare posexplode over the
+    // unmaterialized band-key projection, whole-stage codegen re-evaluates
+    // the 16-md5 band-key array (and the minhash signature under it)
+    // inside the per-output-row Generate loop — the measured 27× BENCH_r11
+    // regression. This string pin is timing-insensitive: the bad shape
+    // prints `posexplode(band_keys…)` in the executed plan.
+    Seq("dd_minhash_lsh_pairs", "dd_incremental_lsh").foreach { q =>
+      assert(!plans(q).contains("posexplode"),
+        s"$q: bare posexplode banding shape is back (codegen " +
+          "re-evaluates the band keys per output row)")
+    }
+  }
+
   test("partitioned ANN probe plans dynamic partition pruning") {
     // The bucket-partitioned layout exists so the probe reads only the
     // probed buckets' directories: the scan's partition filters must

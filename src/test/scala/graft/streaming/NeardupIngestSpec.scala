@@ -184,6 +184,26 @@ class NeardupIngestSpec extends SparkSpec {
     assert(Streams.neardupIngestBatch(nd, dir, "doc_id", "text", 0.8) == 0)
   }
 
+  test("batch banding plans the transform-wrapped explode (no bare posexplode)") {
+    // neardupIngestBatch bands fresh batch signatures through
+    // lshBandsFromKeys(lshBandKeys(sigs)); with a bare
+    // posexplode(band_keys) generator, whole-stage codegen re-evaluates
+    // the unmaterialized band-key projection (16 md5s over the native
+    // minhash signature) per OUTPUT row — the 27× BENCH_r11 regression.
+    // Pin the exact shape the ingest path builds, timing-insensitively.
+    import graft.operators.Dedup
+    val docs = Seq((1L, base)).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(
+      Dedup.hashedShingleArrays(docs, "doc_id", "text", 3), 128)
+    val plan = Dedup.lshBandsFromKeys(Dedup.lshBandKeys(sigs, 128, 16))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("posexplode"),
+      "batch banding regressed to a bare posexplode over the band-key " +
+        "projection (per-output-row re-evaluation in codegen)")
+    assert(plan.contains("explode(transform("),
+      s"batch banding lost its transform-wrapped explode generator")
+  }
+
   test("neardupIngestSink drives batches through foreachBatch") {
     val dir = java.nio.file.Files.createTempDirectory("nd-ingest").toString
     val ckpt = java.nio.file.Files.createTempDirectory("nd-ckpt").toString
