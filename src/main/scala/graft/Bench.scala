@@ -201,6 +201,44 @@ object Bench {
     val failed = queries.map(_._1).filterNot(results.map(_._1).toSet)
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    // WALL-TIME REGRESSION GATE. BENCH_r11 proved that a 27× per-query
+    // regression can ship with green oracles, green tests, and green
+    // plan-shape pins (whole-stage-codegen evaluation order is invisible
+    // to all three) — only the bench caught it, a round too late. So the
+    // bench itself now compares every query against the committed
+    // reference (tools/bench_reference.json, refreshed each accepted
+    // round): a query counts as regressed when it exceeds 2× its
+    // reference AND is at least 0.75 s absolute over it (sub-second
+    // queries jitter past 2× on page-cache luck alone). Report-only by
+    // default — regressions land in the output JSON, the short line's
+    // n_regressed, and loud stderr; SPARK_GRAFT_BENCH_GATE=strict turns
+    // them into a nonzero exit for CI-style use.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      "tools/bench_reference.json")
+    val refTimes: Map[String, Double] =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(refPath))
+        val q = node.get("queries")
+        if (q == null) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          q.properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        }
+      } catch { case _: Exception => Map.empty }
+    val regressions = results.flatMap { case (name, sec) =>
+      refTimes.get(name).collect {
+        case ref if sec > ref * 2.0 && sec - ref > 0.75 => (name, sec, ref)
+      }
+    }
+    regressions.foreach { case (n, s, ref) =>
+      System.err.println(f"[bench] REGRESSION $n: ${s}%.3f s vs " +
+        f"reference ${ref}%.3f s (${s / ref}%.1fx) - investigate before " +
+        "shipping; refresh tools/bench_reference.json only with a " +
+        "written justification")
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -226,14 +264,19 @@ object Bench {
     // store-build seconds are here. queries.<name> = build + min(probe).
     val buildsJson = buildSecs
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val regressionsJson = regressions.map { case (n, s, ref) =>
+      "\"" + n + "\":{\"sec\":" + r3(s) + ",\"ref\":" + r3(ref) + "}"
+    }.mkString("{", ",", "}")
     val fullWithDiag = full.dropRight(1) +
       s""","passes":$passesJson,"gc_ms_total":${gcMillis()},""" +
       s""""code_cache_used_mb":${codeCacheUsedMb()},""" +
       s""""lifecycle_builds":$buildsJson,""" +
+      s""""regressions":$regressionsJson,""" +
+      s""""regression_ref":"${if (refTimes.isEmpty) "" else refPath}",""" +
       s""""schedule":{"heavy_first":$heavyJson,"heavy_passes":$heavyPasses,""" +
       s""""gc_barrier_after_heavy":true}}"""
     val short =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_regressed":${regressions.size},"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullWithDiag + "\n").getBytes("UTF-8"))
@@ -246,5 +289,8 @@ object Bench {
     println(short)
     Console.out.flush()
     spark.stop()
+    if (regressions.nonEmpty &&
+        sys.env.get("SPARK_GRAFT_BENCH_GATE").contains("strict"))
+      sys.exit(1)
   }
 }

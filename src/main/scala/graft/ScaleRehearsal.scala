@@ -54,7 +54,13 @@ object ScaleRehearsal {
     val scales = (if (args.nonEmpty) args.toSeq else Seq("1", "10", "100"))
       .map(_.toInt)
     val phases = sys.env.getOrElse("SPARK_GRAFT_PHASES", "stores,corpus")
-      .split(",").map(_.trim).toSet
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // Fail fast on a typo'd phase token: silently running NO phases
+    // still writes an output file, which reads as a healthy run.
+    val known = Set("stores", "corpus")
+    require(phases.nonEmpty && phases.subsetOf(known),
+      s"SPARK_GRAFT_PHASES must name ${known.mkString("/")}, " +
+        s"got: ${phases.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -287,6 +287,9 @@ object Corpus {
       .join(broadcast(budgets), Seq(stratumCol), "left")
       .filter(col("__budget") > 0 && col("__cum") <= col("__budget"))
       .withColumn("cum_tokens", col("__cum"))
+      // Same output SCHEMA as the windowed mixtureBudgetTake, not just
+      // the same rows — drop-in consumers select(*) / unionByName.
+      .drop("__cum", "__budget")
   }
 
   /** Two-pass distributed EXCLUSIVE per-stratum running token sum in

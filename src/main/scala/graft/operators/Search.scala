@@ -388,13 +388,19 @@ object Search {
     // BEFORE the orphan sweep or the sweep destroys the store.
     repairCrashedSwap(fs, dir): Unit
     val committed = committedBatches(spark, dir)
+    // Flat batch ids read ONCE per table for the whole pass (the flat
+    // files never change within it — rewrites land in b<id> dirs);
+    // reused by both sweeps and the forced-rewrite selection below.
+    val flatIds = Seq("postings", "docs").map(t =>
+      t -> graft.sources.Commits.flatBatchIds(spark, s"$dir/$t")).toMap
     Seq("postings", "docs").foreach { t =>
       graft.sources.Commits
         .sweepOrphanBatchDirs(spark, s"$dir/$t", committed)
       // File-level analog of the orphan sweep: legacy flat files whose
       // batches are no longer committed (a crash between a previous
       // migration's uncommit and its delete) go now.
-      graft.sources.Commits.sweepFlatFiles(spark, s"$dir/$t", committed)
+      graft.sources.Commits.sweepFlatFiles(spark, s"$dir/$t", committed,
+        flatIds(t))
     }
     graft.sources.Commits.pruneAttemptMarkers(spark, dir)
     if (committed.isEmpty) return 0
@@ -402,16 +408,16 @@ object Search {
     // are FORCED into the rewrite regardless of dead fraction — the
     // only way the incremental cadence can ever reclaim their bytes
     // (see Commits.committedFlatBatches).
-    val legacyFlat = Seq("postings", "docs").flatMap(t => graft.sources
-      .Commits.committedFlatBatches(spark, s"$dir/$t", committed))
-      .distinct.sorted
+    val legacyFlat = flatIds.values.flatten.toSeq
+      .filter(committed.contains).distinct.sorted
     val selected = (dirtyBatches(spark, dir, committed, minDeadFraction)
       ++ legacyFlat).distinct.sorted
     if (selected.isEmpty) return 0
     vacuumRewriteAndCommit(spark, dir, committed, selected)
     dropReclaimedBatches(spark, fs, dir, selected)
     Seq("postings", "docs").foreach(t => graft.sources.Commits
-      .sweepFlatFiles(spark, s"$dir/$t", committedBatches(spark, dir)))
+      .sweepFlatFiles(spark, s"$dir/$t", committedBatches(spark, dir),
+        flatIds(t)))
     selected.size
    }
 
@@ -434,10 +440,14 @@ object Search {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCrashedSwap(fs, dir): Unit  // see indexVacuumIncremental
     val committed = committedBatches(spark, dir)
+    // One flat-batch read per table per pass — see indexVacuumIncremental.
+    val flatIds = Seq("postings", "docs").map(t =>
+      t -> graft.sources.Commits.flatBatchIds(spark, s"$dir/$t")).toMap
     Seq("postings", "docs").foreach { t =>
       graft.sources.Commits
         .sweepOrphanBatchDirs(spark, s"$dir/$t", committed)
-      graft.sources.Commits.sweepFlatFiles(spark, s"$dir/$t", committed)
+      graft.sources.Commits.sweepFlatFiles(spark, s"$dir/$t", committed,
+        flatIds(t))
     }
     graft.sources.Commits.pruneAttemptMarkers(spark, dir)
     if (committed.isEmpty) return 0
@@ -445,9 +455,8 @@ object Search {
       .getOrElse(return 0)
     // Legacy flat batches fold in even when the batch count is within
     // bound — compaction is also the migration off the flat layout.
-    val legacyFlat = Seq("postings", "docs").flatMap(t => graft.sources
-      .Commits.committedFlatBatches(spark, s"$dir/$t", committed))
-      .distinct.sorted
+    val legacyFlat = flatIds.values.flatten.toSeq
+      .filter(committed.contains).distinct.sorted
     val selected = (graft.sources.Commits
       .compactionSelection(docs, committed, maxBatches)
       ++ legacyFlat).distinct.sorted
@@ -455,7 +464,8 @@ object Search {
     vacuumRewriteAndCommit(spark, dir, committed, selected)
     dropReclaimedBatches(spark, fs, dir, selected)
     Seq("postings", "docs").foreach(t => graft.sources.Commits
-      .sweepFlatFiles(spark, s"$dir/$t", committedBatches(spark, dir)))
+      .sweepFlatFiles(spark, s"$dir/$t", committedBatches(spark, dir),
+        flatIds(t)))
     selected.size
    }
 

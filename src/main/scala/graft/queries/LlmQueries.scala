@@ -157,7 +157,8 @@ object LlmQueries {
         concat(lit("stale draft spark spark vector "), col("text")))
         .otherwise(col("text")))
     Search.buildIndex(stale, "doc_id", "text", dir)
-    Seq("docs", "postings").foreach(t => rewindToFlatLayout(s, s"$dir/$t"))
+    Seq("docs", "postings").foreach(t =>
+      graft.sources.Commits.rewindToFlatLayout(s, s"$dir/$t"))
     // True content lands as a NEW-layout generation on the flat store.
     Search.indexAppend(base, "doc_id", "text", dir): Unit
     val reclaimed = Search.indexVacuumIncremental(s, dir)
@@ -170,26 +171,6 @@ object LlmQueries {
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
       require(!flat, s"legacy flat files survived the migration in $t")
-    }
-  }
-
-  /** Move every `b<id>` batch dir's data files up to the table root
-    * (batch-prefixed against name collisions) and drop the dirs — the
-    * legacy flat append layout the migration path exists for.
-    */
-  private def rewindToFlatLayout(s: SparkSession, table: String): Unit = {
-    val base = new org.apache.hadoop.fs.Path(table)
-    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    for (dir <- fs.listStatus(base)
-        if dir.isDirectory && dir.getPath.getName.startsWith("b") &&
-          dir.getPath.getName.drop(1).forall(_.isDigit)) {
-      for (f <- fs.listStatus(dir.getPath) if f.isFile) {
-        val n = f.getPath.getName
-        if (!n.startsWith("_") && !n.startsWith("."))
-          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(base,
-            s"${dir.getPath.getName}-$n")): Unit
-      }
-      fs.delete(dir.getPath, true): Unit
     }
   }
 

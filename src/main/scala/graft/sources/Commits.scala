@@ -215,14 +215,27 @@ object Commits {
     * batch-column scan of just the flat files otherwise.
     */
   def committedFlatBatches(spark: SparkSession, tableDir: String,
-      committed: Seq[Long]): Seq[Long] = {
+      committed: Seq[Long]): Seq[Long] =
+    flatBatchIds(spark, tableDir).filter(committed.contains)
+
+  /** ALL batch ids with rows in `tableDir`'s legacy flat files —
+    * committed or not. One skinny batch-column scan of just the flat
+    * files; no Spark job at all (one listing) when nothing flat exists,
+    * which is every mutation of a store born in the per-batch layout.
+    * A maintenance pass reads this ONCE per table and reuses it for the
+    * repair sweep, the forced-rewrite selection, and the final sweep
+    * (the [[sweepFlatFiles]] overload): the flat FILES never change
+    * within a pass — rewrites land in fresh `b<id>` dirs — only the
+    * committed set does.
+    */
+  def flatBatchIds(spark: SparkSession, tableDir: String): Seq[Long] = {
     val base = new org.apache.hadoop.fs.Path(tableDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = flatDataFiles(fs, base)
     if (files.isEmpty) Seq.empty
     else spark.read.parquet(files.map(_.toString): _*)
       .select(col("batch")).distinct().collect()
-      .map(_.getLong(0)).filter(committed.contains).sorted.toSeq
+      .map(_.getLong(0)).sorted.toSeq
   }
 
   /** Delete `tableDir`'s legacy flat files once NO committed batch
@@ -233,15 +246,45 @@ object Commits {
     * flat row is still committed-readable.
     */
   def sweepFlatFiles(spark: SparkSession, tableDir: String,
-      committed: Seq[Long]): Unit = {
+      committed: Seq[Long]): Unit =
+    sweepFlatFiles(spark, tableDir, committed,
+      flatBatchIds(spark, tableDir))
+
+  /** [[sweepFlatFiles]] with the flat batch ids pre-read by
+    * [[flatBatchIds]] — a maintenance pass scans the flat batch column
+    * once per table instead of once per sweep (up to three scans per
+    * table per migration pass otherwise).
+    */
+  def sweepFlatFiles(spark: SparkSession, tableDir: String,
+      committed: Seq[Long], flatIds: Seq[Long]): Unit = {
     val base = new org.apache.hadoop.fs.Path(tableDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = flatDataFiles(fs, base)
-    if (files.nonEmpty) {
-      val live = spark.read.parquet(files.map(_.toString): _*)
-        .select(col("batch")).distinct().collect().map(_.getLong(0))
-      if (!live.exists(committed.contains))
-        files.foreach(f => fs.delete(f, false): Unit)
+    if (files.nonEmpty && !flatIds.exists(committed.contains))
+      files.foreach(f => fs.delete(f, false): Unit)
+  }
+
+  /** INVERSE of the flat-layout migration — rewrite a per-batch table
+    * dir back into the legacy pre-`b<id>` flat append layout: every
+    * batch dir's data files move up to the table root (batch-prefixed
+    * so names cannot collide) and the dirs are dropped. A FIXTURE for
+    * migration specs and the bench's migration build (no production
+    * path ever un-migrates); lives here so the test suite and the
+    * bench queries share one copy of the layout rules.
+    */
+  def rewindToFlatLayout(spark: SparkSession, table: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(table)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (d <- fs.listStatus(base)
+        if d.isDirectory && d.getPath.getName.startsWith("b") &&
+          d.getPath.getName.drop(1).forall(_.isDigit)) {
+      for (f <- fs.listStatus(d.getPath) if f.isFile) {
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith("."))
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(base,
+            s"${d.getPath.getName}-$n")): Unit
+      }
+      fs.delete(d.getPath, true): Unit
     }
   }
 

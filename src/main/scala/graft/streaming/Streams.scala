@@ -442,11 +442,14 @@ object Streams {
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = graft.sources.Commits.committed(spark, storeDir)
+    // One flat-batch read per table per pass (see Commits.flatBatchIds).
+    val flatIds = Seq("chunks", "docs").map(t =>
+      t -> graft.sources.Commits.flatBatchIds(spark, s"$storeDir/$t")).toMap
     Seq("chunks", "docs").foreach { t =>
       graft.sources.Commits
         .sweepOrphanBatchDirs(spark, s"$storeDir/$t", committed)
       graft.sources.Commits
-        .sweepFlatFiles(spark, s"$storeDir/$t", committed)
+        .sweepFlatFiles(spark, s"$storeDir/$t", committed, flatIds(t))
     }
     graft.sources.Commits.pruneAttemptMarkers(spark, storeDir)
     if (committed.isEmpty) return 0
@@ -471,16 +474,15 @@ object Streams {
       .map(_.getAs[Long]("batch")).toSeq.sorted
     // Legacy flat-layout batches are forced into the rewrite — the
     // only path that reclaims their bytes (Commits.committedFlatBatches).
-    val withFlat = (selected ++ Seq("chunks", "docs").flatMap(t =>
-      graft.sources.Commits
-        .committedFlatBatches(spark, s"$storeDir/$t", committed)))
+    val withFlat = (selected ++ flatIds.values.flatten.toSeq
+      .filter(committed.contains))
       .distinct.sorted
     if (withFlat.isEmpty) return 0
     chunkRewriteAndCommit(spark, storeDir, committed, withFlat)
     dropChunkBatches(spark, fs, storeDir, withFlat)
     Seq("chunks", "docs").foreach(t => graft.sources.Commits
       .sweepFlatFiles(spark, s"$storeDir/$t",
-        graft.sources.Commits.committed(spark, storeDir)))
+        graft.sources.Commits.committed(spark, storeDir), flatIds(t)))
     withFlat.size
    }
 
@@ -494,11 +496,14 @@ object Streams {
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = graft.sources.Commits.committed(spark, storeDir)
+    // One flat-batch read per table per pass (see Commits.flatBatchIds).
+    val flatIds = Seq("chunks", "docs").map(t =>
+      t -> graft.sources.Commits.flatBatchIds(spark, s"$storeDir/$t")).toMap
     Seq("chunks", "docs").foreach { t =>
       graft.sources.Commits
         .sweepOrphanBatchDirs(spark, s"$storeDir/$t", committed)
       graft.sources.Commits
-        .sweepFlatFiles(spark, s"$storeDir/$t", committed)
+        .sweepFlatFiles(spark, s"$storeDir/$t", committed, flatIds(t))
     }
     graft.sources.Commits.pruneAttemptMarkers(spark, storeDir)
     if (committed.isEmpty) return 0
@@ -507,15 +512,14 @@ object Streams {
       .getOrElse(return 0)
     val selected = (graft.sources.Commits
       .compactionSelection(docs, committed, maxBatches)
-      ++ Seq("chunks", "docs").flatMap(t => graft.sources.Commits
-        .committedFlatBatches(spark, s"$storeDir/$t", committed)))
+      ++ flatIds.values.flatten.toSeq.filter(committed.contains))
       .distinct.sorted
     if (selected.isEmpty) return 0
     chunkRewriteAndCommit(spark, storeDir, committed, selected)
     dropChunkBatches(spark, fs, storeDir, selected)
     Seq("chunks", "docs").foreach(t => graft.sources.Commits
       .sweepFlatFiles(spark, s"$storeDir/$t",
-        graft.sources.Commits.committed(spark, storeDir)))
+        graft.sources.Commits.committed(spark, storeDir), flatIds(t)))
     selected.size
    }
 

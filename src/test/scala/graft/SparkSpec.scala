@@ -10,25 +10,12 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
 
   /** Rewrite a generational table dir into the LEGACY pre-`b<id>` flat
-    * append layout: every batch dir's data files move up to the table
-    * root (batch-prefixed so names cannot collide) and the dirs go —
-    * the fixture for the flat-store migration specs.
+    * append layout — the fixture for the flat-store migration specs
+    * (one shared implementation: [[graft.sources.Commits
+    * .rewindToFlatLayout]], also used by the bench's migration build).
     */
-  protected def flattenBatchDirs(table: String): Unit = {
-    val base = new org.apache.hadoop.fs.Path(table)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (d <- fs.listStatus(base)
-        if d.isDirectory && d.getPath.getName.startsWith("b") &&
-          d.getPath.getName.drop(1).forall(_.isDigit)) {
-      for (f <- fs.listStatus(d.getPath) if f.isFile) {
-        val n = f.getPath.getName
-        if (!n.startsWith("_") && !n.startsWith("."))
-          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(base,
-            s"${d.getPath.getName}-$n")): Unit
-      }
-      fs.delete(d.getPath, true): Unit
-    }
-  }
+  protected def flattenBatchDirs(table: String): Unit =
+    graft.sources.Commits.rewindToFlatLayout(spark, table)
 
   /** The table dir's top-level data files (the legacy flat residue the
     * migration must reclaim).

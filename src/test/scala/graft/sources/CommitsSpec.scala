@@ -86,6 +86,30 @@ class CommitsSpec extends SparkSpec {
     assert(Commits.allocateBatchId(spark, dir, Seq(dir)) == 4L)
   }
 
+  test("a committed b<id> dir holding only hidden files reads as empty, " +
+      "not as a schema-inference failure") {
+    import spark.implicits._
+    val dir = tmp()
+    // b0 holds real data; b1 is a committed batch whose dir holds ONLY
+    // hidden files (a stray .crc checksum — e.g. data files deleted by
+    // a half-finished external cleanup). The same visibility predicate
+    // must gate both the per-batch presence check and the flat check:
+    // passing the .crc-only dir to the parquet reader would fail schema
+    // inference and take the whole store read down with it.
+    Seq((1L, 0L)).toDF("id", "batch").write.parquet(s"$dir/b0")
+    val crcOnly = new org.apache.hadoop.fs.Path(s"$dir/b1/.f1.parquet.crc")
+    val fs = crcOnly.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(crcOnly.getParent)
+    fs.create(crcOnly, true).close()
+    Seq(0L, 1L).foreach(Commits.commit(spark, dir, _))
+    val committed = Commits.committed(spark, dir).sorted
+    val read = Commits.readCommittedBatches(spark, dir, committed).get
+      .select("id").as[Long].collect().toSeq
+    assert(read == Seq(1L), s"expected only b0's row, got $read")
+    // With NO readable batch at all, the read is None — not a throw.
+    assert(Commits.readCommittedBatches(spark, dir, Seq(1L)).isEmpty)
+  }
+
   test("mid-migration mix: flat and b<id> rows each read exactly once; " +
       "flat sweep refuses while committed") {
     import spark.implicits._

@@ -62,13 +62,26 @@ class CrossJvmLockSpec extends SparkSpec {
     }
   }
 
+  /** `waitFor` with a bound: a wedged child JVM (e.g. a Spark startup
+    * hang) must fail the test, not block the whole suite forever.
+    */
+  private def waitBounded(p: Process, out: Output,
+      timeoutMs: Long = 180000): Int = {
+    if (!p.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+      p.destroyForcibly(): Unit
+      fail(s"child JVM did not exit within ${timeoutMs / 1000}s; " +
+        s"output so far:\n${out.all.mkString("\n")}")
+    }
+    p.exitValue()
+  }
+
   test("a second real JVM is refused while this JVM holds the lease") {
     val dir = tmp()
     Commits.acquireWriterLock(spark, dir)
     try {
       val p = fork(dir, ttlMs = Commits.DefaultLockTtlMs, holdMs = 0)
       val out = new Output(p)
-      assert(p.waitFor() == 2,
+      assert(waitBounded(p, out) == 2,
         s"child should be refused; output:\n${out.all.mkString("\n")}")
       assert(!out.all.exists(_.startsWith("HELD")))
     } finally Commits.releaseWriterLock(spark, dir)
@@ -91,7 +104,7 @@ class CrossJvmLockSpec extends SparkSpec {
         fail("entered a critical section another process holds")
       }
     }
-    assert(p.waitFor() == 0,
+    assert(waitBounded(p, out) == 0,
       s"child should release cleanly; output:\n${out.all.mkString("\n")}")
     // The child allocated a batch id under its lease; ours continues
     // the same sequence — one ledger, no double id across JVMs.
@@ -117,7 +130,7 @@ class CrossJvmLockSpec extends SparkSpec {
     fs.setTimes(lock, old, old)
     val p = fork(dir, ttlMs = 1000, holdMs = 0)
     val out = new Output(p)
-    assert(p.waitFor() == 0,
+    assert(waitBounded(p, out) == 0,
       s"child should break the stale lease; output:\n" +
         out.all.mkString("\n"))
     assert(out.all.exists(_.startsWith("HELD")))
