@@ -43,9 +43,11 @@ import org.apache.spark.sql.functions._
   *   cb_chunk         sliding-window chunking 128/16
   *   cb_paragraph_dedup  8-token units, first-occurrence global dedup
   *
-  * `SPARK_GRAFT_PHASES` (comma list of `stores`, `corpus`; default
-  * both) selects the phase families — the corpus-build sweep can run
-  * on its own without rebuilding the standing stores.
+  * `SPARK_GRAFT_PHASES` (comma list of `stores`, `ann`, `dedup`,
+  * `corpus`; default `stores,corpus`) selects the phase families —
+  * the corpus-build sweep, the ANN lifecycle, or the near-dup
+  * clustering trio can each run on their own (against reused
+  * fixtures, `SPARK_GRAFT_REUSE=1`) without rebuilding everything.
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
@@ -57,7 +59,10 @@ object ScaleRehearsal {
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // Fail fast on a typo'd phase token: silently running NO phases
     // still writes an output file, which reads as a healthy run.
-    val known = Set("stores", "corpus")
+    // `stores` = the full lifecycle (bm25 + ann + dedup); `ann` and
+    // `dedup` re-run just their family against reused fixtures, so a
+    // targeted re-measurement does not pay the bm25 build/vacuum tax.
+    val known = Set("stores", "ann", "dedup", "corpus")
     require(phases.nonEmpty && phases.subsetOf(known),
       s"SPARK_GRAFT_PHASES must name ${known.mkString("/")}, " +
         s"got: ${phases.mkString(",")}")
@@ -135,9 +140,13 @@ object ScaleRehearsal {
       val emb = spark.read.parquet(embPath)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
+      val idx = s"$root/bm25/index"
+      val ann = s"$root/ann/idx"
+      val annPart = s"$root/annpart/part"
+      val queryVecs = emb.filter(col("id") < 10)
+
       if (phases.contains("stores")) {
       // ---- standing inverted index lifecycle
-      val idx = s"$root/bm25/index"
       timed(r, "bm25_build") {
         Search.buildIndex(docs.select(col("doc_id"), col("text")),
           "doc_id", "text", idx)
@@ -180,9 +189,10 @@ object ScaleRehearsal {
         Search.phraseFromIndexTopK(spark, idx, Seq("table", "hash"), 10)
       }
 
+      }
+
+      if (phases.contains("stores") || phases.contains("ann")) {
       // ---- standing ANN store lifecycle
-      val ann = s"$root/ann/idx"
-      val annPart = s"$root/annpart/part"
       timed(r, "ann_build") {
         Similarity.annStoreAppend(emb, ann, planes = 8, dims = 64)
       }
@@ -197,7 +207,6 @@ object ScaleRehearsal {
       timed(r, "ann_partition") {
         Similarity.annStorePartition(spark, ann, annPart); -1L
       }
-      val queryVecs = emb.filter(col("id") < 10)
       probe(r, "probe_ann") {
         Similarity.annStoreTopK(spark, ann, queryVecs,
           planes = 8, dims = 64, k = 3)
@@ -206,12 +215,15 @@ object ScaleRehearsal {
         Similarity.annStorePartitionedTopK(spark, annPart, queryVecs,
           planes = 8, dims = 64, k = 3)
       }
-      probe(r, "probe_hybrid") {
+      // Hybrid fuses BOTH stores — only meaningful in a full run.
+      if (phases.contains("stores")) probe(r, "probe_hybrid") {
         Search.hybridTopK(spark, idx, ann,
           Seq("spark", "vector", "stream", "merge"), queryVecs,
           planes = 8, dims = 64, k = 10)
       }
+      }
 
+      if (phases.contains("stores")) {
       // ---- INCREMENTAL vacuum cadence: a realistic maintenance
       // interval against the ALREADY-COMPACTED stores — a fixed small
       // mutation wave (500 changed docs delivered twice, 300 of them
@@ -274,6 +286,9 @@ object ScaleRehearsal {
         Search.bm25FromIndexTopK(spark, idx,
           Seq("spark", "vector", "stream", "merge"), 10)
       }
+      }
+
+      if (phases.contains("stores") || phases.contains("ann")) {
       val smallVecs = Tables.embeddings(spark, sfDir).limit(500)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       timed(r, "ann_upsert_small") {
@@ -301,6 +316,9 @@ object ScaleRehearsal {
           planes = 8, dims = 64, k = 3)
       }
 
+      }
+
+      if (phases.contains("stores") || phases.contains("dedup")) {
       // ---- near-dup clustering over the scaled corpus
       val hsArr = Dedup.hashedShingleArrays(
         docs.select(col("doc_id"), col("text")), "doc_id", "text", 3)
