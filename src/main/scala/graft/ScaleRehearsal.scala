@@ -325,14 +325,16 @@ object ScaleRehearsal {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var pairs: DataFrame = null
       timed(r, "dd_pairs") {
-        pairs = Dedup.jaccard(
-          Dedup.lshCandidatePairs(
-            Dedup.lshBands(Dedup.minhashSignatures(hsArr, 128), 128, 16)),
-          hsArr)
+        val keys = Dedup.lshBandKeys(
+          Dedup.minhashSignatures(hsArr, 128), 128, 16)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs = Dedup.jaccard(Dedup.lshCandidatePairsFromKeys(keys), hsArr)
           .filter(col("jaccard") >= 0.5)
           .select(col("a"), col("b"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pairs.count()
+        val n = pairs.count()
+        keys.unpersist()
+        n
       }
       var clusters: DataFrame = null
       timed(r, "dd_cluster") {

@@ -185,18 +185,63 @@ object Dedup {
   private def minMatchingBand(ka: Column, kb: Column): Column =
     array_position(zip_with(ka, kb, (p, q) => p === q), true) - 1
 
+  /** Candidate pairs (a < b) from the COMPACT per-doc key frame
+    * (doc_id, band_keys — [[lshBandKeys]] output, or a standing
+    * store's band table read back from parquet) — the scale path.
+    *
+    * WITNESS DEDUP, no pair-`distinct()` exchange: a pair agreeing in
+    * k bands meets once per matching band, and only the emission from
+    * the pair's minimum matching band survives, in-row. The witness
+    * needs both docs' full key arrays — but carrying them ON the
+    * banded rows ships every doc's array once PER BAND through the
+    * bucket-join shuffle (16× duplication: measured 13 GB/side vs
+    * 1.6 GB narrow at 5 M docs — the 1000× rehearsal's dominant cost).
+    * So the bucket join here is NARROW (band, band_key, doc_id); the
+    * key arrays join back onto the EMISSION stream (tiny by
+    * construction — banding exists to keep it near the true-pair
+    * count) by doc id, each doc's array shipped once per side. Same
+    * emissions, same witness predicate, ~8× less shuffle.
+    *
+    * `keys` is read four times (two explode sides, two witness
+    * joins) — persist it; it is the compact 16-longs-per-doc frame,
+    * orders of magnitude under the corpus.
+    */
+  def lshCandidatePairsFromKeys(keys: DataFrame): DataFrame = {
+    val bands = keys.select(col("doc_id"),
+      explode(transform(col("band_keys"), (k, i) =>
+        struct(i.as("band"), k.as("band_key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+    val emissions = bands.select(col("band"), col("band_key"),
+        col("doc_id").as("a"))
+      .join(bands.select(col("band"), col("band_key"),
+        col("doc_id").as("b")), Seq("band", "band_key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("band"))
+    emissions
+      .join(keys.select(col("doc_id").as("a"), col("band_keys").as("__ka")),
+        Seq("a"))
+      .join(keys.select(col("doc_id").as("b"), col("band_keys").as("__kb")),
+        Seq("b"))
+      .filter(col("band") === minMatchingBand(col("__ka"), col("__kb")))
+      .select(col("a"), col("b"))
+  }
+
   /** Candidate pairs (a < b) sharing at least one LSH band bucket. The
     * join key is (band, band_key) — only same-bucket docs ever meet.
     *
     * WITNESS DEDUP, no pair-`distinct()` exchange: a pair agreeing in
     * k bands meets once per matching band; each side carries its full
-    * band-key array (bands longs — trivial width) and only the
-    * emission from the pair's minimum matching band survives, in-row.
-    * At 100 TB the near-dup candidate stream is the corpus build's
-    * biggest intermediate; re-shuffling it just to drop duplicate
-    * emissions was the last pair-`distinct()` in the dedup family.
-    * Legacy banded input (md5-string keys, no `band_keys` column)
-    * falls back to the exchange-based dedup.
+    * band-key array and only the emission from the pair's minimum
+    * matching band survives, in-row. At 100 TB the near-dup candidate
+    * stream is the corpus build's biggest intermediate; re-shuffling
+    * it just to drop duplicate emissions was the last pair-
+    * `distinct()` in the dedup family. NOTE the carried arrays ship
+    * once per (doc, band) through the bucket join — when starting
+    * from compact keys, [[lshCandidatePairsFromKeys]] is the same
+    * witness with ~8× less shuffle and is what the registered queries
+    * and the ingest path use. Legacy banded input (md5-string keys,
+    * no `band_keys` column) falls back to the exchange-based dedup.
     */
   def lshCandidatePairs(bands: DataFrame): DataFrame =
     if (!bands.columns.contains("band_keys")) {
@@ -229,6 +274,37 @@ object Dedup {
     * inputs on BOTH sides fall back to `distinct()`; mixed formats are
     * rejected — the key spaces are disjoint, a silent empty join).
     */
+  /** [[lshIncrementalCandidates]] from COMPACT key frames (doc_id,
+    * band_keys) on both sides — the standing store's band table is
+    * STORED in exactly this form, so the store side explodes narrow
+    * rows straight off the scan and no side ever ships key arrays
+    * through the bucket join (the [[lshCandidatePairsFromKeys]]
+    * shuffle argument; the witness joins the compact frames back onto
+    * the cross-emission stream). Output: (a = store doc, b = batch
+    * doc), exactly one row per candidate pair.
+    */
+  def lshIncrementalCandidatesFromKeys(storeKeys: DataFrame,
+      batchKeys: DataFrame): DataFrame = {
+    def bandsOf(keys: DataFrame) = keys.select(col("doc_id"),
+      explode(transform(col("band_keys"), (k, i) =>
+        struct(i.as("band"), k.as("band_key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+    val emissions = bandsOf(storeKeys)
+      .select(col("band"), col("band_key"), col("doc_id").as("a"))
+      .join(bandsOf(batchKeys)
+        .select(col("band"), col("band_key"), col("doc_id").as("b")),
+        Seq("band", "band_key"))
+      .select(col("a"), col("b"), col("band"))
+    emissions
+      .join(storeKeys.select(col("doc_id").as("a"),
+        col("band_keys").as("__ka")), Seq("a"))
+      .join(batchKeys.select(col("doc_id").as("b"),
+        col("band_keys").as("__kb")), Seq("b"))
+      .filter(col("band") === minMatchingBand(col("__ka"), col("__kb")))
+      .select(col("a"), col("b"))
+  }
+
   def lshIncrementalCandidates(storeBands: DataFrame,
       batchBands: DataFrame): DataFrame = {
     val storeKeyed = storeBands.columns.contains("band_keys")

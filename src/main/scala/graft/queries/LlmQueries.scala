@@ -707,8 +707,12 @@ object LlmQueries {
       // hashed arrays are an order of magnitude smaller than the text.
       val hsArr = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = Dedup.lshCandidatePairs(
-        Dedup.lshBands(Dedup.minhashSignatures(hsArr, 128), 128, 16))
+      // Compact keys persisted: four readers (two explode sides, two
+      // witness joins), 16 longs/doc — see lshCandidatePairsFromKeys.
+      val keys = Dedup.lshBandKeys(
+        Dedup.minhashSignatures(hsArr, 128), 128, 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Dedup.lshCandidatePairsFromKeys(keys)
       Dedup.jaccard(cand, hsArr)
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
@@ -733,9 +737,11 @@ object LlmQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val batchHs = Dedup.hashedShingleArrays(batch, "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = Dedup.lshIncrementalCandidates(
-        Dedup.lshBands(Dedup.minhashSignatures(storeHs, 128), 128, 16),
-        Dedup.lshBands(Dedup.minhashSignatures(batchHs, 128), 128, 16))
+      def keysOf(hs: DataFrame) = Dedup.lshBandKeys(
+        Dedup.minhashSignatures(hs, 128), 128, 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Dedup.lshIncrementalCandidatesFromKeys(
+        keysOf(storeHs), keysOf(batchHs))
       Dedup.jaccard(cand, storeHs.unionByName(batchHs))
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
@@ -755,8 +761,9 @@ object LlmQueries {
       val corpus = nearDupCorpus(Tables.documents(s, d))
       val hsArr = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = Dedup.lshCandidatePairs(
-        Dedup.lshBands(Dedup.minhashSignatures(hsArr, 128), 128, 16))
+      val cand = Dedup.lshCandidatePairsFromKeys(
+        Dedup.lshBandKeys(Dedup.minhashSignatures(hsArr, 128), 128, 16)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val pairs = Dedup.jaccard(cand, hsArr)
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"))
@@ -803,8 +810,9 @@ object LlmQueries {
       val corpus = nearDupCorpus(Tables.documents(s, d))
       val hsArr = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = Dedup.lshCandidatePairs(
-        Dedup.lshBands(Dedup.minhashSignatures(hsArr, 128), 128, 16))
+      val cand = Dedup.lshCandidatePairsFromKeys(
+        Dedup.lshBandKeys(Dedup.minhashSignatures(hsArr, 128), 128, 16)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val pairs = Dedup.jaccard(cand, hsArr)
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"))

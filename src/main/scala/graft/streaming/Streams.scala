@@ -868,28 +868,37 @@ object Streams {
     val legacyBands = storeBandRows.exists(df =>
       !df.columns.contains("band_keys"))
     val sigs = Dedup.minhashSignatures(batchHs, 128)
+    // Compact keys persisted: the candidate paths read them four ways
+    // (explode sides + witness joins) and the store write reuses them.
     val batchKeys =
-      if (legacyBands) None else Some(Dedup.lshBandKeys(sigs, 128, 16))
-    val batchBands =
-      if (legacyBands) Dedup.lshBandsMd5(sigs, 128, 16)
-      else Dedup.lshBandsFromKeys(batchKeys.get)
+      if (legacyBands) None
+      else Some(Dedup.lshBandKeys(sigs, 128, 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // Near-dups vs the standing index (batch side = b), then vs
     // lower-id docs in the same batch (drop the higher id of a pair —
     // the ingest-gate reading of "keep the canonical representative").
+    // New-format stores keep bands COMPACT on disk, so the FromKeys
+    // candidate paths explode narrow rows straight off the scan and
+    // never ship key arrays through the bucket join.
     val vsStore = storeBandRows match {
       case Some(storeRows) =>
-        val storeBands =
-          if (legacyBands) storeRows else Dedup.lshBandsFromKeys(storeRows)
-        val cand = Dedup.lshIncrementalCandidates(storeBands, batchBands)
+        val cand =
+          if (legacyBands)
+            Dedup.lshIncrementalCandidates(storeRows,
+              Dedup.lshBandsMd5(sigs, 128, 16))
+          else Dedup.lshIncrementalCandidatesFromKeys(storeRows,
+            batchKeys.get)
         Dedup.jaccard(cand,
           readCommitted(hsDir).get.select(col("doc_id"), col("hs"))
             .unionByName(batchHs))
           .filter(col("jaccard") >= minJaccard).select(col("b").as(idCol))
       case None => batchHs.select(col("doc_id").as(idCol)).limit(0)
     }
-    val inBatch = Dedup.jaccard(
-      Dedup.lshCandidatePairs(batchBands), batchHs)
+    val inBatchCand =
+      if (legacyBands) Dedup.lshCandidatePairs(Dedup.lshBandsMd5(sigs, 128, 16))
+      else Dedup.lshCandidatePairsFromKeys(batchKeys.get)
+    val inBatch = Dedup.jaccard(inBatchCand, batchHs)
       .filter(col("jaccard") >= minJaccard).select(col("b").as(idCol))
     // Exact-hash fallback covers the docs with no shingles.
     val exactDup = readCommitted(docsDir) match {
@@ -917,13 +926,14 @@ object Streams {
       batchHs.join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"),
         "left_semi").withColumn("batch", lit(batchId))
         .write.mode("append").parquet(hsDir)
-      batchKeys.getOrElse(batchBands)
+      batchKeys.getOrElse(Dedup.lshBandsMd5(sigs, 128, 16))
         .join(survivors.select(col(idCol).as("doc_id")),
           Seq("doc_id"), "left_semi").withColumn("batch", lit(batchId))
         .write.mode("append").parquet(bandsDir)
       graft.sources.Commits.commit(spark, storeDir, batchId)
     }
     survivors.unpersist()
+    batchKeys.foreach(_.unpersist())
     batchHs.unpersist()
     hashed.unpersist()
     n

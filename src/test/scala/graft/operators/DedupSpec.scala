@@ -112,6 +112,46 @@ class DedupSpec extends SparkSpec {
     store.unpersist(); batch.unpersist(); ()
   }
 
+  test("FromKeys candidate paths: exactly-once and identical sets to the " +
+      "banded-frame witness and the legacy distinct paths") {
+    // The compact-keys candidate functions (narrow bucket join + keys
+    // joined back onto the emission stream for the witness) must
+    // produce the SAME pair set, exactly once per pair, as both the
+    // array-carrying witness path and the legacy md5 distinct path.
+    val corpus = ((1L to 12L).map(i => (i, "w0 w1 w2 w3 w4 w5 w6 w7 w8")) ++
+      (13L to 18L).map(i => (i, s"zz$i w1 w2 w3 w4 w5 w6 w7 w8")) ++
+      Seq((19L, "totally unrelated text about something else entirely here")))
+      .toDF("doc_id", "text")
+    val hs = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSignatures(hs, 16).persist()
+    val keys = Dedup.lshBandKeys(sigs, 16, 4).persist()
+    val fromKeys = Dedup.lshCandidatePairsFromKeys(keys)
+      .as[(Long, Long)].collect().toSeq
+    val banded = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, 16, 4))
+      .as[(Long, Long)].collect().toSeq
+    assert(fromKeys.size == fromKeys.toSet.size,
+      "FromKeys witness let a duplicate emission through")
+    assert(fromKeys.toSet == banded.toSet,
+      "FromKeys pair set differs from the banded-frame witness path")
+    // Incremental variant against a store/batch split of the same corpus.
+    val storeK = Dedup.lshBandKeys(
+      Dedup.minhashSignatures(hs.filter($"doc_id" <= 9), 16), 16, 4)
+      .persist()
+    val batchK = Dedup.lshBandKeys(
+      Dedup.minhashSignatures(hs.filter($"doc_id" > 9), 16), 16, 4)
+      .persist()
+    val incrK = Dedup.lshIncrementalCandidatesFromKeys(storeK, batchK)
+      .as[(Long, Long)].collect().toSeq
+    val incrB = Dedup.lshIncrementalCandidates(
+      Dedup.lshBandsFromKeys(storeK), Dedup.lshBandsFromKeys(batchK))
+      .as[(Long, Long)].collect().toSeq
+    assert(incrK.size == incrK.toSet.size)
+    assert(incrK.toSet == incrB.toSet)
+    assert(incrK.nonEmpty && incrK.forall { case (a, b) => a <= 9 && b > 9 })
+    Seq(keys, storeK, batchK).foreach(_.unpersist())
+    sigs.unpersist(); ()
+  }
+
   test("simhash: identical docs hash identically, disjoint docs differ") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
