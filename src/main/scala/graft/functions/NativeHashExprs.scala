@@ -66,6 +66,16 @@ object NativeHashExprs {
     ExpressionUtils.column(
       StringShinglesExpr(ExpressionUtils.expression(text), n))
 
+  /** POSITIONAL hashed k-grams: element i is the 60-bit md5-derived
+    * hash of the k-gram starting at token i — duplicates kept, document
+    * order, one in-row pass (the [[hashedShingles]] kernel without the
+    * distinct). Empty array when fewer than k tokens. The substrate of
+    * exact-substring span dedup, where POSITION identity matters.
+    */
+  def positionalKgramHashes(text: Column, k: Int): Column =
+    ExpressionUtils.column(
+      PositionalKgramHashesExpr(ExpressionUtils.expression(text), k))
+
   /** Occurrence count of a literal token phrase (overlaps counted),
     * one pass; 0 for docs shorter than the phrase.
     */
@@ -182,6 +192,28 @@ object ShingleOps {
         q += 1
       }
       out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Positional (non-distinct) hashed k-grams, document order. */
+  def positionalKgramHashes(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokens(text)
+    val m = toks.size
+    if (m < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m - k + 1)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j <= m - k) {
+      sb.setLength(0)
+      var q = 0
+      while (q < k) {
+        if (q > 0) sb.append(' ')
+        sb.append(toks.get(j + q))
+        q += 1
+      }
+      out(j) = hash60(sb.toString)
       j += 1
     }
     new GenericArrayData(out)
@@ -339,6 +371,19 @@ case class HashedShinglesExpr(child: Expression, n: Int)
     ShingleOps.hashedShingles(input.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.hashedShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class PositionalKgramHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "positional_kgram_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.positionalKgramHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleOps.positionalKgramHashes($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

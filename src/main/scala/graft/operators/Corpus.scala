@@ -514,6 +514,70 @@ object Corpus {
       .filter(col("n_kept") > 0)
   }
 
+  /** EXACT SUBSTRING-SPAN DEDUP — the token-granular cousin of
+    * [[dedupParagraphs]], after the approach popularized for LLM
+    * training corpora (remove every duplicated span of at least `k`
+    * tokens, wherever it occurs): a token is removed iff it lies
+    * inside some k-gram whose exact text occurs at least twice in the
+    * corpus (within-document repeats count — a doc's own boilerplate
+    * dedups against itself). Fixed-k gram marking is the standard
+    * practical approximation of suffix-array substring dedup: every
+    * duplicated run of >= k tokens is exactly the union of its
+    * duplicated k-windows, so marked-position coverage equals the
+    * duplicated-substring coverage at k-token resolution.
+    *
+    * Output: one row per input doc — (idCol, n_tokens, n_dup_grams,
+    * n_removed, clean_text). Docs shorter than k tokens pass through
+    * untouched; a doc whose every token is covered returns an empty
+    * clean_text (the caller's length filter decides its fate).
+    *
+    * Scale shape at 100 TB: positional k-gram hashes are ONE in-row
+    * native pass per doc ([[graft.functions.NativeHashExprs
+    * .positionalKgramHashes]] — 60-bit md5-derived, engine-portable);
+    * the duplicated-gram screen is one hash exchange on the gram hash
+    * (map-side partial counts), whose exchange ReuseExchange shares
+    * with the join back; the per-doc duplicated-position collect is
+    * one exchange on doc id, bounded per task by a doc's own gram
+    * count. Span merging and token removal happen in-row (interval
+    * coverage via flattened index ranges). No driver state, nothing
+    * quadratic: a gram repeated R times contributes R posting rows,
+    * not R² pairs.
+    */
+  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2 tokens, got $k")
+    val toks = docs.select(col(idCol),
+      filter(split(trim(col(textCol)), " "), t => t =!= "").as("__toks"),
+      graft.functions.NativeHashExprs
+        .positionalKgramHashes(col(textCol), k).as("__gh"))
+    // Safe explode shape: generate from the materialized-attribute
+    // transform, never a bare posexplode over the hash projection
+    // (the Dedup.lshBandsFromKeys codegen hazard).
+    val grams = toks.select(col(idCol),
+      explode(transform(col("__gh"), (g, i) =>
+        struct(i.as("pos"), g.as("gh")))).as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.gh").as("gh"))
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("gh"))
+    val dupPos = grams.join(dupGrams, Seq("gh"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__dup_pos"))
+    toks.join(dupPos, Seq(idCol), "left")
+      .withColumn("__dup_pos",
+        coalesce(col("__dup_pos"), typedLit(Array.empty[Int])))
+      .withColumn("__covered", array_distinct(flatten(
+        transform(col("__dup_pos"), p => sequence(p, p + lit(k - 1))))))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__dup_pos")).cast("long").as("n_dup_grams"),
+        size(col("__covered")).cast("long").as("n_removed"),
+        array_join(filter(col("__toks"),
+          (t, i) => !array_contains(col("__covered"), i)), " ")
+          .as("clean_text"))
+  }
+
   /** Gopher-style REPETITION signals per document, from pre-split text
     * units (lines/paragraphs): the duplicate-unit fraction, the
     * fraction of characters living in duplicated units, and the

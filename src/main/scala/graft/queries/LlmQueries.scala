@@ -1730,6 +1730,65 @@ object LlmQueries {
         .presentSorted(col("doc_id"))
     },
 
+    // EXACT SUBSTRING-SPAN dedup (Corpus.exactSubstringDedup, the
+    // suffix-array-approximating k-gram form used for LLM corpora):
+    // a third of the docs carry a shared 10-token boilerplate prefix,
+    // whose three fully-interior 8-grams go corpus-duplicated — so
+    // exactly tokens 0..9 are removed from every carrying doc (the
+    // boundary grams mixing boilerplate tail with each doc's own
+    // opening are unique and keep the document text intact), plus any
+    // 8-gram spans the fixture corpus genuinely repeats.
+    QueryDef(
+      "pl_exact_substring_dedup",
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      'shared boilerplate header tokens inserted before every third document here' || ' ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM corpus),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(l) - 6)) - 1 AS pos,
+        |    unnest(list_transform(range(1, len(l) - 6),
+        |      i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |        || ' ' || l[i+3] || ' ' || l[i+4] || ' ' || l[i+5] || ' '
+        |        || l[i+6] || ' ' || l[i+7]), 1, 15))::BIGINT)) AS gh
+        |  FROM toks),
+        |dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+        |dpos AS (
+        |  SELECT g.doc_id, list_sort(list(g.pos)) AS dup_pos
+        |  FROM grams g JOIN dup USING (gh) GROUP BY g.doc_id),
+        |cov AS (
+        |  SELECT doc_id,
+        |    list_distinct(flatten(list_transform(dup_pos,
+        |      p -> range(p, p + 8)))) AS covered,
+        |    len(dup_pos) AS n_dup_grams
+        |  FROM dpos)
+        |SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
+        |  coalesce(c.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+        |  coalesce(len(c.covered), 0)::BIGINT AS n_removed,
+        |  md5(CASE WHEN c.doc_id IS NULL THEN array_to_string(t.l, ' ')
+        |    ELSE coalesce(array_to_string(list_filter(t.l,
+        |      (x, i) -> NOT list_contains(c.covered, i - 1)), ' '), '')
+        |  END) AS clean_md5
+        |FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val corpus = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("shared boilerplate header tokens inserted " +
+              "before every third document here "), col("text")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Corpus.exactSubstringDedup(corpus, "doc_id", "text", 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
+          col("n_removed"), md5(col("clean_text")).as("clean_md5"))
+        .presentSorted(col("doc_id"))
+    },
+
     // Gopher-style repetition signals (Corpus.repetitionSignals): lines
     // = 8-word chunks with the first two chunks re-appended (so every
     // doc carries real duplicate units); per doc the duplicate-unit

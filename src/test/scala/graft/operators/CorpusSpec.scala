@@ -155,6 +155,34 @@ class CorpusSpec extends SparkSpec {
     assert(g2 == ((2L, "x\ny")))
   }
 
+  test("exactSubstringDedup removes duplicated >=k spans, keeps unique text") {
+    val boiler = "tok1 tok2 tok3 tok4 tok5 tok6 tok7 tok8" // exactly k=8 tokens
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, "completely different words that never repeat anywhere at all"),
+      (4L, "short doc"), // < k tokens: no grams, untouched
+      (5L, s"inner repeat $boiler then again $boiler closing words"))
+      .toDF("doc_id", "text")
+    val got = Corpus.exactSubstringDedup(docs, "doc_id", "text", 8)
+      .select("doc_id", "n_tokens", "n_dup_grams", "n_removed", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // Docs 1/2: only gram position 0 is the shared boilerplate (the
+    // boundary grams mixing its tail with each doc's own words are
+    // unique), so exactly tokens 0..7 go and the document text stays.
+    assert(got(1L) == ((12L, 1L, 8L, "alpha beta gamma delta")))
+    assert(got(2L) == ((12L, 1L, 8L, "epsilon zeta eta theta")))
+    // No duplicated grams anywhere: untouched.
+    assert(got(3L) == ((9L, 0L, 0L,
+      "completely different words that never repeat anywhere at all")))
+    assert(got(4L) == ((2L, 0L, 0L, "short doc")))
+    // Within-doc repeat: both occurrences of the span are removed
+    // (positions 2 and 12, covering tokens 2..9 and 12..19).
+    assert(got(5L) == ((22L, 2L, 16L,
+      "inner repeat then again closing words")))
+  }
+
   test("repetitionSignals: hand-computed fractions") {
     // doc 1: units aa, aa, bbbb -> n=3, distinct=2, chars 2+2+4=8,
     // dup chars 4, top unit chars max(4, 4)=4.
