@@ -421,6 +421,14 @@ object ScaleRehearsal {
             col("chunk_text").as("unit"))
         Corpus.dedupParagraphs(units, "doc_id", "pos", "unit").count()
       }
+      // Token-granular substring-span dedup: the gram explosion is the
+      // family's largest exchange (~one posting row per TOKEN of the
+      // corpus through one gh shuffle) — the line must stay ~linear.
+      timed(r, "cb_substring_dedup") {
+        Corpus.exactSubstringDedup(docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 8)
+          .agg(sum(col("n_removed"))).head().getLong(0)
+      }
       tokStats.unpersist()
       spark.catalog.clearCache()
       }
