@@ -546,21 +546,43 @@ object Corpus {
   def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"span length k must be >= 2 tokens, got $k")
-    val toks = docs.select(col(idCol),
-      filter(split(trim(col(textCol)), " "), t => t =!= "").as("__toks"),
-      graft.functions.NativeHashExprs
-        .positionalKgramHashes(col(textCol), k).as("__gh"))
-    // Safe explode shape: generate from the materialized-attribute
-    // transform, never a bare posexplode over the hash projection
-    // (the Dedup.lshBandsFromKeys codegen hazard).
-    val grams = toks.select(col(idCol),
-      explode(transform(col("__gh"), (g, i) =>
-        struct(i.as("pos"), g.as("gh")))).as("pg"))
-      .select(col(idCol), col("pg.pos").as("pos"), col("pg.gh").as("gh"))
+    val toks = kgramTokens(docs, idCol, textCol, k)
+    val grams = kgramPositions(toks, idCol)
     val dupGrams = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2)
       .select(col("gh"))
+    screenCoveredSpans(toks, grams, dupGrams, idCol, k)
+  }
+
+  /** (idCol, __toks, __gh): the tokenization + positional k-gram
+    * hashes substrate of the substring-dedup family — one native
+    * in-row pass per doc.
+    */
+  private def kgramTokens(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs.select(col(idCol),
+      filter(split(trim(col(textCol)), " "), t => t =!= "").as("__toks"),
+      graft.functions.NativeHashExprs
+        .positionalKgramHashes(col(textCol), k).as("__gh"))
+
+  /** Exploded (idCol, pos, gh) gram postings. Safe explode shape:
+    * generate from the materialized-attribute transform, never a bare
+    * posexplode over the hash projection (the Dedup.lshBandsFromKeys
+    * codegen hazard).
+    */
+  private def kgramPositions(toks: DataFrame, idCol: String): DataFrame =
+    toks.select(col(idCol),
+      explode(transform(col("__gh"), (g, i) =>
+        struct(i.as("pos"), g.as("gh")))).as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.gh").as("gh"))
+
+  /** Shared tail of the substring-dedup family: positions of `grams`
+    * rows whose gh is in `dupGrams` are collected per doc, their
+    * k-wide spans merged in-row, covered tokens removed.
+    */
+  private def screenCoveredSpans(toks: DataFrame, grams: DataFrame,
+      dupGrams: DataFrame, idCol: String, k: Int): DataFrame = {
     val dupPos = grams.join(dupGrams, Seq("gh"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__dup_pos"))
@@ -577,6 +599,78 @@ object Corpus {
           (t, i) => !array_contains(col("__covered"), i)), " ")
           .as("clean_text"))
   }
+
+  /** INCREMENTAL [[exactSubstringDedup]] — the daily shape at 100 TB,
+    * where recomputing corpus-wide gram frequencies per ingest wave is
+    * an O(corpus) job to serve an O(batch) screen. A standing
+    * GRAM-FREQUENCY store at `dir` (per-gram occurrence counts,
+    * appended per batch as committed `b<id>` generations on the shared
+    * [[graft.sources.Commits]] ledger — sum-merge on read, so a
+    * mutation writes O(batch) and never rewrites the store) carries
+    * the corpus history; a batch doc's token is removed iff its gram's
+    * batch count plus STORE count reaches 2 — i.e. the span is
+    * duplicated against everything ever ingested, including the batch
+    * itself. Forward-only by design: earlier generations' documents
+    * are not retro-cleaned when a later batch duplicates them (the
+    * screen gates what ENTERS the corpus), which is the same reading
+    * as the near-dup ingest gate.
+    *
+    * Scale shape: the store side is SCOPED to the batch's gram set
+    * with a semi-join BEFORE its sum (the batch's distinct grams
+    * broadcast; only matching store rows aggregate) — the
+    * [[graft.sources.Commits.scopeMutationResolve]] discipline, so
+    * screen cost follows the batch, not the accumulated corpus.
+    *
+    * This SCREENS only. Call [[gramIndexAppend]] with the same batch
+    * afterwards (typically on the CLEANED text, so removed spans do
+    * not keep inflating their own counts) to advance the store.
+    */
+  def exactSubstringDedupIncremental(batch: DataFrame, idCol: String,
+      textCol: String, k: Int, dir: String): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2 tokens, got $k")
+    val spark = batch.sparkSession
+    val toks = kgramTokens(batch, idCol, textCol, k)
+    val grams = kgramPositions(toks, idCol)
+    val batchCnt = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("__bdf"))
+    val dupGrams = graft.sources.Commits.readCommittedBatches(spark, dir,
+      graft.sources.Commits.committed(spark, dir)) match {
+      case None => batchCnt.filter(col("__bdf") >= 2).select(col("gh"))
+      case Some(store) =>
+        val scoped = store
+          .join(batchCnt.select(col("gh")), Seq("gh"), "left_semi")
+          .groupBy(col("gh")).agg(sum(col("df")).as("__sdf"))
+        batchCnt.join(scoped, Seq("gh"), "left")
+          .filter(col("__bdf") + coalesce(col("__sdf"), lit(0L)) >= 2)
+          .select(col("gh"))
+    }
+    screenCoveredSpans(toks, grams, dupGrams, idCol, k)
+  }
+
+  /** Append `docs`' per-gram occurrence counts to the standing
+    * gram-frequency store at `dir` as one committed generation —
+    * writer-lease serialized, attempt-marker id allocation, commit
+    * marker LAST (crash anywhere earlier leaves an invisible orphan
+    * generation). Returns the number of distinct grams appended.
+    */
+  def gramIndexAppend(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, dir: String): Long =
+   graft.sources.Commits.withWriterLock(docs.sparkSession, dir) {
+    val spark = docs.sparkSession
+    val counts = kgramPositions(kgramTokens(docs, idCol, textCol, k), idCol)
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = counts.count()
+    if (n > 0) {
+      val batchId = graft.sources.Commits
+        .allocateBatchId(spark, dir, Seq(dir))
+      counts.withColumn("batch", lit(batchId))
+        .write.mode("errorifexists").parquet(s"$dir/b$batchId")
+      graft.sources.Commits.commit(spark, dir, batchId)
+    }
+    counts.unpersist()
+    n
+   }
 
   /** Gopher-style REPETITION signals per document, from pre-split text
     * units (lines/paragraphs): the duplicate-unit fraction, the

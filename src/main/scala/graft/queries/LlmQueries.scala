@@ -174,6 +174,29 @@ object LlmQueries {
     }
   }
 
+  /** Standing gram-frequency store (incremental substring dedup): the
+    * build ingests the base corpus's per-gram counts; the probe screens
+    * a mutant wave (16-token prefixes copied from stored docs + a fresh
+    * tail) against the store — prefix spans must go, tails must stay.
+    */
+  private def gramStoreBuild(s: SparkSession, d: String): Unit =
+    graft.operators.Corpus.gramIndexAppend(Tables.documents(s, d),
+      "doc_id", "text", 8, storeDir("gramdf") + "/st"): Unit
+
+  private def gramStoreProbe(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 16)),
+          lit(" fresh tail mutant "), col("doc_id")).as("text"))
+    graft.operators.Corpus.exactSubstringDedupIncremental(
+      batch, "doc_id", "text", 8, storePath("gramdf") + "/st")
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
+        col("n_removed"), md5(col("clean_text")).as("clean_md5"))
+      .presentSorted(col("doc_id"))
+  }
+
   private def chunkTakedownBuild(s: SparkSession, d: String): Unit = {
     val dir = storeDir("chunk-del") + "/store"
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -348,6 +371,8 @@ object LlmQueries {
       chunkStoreProbe),
     "pl_chunk_store_takedown" -> BenchPhases(chunkTakedownBuild,
       chunkTakedownProbe),
+    "pl_substring_dedup_incremental" -> BenchPhases(gramStoreBuild,
+      gramStoreProbe),
   )
 
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
@@ -1787,6 +1812,61 @@ object LlmQueries {
         .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
           col("n_removed"), md5(col("clean_text")).as("clean_md5"))
         .presentSorted(col("doc_id"))
+    },
+
+    // INCREMENTAL substring dedup against the standing gram-frequency
+    // store (Corpus.exactSubstringDedupIncremental): the base corpus's
+    // per-gram counts are ingested once, then a mutant wave (16-token
+    // prefixes copied from stored docs + fresh tails) screens against
+    // store + in-batch counts — a gram is duplicated iff its combined
+    // count reaches 2, which for the batch rows is exactly the
+    // full-union computation the oracle runs (forward-only: stored
+    // docs are not retro-cleaned, so only batch rows are output).
+    QueryDef(
+      "pl_substring_dedup_incremental",
+      """WITH batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(
+        |      list_filter(string_split(trim(text), ' '), x -> x <> '')[1:16], ' ')
+        |    || ' fresh tail mutant ' || doc_id AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM batch),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM corpus),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(l) - 6)) - 1 AS pos,
+        |    unnest(list_transform(range(1, len(l) - 6),
+        |      i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |        || ' ' || l[i+3] || ' ' || l[i+4] || ' ' || l[i+5] || ' '
+        |        || l[i+6] || ' ' || l[i+7]), 1, 15))::BIGINT)) AS gh
+        |  FROM toks),
+        |dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+        |dpos AS (
+        |  SELECT g.doc_id, list_sort(list(g.pos)) AS dup_pos
+        |  FROM grams g JOIN dup USING (gh) GROUP BY g.doc_id),
+        |cov AS (
+        |  SELECT doc_id,
+        |    list_distinct(flatten(list_transform(dup_pos,
+        |      p -> range(p, p + 8)))) AS covered,
+        |    len(dup_pos) AS n_dup_grams
+        |  FROM dpos)
+        |SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
+        |  coalesce(c.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+        |  coalesce(len(c.covered), 0)::BIGINT AS n_removed,
+        |  md5(CASE WHEN c.doc_id IS NULL THEN array_to_string(t.l, ' ')
+        |    ELSE coalesce(array_to_string(list_filter(t.l,
+        |      (x, i) -> NOT list_contains(c.covered, i - 1)), ' '), '')
+        |  END) AS clean_md5
+        |FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id
+        |WHERE t.doc_id >= 1000000
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      gramStoreBuild(s, d)
+      gramStoreProbe(s, d)
     },
 
     // Gopher-style repetition signals (Corpus.repetitionSignals): lines

@@ -183,6 +183,43 @@ class CorpusSpec extends SparkSpec {
       "inner repeat then again closing words")))
   }
 
+  test("incremental substring dedup accumulates gram counts across waves") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("gram-store").toString + "/st"
+    val boiler = "tok1 tok2 tok3 tok4 tok5 tok6 tok7 tok8"
+    def screen(b: org.apache.spark.sql.DataFrame) =
+      Corpus.exactSubstringDedupIncremental(b, "doc_id", "text", 8, dir)
+        .select("doc_id", "n_removed", "clean_text")
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // Wave 1: empty store, span appears once -> in-batch count 1, kept.
+    val b1 = Seq((1L, s"$boiler alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    assert(screen(b1)(1L) == ((0L, s"$boiler alpha beta gamma delta")))
+    assert(Corpus.gramIndexAppend(b1, "doc_id", "text", 8, dir) > 0)
+    // Wave 2: the stored span re-appears (store 1 + batch 1 = 2) ->
+    // removed; novel text passes.
+    val novel = "wholly novel words never seen in any earlier wave"
+    val b2 = Seq((11L, s"$boiler epsilon zeta eta theta"), (12L, novel))
+      .toDF("doc_id", "text")
+    val s2 = screen(b2)
+    assert(s2(11L) == ((8L, "epsilon zeta eta theta")))
+    assert(s2(12L) == ((0L, novel)))
+    assert(Corpus.gramIndexAppend(b2, "doc_id", "text", 8, dir) > 0)
+    // Wave 3: doc 12's once-stored text re-appears -> its 9-token span
+    // (grams at positions 0 and 1) goes; the fresh tail stays.
+    val b3 = Seq((21L, s"$novel plus tail")).toDF("doc_id", "text")
+    assert(screen(b3)(21L) == ((9L, "plus tail")))
+    // Within one wave, an in-batch repeat of a NEVER-STORED span gates
+    // purely on batch counts.
+    val span = "aa bb cc dd ee ff gg hh"
+    val b4 = Seq((31L, s"fresh span $span one more"),
+      (32L, s"other words $span")).toDF("doc_id", "text")
+    val s4 = screen(b4)
+    assert(s4(31L) == ((8L, "fresh span one more")))
+    assert(s4(32L) == ((8L, "other words")))
+  }
+
   test("repetitionSignals: hand-computed fractions") {
     // doc 1: units aa, aa, bbbb -> n=3, distinct=2, chars 2+2+4=8,
     // dup chars 4, top unit chars max(4, 4)=4.
