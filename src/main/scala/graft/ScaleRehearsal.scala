@@ -62,7 +62,7 @@ object ScaleRehearsal {
     // `stores` = the full lifecycle (bm25 + ann + dedup); `ann` and
     // `dedup` re-run just their family against reused fixtures, so a
     // targeted re-measurement does not pay the bm25 build/vacuum tax.
-    val known = Set("stores", "ann", "dedup", "corpus")
+    val known = Set("stores", "ann", "dedup", "corpus", "gram")
     require(phases.nonEmpty && phases.subsetOf(known),
       s"SPARK_GRAFT_PHASES must name ${known.mkString("/")}, " +
         s"got: ${phases.mkString(",")}")
@@ -431,6 +431,30 @@ object ScaleRehearsal {
       }
       tokStats.unpersist()
       spark.catalog.clearCache()
+      }
+
+      if (phases.contains("corpus") || phases.contains("gram")) {
+      // ---- standing gram-frequency store: the incremental substring
+      // screen's claim is that a FIXED ingest wave costs the same
+      // against a 1000×-grown store (the store side is scoped to the
+      // wave's gram set before its sum). The build line grows with the
+      // corpus (it ingests every gram once); the screen line must not.
+      import graft.operators.Corpus
+      val gramDir = s"$root/gramdf/st"
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/gramdf"), true)
+      timed(r, "gram_index_build") {
+        Corpus.gramIndexAppend(docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", 8, gramDir)
+      }
+      val wave = Tables.documents(spark, sfDir).limit(500)
+        .select((col("doc_id") + 200000000000L).as("doc_id"),
+          concat(concat_ws(" ",
+            slice(graft.functions.TextFunctions.tokens(col("text")), 1, 16)),
+            lit(" fresh tail wave "), col("doc_id")).as("text"))
+      probe(r, "gram_screen_500") {
+        Corpus.exactSubstringDedupIncremental(wave, "doc_id", "text", 8,
+          gramDir)
+      }
       }
     }
 
