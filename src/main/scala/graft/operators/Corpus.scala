@@ -633,8 +633,7 @@ object Corpus {
     val grams = kgramPositions(toks, idCol)
     val batchCnt = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("__bdf"))
-    val dupGrams = graft.sources.Commits.readCommittedBatches(spark, dir,
-      graft.sources.Commits.committed(spark, dir)) match {
+    val dupGrams = readGramStore(spark, dir) match {
       case None => batchCnt.filter(col("__bdf") >= 2).select(col("gh"))
       case Some(store) =>
         val scoped = store
@@ -646,6 +645,99 @@ object Corpus {
     }
     screenCoveredSpans(toks, grams, dupGrams, idCol, k)
   }
+
+  /** The gram store's committed counts — committed generations MINUS
+    * any generation superseded by a committed FOLD (see
+    * [[gramIndexCompact]]): counts are ADDITIVE across generations, so
+    * unlike the max-batch-resolved stores a fold's sources must be
+    * excluded the instant the fold commits, or the crash window
+    * between its commit and their uncommit would double every folded
+    * count. The `_folds` marker inside a fold's batch dir carries its
+    * source ids; readers subtract them, making every crash state
+    * answer-correct: fold uncommitted -> invisible orphan; fold
+    * committed, sources still committed -> sources excluded by the
+    * marker; sources uncommitted/deleted -> marker inert.
+    */
+  def readGramStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val committed = graft.sources.Commits.committed(spark, dir)
+    val superseded = foldedSources(spark, dir, committed)
+    graft.sources.Commits.readCommittedBatches(spark, dir,
+      committed.filterNot(superseded.contains))
+  }
+
+  /** Source-generation ids superseded by the COMMITTED folds among
+    * `committed` — one listing + one tiny marker read per fold.
+    */
+  private def foldedSources(spark: org.apache.spark.sql.SparkSession,
+      dir: String, committed: Seq[Long]): Set[Long] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committed.flatMap { b =>
+      val m = new org.apache.hadoop.fs.Path(s"$dir/b$b/_folds")
+      if (!fs.exists(m)) Seq.empty
+      else {
+        val in = fs.open(m)
+        val txt = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
+        txt.split(",").toSeq.filter(_.nonEmpty).map(_.toLong)
+      }
+    }.toSet
+  }
+
+  /** COMPACT the gram store's generation count down to `maxBatches`:
+    * the smallest generations' counts (ties on id) fold — sum-merged
+    * per gram — into one fresh committed generation whose `_folds`
+    * marker names its sources, then the sources uncommit and their
+    * directories delete. Fold cost follows the folded generations'
+    * rows, never the store; answers are invariant at every step (the
+    * [[readGramStore]] marker contract). Returns generations folded.
+    */
+  def gramIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxBatches: Int = 16): Int =
+   graft.sources.Commits.withWriterLock(spark, dir) {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committedAll = graft.sources.Commits.committed(spark, dir)
+    // Finish a crashed predecessor first: committed folds whose
+    // sources are still committed -> complete their cleanup.
+    val staleSources = foldedSources(spark, dir, committedAll)
+      .intersect(committedAll.toSet)
+    staleSources.foreach { b =>
+      graft.sources.Commits.uncommit(spark, dir, b)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/b$b"), true): Unit
+    }
+    graft.sources.Commits.sweepOrphanBatchDirs(spark, dir,
+      graft.sources.Commits.committed(spark, dir))
+    graft.sources.Commits.pruneAttemptMarkers(spark, dir)
+    val live = graft.sources.Commits.committed(spark, dir)
+    if (live.size <= maxBatches) return 0
+    val rows = graft.sources.Commits.readCommittedBatches(spark, dir, live)
+      .getOrElse(return 0)
+    val selected = graft.sources.Commits
+      .compactionSelection(rows, live, maxBatches)
+    if (selected.isEmpty) return 0
+    val folded = rows.filter(col("batch").isin(selected: _*))
+      .groupBy(col("gh")).agg(sum(col("df")).as("df"))
+    val id = graft.sources.Commits.allocateBatchId(spark, dir, Seq(dir))
+    folded.withColumn("batch", lit(id))
+      .write.mode("errorifexists").parquet(s"$dir/b$id")
+    val marker = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/b$id/_folds"), true)
+    try marker.write(selected.mkString(",").getBytes("UTF-8"))
+    finally marker.close()
+    // Commit point: from here the fold is live and its sources are
+    // dead to readers regardless of how far the cleanup below gets.
+    graft.sources.Commits.commit(spark, dir, id)
+    selected.foreach { b =>
+      graft.sources.Commits.uncommit(spark, dir, b)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/b$b"), true): Unit
+    }
+    selected.size
+   }
 
   /** Append `docs`' per-gram occurrence counts to the standing
     * gram-frequency store at `dir` as one committed generation —
