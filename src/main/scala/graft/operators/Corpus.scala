@@ -626,17 +626,28 @@ object Corpus {
     * not keep inflating their own counts) to advance the store.
     */
   def exactSubstringDedupIncremental(batch: DataFrame, idCol: String,
-      textCol: String, k: Int, dir: String): DataFrame = {
+      textCol: String, k: Int, dir: String): DataFrame =
+    exactSubstringDedupAgainst(batch, idCol, textCol, k,
+      readGramStore(batch.sparkSession, dir))
+
+  /** [[exactSubstringDedupIncremental]] with the store's (gh, df) rows
+    * passed as a frame (repeated gh rows across generations sum) —
+    * the composable form for stores whose gram table lives under a
+    * SHARED ledger with other tables ([[graft.streaming.Streams
+    * .substringIngestBatch]]'s docs+grams store), where reading
+    * committed generations is the caller's job.
+    */
+  def exactSubstringDedupAgainst(batch: DataFrame, idCol: String,
+      textCol: String, k: Int, store: Option[DataFrame]): DataFrame = {
     require(k >= 2, s"span length k must be >= 2 tokens, got $k")
-    val spark = batch.sparkSession
     val toks = kgramTokens(batch, idCol, textCol, k)
     val grams = kgramPositions(toks, idCol)
     val batchCnt = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("__bdf"))
-    val dupGrams = readGramStore(spark, dir) match {
+    val dupGrams = store match {
       case None => batchCnt.filter(col("__bdf") >= 2).select(col("gh"))
-      case Some(store) =>
-        val scoped = store
+      case Some(s) =>
+        val scoped = s
           .join(batchCnt.select(col("gh")), Seq("gh"), "left_semi")
           .groupBy(col("gh")).agg(sum(col("df")).as("__sdf"))
         batchCnt.join(scoped, Seq("gh"), "left")
@@ -645,6 +656,14 @@ object Corpus {
     }
     screenCoveredSpans(toks, grams, dupGrams, idCol, k)
   }
+
+  /** Per-gram occurrence counts (gh, df) of `docs` — the unit every
+    * gram-store generation holds.
+    */
+  def gramCounts(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    kgramPositions(kgramTokens(docs, idCol, textCol, k), idCol)
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
 
   /** The gram store's committed counts — committed generations MINUS
     * any generation superseded by a committed FOLD (see
@@ -749,8 +768,7 @@ object Corpus {
       k: Int, dir: String): Long =
    graft.sources.Commits.withWriterLock(docs.sparkSession, dir) {
     val spark = docs.sparkSession
-    val counts = kgramPositions(kgramTokens(docs, idCol, textCol, k), idCol)
-      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val counts = gramCounts(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = counts.count()
     if (n > 0) {

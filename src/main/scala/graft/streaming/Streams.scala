@@ -618,6 +618,92 @@ object Streams {
     }
   }
 
+  /** SUBSTRING-DEDUP-GATED ingest into a composed standing store: the
+    * batch is screened for duplicated >= k-token spans against the
+    * store's accumulated gram counts PLUS the batch's own
+    * ([[graft.operators.Corpus.exactSubstringDedupAgainst]] — store
+    * side semi-join-scoped to the batch's grams, so the screen costs
+    * O(batch) against any store size), exact re-deliveries and
+    * in-batch exact copies are dropped by ORIGINAL-content hash (the
+    * screen's output changes as the store grows, so redelivery
+    * identity must key on the text as delivered, not as cleaned), and
+    * the survivors land as one committed generation holding BOTH their
+    * cleaned documents and the cleaned text's gram counts — one
+    * ledger, marker LAST, so docs and counts appear together or not
+    * at all (a crash between the table writes leaves an invisible
+    * orphan; redelivery converges under a fresh burned id).
+    *
+    * Counts append from the CLEANED text: a span's stored count stays
+    * at the level that first made it duplicated, and every later
+    * occurrence still screens out (store >= 1 + batch >= 1). Returns
+    * docs inserted.
+    */
+  def substringIngestBatch(batch: DataFrame, storeDir: String,
+      idCol: String, textCol: String, k: Int = 8): Long =
+   graft.sources.Commits.withWriterLock(batch.sparkSession, storeDir) {
+    import graft.operators.Corpus
+    val spark = batch.sparkSession
+    val docsDir = s"$storeDir/docs"
+    val gramsDir = s"$storeDir/grams"
+    val committed = graft.sources.Commits.committed(spark, storeDir)
+    val storeDocs = graft.sources.Commits
+      .readCommittedBatches(spark, docsDir, committed)
+    val storeGrams = graft.sources.Commits
+      .readCommittedBatches(spark, gramsDir, committed)
+    val hashed = Upsert.withContentHash(batch.dropDuplicates(idCol), textCol)
+    // Exact screens on the AS-DELIVERED text: vs the store, then
+    // lowest-id-wins within the batch.
+    val vsStore = storeDocs match {
+      case Some(d) => hashed.join(d.select(col("content_hash")),
+        Seq("content_hash"), "left_anti")
+      case None => hashed
+    }
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col(idCol))
+    val novel = vsStore.withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(wExact))
+      .filter(col("__rn") === 1).drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val screened = Corpus.exactSubstringDedupAgainst(novel, idCol, textCol,
+      k, storeGrams)
+      .join(novel.select(col(idCol), col("content_hash")), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = screened.count()
+    if (n > 0) {
+      val batchId = graft.sources.Commits.allocateBatchId(spark, storeDir,
+        Seq(docsDir, gramsDir))
+      screened.withColumn("batch", lit(batchId))
+        .write.mode("errorifexists").parquet(s"$docsDir/b$batchId")
+      Corpus.gramCounts(
+        screened.select(col(idCol), col("clean_text")),
+        idCol, "clean_text", k)
+        .withColumn("batch", lit(batchId))
+        .write.mode("errorifexists").parquet(s"$gramsDir/b$batchId")
+      graft.sources.Commits.commit(spark, storeDir, batchId)
+    }
+    screened.unpersist()
+    novel.unpersist()
+    n
+   }
+
+  /** Streaming face of [[substringIngestBatch]]. */
+  def substringIngestSink(stream: DataFrame, storeDir: String,
+      idCol: String, textCol: String, checkpointDir: String,
+      k: Int = 8): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        substringIngestBatch(batch, storeDir, idCol, textCol, k): Unit
+      }
+      .start()
+
+  /** The substring store's committed cleaned documents. */
+  def substringStoreRead(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Option[DataFrame] =
+    graft.sources.Commits.readCommittedBatches(spark, s"$storeDir/docs",
+      graft.sources.Commits.committed(spark, storeDir))
+
   /** COMPOSED store fan-out — one crawled/extracted document batch
     * advances ALL the standing stores in a single pass, the way the
     * reference's ingest worker composes its store write

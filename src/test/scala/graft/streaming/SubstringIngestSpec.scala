@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The substring-dedup-gated ingest: duplicated >= k-token spans are
+  * removed against the store's accumulated gram counts plus the
+  * batch's own, exact re-deliveries no-op by as-delivered content
+  * hash, and docs + cleaned-text gram counts land as one committed
+  * generation.
+  */
+class SubstringIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val span = "sa sb sc sd se sf sg sh"
+
+  private def stored(dir: String): Map[Long, (Long, String)] =
+    Streams.substringStoreRead(spark, dir).get
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("spans dedup across waves; exact redelivery no-ops; counts come " +
+      "from cleaned text") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ss-ingest").toString + "/st"
+    val b1 = Seq(
+      (1L, s"$span first wave body"),
+      (2L, "wholly unrelated opening text with enough distinct tokens"))
+      .toDF("doc_id", "text")
+    assert(Streams.substringIngestBatch(b1, dir, "doc_id", "text") == 2)
+    // Wave 1 saw each span once: nothing removed.
+    assert(stored(dir)(1L) == ((0L, s"$span first wave body")))
+
+    val b2 = Seq(
+      (11L, s"$span second wave tail"),          // span now duplicated
+      (12L, s"$span first wave body"),           // exact copy of doc 1
+      (13L, "novel second wave document with its own words entirely"))
+      .toDF("doc_id", "text")
+    assert(Streams.substringIngestBatch(b2, dir, "doc_id", "text") == 2)
+    val s2 = stored(dir)
+    assert(s2(11L) == ((8L, "second wave tail")))
+    assert(!s2.contains(12L), "exact copy must be dropped, not re-cleaned")
+    assert(s2(13L)._1 == 0L)
+
+    // Full redelivery of wave 2: every survivor's AS-DELIVERED hash is
+    // stored, so nothing inserts — even though re-screening would now
+    // clean doc 13 differently than wave 2 did... it wouldn't, but doc
+    // 11's original text WOULD re-screen; the hash gate must fire first.
+    assert(Streams.substringIngestBatch(b2, dir, "doc_id", "text") == 0)
+
+    // Wave 3 repeats doc 11's REMOVED span: its stored count stayed at
+    // wave 1's level (counts append from cleaned text), and the span
+    // still screens out (store 1 + batch 1 >= 2).
+    val b3 = Seq((21L, s"$span third wave words")).toDF("doc_id", "text")
+    assert(Streams.substringIngestBatch(b3, dir, "doc_id", "text") == 1)
+    assert(stored(dir)(21L) == ((8L, "third wave words")))
+  }
+
+  test("within one batch exact copies keep the lowest id and spans gate " +
+      "on combined in-batch counts") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ss-ingest").toString + "/st"
+    val b = Seq(
+      (31L, s"shared opener $span goes on"),
+      (32L, s"another doc also carrying $span inside"),
+      (33L, s"shared opener $span goes on"))        // exact copy of 31
+      .toDF("doc_id", "text")
+    assert(Streams.substringIngestBatch(b, dir, "doc_id", "text") == 2)
+    val s = stored(dir)
+    assert(s.keySet == Set(31L, 32L))
+    // The span occurred in both survivors -> removed from both.
+    assert(s(31L) == ((8L, "shared opener goes on")))
+    assert(s(32L) == ((8L, "another doc also carrying inside")))
+  }
+
+  test("substringIngestSink drives batches through foreachBatch") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ss-ingest").toString + "/st"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ss-ckpt").toString
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.substringIngestSink(
+      in.toDF().toDF("doc_id", "text"), dir, "doc_id", "text", ckpt)
+    try {
+      // Two separate micro-batches: the second wave's span must dedup
+      // against the FIRST wave's stored counts, not in-batch.
+      in.addData((41L, s"$span streaming first"))
+      q.processAllAvailable()
+      in.addData((42L, s"$span streaming second body"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val s = stored(dir)
+    assert(s(41L)._1 == 0L, "first occurrence must keep its span")
+    // The duplicated run is 9 tokens: both docs continue the span with
+    // "streaming", so its gram extends the coverage by one token.
+    assert(s(42L) == ((9L, "second body")))
+  }
+}
