@@ -216,6 +216,7 @@ object Bench {
     // them into a nonzero exit for CI-style use.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
       "tools/bench_reference.json")
+    val strictGate = sys.env.get("SPARK_GRAFT_BENCH_GATE").contains("strict")
     val refTimes: Map[String, Double] =
       try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -228,6 +229,14 @@ object Bench {
             .map(e => e.getKey -> e.getValue.asDouble()).toMap
         }
       } catch { case _: Exception => Map.empty }
+    // A missing/unreadable reference must never read as "gate green":
+    // warn always, and under strict mode it is itself a failure — the
+    // silent-disable path would recreate exactly the
+    // regression-ships-unnoticed failure mode the gate exists for.
+    if (refTimes.isEmpty)
+      System.err.println(s"[bench] WARNING: regression reference $refPath " +
+        "missing or unreadable - wall-time gate NOT active" +
+        (if (strictGate) " (strict mode will exit nonzero)" else ""))
     val regressions = results.flatMap { case (name, sec) =>
       refTimes.get(name).collect {
         case ref if sec > ref * 2.0 && sec - ref > 0.75 => (name, sec, ref)
@@ -289,8 +298,7 @@ object Bench {
     println(short)
     Console.out.flush()
     spark.stop()
-    if (regressions.nonEmpty &&
-        sys.env.get("SPARK_GRAFT_BENCH_GATE").contains("strict"))
+    if (strictGate && (regressions.nonEmpty || refTimes.isEmpty))
       sys.exit(1)
   }
 }

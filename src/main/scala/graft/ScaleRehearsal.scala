@@ -146,7 +146,9 @@ object ScaleRehearsal {
       val queryVecs = emb.filter(col("id") < 10)
 
       if (phases.contains("stores")) {
-      // ---- standing inverted index lifecycle
+      // ---- standing inverted index lifecycle (reset under REUSE —
+      // see the ANN block's note).
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/bm25"), true): Unit
       timed(r, "bm25_build") {
         Search.buildIndex(docs.select(col("doc_id"), col("text")),
           "doc_id", "text", idx)
@@ -192,7 +194,13 @@ object ScaleRehearsal {
       }
 
       if (phases.contains("stores") || phases.contains("ann")) {
-      // ---- standing ANN store lifecycle
+      // ---- standing ANN store lifecycle. A REUSE re-run keeps the
+      // synth fixtures but must NOT keep the previous run's stores —
+      // ann_build against a surviving store would resolve every vector
+      // as already present and measure a no-op, silently corrupting
+      // cross-round comparisons.
+      Seq(s"$root/ann", s"$root/annpart").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true): Unit)
       timed(r, "ann_build") {
         Similarity.annStoreAppend(emb, ann, planes = 8, dims = 64)
       }

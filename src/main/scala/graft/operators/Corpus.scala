@@ -562,7 +562,9 @@ object Corpus {
   private def kgramTokens(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     docs.select(col(idCol),
-      filter(split(trim(col(textCol)), " "), t => t =!= "").as("__toks"),
+      // The SAME tokenization rule as the native kernel — positional
+      // gram indices must match __toks token-for-token.
+      graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"),
       graft.functions.NativeHashExprs
         .positionalKgramHashes(col(textCol), k).as("__gh"))
 
@@ -622,8 +624,12 @@ object Corpus {
     * screen cost follows the batch, not the accumulated corpus.
     *
     * This SCREENS only. Call [[gramIndexAppend]] with the same batch
-    * afterwards (typically on the CLEANED text, so removed spans do
-    * not keep inflating their own counts) to advance the store.
+    * afterwards to advance the store — on the AS-DELIVERED text, not
+    * the cleaned text: a span that first became duplicated WITHIN the
+    * batch is removed from every copy, so cleaned-text counts would
+    * record zero occurrences and the next wave's copy would pass the
+    * screen (the inflation of already-duplicated spans' counts is
+    * harmless — the screen only tests >= 2).
     */
   def exactSubstringDedupIncremental(batch: DataFrame, idCol: String,
       textCol: String, k: Int, dir: String): DataFrame =

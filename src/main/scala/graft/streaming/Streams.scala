@@ -633,10 +633,16 @@ object Streams {
     * at all (a crash between the table writes leaves an invisible
     * orphan; redelivery converges under a fresh burned id).
     *
-    * Counts append from the CLEANED text: a span's stored count stays
-    * at the level that first made it duplicated, and every later
-    * occurrence still screens out (store >= 1 + batch >= 1). Returns
-    * docs inserted.
+    * Counts append from the survivors' AS-DELIVERED text, not the
+    * cleaned text: a span that first became duplicated WITHIN one
+    * batch is removed from every survivor, so cleaned-text counts
+    * would store zero occurrences and the span would sail through the
+    * next wave — as-delivered counts keep every span's store total at
+    * its true survivor-occurrence count, so once a span reaches 2 it
+    * screens out forever. Fully-covered documents (clean_text empty —
+    * 100 % duplicated content) are DROPPED, not inserted: they are
+    * duplicates by definition, and redelivery converges because they
+    * re-screen against the same counts. Returns docs inserted.
     */
   def substringIngestBatch(batch: DataFrame, storeDir: String,
       idCol: String, textCol: String, k: Int = 8): Long =
@@ -666,6 +672,7 @@ object Streams {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val screened = Corpus.exactSubstringDedupAgainst(novel, idCol, textCol,
       k, storeGrams)
+      .filter(col("clean_text") =!= "")
       .join(novel.select(col(idCol), col("content_hash")), Seq(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = screened.count()
@@ -675,8 +682,8 @@ object Streams {
       screened.withColumn("batch", lit(batchId))
         .write.mode("errorifexists").parquet(s"$docsDir/b$batchId")
       Corpus.gramCounts(
-        screened.select(col(idCol), col("clean_text")),
-        idCol, "clean_text", k)
+        novel.join(screened.select(col(idCol)), Seq(idCol), "left_semi"),
+        idCol, textCol, k)
         .withColumn("batch", lit(batchId))
         .write.mode("errorifexists").parquet(s"$gramsDir/b$batchId")
       graft.sources.Commits.commit(spark, storeDir, batchId)

@@ -21,7 +21,7 @@ class SubstringIngestSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
 
   test("spans dedup across waves; exact redelivery no-ops; counts come " +
-      "from cleaned text") {
+      "from as-delivered text") {
     val dir = java.nio.file.Files
       .createTempDirectory("ss-ingest").toString + "/st"
     val b1 = Seq(
@@ -49,12 +49,49 @@ class SubstringIngestSpec extends SparkSpec {
     // 11's original text WOULD re-screen; the hash gate must fire first.
     assert(Streams.substringIngestBatch(b2, dir, "doc_id", "text") == 0)
 
-    // Wave 3 repeats doc 11's REMOVED span: its stored count stayed at
-    // wave 1's level (counts append from cleaned text), and the span
-    // still screens out (store 1 + batch 1 >= 2).
+    // Wave 3 repeats doc 11's REMOVED span: counts append from the
+    // as-delivered text, so the span still screens out.
     val b3 = Seq((21L, s"$span third wave words")).toDF("doc_id", "text")
     assert(Streams.substringIngestBatch(b3, dir, "doc_id", "text") == 1)
     assert(stored(dir)(21L) == ((8L, "third wave words")))
+  }
+
+  test("a span duplicated only WITHIN one wave still gates the next wave") {
+    // The cleaned-text-counting trap: the span is removed from every
+    // wave-A survivor, so counting cleaned text would store zero
+    // occurrences and wave B's single copy would pass. As-delivered
+    // counts keep the store total at 2.
+    val dir = java.nio.file.Files
+      .createTempDirectory("ss-ingest").toString + "/st"
+    val bA = Seq(
+      (51L, s"prefix one $span alpha ending"),
+      (52L, s"different lead $span omega closing"))
+      .toDF("doc_id", "text")
+    assert(Streams.substringIngestBatch(bA, dir, "doc_id", "text") == 2)
+    assert(stored(dir)(51L)._1 == 8L && stored(dir)(52L)._1 == 8L)
+    val bB = Seq((61L, s"$span later lone occurrence")).toDF("doc_id", "text")
+    assert(Streams.substringIngestBatch(bB, dir, "doc_id", "text") == 1)
+    assert(stored(dir)(61L) == ((8L, "later lone occurrence")),
+      "an in-batch-duplicated span must stay duplicated for later waves")
+  }
+
+  test("a fully-covered document is dropped, not stored empty") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ss-ingest").toString + "/st"
+    assert(Streams.substringIngestBatch(
+      Seq((71L, s"$span solo body here")).toDF("doc_id", "text"),
+      dir, "doc_id", "text") == 1)
+    // The whole doc is one already-stored span (not an exact content
+    // match — different id, same text would be; this is the span
+    // ALONE): everything it says is duplicated, so it must not insert.
+    assert(Streams.substringIngestBatch(
+      Seq((72L, span)).toDF("doc_id", "text"),
+      dir, "doc_id", "text") == 0)
+    assert(!stored(dir).contains(72L))
+    // And it converges: redelivery is still a no-op.
+    assert(Streams.substringIngestBatch(
+      Seq((72L, span)).toDF("doc_id", "text"),
+      dir, "doc_id", "text") == 0)
   }
 
   test("within one batch exact copies keep the lowest id and spans gate " +
