@@ -76,6 +76,26 @@ object NativeHashExprs {
     ExpressionUtils.column(
       PositionalKgramHashesExpr(ExpressionUtils.expression(text), k))
 
+  /** Tokens of `toks` OUTSIDE the union of the k-wide windows starting
+    * at the SORTED positions `dupPos`, re-joined with single spaces —
+    * one linear two-pointer pass. The per-token
+    * `array_contains(covered, i)` membership form is
+    * O(tokens × covered) per row: a long, heavily-duplicated document
+    * stalls its whole task (the substring-dedup family's one
+    * quadratic, now gone).
+    */
+  def removeCoveredTokens(toks: Column, dupPos: Column, k: Int): Column =
+    ExpressionUtils.column(RemoveCoveredTokensExpr(
+      ExpressionUtils.expression(toks),
+      ExpressionUtils.expression(dupPos), k))
+
+  /** |union of the k-wide windows starting at the sorted `dupPos`| —
+    * the removed-token count, one linear merged-interval pass.
+    */
+  def coveredCount(dupPos: Column, k: Int): Column =
+    ExpressionUtils.column(CoveredCountExpr(
+      ExpressionUtils.expression(dupPos), k))
+
   /** Occurrence count of a literal token phrase (overlaps counted),
     * one pass; 0 for docs shorter than the phrase.
     */
@@ -217,6 +237,50 @@ object ShingleOps {
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Tokens outside the union of [p, p+k) windows over sorted
+    * positions, space-joined — linear two-pointer pass.
+    */
+  def removeCoveredTokens(toks: ArrayData, dupPos: ArrayData,
+      k: Int): UTF8String = {
+    val m = toks.numElements()
+    val np = dupPos.numElements()
+    val sb = new java.lang.StringBuilder()
+    var pi = 0
+    var coverEnd = -1 // exclusive end of the coverage seen so far
+    var t = 0
+    while (t < m) {
+      while (pi < np && dupPos.getInt(pi) <= t) {
+        val e = dupPos.getInt(pi) + k
+        if (e > coverEnd) coverEnd = e
+        pi += 1
+      }
+      if (t >= coverEnd) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(t).toString)
+      }
+      t += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Union size of the [p, p+k) windows over sorted positions —
+    * linear merged-interval pass.
+    */
+  def coveredCount(dupPos: ArrayData, k: Int): Int = {
+    var total = 0
+    var prevEnd = 0
+    var i = 0
+    while (i < dupPos.numElements()) {
+      val p = dupPos.getInt(i)
+      val s = math.max(p, prevEnd)
+      val e = p + k
+      if (e > s) total += e - s
+      if (e > prevEnd) prevEnd = e
+      i += 1
+    }
+    total
   }
 
   /** Occurrences of the literal token `phrase` (overlaps counted). */
@@ -384,6 +448,34 @@ case class PositionalKgramHashesExpr(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.ShingleOps.positionalKgramHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class RemoveCoveredTokensExpr(left: Expression, right: Expression,
+    k: Int) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "remove_covered_tokens"
+  override protected def nullSafeEval(toks: Any, dupPos: Any): Any =
+    ShingleOps.removeCoveredTokens(toks.asInstanceOf[ArrayData],
+      dupPos.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ShingleOps.removeCoveredTokens($a, $b, $k)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class CoveredCountExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "covered_count"
+  override protected def nullSafeEval(dupPos: Any): Any =
+    ShingleOps.coveredCount(dupPos.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleOps.coveredCount($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -581,7 +581,13 @@ object Corpus {
 
   /** Shared tail of the substring-dedup family: positions of `grams`
     * rows whose gh is in `dupGrams` are collected per doc, their
-    * k-wide spans merged in-row, covered tokens removed.
+    * k-wide spans merged in-row, covered tokens removed. Span merging
+    * and token removal run as LINEAR native two-pointer kernels over
+    * the sorted position array ([[graft.functions.NativeHashExprs
+    * .removeCoveredTokens]]/[[graft.functions.NativeHashExprs
+    * .coveredCount]]) — the per-token `array_contains` membership form
+    * was O(tokens × covered) per row, a single mostly-boilerplate
+    * 100k-token document stalling its whole task.
     */
   private def screenCoveredSpans(toks: DataFrame, grams: DataFrame,
       dupGrams: DataFrame, idCol: String, k: Int): DataFrame = {
@@ -591,14 +597,13 @@ object Corpus {
     toks.join(dupPos, Seq(idCol), "left")
       .withColumn("__dup_pos",
         coalesce(col("__dup_pos"), typedLit(Array.empty[Int])))
-      .withColumn("__covered", array_distinct(flatten(
-        transform(col("__dup_pos"), p => sequence(p, p + lit(k - 1))))))
       .select(col(idCol),
         size(col("__toks")).cast("long").as("n_tokens"),
         size(col("__dup_pos")).cast("long").as("n_dup_grams"),
-        size(col("__covered")).cast("long").as("n_removed"),
-        array_join(filter(col("__toks"),
-          (t, i) => !array_contains(col("__covered"), i)), " ")
+        graft.functions.NativeHashExprs.coveredCount(col("__dup_pos"), k)
+          .cast("long").as("n_removed"),
+        graft.functions.NativeHashExprs
+          .removeCoveredTokens(col("__toks"), col("__dup_pos"), k)
           .as("clean_text"))
   }
 
@@ -642,9 +647,18 @@ object Corpus {
     * SHARED ledger with other tables ([[graft.streaming.Streams
     * .substringIngestBatch]]'s docs+grams store), where reading
     * committed generations is the caller's job.
+    *
+    * `scopeStore` is the [[graft.sources.Commits.scopeMutationResolve]]
+    * trade for this path: true (default, right for micro-batches)
+    * semi-joins the store down to the batch's gram set BEFORE its sum,
+    * so the screen costs O(batch) — but a backfill-sized batch makes
+    * that gram set non-broadcastable and the semi-join degrades to a
+    * corpus-wide shuffle; pass false for batches approaching the store
+    * to aggregate the whole store once instead.
     */
   def exactSubstringDedupAgainst(batch: DataFrame, idCol: String,
-      textCol: String, k: Int, store: Option[DataFrame]): DataFrame = {
+      textCol: String, k: Int, store: Option[DataFrame],
+      scopeStore: Boolean = true): DataFrame = {
     require(k >= 2, s"span length k must be >= 2 tokens, got $k")
     val toks = kgramTokens(batch, idCol, textCol, k)
     val grams = kgramPositions(toks, idCol)
@@ -653,9 +667,11 @@ object Corpus {
     val dupGrams = store match {
       case None => batchCnt.filter(col("__bdf") >= 2).select(col("gh"))
       case Some(s) =>
-        val scoped = s
-          .join(batchCnt.select(col("gh")), Seq("gh"), "left_semi")
-          .groupBy(col("gh")).agg(sum(col("df")).as("__sdf"))
+        val scoped =
+          if (scopeStore)
+            s.join(batchCnt.select(col("gh")), Seq("gh"), "left_semi")
+              .groupBy(col("gh")).agg(sum(col("df")).as("__sdf"))
+          else s.groupBy(col("gh")).agg(sum(col("df")).as("__sdf"))
         batchCnt.join(scoped, Seq("gh"), "left")
           .filter(col("__bdf") + coalesce(col("__sdf"), lit(0L)) >= 2)
           .select(col("gh"))
@@ -686,31 +702,10 @@ object Corpus {
   def readGramStore(spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[DataFrame] = {
     val committed = graft.sources.Commits.committed(spark, dir)
-    val superseded = foldedSources(spark, dir, committed)
+    val superseded = graft.sources.Commits.foldedSources(spark, dir,
+      committed)
     graft.sources.Commits.readCommittedBatches(spark, dir,
       committed.filterNot(superseded.contains))
-  }
-
-  /** Source-generation ids superseded by the COMMITTED folds among
-    * `committed` — one listing + one tiny marker read per fold.
-    */
-  private def foldedSources(spark: org.apache.spark.sql.SparkSession,
-      dir: String, committed: Seq[Long]): Set[Long] = {
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    committed.flatMap { b =>
-      val m = new org.apache.hadoop.fs.Path(s"$dir/b$b/_folds")
-      if (!fs.exists(m)) Seq.empty
-      else {
-        val in = fs.open(m)
-        val txt = try {
-          val buf = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-          new String(buf.toByteArray, "UTF-8")
-        } finally in.close()
-        txt.split(",").toSeq.filter(_.nonEmpty).map(_.toLong)
-      }
-    }.toSet
   }
 
   /** COMPACT the gram store's generation count down to `maxBatches`:
@@ -729,7 +724,8 @@ object Corpus {
     val committedAll = graft.sources.Commits.committed(spark, dir)
     // Finish a crashed predecessor first: committed folds whose
     // sources are still committed -> complete their cleanup.
-    val staleSources = foldedSources(spark, dir, committedAll)
+    val staleSources = graft.sources.Commits
+      .foldedSources(spark, dir, committedAll)
       .intersect(committedAll.toSet)
     staleSources.foreach { b =>
       graft.sources.Commits.uncommit(spark, dir, b)
@@ -750,10 +746,7 @@ object Corpus {
     val id = graft.sources.Commits.allocateBatchId(spark, dir, Seq(dir))
     folded.withColumn("batch", lit(id))
       .write.mode("errorifexists").parquet(s"$dir/b$id")
-    val marker = fs.create(
-      new org.apache.hadoop.fs.Path(s"$dir/b$id/_folds"), true)
-    try marker.write(selected.mkString(",").getBytes("UTF-8"))
-    finally marker.close()
+    graft.sources.Commits.writeFoldMarker(spark, dir, id, selected)
     // Commit point: from here the fold is live and its sources are
     // dead to readers regardless of how far the cleanup below gets.
     graft.sources.Commits.commit(spark, dir, id)

@@ -150,6 +150,9 @@ object Dedup {
           struct(i.as("band"), k.as("band_key")))).as("bk"))
       .select(col("doc_id"), col("band_keys"),
         col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  // (not expressed via narrowBands: this carried-array form exists for
+  // the witness consumers of the full banded frame; the generator
+  // expression is kept textually identical to narrowBands'.)
 
   /** LSH banding: signature -> (doc_id, band, band_key, band_keys). */
   def lshBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame =
@@ -206,12 +209,23 @@ object Dedup {
     * joins) — persist it; it is the compact 16-longs-per-doc frame,
     * orders of magnitude under the corpus.
     */
-  def lshCandidatePairsFromKeys(keys: DataFrame): DataFrame = {
-    val bands = keys.select(col("doc_id"),
+  /** The ONE narrow banding shape every candidate path explodes
+    * through: (doc_id, band, band_key) via explode(transform(…)) —
+    * never a bare posexplode (the codegen hazard PlanRegressionSpec
+    * pins) and never with the key array carried on the banded rows
+    * (the shuffle-width hazard [[lshCandidatePairsFromKeys]]
+    * documents). Keeping it in one place keeps both hazards fixed
+    * everywhere at once.
+    */
+  private def narrowBands(keys: DataFrame): DataFrame =
+    keys.select(col("doc_id"),
       explode(transform(col("band_keys"), (k, i) =>
         struct(i.as("band"), k.as("band_key")))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
+
+  def lshCandidatePairsFromKeys(keys: DataFrame): DataFrame = {
+    val bands = narrowBands(keys)
     val emissions = bands.select(col("band"), col("band_key"),
         col("doc_id").as("a"))
       .join(bands.select(col("band"), col("band_key"),
@@ -285,14 +299,9 @@ object Dedup {
     */
   def lshIncrementalCandidatesFromKeys(storeKeys: DataFrame,
       batchKeys: DataFrame): DataFrame = {
-    def bandsOf(keys: DataFrame) = keys.select(col("doc_id"),
-      explode(transform(col("band_keys"), (k, i) =>
-        struct(i.as("band"), k.as("band_key")))).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.band_key").as("band_key"))
-    val emissions = bandsOf(storeKeys)
+    val emissions = narrowBands(storeKeys)
       .select(col("band"), col("band_key"), col("doc_id").as("a"))
-      .join(bandsOf(batchKeys)
+      .join(narrowBands(batchKeys)
         .select(col("band"), col("band_key"), col("doc_id").as("b")),
         Seq("band", "band_key"))
       .select(col("a"), col("b"), col("band"))

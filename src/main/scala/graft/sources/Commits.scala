@@ -288,6 +288,47 @@ object Commits {
     }
   }
 
+  /** Record inside fold-batch `batch`'s directory the generation ids
+    * it SUPERSEDES (`<tableDir>/b<batch>/_folds`) — the additive-store
+    * compaction contract: stores whose generations SUM on read (gram
+    * frequencies; unlike the max-batch-resolved stores) cannot commit
+    * a fold while its sources are visible, or the crash window between
+    * the fold's commit and the sources' uncommit doubles every folded
+    * value. Readers subtract [[foldedSources]] from the committed set,
+    * making every crash state answer-correct. MUST be written before
+    * the fold's commit marker.
+    */
+  def writeFoldMarker(spark: SparkSession, tableDir: String, batch: Long,
+      sources: Seq[Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$tableDir/b$batch/_folds")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(sources.sorted.mkString(",").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Generation ids superseded by the COMMITTED folds among
+    * `committed` — one listing + one tiny marker read per fold.
+    */
+  def foldedSources(spark: SparkSession, tableDir: String,
+      committed: Seq[Long]): Set[Long] = {
+    val base = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committed.flatMap { b =>
+      val m = new org.apache.hadoop.fs.Path(s"$tableDir/b$b/_folds")
+      if (!fs.exists(m)) Seq.empty
+      else {
+        val in = fs.open(m)
+        val txt = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
+        txt.split(",").toSeq.filter(_.nonEmpty).map(_.toLong)
+      }
+    }.toSet
+  }
+
   /** Remove ONE batch's commit marker — the incremental vacuum's
     * reclaim step (its attempt marker stays, so the id is never
     * reallocated). The batch's rows become invisible the moment the

@@ -651,11 +651,11 @@ object Streams {
     val spark = batch.sparkSession
     val docsDir = s"$storeDir/docs"
     val gramsDir = s"$storeDir/grams"
-    val committed = graft.sources.Commits.committed(spark, storeDir)
+    val live = substringLiveBatches(spark, storeDir)
     val storeDocs = graft.sources.Commits
-      .readCommittedBatches(spark, docsDir, committed)
+      .readCommittedBatches(spark, docsDir, live)
     val storeGrams = graft.sources.Commits
-      .readCommittedBatches(spark, gramsDir, committed)
+      .readCommittedBatches(spark, gramsDir, live)
     val hashed = Upsert.withContentHash(batch.dropDuplicates(idCol), textCol)
     // Exact screens on the AS-DELIVERED text: vs the store, then
     // lowest-id-wins within the batch.
@@ -673,13 +673,15 @@ object Streams {
     val screened = Corpus.exactSubstringDedupAgainst(novel, idCol, textCol,
       k, storeGrams)
       .filter(col("clean_text") =!= "")
-      .join(novel.select(col(idCol), col("content_hash")), Seq(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = screened.count()
     if (n > 0) {
       val batchId = graft.sources.Commits.allocateBatchId(spark, storeDir,
         Seq(docsDir, gramsDir))
-      screened.withColumn("batch", lit(batchId))
+      // Docs keep EVERY delivered column (provenance/metadata ride
+      // along); the text column is replaced by its cleaned value.
+      novel.drop(textCol).join(screened, Seq(idCol))
+        .withColumn("batch", lit(batchId))
         .write.mode("errorifexists").parquet(s"$docsDir/b$batchId")
       Corpus.gramCounts(
         novel.join(screened.select(col(idCol)), Seq(idCol), "left_semi"),
@@ -705,11 +707,89 @@ object Streams {
       }
       .start()
 
-  /** The substring store's committed cleaned documents. */
+  /** The substring store's LIVE generations: committed minus the
+    * sources of committed folds (the docs table's `_folds` markers are
+    * authoritative for both tables — counts are additive, so folded
+    * sources must die to readers the instant the fold commits; see
+    * `Commits.writeFoldMarker`).
+    */
+  private def substringLiveBatches(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String): Seq[Long] = {
+    val committed = graft.sources.Commits.committed(spark, storeDir)
+    val superseded = graft.sources.Commits
+      .foldedSources(spark, s"$storeDir/docs", committed)
+    committed.filterNot(superseded.contains)
+  }
+
+  /** The substring store's committed cleaned documents (all delivered
+    * columns, text replaced by clean_text, plus the dedup stats).
+    */
   def substringStoreRead(spark: org.apache.spark.sql.SparkSession,
       storeDir: String): Option[DataFrame] =
     graft.sources.Commits.readCommittedBatches(spark, s"$storeDir/docs",
-      graft.sources.Commits.committed(spark, storeDir))
+      substringLiveBatches(spark, storeDir))
+
+  /** COMPACT the substring store's generation count down to
+    * `maxBatches`: the smallest generations (by docs rows, ties on id)
+    * fold — docs rows moved verbatim, gram counts sum-merged — into
+    * one fresh committed generation whose docs-table `_folds` marker
+    * names its sources, then the sources uncommit and both tables'
+    * directories delete. Also the store's hygiene pass: completes a
+    * crashed predecessor's cleanup, sweeps orphan batch dirs in both
+    * tables, and prunes spent attempt markers. Fold cost follows the
+    * folded generations, never the store. Returns generations folded.
+    */
+  def substringStoreCompact(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, maxBatches: Int = 16): Int =
+   graft.sources.Commits.withWriterLock(spark, storeDir) {
+    val docsDir = s"$storeDir/docs"
+    val gramsDir = s"$storeDir/grams"
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committedAll = graft.sources.Commits.committed(spark, storeDir)
+    // Crashed-predecessor repair: committed folds whose sources are
+    // still committed -> finish uncommitting and deleting them.
+    val stale = graft.sources.Commits
+      .foldedSources(spark, docsDir, committedAll)
+      .intersect(committedAll.toSet)
+    stale.foreach { b =>
+      graft.sources.Commits.uncommit(spark, storeDir, b)
+      Seq(docsDir, gramsDir).foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$t/b$b"), true): Unit)
+    }
+    val committed = graft.sources.Commits.committed(spark, storeDir)
+    Seq(docsDir, gramsDir).foreach(t => graft.sources.Commits
+      .sweepOrphanBatchDirs(spark, t, committed))
+    graft.sources.Commits.pruneAttemptMarkers(spark, storeDir)
+    if (committed.size <= maxBatches) return 0
+    val docs = graft.sources.Commits
+      .readCommittedBatches(spark, docsDir, committed)
+      .getOrElse(return 0)
+    val selected = graft.sources.Commits
+      .compactionSelection(docs, committed, maxBatches)
+    if (selected.isEmpty) return 0
+    val id = graft.sources.Commits.allocateBatchId(spark, storeDir,
+      Seq(docsDir, gramsDir))
+    docs.filter(col("batch").isin(selected: _*)).drop("batch")
+      .withColumn("batch", lit(id))
+      .write.mode("errorifexists").parquet(s"$docsDir/b$id")
+    graft.sources.Commits
+      .readCommittedBatches(spark, gramsDir, selected)
+      .foreach(_.groupBy(col("gh"))
+        .agg(org.apache.spark.sql.functions.sum(col("df")).as("df"))
+        .withColumn("batch", lit(id))
+        .write.mode("errorifexists").parquet(s"$gramsDir/b$id"))
+    graft.sources.Commits.writeFoldMarker(spark, docsDir, id, selected)
+    // Commit point: the fold is live, its sources dead to readers,
+    // however far the cleanup below gets.
+    graft.sources.Commits.commit(spark, storeDir, id)
+    selected.foreach { b =>
+      graft.sources.Commits.uncommit(spark, storeDir, b)
+      Seq(docsDir, gramsDir).foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$t/b$b"), true): Unit)
+    }
+    selected.size
+   }
 
   /** COMPOSED store fan-out — one crawled/extracted document batch
     * advances ALL the standing stores in a single pass, the way the

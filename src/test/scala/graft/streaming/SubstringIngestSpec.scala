@@ -111,6 +111,43 @@ class SubstringIngestSpec extends SparkSpec {
     assert(s(32L) == ((8L, "another doc also carrying inside")))
   }
 
+  test("delivered metadata rides into the store; compaction folds " +
+      "generations with answers invariant") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ss-compact").toString + "/st"
+    // Six one-doc waves carrying a provenance column; the span recurs
+    // in waves 0 and 3 (wave 3's copy is screened out).
+    val texts = Seq(
+      s"$span opening words", "second wave body with its own eight tokens",
+      "third wave stretches to enough distinct tokens easily",
+      s"repeat lead $span trailing", "fifth wave padded novel words here too",
+      "sixth wave also novel stuff padded to length")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(Streams.substringIngestBatch(
+        Seq((i.toLong, t, s"src$i")).toDF("doc_id", "text", "source"),
+        dir, "doc_id", "text") == 1)
+    }
+    def snapshot(): Map[Long, (String, Long, String)] =
+      Streams.substringStoreRead(spark, dir).get
+        .select("doc_id", "source", "n_removed", "clean_text")
+        .as[(Long, String, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val before = snapshot()
+    assert(before(0L) == (("src0", 0L, s"$span opening words")))
+    assert(before(3L) == (("src3", 8L, "repeat lead trailing")),
+      "wave-3 span must screen out and keep its provenance column")
+    val folded = Streams.substringStoreCompact(spark, dir, maxBatches = 2)
+    assert(folded == 5, s"6 generations at maxBatches=2 must fold 5: $folded")
+    assert(snapshot() == before, "compaction changed the store's answers")
+    // The accumulated counts survive the fold: a new wave's copy of
+    // the span still screens out.
+    assert(Streams.substringIngestBatch(
+      Seq((100L, s"$span post compact tail", "srcX"))
+        .toDF("doc_id", "text", "source"),
+      dir, "doc_id", "text") == 1)
+    assert(snapshot()(100L) == (("srcX", 8L, "post compact tail")))
+  }
+
   test("substringIngestSink drives batches through foreachBatch") {
     val dir = java.nio.file.Files
       .createTempDirectory("ss-ingest").toString + "/st"
