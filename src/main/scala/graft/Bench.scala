@@ -221,21 +221,34 @@ object Bench {
       try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(new java.io.File(refPath))
+        // Reference times only mean anything at the scale factor they
+        // were measured at — comparing an sf0.01 run against the
+        // committed sf0.1 reference would flag mass false regressions
+        // (and strict mode would exit nonzero spuriously). An sf
+        // mismatch therefore disables the gate exactly like a missing
+        // reference: warn, and fail strict mode.
+        val refSf = Option(node.get("sf")).map(_.asText())
         val q = node.get("queries")
         if (q == null) Map.empty
-        else {
+        else if (refSf.exists(_ != sfDir)) {
+          System.err.println(s"[bench] WARNING: regression reference " +
+            s"$refPath was measured at sf '${refSf.get}' but this run " +
+            s"uses '$sfDir' - wall-time gate NOT active for this run")
+          Map.empty
+        } else {
           import scala.jdk.CollectionConverters._
           q.properties().asScala
             .map(e => e.getKey -> e.getValue.asDouble()).toMap
         }
       } catch { case _: Exception => Map.empty }
-    // A missing/unreadable reference must never read as "gate green":
-    // warn always, and under strict mode it is itself a failure — the
-    // silent-disable path would recreate exactly the
+    // A missing/unreadable/wrong-sf reference must never read as "gate
+    // green": warn always, and under strict mode it is itself a
+    // failure — the silent-disable path would recreate exactly the
     // regression-ships-unnoticed failure mode the gate exists for.
     if (refTimes.isEmpty)
       System.err.println(s"[bench] WARNING: regression reference $refPath " +
-        "missing or unreadable - wall-time gate NOT active" +
+        "missing, unreadable, or for a different sf - wall-time gate " +
+        "NOT active" +
         (if (strictGate) " (strict mode will exit nonzero)" else ""))
     val regressions = results.flatMap { case (name, sec) =>
       refTimes.get(name).collect {

@@ -271,8 +271,17 @@ object Commits {
     * migration specs and the bench's migration build (no production
     * path ever un-migrates); lives here so the test suite and the
     * bench queries share one copy of the layout rules.
+    *
+    * DESTRUCTIVE (renames data files, deletes `b<id>` dirs), so it
+    * takes the writer lease on `table` itself — running it against a
+    * dir a concurrent writer is appending to would corrupt the layout.
+    * Stores whose lease lives on a PARENT dir (multi-table stores like
+    * the substring store) must hold that parent lease around the call;
+    * the table-level lease here is re-entrant-safe because it is a
+    * distinct lock file.
     */
-  def rewindToFlatLayout(spark: SparkSession, table: String): Unit = {
+  def rewindToFlatLayout(spark: SparkSession, table: String): Unit =
+   withWriterLock(spark, table) {
     val base = new org.apache.hadoop.fs.Path(table)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (d <- fs.listStatus(base)
@@ -286,7 +295,7 @@ object Commits {
       }
       fs.delete(d.getPath, true): Unit
     }
-  }
+   }
 
   /** Record inside fold-batch `batch`'s directory the generation ids
     * it SUPERSEDES (`<tableDir>/b<batch>/_folds`) — the additive-store

@@ -618,6 +618,13 @@ object Streams {
     }
   }
 
+  /** Column names [[substringIngestBatch]] owns in the stored docs
+    * table; same-named delivered columns are dropped before the join
+    * back (see the ingest's scaladoc).
+    */
+  private val SubstringReservedCols: Seq[String] = Seq("content_hash",
+    "batch", "clean_text", "n_tokens", "n_dup_grams", "n_removed")
+
   /** SUBSTRING-DEDUP-GATED ingest into a composed standing store: the
     * batch is screened for duplicated >= k-token spans against the
     * store's accumulated gram counts PLUS the batch's own
@@ -643,6 +650,13 @@ object Streams {
     * 100 % duplicated content) are DROPPED, not inserted: they are
     * duplicates by definition, and redelivery converges because they
     * re-screen against the same counts. Returns docs inserted.
+    *
+    * RESERVED column names: `content_hash`, `batch`, and the screen's
+    * outputs (`clean_text`, `n_tokens`, `n_dup_grams`, `n_removed`)
+    * are engine-owned in the stored docs. A delivered batch that
+    * already carries any of them is stripped of those columns up
+    * front — they would otherwise collide ambiguously in the join
+    * back — so metadata under these names does NOT ride along.
     */
   def substringIngestBatch(batch: DataFrame, storeDir: String,
       idCol: String, textCol: String, k: Int = 8): Long =
@@ -656,7 +670,10 @@ object Streams {
       .readCommittedBatches(spark, docsDir, live)
     val storeGrams = graft.sources.Commits
       .readCommittedBatches(spark, gramsDir, live)
-    val hashed = Upsert.withContentHash(batch.dropDuplicates(idCol), textCol)
+    val reserved = SubstringReservedCols.filter(c =>
+      c != idCol && c != textCol)
+    val hashed = Upsert.withContentHash(
+      batch.drop(reserved: _*).dropDuplicates(idCol), textCol)
     // Exact screens on the AS-DELIVERED text: vs the store, then
     // lowest-id-wins within the batch.
     val vsStore = storeDocs match {
@@ -774,11 +791,35 @@ object Streams {
       .withColumn("batch", lit(id))
       .write.mode("errorifexists").parquet(s"$docsDir/b$id")
     graft.sources.Commits
-      .readCommittedBatches(spark, gramsDir, selected)
-      .foreach(_.groupBy(col("gh"))
+      .readCommittedBatches(spark, gramsDir, selected) match {
+      case Some(g) => g.groupBy(col("gh"))
         .agg(org.apache.spark.sql.functions.sum(col("df")).as("df"))
         .withColumn("batch", lit(id))
-        .write.mode("errorifexists").parquet(s"$gramsDir/b$id"))
+        .write.mode("errorifexists").parquet(s"$gramsDir/b$id")
+      case None =>
+        // The grams-side fold found NO data for the selected
+        // generations. Legitimate only when every selected gram dir is
+        // truly empty/absent (all-short-doc generations append no
+        // grams); anything else — a dir that lists data files the
+        // reader didn't surface — means an unreadable/corrupt grams
+        // table, and folding on would silently zero accumulated counts
+        // and weaken every future screen. Verify per-dir and abort the
+        // fold (pre-marker, pre-commit: the orphan fold dir is swept by
+        // the next pass) rather than destroy state.
+        val withData = selected.filter { b =>
+          val p = new org.apache.hadoop.fs.Path(s"$gramsDir/b$b")
+          fs.exists(p) && fs.listStatus(p).exists { s =>
+            val n = s.getPath.getName
+            s.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+        }
+        if (withData.nonEmpty)
+          throw new IllegalStateException(
+            s"substringStoreCompact: gram generations $withData under " +
+              s"$gramsDir hold data files the committed-batch reader " +
+              "could not surface; refusing to fold (would drop " +
+              "accumulated gram counts)")
+    }
     graft.sources.Commits.writeFoldMarker(spark, docsDir, id, selected)
     // Commit point: the fold is live, its sources dead to readers,
     // however far the cleanup below gets.

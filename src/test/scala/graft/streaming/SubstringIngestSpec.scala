@@ -6,8 +6,10 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 /** The substring-dedup-gated ingest: duplicated >= k-token spans are
   * removed against the store's accumulated gram counts plus the
   * batch's own, exact re-deliveries no-op by as-delivered content
-  * hash, and docs + cleaned-text gram counts land as one committed
-  * generation.
+  * hash, and cleaned docs + AS-DELIVERED-text gram counts land as one
+  * committed generation (delivered counts, not cleaned — see the
+  * ingest's scaladoc: cleaned counts would zero in-batch-duplicated
+  * spans and let them sail through the next wave).
   */
 class SubstringIngestSpec extends SparkSpec {
   import spark.implicits._
