@@ -44,40 +44,70 @@ object TextFunctions {
   val FrStop: Seq[String] = Seq("le", "la", "les", "et", "est", "un")
   val EsStop: Seq[String] = Seq("el", "la", "los", "y", "es", "un")
 
+  /** Count of `toks` entries contained in `words`. */
+  def stopHitsOf(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
   /** Count of tokens contained in `words`. */
   def stopHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words: _*)))
+    stopHitsOf(tokens(text), words)
+
+  /** [[qualityScore]] over an already-tokenized array. Prefer this
+    * (with `toks` materialized ONCE in its own projection) whenever a
+    * query computes several token metrics over the same text —
+    * `tokens()` is a split+filter per call, and expression-level reuse
+    * composes them to one tokenization instead of one per metric.
+    * (An alias referenced more than once is non-cheap, so
+    * CollapseProject keeps the materializing Project separate and the
+    * split runs once per row.)
+    */
+  def qualityScoreOf(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val lenScore = least(lit(1.0), n / 32.0)
+    val divScore = size(array_distinct(toks)).cast("double") / n
+    val stopScore =
+      least(lit(1.0), stopHitsOf(toks, EnStop).cast("double") * 8.0 / n)
+    round(lenScore * 0.4 + divScore * 0.4 + stopScore * 0.2, 4)
+  }
+
+  /** Bind `arr` ONCE as a lambda variable and apply `f` to it —
+    * `f(tokens(text))` would copy the tokenization subtree into every
+    * reference inside `f` (3x for the quality score, 4x for lang-ID)
+    * and higher-order functions are CodegenFallback, so subexpression
+    * elimination never rescues it. `transform(array(arr), f)[1]`
+    * evaluates `arr` exactly once per row at a one-element-array cost.
+    */
+  private def bindOnce(arr: Column)(f: Column => Column): Column =
+    element_at(transform(array(arr), f), 1)
 
   /** Heuristic document quality score in [0,1], rounded to 4 dp:
     *   0.4 * length score (saturates at 32 tokens)
     * + 0.4 * lexical diversity (distinct/total tokens)
     * + 0.2 * stopword presence (saturates at 1/8 stopword ratio).
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    val n = size(toks).cast("double")
-    val lenScore = least(lit(1.0), n / 32.0)
-    val divScore = size(array_distinct(toks)).cast("double") / n
-    val stopScore =
-      least(lit(1.0), stopHits(text, EnStop).cast("double") * 8.0 / n)
-    round(lenScore * 0.4 + divScore * 0.4 + stopScore * 0.2, 4)
-  }
+  def qualityScore(text: Column): Column =
+    bindOnce(tokens(text))(qualityScoreOf)
 
-  /** Marker-word language-ID: count stopword hits per language, pick the
-    * first maximum in fixed order (en, de, fr, es); "und" when nothing
-    * matched. Deterministic and SQL-expressible.
+  /** [[langId]] over an already-tokenized array (see [[qualityScoreOf]]
+    * for when to prefer the `Of` form).
     */
-  def langId(text: Column): Column = {
-    val en = stopHits(text, EnStop)
-    val de = stopHits(text, DeStop)
-    val fr = stopHits(text, FrStop)
-    val es = stopHits(text, EsStop)
+  def langIdOf(toks: Column): Column = {
+    val en = stopHitsOf(toks, EnStop)
+    val de = stopHitsOf(toks, DeStop)
+    val fr = stopHitsOf(toks, FrStop)
+    val es = stopHitsOf(toks, EsStop)
     when(en + de + fr + es === 0, lit("und"))
       .when(en >= de && en >= fr && en >= es, lit("en"))
       .when(de >= fr && de >= es, lit("de"))
       .when(fr >= es, lit("fr"))
       .otherwise(lit("es"))
   }
+
+  /** Marker-word language-ID: count stopword hits per language, pick the
+    * first maximum in fixed order (en, de, fr, es); "und" when nothing
+    * matched. Deterministic and SQL-expressible.
+    */
+  def langId(text: Column): Column = bindOnce(tokens(text))(langIdOf)
 
   /** PII patterns — intentionally simple character-class regexes so
     * Java (Spark codegen) and RE2 (DuckDB oracle) agree exactly.

@@ -201,13 +201,18 @@ object Corpus {
     */
   def datasheet(docs: DataFrame, sourceCol: String,
       textCol: String, langCol: String): DataFrame = {
-    val q = graft.functions.TextFunctions.qualityScore(col(textCol))
+    val q = graft.functions.TextFunctions.qualityScoreOf(col("__tokarr"))
     docs
+      // Tokenize once per row (its own projection, kept by
+      // CollapseProject because the alias is referenced 4x), then derive
+      // token count and quality from the array.
       .select(col(sourceCol).as("source"),
         col(langCol).as("__lang"),
         length(col(textCol)).as("__chars"),
-        graft.functions.TextFunctions.tokenCount(col(textCol)).as("__toks"),
-        HashFunctions.contentHash(col(textCol)).as("__ch"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__tokarr"),
+        HashFunctions.contentHash(col(textCol)).as("__ch"))
+      .select(col("source"), col("__lang"), col("__chars"),
+        size(col("__tokarr")).as("__toks"), col("__ch"),
         round(q * lit(1e6)).cast("long").as("__q1e6"))
       .groupBy(col("source"))
       .agg(

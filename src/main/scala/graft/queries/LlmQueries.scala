@@ -1221,10 +1221,13 @@ object LlmQueries {
       graft.operators.Upsert.withContentHash(corpus, "text")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
+        // Tokenize ONCE per row, then derive all three metrics from the
+        // array — the inlined forms would re-run split+filter ~7x/row.
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          TextFunctions.qualityScore(col("text")).as("quality"),
-          TextFunctions.langId(col("text")).as("lang"))
+          size(col("toks")).as("n_tokens"),
+          TextFunctions.qualityScoreOf(col("toks")).as("quality"),
+          TextFunctions.langIdOf(col("toks")).as("lang"))
         .filter(col("quality") >= 0.5 &&
           col("n_tokens").between(8, 1000) && col("lang") === "en")
         .select(col("doc_id"), col("n_tokens"), col("quality"))
@@ -1632,8 +1635,9 @@ object LlmQueries {
         |      * 0.2, 4) AS quality
         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          TextFunctions.qualityScore(col("text")).as("quality"))
+          TextFunctions.qualityScoreOf(col("toks")).as("quality"))
         .presentSorted(col("doc_id"))
     },
 
@@ -1658,8 +1662,9 @@ object LlmQueries {
         |  WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred
         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          TextFunctions.langId(col("text")).as("lang_pred"))
+          TextFunctions.langIdOf(col("toks")).as("lang_pred"))
         .presentSorted(col("doc_id"))
     },
 
