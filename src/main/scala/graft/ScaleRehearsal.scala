@@ -223,6 +223,13 @@ object ScaleRehearsal {
         Similarity.annStorePartitionedTopK(spark, annPart, queryVecs,
           planes = 8, dims = 64, k = 3)
       }
+      probe(r, "probe_ann_auto") {
+        // No caller-side layout choice: the route-aware probe must pick
+        // the partitioned layout here (snapshot fresh after
+        // ann_partition) and hold ~probe_ann_part's time at 1000x.
+        Similarity.annStoreTopKAuto(spark, ann, queryVecs,
+          planes = 8, dims = 64, k = 3, partDir = Some(annPart))
+      }
       // Hybrid fuses BOTH stores — only meaningful in a full run.
       if (phases.contains("stores")) probe(r, "probe_hybrid") {
         Search.hybridTopK(spark, idx, ann,

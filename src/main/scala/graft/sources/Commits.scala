@@ -113,6 +113,29 @@ object Commits {
     else None
   }
 
+  /** Total bytes of the table's visible data files (flat layout plus
+    * committed `b<id>` dirs) — a LISTING-ONLY size signal for probe
+    * routing and maintenance cadence decisions. Deliberately no scan:
+    * stats that open files (row counts, live-vs-dead splits) belong to
+    * the per-store `*Stats` ops; this one must stay cheap enough to
+    * run in front of every probe.
+    */
+  def committedDataBytes(spark: SparkSession, tableDir: String): Long = {
+    val base = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return 0L
+    def isData(s: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val present = batchDirs(fs, base)
+    val inBatches = committed(spark, tableDir)
+      .flatMap(present.get)
+      .flatMap(d => fs.listStatus(d).filter(isData).map(_.getLen))
+    val flat = fs.listStatus(base).filter(isData).map(_.getLen)
+    inBatches.sum + flat.sum
+  }
+
   /** Row count of the committed generations of the per-batch table at
     * `tableDir` — a zero-column parquet count: Spark prunes the scan's
     * required schema to nothing and the row counts come from the file

@@ -178,6 +178,48 @@ class SimilaritySpec extends SparkSpec {
     assert(!after.exists(_._2 == 3L))
   }
 
+  test("annStoreTopKAuto routes by snapshot freshness, not caller choice") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-auto")
+      .toString + "/idx"
+    val part = java.nio.file.Files.createTempDirectory("ann-auto-p")
+      .toString + "/part"
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.59).toFloat,
+        ((i % 9) - 4).toFloat / 4f))
+    }.toDF("id", "vec")
+    Similarity.annStoreAppend(vecs, dir, planes = 4, dims = 3)
+    Similarity.annStorePartition(spark, dir, part)
+    val queries = vecs.filter(col("id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "score", "rnk")
+        .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    // Fresh snapshot -> the auto probe must READ the partitioned
+    // layout (inputFiles is the executed scan set, not a plan string).
+    val auto1 = Similarity.annStoreTopKAuto(spark, dir, queries,
+      planes = 4, dims = 3, k = 3, partDir = Some(part))
+    assert(auto1.inputFiles.nonEmpty &&
+      auto1.inputFiles.forall(_.contains("/part")),
+      s"expected all reads under $part, got ${auto1.inputFiles.toSeq}")
+    assert(rows(auto1) == rows(Similarity.annStoreTopK(spark, dir, queries,
+      planes = 4, dims = 3, k = 3)))
+    // Mutation staled the snapshot -> the auto probe must fall back to
+    // the always-fresh generational store and see the takedown NOW,
+    // not at next partition rebuild.
+    Similarity.annStoreDelete(spark, dir, Seq(3L).toDF("id"))
+    val auto2 = Similarity.annStoreTopKAuto(spark, dir, queries,
+      planes = 4, dims = 3, k = 3, partDir = Some(part))
+    assert(auto2.inputFiles.nonEmpty &&
+      auto2.inputFiles.forall(_.contains("/idx")),
+      s"expected all reads under $dir, got ${auto2.inputFiles.toSeq}")
+    val got = rows(auto2)
+    assert(!got.exists(_._2 == 3L))
+    assert(got == rows(Similarity.annStoreTopK(spark, dir, queries,
+      planes = 4, dims = 3, k = 3)))
+    // No partDir at all -> plain store probe, same results.
+    assert(rows(Similarity.annStoreTopKAuto(spark, dir, queries,
+      planes = 4, dims = 3, k = 3)) == got)
+  }
+
   test("annStoreStats reports live/superseded/tombstone shape") {
     val dir = java.nio.file.Files.createTempDirectory("ann-stats")
       .toString + "/idx"

@@ -144,4 +144,30 @@ class CommitsSpec extends SparkSpec {
     assert(Commits.readCommittedBatches(spark, dir, Seq(2L)).get
       .select("id").as[Long].collect().toSeq == Seq(4L))
   }
+
+  test("committedDataBytes: listing-only, counts flat + committed dirs, " +
+      "skips uncommitted dirs and hidden files") {
+    import spark.implicits._
+    val dir = tmp()
+    assert(Commits.committedDataBytes(spark, dir) == 0L)
+    Seq((1L, 0L)).toDF("id", "batch").write.parquet(s"$dir/b0")
+    Seq((2L, 1L)).toDF("id", "batch").write.parquet(s"$dir/b1")
+    Commits.commit(spark, dir, 0L) // b1 stays an uncommitted orphan
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bytesUnder(p: String): Long =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p)).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getLen).sum
+    assert(Commits.committedDataBytes(spark, dir) == bytesUnder(s"$dir/b0"))
+    Commits.commit(spark, dir, 1L)
+    assert(Commits.committedDataBytes(spark, dir)
+      == bytesUnder(s"$dir/b0") + bytesUnder(s"$dir/b1"))
+    // Flat (mid-migration) data files at the root count too.
+    Seq((3L, 2L)).toDF("id", "batch")
+      .write.mode("append").parquet(dir)
+    assert(Commits.committedDataBytes(spark, dir)
+      == bytesUnder(s"$dir/b0") + bytesUnder(s"$dir/b1") + bytesUnder(dir))
+  }
 }
