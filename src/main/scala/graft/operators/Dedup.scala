@@ -160,11 +160,12 @@ object Dedup {
 
   /** LEGACY banded form (md5-STRING band keys, no carried key array) —
     * the on-disk format of band tables written before the long-key
-    * migration. Kept so an old standing store's band index can still
-    * be probed (batch bands must be computed in the SAME key space as
-    * the store's: a long key never equals an md5 string, so mixing
-    * formats would silently drop every candidate). New stores use
-    * [[lshBandKeys]]; legacy candidate paths dedup by `distinct()`.
+    * migration. The candidate paths REJECT this format (the
+    * exchange-based fallbacks that probed it are retired); it is kept
+    * solely as the legacy-format fixture WRITER for
+    * [[graft.streaming.Streams.neardupBandMigrate]]'s tests and bench
+    * build — the migration rewrites a store in this form to
+    * [[lshBandKeys]] rows once, from the stored shingle arrays.
     */
   def lshBandsMd5(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
@@ -254,27 +255,33 @@ object Dedup {
     * once per (doc, band) through the bucket join — when starting
     * from compact keys, [[lshCandidatePairsFromKeys]] is the same
     * witness with ~8× less shuffle and is what the registered queries
-    * and the ingest path use. Legacy banded input (md5-string keys,
-    * no `band_keys` column) falls back to the exchange-based dedup.
+    * and the ingest path use. Legacy md5-string banded input (no
+    * `band_keys` column) is REJECTED — the exchange-based fallback it
+    * used to select is retired; migrate the band table once with
+    * [[graft.streaming.Streams.neardupBandMigrate]].
     */
-  def lshCandidatePairs(bands: DataFrame): DataFrame =
-    if (!bands.columns.contains("band_keys")) {
-      val x = bands.select(col("band"), col("band_key"), col("doc_id").as("a"))
-      val y = bands.select(col("band"), col("band_key"), col("doc_id").as("b"))
-      x.join(y, Seq("band", "band_key"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"))
-        .distinct()
-    } else {
-      val x = bands.select(col("band"), col("band_key"),
-        col("doc_id").as("a"), col("band_keys").as("__ka"))
-      val y = bands.select(col("band"), col("band_key"),
-        col("doc_id").as("b"), col("band_keys").as("__kb"))
-      x.join(y, Seq("band", "band_key"))
-        .filter(col("a") < col("b"))
-        .filter(col("band") === minMatchingBand(col("__ka"), col("__kb")))
-        .select(col("a"), col("b"))
-    }
+  def lshCandidatePairs(bands: DataFrame): DataFrame = {
+    require(bands.columns.contains("band_keys"), LegacyBandMsg)
+    val x = bands.select(col("band"), col("band_key"),
+      col("doc_id").as("a"), col("band_keys").as("__ka"))
+    val y = bands.select(col("band"), col("band_key"),
+      col("doc_id").as("b"), col("band_keys").as("__kb"))
+    x.join(y, Seq("band", "band_key"))
+      .filter(col("a") < col("b"))
+      .filter(col("band") === minMatchingBand(col("__ka"), col("__kb")))
+      .select(col("a"), col("b"))
+  }
+
+  /** The one message every retired-legacy-path rejection carries. */
+  private[graft] val LegacyBandMsg: String =
+    "legacy md5-string LSH band rows (no band_keys column) are no " +
+      "longer probe-able: the exchange-based candidate fallback was " +
+      "retired (it re-shuffled the corpus-wide candidate stream just " +
+      "to dedup emissions). Run " +
+      "graft.streaming.Streams.neardupBandMigrate(spark, storeDir) " +
+      "once to rewrite the standing band table to the compact " +
+      "long-key form, or band fresh signatures with lshBandKeys/" +
+      "lshBands instead of lshBandsMd5."
 
   /** Incremental LSH candidates: a NEW ingest batch against a STANDING
     * store's band table — the daily shape of dedup at 100 TB. A full
@@ -284,9 +291,10 @@ object Dedup {
     * incremental run computes signatures only for the batch and joins
     * them against the standing index — store×store and batch×batch
     * pairs are never generated. Output: (a = store doc, b = batch doc).
-    * Witness-deduped like [[lshCandidatePairs]] (legacy string-keyed
-    * inputs on BOTH sides fall back to `distinct()`; mixed formats are
-    * rejected — the key spaces are disjoint, a silent empty join).
+    * Witness-deduped like [[lshCandidatePairs]]; both inputs must
+    * carry `band_keys` (legacy md5-string rows are rejected — migrate
+    * with [[graft.streaming.Streams.neardupBandMigrate]]; the key
+    * spaces are disjoint, so a mixed join would be silently empty).
     */
   /** [[lshIncrementalCandidates]] from COMPACT key frames (doc_id,
     * band_keys) on both sides — the standing store's band table is
@@ -316,26 +324,15 @@ object Dedup {
 
   def lshIncrementalCandidates(storeBands: DataFrame,
       batchBands: DataFrame): DataFrame = {
-    val storeKeyed = storeBands.columns.contains("band_keys")
-    val batchKeyed = batchBands.columns.contains("band_keys")
-    require(storeKeyed == batchKeyed,
-      "mixed band formats: store and batch bands must both carry " +
-        "band_keys (new long-key format) or neither (legacy md5 format)")
-    if (!storeKeyed)
-      storeBands.select(col("band"), col("band_key"), col("doc_id").as("a"))
-        .join(batchBands
-          .select(col("band"), col("band_key"), col("doc_id").as("b")),
-          Seq("band", "band_key"))
-        .select(col("a"), col("b"))
-        .distinct()
-    else
-      storeBands.select(col("band"), col("band_key"),
-        col("doc_id").as("a"), col("band_keys").as("__ka"))
-        .join(batchBands.select(col("band"), col("band_key"),
-          col("doc_id").as("b"), col("band_keys").as("__kb")),
-          Seq("band", "band_key"))
-        .filter(col("band") === minMatchingBand(col("__ka"), col("__kb")))
-        .select(col("a"), col("b"))
+    require(storeBands.columns.contains("band_keys") &&
+      batchBands.columns.contains("band_keys"), LegacyBandMsg)
+    storeBands.select(col("band"), col("band_key"),
+      col("doc_id").as("a"), col("band_keys").as("__ka"))
+      .join(batchBands.select(col("band"), col("band_key"),
+        col("doc_id").as("b"), col("band_keys").as("__kb")),
+        Seq("band", "band_key"))
+      .filter(col("band") === minMatchingBand(col("__ka"), col("__kb")))
+      .select(col("a"), col("b"))
   }
 
   /** Exact Jaccard for (a, b) candidate pairs: join each side to its

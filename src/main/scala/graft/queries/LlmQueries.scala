@@ -174,6 +174,51 @@ object LlmQueries {
     }
   }
 
+  /** Build phase of dd_lsh_band_migrate: a near-dup store written in
+    * the pre-long-key era — docs + shingle arrays as today, bands in
+    * the legacy exploded md5-STRING form — is rewritten once by
+    * [[graft.streaming.Streams.neardupBandMigrate]], which recomputes
+    * the compact `band_keys` rows from the stored shingle arrays and
+    * swaps them in crash-safely. The probe then runs the incremental
+    * candidate path (which REJECTS legacy rows outright) against the
+    * migrated table: answers must be identical to banding the store
+    * fresh, which is what the shared incremental oracle checks.
+    */
+  private def lshMigrateBuild(s: SparkSession, d: String): Unit = {
+    val dir = storeDir("lsh-mig") + "/st"
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val hashed = graft.operators.Upsert.withContentHash(docs, "text")
+    hashed.withColumn("batch", lit(0L)).write.parquet(s"$dir/docs")
+    val hs = Dedup.hashedShingleArrays(hashed, "doc_id", "text", 3)
+    hs.withColumn("batch", lit(0L)).write.parquet(s"$dir/hs")
+    Dedup.lshBandsMd5(Dedup.minhashSignatures(hs, 128), 128, 16)
+      .withColumn("batch", lit(0L)).write.parquet(s"$dir/bands")
+    graft.sources.Commits.commit(s, dir, 0L)
+    val n = graft.streaming.Streams.neardupBandMigrate(s, dir)
+    require(n > 0, "band migration rewrote nothing")
+  }
+
+  private def lshMigrateProbe(s: SparkSession, d: String): DataFrame = {
+    val dir = storePath("lsh-mig") + "/st"
+    val batch = Tables.documents(s, d)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "zzz").as("text"))
+    val batchHs = Dedup.hashedShingleArrays(batch, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val storeKeys = s.read.parquet(s"$dir/bands")
+      .select(col("doc_id"), col("band_keys"))
+    val batchKeys = Dedup.lshBandKeys(
+      Dedup.minhashSignatures(batchHs, 128), 128, 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = Dedup.lshIncrementalCandidatesFromKeys(storeKeys, batchKeys)
+    val storeHs = s.read.parquet(s"$dir/hs")
+      .select(col("doc_id"), col("hs"))
+    Dedup.jaccard(cand, storeHs.unionByName(batchHs))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .presentSorted(col("a"), col("b"))
+  }
+
   /** Standing gram-frequency store (incremental substring dedup): the
     * build ingests the base corpus's per-gram counts; the probe screens
     * a mutant wave (16-token prefixes copied from stored docs + a fresh
@@ -373,6 +418,7 @@ object LlmQueries {
       chunkTakedownProbe),
     "pl_substring_dedup_incremental" -> BenchPhases(gramStoreBuild,
       gramStoreProbe),
+    "dd_lsh_band_migrate" -> BenchPhases(lshMigrateBuild, lshMigrateProbe),
   )
 
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
@@ -771,6 +817,22 @@ object LlmQueries {
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .presentSorted(col("a"), col("b"))
+    },
+
+    // LEGACY BAND-FORMAT MIGRATION: a standing near-dup store whose
+    // band table predates the compact long-key form (exploded
+    // md5-string rows) is rewritten once from its stored shingle
+    // arrays, then probed by the incremental candidate path — which
+    // rejects legacy rows outright, so the probe running at all proves
+    // the swap landed, and the shared incremental oracle proves the
+    // recomputed keys equal fresh banding (cross pairs only: store ids
+    // < 1000000 <= batch ids).
+    QueryDef(
+      "dd_lsh_band_migrate",
+      MinhashCandPrefix + JaccardTail.replace("WHERE n_inter",
+        "WHERE i.a < 1000000 AND i.b >= 1000000\n  AND n_inter")) { (s, d) =>
+      lshMigrateBuild(s, d)
+      lshMigrateProbe(s, d)
     },
 
     // Near-dup CLUSTERING: MinHash pairs -> connected components ->

@@ -119,6 +119,16 @@ object Commits {
     * stats that open files (row counts, live-vs-dead splits) belong to
     * the per-store `*Stats` ops; this one must stay cheap enough to
     * run in front of every probe.
+    *
+    * Two deliberate imprecisions, both acceptable for a ROUTING
+    * signal and not for accounting: (1) the figure counts superseded
+    * and tombstone generations — dead bytes a vacuum would reclaim —
+    * so a routing warning can fire on a store whose LIVE data is
+    * small; that warning's remedy (run the maintenance pass) is the
+    * same thing that shrinks the figure, so it self-corrects.
+    * (2) a batch dir vacuumed/compacted away between the commit-set
+    * read and its listing counts as 0 bytes rather than crashing the
+    * probe — the listing holds no lock by design.
     */
   def committedDataBytes(spark: SparkSession, tableDir: String): Long = {
     val base = new org.apache.hadoop.fs.Path(tableDir)
@@ -128,12 +138,17 @@ object Commits {
       val n = s.getPath.getName
       s.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
+    // Unlocked listing racing a concurrent vacuum/compact: a dir (or
+    // the flat base) present a moment ago may be gone by listStatus
+    // time. Treat a vanished path as 0 bytes.
+    def safeBytes(d: org.apache.hadoop.fs.Path): Long =
+      try fs.listStatus(d).filter(isData).map(_.getLen).sum
+      catch { case _: java.io.FileNotFoundException => 0L }
     val present = batchDirs(fs, base)
     val inBatches = committed(spark, tableDir)
       .flatMap(present.get)
-      .flatMap(d => fs.listStatus(d).filter(isData).map(_.getLen))
-    val flat = fs.listStatus(base).filter(isData).map(_.getLen)
-    inBatches.sum + flat.sum
+      .map(safeBytes)
+    inBatches.sum + safeBytes(base)
   }
 
   /** Row count of the committed generations of the per-batch table at

@@ -672,6 +672,16 @@ object Streams {
       .readCommittedBatches(spark, gramsDir, live)
     val reserved = SubstringReservedCols.filter(c =>
       c != idCol && c != textCol)
+    // The strip must not be silent: a producer delivering genuine
+    // metadata under a reserved name loses it, and the scaladoc alone
+    // won't reach whoever wired that producer. One warning per batch
+    // naming exactly the columns dropped.
+    val collisions = batch.columns.filter(reserved.contains)
+    if (collisions.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "substringIngestBatch: delivered batch carries engine-reserved " +
+          s"column(s) ${collisions.mkString(", ")} - dropping them " +
+          "before ingest; rename producer-side metadata to keep it")
     val hashed = Upsert.withContentHash(
       batch.drop(reserved: _*).dropDuplicates(idCol), textCol)
     // Exact screens on the AS-DELIVERED text: vs the store, then
@@ -1024,6 +1034,76 @@ object Streams {
       }
       .start()
 
+  /** ONE-SHOT band-table migration for a near-dup store written before
+    * the long-key band format: rewrites `storeDir/bands` from the
+    * legacy exploded md5-string rows (doc_id, band, band_key STRING)
+    * to the compact [[graft.operators.Dedup.lshBandKeys]] form
+    * (doc_id, band_keys ARRAY<LONG>, batch) that every candidate path
+    * now requires — the exchange-based fallbacks that could probe the
+    * legacy format are retired ([[graft.operators.Dedup.LegacyBandMsg]]).
+    *
+    * The compact rows are RECOMPUTED from the store's own committed
+    * shingle arrays (`hs`), not converted from the legacy strings: the
+    * two key spaces are different truncations of the same md5 chain,
+    * so recomputation from the source of truth is both simpler and
+    * provably the same keys a fresh ingest would produce. Uncommitted
+    * orphan rows (crashed batches) are NOT migrated — they were
+    * invisible before and stay invisible; the batch column rides over
+    * from `hs` so committed-set filtering keeps working unchanged.
+    *
+    * Crash safety, under the store's writer lease: the compact table
+    * is fully written to a sibling scratch dir first, then swapped in
+    * by two renames (`bands`→`bands_old`, scratch→`bands`) with
+    * `bands_old` deleted last. Every crash point is repaired at the
+    * next call's entry: a leftover scratch dir is discarded, and a
+    * missing `bands` with `bands_old` present rolls back — the store
+    * is never left without a readable band table for longer than the
+    * two-rename window, which (like an [[graft.operators.Similarity
+    * .annStorePartition]] refresh) unlocked readers should not
+    * straddle. Returns the number of docs whose bands were rewritten;
+    * 0 when the table is already compact (or empty) — safe to call
+    * idempotently from a maintenance pass.
+    */
+  def neardupBandMigrate(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Long =
+   graft.sources.Commits.withWriterLock(spark, storeDir) {
+    import graft.operators.Dedup
+    val bandsDir = s"$storeDir/bands"
+    val hsDir = s"$storeDir/hs"
+    val bands = new org.apache.hadoop.fs.Path(bandsDir)
+    val old = new org.apache.hadoop.fs.Path(s"$storeDir/bands_old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/bands_migrate")
+    val fs = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Repair a crashed prior migration, in rollback order: restore a
+    // renamed-away bands dir first, drop a superseded bands_old, then
+    // discard any scratch — converges from every crash point.
+    if (!fs.exists(bands) && fs.exists(old)) fs.rename(old, bands): Unit
+    if (fs.exists(bands) && fs.exists(old)) fs.delete(old, true): Unit
+    if (fs.exists(tmp)) fs.delete(tmp, true): Unit
+    val committed = graft.sources.Commits.committed(spark, storeDir)
+    val legacy = committed.nonEmpty && fs.exists(bands) &&
+      !spark.read.parquet(bandsDir).columns.contains("band_keys")
+    if (!legacy) 0L
+    else {
+      val hs = spark.read.parquet(hsDir)
+        .filter(col("batch").isin(committed: _*))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val compact = Dedup.lshBandKeys(
+          Dedup.minhashSignatures(hs.select(col("doc_id"), col("hs")), 128),
+          128, 16)
+        .join(hs.select(col("doc_id"), col("batch")), Seq("doc_id"))
+      compact.write.mode("overwrite").parquet(tmp.toString)
+      val n = spark.read.parquet(tmp.toString).count()
+      hs.unpersist()
+      if (!fs.rename(bands, old))
+        throw new java.io.IOException(s"could not rename $bands aside")
+      if (!fs.rename(tmp, bands))
+        throw new java.io.IOException(s"could not swap $tmp into place")
+      fs.delete(old, true): Unit
+      n
+    }
+   }
+
   /** One micro-batch of the near-dup ingest (also the batch restart
     * path). Returns the number of docs actually inserted.
     *
@@ -1071,47 +1151,38 @@ object Streams {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchHs = Dedup.hashedShingleArrays(hashed, idCol, textCol, 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Band-store format stickiness: new stores keep the COMPACT
-    // per-doc key-array rows (Dedup.lshBandKeys — 16 longs/doc, and
-    // the witness-deduped candidate joins need the carried array); a
-    // store written before the long-key migration keeps its legacy
-    // exploded md5-string rows, and the batch MUST be banded in the
-    // store's key space (a long key never equals an md5 string — a
-    // mixed join would silently drop every store candidate).
+    // The standing band table must be in the compact long-key form
+    // (Dedup.lshBandKeys — 16 longs/doc, and the witness-deduped
+    // candidate joins need the carried array): the legacy md5-string
+    // probe fallbacks are retired, and a mixed-key-space join would
+    // silently drop every store candidate, so a pre-migration store
+    // fails LOUDLY here instead.
     val storeBandRows = readCommitted(bandsDir)
-    val legacyBands = storeBandRows.exists(df =>
-      !df.columns.contains("band_keys"))
+    storeBandRows.foreach(df => require(
+      df.columns.contains("band_keys"), s"$bandsDir: " + Dedup.LegacyBandMsg))
     val sigs = Dedup.minhashSignatures(batchHs, 128)
     // Compact keys persisted: the candidate paths read them four ways
     // (explode sides + witness joins) and the store write reuses them.
-    val batchKeys =
-      if (legacyBands) None
-      else Some(Dedup.lshBandKeys(sigs, 128, 16)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val batchKeys = Dedup.lshBandKeys(sigs, 128, 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Near-dups vs the standing index (batch side = b), then vs
     // lower-id docs in the same batch (drop the higher id of a pair —
     // the ingest-gate reading of "keep the canonical representative").
-    // New-format stores keep bands COMPACT on disk, so the FromKeys
-    // candidate paths explode narrow rows straight off the scan and
-    // never ship key arrays through the bucket join.
+    // Bands are COMPACT on disk, so the FromKeys candidate paths
+    // explode narrow rows straight off the scan and never ship key
+    // arrays through the bucket join.
     val vsStore = storeBandRows match {
       case Some(storeRows) =>
         val cand =
-          if (legacyBands)
-            Dedup.lshIncrementalCandidates(storeRows,
-              Dedup.lshBandsMd5(sigs, 128, 16))
-          else Dedup.lshIncrementalCandidatesFromKeys(storeRows,
-            batchKeys.get)
+          Dedup.lshIncrementalCandidatesFromKeys(storeRows, batchKeys)
         Dedup.jaccard(cand,
           readCommitted(hsDir).get.select(col("doc_id"), col("hs"))
             .unionByName(batchHs))
           .filter(col("jaccard") >= minJaccard).select(col("b").as(idCol))
       case None => batchHs.select(col("doc_id").as(idCol)).limit(0)
     }
-    val inBatchCand =
-      if (legacyBands) Dedup.lshCandidatePairs(Dedup.lshBandsMd5(sigs, 128, 16))
-      else Dedup.lshCandidatePairsFromKeys(batchKeys.get)
+    val inBatchCand = Dedup.lshCandidatePairsFromKeys(batchKeys)
     val inBatch = Dedup.jaccard(inBatchCand, batchHs)
       .filter(col("jaccard") >= minJaccard).select(col("b").as(idCol))
     // Exact-hash fallback covers the docs with no shingles.
@@ -1140,14 +1211,14 @@ object Streams {
       batchHs.join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"),
         "left_semi").withColumn("batch", lit(batchId))
         .write.mode("append").parquet(hsDir)
-      batchKeys.getOrElse(Dedup.lshBandsMd5(sigs, 128, 16))
+      batchKeys
         .join(survivors.select(col(idCol).as("doc_id")),
           Seq("doc_id"), "left_semi").withColumn("batch", lit(batchId))
         .write.mode("append").parquet(bandsDir)
       graft.sources.Commits.commit(spark, storeDir, batchId)
     }
     survivors.unpersist()
-    batchKeys.foreach(_.unpersist())
+    batchKeys.unpersist()
     batchHs.unpersist()
     hashed.unpersist()
     n

@@ -60,11 +60,12 @@ class DedupSpec extends SparkSpec {
     assert(cand.forall { case (a, b) => a <= 2 && b > 2 })
   }
 
-  test("witnessed LSH candidates: exactly one emission per pair, same set as legacy") {
+  test("witnessed LSH candidates: exactly one emission per pair; legacy rejected") {
     // A corpus with heavy mutual overlap so pairs agree in MANY bands
     // (exact copies agree in all): the witness filter must still emit
-    // each pair exactly once, and the pair SET must equal the legacy
-    // md5-keyed distinct() path's.
+    // each pair exactly once. Legacy md5-string banded input (no
+    // band_keys) is REJECTED — the exchange-based fallback is retired;
+    // stores in that format migrate once via neardupBandMigrate.
     val corpus = ((1L to 12L).map(i => (i, "w0 w1 w2 w3 w4 w5 w6 w7 w8")) ++
       (13L to 18L).map(i => (i, s"zz$i w1 w2 w3 w4 w5 w6 w7 w8")) ++
       Seq((19L, "totally unrelated text about something else entirely here")))
@@ -73,18 +74,17 @@ class DedupSpec extends SparkSpec {
     val sigs = Dedup.minhashSignatures(hs, 16).persist()
     val witnessed = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, 16, 4))
       .as[(Long, Long)].collect().toSeq
-    val legacy = Dedup.lshCandidatePairs(Dedup.lshBandsMd5(sigs, 16, 4))
-      .as[(Long, Long)].collect().toSeq
     assert(witnessed.size == witnessed.toSet.size,
       "witness filter let a duplicate emission through")
-    assert(witnessed.toSet == legacy.toSet,
-      "witnessed pair set differs from the legacy distinct() path")
     // The exact-copy clique must be fully present: 12*11/2 pairs.
     assert(witnessed.count { case (a, b) => a <= 12 && b <= 12 } == 66)
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidatePairs(Dedup.lshBandsMd5(sigs, 16, 4))
+    }
     sigs.unpersist(); ()
   }
 
-  test("witnessed incremental LSH: exactly-once, legacy parity, mixed rejected") {
+  test("witnessed incremental LSH: exactly-once; legacy and mixed rejected") {
     val corpus = ((1L to 6L).map(i => (i, "w0 w1 w2 w3 w4 w5 w6 w7 w8")) ++
       (7L to 9L).map(i => (i, s"zz$i w1 w2 w3 w4 w5 w6 w7 w8")))
       .toDF("doc_id", "text")
@@ -96,15 +96,16 @@ class DedupSpec extends SparkSpec {
     val witnessed = Dedup.lshIncrementalCandidates(
       Dedup.lshBands(store, 16, 4), Dedup.lshBands(batch, 16, 4))
       .as[(Long, Long)].collect().toSeq
-    val legacy = Dedup.lshIncrementalCandidates(
-      Dedup.lshBandsMd5(store, 16, 4), Dedup.lshBandsMd5(batch, 16, 4))
-      .as[(Long, Long)].collect().toSeq
     assert(witnessed.size == witnessed.toSet.size)
-    assert(witnessed.toSet == legacy.toSet)
     // Exact copies 1-4 (store) x 5-6 (batch) all surface.
     assert(witnessed.toSet.intersect(
       (for (a <- 1L to 4L; b <- 5L to 6L) yield (a, b)).toSet).size == 8)
-    // Mixed key formats would be a silently-empty join: rejected loud.
+    // The md5-string probe paths are retired: legacy on either or both
+    // sides (a mixed join would be silently empty) rejects loud.
+    intercept[IllegalArgumentException] {
+      Dedup.lshIncrementalCandidates(
+        Dedup.lshBandsMd5(store, 16, 4), Dedup.lshBandsMd5(batch, 16, 4))
+    }
     intercept[IllegalArgumentException] {
       Dedup.lshIncrementalCandidates(
         Dedup.lshBandsMd5(store, 16, 4), Dedup.lshBands(batch, 16, 4))
@@ -113,11 +114,11 @@ class DedupSpec extends SparkSpec {
   }
 
   test("FromKeys candidate paths: exactly-once and identical sets to the " +
-      "banded-frame witness and the legacy distinct paths") {
+      "banded-frame witness path") {
     // The compact-keys candidate functions (narrow bucket join + keys
     // joined back onto the emission stream for the witness) must
-    // produce the SAME pair set, exactly once per pair, as both the
-    // array-carrying witness path and the legacy md5 distinct path.
+    // produce the SAME pair set, exactly once per pair, as the
+    // array-carrying witness path.
     val corpus = ((1L to 12L).map(i => (i, "w0 w1 w2 w3 w4 w5 w6 w7 w8")) ++
       (13L to 18L).map(i => (i, s"zz$i w1 w2 w3 w4 w5 w6 w7 w8")) ++
       Seq((19L, "totally unrelated text about something else entirely here")))
