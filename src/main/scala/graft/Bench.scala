@@ -118,7 +118,8 @@ object Bench {
     // when it ran in the alphabetical tail.
     val heavyNames = Seq(
       "search_bm25_index_upsert", "search_hybrid_rrf",
-      "search_hybrid_rrf_multiprobe", "dd_neardup_clusters",
+      "search_hybrid_rrf_multiprobe", "search_hybrid_rrf_auto",
+      "pl_fanout_gated_roundtrip", "dd_neardup_clusters",
       "mm_phash_near_dup", "dd_jaccard_blocked_pairs",
       "s13_s17_partitioned_merge_store", "pl_crawl_bfs_site",
       "search_bm25_index_delete", "join_bloom_prefilter",
@@ -222,7 +223,15 @@ object Bench {
     // the wall was armed, not assume it.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
       "tools/bench_reference.json")
-    val strictGate = !sys.env.get("SPARK_GRAFT_BENCH_GATE").contains("report")
+    val gateEnv = sys.env.get("SPARK_GRAFT_BENCH_GATE")
+    // Fail-safe: anything that is not exactly "report" runs strict —
+    // but a mistyped opt-out attempt ("off", "reports", "0") must be
+    // VISIBLE, not silently reinterpreted as strict.
+    gateEnv.filterNot(Set("report", "strict")).foreach(v =>
+      System.err.println(s"[bench] WARNING: unrecognized " +
+        s"SPARK_GRAFT_BENCH_GATE='$v' - only 'report' downgrades the " +
+        "gate; running STRICT"))
+    val strictGate = !gateEnv.contains("report")
     // Reference times only mean anything at the scale factor they were
     // measured at. The reference records the trailing sfN.N component
     // (not the full dataset path — the same scale mounted elsewhere is

@@ -642,6 +642,18 @@ object Search {
           max(col("batch")).as("batch")))
   }
 
+  /** LIVE membership surface of the standing index — the audit read a
+    * platform's cross-store consistency checks need: (doc_id,
+    * content_hash) of every doc whose CURRENT committed generation is
+    * not a tombstone. None when nothing is committed. Skinny-column
+    * scan; postings and text are never touched.
+    */
+  def indexLiveDocs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] =
+    currentDocs(spark, dir).map(_
+      .filter(col("content_hash") =!= Tombstone)
+      .select(col("doc_id"), col("content_hash")))
+
   /** [[currentDocs]] restricted to `ids` (a one-column doc_id frame):
     * the docs scan is semi-joined against the id set BEFORE the
     * per-doc aggregate, so mutation-path currency resolves cost the
@@ -952,12 +964,22 @@ object Search {
     * fusion's embedding evidence does not silently depend on which
     * side of a single hyperplane a neighbor fell — planes+1 bucket
     * reads instead of one.
+    *
+    * The single-probe ANN side goes through the ROUTE-AWARE probe
+    * ([[graft.operators.Similarity.annStoreTopKAuto]]): pass
+    * `annPartDir` (the [[graft.operators.Similarity.annStorePartition]]
+    * layout the maintenance pass refreshes) and the fusion reads the
+    * bucket-pruned partitioned layout while its snapshot is current,
+    * falling back to the always-fresh generational store otherwise —
+    * same answers either way, the 1000× probe-cost difference decided
+    * per call from two file listings.
     */
   def hybridTopK(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, annDir: String, queryTerms: Seq[String],
       queryVec: DataFrame, planes: Int, dims: Int, k: Int,
       kEach: Int = 20, rrfK: Int = 60,
-      multiprobe: Boolean = false): DataFrame = {
+      multiprobe: Boolean = false,
+      annPartDir: Option[String] = None): DataFrame = {
     val bm = bm25FromIndexTopK(spark, indexDir, queryTerms, kEach)
       .withColumn("r_bm25", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -967,7 +989,8 @@ object Search {
       if (multiprobe) graft.operators.Similarity
         .annStoreTopKProbed(spark, annDir, queryVec, planes, dims, kEach)
       else graft.operators.Similarity
-        .annStoreTopK(spark, annDir, queryVec, planes, dims, kEach)
+        .annStoreTopKAuto(spark, annDir, queryVec, planes, dims, kEach,
+          partDir = annPartDir)
     val ann = annTop.select(col("cid").as("doc_id"), col("rnk").as("r_ann"))
     bm.join(ann, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),

@@ -205,18 +205,24 @@ object LlmQueries {
         regexp_replace(col("text"), "^\\S+", "zzz").as("text"))
     val batchHs = Dedup.hashedShingleArrays(batch, "doc_id", "text", 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val storeKeys = s.read.parquet(s"$dir/bands")
-      .select(col("doc_id"), col("band_keys"))
     val batchKeys = Dedup.lshBandKeys(
       Dedup.minhashSignatures(batchHs, 128), 128, 16)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = Dedup.lshIncrementalCandidatesFromKeys(storeKeys, batchKeys)
-    val storeHs = s.read.parquet(s"$dir/hs")
-      .select(col("doc_id"), col("hs"))
-    Dedup.jaccard(cand, storeHs.unionByName(batchHs))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-      .presentSorted(col("a"), col("b"))
+    // The result is materialized (localCheckpoint is eager) so both
+    // intermediates release HERE, try/finally like fanoutIngestBatch,
+    // instead of leaking until the harness's clearCache.
+    try {
+      val storeKeys = s.read.parquet(s"$dir/bands")
+        .select(col("doc_id"), col("band_keys"))
+      val cand = Dedup.lshIncrementalCandidatesFromKeys(storeKeys, batchKeys)
+      val storeHs = s.read.parquet(s"$dir/hs")
+        .select(col("doc_id"), col("hs"))
+      Dedup.jaccard(cand, storeHs.unionByName(batchHs))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .presentSorted(col("a"), col("b"))
+        .localCheckpoint()
+    } finally { batchKeys.unpersist(); batchHs.unpersist(); () }
   }
 
   /** Standing gram-frequency store (incremental substring dedup): the
@@ -239,6 +245,78 @@ object LlmQueries {
       batch, "doc_id", "text", 8, storePath("gramdf") + "/st")
       .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
         col("n_removed"), md5(col("clean_text")).as("clean_md5"))
+      .presentSorted(col("doc_id"))
+  }
+
+  /** Deterministic per-doc embedding for the gated fan-out fixture
+    * (the documents table has no vector column; what matters here is
+    * ANN membership, not geometry).
+    */
+  private def fanoutVec: org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(7)),
+      i => ((col("doc_id") * (i + lit(3))) % 11).cast("float"))
+
+  /** Build of pl_fanout_gated_roundtrip: two waves through
+    * [[graft.streaming.Streams.fanoutIngestBatchGated]] — the whole
+    * base corpus, then a mutant wave (16-token prefixes of stored docs
+    * + fresh tails, spans must go) mixed with exact re-deliveries
+    * (must no-op) — then the full second wave REDELIVERED, which must
+    * converge to a complete no-op on all four stores.
+    */
+  private def fanoutGatedBuild(s: SparkSession, d: String): Unit = {
+    import graft.functions.TextFunctions
+    val root = storeDir("fanout-gated")
+    val (st, ix, an, gr) =
+      (s"$root/store", s"$root/index", s"$root/ann", s"$root/gram")
+    def gated(batch: org.apache.spark.sql.DataFrame, id: Long) =
+      graft.streaming.Streams.fanoutIngestBatchGated(batch, id, st, ix,
+        an, gr, "doc_id", "text", Some("vec"), planes = 8, dims = 8)
+    val wave1 = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), fanoutVec.as("vec"))
+    val (g1, i1, a1) = gated(wave1, 0L)
+    require(g1 > 0 && g1 == i1 && g1 == a1,
+      s"wave-1 fan-out diverged across stores: gate=$g1 idx=$i1 ann=$a1")
+    val docs = Tables.documents(s, d)
+    val wave2 = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 16)),
+          lit(" fresh tail mutant "), col("doc_id")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("text"), fanoutVec.as("vec"))
+    gated(wave2, 1L)
+    val again = gated(wave2, 1L)
+    require(again == ((0L, 0L, 0L)),
+      s"wave-2 redelivery must no-op on every store, got $again")
+  }
+
+  /** Probe of pl_fanout_gated_roundtrip: the gram store's committed
+    * survivors (per-doc span stats + cleaned-text md5) CROSS-CHECKED
+    * against the other three surfaces the same batches advanced —
+    * merge-store text equals the cleaned text, index and ANN hold the
+    * id live. The oracle pins the flags as literal TRUE, so any store
+    * the composed cadence let drift mismatches here.
+    */
+  private def fanoutGatedProbe(s: SparkSession, d: String): DataFrame = {
+    val root = storePath("fanout-gated")
+    val store = graft.streaming.Streams
+      .substringStoreRead(s, s"$root/gram").get
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
+        col("n_removed"), md5(col("clean_text")).as("clean_md5"))
+    val merge = graft.streaming.Streams.readState(s, s"$root/store").get
+      .select(col("doc_id"), md5(col("text")).as("__merge_md5"))
+    val idx = Search.indexLiveDocs(s, s"$root/index").get
+      .select(col("doc_id"), lit(true).as("__in_idx"))
+    val ann = Similarity.annStoreLiveIds(s, s"$root/ann")
+      .select(col("id").as("doc_id"), lit(true).as("__in_ann"))
+    store.join(merge, Seq("doc_id"), "left")
+      .join(idx, Seq("doc_id"), "left")
+      .join(ann, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
+        col("n_removed"), col("clean_md5"),
+        (col("__merge_md5") === col("clean_md5")).as("merge_ok"),
+        coalesce(col("__in_idx"), lit(false)).as("in_index"),
+        coalesce(col("__in_ann"), lit(false)).as("in_ann"))
       .presentSorted(col("doc_id"))
   }
 
@@ -378,6 +456,29 @@ object LlmQueries {
       embOf(s, d).filter(col("id") === 5L), planes = 8, dims = 64, k = 10,
       multiprobe = multiprobe)
 
+  /** Build for search_hybrid_rrf_auto: the standing index + ANN store
+    * as [[hybridBuild]], PLUS the partitioned ANN layout a maintenance
+    * pass would refresh — snapshot freshness is asserted so the probe
+    * verifiably exercises [[graft.operators.Similarity.annStoreTopKAuto]]'s
+    * partitioned route (PlanRegressionSpec additionally pins the DPP
+    * plan shape), not a silent generational fallback.
+    */
+  private def hybridAutoBuild(s: SparkSession, d: String): Unit = {
+    hybridBuild("hyb-au-i", "hyb-au-a")(s, d)
+    val part = storeDir("hyb-au-p") + "/part"
+    Similarity.annStorePartition(s, storePath("hyb-au-a") + "/ann", part)
+    require(graft.sources.Commits.snapshotFresh(s, part,
+      storePath("hyb-au-a") + "/ann"),
+      "partitioned ANN snapshot not fresh right after its build")
+  }
+
+  private def hybridAutoProbe(s: SparkSession, d: String): DataFrame =
+    Search.hybridTopK(s, storePath("hyb-au-i") + "/index",
+      storePath("hyb-au-a") + "/ann",
+      Seq("spark", "vector", "stream", "merge"),
+      embOf(s, d).filter(col("id") === 5L), planes = 8, dims = 64, k = 10,
+      annPartDir = Some(storePath("hyb-au-p") + "/part"))
+
   /** Bench-only build/probe splits (see [[graft.BenchPhases]]) for the
     * standing-store lifecycle heavyweights — the queries whose bench
     * cost was dominated by rebuilding their store every pass (r8
@@ -393,6 +494,8 @@ object LlmQueries {
     "search_hybrid_rrf_multiprobe" -> BenchPhases(
       hybridBuild("hyb-mp-i", "hyb-mp-a"),
       hybridProbe("hyb-mp-i", "hyb-mp-a", multiprobe = true)),
+    "search_hybrid_rrf_auto" -> BenchPhases(hybridAutoBuild,
+      hybridAutoProbe),
     "sim_ann_store_roundtrip" -> BenchPhases(annBuild("ann-rt"),
       annProbe("ann-rt")),
     "sim_ann_multiprobe" -> BenchPhases(annBuild("ann-mp"),
@@ -418,6 +521,8 @@ object LlmQueries {
       chunkTakedownProbe),
     "pl_substring_dedup_incremental" -> BenchPhases(gramStoreBuild,
       gramStoreProbe),
+    "pl_fanout_gated_roundtrip" -> BenchPhases(fanoutGatedBuild,
+      fanoutGatedProbe),
     "dd_lsh_band_migrate" -> BenchPhases(lshMigrateBuild, lshMigrateProbe),
   )
 
@@ -1889,6 +1994,116 @@ object LlmQueries {
     // count reaches 2, which for the batch rows is exactly the
     // full-union computation the oracle runs (forward-only: stored
     // docs are not retro-cleaned, so only batch rows are output).
+    // SPAN-GATED composed fan-out (Streams.fanoutIngestBatchGated):
+    // one delivered batch advances gram store + merge store + inverted
+    // index + ANN store on ONE cadence. The oracle models the gate's
+    // exact two-wave semantics — wave-1 exact dedup (lowest id per
+    // text), in-batch span screen, then SURVIVOR-ONLY store gram
+    // counts (a fully-covered doc is dropped AND leaves no counts —
+    // the one semantic no other substring oracle pins), then wave-2
+    // novel docs (text not already stored) screened against store
+    // counts + in-batch counts, with exact re-deliveries dropped and a
+    // full wave-2 redelivery required to no-op in the build. The
+    // consistency flags are literal TRUE on the oracle side: the
+    // engine probe computes them from the other three stores, so any
+    // surface the composed cadence let drift mismatches loudly.
+    QueryDef(
+      "pl_fanout_gated_roundtrip",
+      """WITH
+        |w1n AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w1t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM w1n),
+        |w1g AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(l) - 6)) - 1 AS pos,
+        |    unnest(list_transform(range(1, len(l) - 6),
+        |      i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |        || ' ' || l[i+3] || ' ' || l[i+4] || ' ' || l[i+5] || ' '
+        |        || l[i+6] || ' ' || l[i+7]), 1, 15))::BIGINT)) AS gh
+        |  FROM w1t),
+        |w1dup AS (SELECT gh FROM w1g GROUP BY gh HAVING count(*) >= 2),
+        |w1dpos AS (
+        |  SELECT g.doc_id, list_sort(list(g.pos)) AS dup_pos
+        |  FROM w1g g JOIN w1dup USING (gh) GROUP BY g.doc_id),
+        |w1cov AS (
+        |  SELECT doc_id,
+        |    list_distinct(flatten(list_transform(dup_pos,
+        |      p -> range(p, p + 8)))) AS covered,
+        |    len(dup_pos) AS n_dup_grams
+        |  FROM w1dpos),
+        |w1out AS (
+        |  SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
+        |    coalesce(c.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+        |    coalesce(len(c.covered), 0)::BIGINT AS n_removed,
+        |    CASE WHEN c.doc_id IS NULL THEN array_to_string(t.l, ' ')
+        |      ELSE coalesce(array_to_string(list_filter(t.l,
+        |        (x, i) -> NOT list_contains(c.covered, i - 1)), ' '), '')
+        |    END AS clean
+        |  FROM w1t t LEFT JOIN w1cov c ON c.doc_id = t.doc_id),
+        |w1surv AS (SELECT * FROM w1out WHERE clean <> ''),
+        |sg AS (
+        |  SELECT g.gh, count(*) AS df FROM w1g g
+        |  JOIN w1surv s ON s.doc_id = g.doc_id GROUP BY g.gh),
+        |stext AS (
+        |  SELECT n.text FROM w1surv s JOIN w1n n ON n.doc_id = s.doc_id),
+        |w2b AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(
+        |      list_filter(string_split(trim(text), ' '), x -> x <> '')[1:16], ' ')
+        |    || ' fresh tail mutant ' || doc_id AS text
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |w2n AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM w2b
+        |  WHERE text NOT IN (SELECT text FROM stext) GROUP BY text),
+        |w2t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM w2n),
+        |w2g AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(l) - 6)) - 1 AS pos,
+        |    unnest(list_transform(range(1, len(l) - 6),
+        |      i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |        || ' ' || l[i+3] || ' ' || l[i+4] || ' ' || l[i+5] || ' '
+        |        || l[i+6] || ' ' || l[i+7]), 1, 15))::BIGINT)) AS gh
+        |  FROM w2t),
+        |w2cnt AS (SELECT gh, count(*) AS bdf FROM w2g GROUP BY gh),
+        |w2dup AS (
+        |  SELECT c.gh FROM w2cnt c LEFT JOIN sg ON sg.gh = c.gh
+        |  WHERE c.bdf + coalesce(sg.df, 0) >= 2),
+        |w2dpos AS (
+        |  SELECT g.doc_id, list_sort(list(g.pos)) AS dup_pos
+        |  FROM w2g g JOIN w2dup USING (gh) GROUP BY g.doc_id),
+        |w2cov AS (
+        |  SELECT doc_id,
+        |    list_distinct(flatten(list_transform(dup_pos,
+        |      p -> range(p, p + 8)))) AS covered,
+        |    len(dup_pos) AS n_dup_grams
+        |  FROM w2dpos),
+        |w2out AS (
+        |  SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
+        |    coalesce(c.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+        |    coalesce(len(c.covered), 0)::BIGINT AS n_removed,
+        |    CASE WHEN c.doc_id IS NULL THEN array_to_string(t.l, ' ')
+        |      ELSE coalesce(array_to_string(list_filter(t.l,
+        |        (x, i) -> NOT list_contains(c.covered, i - 1)), ' '), '')
+        |    END AS clean
+        |  FROM w2t t LEFT JOIN w2cov c ON c.doc_id = t.doc_id),
+        |w2surv AS (SELECT * FROM w2out WHERE clean <> '')
+        |SELECT doc_id, n_tokens, n_dup_grams, n_removed,
+        |  md5(clean) AS clean_md5,
+        |  TRUE AS merge_ok, TRUE AS in_index, TRUE AS in_ann
+        |FROM (SELECT * FROM w1surv UNION ALL SELECT * FROM w2surv)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      fanoutGatedBuild(s, d)
+      fanoutGatedProbe(s, d)
+    },
+
     QueryDef(
       "pl_substring_dedup_incremental",
       """WITH batch AS (
@@ -2117,6 +2332,22 @@ object LlmQueries {
       HybridRrfMultiprobeSql) { (s, d) =>
       hybridBuild("hyb-mp-i", "hyb-mp-a")(s, d)
       hybridProbe("hyb-mp-i", "hyb-mp-a", multiprobe = true)(s, d)
+    },
+
+    // HYBRID retrieval through the ROUTE-AWARE ANN probe
+    // (Similarity.annStoreTopKAuto): the build refreshes a partitioned
+    // ANN layout and asserts its snapshot current, so the fusion's
+    // vector side verifiably takes the bucket-pruned partitioned route
+    // (PlanRegressionSpec pins the DPP plan shape) — the production
+    // read path where maintenance owns layout refresh and every probe
+    // self-routes from two file listings. Answers are identical to
+    // search_hybrid_rrf by the auto probe's contract, so the SAME
+    // spliced oracle pins them.
+    QueryDef(
+      "search_hybrid_rrf_auto",
+      HybridRrfSql) { (s, d) =>
+      hybridAutoBuild(s, d)
+      hybridAutoProbe(s, d)
     },
 
     // BM25 probe over the TERM-BUCKETED postings layout — the 100-TB

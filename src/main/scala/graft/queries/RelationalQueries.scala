@@ -141,19 +141,29 @@ object RelationalQueries {
         |    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
-      val n1 = Tables.nation(s, d)
+      // The disjunctive cross-pair predicate names exactly two nations,
+      // so the per-side implication `n_name IN (pair)` is derivable even
+      // though Catalyst (CBO off) can't decompose the OR itself: filter
+      // both nation dims to the pair and broadcast-join them into
+      // supplier/customer BEFORE the lineitem join — at scale this
+      // semi-reduces both fact sides ~|nations|/2× ahead of the big
+      // shuffle, keeping only the cross-pair OR as a residual.
+      val pair = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val n1 = pair
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-      val n2 = Tables.nation(s, d)
+      val n2 = pair
         .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
       Tables.supplier(s, d)
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(Tables.lineitem(s, d)
             .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") < lit("1998-01-01").cast("timestamp")),
           col("s_suppkey") === col("l_suppkey"))
         .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
-        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
-        .join(n1, col("s_nationkey") === col("s_nk"))
-        .join(n2, col("c_nationkey") === col("c_nk"))
+        .join(Tables.customer(s, d)
+            .join(broadcast(n2), col("c_nationkey") === col("c_nk")),
+          col("c_custkey") === col("o_custkey"))
         .filter((col("supp_nation") === "NATION_1" &&
             col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" &&

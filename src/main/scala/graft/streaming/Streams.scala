@@ -880,13 +880,107 @@ object Streams {
         storeDir, idCol, batchId)
       val nIdx = graft.operators.Search.indexAppend(
         shared.select(col(idCol), col(textCol)), idCol, textCol, indexDir)
+      // Rows whose vector is missing advance the doc/index surfaces but
+      // not the ANN store (a null vec would bucket to garbage) — the
+      // embedding can arrive in a later delivery; insert-if-absent
+      // takes it then.
       val nAnn = vecCol.fold(0L)(v =>
         graft.operators.Similarity.annStoreAppend(
-          shared.select(col(idCol).as("id"), col(v).as("vec")),
+          shared.filter(col(v).isNotNull)
+            .select(col(idCol).as("id"), col(v).as("vec")),
           annDir, planes, dims))
       (nIdx, nAnn)
     } finally { shared.unpersist(); () }
   }
+
+  /** SPAN-GATED composed fan-out — [[fanoutIngestBatch]] with the
+    * substring-dedup screen composed IN FRONT, so one delivered batch
+    * advances all FOUR standing surfaces on one cadence — the gram
+    * store (span screen state), the content-hash merge store, the
+    * inverted index, and the ANN store — the way the reference worker
+    * advances every sink from one batch
+    * (`/root/reference/workers/raw_to_postgres.py:5-30`), instead of
+    * the span-gated store committing on its own schedule next to the
+    * other three.
+    *
+    *   1. The batch runs [[substringIngestBatch]]: exact re-deliveries
+    *      and in-batch copies drop by original-content hash, surviving
+    *      docs lose every >= `k`-token span already duplicated in the
+    *      store or the batch, fully-covered docs drop, and the
+    *      survivors' cleaned docs + gram counts commit as ONE
+    *      generation of the gram store.
+    *   2. The downstream feed is read back FROM the gate's committed
+    *      state — the cleaned text of every store doc whose id the
+    *      batch delivered, latest generation per id — and fanned into
+    *      the merge store, index, and ANN store ([[fanoutIngestBatch]];
+    *      vectors join back from the delivered batch by id).
+    *
+    * Reading the feed back from committed state (not from the screen's
+    * in-flight output) is what makes the composition converge with NO
+    * cross-store transaction: a crash after the gate's commit but
+    * before the sink appends redelivers the batch, the gate drops
+    * every doc as an exact redelivery (inserting nothing), and the
+    * read-back still yields the full survivor set for the batch's ids
+    * — so the idempotent sinks (hash-compare merge, changed-content
+    * index upsert, insert-if-absent ANN) catch up to exactly the state
+    * a crash-free run reaches. Docs the gate dropped (exact dups of
+    * OTHER ids, 100 %-duplicated content) never reach the sinks — by
+    * design, that is the gate's job. Downstream text is the CLEANED
+    * text as committed at the doc's own ingest time: later batches
+    * growing the gram counts never retro-edit what the sinks hold.
+    *
+    * The id read-back joins the gram store's docs table semi-joined on
+    * the batch's ids — O(store scan) per batch like the merge/index
+    * sinks' own current-state reads, with the batch side broadcast.
+    * Returns (docs the gate inserted, docs indexed, vectors inserted).
+    */
+  def fanoutIngestBatchGated(batch: DataFrame, batchId: Long,
+      storeDir: String, indexDir: String, annDir: String,
+      gramStoreDir: String, idCol: String, textCol: String,
+      vecCol: Option[String] = None, planes: Int = 16, dims: Int = 8,
+      k: Int = 8): (Long, Long, Long) = {
+    val spark = batch.sparkSession
+    val shared = batch.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Delivered metadata rides into the gram store's docs like any
+      // substringIngestBatch call — but the vector column stays out
+      // (the ANN store is its home; duplicating embeddings into the
+      // screen state would double the biggest column for no reader).
+      val nGate = substringIngestBatch(
+        vecCol.fold(shared: DataFrame)(v => shared.drop(v)),
+        gramStoreDir, idCol, textCol, k)
+      val ids = shared.select(col(idCol)).dropDuplicates(idCol)
+      substringStoreRead(spark, gramStoreDir) match {
+        case None => (nGate, 0L, 0L)
+        case Some(docs) =>
+          val cleaned = docs.join(broadcast(ids), Seq(idCol), "left_semi")
+            .groupBy(col(idCol))
+            .agg(max_by(col("clean_text"), col("batch")).as(textCol))
+          val feed = vecCol.fold(cleaned)(v => cleaned.join(
+            shared.select(col(idCol), col(v)).dropDuplicates(idCol),
+            Seq(idCol), "left"))
+          val (nIdx, nAnn) = fanoutIngestBatch(feed, batchId, storeDir,
+            indexDir, annDir, idCol, textCol, vecCol, planes, dims)
+          (nGate, nIdx, nAnn)
+      }
+    } finally { shared.unpersist(); () }
+  }
+
+  /** Streaming face of [[fanoutIngestBatchGated]]. */
+  def fanoutIngestGatedSink(stream: DataFrame, storeDir: String,
+      indexDir: String, annDir: String, gramStoreDir: String,
+      idCol: String, textCol: String, checkpointDir: String,
+      vecCol: Option[String] = None, planes: Int = 16, dims: Int = 8,
+      k: Int = 8): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fanoutIngestBatchGated(batch, batchId, storeDir, indexDir, annDir,
+          gramStoreDir, idCol, textCol, vecCol, planes, dims, k): Unit
+      }
+      .start()
 
   /** TAKEDOWN fan-out — the delete twin of [[fanoutIngestBatch]]: one
     * id batch leaves ALL the standing stores together — the merge
@@ -1077,13 +1171,39 @@ object Streams {
     // Repair a crashed prior migration, in rollback order: restore a
     // renamed-away bands dir first, drop a superseded bands_old, then
     // discard any scratch — converges from every crash point.
-    if (!fs.exists(bands) && fs.exists(old)) fs.rename(old, bands): Unit
+    if (!fs.exists(bands) && fs.exists(old)) {
+      // A failed rollback would leave the store with NO readable band
+      // table while the legacy check below reads "nothing to migrate" —
+      // a silent success-as-noop. Mirror the forward renames: loud.
+      if (!fs.rename(old, bands))
+        throw new java.io.IOException(
+          s"could not roll back $old to $bands after a crashed migration")
+    }
     if (fs.exists(bands) && fs.exists(old)) fs.delete(old, true): Unit
     if (fs.exists(tmp)) fs.delete(tmp, true): Unit
     val committed = graft.sources.Commits.committed(spark, storeDir)
-    val legacy = committed.nonEmpty && fs.exists(bands) &&
-      !spark.read.parquet(bandsDir).columns.contains("band_keys")
-    if (!legacy) 0L
+    // The 0-return states are NOT all "already compact", and an
+    // existing-but-file-less bands dir would throw from schema
+    // inference: distinguish them before touching parquet. A store with
+    // committed batches whose band table is absent or empty is
+    // suspicious (wrong dir, or a store that never banded) — warn so
+    // the noop is visible; committed-empty stores return 0 quietly
+    // (any band rows are uncommitted orphans, invisible by contract).
+    val bandsHasData = fs.exists(bands) && fs.listStatus(bands).exists { st =>
+      val nm = st.getPath.getName
+      st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+    }
+    if (committed.isEmpty) 0L
+    else if (!bandsHasData) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"neardupBandMigrate: band table at $bandsDir is " +
+          (if (fs.exists(bands)) "present but holds no data files"
+           else "absent") +
+          " while the store has committed batches - nothing to " +
+          "migrate (this is NOT an already-compact table)")
+      0L
+    }
+    else if (spark.read.parquet(bandsDir).columns.contains("band_keys")) 0L
     else {
       val hs = spark.read.parquet(hsDir)
         .filter(col("batch").isin(committed: _*))

@@ -34,6 +34,7 @@ class PlanRegressionSpec extends SparkSpec {
       "search_bm25_index_delete", "search_bm25_index_vacuum",
       "search_bm25_index_migrate", "search_more_like_this",
       "search_hybrid_rrf", "search_hybrid_rrf_multiprobe",
+      "search_hybrid_rrf_auto",
       "search_bm25_index_bucketed", "agg_histogram_price",
       "pl_iqr_outliers", "txt_unigram_logprob",
       "pl_training_data_filter_v2")
@@ -204,6 +205,12 @@ class PlanRegressionSpec extends SparkSpec {
     // carry a dynamic pruning expression fed by the broadcast queries.
     assert(plans("sim_ann_partitioned_topk").contains("dynamicpruning"),
       "bucket partitions not dynamically pruned")
+    // The auto-routed hybrid probe must have TAKEN the partitioned
+    // route (its build asserts the snapshot fresh): a generational
+    // fallback would still answer correctly but silently drop the DPP
+    // scan this query exists to keep under the wall.
+    assert(plans("search_hybrid_rrf_auto").contains("dynamicpruning"),
+      "auto-routed hybrid ANN side did not take the partitioned route")
   }
 
   test("bucketed index probe plans no exchange on the postings side") {

@@ -85,6 +85,110 @@ class FanoutIngestSpec extends SparkSpec {
     assert(!probe2.contains(2L), s"deleted vector still matching: $probe2")
   }
 
+  test("fanoutIngestBatchGated advances all four stores on one cadence") {
+    val root = java.nio.file.Files.createTempDirectory("fanout-gate").toString
+    val (storeDir, indexDir, annDir, gramDir) =
+      (s"$root/store", s"$root/index", s"$root/ann", s"$root/gram")
+    def gated(batch: org.apache.spark.sql.DataFrame, id: Long) =
+      Streams.fanoutIngestBatchGated(batch, id, storeDir, indexDir, annDir,
+        gramDir, "doc_id", "text", vecCol = Some("vec"),
+        planes = 4, dims = 3, k = 3)
+
+    // Wave 1: docs 1 and 2 share two 3-grams (both lose tokens 0..3),
+    // doc 3 is untouched.
+    val wave1 = Seq(
+      (1L, "alpha beta gamma delta epsilon", Seq(1.0f, 0.0f, 0.0f)),
+      (2L, "alpha beta gamma delta zeta eta", Seq(0.0f, 1.0f, 0.0f)),
+      (3L, "unique words only here nothing shared", Seq(0.0f, 0.0f, 1.0f)))
+      .toDF("doc_id", "text", "vec")
+    assert(gated(wave1, 0L) == ((3L, 3L, 3L)))
+
+    // Wave 2: 1 is an exact redelivery (gate drop, sinks no-op), 4 is
+    // an exact copy of doc 3 under a new id (drops EVERYWHERE), 5
+    // repeats doc 3's text plus a fresh tail (spans removed, tail
+    // survives), 6 is 100 % covered by a stored span (drops everywhere).
+    val wave2 = Seq(
+      (1L, "alpha beta gamma delta epsilon", Seq(1.0f, 0.0f, 0.0f)),
+      (4L, "unique words only here nothing shared", Seq(0.5f, 0.5f, 0.0f)),
+      (5L, "unique words only here nothing shared fresh tail",
+        Seq(0.0f, 0.5f, 0.5f)),
+      (6L, "unique words only", Seq(0.5f, 0.0f, 0.5f)))
+      .toDF("doc_id", "text", "vec")
+    assert(gated(wave2, 1L) == ((1L, 1L, 1L)))
+
+    val expected = Map(
+      1L -> "epsilon",
+      2L -> "zeta eta",
+      3L -> "unique words only here nothing shared",
+      5L -> "fresh tail")
+
+    // Merge store holds exactly the gate's survivors with CLEANED text.
+    assert(Streams.readState(spark, storeDir).get
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+      == expected)
+    // Index answers == scan-path BM25 over the cleaned corpus; the
+    // gate-dropped docs' ids never score.
+    val cleanCorpus = expected.toSeq.toDF("doc_id", "text")
+    val terms = Seq("epsilon", "fresh", "unique", "zeta")
+    assert(Search.bm25FromIndexTopK(spark, indexDir, terms, 10)
+      .collect().toSeq ==
+      Search.bm25TopK(cleanCorpus, "doc_id", "text", terms, 10)
+        .collect().toSeq)
+    // ANN: each survivor's own vector surfaces it; the dropped ids are
+    // not probeable.
+    val probeAll = Similarity.annStoreTopK(spark, annDir,
+      Seq((101L, Seq(1.0f, 0.0f, 0.0f)), (103L, Seq(0.0f, 0.0f, 1.0f)),
+        (105L, Seq(0.0f, 0.5f, 0.5f)))
+        .toDF("id", "vec"), planes = 4, dims = 3, k = 10)
+      .select("cid").as[Long].collect().toSet
+    assert(probeAll.contains(1L) && probeAll.contains(3L) &&
+      probeAll.contains(5L), s"survivor vectors missing: $probeAll")
+    assert(!probeAll.contains(4L) && !probeAll.contains(6L),
+      s"gate-dropped ids reached the ANN store: $probeAll")
+
+    // CRASH between the gate's commit and the sink appends: the gate
+    // alone ingests wave 3 (doc 7 survives, doc 8 is an exact dup of
+    // doc 1), then the gated fan-out REDELIVERS the same batch — the
+    // gate inserts nothing, but the committed survivor still reaches
+    // every sink.
+    val wave3 = Seq(
+      (7L, "totally different content seven", Seq(1.0f, 1.0f, 0.0f)),
+      (8L, "alpha beta gamma delta epsilon", Seq(1.0f, 0.0f, 1.0f)))
+      .toDF("doc_id", "text", "vec")
+    assert(Streams.substringIngestBatch(wave3.drop("vec"), gramDir,
+      "doc_id", "text", k = 3) == 1L)
+    assert(gated(wave3, 2L) == ((0L, 1L, 1L)))
+    assert(Streams.readState(spark, storeDir).get
+      .filter($"doc_id" === 7L).select("text").as[String].collect().toSeq
+      == Seq("totally different content seven"))
+    assert(Search.bm25FromIndexTopK(spark, indexDir, Seq("seven"), 5)
+      .select("doc_id").as[Long].collect().toSeq == Seq(7L))
+
+    // Full redelivery of wave 2 converges as a complete no-op.
+    assert(gated(wave2, 1L) == ((0L, 0L, 0L)))
+    assert(Streams.readState(spark, storeDir).get.count() == 5)
+  }
+
+  test("fanoutIngestGatedSink streams the gated fan-out") {
+    val root = java.nio.file.Files.createTempDirectory("fanout-gs").toString
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.fanoutIngestGatedSink(in.toDF().toDF("doc_id", "text"),
+      s"$root/store", s"$root/index", s"$root/ann", s"$root/gram",
+      "doc_id", "text", s"$root/ckpt", k = 3)
+    try {
+      in.addData((1L, "one two three four five"))
+      q.processAllAvailable()
+      // Batch 2: doc 2 repeats doc 1's opening span + its own tail.
+      in.addData((2L, "one two three four five six seven"),
+        (1L, "one two three four five"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Streams.readState(spark, s"$root/store").get
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+      == Map(1L -> "one two three four five", 2L -> "six seven"))
+  }
+
   test("fanoutDeleteSink streams takedowns across all three stores") {
     val root = java.nio.file.Files.createTempDirectory("fanout-del").toString
     val (storeDir, indexDir, annDir) =
