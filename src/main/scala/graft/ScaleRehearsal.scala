@@ -470,6 +470,53 @@ object ScaleRehearsal {
         Corpus.exactSubstringDedupIncremental(wave, "doc_id", "text", 8,
           gramDir)
       }
+
+      // ---- maintenance cadence of the gram-side stores: 8 FIXED
+      // 500-doc waves dirty each store, then the fold back to 4
+      // generations is timed. The fold's claim is that it follows the
+      // FOLDED waves' rows (fold-the-smallest selects exactly the
+      // waves), not the accumulated store — so both compact lines must
+      // stay ~flat while the base generation underneath grows 1000×.
+      def foldWave(i: Int): DataFrame = Tables.documents(spark, sfDir)
+        .limit(500)
+        .select((col("doc_id") + lit(300000000000L) +
+            lit(i.toLong) * 1000000L).as("doc_id"),
+          concat(concat_ws(" ", slice(
+              graft.functions.TextFunctions.tokens(col("text")), 1, 16)),
+            lit(s" gram fold wave $i "), col("doc_id")).as("text"))
+      (1 to 8).foreach(i =>
+        Corpus.gramIndexAppend(foldWave(i), "doc_id", "text", 8,
+          gramDir): Unit)
+      timed(r, "gram_index_compact_8waves") {
+        Corpus.gramIndexCompact(spark, gramDir, maxBatches = 4).toLong
+      }
+      // Substring store at the same corpus scale, fabricated through
+      // the ledger (the span screen that normally populates it is
+      // measured separately above; the fold reads only the committed
+      // layout, so what matters here is a base generation of corpus
+      // size under 8 small dirty waves).
+      val sStore = s"$root/substr"
+      val (sDocs, sGrams) = (s"$sStore/docs", s"$sStore/grams")
+      fs.delete(new org.apache.hadoop.fs.Path(sStore), true)
+      def substrGen(gen: DataFrame): Unit = {
+        val id = graft.sources.Commits.allocateBatchId(spark, sStore,
+          Seq(sDocs, sGrams))
+        graft.operators.Upsert.withContentHash(gen, "text")
+          .select(col("doc_id"), col("content_hash"),
+            col("text").as("clean_text"))
+          .withColumn("batch", lit(id))
+          .write.mode("errorifexists").parquet(s"$sDocs/b$id")
+        Corpus.gramCounts(gen, "doc_id", "text", 8)
+          .withColumn("batch", lit(id))
+          .write.mode("errorifexists").parquet(s"$sGrams/b$id")
+        graft.sources.Commits.commit(spark, sStore, id)
+      }
+      substrGen(docs.select(col("doc_id"), col("text")))
+      (1 to 8).foreach(i => substrGen(foldWave(i)))
+      timed(r, "substring_store_compact_8waves") {
+        graft.streaming.Streams
+          .substringStoreCompact(spark, sStore, maxBatches = 4).toLong
+      }
       }
     }
 
