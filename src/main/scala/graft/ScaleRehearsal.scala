@@ -513,6 +513,22 @@ object ScaleRehearsal {
       }
       substrGen(docs.select(col("doc_id"), col("text")))
       (1 to 8).foreach(i => substrGen(foldWave(i)))
+      // The gated fan-out's ONLY cost term the standalone sinks don't
+      // already pay is the committed-state read-back (the downstream
+      // feed: store docs semi-joined on the batch's 500 ids, latest
+      // generation per id). The sinks' own per-batch costs are
+      // measured elsewhere (bm25_append_500 / ann_append_500 /
+      // gram_screen_500, all flat) — this line prices the composition
+      // itself against a store growing 1000×, at its worst (9
+      // un-compacted generations).
+      val rbIds = Tables.documents(spark, sfDir).limit(500)
+        .select(col("doc_id"))
+      probe(r, "gated_readback_500") {
+        graft.streaming.Streams.substringStoreRead(spark, sStore).get
+          .join(broadcast(rbIds), Seq("doc_id"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(max_by(col("clean_text"), col("batch")).as("text"))
+      }
       timed(r, "substring_store_compact_8waves") {
         graft.streaming.Streams
           .substringStoreCompact(spark, sStore, maxBatches = 4).toLong

@@ -642,9 +642,41 @@ object Corpus {
     * harmless — the screen only tests >= 2).
     */
   def exactSubstringDedupIncremental(batch: DataFrame, idCol: String,
-      textCol: String, k: Int, dir: String): DataFrame =
+      textCol: String, k: Int, dir: String): DataFrame = {
+    requireGramK(batch.sparkSession, dir, k, pin = false)
     exactSubstringDedupAgainst(batch, idCol, textCol, k,
       readGramStore(batch.sparkSession, dir))
+  }
+
+  /** Pin (write paths) or check (all paths) a gram store's span length.
+    *
+    * The gram hash space EMBEDS k — the hash input is the k-token
+    * string — so two callers disagreeing on k never collide loudly:
+    * the mismatched screen finds no duplicated grams against the
+    * store's accumulated counts and silently passes everything, which
+    * is the worst failure mode a dedup gate can have. The store
+    * records its k in a `_gram_k` marker on first write; every later
+    * write and incremental screen refuses a different k. Stores
+    * written before the marker existed check clean until their next
+    * append pins them (a read path never writes the marker).
+    */
+  def requireGramK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int, pin: Boolean): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_gram_k")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      require(stored == k,
+        s"$dir is a k=$stored gram store; refusing k=$k (the gram hash " +
+          "embeds k, so a mixed-k screen would silently match nothing)")
+    } else if (pin) {
+      val out = fs.create(p, true)
+      try out.write(k.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** [[exactSubstringDedupIncremental]] with the store's (gh, df) rows
     * passed as a frame (repeated gh rows across generations sum) —
@@ -772,6 +804,7 @@ object Corpus {
       k: Int, dir: String): Long =
    graft.sources.Commits.withWriterLock(docs.sparkSession, dir) {
     val spark = docs.sparkSession
+    requireGramK(spark, dir, k, pin = true)
     val counts = gramCounts(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = counts.count()

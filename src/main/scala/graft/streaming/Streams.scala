@@ -663,6 +663,10 @@ object Streams {
    graft.sources.Commits.withWriterLock(batch.sparkSession, storeDir) {
     import graft.operators.Corpus
     val spark = batch.sparkSession
+    // The store's span length is pinned at first write: a caller
+    // disagreeing on k would screen against a disjoint gram-hash space
+    // and silently insert near-everything (Corpus.requireGramK).
+    Corpus.requireGramK(spark, storeDir, k, pin = true)
     val docsDir = s"$storeDir/docs"
     val gramsDir = s"$storeDir/grams"
     val live = substringLiveBatches(spark, storeDir)
@@ -957,12 +961,21 @@ object Streams {
           val cleaned = docs.join(broadcast(ids), Seq(idCol), "left_semi")
             .groupBy(col(idCol))
             .agg(max_by(col("clean_text"), col("batch")).as(textCol))
-          val feed = vecCol.fold(cleaned)(v => cleaned.join(
-            shared.select(col(idCol), col(v)).dropDuplicates(idCol),
-            Seq(idCol), "left"))
-          val (nIdx, nAnn) = fanoutIngestBatch(feed, batchId, storeDir,
-            indexDir, annDir, idCol, textCol, vecCol, planes, dims)
-          (nGate, nIdx, nAnn)
+          // An ALL-DUPLICATE delivery (the common case a dedup gate
+          // exists for) must not touch the sinks: without this check
+          // the empty feed would still merge into the doc store, which
+          // rewrites the full state per mergeBatch's contract. The
+          // emptiness probe is a limit-1 job against the id-pruned
+          // store read — O(small) either way.
+          if (nGate == 0 && cleaned.isEmpty) (0L, 0L, 0L)
+          else {
+            val feed = vecCol.fold(cleaned)(v => cleaned.join(
+              shared.select(col(idCol), col(v)).dropDuplicates(idCol),
+              Seq(idCol), "left"))
+            val (nIdx, nAnn) = fanoutIngestBatch(feed, batchId, storeDir,
+              indexDir, annDir, idCol, textCol, vecCol, planes, dims)
+            (nGate, nIdx, nAnn)
+          }
       }
     } finally { shared.unpersist(); () }
   }

@@ -167,6 +167,19 @@ class FanoutIngestSpec extends SparkSpec {
     // Full redelivery of wave 2 converges as a complete no-op.
     assert(gated(wave2, 1L) == ((0L, 0L, 0L)))
     assert(Streams.readState(spark, storeDir).get.count() == 5)
+
+    // An ALL-DUPLICATE delivery under fresh ids (the common case a
+    // dedup gate exists for) must not touch the sinks at all — in
+    // particular it must not pay the merge store's full state rewrite.
+    val before = Streams.currentStateName(storeDir)
+    val allDup = Seq(
+      (40L, "alpha beta gamma delta epsilon", Seq(0.2f, 0.2f, 0.2f)),
+      (41L, "unique words only here nothing shared", Seq(0.3f, 0.3f, 0.3f)))
+      .toDF("doc_id", "text", "vec")
+    assert(gated(allDup, 7L) == ((0L, 0L, 0L)))
+    assert(Streams.currentStateName(storeDir) == before,
+      "all-duplicate batch rewrote the merge state")
+    assert(Streams.readState(spark, storeDir).get.count() == 5)
   }
 
   test("fanoutIngestGatedSink streams the gated fan-out") {

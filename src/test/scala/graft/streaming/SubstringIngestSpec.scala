@@ -58,6 +58,40 @@ class SubstringIngestSpec extends SparkSpec {
     assert(stored(dir)(21L) == ((8L, "third wave words")))
   }
 
+  test("the store pins its span length k; a mismatched caller is refused") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ss-kpin").toString + "/st"
+    val b = Seq((1L, s"$span enough body tokens here")).toDF("doc_id", "text")
+    assert(Streams.substringIngestBatch(b, dir, "doc_id", "text", k = 8) == 1)
+    // A k=4 screen against k=8 counts hashes a DISJOINT gram space —
+    // it would silently match nothing and insert near-everything, so
+    // the mismatch must throw, not weaken.
+    val e = intercept[IllegalArgumentException] {
+      Streams.substringIngestBatch(
+        Seq((2L, "second delivery with different words")).toDF("doc_id", "text"),
+        dir, "doc_id", "text", k = 4)
+    }
+    assert(e.getMessage.contains("k=8") && e.getMessage.contains("k=4"))
+    // The matching k keeps working, and the same pin guards the
+    // standalone gram store's write and incremental-screen paths.
+    assert(Streams.substringIngestBatch(
+      Seq((3L, "third delivery of wholly novel running words"))
+        .toDF("doc_id", "text"), dir, "doc_id", "text", k = 8) == 1)
+    val gdir = java.nio.file.Files
+      .createTempDirectory("gram-kpin").toString + "/st"
+    assert(graft.operators.Corpus.gramIndexAppend(b, "doc_id", "text", 8,
+      gdir) > 0)
+    intercept[IllegalArgumentException] {
+      graft.operators.Corpus.gramIndexAppend(b, "doc_id", "text", 6, gdir)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Corpus.exactSubstringDedupIncremental(b, "doc_id",
+        "text", 6, gdir)
+    }
+    assert(graft.operators.Corpus.exactSubstringDedupIncremental(b,
+      "doc_id", "text", 8, gdir).count() == 1)
+  }
+
   test("a span duplicated only WITHIN one wave still gates the next wave") {
     // The cleaned-text-counting trap: the span is removed from every
     // wave-A survivor, so counting cleaned text would store zero
