@@ -595,8 +595,18 @@ object Corpus {
     * 100k-token document stalling its whole task.
     */
   private def screenCoveredSpans(toks: DataFrame, grams: DataFrame,
-      dupGrams: DataFrame, idCol: String, k: Int): DataFrame = {
-    val dupPos = grams.join(dupGrams, Seq("gh"))
+      dupGrams: DataFrame, idCol: String, k: Int): DataFrame =
+    coveredSpanTail(toks,
+      grams.join(dupGrams, Seq("gh")).select(col(idCol), col("pos")),
+      idCol, k)
+
+  /** Shared final step: `removePos` rows (idCol, pos) name the gram
+    * positions each doc loses; their k-wide spans merge in-row and the
+    * covered tokens are removed by the linear native kernels.
+    */
+  private def coveredSpanTail(toks: DataFrame, removePos: DataFrame,
+      idCol: String, k: Int): DataFrame = {
+    val dupPos = removePos
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__dup_pos"))
     toks.join(dupPos, Seq(idCol), "left")
@@ -610,6 +620,46 @@ object Corpus {
         graft.functions.NativeHashExprs
           .removeCoveredTokens(col("__toks"), col("__dup_pos"), k)
           .as("clean_text"))
+  }
+
+  /** QUALITY-RANKED span survivorship — [[exactSubstringDedup]] where
+    * every corpus-duplicated k-gram keeps exactly ONE home instead of
+    * none: its highest-`qualityCol` carrier (ties broken to the lowest
+    * id — ids must be numeric, like the family's lowest-id-wins exact
+    * screens) keeps the span's tokens, every other carrier loses them.
+    * Blanket removal deletes repeated boilerplate from the corpus
+    * entirely; this attributes each repeated span to its best home, so
+    * exactly one intact copy of every span survives corpus-wide.
+    *
+    * Duplication is counted per OCCURRENCE like the rest of the
+    * family, so a span repeated only WITHIN one doc has a single
+    * carrier — that doc wins its own span and keeps both copies (the
+    * in-doc repetition gates are [[repetitionSignals]]' job).
+    *
+    * Same shape as [[exactSubstringDedup]] plus one winner resolution:
+    * gram explosion → per-gram argmax over (quality, -id) → loser
+    * positions → native span-merge removal. One extra hash aggregate
+    * over the gram stream; no new shuffle family at scale.
+    */
+  def exactSubstringDedupKeepBest(corpus: DataFrame, idCol: String,
+      textCol: String, qualityCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2 tokens, got $k")
+    val toks = kgramTokens(corpus, idCol, textCol, k)
+    val grams = kgramPositions(toks, idCol)
+    val q = corpus.select(col(idCol),
+      col(qualityCol).cast("double").as("__q"))
+    val winners = grams.join(q, Seq(idCol))
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("__cnt"),
+        min_by(col(idCol),
+          struct((-col("__q")).as("__nq"), col(idCol).as("__id")))
+          .as("__win"))
+      .filter(col("__cnt") >= 2)
+      .select(col("gh"), col("__win"))
+    val loserPos = grams.join(winners, Seq("gh"))
+      .filter(col(idCol) =!= col("__win"))
+      .select(col(idCol), col("pos"))
+    coveredSpanTail(toks, loserPos, idCol, k)
   }
 
   /** INCREMENTAL [[exactSubstringDedup]] — the daily shape at 100 TB,

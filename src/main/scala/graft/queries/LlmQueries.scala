@@ -1994,6 +1994,78 @@ object LlmQueries {
     // count reaches 2, which for the batch rows is exactly the
     // full-union computation the oracle runs (forward-only: stored
     // docs are not retro-cleaned, so only batch rows are output).
+    // QUALITY-RANKED span survivorship (Corpus.exactSubstringDedupKeepBest):
+    // same boilerplate-prefix fixture as pl_exact_substring_dedup, but
+    // each corpus-duplicated 8-gram keeps ONE home — its longest
+    // carrier (quality = token count; ties to the lowest id) keeps the
+    // span, every other carrier loses it — so exactly one intact copy
+    // of repeated boilerplate survives instead of none. The oracle
+    // resolves the same per-gram argmax with a window over distinct
+    // carriers.
+    QueryDef(
+      "pl_substring_keep_best_span",
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      'shared boilerplate header tokens inserted before every third document here' || ' ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM corpus),
+        |q AS (SELECT doc_id, len(l) AS q FROM toks),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(l) - 6)) - 1 AS pos,
+        |    unnest(list_transform(range(1, len(l) - 6),
+        |      i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |        || ' ' || l[i+3] || ' ' || l[i+4] || ' ' || l[i+5] || ' '
+        |        || l[i+6] || ' ' || l[i+7]), 1, 15))::BIGINT)) AS gh
+        |  FROM toks),
+        |dupg AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+        |carriers AS (
+        |  SELECT DISTINCT g.gh, g.doc_id FROM grams g JOIN dupg USING (gh)),
+        |win AS (
+        |  SELECT gh, doc_id AS win_id FROM (
+        |    SELECT c.gh, c.doc_id,
+        |      row_number() OVER (PARTITION BY c.gh
+        |                         ORDER BY q.q DESC, c.doc_id) AS rn
+        |    FROM carriers c JOIN q USING (doc_id)) WHERE rn = 1),
+        |loserpos AS (
+        |  SELECT g.doc_id, list_sort(list(g.pos)) AS dup_pos,
+        |    count(*) AS n_dup
+        |  FROM grams g JOIN win w ON w.gh = g.gh AND w.win_id <> g.doc_id
+        |  GROUP BY g.doc_id),
+        |cov AS (
+        |  SELECT doc_id,
+        |    list_distinct(flatten(list_transform(dup_pos,
+        |      p -> range(p, p + 8)))) AS covered,
+        |    n_dup FROM loserpos)
+        |SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
+        |  coalesce(c.n_dup, 0)::BIGINT AS n_dup_grams,
+        |  coalesce(len(c.covered), 0)::BIGINT AS n_removed,
+        |  md5(CASE WHEN c.doc_id IS NULL THEN array_to_string(t.l, ' ')
+        |    ELSE coalesce(array_to_string(list_filter(t.l,
+        |      (x, i) -> NOT list_contains(c.covered, i - 1)), ' '), '')
+        |  END) AS clean_md5
+        |FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions
+      val corpus = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("shared boilerplate header tokens inserted " +
+              "before every third document here "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .withColumn("quality", size(TextFunctions.tokens(col("text"))))
+      graft.operators.Corpus.exactSubstringDedupKeepBest(corpus,
+        "doc_id", "text", "quality", 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
+          col("n_removed"), md5(col("clean_text")).as("clean_md5"))
+        .presentSorted(col("doc_id"))
+    },
+
     // SPAN-GATED composed fan-out (Streams.fanoutIngestBatchGated):
     // one delivered batch advances gram store + merge store + inverted
     // index + ANN store on ONE cadence. The oracle models the gate's

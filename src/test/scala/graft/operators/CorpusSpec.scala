@@ -183,6 +183,34 @@ class CorpusSpec extends SparkSpec {
       "inner repeat then again closing words")))
   }
 
+  test("exactSubstringDedupKeepBest leaves each span's best carrier intact") {
+    val boiler = "tok1 tok2 tok3 tok4 tok5 tok6 tok7 tok8"
+    val span2 = "za zb zc zd ze zf zg zh"
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta", 5.0),
+      (2L, s"$boiler epsilon zeta eta theta", 9.0),   // best carrier
+      (3L, "completely different words that never repeat anywhere at all", 2.0),
+      (5L, s"inner repeat $boiler then again $boiler closing words", 1.0),
+      (6L, s"$span2 six body words here", 3.0),       // quality tie:
+      (7L, s"$span2 seven other words too", 3.0))     //  lowest id wins
+      .toDF("doc_id", "text", "quality")
+    val got = Corpus.exactSubstringDedupKeepBest(docs, "doc_id", "text",
+      "quality", 8)
+      .select("doc_id", "n_tokens", "n_dup_grams", "n_removed", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // The highest-quality carrier KEEPS the boilerplate; every other
+    // carrier loses every occurrence of it.
+    assert(got(2L) == ((12L, 0L, 0L, s"$boiler epsilon zeta eta theta")))
+    assert(got(1L) == ((12L, 1L, 8L, "alpha beta gamma delta")))
+    assert(got(5L) == ((22L, 2L, 16L,
+      "inner repeat then again closing words")))
+    assert(got(3L)._2 == 0L)
+    // Equal quality: the tie breaks to the lowest id, deterministically.
+    assert(got(6L) == ((12L, 0L, 0L, s"$span2 six body words here")))
+    assert(got(7L) == ((12L, 1L, 8L, "seven other words too")))
+  }
+
   test("incremental substring dedup accumulates gram counts across waves") {
     val dir = java.nio.file.Files
       .createTempDirectory("gram-store").toString + "/st"
