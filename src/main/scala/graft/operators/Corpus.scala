@@ -714,18 +714,31 @@ object Corpus {
       k: Int, pin: Boolean): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_gram_k")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val stored =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        finally in.close()
-      require(stored == k,
-        s"$dir is a k=$stored gram store; refusing k=$k (the gram hash " +
-          "embeds k, so a mixed-k screen would silently match nothing)")
-    } else if (pin) {
+    def write(): Unit = {
       val out = fs.create(p, true)
       try out.write(k.toString.getBytes("UTF-8")) finally out.close()
     }
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      txt.toIntOption match {
+        case Some(stored) => require(stored == k,
+          s"$dir is a k=$stored gram store; refusing k=$k (the gram hash " +
+            "embeds k, so a mixed-k screen would silently match nothing)")
+        case None =>
+          // A truncated marker (crash mid-create) must not brick the
+          // store: warn, and let a write path re-pin. The counts the
+          // crashed writer may have committed under a DIFFERENT k are
+          // unknowable from here — that is the marker's own crash
+          // window (one tiny create), not a new hazard.
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"requireGramK: unreadable _gram_k marker '$txt' under $dir" +
+              (if (pin) s" - re-pinning to k=$k" else ""))
+          if (pin) write()
+      }
+    } else if (pin) write()
   }
 
   /** [[exactSubstringDedupIncremental]] with the store's (gh, df) rows
