@@ -471,6 +471,18 @@ object ScaleRehearsal {
           gramDir)
       }
 
+      // Quality-ranked span survivorship: same gram explosion as
+      // cb_substring_dedup plus one per-gram argmax aggregate — the
+      // line must track its sibling, not add a new growth term.
+      timed(r, "cb_keep_best_span") {
+        Corpus.exactSubstringDedupKeepBest(
+          docs.select(col("doc_id"), col("text"))
+            .withColumn("quality",
+              size(graft.functions.TextFunctions.tokens(col("text")))),
+          "doc_id", "text", "quality", 8)
+          .agg(sum(col("n_removed"))).head().getLong(0)
+      }
+
       // ---- maintenance cadence of the gram-side stores: 8 FIXED
       // 500-doc waves dirty each store, then the fold back to 4
       // generations is timed. The fold's claim is that it follows the

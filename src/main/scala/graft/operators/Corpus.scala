@@ -755,6 +755,15 @@ object Corpus {
     * that gram set non-broadcastable and the semi-join degrades to a
     * corpus-wide shuffle; pass false for batches approaching the store
     * to aggregate the whole store once instead.
+    *
+    * K-PIN HAZARD: this frame-based form cannot verify the store rows'
+    * span length — (gh, df) rows carry no provenance, and a store
+    * built at a different k hashes a DISJOINT gram space, so the
+    * screen would silently match nothing and pass everything. The
+    * dir-based paths ([[exactSubstringDedupIncremental]],
+    * [[gramIndexAppend]], `Streams.substringIngestBatch`) check the
+    * store's `_gram_k` marker ([[requireGramK]]); a caller composing
+    * its own store read owns that check.
     */
   def exactSubstringDedupAgainst(batch: DataFrame, idCol: String,
       textCol: String, k: Int, store: Option[DataFrame],

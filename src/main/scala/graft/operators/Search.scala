@@ -147,7 +147,8 @@ object Search {
       // lease file itself.
       Seq("postings", "docs", "_commits", "_vacuum").foreach(p =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$p"), true))
-      writeSlice(docs.dropDuplicates(idCol), idCol, textCol, dir, 0L)
+      writeSlice(Upsert.onePerKeyByContent(docs, idCol, textCol),
+        idCol, textCol, dir, 0L)
       commitBatch(spark, dir, 0L)
     }
   }
@@ -166,7 +167,7 @@ object Search {
       dir: String): Long =
    graft.sources.Commits.withWriterLock(batch.sparkSession, dir) {
     val spark = batch.sparkSession
-    val hashed = batch.dropDuplicates(idCol)
+    val hashed = Upsert.onePerKeyByContent(batch, idCol, textCol)
       .withColumn("__ch",
         graft.functions.HashFunctions.contentHash(col(textCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -24,6 +24,27 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** ONE row per key, DETERMINISTICALLY: among same-key rows the one
+    * with the lowest `textCol` content hash wins. The total order
+    * itself is arbitrary — what matters is that redelivery,
+    * partitioning, and retries cannot flip the winner the way
+    * `dropDuplicates`' keep-an-arbitrary-first-row can: a duplicate-id
+    * delivery must resolve to the SAME text on every replay or the
+    * ingest family's hash-keyed convergence (exact screens, no-op
+    * upserts) silently breaks. Same cost class as dropDuplicates (one
+    * hash aggregate on the key, no window sort). Rows tied on content
+    * are interchangeable for every text/hash semantic downstream;
+    * which one's OTHER columns ride along stays arbitrary.
+    */
+  def onePerKeyByContent(df: DataFrame, key: String,
+      textCol: String): DataFrame = {
+    val rest = df.columns.filter(_ != key)
+    df.groupBy(col(key))
+      .agg(min_by(struct(rest.map(col).toSeq: _*),
+        HashFunctions.contentHash(col(textCol))).as("__row"))
+      .select(col(key) +: rest.map(c => col("__row").getField(c).as(c)): _*)
+  }
+
   /** Tag every key with its merge action. Inputs need columns
     * (`key`, `hash`); output: (key, action, hash_old, hash_new) where
     * action in insert|update|skip|keep.

@@ -321,7 +321,7 @@ object Streams {
     val spark = batch.sparkSession
     val chunksDir = s"$storeDir/chunks"
     val docsDir = s"$storeDir/docs"
-    val hashed = batch.dropDuplicates(idCol)
+    val hashed = Upsert.onePerKeyByContent(batch, idCol, textCol)
       .withColumn("__ch",
         graft.functions.HashFunctions.contentHash(col(textCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -687,7 +687,8 @@ object Streams {
           s"column(s) ${collisions.mkString(", ")} - dropping them " +
           "before ingest; rename producer-side metadata to keep it")
     val hashed = Upsert.withContentHash(
-      batch.drop(reserved: _*).dropDuplicates(idCol), textCol)
+      Upsert.onePerKeyByContent(batch.drop(reserved: _*), idCol, textCol),
+      textCol)
     // Exact screens on the AS-DELIVERED text: vs the store, then
     // lowest-id-wins within the batch.
     val vsStore = storeDocs match {
@@ -969,8 +970,14 @@ object Streams {
           // store read — O(small) either way.
           if (nGate == 0 && cleaned.isEmpty) (0L, 0L, 0L)
           else {
+            // The vector rides from the SAME delivered row whose text
+            // won the deterministic same-id resolution — not an
+            // arbitrary dropDuplicates pick that could pair doc A's
+            // text with doc A's other delivery's embedding.
             val feed = vecCol.fold(cleaned)(v => cleaned.join(
-              shared.select(col(idCol), col(v)).dropDuplicates(idCol),
+              Upsert.onePerKeyByContent(
+                shared.select(col(idCol), col(textCol), col(v)),
+                idCol, textCol).select(col(idCol), col(v)),
               Seq(idCol), "left"))
             val (nIdx, nAnn) = fanoutIngestBatch(feed, batchId, storeDir,
               indexDir, annDir, idCol, textCol, vecCol, planes, dims)
@@ -1280,7 +1287,7 @@ object Streams {
         .filter(col("batch").isin(committed: _*)))
     }
     val hashed = Upsert.withContentHash(
-      batch.dropDuplicates(idCol), textCol)
+      Upsert.onePerKeyByContent(batch, idCol, textCol), textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchHs = Dedup.hashedShingleArrays(hashed, idCol, textCol, 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -211,6 +211,37 @@ class CorpusSpec extends SparkSpec {
     assert(got(7L) == ((12L, 1L, 8L, "seven other words too")))
   }
 
+  test("keepBest never removes more than plain dedup; a strictly-best " +
+      "doc is untouched (property)") {
+    import org.scalacheck.{Gen, rng}
+    // A 5-word vocabulary forces heavy 3-gram collisions.
+    val docGen = Gen.listOfN(40, for {
+      n <- Gen.choose(3, 18)
+      toks <- Gen.listOfN(n, Gen.oneOf("wa", "wb", "wc", "wd", "we"))
+      q <- Gen.choose(0, 5)
+    } yield (toks.mkString(" "), q.toDouble))
+    val base = docGen.pureApply(Gen.Parameters.default, rng.Seed(23L))
+      .zipWithIndex.map { case ((t, q), i) => (i.toLong, t, q) }
+    // One strictly-best doc (unique max quality): it wins every gram it
+    // carries, so keepBest must leave it byte-identical.
+    val rows = base :+ ((1000L, base.head._2, 99.0))
+    val docs = rows.toDF("doc_id", "text", "quality")
+    val plain = Corpus.exactSubstringDedup(docs.drop("quality"),
+      "doc_id", "text", 3)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    val kb = Corpus.exactSubstringDedupKeepBest(docs, "doc_id", "text",
+      "quality", 3)
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.foreach { case (i, _, _) =>
+      assert(kb(i)._1 <= plain(i),
+        s"doc $i: keepBest removed ${kb(i)._1} > plain ${plain(i)}")
+    }
+    assert(kb(1000L) == ((0L, base.head._2)),
+      "the strictly-best doc must keep every span intact")
+  }
+
   test("incremental substring dedup accumulates gram counts across waves") {
     val dir = java.nio.file.Files
       .createTempDirectory("gram-store").toString + "/st"

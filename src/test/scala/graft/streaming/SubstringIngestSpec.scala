@@ -92,6 +92,30 @@ class SubstringIngestSpec extends SparkSpec {
       "doc_id", "text", 8, gdir).count() == 1)
   }
 
+  test("a same-id double delivery resolves deterministically, not " +
+      "arbitrarily") {
+    // Two rows share id 1 with different texts: the winner must be the
+    // lower-content-hash text on EVERY replay — an arbitrary
+    // dropDuplicates pick would break the hash-keyed redelivery
+    // convergence the whole ingest family relies on.
+    val a = "first candidate body with plenty of distinct running words"
+    val b = "second candidate body carrying wholly different tokens here"
+    val expected = Seq(a, b).minBy(t =>
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(t.trim.replaceAll("\\s+", " ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ss-det").toString + "/st"
+    val batch = Seq((1L, a), (1L, b)).toDF("doc_id", "text")
+    assert(Streams.substringIngestBatch(batch, dir, "doc_id", "text") == 1)
+    assert(stored(dir)(1L)._2 == expected)
+    // Replay with the rows' order flipped: same winner, zero inserts.
+    assert(Streams.substringIngestBatch(
+      Seq((1L, b), (1L, a)).toDF("doc_id", "text"),
+      dir, "doc_id", "text") == 0)
+    assert(stored(dir)(1L)._2 == expected)
+  }
+
   test("a span duplicated only WITHIN one wave still gates the next wave") {
     // The cleaned-text-counting trap: the span is removed from every
     // wave-A survivor, so counting cleaned text would store zero
