@@ -140,6 +140,37 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_inserted"))
     },
 
+    // Deterministic same-id resolution — the ingest family's answer to
+    // a batch delivering one id twice with different texts: the
+    // lowest-content-hash text wins on EVERY replay (min_by, not
+    // dropDuplicates' arbitrary-first-row), so hash-keyed redelivery
+    // convergence holds. Conflicts staged by unioning documents with a
+    // variant text for every even id; output pins the winner per id.
+    QueryDef(
+      "pl_same_id_winner",
+      """WITH cand AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'variant ' || text FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |h AS (
+        |  SELECT doc_id,
+        |    sha256(trim(regexp_replace(regexp_replace(text, e'\r\n|\r', e'\n', 'g'),
+        |      '\s+', ' ', 'g'))) AS ch
+        |  FROM cand)
+        |SELECT doc_id, min(ch) AS winner_hash FROM h
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val cand = docs.unionByName(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            concat(lit("variant "), col("text")).as("text")))
+      Upsert.withContentHash(
+        Upsert.onePerKeyByContent(cand, "doc_id", "text"), "text")
+        .select(col("doc_id"), col("content_hash").as("winner_hash"))
+        .presentSorted(col("doc_id"))
+    },
+
     // X4: BFS reachability with min-depth — driver-loop anti-join BFS in
     // Spark vs a recursive CTE oracle. Graph: lineitem-derived edges.
     QueryDef(

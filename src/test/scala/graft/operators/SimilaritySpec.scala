@@ -220,6 +220,93 @@ class SimilaritySpec extends SparkSpec {
       planes = 4, dims = 3, k = 3)) == got)
   }
 
+  test("annStoreTopKAuto under append+repartition churn: the documented " +
+      "caller retry converges") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-churn")
+      .toString + "/idx"
+    val part = java.nio.file.Files.createTempDirectory("ann-churn-p")
+      .toString + "/part"
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.59).toFloat,
+        ((i % 9) - 4).toFloat / 4f))
+    }.toDF("id", "vec")
+    Similarity.annStoreAppend(vecs, dir, planes = 4, dims = 3)
+    Similarity.annStorePartition(spark, dir, part)
+    val queries = vecs.filter(col("id") < 3)
+    // A writer thread churns the store the way maintenance does: append
+    // a batch, refresh the partitioned layout, repeat — every refresh
+    // opens the snapshot-vs-dir races the auto probe documents.
+    @volatile var churnErr: Option[Throwable] = None
+    val churner = new Thread(() => try {
+      for (i <- 0 until 5) {
+        Similarity.annStoreAppend(
+          Seq((100L + i, Seq(math.cos(i * 1.1).toFloat,
+            math.sin(i * 0.9).toFloat, 0.1f * i))).toDF("id", "vec"),
+          dir, planes = 4, dims = 3)
+        Similarity.annStorePartition(spark, dir, part)
+      }
+    } catch { case t: Throwable => churnErr = Some(t) })
+    // The probe side follows the method's contract verbatim: an
+    // action-time failure mid-refresh is the caller's to retry, and the
+    // retry re-routes through the snapshot check. Bounded retries must
+    // converge on every probe.
+    def probeOnce(): Set[(Long, Long)] = {
+      var attempt = 0
+      while (true) {
+        try return Similarity.annStoreTopKAuto(spark, dir, queries,
+          planes = 4, dims = 3, k = 3, partDir = Some(part))
+          .select("qid", "cid").as[(Long, Long)].collect().toSet
+        catch { case e: Exception =>
+          attempt += 1
+          if (attempt >= 5) throw e
+        }
+      }
+      Set.empty
+    }
+    churner.start()
+    var n = 0
+    while (churner.isAlive && n < 200) { probeOnce(); n += 1 }
+    churner.join()
+    assert(churnErr.isEmpty, s"churn thread failed: $churnErr")
+    assert(n > 0, "no probe overlapped the churn window")
+    // Settled: the auto probe answers exactly the generational truth.
+    assert(probeOnce() == Similarity.annStoreTopK(spark, dir, queries,
+      planes = 4, dims = 3, k = 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet)
+  }
+
+  test("annStoreTopKAuto surfaces genuine layout drift instead of " +
+      "silently routing generational") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-drift")
+      .toString + "/idx"
+    val part = java.nio.file.Files.createTempDirectory("ann-drift-p")
+      .toString + "/part"
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.7).toFloat, math.sin(i * 1.3).toFloat,
+        ((i % 5) - 2).toFloat / 2f))
+    }.toDF("id", "vec")
+    Similarity.annStoreAppend(vecs, dir, planes = 4, dims = 3)
+    Similarity.annStorePartition(spark, dir, part)
+    // Corrupt the layout while the snapshot marker stays FRESH: drop
+    // every bucket partition and append one with a schema missing the
+    // quantized vector — the shape of real drift, not a vanished dir.
+    val fs = new org.apache.hadoop.fs.Path(part)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(part))
+      .filter(_.getPath.getName.startsWith("bucket="))
+      .foreach(s => fs.delete(s.getPath, true))
+    Seq((1L, 7)).toDF("id", "bucket")
+      .write.mode("append").partitionBy("bucket").parquet(part)
+    assert(graft.sources.Commits.snapshotFresh(spark, part, dir))
+    // The probe must fail loudly (after its one completed-refresh
+    // retry) — a silent generational fallback here would mask a broken
+    // layout forever behind a misleading staleness warning.
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Similarity.annStoreTopKAuto(spark, dir, vecs.filter(col("id") < 3),
+        planes = 4, dims = 3, k = 3, partDir = Some(part)).collect()
+    }
+  }
+
   test("annStoreStats reports live/superseded/tombstone shape") {
     val dir = java.nio.file.Files.createTempDirectory("ann-stats")
       .toString + "/idx"
