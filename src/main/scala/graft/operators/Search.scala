@@ -167,9 +167,8 @@ object Search {
       dir: String): Long =
    graft.sources.Commits.withWriterLock(batch.sparkSession, dir) {
     val spark = batch.sparkSession
-    val hashed = Upsert.onePerKeyByContent(batch, idCol, textCol)
-      .withColumn("__ch",
-        graft.functions.HashFunctions.contentHash(col(textCol)))
+    val hashed = Upsert.onePerKeyByContentHashed(batch, idCol, textCol)
+      .withColumnRenamed("content_hash", "__ch")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // Membership resolve plan picked by batch-vs-store size

@@ -45,6 +45,25 @@ object Upsert {
       .select(col(key) +: rest.map(c => col("__row").getField(c).as(c)): _*)
   }
 
+  /** [[onePerKeyByContent]] that also RETURNS the winner's hash as
+    * `content_hash`, hashing each row ONCE — the hash that picked the
+    * winner is the winner's hash, so an ingest path that needs the
+    * content hash next (all of them) should take this form instead of
+    * re-hashing the survivors in a second full-text pass.
+    */
+  def onePerKeyByContentHashed(df: DataFrame, key: String,
+      textCol: String): DataFrame = {
+    require(!df.columns.contains("content_hash"),
+      "onePerKeyByContentHashed computes content_hash itself; drop or " +
+        "rename the incoming column")
+    val hashed = withContentHash(df, textCol)
+    val rest = hashed.columns.filter(_ != key)
+    hashed.groupBy(col(key))
+      .agg(min_by(struct(rest.map(col).toSeq: _*), col("content_hash"))
+        .as("__row"))
+      .select(col(key) +: rest.map(c => col("__row").getField(c).as(c)): _*)
+  }
+
   /** Tag every key with its merge action. Inputs need columns
     * (`key`, `hash`); output: (key, action, hash_old, hash_new) where
     * action in insert|update|skip|keep.

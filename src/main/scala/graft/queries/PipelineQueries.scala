@@ -165,8 +165,7 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id"),
             concat(lit("variant "), col("text")).as("text")))
-      Upsert.withContentHash(
-        Upsert.onePerKeyByContent(cand, "doc_id", "text"), "text")
+      Upsert.onePerKeyByContentHashed(cand, "doc_id", "text")
         .select(col("doc_id"), col("content_hash").as("winner_hash"))
         .presentSorted(col("doc_id"))
     },

@@ -321,9 +321,8 @@ object Streams {
     val spark = batch.sparkSession
     val chunksDir = s"$storeDir/chunks"
     val docsDir = s"$storeDir/docs"
-    val hashed = Upsert.onePerKeyByContent(batch, idCol, textCol)
-      .withColumn("__ch",
-        graft.functions.HashFunctions.contentHash(col(textCol)))
+    val hashed = Upsert.onePerKeyByContentHashed(batch, idCol, textCol)
+      .withColumnRenamed("content_hash", "__ch")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val committed = graft.sources.Commits.committed(spark, storeDir)
     // Membership resolve plan picked by batch-vs-store size, like
@@ -686,9 +685,8 @@ object Streams {
         "substringIngestBatch: delivered batch carries engine-reserved " +
           s"column(s) ${collisions.mkString(", ")} - dropping them " +
           "before ingest; rename producer-side metadata to keep it")
-    val hashed = Upsert.withContentHash(
-      Upsert.onePerKeyByContent(batch.drop(reserved: _*), idCol, textCol),
-      textCol)
+    val hashed = Upsert.onePerKeyByContentHashed(
+      batch.drop(reserved: _*), idCol, textCol)
     // Exact screens on the AS-DELIVERED text: vs the store, then
     // lowest-id-wins within the batch.
     val vsStore = storeDocs match {
@@ -1286,8 +1284,7 @@ object Streams {
       else Some(spark.read.parquet(p)
         .filter(col("batch").isin(committed: _*)))
     }
-    val hashed = Upsert.withContentHash(
-      Upsert.onePerKeyByContent(batch, idCol, textCol), textCol)
+    val hashed = Upsert.onePerKeyByContentHashed(batch, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchHs = Dedup.hashedShingleArrays(hashed, idCol, textCol, 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
