@@ -96,6 +96,34 @@ object LlmQueries {
       planes = 8, dims = 64): Unit
   }
 
+  /** Build for sim_ann_auto_stale_reroute: store + partitioned layout
+    * (snapshot FRESH), then a takedown tombstones every 7th id — the
+    * snapshot goes stale while the partitioned layout still CONTAINS
+    * the victims. The auto probe must notice and re-route to the
+    * always-fresh generational store: a probe that kept reading the
+    * layout would return tombstoned ids and fail the oracle, so the
+    * correctness gate itself distinguishes the routes.
+    */
+  private def annAutoStaleBuild(s: SparkSession, d: String): Unit = {
+    val dir = storeDir("ann-as") + "/idx"
+    val part = storeDir("ann-as-p") + "/part"
+    Similarity.annStoreAppend(embOf(s, d), dir, planes = 8, dims = 64)
+    Similarity.annStorePartition(s, dir, part)
+    require(graft.sources.Commits.snapshotFresh(s, part, dir),
+      "partitioned ANN snapshot not fresh right after its build")
+    val n = Similarity.annStoreDelete(s, dir,
+      embOf(s, d).filter(col("id") % 7 === 0).select(col("id")))
+    require(n > 0 && !graft.sources.Commits.snapshotFresh(s, part, dir),
+      s"takedown must stale the snapshot: deleted=$n")
+  }
+
+  private def annAutoStaleProbe(s: SparkSession, d: String): DataFrame =
+    Similarity.annStoreTopKAuto(s, storePath("ann-as") + "/idx",
+      embOf(s, d).filter(col("id") < 10), planes = 8, dims = 64, k = 3,
+      partDir = Some(storePath("ann-as-p") + "/part"))
+      .select(col("qid"), col("cid"), col("score"), col("rnk"))
+      .presentSorted(col("qid"), col("rnk"))
+
   private def idxBuild(name: String)(s: SparkSession, d: String): Unit =
     Search.buildIndex(Tables.documents(s, d), "doc_id", "text",
       storeDir(name) + "/index")
@@ -487,6 +515,8 @@ object LlmQueries {
   val benchPhases: Map[String, BenchPhases] = Map(
     "sim_ann_upsert_topk" -> BenchPhases(annUpsertBuild, annUpsertProbe),
     "sim_ann_partitioned_topk" -> BenchPhases(annPartBuild, annPartProbe),
+    "sim_ann_auto_stale_reroute" -> BenchPhases(annAutoStaleBuild,
+      annAutoStaleProbe),
     "search_bm25_index_upsert" -> BenchPhases(bm25UpsertBuild, bm25UpsertProbe),
     "search_hybrid_rrf" -> BenchPhases(
       hybridBuild("hyb-i", "hyb-a"),
@@ -676,6 +706,16 @@ object LlmQueries {
       |      FROM scores)
       |SELECT qid, cid, score, rnk FROM r WHERE rnk <= 3
       |ORDER BY qid, rnk""".stripMargin
+
+  /** [[AnnRoundtripSql]] with the takedown victims (id % 7 = 0) gone
+    * from the CANDIDATE side only — queries still come from the full
+    * embeddings table. This is the generational store's live answer
+    * after sim_ann_auto_stale_reroute's takedown; the stale partitioned
+    * layout would answer differently (it still holds the victims).
+    */
+  private val AnnAutoStaleSql = AnnRoundtripSql.replace(
+    "FROM buckets b JOIN dq ON dq.id = b.id),",
+    "FROM buckets b JOIN dq ON dq.id = b.id WHERE b.id % 7 <> 0),")
 
   /** Oracle for the hybrid RRF query: the BM25 chain's CTEs (t..s) and
     * the ANN chain's CTEs (w..r) spliced into one statement — the
@@ -1232,6 +1272,20 @@ object LlmQueries {
       AnnRoundtripSql) { (s, d) =>
       annPartBuild(s, d)
       annPartProbe(s, d)
+    },
+
+    // AUTO-ROUTED probe across a STALE snapshot (the freshness twin of
+    // search_hybrid_rrf_auto's partitioned route): a takedown after the
+    // layout refresh stales the snapshot, so annStoreTopKAuto must
+    // abandon the partitioned layout — which still holds the victims —
+    // and answer from the always-fresh generational store. The oracle
+    // is the exact ANN answer WITHOUT the tombstoned ids: a probe that
+    // read the stale layout could not match it.
+    QueryDef(
+      "sim_ann_auto_stale_reroute",
+      AnnAutoStaleSql) { (s, d) =>
+      annAutoStaleBuild(s, d)
+      annAutoStaleProbe(s, d)
     },
 
     // MULTI-PROBE ANN: each query also probes the planes buckets one
