@@ -348,6 +348,82 @@ object LlmQueries {
       .presentSorted(col("doc_id"))
   }
 
+  /** Build of pl_fanout_neardup_gated_roundtrip: two waves through
+    * [[graft.streaming.Streams.fanoutIngestBatchNeardupGated]] — the
+    * whole base corpus, then a mutant wave of zzz-first-token near-dups
+    * (mostly dropped at the LSH gate; short docs whose Jaccard falls
+    * under 0.9 pass and get span-screened instead) and 16-token-prefix
+    * fresh-tail mutants (pass the near-dup gate, lose their stored
+    * spans) — then the full second wave REDELIVERED, which must
+    * converge to a complete no-op on all five stores.
+    */
+  private def fanoutNdGatedBuild(s: SparkSession, d: String): Unit = {
+    import graft.functions.TextFunctions
+    val root = storeDir("fanout-ndgated")
+    val (st, ix, an, gr, nd) = (s"$root/store", s"$root/index",
+      s"$root/ann", s"$root/gram", s"$root/nd")
+    def gated(batch: org.apache.spark.sql.DataFrame, id: Long) =
+      graft.streaming.Streams.fanoutIngestBatchNeardupGated(batch, id,
+        st, ix, an, gr, nd, "doc_id", "text", Some("vec"),
+        planes = 8, dims = 8)
+    // Half the corpus: the composition's lifecycle (two waves +
+    // redelivery through TWO gates and five stores) prices at the
+    // span-gated sibling's level instead of doubling it, with
+    // identical semantics exercised.
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+    val wave1 = docs.select(col("doc_id"), col("text"), fanoutVec.as("vec"))
+    val (n1, g1, i1, a1) = gated(wave1, 0L)
+    require(n1 > 0 && n1 >= g1 && g1 == i1 && g1 == a1,
+      s"wave-1 fan-out diverged across stores: nd=$n1 gate=$g1 idx=$i1 ann=$a1")
+    val wave2 = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "zzz").as("text"))
+      .unionByName(docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(concat_ws(" ",
+              slice(TextFunctions.tokens(col("text")), 1, 16)),
+            lit(" fresh tail mutant "), col("doc_id")).as("text")))
+      .select(col("doc_id"), col("text"), fanoutVec.as("vec"))
+    gated(wave2, 1L)
+    val again = gated(wave2, 1L)
+    require(again == ((0L, 0L, 0L, 0L)),
+      s"wave-2 redelivery must no-op on every store, got $again")
+  }
+
+  /** Probe of pl_fanout_neardup_gated_roundtrip: the gram store's
+    * committed survivors cross-checked against the other FOUR surfaces
+    * the same batches advanced — merge-store text equals the cleaned
+    * text, index and ANN hold the id live, and the near-dup store
+    * admitted the id. All four flags pin as literal TRUE in the oracle.
+    */
+  private def fanoutNdGatedProbe(s: SparkSession, d: String): DataFrame = {
+    val root = storePath("fanout-ndgated")
+    val store = graft.streaming.Streams
+      .substringStoreRead(s, s"$root/gram").get
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
+        col("n_removed"), md5(col("clean_text")).as("clean_md5"))
+    val merge = graft.streaming.Streams.readState(s, s"$root/store").get
+      .select(col("doc_id"), md5(col("text")).as("__merge_md5"))
+    val idx = Search.indexLiveDocs(s, s"$root/index").get
+      .select(col("doc_id"), lit(true).as("__in_idx"))
+    val ann = Similarity.annStoreLiveIds(s, s"$root/ann")
+      .select(col("id").as("doc_id"), lit(true).as("__in_ann"))
+    val nd = graft.streaming.Streams.neardupStoreRead(s, s"$root/nd").get
+      .select(col("doc_id")).dropDuplicates("doc_id")
+      .withColumn("__in_nd", lit(true))
+    store.join(merge, Seq("doc_id"), "left")
+      .join(idx, Seq("doc_id"), "left")
+      .join(ann, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
+        col("n_removed"), col("clean_md5"),
+        (col("__merge_md5") === col("clean_md5")).as("merge_ok"),
+        coalesce(col("__in_idx"), lit(false)).as("in_index"),
+        coalesce(col("__in_ann"), lit(false)).as("in_ann"),
+        coalesce(col("__in_nd"), lit(false)).as("in_nd"))
+      .presentSorted(col("doc_id"))
+  }
+
   private def chunkTakedownBuild(s: SparkSession, d: String): Unit = {
     val dir = storeDir("chunk-del") + "/store"
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -553,6 +629,8 @@ object LlmQueries {
       gramStoreProbe),
     "pl_fanout_gated_roundtrip" -> BenchPhases(fanoutGatedBuild,
       fanoutGatedProbe),
+    "pl_fanout_neardup_gated_roundtrip" -> BenchPhases(fanoutNdGatedBuild,
+      fanoutNdGatedProbe),
     "dd_lsh_band_migrate" -> BenchPhases(lshMigrateBuild, lshMigrateProbe),
   )
 
@@ -883,6 +961,168 @@ object LlmQueries {
          |    ON xa.band = xb.band AND xa.band_key = xb.band_key
          |   AND xa.doc_id < xb.doc_id),
          |""".stripMargin
+  }
+
+  /** Oracle for the FULLY-gated fan-out: the generated MinHash/LSH
+    * chain ([[MinhashCandPrefix]] with its corpus spliced to the
+    * two-wave mutant corpus) feeding the near-dup gate's drop logic,
+    * then the substring-gate chain of pl_fanout_gated_roundtrip with
+    * its wave inputs replaced by the near-dup survivors. Gate
+    * semantics modeled exactly: wave-1 drops = in-batch banded pairs
+    * with Jaccard >= 0.9 (higher id loses, greedy — a drop needs no
+    * surviving witness) plus in-batch exact copies (min id keeps);
+    * wave-2 drops additionally include banded near-dups of a COMMITTED
+    * wave-1 survivor and exact copies of stored text. The substring
+    * screen then sees only near-dup survivors, and its store counts
+    * are the span-gate survivors' as-delivered grams (survivor-only),
+    * exactly as the sibling oracle pins.
+    */
+  private lazy val FanoutNdGatedSql: String = {
+    val corpusCte =
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         regexp_replace(text, '^\S+', 'zzz') AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(
+        |      list_filter(string_split(trim(text), ' '), x -> x <> '')[1:16], ' ')
+        |    || ' fresh tail mutant ' || doc_id AS text
+        |  FROM documents WHERE doc_id % 6 = 0),""".stripMargin
+    val origCorpus =
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         regexp_replace(text, '^\S+', 'zzz') AS text FROM documents),""".stripMargin
+    val prefix = MinhashCandPrefix.replace(origCorpus, corpusCte)
+    require(prefix != MinhashCandPrefix,
+      "fully-gated oracle: corpus splice did not take")
+    prefix +
+      """sizes AS (SELECT doc_id, count(*) AS n_sh FROM hset GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.a, c.b, count(*) AS n_inter FROM cand c
+        |  JOIN hset sa ON sa.doc_id = c.a
+        |  JOIN hset sb ON sb.doc_id = c.b AND sb.bh = sa.bh
+        |  GROUP BY c.a, c.b),
+        |ndp AS (
+        |  SELECT i.a, i.b FROM inter i
+        |  JOIN sizes za ON za.doc_id = i.a
+        |  JOIN sizes zb ON zb.doc_id = i.b
+        |  WHERE n_inter / (za.n_sh + zb.n_sh - n_inter) >= 0.9),
+        |nd1drop AS (
+        |  SELECT DISTINCT b AS doc_id FROM ndp
+        |  WHERE a < 1000000 AND b < 1000000
+        |  UNION
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM corpus WHERE doc_id < 1000000) WHERE rn > 1),
+        |ndsurv1 AS (
+        |  SELECT doc_id, text FROM corpus
+        |  WHERE doc_id < 1000000
+        |    AND doc_id NOT IN (SELECT doc_id FROM nd1drop)),
+        |nd2drop AS (
+        |  SELECT DISTINCT b AS doc_id FROM ndp
+        |  WHERE b >= 1000000
+        |    AND (a >= 1000000 OR a IN (SELECT doc_id FROM ndsurv1))
+        |  UNION
+        |  SELECT c.doc_id FROM corpus c
+        |  WHERE c.doc_id >= 1000000
+        |    AND c.text IN (SELECT text FROM ndsurv1)
+        |  UNION
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM corpus WHERE doc_id >= 1000000) WHERE rn > 1),
+        |ndsurv2 AS (
+        |  SELECT doc_id, text FROM corpus
+        |  WHERE doc_id >= 1000000
+        |    AND doc_id NOT IN (SELECT doc_id FROM nd2drop)),
+        |w1n AS (SELECT min(doc_id) AS doc_id, text FROM ndsurv1 GROUP BY text),
+        |w1t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM w1n),
+        |w1g AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(l) - 6)) - 1 AS pos,
+        |    unnest(list_transform(range(1, len(l) - 6),
+        |      i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |        || ' ' || l[i+3] || ' ' || l[i+4] || ' ' || l[i+5] || ' '
+        |        || l[i+6] || ' ' || l[i+7]), 1, 15))::BIGINT)) AS gh
+        |  FROM w1t),
+        |w1dup AS (SELECT gh FROM w1g GROUP BY gh HAVING count(*) >= 2),
+        |w1dpos AS (
+        |  SELECT g.doc_id, list_sort(list(g.pos)) AS dup_pos
+        |  FROM w1g g JOIN w1dup USING (gh) GROUP BY g.doc_id),
+        |w1cov AS (
+        |  SELECT doc_id,
+        |    list_distinct(flatten(list_transform(dup_pos,
+        |      p -> range(p, p + 8)))) AS covered,
+        |    len(dup_pos) AS n_dup_grams
+        |  FROM w1dpos),
+        |w1out AS (
+        |  SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
+        |    coalesce(c.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+        |    coalesce(len(c.covered), 0)::BIGINT AS n_removed,
+        |    CASE WHEN c.doc_id IS NULL THEN array_to_string(t.l, ' ')
+        |      ELSE coalesce(array_to_string(list_filter(t.l,
+        |        (x, i) -> NOT list_contains(c.covered, i - 1)), ' '), '')
+        |    END AS clean
+        |  FROM w1t t LEFT JOIN w1cov c ON c.doc_id = t.doc_id),
+        |w1surv AS (SELECT * FROM w1out WHERE clean <> ''),
+        |sg AS (
+        |  SELECT g.gh, count(*) AS df FROM w1g g
+        |  JOIN w1surv s ON s.doc_id = g.doc_id GROUP BY g.gh),
+        |stext AS (
+        |  SELECT n.text FROM w1surv s JOIN w1n n ON n.doc_id = s.doc_id),
+        |w2n AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM ndsurv2
+        |  WHERE text NOT IN (SELECT text FROM stext) GROUP BY text),
+        |w2t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM w2n),
+        |w2g AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(l) - 6)) - 1 AS pos,
+        |    unnest(list_transform(range(1, len(l) - 6),
+        |      i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |        || ' ' || l[i+3] || ' ' || l[i+4] || ' ' || l[i+5] || ' '
+        |        || l[i+6] || ' ' || l[i+7]), 1, 15))::BIGINT)) AS gh
+        |  FROM w2t),
+        |w2cnt AS (SELECT gh, count(*) AS bdf FROM w2g GROUP BY gh),
+        |w2dup AS (
+        |  SELECT c.gh FROM w2cnt c LEFT JOIN sg ON sg.gh = c.gh
+        |  WHERE c.bdf + coalesce(sg.df, 0) >= 2),
+        |w2dpos AS (
+        |  SELECT g.doc_id, list_sort(list(g.pos)) AS dup_pos
+        |  FROM w2g g JOIN w2dup USING (gh) GROUP BY g.doc_id),
+        |w2cov AS (
+        |  SELECT doc_id,
+        |    list_distinct(flatten(list_transform(dup_pos,
+        |      p -> range(p, p + 8)))) AS covered,
+        |    len(dup_pos) AS n_dup_grams
+        |  FROM w2dpos),
+        |w2out AS (
+        |  SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
+        |    coalesce(c.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+        |    coalesce(len(c.covered), 0)::BIGINT AS n_removed,
+        |    CASE WHEN c.doc_id IS NULL THEN array_to_string(t.l, ' ')
+        |      ELSE coalesce(array_to_string(list_filter(t.l,
+        |        (x, i) -> NOT list_contains(c.covered, i - 1)), ' '), '')
+        |    END AS clean
+        |  FROM w2t t LEFT JOIN w2cov c ON c.doc_id = t.doc_id),
+        |w2surv AS (SELECT * FROM w2out WHERE clean <> '')
+        |SELECT doc_id, n_tokens, n_dup_grams, n_removed,
+        |  md5(clean) AS clean_md5,
+        |  TRUE AS merge_ok, TRUE AS in_index, TRUE AS in_ann,
+        |  TRUE AS in_nd
+        |FROM (SELECT * FROM w1surv UNION ALL SELECT * FROM w2surv)
+        |ORDER BY doc_id""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -2228,6 +2468,24 @@ object LlmQueries {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       fanoutGatedBuild(s, d)
       fanoutGatedProbe(s, d)
+    },
+
+    // FULLY-gated composed fan-out
+    // (Streams.fanoutIngestBatchNeardupGated): the MinHash/LSH
+    // near-dup gate composed in front of the span-gated fan-out, so
+    // one delivered batch advances all FIVE standing surfaces on one
+    // cadence — near-dup store, gram store, merge store, inverted
+    // index, ANN store. The oracle chains the dd_* queries' generated
+    // signature/banding CTEs (greedy higher-id drops at Jaccard >=
+    // 0.9, exact copies dropped by text) into the sibling's two-wave
+    // substring chain, its wave inputs replaced by the near-dup
+    // survivors. A full wave-2 redelivery must no-op in the build; the
+    // four consistency flags are literal TRUE on the oracle side.
+    QueryDef(
+      "pl_fanout_neardup_gated_roundtrip",
+      FanoutNdGatedSql) { (s, d) =>
+      fanoutNdGatedBuild(s, d)
+      fanoutNdGatedProbe(s, d)
     },
 
     QueryDef(

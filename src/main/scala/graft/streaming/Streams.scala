@@ -1000,6 +1000,115 @@ object Streams {
       }
       .start()
 
+  /** The near-dup store's committed documents (the delivered columns
+    * plus `content_hash` and `batch`) — the read face the fully-gated
+    * fan-out's read-back uses. None while nothing is committed.
+    */
+  def neardupStoreRead(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Option[DataFrame] = {
+    val committed = graft.sources.Commits.committed(spark, storeDir)
+    val p = new org.apache.hadoop.fs.Path(s"$storeDir/docs")
+    val there = p
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (committed.isEmpty || !there) None
+    else Some(spark.read.parquet(s"$storeDir/docs")
+      .filter(col("batch").isin(committed: _*)))
+  }
+
+  /** FULLY-GATED composed fan-out — the NEAR-DUP screen composed in
+    * front of [[fanoutIngestBatchGated]], so one delivered batch
+    * advances all FIVE standing surfaces on one cadence: the near-dup
+    * store (MinHash/LSH gate state), the gram store (span screen
+    * state), the content-hash merge store, the inverted index, and the
+    * ANN store. This is the full training-data ingestion pipeline as
+    * one call: exact dedup, near-duplicate dedup, duplicated-span
+    * removal, then the three read surfaces.
+    *
+    *   1. The batch runs [[neardupIngestBatch]]: exact re-deliveries
+    *      and in-batch copies drop by content hash, docs whose
+    *      MinHash/LSH near-duplicate (Jaccard >= `minJaccard`) already
+    *      sits in the store or lower in the batch drop, and the
+    *      survivors commit as ONE generation of the near-dup store
+    *      (docs + shingle signatures + band keys).
+    *   2. The downstream feed is read back FROM the gate's committed
+    *      state — the stored text of every near-dup-store doc whose id
+    *      the batch delivered, latest generation per id — and flows
+    *      into the span-gated fan-out ([[fanoutIngestBatchGated]]:
+    *      substring screen -> gram store -> merge store + index + ANN;
+    *      vectors join back from the delivered batch by id, riding the
+    *      same row whose text won the deterministic same-id
+    *      resolution).
+    *
+    * Same convergence argument as the span-gated form, one gate
+    * deeper: there is NO cross-store transaction — a crash between the
+    * near-dup commit and the downstream advance redelivers the batch,
+    * the near-dup gate drops every doc as an exact redelivery
+    * (inserting nothing), and the read-back still yields the committed
+    * survivor set for the batch's ids, so the span gate and the
+    * idempotent sinks catch up to exactly the state a crash-free run
+    * reaches. Docs the near-dup gate dropped never reach the span gate
+    * or the sinks — by design. The vector column stays out of BOTH
+    * gate stores (the ANN store is its home).
+    *
+    * Returns (docs the near-dup gate inserted, docs the span gate
+    * inserted, docs indexed, vectors inserted).
+    */
+  def fanoutIngestBatchNeardupGated(batch: DataFrame, batchId: Long,
+      storeDir: String, indexDir: String, annDir: String,
+      gramStoreDir: String, neardupDir: String, idCol: String,
+      textCol: String, vecCol: Option[String] = None, planes: Int = 16,
+      dims: Int = 8, k: Int = 8,
+      minJaccard: Double = 0.9): (Long, Long, Long, Long) = {
+    val spark = batch.sparkSession
+    val shared = batch.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nNear = neardupIngestBatch(
+        vecCol.fold(shared: DataFrame)(v => shared.drop(v)),
+        neardupDir, idCol, textCol, minJaccard)
+      val ids = shared.select(col(idCol)).dropDuplicates(idCol)
+      neardupStoreRead(spark, neardupDir) match {
+        case None => (nNear, 0L, 0L, 0L)
+        case Some(docs) =>
+          val passed = docs.join(broadcast(ids), Seq(idCol), "left_semi")
+            .groupBy(col(idCol))
+            .agg(max_by(col(textCol), col("batch")).as(textCol))
+          // An all-duplicate delivery whose ids were never admitted
+          // must not touch the downstream stores at all (same guard as
+          // the span-gated layer, one gate earlier).
+          if (nNear == 0 && passed.isEmpty) (0L, 0L, 0L, 0L)
+          else {
+            val feed = vecCol.fold(passed)(v => passed.join(
+              Upsert.onePerKeyByContent(
+                shared.select(col(idCol), col(textCol), col(v)),
+                idCol, textCol).select(col(idCol), col(v)),
+              Seq(idCol), "left"))
+            val (nGate, nIdx, nAnn) = fanoutIngestBatchGated(feed,
+              batchId, storeDir, indexDir, annDir, gramStoreDir, idCol,
+              textCol, vecCol, planes, dims, k)
+            (nNear, nGate, nIdx, nAnn)
+          }
+      }
+    } finally { shared.unpersist(); () }
+  }
+
+  /** Streaming face of [[fanoutIngestBatchNeardupGated]]. */
+  def fanoutIngestNeardupGatedSink(stream: DataFrame, storeDir: String,
+      indexDir: String, annDir: String, gramStoreDir: String,
+      neardupDir: String, idCol: String, textCol: String,
+      checkpointDir: String, vecCol: Option[String] = None,
+      planes: Int = 16, dims: Int = 8, k: Int = 8,
+      minJaccard: Double = 0.9): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fanoutIngestBatchNeardupGated(batch, batchId, storeDir, indexDir,
+          annDir, gramStoreDir, neardupDir, idCol, textCol, vecCol,
+          planes, dims, k, minJaccard): Unit
+      }
+      .start()
+
   /** TAKEDOWN fan-out — the delete twin of [[fanoutIngestBatch]]: one
     * id batch leaves ALL the standing stores together — the merge
     * store's state is rewritten minus the victims (same

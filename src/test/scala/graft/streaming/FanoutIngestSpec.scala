@@ -182,6 +182,137 @@ class FanoutIngestSpec extends SparkSpec {
     assert(Streams.readState(spark, storeDir).get.count() == 5)
   }
 
+  test("fanoutIngestBatchNeardupGated advances all five stores on one " +
+      "cadence") {
+    val root = java.nio.file.Files.createTempDirectory("fanout-nd").toString
+    val (storeDir, indexDir, annDir, gramDir, ndDir) = (s"$root/store",
+      s"$root/index", s"$root/ann", s"$root/gram", s"$root/nd")
+    def gated(batch: org.apache.spark.sql.DataFrame, id: Long) =
+      Streams.fanoutIngestBatchNeardupGated(batch, id, storeDir, indexDir,
+        annDir, gramDir, ndDir, "doc_id", "text", vecCol = Some("vec"),
+        planes = 4, dims = 3, k = 3)
+    // An 80-token doc and near-duplicates differing in ONE token:
+    // 3-shingle Jaccard ~0.95, far above the 0.9 gate.
+    val t80 = (0 until 80).map(i => s"tok$i").mkString(" ")
+    def nearOf(at: Int, repl: String) =
+      (0 until 80).map(i => if (i == at) repl else s"tok$i").mkString(" ")
+
+    // Wave 1: all three pass the near-dup gate (2 and 3 overlap on a
+    // few shingles only), then 2 and 3 lose their shared leading span
+    // at the substring gate.
+    val wave1 = Seq(
+      (1L, t80, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, "alpha beta gamma delta epsilon", Seq(0.0f, 1.0f, 0.0f)),
+      (3L, "alpha beta gamma delta zeta eta", Seq(0.0f, 0.0f, 1.0f)))
+      .toDF("doc_id", "text", "vec")
+    assert(gated(wave1, 0L) == ((3L, 3L, 3L, 3L)))
+
+    // Wave 2: 11 is a near-dup of stored doc 1 (drops at the LSH gate),
+    // 12 is an exact copy of doc 2's ORIGINAL text under a new id
+    // (drops at the exact screen — the gate stores as-delivered text,
+    // not cleaned), 2 is an exact redelivery (gate drop; its read-back
+    // row no-ops downstream), 13 is fresh and untouched, 14 passes the
+    // near-dup gate (low Jaccard) but loses the stored leading span.
+    val wave2 = Seq(
+      (11L, nearOf(79, "changed"), Seq(0.9f, 0.1f, 0.0f)),
+      (12L, "alpha beta gamma delta epsilon", Seq(0.1f, 0.9f, 0.0f)),
+      (2L, "alpha beta gamma delta epsilon", Seq(0.0f, 1.0f, 0.0f)),
+      (13L, "unique words only here nothing shared", Seq(0.5f, 0.5f, 0.0f)),
+      (14L, "alpha beta gamma delta completely novel ending follows",
+        Seq(0.0f, 0.5f, 0.5f)))
+      .toDF("doc_id", "text", "vec")
+    assert(gated(wave2, 1L) == ((2L, 2L, 2L, 2L)))
+
+    val expected = Map(
+      1L -> t80,
+      2L -> "epsilon",
+      3L -> "zeta eta",
+      13L -> "unique words only here nothing shared",
+      14L -> "completely novel ending follows")
+    assert(Streams.readState(spark, storeDir).get
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+      == expected)
+    // The near-dup store admitted exactly the gate survivors.
+    assert(Streams.neardupStoreRead(spark, ndDir).get
+      .select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L, 13L, 14L))
+    // Index == scan-path BM25 over the cleaned survivor corpus; ANN
+    // holds the survivors' vectors and none of the dropped ids.
+    val cleanCorpus = expected.toSeq.toDF("doc_id", "text")
+    val terms = Seq("epsilon", "unique", "novel", "tok5")
+    assert(Search.bm25FromIndexTopK(spark, indexDir, terms, 10)
+      .collect().toSeq ==
+      Search.bm25TopK(cleanCorpus, "doc_id", "text", terms, 10)
+        .collect().toSeq)
+    val probed = Similarity.annStoreTopK(spark, annDir,
+      Seq((101L, Seq(0.9f, 0.1f, 0.0f)), (104L, Seq(0.0f, 0.5f, 0.5f)))
+        .toDF("id", "vec"), planes = 4, dims = 3, k = 10)
+      .select("cid").as[Long].collect().toSet
+    assert(!probed.contains(11L) && !probed.contains(12L),
+      s"near-dup-gate-dropped ids reached the ANN store: $probed")
+
+    // CRASH between the near-dup gate's commit and the downstream
+    // advance: the gate alone ingests wave 3 (21 survives, 22 is a
+    // near-dup of doc 1), then the composed call REDELIVERS the batch —
+    // the gate inserts nothing, but the committed survivor still
+    // reaches the span gate and every sink.
+    val wave3 = Seq(
+      (21L, "entirely fresh twenty one content", Seq(1.0f, 1.0f, 0.0f)),
+      (22L, nearOf(40, "other"), Seq(1.0f, 0.0f, 1.0f)))
+      .toDF("doc_id", "text", "vec")
+    assert(Streams.neardupIngestBatch(wave3.drop("vec"), ndDir,
+      "doc_id", "text") == 1L)
+    assert(gated(wave3, 2L) == ((0L, 1L, 1L, 1L)))
+    assert(Streams.readState(spark, storeDir).get
+      .filter($"doc_id" === 21L).select("text").as[String].collect().toSeq
+      == Seq("entirely fresh twenty one content"))
+
+    // Full redelivery of wave 2 converges as a complete no-op.
+    assert(gated(wave2, 1L) == ((0L, 0L, 0L, 0L)))
+
+    // An all-duplicate delivery under fresh ids must not touch the
+    // downstream stores at all — no merge-state rewrite, no new
+    // near-dup generation beyond the gate's own screen reads.
+    val before = Streams.currentStateName(storeDir)
+    val allDup = Seq(
+      (40L, t80, Seq(0.2f, 0.2f, 0.2f)),
+      (41L, nearOf(10, "swapped"), Seq(0.3f, 0.3f, 0.3f)))
+      .toDF("doc_id", "text", "vec")
+    assert(gated(allDup, 7L) == ((0L, 0L, 0L, 0L)))
+    assert(Streams.currentStateName(storeDir) == before,
+      "all-duplicate batch rewrote the merge state")
+    assert(Streams.neardupStoreRead(spark, ndDir).get
+      .select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L, 13L, 14L, 21L))
+  }
+
+  test("fanoutIngestNeardupGatedSink streams the fully-gated fan-out") {
+    val root = java.nio.file.Files.createTempDirectory("fanout-nds").toString
+    implicit val sc = spark.sqlContext
+    val long = (0 until 60).map(i => s"word$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.fanoutIngestNeardupGatedSink(
+      in.toDF().toDF("doc_id", "text"),
+      s"$root/store", s"$root/index", s"$root/ann", s"$root/gram",
+      s"$root/nd", "doc_id", "text", s"$root/ckpt", k = 3)
+    try {
+      in.addData((1L, long), (2L, "one two three four five"))
+      q.processAllAvailable()
+      // Batch 2: 3 is a near-duplicate of 1 (one token changed — LSH
+      // gate drop), 4 repeats doc 2's opening span + its own tail
+      // (span gate cleans it).
+      in.addData(
+        (3L, (0 until 60).map(i => if (i == 59) "flip" else s"word$i")
+          .mkString(" ")),
+        (4L, "one two three four five six seven"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Streams.readState(spark, s"$root/store").get
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+      == Map(1L -> long, 2L -> "one two three four five",
+        4L -> "six seven"))
+  }
+
   test("fanoutIngestGatedSink streams the gated fan-out") {
     val root = java.nio.file.Files.createTempDirectory("fanout-gs").toString
     implicit val sc = spark.sqlContext
