@@ -792,16 +792,29 @@ object Streams {
       .sweepOrphanBatchDirs(spark, t, committed))
     graft.sources.Commits.pruneAttemptMarkers(spark, storeDir)
     if (committed.size <= maxBatches) return 0
-    val docs = graft.sources.Commits
-      .readCommittedBatches(spark, docsDir, committed)
-      .getOrElse(return 0)
-    val selected = graft.sources.Commits
-      .compactionSelection(docs, committed, maxBatches)
+    // A prior fold's directory holds rows that KEEP their original
+    // batch values (recency — see below), so both the size accounting
+    // and the row movement must key on the DIRECTORY a row lives in,
+    // never the batch column: column-keyed selection would see a fold
+    // dir as empty, pick it first, move none of its rows, and delete
+    // it — silent data loss on the second fold.
+    val byDir = committed.flatMap(b =>
+      graft.sources.Commits.readCommittedBatches(spark, docsDir, Seq(b))
+        .map(_.withColumn("__dir", lit(b))))
+    if (byDir.isEmpty) return 0
+    val docs = byDir.reduce(_.unionByName(_))
+    val selected = graft.sources.Commits.compactionSelection(
+      docs.withColumn("batch", col("__dir")), committed, maxBatches)
     if (selected.isEmpty) return 0
     val id = graft.sources.Commits.allocateBatchId(spark, storeDir,
       Seq(docsDir, gramsDir))
-    docs.filter(col("batch").isin(selected: _*)).drop("batch")
-      .withColumn("batch", lit(id))
+    // Docs keep their ORIGINAL batch values through the fold: the
+    // column is the per-id recency order the read-back's max_by
+    // resolves generations with, and rewriting it to the fold's id
+    // would promote an old generation past a newer one sitting in an
+    // unselected batch. The fold's identity lives in the DIRECTORY
+    // (b<id> + the ledger), not the rows.
+    docs.filter(col("__dir").isin(selected: _*)).drop("__dir")
       .write.mode("errorifexists").parquet(s"$docsDir/b$id")
     graft.sources.Commits
       .readCommittedBatches(spark, gramsDir, selected) match {
