@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.HashFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MERGE semantics on plain parquet-backed DataFrames — the reference's
@@ -25,24 +25,40 @@ import org.apache.spark.sql.functions._
 object Upsert {
 
   /** ONE row per key, DETERMINISTICALLY: among same-key rows the one
-    * with the lowest `textCol` content hash wins. The total order
-    * itself is arbitrary — what matters is that redelivery,
-    * partitioning, and retries cannot flip the winner the way
-    * `dropDuplicates`' keep-an-arbitrary-first-row can: a duplicate-id
-    * delivery must resolve to the SAME text on every replay or the
+    * with the lowest `textCol` content hash wins, and rows that TIE on
+    * content hash (identical normalized text, different metadata
+    * columns) break by the packed row itself — a TOTAL order, so
+    * redelivery, partitioning, and retries cannot flip the winner the
+    * way `dropDuplicates`' keep-an-arbitrary-first-row can, for the
+    * text OR for the metadata riding along with it: a duplicate-id
+    * delivery must resolve to the SAME row on every replay or the
     * ingest family's hash-keyed convergence (exact screens, no-op
     * upserts) silently breaks. Same cost class as dropDuplicates (one
-    * hash aggregate on the key, no window sort). Rows tied on content
-    * are interchangeable for every text/hash semantic downstream;
-    * which one's OTHER columns ride along stays arbitrary.
+    * hash aggregate on the key, no window sort — the struct comparison
+    * short-circuits at the hash field except on genuine ties).
     */
   def onePerKeyByContent(df: DataFrame, key: String,
       textCol: String): DataFrame = {
     val rest = df.columns.filter(_ != key)
+    val row = struct(rest.map(col).toSeq: _*)
     df.groupBy(col(key))
-      .agg(min_by(struct(rest.map(col).toSeq: _*),
-        HashFunctions.contentHash(col(textCol))).as("__row"))
+      .agg(min_by(row,
+        totalOrder(df, HashFunctions.contentHash(col(textCol)), row))
+        .as("__row"))
       .select(col(key) +: rest.map(c => col("__row").getField(c).as(c)): _*)
+  }
+
+  /** Total min_by ordering for the one-per-key resolutions: content
+    * hash first, then the packed row itself as the tie-break — struct
+    * comparison is lexicographic over the fields and only descends past
+    * the hash on genuine content ties. Columns whose type Spark cannot
+    * order (maps) fall back to a sha256 over the row's JSON form:
+    * slower, but still a deterministic total order.
+    */
+  private def totalOrder(df: DataFrame, hash: Column, row: Column): Column = {
+    val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(df.select(row.as("r")).schema.head.dataType)
+    struct(hash, if (orderable) row else sha2(to_json(row), 256))
   }
 
   /** [[onePerKeyByContent]] that also RETURNS the winner's hash as
@@ -58,8 +74,9 @@ object Upsert {
         "rename the incoming column")
     val hashed = withContentHash(df, textCol)
     val rest = hashed.columns.filter(_ != key)
+    val row = struct(rest.map(col).toSeq: _*)
     hashed.groupBy(col(key))
-      .agg(min_by(struct(rest.map(col).toSeq: _*), col("content_hash"))
+      .agg(min_by(row, totalOrder(hashed, col("content_hash"), row))
         .as("__row"))
       .select(col(key) +: rest.map(c => col("__row").getField(c).as(c)): _*)
   }

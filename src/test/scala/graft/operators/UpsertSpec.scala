@@ -57,6 +57,30 @@ class UpsertSpec extends SparkSpec {
     assert(got == Set(11L, 13L))
   }
 
+  test("onePerKeyByContent ties on content hash break by the row, " +
+      "not arbitrarily") {
+    // Same id, same normalized text (hash tie), different metadata:
+    // the winner's metadata must be the same on every replay and
+    // under every input order — min_by with only the hash as the
+    // ordering would pick an unspecified row among the tied keys.
+    val rows = Seq(
+      (1L, "alpha  doc", "mirror-b"), // normalizes equal to "alpha doc"
+      (1L, "alpha doc", "mirror-a"),
+      (1L, "alpha doc ", "mirror-c"))
+    def resolve(perm: Seq[(Long, String, String)]): (String, String) =
+      Upsert.onePerKeyByContent(
+          perm.toDF("doc_id", "text", "source").repartition(7),
+          "doc_id", "text")
+        .select("text", "source").as[(String, String)].collect().head
+    val winners = rows.permutations.map(resolve).toSet
+    assert(winners.size == 1, s"tie resolution flipped: $winners")
+    // And the Hashed form agrees with the plain form on the winner.
+    val hashed = Upsert.onePerKeyByContentHashed(
+        rows.toDF("doc_id", "text", "source"), "doc_id", "text")
+      .select("text", "source").as[(String, String)].collect().head
+    assert(hashed == winners.head)
+  }
+
   test("applyCdc: latest op wins, delete-last keys vanish") {
     val ops = Seq(
       ("k1", 1L, 1L, "upsert", "a"), ("k1", 2L, 2L, "upsert", "b"),
