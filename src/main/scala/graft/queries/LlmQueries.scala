@@ -1297,6 +1297,97 @@ object LlmQueries {
         .presentSorted(col("doc_id"))
     },
 
+    // END-TO-END CORPUS BUILD — the north-star pipeline as ONE oracle
+    // query: near-dup corpus -> MinHash/LSH candidates -> Jaccard-
+    // verified clusters -> keep-best-per-cluster (quality argmax) ->
+    // quality gate (>= 0.5) -> deterministic train/val/test split ->
+    // train decontaminated against val+test (3-gram, >= 5 distinct
+    // overlaps) -> per-split manifest (docs, whitespace tokens, exact
+    // integer quality sum). Every stage is an already-oracled operator
+    // (dd_keep_best_per_cluster, txt_quality_score,
+    // pl_split_decontaminate); this row pins their COMPOSITION — one
+    // declarative plan, so Catalyst shares the shingle scan between the
+    // dedup and decontamination stages instead of re-reading the
+    // corpus per stage the way a stage-per-job pipeline would.
+    QueryDef(
+      "pl_corpus_build_e2e",
+      MinhashCandPrefix.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ClusterCompChain +
+        """,q AS (
+          |  SELECT doc_id,
+          |    round(least(1.0, len(l) / 32.0) * 0.4
+          |      + (len(list_distinct(l)) * 1.0 / len(l)) * 0.4
+          |      + least(1.0, len(list_filter(l,
+          |          x -> x IN ('the','a','of','and','to','in','is'))) * 8.0
+          |          / len(l)) * 0.2, 4) AS quality
+          |  FROM toks),
+          |clustered AS (
+          |  SELECT q.doc_id, q.quality,
+          |    row_number() OVER (PARTITION BY comp.component
+          |                       ORDER BY q.quality DESC, q.doc_id) AS rn
+          |  FROM q JOIN comp ON comp.node = q.doc_id),
+          |kept AS (
+          |  SELECT doc_id, quality FROM clustered WHERE rn = 1
+          |  UNION ALL
+          |  SELECT q.doc_id, q.quality FROM q
+          |  WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.node = q.doc_id)),
+          |sp AS (
+          |  SELECT doc_id, quality,
+          |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+          |           % 1000 < 900 THEN 'train'
+          |         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+          |           % 1000 < 950 THEN 'val'
+          |         ELSE 'test' END AS split
+          |  FROM kept WHERE quality >= 0.5),
+          |bsh AS (
+          |  SELECT DISTINCT h.bh FROM hset h
+          |  JOIN sp ON sp.doc_id = h.doc_id WHERE sp.split <> 'train'),
+          |contaminated AS (
+          |  SELECT h.doc_id FROM hset h
+          |  JOIN sp ON sp.doc_id = h.doc_id AND sp.split = 'train'
+          |  JOIN bsh b ON b.bh = h.bh
+          |  GROUP BY h.doc_id HAVING count(*) >= 5),
+          |fin AS (
+          |  SELECT sp.doc_id, sp.split, sp.quality FROM sp
+          |  WHERE sp.split <> 'train'
+          |     OR sp.doc_id NOT IN (SELECT doc_id FROM contaminated))
+          |SELECT f.split, count(*) AS n_docs,
+          |  sum(len(t.l))::BIGINT AS n_tokens,
+          |  sum(round(f.quality * 10000)::BIGINT)::BIGINT AS sum_quality_e4
+          |FROM fin f JOIN toks t ON t.doc_id = f.doc_id
+          |GROUP BY f.split ORDER BY f.split""".stripMargin) { (s, d) =>
+      import graft.operators.Corpus
+      val corpus = nearDupCorpus(Tables.documents(s, d))
+      val hsArr = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Dedup.lshCandidatePairsFromKeys(
+        Dedup.lshBandKeys(Dedup.minhashSignatures(hsArr, 128), 128, 16)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val pairs = Dedup.jaccard(cand, hsArr)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"))
+      val clusters = Dedup.connectedComponents(pairs)
+      val scores = corpus.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val sp = Corpus.assignSplit(
+        Dedup.keepBestPerCluster(scores, "doc_id", "quality", clusters)
+          .filter(col("quality") >= 0.5)
+          .select(col("doc_id"), col("quality"))
+          .join(corpus, Seq("doc_id")),
+        "doc_id", Seq("train" -> 900, "val" -> 50, "test" -> 50))
+      val nonTrain = sp.filter(col("split") =!= "train")
+      Corpus.decontaminate(sp.filter(col("split") === "train"), nonTrain,
+          "doc_id", "text", n = 3, minOverlap = 5)
+        .unionByName(nonTrain)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextFunctions.tokens(col("text")))).cast("long")
+            .as("n_tokens"),
+          sum(round(col("quality") * 10000).cast("long"))
+            .as("sum_quality_e4"))
+        .presentSorted(col("split"))
+    },
+
     // Exact-recall variant: hashed-shingle blocking (df cap 20) +
     // Jaccard >= 0.5.
     QueryDef(
