@@ -20,17 +20,25 @@ object Corpus {
     * engine agree bit-for-bit).
     *
     * 100 TB shape: benchmark suites are KB-MB scale, so their distinct
-    * shingle index BROADCASTS; doc shingles flow through one semi-join
-    * (map-side, no shuffle of the corpus) and one hash-shuffle on
-    * doc_id for the overlap count, over only the rows that hit a
-    * benchmark shingle — a tiny fraction of the corpus. Docs too short
-    * to shingle cannot be contaminated and pass through.
+    * shingle index BROADCASTS (the default); doc shingles flow through
+    * one semi-join (map-side, no shuffle of the corpus) and one
+    * hash-shuffle on doc_id for the overlap count, over only the rows
+    * that hit a benchmark shingle — a tiny fraction of the corpus.
+    * Docs too short to shingle cannot be contaminated and pass through.
+    * When the held-out side is NOT benchmark-sized — scrubbing train
+    * against val+test splits that are a fixed FRACTION of the corpus —
+    * pass `broadcastIndex = false`: the forced broadcast would ship a
+    * corpus-proportional shingle set to every executor; without the
+    * hint the semi-join shuffles on `bh` at scale while AQE still
+    * converts it to a broadcast join whenever the index side turns out
+    * small at runtime.
     */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, n: Int, minOverlap: Int): DataFrame =
+      textCol: String, n: Int, minOverlap: Int,
+      broadcastIndex: Boolean = true): DataFrame =
     decontaminateAgainstIndex(docs,
       Dedup.shingles(benchmark, idCol, textCol, n).select(col("bh")).distinct(),
-      idCol, textCol, n, minOverlap)
+      idCol, textCol, n, minOverlap, broadcastIndex)
 
   /** Deterministic STRATIFIED SAMPLING: keep a row iff
     * `stableHash64(id) % 1000 < ratePerMille(stratum)` — a pure narrow
@@ -942,10 +950,10 @@ object Corpus {
     */
   def decontaminateAgainstIndex(docs: DataFrame, benchShingles: DataFrame,
       idCol: String, textCol: String, n: Int,
-      minOverlap: Int): DataFrame =
+      minOverlap: Int, broadcastIndex: Boolean = true): DataFrame =
     docs.join(
       contaminationReport(docs, benchShingles, idCol, textCol, n,
-        minOverlap).select(col(idCol)),
+        minOverlap, broadcastIndex).select(col(idCol)),
       Seq(idCol), "left_anti")
 
   /** CONTAMINATION REPORT — the audit surface behind
@@ -956,13 +964,16 @@ object Corpus {
     * Same shape as the drop: broadcast semi-join against the KB-MB
     * benchmark shingle set, then one doc_id aggregation over only the
     * rows that hit — the corpus itself never shuffles.
+    * `broadcastIndex = false` for a corpus-proportional held-out side
+    * (see [[decontaminate]]).
     */
   def contaminationReport(docs: DataFrame, benchShingles: DataFrame,
       idCol: String, textCol: String, n: Int,
-      minOverlap: Int): DataFrame = {
+      minOverlap: Int, broadcastIndex: Boolean = true): DataFrame = {
     require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
+    val index = benchShingles.select(col("bh"))
     Dedup.shingles(docs, idCol, textCol, n)
-      .join(broadcast(benchShingles.select(col("bh"))), Seq("bh"),
+      .join(if (broadcastIndex) broadcast(index) else index, Seq("bh"),
         "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))

@@ -1376,8 +1376,11 @@ object LlmQueries {
           .join(corpus, Seq("doc_id")),
         "doc_id", Seq("train" -> 900, "val" -> 50, "test" -> 50))
       val nonTrain = sp.filter(col("split") =!= "train")
+      // Held-out side is a fixed fraction of the deduped corpus — no
+      // forced broadcast (see Corpus.decontaminate's scale note).
       Corpus.decontaminate(sp.filter(col("split") === "train"), nonTrain,
-          "doc_id", "text", n = 3, minOverlap = 5)
+          "doc_id", "text", n = 3, minOverlap = 5,
+          broadcastIndex = false)
         .unionByName(nonTrain)
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
@@ -3214,10 +3217,13 @@ object LlmQueries {
       import graft.operators.Corpus
       val sp = Corpus.assignSplit(Tables.documents(s, d), "doc_id",
         Seq("train" -> 900, "val" -> 50, "test" -> 50))
+      // The held-out side is 10% of the corpus, not a KB-MB benchmark:
+      // no forced broadcast (AQE still picks one at this scale).
       Corpus.decontaminate(
           sp.filter(col("split") === "train"),
           sp.filter(col("split") =!= "train"),
-          "doc_id", "text", n = 3, minOverlap = 5)
+          "doc_id", "text", n = 3, minOverlap = 5,
+          broadcastIndex = false)
         .select(col("doc_id"))
         .presentSorted(col("doc_id"))
     },
