@@ -119,7 +119,8 @@ object Bench {
     val heavyNames = Seq(
       "search_bm25_index_upsert", "search_hybrid_rrf",
       "search_hybrid_rrf_multiprobe", "search_hybrid_rrf_auto",
-      "pl_fanout_gated_roundtrip", "dd_neardup_clusters",
+      "pl_fanout_gated_roundtrip", "pl_fanout_neardup_gated_roundtrip",
+      "dd_neardup_clusters", "pl_corpus_build_e2e",
       "mm_phash_near_dup", "dd_jaccard_blocked_pairs",
       "s13_s17_partitioned_merge_store", "pl_crawl_bfs_site",
       "search_bm25_index_delete", "join_bloom_prefilter",

@@ -27,39 +27,42 @@ object Upsert {
   /** ONE row per key, DETERMINISTICALLY: among same-key rows the one
     * with the lowest `textCol` content hash wins, and rows that TIE on
     * content hash (identical normalized text, different metadata
-    * columns) break by the packed row itself — a TOTAL order, so
+    * columns) break by an xxhash64 over the non-key columns — so
     * redelivery, partitioning, and retries cannot flip the winner the
     * way `dropDuplicates`' keep-an-arbitrary-first-row can, for the
     * text OR for the metadata riding along with it: a duplicate-id
     * delivery must resolve to the SAME row on every replay or the
     * ingest family's hash-keyed convergence (exact screens, no-op
     * upserts) silently breaks. Same cost class as dropDuplicates (one
-    * hash aggregate on the key, no window sort — the struct comparison
-    * short-circuits at the hash field except on genuine ties).
+    * hash aggregate on the key, no window sort; see [[totalOrder]] for
+    * why the tie-break is a hash, not the row itself).
     */
   def onePerKeyByContent(df: DataFrame, key: String,
       textCol: String): DataFrame = {
     val rest = df.columns.filter(_ != key)
-    val row = struct(rest.map(col).toSeq: _*)
     df.groupBy(col(key))
-      .agg(min_by(row,
-        totalOrder(df, HashFunctions.contentHash(col(textCol)), row))
+      .agg(min_by(struct(rest.map(col).toSeq: _*),
+        totalOrder(rest.toSeq, HashFunctions.contentHash(col(textCol))))
         .as("__row"))
       .select(col(key) +: rest.map(c => col("__row").getField(c).as(c)): _*)
   }
 
-  /** Total min_by ordering for the one-per-key resolutions: content
-    * hash first, then the packed row itself as the tie-break — struct
-    * comparison is lexicographic over the fields and only descends past
-    * the hash on genuine content ties. Columns whose type Spark cannot
-    * order (maps) fall back to a sha256 over the row's JSON form:
-    * slower, but still a deterministic total order.
+  /** Total(-in-practice) min_by ordering for the one-per-key
+    * resolutions: content hash first, then an xxhash64 over the row's
+    * non-key columns as the tie-break. The tail must be a FIXED-WIDTH
+    * value, not the packed row itself: min_by carries its ordering
+    * through the aggregation buffer, and ordering by (hash, whole row)
+    * re-serializes every row's text a second time — measured ~1.6× on
+    * the chunk-store and index-delete ingest lifecycles. xxhash64 is
+    * codegen'd and 8 bytes; two DISTINCT rows tie only on a same-key,
+    * same-content-hash, same-xxhash64 triple collision (~2^-64 given
+    * the first two), which replays still resolve identically — the
+    * determinism-across-retries guarantee this ordering exists for
+    * never degrades, only the pick among such colliding rows is
+    * unspecified.
     */
-  private def totalOrder(df: DataFrame, hash: Column, row: Column): Column = {
-    val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
-      .isOrderable(df.select(row.as("r")).schema.head.dataType)
-    struct(hash, if (orderable) row else sha2(to_json(row), 256))
-  }
+  private def totalOrder(rest: Seq[String], hash: Column): Column =
+    struct(hash, xxhash64(rest.map(col): _*))
 
   /** [[onePerKeyByContent]] that also RETURNS the winner's hash as
     * `content_hash`, hashing each row ONCE — the hash that picked the
@@ -74,10 +77,12 @@ object Upsert {
         "rename the incoming column")
     val hashed = withContentHash(df, textCol)
     val rest = hashed.columns.filter(_ != key)
-    val row = struct(rest.map(col).toSeq: _*)
     hashed.groupBy(col(key))
-      .agg(min_by(row, totalOrder(hashed, col("content_hash"), row))
-        .as("__row"))
+      // Tie-break over the ORIGINAL columns only (not the derived
+      // content_hash) so both forms resolve a tie to the same row.
+      .agg(min_by(struct(rest.map(col).toSeq: _*),
+        totalOrder(rest.toSeq.filterNot(_ == "content_hash"),
+          col("content_hash"))).as("__row"))
       .select(col(key) +: rest.map(c => col("__row").getField(c).as(c)): _*)
   }
 
