@@ -1771,11 +1771,16 @@ object LlmQueries {
       val docs = Tables.documents(s, d)
       val corpus = docs.select(col("doc_id"), col("text")).unionByName(
         docs.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      // Lowest-id-per-hash as a hash AGGREGATE, not a window: min_by
+      // gets a map-side partial combine (the duplicates collapse
+      // before the shuffle, halving its bytes here and cutting it by
+      // the dup factor at scale) and skips the window's per-partition
+      // sort entirely.
       graft.operators.Upsert.withContentHash(corpus, "text")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("content_hash"))
+        .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id"))
+          .as("__c"))
+        .select(col("__c.doc_id").as("doc_id"), col("__c.text").as("text"))
         // Tokenize ONCE per row, then derive all three metrics from the
         // array — the inlined forms would re-run split+filter ~7x/row.
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
