@@ -899,6 +899,61 @@ object LlmQueries {
         |SELECT qid, cid, score, rnk FROM r WHERE rnk <= 3
         |ORDER BY qid, rnk""".stripMargin
 
+  /** Generated oracle for sim_pq_adc_topk: per subspace j, the k-means
+    * CTE chain (seed -> assign -> means -> final codebook c{j}1), the
+    * corpus encoding a{j} (argmin code per vector), and the per-
+    * subspace query-to-code d2 p{j}; the total ADC distance sums
+    * p0..p3 in explicit left-to-right order so the double fold matches
+    * the Spark side bit-for-bit.
+    */
+  private lazy val PqAdcTopkSql: String = {
+    val (m, sub, codes, nq, topk) = (4, 16, 8, 10, 5)
+    def d2(a: String, b: String) =
+      s"list_inner_product($a,$a) + list_inner_product($b,$b)" +
+        s" - 2*list_inner_product($a,$b)"
+    val per = (0 until m).map { j =>
+      val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+      s"""e$j AS (SELECT id, v[$lo:$hi] AS v FROM e),
+         |c${j}0 AS (SELECT id AS cid, v FROM e$j WHERE id < $codes),
+         |d${j}1 AS (
+         |  SELECT e.id, c.cid,
+         |    row_number() OVER (PARTITION BY e.id
+         |      ORDER BY ${d2("e.v", "c.v")}, c.cid) AS rn
+         |  FROM e$j e, c${j}0 c),
+         |m$j AS (
+         |  SELECT a.cid, u.dim, avg(u.x) AS x
+         |  FROM (SELECT id, cid FROM d${j}1 WHERE rn = 1) a
+         |  JOIN (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+         |        FROM e$j) u USING (id)
+         |  GROUP BY a.cid, u.dim),
+         |c${j}1 AS (SELECT cid, list(x ORDER BY dim) AS v FROM m$j GROUP BY cid),
+         |a$j AS (
+         |  SELECT id, cid AS code FROM (
+         |    SELECT e.id, c.cid,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${d2("e.v", "c.v")}, c.cid) AS rn
+         |    FROM e$j e, c${j}1 c) t WHERE rn = 1),
+         |p$j AS (
+         |  SELECT q.id AS qid, a.id AS cid, ${d2("q.v", "c.v")} AS d2
+         |  FROM (SELECT id, v[$lo:$hi] AS v FROM e WHERE id < $nq) q
+         |  CROSS JOIN a$j a JOIN c${j}1 c ON c.cid = a.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$per,
+       |tot AS (
+       |  SELECT p0.qid, p0.cid,
+       |    round(((p0.d2 + p1.d2) + p2.d2) + p3.d2, 4) AS approx_d2
+       |  FROM p0 JOIN p1 USING (qid, cid) JOIN p2 USING (qid, cid)
+       |    JOIN p3 USING (qid, cid)
+       |  WHERE p0.qid <> p0.cid),
+       |rk AS (SELECT qid, cid, approx_d2,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY approx_d2, cid) AS rnk
+       |       FROM tot)
+       |SELECT qid, cid, approx_d2, rnk FROM rk WHERE rnk <= $topk
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Verified-pair -> transitive-component chain shared by the cluster
     * oracles: Jaccard-verified pairs from `cand`/`hset`, symmetric edge
     * closure by recursive reachability, `comp` = (node, component =
@@ -2717,6 +2772,22 @@ object LlmQueries {
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members"), round(avg(col("d2")), 4).as("avg_d2"))
         .presentSorted(col("cluster_id"))
+    },
+
+    // PRODUCT-QUANTIZED ANN (Similarity.pqTopK): 4 subspaces x 16 dims,
+    // 8-code Lloyd codebook per subspace (2 iterations, lowest-id
+    // seeds), corpus encoded to 4 code ids/vector, queries scored by
+    // asymmetric distance — the memory lever past int8 (the scored
+    // corpus side is m bytes/vector, never the floats). The oracle
+    // re-trains every codebook in SQL (the k-means CTE chain per
+    // subspace), re-encodes, and sums the per-subspace d2 in the same
+    // left-to-right fold order.
+    QueryDef("sim_pq_adc_topk", PqAdcTopkSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.pqTopK(emb, emb.filter(col("id") < 10).select(col("id")),
+          m = 4, subDims = 16, codes = 8, iters = 2, k = 5)
+        .presentSorted(col("qid"), col("rnk"))
     },
 
     // BM25 keyword search (operators.Search.bm25TopK): ranked retrieval

@@ -86,6 +86,30 @@ class SimilaritySpec extends SparkSpec {
     assert(d2s.forall(_ < 0.1))
   }
 
+  test("pqTopK: per-subspace codes, ADC ordering, self excluded") {
+    // m=2 subspaces x 2 dims, 2 codes each (seeds 0,1). Vector 4 sits
+    // in the near cluster on subspace 0 but the far cluster on
+    // subspace 1, so ADC must rank it between the same-cluster doc 0
+    // (both subspaces near) and docs 1/3 (both far) — exactly the
+    // per-subspace decomposition a whole-vector quantizer can't see.
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(10.0f, 10.0f, 10.0f, 10.0f)),
+      (2L, Seq(0.1f, 0.0f, 0.0f, 0.1f)),
+      (3L, Seq(10.0f, 10.1f, 9.9f, 10.0f)),
+      (4L, Seq(0.0f, 0.1f, 10.0f, 10.0f)))
+      .toDF("id", "vec")
+    val got = Similarity.pqTopK(pts,
+        Seq(2L).toDF("id"), m = 2, subDims = 2, codes = 2, iters = 2, k = 4)
+      .select("qid", "cid", "rnk").as[(Long, Long, Int)].collect().toSeq
+      .sortBy(_._3)
+    assert(got.map(_._1).forall(_ == 2L) && !got.map(_._2).contains(2L),
+      s"self-match or wrong qid in $got")
+    assert(got.map(_._2) == Seq(0L, 4L, 1L, 3L) ||
+      got.map(_._2) == Seq(0L, 4L, 3L, 1L),
+      s"ADC ordering broken: $got")
+  }
+
   test("centroidOutliers: farthest members per group, exact centroid") {
     // Group 0 centered at (1,1) with one far point; group 1 tight.
     val pts = Seq(
