@@ -899,48 +899,47 @@ object LlmQueries {
         |SELECT qid, cid, score, rnk FROM r WHERE rnk <= 3
         |ORDER BY qid, rnk""".stripMargin
 
-  /** Generated oracle for sim_pq_adc_topk: per subspace j, the k-means
-    * CTE chain (seed -> assign -> means -> final codebook c{j}1), the
-    * corpus encoding a{j} (argmin code per vector), and the per-
-    * subspace query-to-code d2 p{j}; the total ADC distance sums
-    * p0..p3 in explicit left-to-right order so the double fold matches
-    * the Spark side bit-for-bit.
+  /** sq-L2 between two SQL list expressions, same inner-product
+    * identity and association as `Similarity`'s d2 columns. */
+  private def sqlD2(a: String, b: String) =
+    s"list_inner_product($a,$a) + list_inner_product($b,$b)" +
+      s" - 2*list_inner_product($a,$b)"
+
+  /** Per-subspace PQ codebook chain for subspace `j` over dims
+    * [lo, hi]: k-means CTEs (seed -> assign -> means -> final codebook
+    * c{j}1) and the corpus encoding a{j} (argmin code per vector) —
+    * shared by the PQ and IVF+PQ oracles, which differ only in how the
+    * per-subspace distances p{j} are joined (all pairs vs routed
+    * candidates).
     */
-  private lazy val PqAdcTopkSql: String = {
-    val (m, sub, codes, nq, topk) = (4, 16, 8, 10, 5)
-    def d2(a: String, b: String) =
-      s"list_inner_product($a,$a) + list_inner_product($b,$b)" +
-        s" - 2*list_inner_product($a,$b)"
-    val per = (0 until m).map { j =>
-      val (lo, hi) = (j * sub + 1, (j + 1) * sub)
-      s"""e$j AS (SELECT id, v[$lo:$hi] AS v FROM e),
-         |c${j}0 AS (SELECT id AS cid, v FROM e$j WHERE id < $codes),
-         |d${j}1 AS (
-         |  SELECT e.id, c.cid,
-         |    row_number() OVER (PARTITION BY e.id
-         |      ORDER BY ${d2("e.v", "c.v")}, c.cid) AS rn
-         |  FROM e$j e, c${j}0 c),
-         |m$j AS (
-         |  SELECT a.cid, u.dim, avg(u.x) AS x
-         |  FROM (SELECT id, cid FROM d${j}1 WHERE rn = 1) a
-         |  JOIN (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
-         |        FROM e$j) u USING (id)
-         |  GROUP BY a.cid, u.dim),
-         |c${j}1 AS (SELECT cid, list(x ORDER BY dim) AS v FROM m$j GROUP BY cid),
-         |a$j AS (
-         |  SELECT id, cid AS code FROM (
-         |    SELECT e.id, c.cid,
-         |      row_number() OVER (PARTITION BY e.id
-         |        ORDER BY ${d2("e.v", "c.v")}, c.cid) AS rn
-         |    FROM e$j e, c${j}1 c) t WHERE rn = 1),
-         |p$j AS (
-         |  SELECT q.id AS qid, a.id AS cid, ${d2("q.v", "c.v")} AS d2
-         |  FROM (SELECT id, v[$lo:$hi] AS v FROM e WHERE id < $nq) q
-         |  CROSS JOIN a$j a JOIN c${j}1 c ON c.cid = a.code)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-       |$per,
-       |tot AS (
+  private def pqChainSql(j: Int, lo: Int, hi: Int, codes: Int): String =
+    s"""e$j AS (SELECT id, v[$lo:$hi] AS v FROM e),
+       |c${j}0 AS (SELECT id AS cid, v FROM e$j WHERE id < $codes),
+       |d${j}1 AS (
+       |  SELECT e.id, c.cid,
+       |    row_number() OVER (PARTITION BY e.id
+       |      ORDER BY ${sqlD2("e.v", "c.v")}, c.cid) AS rn
+       |  FROM e$j e, c${j}0 c),
+       |m$j AS (
+       |  SELECT a.cid, u.dim, avg(u.x) AS x
+       |  FROM (SELECT id, cid FROM d${j}1 WHERE rn = 1) a
+       |  JOIN (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+       |        FROM e$j) u USING (id)
+       |  GROUP BY a.cid, u.dim),
+       |c${j}1 AS (SELECT cid, list(x ORDER BY dim) AS v FROM m$j GROUP BY cid),
+       |a$j AS (
+       |  SELECT id, cid AS code FROM (
+       |    SELECT e.id, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${sqlD2("e.v", "c.v")}, c.cid) AS rn
+       |    FROM e$j e, c${j}1 c) t WHERE rn = 1)""".stripMargin
+
+  /** Left-assoc ADC total + per-query rank + top-k tail shared by the
+    * PQ oracles (splices after the p0..p{m-1} CTEs; the self-exclusion
+    * lives in the p/cand CTEs' construction or here via qid <> cid).
+    */
+  private def pqTotalSql(topk: Int): String =
+    s"""tot AS (
        |  SELECT p0.qid, p0.cid,
        |    round(((p0.d2 + p1.d2) + p2.d2) + p3.d2, 4) AS approx_d2
        |  FROM p0 JOIN p1 USING (qid, cid) JOIN p2 USING (qid, cid)
@@ -952,6 +951,63 @@ object LlmQueries {
        |       FROM tot)
        |SELECT qid, cid, approx_d2, rnk FROM rk WHERE rnk <= $topk
        |ORDER BY qid, rnk""".stripMargin
+
+  /** Generated oracle for sim_pq_adc_topk: per subspace j, the k-means
+    * CTE chain (seed -> assign -> means -> final codebook c{j}1), the
+    * corpus encoding a{j} (argmin code per vector), and the per-
+    * subspace query-to-code d2 p{j}; the total ADC distance sums
+    * p0..p3 in explicit left-to-right order so the double fold matches
+    * the Spark side bit-for-bit.
+    */
+  private lazy val PqAdcTopkSql: String = {
+    val (m, sub, codes, nq, topk) = (4, 16, 8, 10, 5)
+    val per = (0 until m).map { j =>
+      val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+      pqChainSql(j, lo, hi, codes) + ",\n" +
+        s"""p$j AS (
+           |  SELECT q.id AS qid, a.id AS cid, ${sqlD2("q.v", "c.v")} AS d2
+           |  FROM (SELECT id, v[$lo:$hi] AS v FROM e WHERE id < $nq) q
+           |  CROSS JOIN a$j a JOIN c${j}1 c ON c.cid = a.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$per,
+       |""".stripMargin + pqTotalSql(topk)
+  }
+
+  /** Generated oracle for sim_ivfpq_topk: the IVF coarse routing
+    * (corpus to its nearest seed cell, queries to their nprobe
+    * nearest) builds the candidate set, then the shared per-subspace
+    * PQ chains score ONLY the candidates — p{j} joins `cand` instead
+    * of cross-joining the corpus.
+    */
+  private lazy val IvfPqTopkSql: String = {
+    val (m, sub, codes, nq, topk) = (4, 16, 8, 10, 5)
+    val (ncells, nprobe) = (16, 2)
+    val per = (0 until m).map { j =>
+      val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+      pqChainSql(j, lo, hi, codes) + ",\n" +
+        s"""p$j AS (
+           |  SELECT cd.qid, cd.cid, ${sqlD2("qe.v", "cb.v")} AS d2
+           |  FROM cand cd
+           |  JOIN a$j a ON a.id = cd.cid
+           |  JOIN c${j}1 cb ON cb.cid = a.code
+           |  JOIN e$j qe ON qe.id = cd.qid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cc AS (SELECT id AS ccid, v FROM e WHERE id < $ncells),
+       |cr AS (
+       |  SELECT e.id, c.ccid,
+       |    row_number() OVER (PARTITION BY e.id
+       |      ORDER BY ${sqlD2("e.v", "c.v")}, c.ccid) AS rn
+       |  FROM e, cc c),
+       |cells AS (SELECT id, ccid AS cell FROM cr WHERE rn = 1),
+       |probes AS (SELECT id AS qid, ccid AS cell FROM cr
+       |           WHERE rn <= $nprobe AND id < $nq),
+       |cand AS (
+       |  SELECT p.qid, c.id AS cid FROM probes p JOIN cells c USING (cell)
+       |  WHERE c.id <> p.qid),
+       |$per,
+       |""".stripMargin + pqTotalSql(topk)
   }
 
   /** Verified-pair -> transitive-component chain shared by the cluster
@@ -2786,6 +2842,23 @@ object LlmQueries {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.pqTopK(emb, emb.filter(col("id") < 10).select(col("id")),
+          m = 4, subDims = 16, codes = 8, iters = 2, k = 5)
+        .presentSorted(col("qid"), col("rnk"))
+    },
+
+    // IVF + PQ (Similarity.ivfPqTopK) — the composed scale
+    // architecture: the 16-cell coarse quantizer routes the corpus to
+    // one cell and each query to its 2 nearest, PRUNING the candidate
+    // set, then the PQ codebooks ADC-score only the candidates — a
+    // broadcast HASH join on the cell id over (cell, 4 codes)/vector,
+    // no cross join and no floats on the scored side.
+    QueryDef("sim_ivfpq_topk", IvfPqTopkSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = Tables.embeddings(s, d).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfPqTopK(emb, cents,
+          emb.filter(col("id") < 10).select(col("id")), nprobe = 2,
           m = 4, subDims = 16, codes = 8, iters = 2, k = 5)
         .presentSorted(col("qid"), col("rnk"))
     },

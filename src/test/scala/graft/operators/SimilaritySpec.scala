@@ -110,6 +110,29 @@ class SimilaritySpec extends SparkSpec {
       s"ADC ordering broken: $got")
   }
 
+  test("ivfPqTopK with nprobe = all cells equals the unrouted PQ") {
+    // Routing that probes every cell prunes nothing, so IVF+PQ must
+    // reduce exactly to pqTopK — pinning that the coarse layer only
+    // FILTERS candidates and never perturbs the ADC scores.
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(10.0f, 10.0f, 10.0f, 10.0f)),
+      (2L, Seq(0.1f, 0.0f, 0.0f, 0.1f)),
+      (3L, Seq(10.0f, 10.1f, 9.9f, 10.0f)),
+      (4L, Seq(0.0f, 0.1f, 10.0f, 10.0f)))
+      .toDF("id", "vec")
+    val cents = pts.filter(col("id") < 2)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val q = Seq(2L).toDF("id")
+    val routed = Similarity.ivfPqTopK(pts, cents, q, nprobe = 2,
+        m = 2, subDims = 2, codes = 2, iters = 2, k = 4)
+      .collect().toSet
+    val unrouted = Similarity.pqTopK(pts, q,
+        m = 2, subDims = 2, codes = 2, iters = 2, k = 4)
+      .collect().toSet
+    assert(routed == unrouted, s"routed=$routed unrouted=$unrouted")
+  }
+
   test("centroidOutliers: farthest members per group, exact centroid") {
     // Group 0 centered at (1,1) with one far point; group 1 tight.
     val pts = Seq(
