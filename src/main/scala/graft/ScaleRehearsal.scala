@@ -62,7 +62,7 @@ object ScaleRehearsal {
     // `stores` = the full lifecycle (bm25 + ann + dedup); `ann` and
     // `dedup` re-run just their family against reused fixtures, so a
     // targeted re-measurement does not pay the bm25 build/vacuum tax.
-    val known = Set("stores", "ann", "dedup", "corpus", "gram")
+    val known = Set("stores", "ann", "dedup", "corpus", "gram", "pq")
     require(phases.nonEmpty && phases.subsetOf(known),
       s"SPARK_GRAFT_PHASES must name ${known.mkString("/")}, " +
         s"got: ${phases.mkString(",")}")
@@ -235,6 +235,28 @@ object ScaleRehearsal {
         Search.hybridTopK(spark, idx, ann,
           Seq("spark", "vector", "stream", "merge"), queryVecs,
           planes = 8, dims = 64, k = 10)
+      }
+      }
+
+      if (phases.contains("pq")) {
+      // ---- product-quantized ANN: the full operator (per-subspace
+      // Lloyd training + encode + ADC scan) and its IVF-routed
+      // composition. Training is iters narrow passes per subspace and
+      // the ADC side touches only code ids, so both lines should grow
+      // ~linearly in vectors; the routed form divides the scored pairs
+      // by cells/nprobe (a constant here — a deployment grows `cells`
+      // with the corpus, which this fixed-parameter line does not
+      // model).
+      timed(r, "pq_adc_topk_full") {
+        Similarity.pqTopK(emb, queryVecs.select(col("id")),
+          m = 4, subDims = 16, codes = 8, iters = 2, k = 3).count()
+      }
+      timed(r, "ivfpq_topk_full") {
+        Similarity.ivfPqTopK(emb,
+          Tables.embeddings(spark, sfDir).filter(col("vec_id") < 16)
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          queryVecs.select(col("id")), nprobe = 2,
+          m = 4, subDims = 16, codes = 8, iters = 2, k = 3).count()
       }
       }
 
