@@ -130,7 +130,7 @@ object Bench {
       "search_phrase_index_topk", "search_bm25_index_topk",
       "search_bm25_index_bucketed", "search_phrase_index_bucketed",
       "dd_incremental_lsh", "sim_ivf_topk", "sim_ivfpq_topk",
-      "sim_pq_adc_topk",
+      "sim_pq_adc_topk", "sim_pq_store_upsert_topk",
       "dd_minhash_lsh_pairs", "dd_embedding_near_dup", "gr_pagerank_topk")
     val heavyPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_PASSES",
       (passes + 1).toString).toInt.max(1)

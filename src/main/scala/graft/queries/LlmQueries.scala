@@ -76,6 +76,30 @@ object LlmQueries {
   private def annUpsertProbe(s: SparkSession, d: String): DataFrame =
     annProbe("ann-up")(s, d)
 
+  private def pqStoreUpBuild(s: SparkSession, d: String): Unit = {
+    val emb = embOf(s, d)
+    val dir = storeDir("pq-up") + "/store"
+    Similarity.pqStoreBuild(emb, dir, m = 4, subDims = 16, codes = 8,
+      iters = 2)
+    val re = emb.filter(col("id") % 7 === 0)
+      .select(col("id"), transform(col("vec"), x => -x).as("vec"))
+    val updated = Similarity.pqStoreAppend(re, dir)
+    val noop = Similarity.pqStoreAppend(re, dir)
+    require(updated > 0 && noop == 0,
+      s"PQ upsert semantics broken: updated=$updated redelivery=$noop")
+  }
+
+  private def pqStoreUpProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = embOf(s, d)
+    // Queries carry the CURRENT vectors (re-embedded ids negated).
+    val queries = emb.filter(col("id") < 10)
+      .select(col("id"),
+        when(col("id") % 7 === 0, transform(col("vec"), x => -x))
+          .otherwise(col("vec")).as("vec"))
+    Similarity.pqStoreTopK(s, storePath("pq-up") + "/store", queries, k = 5)
+      .presentSorted(col("qid"), col("rnk"))
+  }
+
   /** Standing-ANN-store probe against `name`'s store (single-bucket or
     * multi-probe) — the shared read side of the sim_ann_* splits.
     */
@@ -632,6 +656,8 @@ object LlmQueries {
     "pl_fanout_neardup_gated_roundtrip" -> BenchPhases(fanoutNdGatedBuild,
       fanoutNdGatedProbe),
     "dd_lsh_band_migrate" -> BenchPhases(lshMigrateBuild, lshMigrateProbe),
+    "sim_pq_store_upsert_topk" -> BenchPhases(pqStoreUpBuild,
+      pqStoreUpProbe),
   )
 
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
@@ -906,13 +932,19 @@ object LlmQueries {
       s" - 2*list_inner_product($a,$b)"
 
   /** Per-subspace PQ codebook chain for subspace `j` over dims
-    * [lo, hi]: k-means CTEs (seed -> assign -> means -> final codebook
-    * c{j}1) and the corpus encoding a{j} (argmin code per vector) —
-    * shared by the PQ and IVF+PQ oracles, which differ only in how the
-    * per-subspace distances p{j} are joined (all pairs vs routed
-    * candidates).
+    * [lo, hi]: k-means CTEs over the TRAINING corpus `e` (seed ->
+    * assign -> means -> final codebook c{j}1) and the encoding a{j}
+    * (argmin code per vector) over `encFrom` — `e` for the one-shot
+    * PQ oracles, the store's CURRENT generation for the standing-store
+    * oracle whose codebook is pinned to the build corpus. Shared by
+    * the PQ/IVF+PQ/store oracles, which differ only in how the
+    * per-subspace distances p{j} are joined.
     */
-  private def pqChainSql(j: Int, lo: Int, hi: Int, codes: Int): String =
+  private def pqChainSql(j: Int, lo: Int, hi: Int, codes: Int,
+      encFrom: String = "e"): String = {
+    val encCte =
+      if (encFrom == "e") ""
+      else s"$encFrom$j AS (SELECT id, v[$lo:$hi] AS v FROM $encFrom),\n"
     s"""e$j AS (SELECT id, v[$lo:$hi] AS v FROM e),
        |c${j}0 AS (SELECT id AS cid, v FROM e$j WHERE id < $codes),
        |d${j}1 AS (
@@ -927,12 +959,14 @@ object LlmQueries {
        |        FROM e$j) u USING (id)
        |  GROUP BY a.cid, u.dim),
        |c${j}1 AS (SELECT cid, list(x ORDER BY dim) AS v FROM m$j GROUP BY cid),
-       |a$j AS (
-       |  SELECT id, cid AS code FROM (
-       |    SELECT e.id, c.cid,
-       |      row_number() OVER (PARTITION BY e.id
-       |        ORDER BY ${sqlD2("e.v", "c.v")}, c.cid) AS rn
-       |    FROM e$j e, c${j}1 c) t WHERE rn = 1)""".stripMargin
+       |$encCte""".stripMargin +
+      s"""a$j AS (
+         |  SELECT id, cid AS code FROM (
+         |    SELECT e.id, c.cid,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${sqlD2("e.v", "c.v")}, c.cid) AS rn
+         |    FROM $encFrom$j e, c${j}1 c) t WHERE rn = 1)""".stripMargin
+  }
 
   /** Left-assoc ADC total + per-query rank + top-k tail shared by the
     * PQ oracles (splices after the p0..p{m-1} CTEs; the self-exclusion
@@ -1006,6 +1040,31 @@ object LlmQueries {
        |cand AS (
        |  SELECT p.qid, c.id AS cid FROM probes p JOIN cells c USING (cell)
        |  WHERE c.id <> p.qid),
+       |$per,
+       |""".stripMargin + pqTotalSql(topk)
+  }
+
+  /** Generated oracle for sim_pq_store_upsert_topk: codebooks train on
+    * the BUILD corpus `e` (the standing store's train-once contract),
+    * but the encoding and the queries run over `cur` — the store's
+    * current generation after the re-embedding upsert (every id % 7
+    * vector negated; negation is exact in both engines' floats).
+    */
+  private lazy val PqStoreUpsertSql: String = {
+    val (m, sub, codes, nq, topk) = (4, 16, 8, 10, 5)
+    val per = (0 until m).map { j =>
+      val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+      pqChainSql(j, lo, hi, codes, encFrom = "cur") + ",\n" +
+        s"""p$j AS (
+           |  SELECT q.id AS qid, a.id AS cid, ${sqlD2("q.v", "c.v")} AS d2
+           |  FROM (SELECT id, v[$lo:$hi] AS v FROM cur WHERE id < $nq) q
+           |  CROSS JOIN a$j a JOIN c${j}1 c ON c.cid = a.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cur AS (
+       |  SELECT id, CASE WHEN id % 7 = 0 THEN list_transform(v, x -> -x)
+       |                  ELSE v END AS v
+       |  FROM e),
        |$per,
        |""".stripMargin + pqTotalSql(topk)
   }
@@ -2861,6 +2920,19 @@ object LlmQueries {
           emb.filter(col("id") < 10).select(col("id")), nprobe = 2,
           m = 4, subDims = 16, codes = 8, iters = 2, k = 5)
         .presentSorted(col("qid"), col("rnk"))
+    },
+
+    // STANDING PQ store lifecycle (Similarity.pqStoreBuild/Append/
+    // TopK): codebooks train ONCE on the build corpus and become store
+    // metadata; a re-embedding batch (every 7th vector negated)
+    // supersedes via vec-hash currency, an unchanged redelivery
+    // appends nothing, and the probe ADC-scores the CURRENT generation
+    // from code ids alone — train-once, encode-forever, the standing
+    // face of sim_pq_adc_topk. The oracle trains on the build corpus
+    // but encodes and queries the post-upsert state.
+    QueryDef("sim_pq_store_upsert_topk", PqStoreUpsertSql) { (s, d) =>
+      pqStoreUpBuild(s, d)
+      pqStoreUpProbe(s, d)
     },
 
     // BM25 keyword search (operators.Search.bm25TopK): ranked retrieval

@@ -133,6 +133,38 @@ class SimilaritySpec extends SparkSpec {
     assert(routed == unrouted, s"routed=$routed unrouted=$unrouted")
   }
 
+  test("pq store: train-once build, hash-gated upsert, current-gen probe") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-store").toString + "/store"
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(10.0f, 10.0f, 10.0f, 10.0f)),
+      (2L, Seq(0.1f, 0.0f, 0.0f, 0.1f)),
+      (3L, Seq(10.0f, 10.1f, 9.9f, 10.0f)),
+      (4L, Seq(0.0f, 0.1f, 10.0f, 10.0f)))
+      .toDF("id", "vec")
+    assert(Similarity.pqStoreBuild(pts, dir, m = 2, subDims = 2,
+      codes = 2, iters = 2) == 5)
+    // Build is train-once: a second build must refuse.
+    intercept[IllegalArgumentException] {
+      Similarity.pqStoreBuild(pts, dir, m = 2, subDims = 2, codes = 2,
+        iters = 2)
+    }
+    // Re-embed id 1 next to id 0: supersedes; identical redelivery
+    // appends nothing.
+    val re = Seq((1L, Seq(0.1f, 0.0f, 0.0f, 0.1f))).toDF("id", "vec")
+    assert(Similarity.pqStoreAppend(re, dir) == 1)
+    assert(Similarity.pqStoreAppend(re, dir) == 0)
+    // Probe with id 2's vector: id 1 now shares id 0/2's codes in both
+    // subspaces, so its ADC distance TIES id 0's and the cid
+    // tie-break orders 0 before 1; id 4 (one far subspace) beats
+    // id 3 (two far subspaces).
+    val q = Seq((2L, Seq(0.1f, 0.0f, 0.0f, 0.1f))).toDF("id", "vec")
+    val got = Similarity.pqStoreTopK(spark, dir, q, k = 4)
+      .select("cid", "rnk").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(got.map(_._1) == Seq(0L, 1L, 4L, 3L), s"got $got")
+  }
+
   test("centroidOutliers: farthest members per group, exact centroid") {
     // Group 0 centered at (1,1) with one far point; group 1 tight.
     val pts = Seq(
