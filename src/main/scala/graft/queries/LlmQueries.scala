@@ -1044,6 +1044,50 @@ object LlmQueries {
        |""".stripMargin + pqTotalSql(topk)
   }
 
+  /** Generated oracle for sim_pq_recall_at_k: the ADC top-5 (the
+    * PqAdcTopkSql chain) intersected per query with the EXACT squared-
+    * L2 top-5 — the quantization-quality gate a production deployment
+    * runs before trusting a codebook. n_hit is an exact integer, so
+    * the compare is order-free.
+    */
+  private lazy val PqRecallSql: String = {
+    val (m, sub, codes, nq, topk) = (4, 16, 8, 10, 5)
+    val per = (0 until m).map { j =>
+      val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+      pqChainSql(j, lo, hi, codes) + ",\n" +
+        s"""p$j AS (
+           |  SELECT q.id AS qid, a.id AS cid, ${sqlD2("q.v", "c.v")} AS d2
+           |  FROM (SELECT id, v[$lo:$hi] AS v FROM e WHERE id < $nq) q
+           |  CROSS JOIN a$j a JOIN c${j}1 c ON c.cid = a.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$per,
+       |tot AS (
+       |  SELECT p0.qid, p0.cid,
+       |    round(((p0.d2 + p1.d2) + p2.d2) + p3.d2, 4) AS approx_d2
+       |  FROM p0 JOIN p1 USING (qid, cid) JOIN p2 USING (qid, cid)
+       |    JOIN p3 USING (qid, cid)
+       |  WHERE p0.qid <> p0.cid),
+       |adc AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY approx_d2, cid) AS rnk FROM tot) t WHERE rnk <= $topk),
+       |ex AS (
+       |  SELECT q.id AS qid, x.id AS cid,
+       |    round(${sqlD2("q.v", "x.v")}, 4) AS d2
+       |  FROM (SELECT id, v FROM e WHERE id < $nq) q CROSS JOIN e x
+       |  WHERE x.id <> q.id),
+       |exact AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY d2, cid) AS rnk FROM ex) t WHERE rnk <= $topk),
+       |hits AS (
+       |  SELECT a.qid, count(*) AS n_hit
+       |  FROM adc a JOIN exact x USING (qid, cid) GROUP BY a.qid)
+       |SELECT qs.qid, coalesce(h.n_hit, 0)::BIGINT AS n_hit
+       |FROM (SELECT id AS qid FROM e WHERE id < $nq) qs
+       |LEFT JOIN hits h USING (qid)
+       |ORDER BY qid""".stripMargin
+  }
+
   /** Generated oracle for sim_pq_store_upsert_topk: codebooks train on
     * the BUILD corpus `e` (the standing store's train-once contract),
     * but the encoding and the queries run over `cur` — the store's
@@ -2920,6 +2964,46 @@ object LlmQueries {
           emb.filter(col("id") < 10).select(col("id")), nprobe = 2,
           m = 4, subDims = 16, codes = 8, iters = 2, k = 5)
         .presentSorted(col("qid"), col("rnk"))
+    },
+
+    // PQ RECALL@5 against exact squared-L2 neighbors — the
+    // quantization-quality gate: per query, how many of the ADC top-5
+    // are true top-5. n_hit is an exact integer; a codebook change
+    // that degrades recall flips this row, not just a latency curve.
+    QueryDef("sim_pq_recall_at_k", PqRecallSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qids = emb.filter(col("id") < 10).select(col("id"))
+      val adc = Similarity.pqTopK(emb, qids,
+          m = 4, subDims = 16, codes = 8, iters = 2, k = 5)
+        .select(col("qid"), col("cid"))
+      val q = emb.filter(col("id") < 10)
+        .select(col("id").as("qid"),
+          graft.functions.VectorFunctions.toDoubleArray(col("vec"))
+            .as("qv"))
+      val d2 = {
+        val dot = graft.functions.VectorFunctions.dot _
+        dot(col("qv"), col("qv")) + dot(col("cv"), col("cv")) -
+          lit(2.0) * dot(col("qv"), col("cv"))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+      val exact = emb
+        .select(col("id").as("cid"),
+          graft.functions.VectorFunctions.toDoubleArray(col("vec"))
+            .as("cv"))
+        .crossJoin(broadcast(q))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), round(d2, 4).as("d2"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("cid"))
+      val hits = adc.join(exact, Seq("qid", "cid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("__h"))
+      qids.select(col("id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("__h"), lit(0L)).as("n_hit"))
+        .presentSorted(col("qid"))
     },
 
     // STANDING PQ store lifecycle (Similarity.pqStoreBuild/Append/

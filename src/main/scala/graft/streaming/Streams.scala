@@ -270,6 +270,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming PQ-store ingest — the quantized twin of
+    * [[annIngestSink]]: each micro-batch of (id, vec) embeddings is
+    * encoded with the store's train-once codebook and appended
+    * vec-hash-gated ([[graft.operators.Similarity.pqStoreAppend]]),
+    * so at-least-once re-delivery converges and ADC probes run
+    * against the store at any time. The store must have been built
+    * ([[graft.operators.Similarity.pqStoreBuild]]) before the stream
+    * starts — append refuses an unbuilt store loudly.
+    */
+  def pqIngestSink(stream: DataFrame, storeDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.pqStoreAppend(batch, storeDir): Unit
+      }
+      .start()
+
   /** Streaming INVERTED-INDEX ingest — the search twin of
     * [[annIngestSink]]: each micro-batch of (id, text) docs is
     * tokenized once and appended insert-if-absent to the standing

@@ -29,7 +29,7 @@ class PlanRegressionSpec extends SparkSpec {
     // min/max, IQR quartiles) cross-join a ONE-ROW broadcast stats
     // frame (O(1) build side by construction).
     val intended = Set("sim_cosine_topk_brute", "sim_int8_topk",
-      "sim_pq_adc_topk", "sim_pq_store_upsert_topk",
+      "sim_pq_adc_topk", "sim_pq_store_upsert_topk", "sim_pq_recall_at_k",
       "c14_stale_cutoff_sweep", "search_bm25_topk",
       "search_bm25_index_topk", "search_bm25_index_upsert",
       "search_bm25_index_delete", "search_bm25_index_vacuum",

@@ -101,6 +101,31 @@ class AnnIngestSpec extends SparkSpec {
     assert(top(near(vec(7))) == Seq(7L))
   }
 
+  test("pqIngestSink streams batches into a built PQ store") {
+    val dir = java.nio.file.Files.createTempDirectory("pq").toString + "/st"
+    val ckpt = java.nio.file.Files.createTempDirectory("pq-ckpt").toString
+    // Train-once build; the stream then only encodes with the stored
+    // codebook.
+    assert(Similarity.pqStoreBuild(
+      (1 to 8).map(i => (i.toLong, vec(i))).toDF("id", "vec"),
+      dir, m = 2, subDims = 8, codes = 4, iters = 2) == 8)
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.pqIngestSink(in.toDF().toDF("id", "vec"), dir, ckpt)
+    in.addData((20L, vec(20)), (21L, vec(21)))
+    in.addData((20L, vec(20)), (22L, vec(22)))  // dup delivery of 20
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/rows").select("id").as[Long].collect().toSeq
+    assert(ids.size == 11 && ids.count(_ == 20L) == 1,
+      s"expected 11 unique-current rows, got $ids")
+    // The streamed vectors are probe-visible.
+    val top = Similarity.pqStoreTopK(spark,
+        dir, Seq((20L, vec(20))).toDF("id", "vec"), k = 1)
+      .select("cid").as[Long].collect()
+    assert(top.length == 1)
+  }
+
   test("annIngestSink feeds the store through foreachBatch") {
     val dir = java.nio.file.Files.createTempDirectory("ann").toString + "/idx"
     val ckpt = java.nio.file.Files.createTempDirectory("ann-ckpt").toString
