@@ -946,7 +946,7 @@ object LlmQueries {
       if (encFrom == "e") ""
       else s"$encFrom$j AS (SELECT id, v[$lo:$hi] AS v FROM $encFrom),\n"
     s"""e$j AS (SELECT id, v[$lo:$hi] AS v FROM e),
-       |c${j}0 AS (SELECT id AS cid, v FROM e$j WHERE id < $codes),
+       |c${j}0 AS (SELECT id AS cid, v FROM e$j ORDER BY id LIMIT $codes),
        |d${j}1 AS (
        |  SELECT e.id, c.cid,
        |    row_number() OVER (PARTITION BY e.id

@@ -165,6 +165,259 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._1) == Seq(0L, 1L, 4L, 3L), s"got $got")
   }
 
+  /** 4-dim two-cluster corpus shared by the PQ store lifecycle tests. */
+  private def pqPts = Seq(
+    (0L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(10.0f, 10.0f, 10.0f, 10.0f)),
+    (2L, Seq(0.1f, 0.0f, 0.0f, 0.1f)),
+    (3L, Seq(10.0f, 10.1f, 9.9f, 10.0f)),
+    (4L, Seq(0.0f, 0.1f, 10.0f, 10.0f)))
+    .toDF("id", "vec")
+
+  test("pq store delete: tombstoned ids leave the probe, idempotent, " +
+      "resurrected by a later append") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-del").toString + "/store"
+    Similarity.pqStoreBuild(pqPts, dir, m = 2, subDims = 2, codes = 2,
+      iters = 2)
+    val q = Seq((2L, Seq(0.1f, 0.0f, 0.0f, 0.1f))).toDF("id", "vec")
+    def cids() = Similarity.pqStoreTopK(spark, dir, q, k = 5)
+      .select("cid").as[Long].collect().toSet
+    assert(cids() == Set(0L, 1L, 3L, 4L))
+    // Tombstone id 0: gone from the probe and from the live surface.
+    assert(Similarity.pqStoreDelete(spark, dir, Seq(0L).toDF("id")) == 1)
+    assert(cids() == Set(1L, 3L, 4L))
+    assert(Similarity.pqStoreLiveIds(spark, dir)
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // Idempotent: a redelivered takedown tombstones nothing new.
+    assert(Similarity.pqStoreDelete(spark, dir, Seq(0L).toDF("id")) == 0)
+    // Resurrect: a later append with a real vector supersedes the
+    // tombstone (its hash never equals the tombstone's 0).
+    assert(Similarity.pqStoreAppend(
+      Seq((0L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "vec"), dir) == 1)
+    assert(cids() == Set(0L, 1L, 3L, 4L))
+  }
+
+  test("incremental PQ vacuum reclaims dirty batches, carries " +
+      "tombstones, and converges across the crash window") {
+    import graft.sources.Commits
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-ivac").toString + "/store"
+    Similarity.pqStoreBuild(pqPts, dir, m = 2, subDims = 2, codes = 2,
+      iters = 2)                                                   // b0
+    Similarity.pqStoreAppend(
+      Seq((1L, Seq(0.1f, 0.0f, 0.0f, 0.1f))).toDF("id", "vec"), dir) // b1
+    assert(Similarity.pqStoreDelete(spark, dir,
+      Seq(4L).toDF("id")) == 1)                                    // b2
+    val q = Seq((2L, Seq(0.1f, 0.0f, 0.0f, 0.1f))).toDF("id", "vec")
+    def rows() = Similarity.pqStoreTopK(spark, dir, q, k = 5)
+      .select("cid", "approx_d2", "rnk")
+      .as[(Long, Double, Int)].collect().toSeq.sorted
+    val want = rows()
+    assert(!want.map(_._1).contains(4L))
+    // Threshold pass selects only the all-dead tombstone batch (b2:
+    // 1/1 dead; b0 is 2/5 dead): id 4's tombstone must be CARRIED —
+    // its b0 row survives in an unselected batch.
+    assert(Similarity.pqStoreVacuumIncremental(spark, dir,
+      minDeadFraction = 0.5) == 1)
+    assert(rows() == want, "carried PQ tombstone stopped suppressing")
+    // Crash window: rewrite committed, reclaimed markers still there.
+    Similarity.pqVacuumRewriteAndCommit(spark, dir,
+      Commits.committed(spark, dir), Seq(0L))
+    assert(rows() == want,
+      "duplicate generations across the crash window changed answers")
+    // Full-threshold pass converges: only live current rows remain,
+    // id 4 physically gone, answers unchanged.
+    assert(Similarity.pqStoreVacuumIncremental(spark, dir) >= 1)
+    assert(rows() == want)
+    val store = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/rows")
+    assert(store.count() == store.select("id").distinct().count())
+    assert(!store.select("id").as[Long].collect().contains(4L))
+    // Mutations keep working afterwards.
+    assert(Similarity.pqStoreAppend(
+      Seq((9L, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("id", "vec"), dir) == 1)
+  }
+
+  test("a PQ vacuum crashed mid-swap is repaired by the next " +
+      "maintenance call; fresh store plans no currency aggregate") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.Commits
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-vac").toString + "/store"
+    Similarity.pqStoreBuild(pqPts, dir, m = 2, subDims = 2, codes = 2,
+      iters = 2)
+    Similarity.pqStoreAppend(
+      Seq((1L, Seq(0.1f, 0.0f, 0.0f, 0.1f))).toDF("id", "vec"), dir)
+    Similarity.pqStoreDelete(spark, dir, Seq(4L).toDF("id")): Unit
+    val q = Seq((2L, Seq(0.1f, 0.0f, 0.0f, 0.1f))).toDF("id", "vec")
+    def probe() = Similarity.pqStoreTopK(spark, dir, q, k = 5)
+    def rows() = probe().select("cid", "approx_d2", "rnk")
+      .as[(Long, Double, Int)].collect().toSeq.sorted
+    val want = rows()
+    // Multi-batch probe resolves currency; the codebook/coarse
+    // metadata must survive the swap untouched.
+    assert(probe().queryExecution.executedPlan.toString()
+      .contains("max_by"), "multi-batch probe lost its currency resolve")
+    // Simulate a vacuum that died MID-SWAP in the worst window: stage
+    // complete, live ledger dropped, old rows dirs deleted, staged b0
+    // already moved in — repair must keep the moved dir.
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$dir/_vacuum"
+    val committed = Commits.committed(spark, dir)
+    val all = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/rows").filter(col("batch").isin(committed: _*))
+    val perId = all.groupBy(col("id")).agg(max(col("batch")).as("batch"))
+    all.join(perId, Seq("id", "batch")).filter(size(col("codes")) > 0)
+      .withColumn("batch", lit(0L)).write.parquet(s"$stage/b0")
+    Commits.commit(spark, stage, 0L)
+    Commits.clear(spark, dir)
+    fs.listStatus(new Path(s"$dir/rows"))
+      .filter { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }.foreach(s => fs.delete(s.getPath, true))
+    fs.rename(new Path(s"$stage/b0"), new Path(s"$dir/rows/b0"))
+    // Store visibly dead (readers require committed state)...
+    intercept[IllegalArgumentException] { rows() }
+    // ...until the next vacuum completes the swap.
+    Similarity.pqStoreVacuum(spark, dir)
+    assert(rows() == want)
+    assert(Commits.committed(spark, dir) == Seq(0L))
+    // Single-batch store: currency aggregate gone from the plan.
+    assert(!probe().queryExecution.executedPlan.toString()
+      .contains("max_by"),
+      "freshly-vacuumed PQ probe still plans the currency aggregate")
+    val store = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/rows")
+    assert(store.count() == store.select("id").distinct().count())
+    assert(!store.select("id").as[Long].collect().contains(4L))
+  }
+
+  test("pqStoreCompactBatches folds micro-batches without changing " +
+      "answers") {
+    import graft.sources.Commits
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-compact").toString + "/store"
+    Similarity.pqStoreBuild(pqPts, dir, m = 2, subDims = 2, codes = 2,
+      iters = 2)
+    // Three micro-appends (new ids), then a delete.
+    (5 to 7).foreach { i =>
+      Similarity.pqStoreAppend(
+        Seq((i.toLong, Seq(10.0f + i, 10.0f, 10.0f, 10.0f)))
+          .toDF("id", "vec"), dir): Unit
+    }
+    Similarity.pqStoreDelete(spark, dir, Seq(3L).toDF("id")): Unit
+    val q = Seq((2L, Seq(0.1f, 0.0f, 0.0f, 0.1f))).toDF("id", "vec")
+    def rows() = Similarity.pqStoreTopK(spark, dir, q, k = 7)
+      .select("cid", "rnk").as[(Long, Int)].collect().toSeq.sorted
+    val want = rows()
+    assert(Commits.committed(spark, dir).size == 5)
+    assert(Similarity.pqStoreCompactBatches(spark, dir, maxBatches = 2) == 4)
+    assert(Commits.committed(spark, dir).size == 2)
+    assert(rows() == want)
+  }
+
+  test("routed PQ store probe with nprobe = cells equals the unrouted " +
+      "scan; nprobe = 1 scores only the query's own cell") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-routed").toString + "/store"
+    Similarity.pqStoreBuild(pqPts, dir, m = 2, subDims = 2, codes = 2,
+      iters = 2, cells = 2)
+    val q = Seq((2L, Seq(0.1f, 0.0f, 0.0f, 0.1f)),
+      (3L, Seq(10.0f, 10.1f, 9.9f, 10.0f))).toDF("id", "vec")
+    val unrouted = Similarity.pqStoreTopK(spark, dir, q, k = 4)
+      .collect().toSet
+    val full = Similarity.pqStoreTopK(spark, dir, q, k = 4, nprobe = 2)
+      .collect().toSet
+    assert(full == unrouted, s"nprobe=cells must reduce to the full scan")
+    // nprobe=1: each query scores only its own cell's residents — the
+    // near query keeps its near-cluster neighbors (0 and 1 after the
+    // coarse split seeded at ids 0/1), never the far cluster's.
+    val one = Similarity.pqStoreTopK(spark, dir, q, k = 4, nprobe = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(one.nonEmpty && one.subsetOf(
+      unrouted.map(r => (r.getLong(0), r.getLong(1)))),
+      s"routed candidates $one must be a subset of the full scan's")
+    // A store built WITHOUT cells refuses a routed probe loudly.
+    val flat = java.nio.file.Files
+      .createTempDirectory("pq-flat").toString + "/store"
+    Similarity.pqStoreBuild(pqPts, flat, m = 2, subDims = 2, codes = 2,
+      iters = 2)
+    val e = intercept[RuntimeException] {
+      Similarity.pqStoreTopK(spark, flat, q, k = 2, nprobe = 1).collect()
+    }
+    assert(e.getMessage.contains("coarse"))
+  }
+
+  test("pqStoreBuild trains on a deterministic sample yet encodes " +
+      "every vector; an undersized sample fails loudly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-sample").toString + "/store"
+    val many = (0 until 60).map { i =>
+      (i.toLong, Seq((i % 7).toFloat, (i % 5).toFloat,
+        (i % 3).toFloat, (i % 11).toFloat))
+    }.toDF("id", "vec")
+    // Half-rate sample still trains a full 4-code book and every
+    // vector is encoded and committed.
+    assert(Similarity.pqStoreBuild(many, dir, m = 2, subDims = 2,
+      codes = 4, iters = 2, trainPerMille = 500) == 60)
+    assert(Similarity.pqStoreLiveIds(spark, dir).count() == 60)
+    val q = Seq((0L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    assert(Similarity.pqStoreTopK(spark, dir, q, k = 3).count() == 3)
+    // A sample too small to seed the codebook must refuse the build
+    // instead of persisting a degenerate codebook.
+    val tiny = java.nio.file.Files
+      .createTempDirectory("pq-tiny").toString + "/store"
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqStoreBuild(many, tiny, m = 2, subDims = 2,
+        codes = 50, iters = 2, trainPerMille = 10)
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
+  test("PQ dimension gate fails loudly instead of encoding garbage") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-dims").toString + "/store"
+    Similarity.pqStoreBuild(pqPts, dir, m = 2, subDims = 2, codes = 2,
+      iters = 2)
+    // A 3-dim vector against the 4-dim store: append must raise, not
+    // null-pad into garbage codes.
+    val bad = Seq((8L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "vec")
+    val e = intercept[Throwable] {
+      Similarity.pqStoreAppend(bad, dir)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m =>
+      m != null && m.contains("expected 4")), s"got $e")
+    // Probe side guards the query vectors the same way.
+    val e2 = intercept[Throwable] {
+      Similarity.pqStoreTopK(spark, dir,
+        Seq((0L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "vec"), k = 2)
+        .collect()
+    }
+    assert(chain(e2).exists(m => m != null && m.contains("expected 4")))
+  }
+
+  test("pqStoreRerankTopK: store candidates, exact final order") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-rerank").toString + "/store"
+    Similarity.pqStoreBuild(pqPts, dir, m = 2, subDims = 2, codes = 2,
+      iters = 2)
+    val q = Seq((2L, Seq(0.1f, 0.0f, 0.0f, 0.1f))).toDF("id", "vec")
+    val got = Similarity.pqStoreRerankTopK(spark, dir, q, pqPts,
+        kCand = 4, k = 3)
+      .select("cid", "d2", "rnk").as[(Long, Double, Int)]
+      .collect().toSeq.sortBy(_._3)
+    // Exact d2 from id 2: id 0 at 0.02, id 4 at ~198, id 1/3 ~392 —
+    // rerank must order by TRUE distance (ADC ties 0 and the
+    // re-embedded ids; exact never does).
+    assert(got.map(_._1) == Seq(0L, 4L, 1L), s"got $got")
+    assert(got.head._2 == 0.02, s"exact d2 expected, got ${got.head}")
+  }
+
   test("centroidOutliers: farthest members per group, exact centroid") {
     // Group 0 centered at (1,1) with one far point; group 1 tight.
     val pts = Seq(
