@@ -100,6 +100,60 @@ object LlmQueries {
       .presentSorted(col("qid"), col("rnk"))
   }
 
+  private def pqTakedownBuild(s: SparkSession, d: String): Unit = {
+    val emb = embOf(s, d)
+    val dir = storeDir("pq-td") + "/store"
+    Similarity.pqStoreBuild(emb, dir, m = 4, subDims = 16, codes = 8,
+      iters = 2)
+    val victims = emb.filter(col("id") % 5 === 0).select(col("id"))
+    val n = Similarity.pqStoreDelete(s, dir, victims)
+    val redo = Similarity.pqStoreDelete(s, dir, victims)
+    require(n > 0 && redo == 0,
+      s"PQ takedown semantics broken: deleted=$n redelivery=$redo")
+    // Routine maintenance reclaims the all-dead tombstone wave; the
+    // tombstones are CARRIED (the victims' build-generation rows live
+    // in the unselected bulk batch), so the probe must keep excluding
+    // them from the carried copy.
+    require(Similarity.pqStoreVacuumIncremental(s, dir,
+      minDeadFraction = 0.5) >= 1,
+      "expected the tombstone wave reclaimed")
+  }
+
+  private def pqTakedownProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = embOf(s, d)
+    // Queries carry their own vectors, so tombstoned ids may still ASK
+    // — they just can't be FOUND (the oracle's encoding CTE excludes
+    // them, so a probe that leaked a tombstoned id cannot pass).
+    Similarity.pqStoreTopK(s, storePath("pq-td") + "/store",
+        emb.filter(col("id") < 10), k = 5)
+      .presentSorted(col("qid"), col("rnk"))
+  }
+
+  private def ivfPqStoreBuild(s: SparkSession, d: String): Unit = {
+    val dir = storeDir("ivfpq-st") + "/store"
+    Similarity.pqStoreBuild(embOf(s, d), dir, m = 4, subDims = 16,
+      codes = 8, iters = 2, cells = 16): Unit
+  }
+
+  private def ivfPqStoreProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = embOf(s, d)
+    Similarity.pqStoreTopK(s, storePath("ivfpq-st") + "/store",
+        emb.filter(col("id") < 10), k = 5, nprobe = 2)
+      .presentSorted(col("qid"), col("rnk"))
+  }
+
+  private def pqRerankBuild(s: SparkSession, d: String): Unit = {
+    Similarity.pqStoreBuild(embOf(s, d), storeDir("pq-rr") + "/store",
+      m = 4, subDims = 16, codes = 8, iters = 2): Unit
+  }
+
+  private def pqRerankProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = embOf(s, d)
+    Similarity.pqStoreRerankTopK(s, storePath("pq-rr") + "/store",
+        emb.filter(col("id") < 10), emb, kCand = 20, k = 5)
+      .presentSorted(col("qid"), col("rnk"))
+  }
+
   /** Standing-ANN-store probe against `name`'s store (single-bucket or
     * multi-probe) — the shared read side of the sim_ann_* splits.
     */
@@ -658,6 +712,11 @@ object LlmQueries {
     "dd_lsh_band_migrate" -> BenchPhases(lshMigrateBuild, lshMigrateProbe),
     "sim_pq_store_upsert_topk" -> BenchPhases(pqStoreUpBuild,
       pqStoreUpProbe),
+    "sim_pq_store_takedown" -> BenchPhases(pqTakedownBuild,
+      pqTakedownProbe),
+    "sim_ivfpq_store_topk" -> BenchPhases(ivfPqStoreBuild,
+      ivfPqStoreProbe),
+    "sim_pq_rerank_topk" -> BenchPhases(pqRerankBuild, pqRerankProbe),
   )
 
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
@@ -1111,6 +1170,119 @@ object LlmQueries {
        |  FROM e),
        |$per,
        |""".stripMargin + pqTotalSql(topk)
+  }
+
+  /** Generated oracle for sim_pq_store_takedown: codebooks train on the
+    * BUILD corpus `e`, but the encoding runs over `cur` — the store's
+    * LIVE membership after the takedown (every id % 5 tombstoned, then
+    * an incremental vacuum reclaims the tombstone wave carrying the
+    * markers). The oracle EXCLUDES the tombstoned ids from the scored
+    * side, so a probe that leaks a taken-down vector cannot pass —
+    * the same trick as sim_ann_auto_stale_reroute. Queries keep their
+    * own vectors (tombstoned ids may still ask, never be found).
+    */
+  private lazy val PqStoreTakedownSql: String = {
+    val (m, sub, codes, nq, topk) = (4, 16, 8, 10, 5)
+    val per = (0 until m).map { j =>
+      val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+      pqChainSql(j, lo, hi, codes, encFrom = "cur") + ",\n" +
+        s"""p$j AS (
+           |  SELECT q.id AS qid, a.id AS cid, ${sqlD2("q.v", "c.v")} AS d2
+           |  FROM (SELECT id, v[$lo:$hi] AS v FROM e WHERE id < $nq) q
+           |  CROSS JOIN a$j a JOIN c${j}1 c ON c.cid = a.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cur AS (SELECT id, v FROM e WHERE id % 5 <> 0),
+       |$per,
+       |""".stripMargin + pqTotalSql(topk)
+  }
+
+  /** Generated oracle for sim_ivfpq_store_topk: the standing store's
+    * train-once COARSE quantizer is a real one-round Lloyd over the
+    * full vectors (seed cc0 = the `cells` lowest ids, assign, per-dim
+    * means -> cc1), the corpus routes to its nearest trained cell,
+    * each query to its `nprobe` nearest, and the shared per-subspace
+    * PQ chains ADC-score only the candidate pairs — the routed probe
+    * must be bit-identical to this full re-derivation.
+    */
+  private lazy val IvfPqStoreSql: String = {
+    val (m, sub, codes, nq, topk) = (4, 16, 8, 10, 5)
+    val (ncells, nprobe) = (16, 2)
+    val per = (0 until m).map { j =>
+      val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+      pqChainSql(j, lo, hi, codes) + ",\n" +
+        s"""p$j AS (
+           |  SELECT cd.qid, cd.cid, ${sqlD2("qe.v", "cb.v")} AS d2
+           |  FROM cand cd
+           |  JOIN a$j a ON a.id = cd.cid
+           |  JOIN c${j}1 cb ON cb.cid = a.code
+           |  JOIN e$j qe ON qe.id = cd.qid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cc0 AS (SELECT id AS ccid, v FROM e ORDER BY id LIMIT $ncells),
+       |cd1 AS (
+       |  SELECT e.id, c.ccid,
+       |    row_number() OVER (PARTITION BY e.id
+       |      ORDER BY ${sqlD2("e.v", "c.v")}, c.ccid) AS rn
+       |  FROM e, cc0 c),
+       |cm AS (
+       |  SELECT a.ccid, u.dim, avg(u.x) AS x
+       |  FROM (SELECT id, ccid FROM cd1 WHERE rn = 1) a
+       |  JOIN (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+       |        FROM e) u USING (id)
+       |  GROUP BY a.ccid, u.dim),
+       |cc1 AS (SELECT ccid, list(x ORDER BY dim) AS v FROM cm GROUP BY ccid),
+       |cr AS (
+       |  SELECT e.id, c.ccid,
+       |    row_number() OVER (PARTITION BY e.id
+       |      ORDER BY ${sqlD2("e.v", "c.v")}, c.ccid) AS rn
+       |  FROM e, cc1 c),
+       |cells AS (SELECT id, ccid AS cell FROM cr WHERE rn = 1),
+       |probes AS (SELECT id AS qid, ccid AS cell FROM cr
+       |           WHERE rn <= $nprobe AND id < $nq),
+       |cand AS (
+       |  SELECT p.qid, c.id AS cid FROM probes p JOIN cells c USING (cell)
+       |  WHERE c.id <> p.qid),
+       |$per,
+       |""".stripMargin + pqTotalSql(topk)
+  }
+
+  /** Generated oracle for sim_pq_rerank_topk: the ADC chain nominates
+    * the kCand=20 candidates per query (code ids only), then the final
+    * order is the EXACT squared-L2 over just those candidates — the
+    * production retrieval shape where the approximation decides who is
+    * scored, never the final ranking.
+    */
+  private lazy val PqRerankSql: String = {
+    val (m, sub, codes, nq, kcand, topk) = (4, 16, 8, 10, 20, 5)
+    val per = (0 until m).map { j =>
+      val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+      pqChainSql(j, lo, hi, codes) + ",\n" +
+        s"""p$j AS (
+           |  SELECT q.id AS qid, a.id AS cid, ${sqlD2("q.v", "c.v")} AS d2
+           |  FROM (SELECT id, v[$lo:$hi] AS v FROM e WHERE id < $nq) q
+           |  CROSS JOIN a$j a JOIN c${j}1 c ON c.cid = a.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$per,
+       |tot AS (
+       |  SELECT p0.qid, p0.cid,
+       |    round(((p0.d2 + p1.d2) + p2.d2) + p3.d2, 4) AS approx_d2
+       |  FROM p0 JOIN p1 USING (qid, cid) JOIN p2 USING (qid, cid)
+       |    JOIN p3 USING (qid, cid)
+       |  WHERE p0.qid <> p0.cid),
+       |adcc AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY approx_d2, cid) AS rnk FROM tot) t
+       |  WHERE rnk <= $kcand),
+       |ex AS (
+       |  SELECT a.qid, a.cid, round(${sqlD2("q.v", "x.v")}, 4) AS d2
+       |  FROM adcc a JOIN e q ON q.id = a.qid JOIN e x ON x.id = a.cid)
+       |SELECT qid, cid, d2, rnk FROM (
+       |  SELECT qid, cid, d2, row_number() OVER (PARTITION BY qid
+       |    ORDER BY d2, cid) AS rnk FROM ex) t
+       |WHERE rnk <= $topk
+       |ORDER BY qid, rnk""".stripMargin
   }
 
   /** Verified-pair -> transitive-component chain shared by the cluster
@@ -3017,6 +3189,45 @@ object LlmQueries {
     QueryDef("sim_pq_store_upsert_topk", PqStoreUpsertSql) { (s, d) =>
       pqStoreUpBuild(s, d)
       pqStoreUpProbe(s, d)
+    },
+
+    // PQ store TAKEDOWN (Similarity.pqStoreDelete + incremental
+    // vacuum): every id % 5 tombstoned (idempotent — a redelivered
+    // takedown writes nothing), the all-dead tombstone wave reclaimed
+    // with the markers CARRIED, and the probe serving only the live
+    // membership. The oracle encodes only the surviving ids, so a
+    // probe that leaks a taken-down vector cannot pass — the
+    // store-family contract that a takedown leaves EVERY read surface,
+    // extended to the sixth (PQ) surface.
+    QueryDef("sim_pq_store_takedown", PqStoreTakedownSql) { (s, d) =>
+      pqTakedownBuild(s, d)
+      pqTakedownProbe(s, d)
+    },
+
+    // IVF-ROUTED standing PQ store (pqStoreBuild cells=16 ->
+    // pqStoreTopK nprobe=2): the train-once coarse quantizer is store
+    // metadata like the subspace codebooks, every code row carries its
+    // cell id, and the probe routes each query to its 2 nearest cells
+    // — a broadcast HASH join on the cell id over ~nprobe/cells of the
+    // committed code rows, replacing the unrouted probe's full ADC
+    // scan. At 100 TB this is the store's hot-path plan; the oracle
+    // re-derives the coarse Lloyd round, the routing, and the ADC
+    // scores bit-for-bit.
+    QueryDef("sim_ivfpq_store_topk", IvfPqStoreSql) { (s, d) =>
+      ivfPqStoreBuild(s, d)
+      ivfPqStoreProbe(s, d)
+    },
+
+    // PQ candidates -> EXACT rerank (Similarity.pqStoreRerankTopK):
+    // the standing store's ADC probe nominates 20 candidates per query
+    // from code ids alone, then ONLY those candidates' float vectors
+    // load for the exact squared-L2 top-5 — production retrieval's
+    // two-stage shape (approximation picks WHO is scored, exact
+    // distance picks the ORDER). ADC ties (same-code vectors) that the
+    // quantizer cannot separate come back exact here.
+    QueryDef("sim_pq_rerank_topk", PqRerankSql) { (s, d) =>
+      pqRerankBuild(s, d)
+      pqRerankProbe(s, d)
     },
 
     // BM25 keyword search (operators.Search.bm25TopK): ranked retrieval
