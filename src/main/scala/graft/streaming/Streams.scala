@@ -890,21 +890,36 @@ object Streams {
     *      changed-content upsert;
     *   3. standing ANN store
     *      ([[graft.operators.Similarity.annStoreAppend]]) — embedding
-    *      search, when the batch carries `vecCol`.
+    *      search, when the batch carries `vecCol`;
+    *   4. standing PQ store
+    *      ([[graft.operators.Similarity.pqStoreAppend]]) — quantized
+    *      retrieval, when the batch carries `vecCol` AND `pqDir` is
+    *      set. The FIRST embedding-bearing delivery against an
+    *      uncommitted store TRAINS the codebook
+    *      ([[graft.operators.Similarity.pqStoreBuild]], train-once,
+    *      m = `pqM` subspaces over the same `dims` as the ANN store,
+    *      `pqCodes` codes each) — deliver a representative batch first
+    *      or pre-build the store offline; every later delivery encodes
+    *      with the pinned codebook. A crash between the codebook write
+    *      and its generation commit redelivers into the build path,
+    *      which overwrites the codebook and converges.
     *
     * The batch is persisted ONCE: the crawl/extract lineage upstream is
-    * computed a single time and all three sinks read the materialized
-    * rows (shared scan, three writes). There is no cross-store
+    * computed a single time and all sinks read the materialized
+    * rows (shared scan, four writes). There is no cross-store
     * transaction — each sink is individually idempotent (hash-compare
-    * merge, generation-committed index, insert-if-absent ANN), so an
-    * at-least-once redelivery after a mid-fanout crash converges every
-    * store, matching the standalone sinks' contract. Returns
-    * (docs indexed, vectors inserted).
+    * merge, generation-committed index, insert-if-absent ANN,
+    * vec-hash-gated PQ), so an at-least-once redelivery after a
+    * mid-fanout crash converges every store, matching the standalone
+    * sinks' contract. Returns (docs indexed, vectors inserted, PQ rows
+    * encoded).
     */
   def fanoutIngestBatch(batch: DataFrame, batchId: Long, storeDir: String,
       indexDir: String, annDir: String, idCol: String, textCol: String,
       vecCol: Option[String] = None, planes: Int = 16,
-      dims: Int = 8): (Long, Long) = {
+      dims: Int = 8, pqDir: Option[String] = None, pqM: Int = 4,
+      pqCodes: Int = 8): (Long, Long, Long) = {
+    val spark = batch.sparkSession
     val shared = batch.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -916,15 +931,26 @@ object Streams {
       val nIdx = graft.operators.Search.indexAppend(
         shared.select(col(idCol), col(textCol)), idCol, textCol, indexDir)
       // Rows whose vector is missing advance the doc/index surfaces but
-      // not the ANN store (a null vec would bucket to garbage) — the
-      // embedding can arrive in a later delivery; insert-if-absent
-      // takes it then.
+      // not the embedding stores (a null vec would bucket/encode to
+      // garbage) — the embedding can arrive in a later delivery;
+      // insert-if-absent takes it then.
+      def vecsOf(v: String) = shared.filter(col(v).isNotNull)
+        .select(col(idCol).as("id"), col(v).as("vec"))
       val nAnn = vecCol.fold(0L)(v =>
-        graft.operators.Similarity.annStoreAppend(
-          shared.filter(col(v).isNotNull)
-            .select(col(idCol).as("id"), col(v).as("vec")),
-          annDir, planes, dims))
-      (nIdx, nAnn)
+        graft.operators.Similarity.annStoreAppend(vecsOf(v), annDir,
+          planes, dims))
+      val nPq = (pqDir, vecCol) match {
+        case (Some(pd), Some(v)) =>
+          require(dims % pqM == 0,
+            s"fan-out PQ surface needs dims divisible by pqM, " +
+              s"got dims=$dims pqM=$pqM")
+          if (graft.sources.Commits.committed(spark, pd).isEmpty)
+            graft.operators.Similarity.pqStoreBuild(vecsOf(v), pd,
+              m = pqM, subDims = dims / pqM, codes = pqCodes, iters = 2)
+          else graft.operators.Similarity.pqStoreAppend(vecsOf(v), pd)
+        case _ => 0L
+      }
+      (nIdx, nAnn, nPq)
     } finally { shared.unpersist(); () }
   }
 
@@ -932,7 +958,8 @@ object Streams {
     * substring-dedup screen composed IN FRONT, so one delivered batch
     * advances all FOUR standing surfaces on one cadence — the gram
     * store (span screen state), the content-hash merge store, the
-    * inverted index, and the ANN store — the way the reference worker
+    * inverted index, and the ANN store — plus the standing PQ store as
+    * a FIFTH when `pqDir` is set — the way the reference worker
     * advances every sink from one batch
     * (`/root/reference/workers/raw_to_postgres.py:5-30`), instead of
     * the span-gated store committing on its own schedule next to the
@@ -973,7 +1000,8 @@ object Streams {
       storeDir: String, indexDir: String, annDir: String,
       gramStoreDir: String, idCol: String, textCol: String,
       vecCol: Option[String] = None, planes: Int = 16, dims: Int = 8,
-      k: Int = 8): (Long, Long, Long) = {
+      k: Int = 8, pqDir: Option[String] = None, pqM: Int = 4,
+      pqCodes: Int = 8): (Long, Long, Long, Long) = {
     val spark = batch.sparkSession
     val shared = batch.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -987,7 +1015,7 @@ object Streams {
         gramStoreDir, idCol, textCol, k)
       val ids = shared.select(col(idCol)).dropDuplicates(idCol)
       substringStoreRead(spark, gramStoreDir) match {
-        case None => (nGate, 0L, 0L)
+        case None => (nGate, 0L, 0L, 0L)
         case Some(docs) =>
           val cleaned = docs.join(broadcast(ids), Seq(idCol), "left_semi")
             .groupBy(col(idCol))
@@ -998,7 +1026,7 @@ object Streams {
           // rewrites the full state per mergeBatch's contract. The
           // emptiness probe is a limit-1 job against the id-pruned
           // store read — O(small) either way.
-          if (nGate == 0 && cleaned.isEmpty) (0L, 0L, 0L)
+          if (nGate == 0 && cleaned.isEmpty) (0L, 0L, 0L, 0L)
           else {
             // The vector rides from the SAME delivered row whose text
             // won the deterministic same-id resolution — not an
@@ -1009,9 +1037,10 @@ object Streams {
                 shared.select(col(idCol), col(textCol), col(v)),
                 idCol, textCol).select(col(idCol), col(v)),
               Seq(idCol), "left"))
-            val (nIdx, nAnn) = fanoutIngestBatch(feed, batchId, storeDir,
-              indexDir, annDir, idCol, textCol, vecCol, planes, dims)
-            (nGate, nIdx, nAnn)
+            val (nIdx, nAnn, nPq) = fanoutIngestBatch(feed, batchId,
+              storeDir, indexDir, annDir, idCol, textCol, vecCol, planes,
+              dims, pqDir, pqM, pqCodes)
+            (nGate, nIdx, nAnn, nPq)
           }
       }
     } finally { shared.unpersist(); () }
@@ -1022,13 +1051,15 @@ object Streams {
       indexDir: String, annDir: String, gramStoreDir: String,
       idCol: String, textCol: String, checkpointDir: String,
       vecCol: Option[String] = None, planes: Int = 16, dims: Int = 8,
-      k: Int = 8): StreamingQuery =
+      k: Int = 8, pqDir: Option[String] = None, pqM: Int = 4,
+      pqCodes: Int = 8): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         fanoutIngestBatchGated(batch, batchId, storeDir, indexDir, annDir,
-          gramStoreDir, idCol, textCol, vecCol, planes, dims, k): Unit
+          gramStoreDir, idCol, textCol, vecCol, planes, dims, k, pqDir,
+          pqM, pqCodes): Unit
       }
       .start()
 
@@ -1052,9 +1083,10 @@ object Streams {
     * advances all FIVE standing surfaces on one cadence: the near-dup
     * store (MinHash/LSH gate state), the gram store (span screen
     * state), the content-hash merge store, the inverted index, and the
-    * ANN store. This is the full training-data ingestion pipeline as
+    * ANN store — plus the standing PQ store as a SIXTH when `pqDir` is
+    * set. This is the full training-data ingestion pipeline as
     * one call: exact dedup, near-duplicate dedup, duplicated-span
-    * removal, then the three read surfaces.
+    * removal, then the read surfaces.
     *
     *   1. The batch runs [[neardupIngestBatch]]: exact re-deliveries
     *      and in-batch copies drop by content hash, docs whose
@@ -1089,8 +1121,9 @@ object Streams {
       storeDir: String, indexDir: String, annDir: String,
       gramStoreDir: String, neardupDir: String, idCol: String,
       textCol: String, vecCol: Option[String] = None, planes: Int = 16,
-      dims: Int = 8, k: Int = 8,
-      minJaccard: Double = 0.9): (Long, Long, Long, Long) = {
+      dims: Int = 8, k: Int = 8, minJaccard: Double = 0.9,
+      pqDir: Option[String] = None, pqM: Int = 4,
+      pqCodes: Int = 8): (Long, Long, Long, Long, Long) = {
     val spark = batch.sparkSession
     val shared = batch.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1100,7 +1133,7 @@ object Streams {
         neardupDir, idCol, textCol, minJaccard)
       val ids = shared.select(col(idCol)).dropDuplicates(idCol)
       neardupStoreRead(spark, neardupDir) match {
-        case None => (nNear, 0L, 0L, 0L)
+        case None => (nNear, 0L, 0L, 0L, 0L)
         case Some(docs) =>
           val passed = docs.join(broadcast(ids), Seq(idCol), "left_semi")
             .groupBy(col(idCol))
@@ -1108,17 +1141,17 @@ object Streams {
           // An all-duplicate delivery whose ids were never admitted
           // must not touch the downstream stores at all (same guard as
           // the span-gated layer, one gate earlier).
-          if (nNear == 0 && passed.isEmpty) (0L, 0L, 0L, 0L)
+          if (nNear == 0 && passed.isEmpty) (0L, 0L, 0L, 0L, 0L)
           else {
             val feed = vecCol.fold(passed)(v => passed.join(
               Upsert.onePerKeyByContent(
                 shared.select(col(idCol), col(textCol), col(v)),
                 idCol, textCol).select(col(idCol), col(v)),
               Seq(idCol), "left"))
-            val (nGate, nIdx, nAnn) = fanoutIngestBatchGated(feed,
+            val (nGate, nIdx, nAnn, nPq) = fanoutIngestBatchGated(feed,
               batchId, storeDir, indexDir, annDir, gramStoreDir, idCol,
-              textCol, vecCol, planes, dims, k)
-            (nNear, nGate, nIdx, nAnn)
+              textCol, vecCol, planes, dims, k, pqDir, pqM, pqCodes)
+            (nNear, nGate, nIdx, nAnn, nPq)
           }
       }
     } finally { shared.unpersist(); () }
@@ -1130,14 +1163,15 @@ object Streams {
       neardupDir: String, idCol: String, textCol: String,
       checkpointDir: String, vecCol: Option[String] = None,
       planes: Int = 16, dims: Int = 8, k: Int = 8,
-      minJaccard: Double = 0.9): StreamingQuery =
+      minJaccard: Double = 0.9, pqDir: Option[String] = None,
+      pqM: Int = 4, pqCodes: Int = 8): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         fanoutIngestBatchNeardupGated(batch, batchId, storeDir, indexDir,
           annDir, gramStoreDir, neardupDir, idCol, textCol, vecCol,
-          planes, dims, k, minJaccard): Unit
+          planes, dims, k, minJaccard, pqDir, pqM, pqCodes): Unit
       }
       .start()
 
@@ -1147,14 +1181,18 @@ object Streams {
     * pointer-swapped state dir as [[mergeBatch]], so the removal
     * commits atomically), and the inverted index and ANN store get
     * tombstone generations ([[graft.operators.Search.indexDelete]],
-    * [[graft.operators.Similarity.annStoreDelete]]). Each store's
-    * delete is idempotent, so redelivery after a mid-fanout crash
-    * converges. Returns (store, index, ann) deletion counts.
+    * [[graft.operators.Similarity.annStoreDelete]], and — when the
+    * pipeline runs a PQ store — [[graft.operators.Similarity
+    * .pqStoreDelete]]: a takedown that left quantized codes
+    * probe-visible would not be a takedown). Each store's delete is
+    * idempotent, so redelivery after a mid-fanout crash converges.
+    * Returns (store, index, ann, chunk, pq) deletion counts.
     */
   def fanoutDeleteBatch(ids: DataFrame, batchId: Long, storeDir: String,
       indexDir: String, annDir: String,
       idCol: String = "doc_id",
-      chunkDir: Option[String] = None): (Long, Long, Long, Long) = {
+      chunkDir: Option[String] = None,
+      pqDir: Option[String] = None): (Long, Long, Long, Long, Long) = {
     val spark = ids.sparkSession
     val victims = ids.select(col(ids.columns.head).as(idCol))
       .dropDuplicates(idCol)
@@ -1191,7 +1229,11 @@ object Streams {
       // chunk store is attached).
       val nChunk = chunkDir
         .map(d => chunkStoreDelete(spark, d, victims)).getOrElse(0L)
-      (nStore, nIdx, nAnn, nChunk)
+      val nPq = pqDir
+        .map(d => graft.operators.Similarity.pqStoreDelete(spark, d,
+          victims.select(col(idCol).as("id"))))
+        .getOrElse(0L)
+      (nStore, nIdx, nAnn, nChunk, nPq)
     } finally { victims.unpersist(); () }
   }
 
@@ -1213,7 +1255,8 @@ object Streams {
       incremental: Boolean = false,
       chunkDir: Option[String] = None,
       maxBatches: Option[Int] = None,
-      minDeadFraction: Double = 0.25): Seq[Long] = {
+      minDeadFraction: Double = 0.25,
+      pqDir: Option[String] = None): Seq[Long] = {
     // incremental=true is the ROUTINE cadence at scale: reclaim only
     // the batches the interval's mutations dirtied
     // (Search.indexVacuumIncremental) instead of rewriting the full
@@ -1229,9 +1272,13 @@ object Streams {
         .indexVacuumIncremental(spark, indexDir, minDeadFraction): Unit
       graft.operators.Similarity
         .annStoreVacuumIncremental(spark, annDir, minDeadFraction): Unit
+      pqDir.foreach(d => graft.operators.Similarity
+        .pqStoreVacuumIncremental(spark, d, minDeadFraction): Unit)
     } else {
       graft.operators.Search.indexVacuum(spark, indexDir)
       graft.operators.Similarity.annStoreVacuum(spark, annDir)
+      pqDir.foreach(d =>
+        graft.operators.Similarity.pqStoreVacuum(spark, d))
     }
     // The chunk store's only vacuum is the incremental form; on the
     // non-incremental pass run it at threshold 0 (its full reclaim).
@@ -1246,6 +1293,8 @@ object Streams {
         .annStoreCompactBatches(spark, annDir, m): Unit
       chunkDir.foreach(d =>
         chunkStoreCompactBatches(spark, d, m): Unit)
+      pqDir.foreach(d => graft.operators.Similarity
+        .pqStoreCompactBatches(spark, d, m): Unit)
     }
     postingsTable.foreach(t =>
       graft.operators.Search.bucketPostings(spark, indexDir, t))
@@ -1263,13 +1312,14 @@ object Streams {
   def fanoutDeleteSink(stream: DataFrame, storeDir: String,
       indexDir: String, annDir: String, checkpointDir: String,
       idCol: String = "doc_id",
-      chunkDir: Option[String] = None): StreamingQuery =
+      chunkDir: Option[String] = None,
+      pqDir: Option[String] = None): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         fanoutDeleteBatch(batch, batchId, storeDir, indexDir, annDir,
-          idCol, chunkDir): Unit
+          idCol, chunkDir, pqDir): Unit
       }
       .start()
 
@@ -1277,13 +1327,15 @@ object Streams {
   def fanoutIngestSink(stream: DataFrame, storeDir: String, indexDir: String,
       annDir: String, idCol: String, textCol: String,
       checkpointDir: String, vecCol: Option[String] = None,
-      planes: Int = 16, dims: Int = 8): StreamingQuery =
+      planes: Int = 16, dims: Int = 8, pqDir: Option[String] = None,
+      pqM: Int = 4, pqCodes: Int = 8): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         fanoutIngestBatch(batch, batchId, storeDir, indexDir, annDir,
-          idCol, textCol, vecCol, planes, dims): Unit
+          idCol, textCol, vecCol, planes, dims, pqDir, pqM,
+          pqCodes): Unit
       }
       .start()
 
