@@ -258,6 +258,50 @@ object ScaleRehearsal {
           queryVecs.select(col("id")), nprobe = 2,
           m = 4, subDims = 16, codes = 8, iters = 2, k = 3).count()
       }
+      // ---- STANDING PQ store lifecycle: train-once cell-routed build
+      // with a FIXED-SIZE training sample (trainPerMille scales down
+      // as R scales up, so the Lloyd passes see ~the sf0.1 corpus at
+      // every R — the claim pqStoreBuild's sampling lever exists to
+      // prove), then the probe pair the routing exists for: the
+      // unrouted probe ADC-scans every committed code row per query
+      // (grows with R), the routed probe hash-joins on the cell id and
+      // touches ~nprobe/cells of the code rows. Then the maintenance
+      // cadence: a fixed 500-vector re-embed, a 500-id takedown, and
+      // the dirty-batch incremental vacuum (carried tombstones).
+      val pqStore = s"$root/pqstore/store"
+      val fs2 = new org.apache.hadoop.fs.Path(pqStore)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs2.delete(new org.apache.hadoop.fs.Path(s"$root/pqstore"), true)
+      timed(r, "pq_store_build_routed") {
+        Similarity.pqStoreBuild(emb, pqStore, m = 4, subDims = 16,
+          codes = 8, iters = 2, cells = 16,
+          trainPerMille = math.max(1, 1000 / r))
+      }
+      probe(r, "probe_pq_unrouted") {
+        Similarity.pqStoreTopK(spark, pqStore, queryVecs, k = 3)
+      }
+      probe(r, "probe_pq_routed") {
+        Similarity.pqStoreTopK(spark, pqStore, queryVecs, k = 3,
+          nprobe = 2)
+      }
+      val pqWave = Tables.embeddings(spark, sfDir).limit(500)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), x => -x).as("vec"))
+      timed(r, "pq_store_append_500") {
+        Similarity.pqStoreAppend(pqWave, pqStore)
+      }
+      timed(r, "pq_store_takedown_500") {
+        Similarity.pqStoreDelete(spark, pqStore,
+          pqWave.select(col("id")))
+      }
+      timed(r, "pq_store_vacuum_incr") {
+        Similarity.pqStoreVacuumIncremental(spark, pqStore,
+          minDeadFraction = 0.5).toLong
+      }
+      probe(r, "probe_pq_routed_post_maint") {
+        Similarity.pqStoreTopK(spark, pqStore, queryVecs, k = 3,
+          nprobe = 2)
+      }
       }
 
       if (phases.contains("stores")) {

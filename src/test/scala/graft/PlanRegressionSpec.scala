@@ -28,8 +28,13 @@ class PlanRegressionSpec extends SparkSpec {
     // the stats-then-apply queries (BM25 corpus stats, histogram
     // min/max, IQR quartiles) cross-join a ONE-ROW broadcast stats
     // frame (O(1) build side by construction).
+    // sim_pq_store_takedown / sim_pq_rerank_topk probe UNROUTED (the
+    // recall-audit path — every live code row ADC-scored per query);
+    // the routed probe is pinned hash-join-only below, via
+    // sim_ivfpq_store_topk's absence from this list.
     val intended = Set("sim_cosine_topk_brute", "sim_int8_topk",
       "sim_pq_adc_topk", "sim_pq_store_upsert_topk", "sim_pq_recall_at_k",
+      "sim_pq_store_takedown", "sim_pq_rerank_topk",
       "c14_stale_cutoff_sweep", "search_bm25_topk",
       "search_bm25_index_topk", "search_bm25_index_upsert",
       "search_bm25_index_delete", "search_bm25_index_vacuum",
@@ -48,9 +53,13 @@ class PlanRegressionSpec extends SparkSpec {
 
   test("explicitly broadcast small sides stay broadcast") {
     // These operators call broadcast() by design — SF-independent.
+    // sim_ivfpq_store_topk: the cell-ROUTED standing-store probe must
+    // stay a broadcast HASH join on the cell id — if it ever degrades
+    // to the unrouted cross join, the cartesian sweep above also trips.
     Seq("pl_decontaminate", "pl_ingest_content_dedup",
       "join_broadcast_geo_rollup", "sim_ann_store_roundtrip",
-      "sim_ann_multiprobe", "agg_cms_heavy_hitters").foreach { q =>
+      "sim_ann_multiprobe", "agg_cms_heavy_hitters",
+      "sim_ivfpq_store_topk").foreach { q =>
       assert(plans(q).contains("BroadcastHashJoin"),
         s"$q lost its broadcast join")
     }
