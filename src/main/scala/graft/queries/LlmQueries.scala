@@ -372,18 +372,18 @@ object LlmQueries {
   private def fanoutGatedBuild(s: SparkSession, d: String): Unit = {
     import graft.functions.TextFunctions
     val root = storeDir("fanout-gated")
-    val (st, ix, an, gr, pq) = (s"$root/store", s"$root/index",
-      s"$root/ann", s"$root/gram", s"$root/pq")
+    val (st, ix, an, gr, pq, ck) = (s"$root/store", s"$root/index",
+      s"$root/ann", s"$root/gram", s"$root/pq", s"$root/chunks")
     def gated(batch: org.apache.spark.sql.DataFrame, id: Long) =
       graft.streaming.Streams.fanoutIngestBatchGated(batch, id, st, ix,
         an, gr, "doc_id", "text", Some("vec"), planes = 8, dims = 8,
-        pqDir = Some(pq))
+        pqDir = Some(pq), chunkDir = Some(ck))
     val wave1 = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), fanoutVec.as("vec"))
-    val (g1, i1, a1, p1) = gated(wave1, 0L)
-    require(g1 > 0 && g1 == i1 && g1 == a1 && g1 == p1,
+    val (g1, i1, a1, p1, c1) = gated(wave1, 0L)
+    require(g1 > 0 && g1 == i1 && g1 == a1 && g1 == p1 && g1 == c1,
       s"wave-1 fan-out diverged across stores: gate=$g1 idx=$i1 " +
-        s"ann=$a1 pq=$p1")
+        s"ann=$a1 pq=$p1 chunks=$c1")
     val docs = Tables.documents(s, d)
     val wave2 = docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
@@ -394,7 +394,7 @@ object LlmQueries {
       .select(col("doc_id"), col("text"), fanoutVec.as("vec"))
     gated(wave2, 1L)
     val again = gated(wave2, 1L)
-    require(again == ((0L, 0L, 0L, 0L)),
+    require(again == ((0L, 0L, 0L, 0L, 0L)),
       s"wave-2 redelivery must no-op on every store, got $again")
   }
 
@@ -419,16 +419,21 @@ object LlmQueries {
       .select(col("id").as("doc_id"), lit(true).as("__in_ann"))
     val pq = Similarity.pqStoreLiveIds(s, s"$root/pq")
       .select(col("id").as("doc_id"), lit(true).as("__in_pq"))
+    val ck = graft.streaming.Streams.chunkStoreRead(s, s"$root/chunks")
+      .get.select(col("doc_id")).dropDuplicates("doc_id")
+      .withColumn("__in_ck", lit(true))
     store.join(merge, Seq("doc_id"), "left")
       .join(idx, Seq("doc_id"), "left")
       .join(ann, Seq("doc_id"), "left")
       .join(pq, Seq("doc_id"), "left")
+      .join(ck, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
         col("n_removed"), col("clean_md5"),
         (col("__merge_md5") === col("clean_md5")).as("merge_ok"),
         coalesce(col("__in_idx"), lit(false)).as("in_index"),
         coalesce(col("__in_ann"), lit(false)).as("in_ann"),
-        coalesce(col("__in_pq"), lit(false)).as("in_pq"))
+        coalesce(col("__in_pq"), lit(false)).as("in_pq"),
+        coalesce(col("__in_ck"), lit(false)).as("in_chunks"))
       .presentSorted(col("doc_id"))
   }
 
@@ -449,17 +454,19 @@ object LlmQueries {
     def gated(batch: org.apache.spark.sql.DataFrame, id: Long) =
       graft.streaming.Streams.fanoutIngestBatchNeardupGated(batch, id,
         st, ix, an, gr, nd, "doc_id", "text", Some("vec"),
-        planes = 8, dims = 8, pqDir = Some(s"$root/pq"))
+        planes = 8, dims = 8, pqDir = Some(s"$root/pq"),
+        chunkDir = Some(s"$root/chunks"))
     // Half the corpus: the composition's lifecycle (two waves +
     // redelivery through TWO gates and five stores) prices at the
     // span-gated sibling's level instead of doubling it, with
     // identical semantics exercised.
     val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
     val wave1 = docs.select(col("doc_id"), col("text"), fanoutVec.as("vec"))
-    val (n1, g1, i1, a1, p1) = gated(wave1, 0L)
-    require(n1 > 0 && n1 >= g1 && g1 == i1 && g1 == a1 && g1 == p1,
+    val (n1, g1, i1, a1, p1, c1) = gated(wave1, 0L)
+    require(n1 > 0 && n1 >= g1 && g1 == i1 && g1 == a1 && g1 == p1 &&
+      g1 == c1,
       s"wave-1 fan-out diverged across stores: nd=$n1 gate=$g1 idx=$i1 " +
-        s"ann=$a1 pq=$p1")
+        s"ann=$a1 pq=$p1 chunks=$c1")
     val wave2 = docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
         regexp_replace(col("text"), "^\\S+", "zzz").as("text"))
@@ -471,7 +478,7 @@ object LlmQueries {
       .select(col("doc_id"), col("text"), fanoutVec.as("vec"))
     gated(wave2, 1L)
     val again = gated(wave2, 1L)
-    require(again == ((0L, 0L, 0L, 0L, 0L)),
+    require(again == ((0L, 0L, 0L, 0L, 0L, 0L)),
       s"wave-2 redelivery must no-op on every store, got $again")
   }
 
@@ -498,18 +505,23 @@ object LlmQueries {
       .withColumn("__in_nd", lit(true))
     val pq = Similarity.pqStoreLiveIds(s, s"$root/pq")
       .select(col("id").as("doc_id"), lit(true).as("__in_pq"))
+    val ck = graft.streaming.Streams.chunkStoreRead(s, s"$root/chunks")
+      .get.select(col("doc_id")).dropDuplicates("doc_id")
+      .withColumn("__in_ck", lit(true))
     store.join(merge, Seq("doc_id"), "left")
       .join(idx, Seq("doc_id"), "left")
       .join(ann, Seq("doc_id"), "left")
       .join(nd, Seq("doc_id"), "left")
       .join(pq, Seq("doc_id"), "left")
+      .join(ck, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
         col("n_removed"), col("clean_md5"),
         (col("__merge_md5") === col("clean_md5")).as("merge_ok"),
         coalesce(col("__in_idx"), lit(false)).as("in_index"),
         coalesce(col("__in_ann"), lit(false)).as("in_ann"),
         coalesce(col("__in_nd"), lit(false)).as("in_nd"),
-        coalesce(col("__in_pq"), lit(false)).as("in_pq"))
+        coalesce(col("__in_pq"), lit(false)).as("in_pq"),
+        coalesce(col("__in_ck"), lit(false)).as("in_chunks"))
       .presentSorted(col("doc_id"))
   }
 
@@ -1517,7 +1529,7 @@ object LlmQueries {
         |SELECT doc_id, n_tokens, n_dup_grams, n_removed,
         |  md5(clean) AS clean_md5,
         |  TRUE AS merge_ok, TRUE AS in_index, TRUE AS in_ann,
-        |  TRUE AS in_nd, TRUE AS in_pq
+        |  TRUE AS in_nd, TRUE AS in_pq, TRUE AS in_chunks
         |FROM (SELECT * FROM w1surv UNION ALL SELECT * FROM w2surv)
         |ORDER BY doc_id""".stripMargin
   }
@@ -2960,7 +2972,7 @@ object LlmQueries {
         |SELECT doc_id, n_tokens, n_dup_grams, n_removed,
         |  md5(clean) AS clean_md5,
         |  TRUE AS merge_ok, TRUE AS in_index, TRUE AS in_ann,
-        |  TRUE AS in_pq
+        |  TRUE AS in_pq, TRUE AS in_chunks
         |FROM (SELECT * FROM w1surv UNION ALL SELECT * FROM w2surv)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       fanoutGatedBuild(s, d)

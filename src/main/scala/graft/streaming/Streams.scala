@@ -902,23 +902,32 @@ object Streams {
     *      or pre-build the store offline; every later delivery encodes
     *      with the pinned codebook. A crash between the codebook write
     *      and its generation commit redelivers into the build path,
-    *      which overwrites the codebook and converges.
+    *      which overwrites the codebook and converges;
+    *   5. standing CHUNK store ([[chunkIngestBatch]]) — the passage
+    *      surface, when `chunkDir` is set: the same text every other
+    *      sink serves, re-chunked only on changed content. The
+    *      takedown twin already leaves this store
+    *      ([[fanoutDeleteBatch]]'s `chunkDir`); this closes the
+    *      asymmetry where a takedown left the passage surface but
+    *      ingest never advanced it.
     *
     * The batch is persisted ONCE: the crawl/extract lineage upstream is
     * computed a single time and all sinks read the materialized
-    * rows (shared scan, four writes). There is no cross-store
+    * rows (shared scan, five writes). There is no cross-store
     * transaction — each sink is individually idempotent (hash-compare
     * merge, generation-committed index, insert-if-absent ANN,
-    * vec-hash-gated PQ), so an at-least-once redelivery after a
-    * mid-fanout crash converges every store, matching the standalone
-    * sinks' contract. Returns (docs indexed, vectors inserted, PQ rows
-    * encoded).
+    * vec-hash-gated PQ, content-hash-gated chunks), so an
+    * at-least-once redelivery after a mid-fanout crash converges every
+    * store, matching the standalone sinks' contract. Returns (docs
+    * indexed, vectors inserted, PQ rows encoded, docs chunked).
     */
   def fanoutIngestBatch(batch: DataFrame, batchId: Long, storeDir: String,
       indexDir: String, annDir: String, idCol: String, textCol: String,
       vecCol: Option[String] = None, planes: Int = 16,
       dims: Int = 8, pqDir: Option[String] = None, pqM: Int = 4,
-      pqCodes: Int = 8): (Long, Long, Long) = {
+      pqCodes: Int = 8, chunkDir: Option[String] = None,
+      chunkWindow: Int = 64, chunkOverlap: Int = 16):
+      (Long, Long, Long, Long) = {
     val spark = batch.sparkSession
     val shared = batch.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -950,7 +959,10 @@ object Streams {
           else graft.operators.Similarity.pqStoreAppend(vecsOf(v), pd)
         case _ => 0L
       }
-      (nIdx, nAnn, nPq)
+      val nChunk = chunkDir.fold(0L)(d =>
+        chunkIngestBatch(shared.select(col(idCol), col(textCol)), d,
+          idCol, textCol, chunkWindow, chunkOverlap))
+      (nIdx, nAnn, nPq, nChunk)
     } finally { shared.unpersist(); () }
   }
 
@@ -1001,7 +1013,9 @@ object Streams {
       gramStoreDir: String, idCol: String, textCol: String,
       vecCol: Option[String] = None, planes: Int = 16, dims: Int = 8,
       k: Int = 8, pqDir: Option[String] = None, pqM: Int = 4,
-      pqCodes: Int = 8): (Long, Long, Long, Long) = {
+      pqCodes: Int = 8, chunkDir: Option[String] = None,
+      chunkWindow: Int = 64,
+      chunkOverlap: Int = 16): (Long, Long, Long, Long, Long) = {
     val spark = batch.sparkSession
     val shared = batch.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1015,7 +1029,7 @@ object Streams {
         gramStoreDir, idCol, textCol, k)
       val ids = shared.select(col(idCol)).dropDuplicates(idCol)
       substringStoreRead(spark, gramStoreDir) match {
-        case None => (nGate, 0L, 0L, 0L)
+        case None => (nGate, 0L, 0L, 0L, 0L)
         case Some(docs) =>
           val cleaned = docs.join(broadcast(ids), Seq(idCol), "left_semi")
             .groupBy(col(idCol))
@@ -1026,7 +1040,7 @@ object Streams {
           // rewrites the full state per mergeBatch's contract. The
           // emptiness probe is a limit-1 job against the id-pruned
           // store read — O(small) either way.
-          if (nGate == 0 && cleaned.isEmpty) (0L, 0L, 0L, 0L)
+          if (nGate == 0 && cleaned.isEmpty) (0L, 0L, 0L, 0L, 0L)
           else {
             // The vector rides from the SAME delivered row whose text
             // won the deterministic same-id resolution — not an
@@ -1037,10 +1051,11 @@ object Streams {
                 shared.select(col(idCol), col(textCol), col(v)),
                 idCol, textCol).select(col(idCol), col(v)),
               Seq(idCol), "left"))
-            val (nIdx, nAnn, nPq) = fanoutIngestBatch(feed, batchId,
-              storeDir, indexDir, annDir, idCol, textCol, vecCol, planes,
-              dims, pqDir, pqM, pqCodes)
-            (nGate, nIdx, nAnn, nPq)
+            val (nIdx, nAnn, nPq, nChunk) = fanoutIngestBatch(feed,
+              batchId, storeDir, indexDir, annDir, idCol, textCol,
+              vecCol, planes, dims, pqDir, pqM, pqCodes, chunkDir,
+              chunkWindow, chunkOverlap)
+            (nGate, nIdx, nAnn, nPq, nChunk)
           }
       }
     } finally { shared.unpersist(); () }
@@ -1052,14 +1067,15 @@ object Streams {
       idCol: String, textCol: String, checkpointDir: String,
       vecCol: Option[String] = None, planes: Int = 16, dims: Int = 8,
       k: Int = 8, pqDir: Option[String] = None, pqM: Int = 4,
-      pqCodes: Int = 8): StreamingQuery =
+      pqCodes: Int = 8, chunkDir: Option[String] = None,
+      chunkWindow: Int = 64, chunkOverlap: Int = 16): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         fanoutIngestBatchGated(batch, batchId, storeDir, indexDir, annDir,
           gramStoreDir, idCol, textCol, vecCol, planes, dims, k, pqDir,
-          pqM, pqCodes): Unit
+          pqM, pqCodes, chunkDir, chunkWindow, chunkOverlap): Unit
       }
       .start()
 
@@ -1123,7 +1139,9 @@ object Streams {
       textCol: String, vecCol: Option[String] = None, planes: Int = 16,
       dims: Int = 8, k: Int = 8, minJaccard: Double = 0.9,
       pqDir: Option[String] = None, pqM: Int = 4,
-      pqCodes: Int = 8): (Long, Long, Long, Long, Long) = {
+      pqCodes: Int = 8, chunkDir: Option[String] = None,
+      chunkWindow: Int = 64,
+      chunkOverlap: Int = 16): (Long, Long, Long, Long, Long, Long) = {
     val spark = batch.sparkSession
     val shared = batch.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1133,7 +1151,7 @@ object Streams {
         neardupDir, idCol, textCol, minJaccard)
       val ids = shared.select(col(idCol)).dropDuplicates(idCol)
       neardupStoreRead(spark, neardupDir) match {
-        case None => (nNear, 0L, 0L, 0L, 0L)
+        case None => (nNear, 0L, 0L, 0L, 0L, 0L)
         case Some(docs) =>
           val passed = docs.join(broadcast(ids), Seq(idCol), "left_semi")
             .groupBy(col(idCol))
@@ -1141,17 +1159,19 @@ object Streams {
           // An all-duplicate delivery whose ids were never admitted
           // must not touch the downstream stores at all (same guard as
           // the span-gated layer, one gate earlier).
-          if (nNear == 0 && passed.isEmpty) (0L, 0L, 0L, 0L, 0L)
+          if (nNear == 0 && passed.isEmpty) (0L, 0L, 0L, 0L, 0L, 0L)
           else {
             val feed = vecCol.fold(passed)(v => passed.join(
               Upsert.onePerKeyByContent(
                 shared.select(col(idCol), col(textCol), col(v)),
                 idCol, textCol).select(col(idCol), col(v)),
               Seq(idCol), "left"))
-            val (nGate, nIdx, nAnn, nPq) = fanoutIngestBatchGated(feed,
-              batchId, storeDir, indexDir, annDir, gramStoreDir, idCol,
-              textCol, vecCol, planes, dims, k, pqDir, pqM, pqCodes)
-            (nNear, nGate, nIdx, nAnn, nPq)
+            val (nGate, nIdx, nAnn, nPq, nChunk) =
+              fanoutIngestBatchGated(feed, batchId, storeDir, indexDir,
+                annDir, gramStoreDir, idCol, textCol, vecCol, planes,
+                dims, k, pqDir, pqM, pqCodes, chunkDir, chunkWindow,
+                chunkOverlap)
+            (nNear, nGate, nIdx, nAnn, nPq, nChunk)
           }
       }
     } finally { shared.unpersist(); () }
@@ -1164,14 +1184,16 @@ object Streams {
       checkpointDir: String, vecCol: Option[String] = None,
       planes: Int = 16, dims: Int = 8, k: Int = 8,
       minJaccard: Double = 0.9, pqDir: Option[String] = None,
-      pqM: Int = 4, pqCodes: Int = 8): StreamingQuery =
+      pqM: Int = 4, pqCodes: Int = 8, chunkDir: Option[String] = None,
+      chunkWindow: Int = 64, chunkOverlap: Int = 16): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         fanoutIngestBatchNeardupGated(batch, batchId, storeDir, indexDir,
           annDir, gramStoreDir, neardupDir, idCol, textCol, vecCol,
-          planes, dims, k, minJaccard, pqDir, pqM, pqCodes): Unit
+          planes, dims, k, minJaccard, pqDir, pqM, pqCodes, chunkDir,
+          chunkWindow, chunkOverlap): Unit
       }
       .start()
 
@@ -1328,14 +1350,15 @@ object Streams {
       annDir: String, idCol: String, textCol: String,
       checkpointDir: String, vecCol: Option[String] = None,
       planes: Int = 16, dims: Int = 8, pqDir: Option[String] = None,
-      pqM: Int = 4, pqCodes: Int = 8): StreamingQuery =
+      pqM: Int = 4, pqCodes: Int = 8, chunkDir: Option[String] = None,
+      chunkWindow: Int = 64, chunkOverlap: Int = 16): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         fanoutIngestBatch(batch, batchId, storeDir, indexDir, annDir,
-          idCol, textCol, vecCol, planes, dims, pqDir, pqM,
-          pqCodes): Unit
+          idCol, textCol, vecCol, planes, dims, pqDir, pqM, pqCodes,
+          chunkDir, chunkWindow, chunkOverlap): Unit
       }
       .start()
 

@@ -13,17 +13,19 @@ import org.apache.spark.sql.functions._
 class FanoutIngestSpec extends SparkSpec {
   import spark.implicits._
 
-  test("fanoutIngestSink advances all four standing stores together") {
+  test("fanoutIngestSink advances all five standing stores together") {
     val root = java.nio.file.Files.createTempDirectory("fanout").toString
     val (storeDir, indexDir, annDir, pqDir, ckpt) = (s"$root/store",
       s"$root/index", s"$root/ann", s"$root/pq", s"$root/ckpt")
+    val chunkDir = s"$root/chunks"
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String, Seq[Float])]
     val q = Streams.fanoutIngestSink(
       in.toDF().toDF("doc_id", "text", "vec"),
       storeDir, indexDir, annDir, "doc_id", "text", ckpt,
       vecCol = Some("vec"), planes = 4, dims = 3,
-      pqDir = Some(pqDir), pqM = 3, pqCodes = 2)
+      pqDir = Some(pqDir), pqM = 3, pqCodes = 2,
+      chunkDir = Some(chunkDir), chunkWindow = 4, chunkOverlap = 1)
     try {
       in.addData(
         (1L, "spark engine spark", Seq(1.0f, 0.0f, 0.0f)),
@@ -71,15 +73,28 @@ class FanoutIngestSpec extends SparkSpec {
     assert(Similarity.pqStoreLiveIds(spark, pqDir)
       .as[Long].collect().toSet == Set(1L, 2L, 3L))
 
-    // TAKEDOWN: doc 2 leaves all four stores in one composed call,
+    // 5. Chunk store: passages of the CURRENT text (doc 2 re-chunked
+    // on its changed-content upsert).
+    assert(Streams.chunkStoreRead(spark, chunkDir).get
+      .select("doc_id", "chunk_text").as[(Long, String)].collect().toMap
+      == Map(1L -> "spark engine spark", 2L -> "vector index merge",
+        3L -> "stream merge sort"))
+
+    // TAKEDOWN: doc 2 leaves all five stores in one composed call,
     // idempotently.
     val gone = Streams.fanoutDeleteBatch(Seq(2L).toDF("doc_id"), 99L,
-      storeDir, indexDir, annDir, pqDir = Some(pqDir))
-    assert(gone == ((1L, 1L, 1L, 0L, 1L)),
+      storeDir, indexDir, annDir, pqDir = Some(pqDir),
+      chunkDir = Some(chunkDir))
+    assert(gone == ((1L, 1L, 1L, 1L, 1L)),
       s"unexpected delete counts: $gone")
     assert(Streams.fanoutDeleteBatch(Seq(2L).toDF("doc_id"), 100L,
-      storeDir, indexDir, annDir, pqDir = Some(pqDir))
+      storeDir, indexDir, annDir, pqDir = Some(pqDir),
+      chunkDir = Some(chunkDir))
       == ((0L, 0L, 0L, 0L, 0L)))
+    assert(Streams.chunkStoreRead(spark, chunkDir).get
+      .select("doc_id").distinct().as[Long].collect().toSet
+      == Set(1L, 3L),
+      "taken-down doc's passages must leave the chunk store too")
     assert(Similarity.pqStoreLiveIds(spark, pqDir)
       .as[Long].collect().toSet == Set(1L, 3L),
       "taken-down doc's quantized codes must leave the PQ store too")
@@ -96,15 +111,17 @@ class FanoutIngestSpec extends SparkSpec {
     assert(!probe2.contains(2L), s"deleted vector still matching: $probe2")
   }
 
-  test("fanoutIngestBatchGated advances all five stores on one cadence") {
+  test("fanoutIngestBatchGated advances all six stores on one cadence") {
     val root = java.nio.file.Files.createTempDirectory("fanout-gate").toString
     val (storeDir, indexDir, annDir, gramDir, pqDir) = (s"$root/store",
       s"$root/index", s"$root/ann", s"$root/gram", s"$root/pq")
+    val chunkDir = s"$root/chunks"
     def gated(batch: org.apache.spark.sql.DataFrame, id: Long) =
       Streams.fanoutIngestBatchGated(batch, id, storeDir, indexDir, annDir,
         gramDir, "doc_id", "text", vecCol = Some("vec"),
         planes = 4, dims = 3, k = 3, pqDir = Some(pqDir), pqM = 3,
-        pqCodes = 2)
+        pqCodes = 2, chunkDir = Some(chunkDir), chunkWindow = 4,
+        chunkOverlap = 1)
 
     // Wave 1: docs 1 and 2 share two 3-grams (both lose tokens 0..3),
     // doc 3 is untouched.
@@ -113,7 +130,7 @@ class FanoutIngestSpec extends SparkSpec {
       (2L, "alpha beta gamma delta zeta eta", Seq(0.0f, 1.0f, 0.0f)),
       (3L, "unique words only here nothing shared", Seq(0.0f, 0.0f, 1.0f)))
       .toDF("doc_id", "text", "vec")
-    assert(gated(wave1, 0L) == ((3L, 3L, 3L, 3L)))
+    assert(gated(wave1, 0L) == ((3L, 3L, 3L, 3L, 3L)))
 
     // Wave 2: 1 is an exact redelivery (gate drop, sinks no-op), 4 is
     // an exact copy of doc 3 under a new id (drops EVERYWHERE), 5
@@ -126,7 +143,7 @@ class FanoutIngestSpec extends SparkSpec {
         Seq(0.0f, 0.5f, 0.5f)),
       (6L, "unique words only", Seq(0.5f, 0.0f, 0.5f)))
       .toDF("doc_id", "text", "vec")
-    assert(gated(wave2, 1L) == ((1L, 1L, 1L, 1L)))
+    assert(gated(wave2, 1L) == ((1L, 1L, 1L, 1L, 1L)))
 
     val expected = Map(
       1L -> "epsilon",
@@ -169,7 +186,7 @@ class FanoutIngestSpec extends SparkSpec {
       .toDF("doc_id", "text", "vec")
     assert(Streams.substringIngestBatch(wave3.drop("vec"), gramDir,
       "doc_id", "text", k = 3) == 1L)
-    assert(gated(wave3, 2L) == ((0L, 1L, 1L, 1L)))
+    assert(gated(wave3, 2L) == ((0L, 1L, 1L, 1L, 1L)))
     assert(Streams.readState(spark, storeDir).get
       .filter($"doc_id" === 7L).select("text").as[String].collect().toSeq
       == Seq("totally different content seven"))
@@ -177,7 +194,7 @@ class FanoutIngestSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq == Seq(7L))
 
     // Full redelivery of wave 2 converges as a complete no-op.
-    assert(gated(wave2, 1L) == ((0L, 0L, 0L, 0L)))
+    assert(gated(wave2, 1L) == ((0L, 0L, 0L, 0L, 0L)))
     assert(Streams.readState(spark, storeDir).get.count() == 5)
 
     // An ALL-DUPLICATE delivery under fresh ids (the common case a
@@ -188,7 +205,7 @@ class FanoutIngestSpec extends SparkSpec {
       (40L, "alpha beta gamma delta epsilon", Seq(0.2f, 0.2f, 0.2f)),
       (41L, "unique words only here nothing shared", Seq(0.3f, 0.3f, 0.3f)))
       .toDF("doc_id", "text", "vec")
-    assert(gated(allDup, 7L) == ((0L, 0L, 0L, 0L)))
+    assert(gated(allDup, 7L) == ((0L, 0L, 0L, 0L, 0L)))
     assert(Streams.currentStateName(storeDir) == before,
       "all-duplicate batch rewrote the merge state")
     assert(Streams.readState(spark, storeDir).get.count() == 5)
@@ -196,19 +213,29 @@ class FanoutIngestSpec extends SparkSpec {
     assert(Similarity.pqStoreLiveIds(spark, pqDir)
       .as[Long].collect().toSet == Set(1L, 2L, 3L, 5L, 7L),
       "PQ store membership diverged from the composed cadence")
+    // Chunk store serves the CLEANED text's passages (doc 5 keeps
+    // only its post-span-screen tail).
+    assert(Streams.chunkStoreRead(spark, chunkDir).get
+      .select("doc_id").distinct().as[Long].collect().toSet
+      == Set(1L, 2L, 3L, 5L, 7L))
+    assert(Streams.chunkStoreRead(spark, chunkDir).get
+      .filter($"doc_id" === 5L).select("chunk_text").as[String]
+      .collect().toSeq == Seq("fresh tail"))
   }
 
-  test("fanoutIngestBatchNeardupGated advances all six stores on one " +
+  test("fanoutIngestBatchNeardupGated advances all seven stores on one " +
       "cadence") {
     val root = java.nio.file.Files.createTempDirectory("fanout-nd").toString
     val (storeDir, indexDir, annDir, gramDir, ndDir) = (s"$root/store",
       s"$root/index", s"$root/ann", s"$root/gram", s"$root/nd")
     val pqDir = s"$root/pq"
+    val chunkDir = s"$root/chunks"
     def gated(batch: org.apache.spark.sql.DataFrame, id: Long) =
       Streams.fanoutIngestBatchNeardupGated(batch, id, storeDir, indexDir,
         annDir, gramDir, ndDir, "doc_id", "text", vecCol = Some("vec"),
         planes = 4, dims = 3, k = 3, pqDir = Some(pqDir), pqM = 3,
-        pqCodes = 2)
+        pqCodes = 2, chunkDir = Some(chunkDir), chunkWindow = 4,
+        chunkOverlap = 1)
     // An 80-token doc and near-duplicates differing in ONE token:
     // 3-shingle Jaccard ~0.95, far above the 0.9 gate.
     val t80 = (0 until 80).map(i => s"tok$i").mkString(" ")
@@ -223,7 +250,7 @@ class FanoutIngestSpec extends SparkSpec {
       (2L, "alpha beta gamma delta epsilon", Seq(0.0f, 1.0f, 0.0f)),
       (3L, "alpha beta gamma delta zeta eta", Seq(0.0f, 0.0f, 1.0f)))
       .toDF("doc_id", "text", "vec")
-    assert(gated(wave1, 0L) == ((3L, 3L, 3L, 3L, 3L)))
+    assert(gated(wave1, 0L) == ((3L, 3L, 3L, 3L, 3L, 3L)))
 
     // Wave 2: 11 is a near-dup of stored doc 1 (drops at the LSH gate),
     // 12 is an exact copy of doc 2's ORIGINAL text under a new id
@@ -239,7 +266,7 @@ class FanoutIngestSpec extends SparkSpec {
       (14L, "alpha beta gamma delta completely novel ending follows",
         Seq(0.0f, 0.5f, 0.5f)))
       .toDF("doc_id", "text", "vec")
-    assert(gated(wave2, 1L) == ((2L, 2L, 2L, 2L, 2L)))
+    assert(gated(wave2, 1L) == ((2L, 2L, 2L, 2L, 2L, 2L)))
 
     val expected = Map(
       1L -> t80,
@@ -280,13 +307,13 @@ class FanoutIngestSpec extends SparkSpec {
       .toDF("doc_id", "text", "vec")
     assert(Streams.neardupIngestBatch(wave3.drop("vec"), ndDir,
       "doc_id", "text") == 1L)
-    assert(gated(wave3, 2L) == ((0L, 1L, 1L, 1L, 1L)))
+    assert(gated(wave3, 2L) == ((0L, 1L, 1L, 1L, 1L, 1L)))
     assert(Streams.readState(spark, storeDir).get
       .filter($"doc_id" === 21L).select("text").as[String].collect().toSeq
       == Seq("entirely fresh twenty one content"))
 
     // Full redelivery of wave 2 converges as a complete no-op.
-    assert(gated(wave2, 1L) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(gated(wave2, 1L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
 
     // An all-duplicate delivery under fresh ids must not touch the
     // downstream stores at all — no merge-state rewrite, no new
@@ -296,16 +323,20 @@ class FanoutIngestSpec extends SparkSpec {
       (40L, t80, Seq(0.2f, 0.2f, 0.2f)),
       (41L, nearOf(10, "swapped"), Seq(0.3f, 0.3f, 0.3f)))
       .toDF("doc_id", "text", "vec")
-    assert(gated(allDup, 7L) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(gated(allDup, 7L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
     assert(Streams.currentStateName(storeDir) == before,
       "all-duplicate batch rewrote the merge state")
     assert(Streams.neardupStoreRead(spark, ndDir).get
       .select("doc_id").as[Long].collect().toSet
       == Set(1L, 2L, 3L, 13L, 14L, 21L))
-    // PQ store membership tracks the other surfaces exactly.
+    // PQ and chunk store memberships track the other surfaces exactly.
     assert(Similarity.pqStoreLiveIds(spark, pqDir)
       .as[Long].collect().toSet == Set(1L, 2L, 3L, 13L, 14L, 21L),
       "PQ store membership diverged from the composed cadence")
+    assert(Streams.chunkStoreRead(spark, chunkDir).get
+      .select("doc_id").distinct().as[Long].collect().toSet
+      == Set(1L, 2L, 3L, 13L, 14L, 21L),
+      "chunk store membership diverged from the composed cadence")
   }
 
   test("fanoutIngestNeardupGatedSink streams the fully-gated fan-out") {
