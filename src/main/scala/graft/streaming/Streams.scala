@@ -970,8 +970,9 @@ object Streams {
     * substring-dedup screen composed IN FRONT, so one delivered batch
     * advances all FOUR standing surfaces on one cadence — the gram
     * store (span screen state), the content-hash merge store, the
-    * inverted index, and the ANN store — plus the standing PQ store as
-    * a FIFTH when `pqDir` is set — the way the reference worker
+    * inverted index, and the ANN store — plus the standing PQ store
+    * when `pqDir` is set and the chunk (passage) store when `chunkDir`
+    * is set, SIX surfaces total — the way the reference worker
     * advances every sink from one batch
     * (`/root/reference/workers/raw_to_postgres.py:5-30`), instead of
     * the span-gated store committing on its own schedule next to the
@@ -1099,8 +1100,9 @@ object Streams {
     * advances all FIVE standing surfaces on one cadence: the near-dup
     * store (MinHash/LSH gate state), the gram store (span screen
     * state), the content-hash merge store, the inverted index, and the
-    * ANN store — plus the standing PQ store as a SIXTH when `pqDir` is
-    * set. This is the full training-data ingestion pipeline as
+    * ANN store — plus the standing PQ store when `pqDir` is set and
+    * the chunk (passage) store when `chunkDir` is set, SEVEN surfaces
+    * total. This is the full training-data ingestion pipeline as
     * one call: exact dedup, near-duplicate dedup, duplicated-span
     * removal, then the read surfaces.
     *

@@ -401,6 +401,30 @@ class SimilaritySpec extends SparkSpec {
     assert(chain(e2).exists(m => m != null && m.contains("expected 4")))
   }
 
+  test("pqStoreStats reports live/superseded/tombstone shape") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-stats").toString + "/store"
+    Similarity.pqStoreBuild(pqPts, dir, m = 2, subDims = 2, codes = 2,
+      iters = 2)                                                     // b0
+    Similarity.pqStoreAppend(
+      Seq((1L, Seq(0.1f, 0.0f, 0.0f, 0.1f))).toDF("id", "vec"), dir) // b1
+    Similarity.pqStoreDelete(spark, dir, Seq(4L).toDF("id")): Unit   // b2
+    val got = Similarity.pqStoreStats(spark, dir)
+      .as[(Int, Long, Long, Long, Long)].collect().head
+    // 3 batches; ids 0-3 live (1 re-embedded), 4 tombstoned; dead
+    // tail = id 1's and id 4's superseded build rows; unrouted store
+    // has exactly one (sentinel) cell.
+    assert(got == ((3, 4L, 1L, 2L, 1L)), s"got $got")
+    // A cell-routed store reports its occupied coarse cells.
+    val routed = java.nio.file.Files
+      .createTempDirectory("pq-stats-r").toString + "/store"
+    Similarity.pqStoreBuild(pqPts, routed, m = 2, subDims = 2, codes = 2,
+      iters = 2, cells = 2)
+    val cells = Similarity.pqStoreStats(spark, routed)
+      .select("occupied_cells").as[Long].collect().head
+    assert(cells == 2L, s"two tight clusters must occupy 2 cells: $cells")
+  }
+
   test("pqStoreRerankTopK: store candidates, exact final order") {
     val dir = java.nio.file.Files
       .createTempDirectory("pq-rerank").toString + "/store"
