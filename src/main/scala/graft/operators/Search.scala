@@ -1002,6 +1002,39 @@ object Search {
       .limit(k)
   }
 
+  /** HYBRID retrieval with the dense side on the STANDING PQ STORE —
+    * [[hybridTopK]]'s fusion (same RRF micro-units, same top-`kEach`
+    * lists) but the embedding evidence comes from
+    * [[graft.operators.Similarity.pqStoreTopK]]'s ADC probe instead of
+    * the int8 ANN store: the scored side is m code ids per vector, the
+    * floats never load, and with `nprobe > 0` (store built with
+    * `cells`) the probe routes to ~nprobe/cells of the committed code
+    * rows via the broadcast cell-id hash join — the 100 TB hybrid
+    * plan, where BOTH sides of the fusion are pruned standing-store
+    * reads (term-pruned postings, cell-pruned codes).
+    */
+  def hybridTopKPq(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, pqDir: String, queryTerms: Seq[String],
+      queryVec: DataFrame, k: Int, kEach: Int = 20, rrfK: Int = 60,
+      nprobe: Int = 0): DataFrame = {
+    val bm = bm25FromIndexTopK(spark, indexDir, queryTerms, kEach)
+      .withColumn("r_bm25", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_1e6").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_bm25"))
+    val pq = graft.operators.Similarity
+      .pqStoreTopK(spark, pqDir, queryVec, kEach, nprobe)
+      .select(col("cid").as("doc_id"), col("rnk").as("r_ann"))
+    bm.join(pq, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(round(lit(1e6) / (lit(rrfK) + col("r_bm25")))
+          .cast("long"), lit(0L)) +
+          coalesce(round(lit(1e6) / (lit(rrfK) + col("r_ann")))
+            .cast("long"), lit(0L))).as("rrf_1e6"))
+      .orderBy(col("rrf_1e6").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** EXACT-PHRASE top-k answered FROM the standing index — the
     * positional-postings scale path [[phraseTopK]]'s scaladoc promises:
     * read ONLY the phrase terms' postings (pruned scan, never the

@@ -740,6 +740,7 @@ object LlmQueries {
     "sim_ivfpq_store_topk" -> BenchPhases(ivfPqStoreBuild,
       ivfPqStoreProbe),
     "sim_pq_rerank_topk" -> BenchPhases(pqRerankBuild, pqRerankProbe),
+    "search_hybrid_rrf_pq" -> BenchPhases(hybridPqBuild, hybridPqProbe),
   )
 
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
@@ -938,6 +939,37 @@ object LlmQueries {
       |  FROM bmtop b FULL OUTER JOIN anntop a ON a.cid = b.doc_id)
       |SELECT doc_id, rrf_1e6 FROM f
       |ORDER BY rrf_1e6 DESC, doc_id LIMIT 10""".stripMargin
+
+  /** [[HybridRrfSql]] with the dense side replaced by the ROUTED
+    * standing-PQ-store chain ([[IvfPqStoreSql]] with query id 5 only):
+    * the oracle for hybrid fusion where the embedding evidence is the
+    * cell-routed ADC probe — coarse Lloyd round, query routing, and
+    * per-subspace codebook chains all re-derived, then the same RRF
+    * fusion over the rank lists.
+    */
+  private lazy val HybridRrfPqSql: String = {
+    val bmChain = Bm25IndexSql.substring(0,
+      Bm25IndexSql.lastIndexOf("SELECT doc_id, n_matched"))
+    val pqChain0 = IvfPqStoreSql
+      .replace("WITH e AS (", ",e AS (")
+      .replace("WHERE rn <= 2 AND id < 10", "WHERE rn <= 2 AND id = 5")
+    val pqChain = pqChain0.substring(0,
+      pqChain0.lastIndexOf("SELECT qid, cid, approx_d2, rnk"))
+    bmChain + pqChain +
+      RrfFusionTail.replace("FROM r WHERE rnk", "FROM rk WHERE rnk")
+  }
+
+  private def hybridPqBuild(s: SparkSession, d: String): Unit = {
+    idxBuild("hyb-pq-i")(s, d)
+    Similarity.pqStoreBuild(embOf(s, d), storeDir("hyb-pq-p") + "/store",
+      m = 4, subDims = 16, codes = 8, iters = 2, cells = 16): Unit
+  }
+
+  private def hybridPqProbe(s: SparkSession, d: String): DataFrame =
+    Search.hybridTopKPq(s, storePath("hyb-pq-i") + "/index",
+      storePath("hyb-pq-p") + "/store",
+      Seq("spark", "vector", "stream", "merge"),
+      embOf(s, d).filter(col("id") === 5L), k = 10, nprobe = 2)
 
   /** [[HybridRrfSql]] with the ANN side replaced by the MULTI-PROBE
     * chain — the oracle for hybrid fusion with the recall lever on.
@@ -3366,6 +3398,23 @@ object LlmQueries {
       HybridRrfSql) { (s, d) =>
       hybridAutoBuild(s, d)
       hybridAutoProbe(s, d)
+    },
+
+    // HYBRID retrieval with the dense side on the STANDING PQ STORE:
+    // same RRF fusion, but the embedding evidence is the cell-ROUTED
+    // ADC probe (Search.hybridTopKPq — store built with cells=16,
+    // probed at nprobe=2), so BOTH fusion inputs are pruned
+    // standing-store reads: term-pruned postings on the lexical side,
+    // cell-pruned code ids on the dense side, floats never loaded —
+    // the 100 TB hybrid plan. The oracle splices the BM25 chain with
+    // the routed PQ store chain (coarse Lloyd round + routing +
+    // per-subspace codebooks, query id 5) and fuses with the same
+    // formula.
+    QueryDef(
+      "search_hybrid_rrf_pq",
+      HybridRrfPqSql) { (s, d) =>
+      hybridPqBuild(s, d)
+      hybridPqProbe(s, d)
     },
 
     // BM25 probe over the TERM-BUCKETED postings layout — the 100-TB

@@ -40,7 +40,7 @@ class PlanRegressionSpec extends SparkSpec {
       "search_bm25_index_delete", "search_bm25_index_vacuum",
       "search_bm25_index_migrate", "search_more_like_this",
       "search_hybrid_rrf", "search_hybrid_rrf_multiprobe",
-      "search_hybrid_rrf_auto",
+      "search_hybrid_rrf_auto", "search_hybrid_rrf_pq",
       "search_bm25_index_bucketed", "agg_histogram_price",
       "pl_iqr_outliers", "txt_unigram_logprob",
       "pl_training_data_filter_v2")
@@ -59,7 +59,7 @@ class PlanRegressionSpec extends SparkSpec {
     Seq("pl_decontaminate", "pl_ingest_content_dedup",
       "join_broadcast_geo_rollup", "sim_ann_store_roundtrip",
       "sim_ann_multiprobe", "agg_cms_heavy_hitters",
-      "sim_ivfpq_store_topk").foreach { q =>
+      "sim_ivfpq_store_topk", "search_hybrid_rrf_pq").foreach { q =>
       assert(plans(q).contains("BroadcastHashJoin"),
         s"$q lost its broadcast join")
     }
