@@ -440,6 +440,18 @@ class SimilaritySpec extends SparkSpec {
     // re-embedded ids; exact never does).
     assert(got.map(_._1) == Seq(0L, 4L, 1L), s"got $got")
     assert(got.head._2 == 0.02, s"exact d2 expected, got ${got.head}")
+    // Routed candidate nomination with nprobe = cells reduces exactly
+    // to the unrouted rerank — the routing only prunes, the exact
+    // rerank never changes.
+    val routedDir = java.nio.file.Files
+      .createTempDirectory("pq-rerank-r").toString + "/store"
+    Similarity.pqStoreBuild(pqPts, routedDir, m = 2, subDims = 2,
+      codes = 2, iters = 2, cells = 2)
+    assert(
+      Similarity.pqStoreRerankTopK(spark, routedDir, q, pqPts,
+        kCand = 4, k = 3, nprobe = 2).collect().toSet ==
+      Similarity.pqStoreRerankTopK(spark, routedDir, q, pqPts,
+        kCand = 4, k = 3).collect().toSet)
   }
 
   test("centroidOutliers: farthest members per group, exact centroid") {
