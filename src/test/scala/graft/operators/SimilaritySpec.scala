@@ -401,6 +401,61 @@ class SimilaritySpec extends SparkSpec {
     assert(chain(e2).exists(m => m != null && m.contains("expected 4")))
   }
 
+  test("pqStoreReroute grows the coarse routing from code " +
+      "reconstructions; ADC answers unchanged; crashed swap repaired") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.Commits
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-reroute").toString + "/store"
+    // UNROUTED build + a takedown: the reroute is also the upgrade
+    // path to a routed store, and must fold tombstones away.
+    Similarity.pqStoreBuild(pqPts, dir, m = 2, subDims = 2, codes = 2,
+      iters = 2)
+    Similarity.pqStoreDelete(spark, dir, Seq(3L).toDF("id")): Unit
+    val q = Seq((2L, Seq(0.1f, 0.0f, 0.0f, 0.1f))).toDF("id", "vec")
+    def rows(nprobe: Int) =
+      Similarity.pqStoreTopK(spark, dir, q, k = 5, nprobe = nprobe)
+        .select("cid", "approx_d2", "rnk")
+        .as[(Long, Double, Int)].collect().toSeq.sorted
+    val want = rows(0)
+    intercept[RuntimeException] { rows(1) }  // unrouted: no coarse yet
+    Similarity.pqStoreReroute(spark, dir, cells = 2)
+    // Routing only prunes, never perturbs: the unrouted scan is
+    // IDENTICAL post-reroute, and probing every cell reduces to it.
+    assert(rows(0) == want, "reroute changed ADC answers")
+    assert(rows(2) == want, "nprobe=cells must reduce to the full scan")
+    assert(Commits.committed(spark, dir) == Seq(0L),
+      "reroute must land as the single compacted batch")
+    assert(!spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/rows").select("id")
+      .as[Long].collect().contains(3L), "reroute carried a tombstone")
+    // Crashed-swap window of a SECOND reroute: stage complete (rows
+    // re-stamped to cell 7 + a one-centroid coarse + staged ledger),
+    // live ledger dropped, nothing moved. The next maintenance call
+    // must move ROWS AND COARSE together.
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$dir/_vacuum"
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/rows")
+      .drop("batch").withColumn("cell", lit(7L))
+      .withColumn("batch", lit(0L))
+      .write.parquet(s"$stage/b0")
+    Seq((7L, Seq(0.05, 0.05, 0.05, 0.05))).toDF("cid", "centroid")
+      .coalesce(1).write.parquet(s"$stage/coarse")
+    Commits.commit(spark, stage, 0L)
+    Commits.clear(spark, dir)
+    intercept[IllegalArgumentException] { rows(0) }  // visibly dead
+    Similarity.pqStoreVacuumIncremental(spark, dir): Unit  // repairs
+    assert(rows(0) == want)
+    // The staged coarse moved with the rows: one cell, every query
+    // routes to it, so nprobe=1 now equals the full scan.
+    assert(spark.read.parquet(s"$dir/coarse").count() == 1)
+    assert(rows(1) == want,
+      "staged coarse did not move with the re-stamped rows")
+    assert(!fs.exists(new Path(stage)))
+  }
+
   test("pqStoreStats reports live/superseded/tombstone shape") {
     val dir = java.nio.file.Files
       .createTempDirectory("pq-stats").toString + "/store"
