@@ -741,6 +741,7 @@ object LlmQueries {
       ivfPqStoreProbe),
     "sim_pq_rerank_topk" -> BenchPhases(pqRerankBuild, pqRerankProbe),
     "search_hybrid_rrf_pq" -> BenchPhases(hybridPqBuild, hybridPqProbe),
+    "sim_pq_reroute_topk" -> BenchPhases(pqRerouteBuild, pqRerouteProbe),
   )
 
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
@@ -1339,6 +1340,82 @@ object LlmQueries {
        |WHERE rnk <= $topk
        |ORDER BY qid, rnk""".stripMargin
   }
+
+  /** Generated oracle for sim_pq_reroute_topk: the store builds
+    * UNROUTED (per-subspace chains over `e`), then the reroute trains
+    * the coarse quantizer on the code RECONSTRUCTIONS (each id's
+    * per-subspace centroids concatenated — `recon`), stamps every live
+    * row's cell from its reconstruction, and the probe routes each
+    * query by its REAL vector to its nprobe nearest reconstruction-
+    * trained cells. The ADC scores themselves still come from the
+    * untouched subspace codebooks — routing from quantized data prunes
+    * candidates, never perturbs distances.
+    */
+  private lazy val PqRerouteSql: String = {
+    val (m, sub, codes, nq, topk) = (4, 16, 8, 10, 5)
+    val (ncells, nprobe) = (16, 2)
+    val per = (0 until m).map { j =>
+      val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+      pqChainSql(j, lo, hi, codes) + ",\n" +
+        s"""p$j AS (
+           |  SELECT cd.qid, cd.cid, ${sqlD2("qe.v", "cb.v")} AS d2
+           |  FROM cand cd
+           |  JOIN a$j a ON a.id = cd.cid
+           |  JOIN c${j}1 cb ON cb.cid = a.code
+           |  JOIN e$j qe ON qe.id = cd.qid)""".stripMargin
+    }.mkString(",\n")
+    val reconJoins = (1 until m).map(j =>
+      s"  JOIN a$j ON a$j.id = a0.id JOIN c${j}1 r$j ON r$j.cid = a$j.code")
+      .mkString("\n")
+    val reconCat = (1 until m).map(j => s"r$j.v").mkString(" || ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$per,
+       |recon AS (
+       |  SELECT a0.id, r0.v || $reconCat AS v
+       |  FROM a0 JOIN c01 r0 ON r0.cid = a0.code
+       |$reconJoins),
+       |cc0 AS (SELECT id AS ccid, v FROM recon ORDER BY id LIMIT $ncells),
+       |cd1 AS (
+       |  SELECT r.id, c.ccid,
+       |    row_number() OVER (PARTITION BY r.id
+       |      ORDER BY ${sqlD2("r.v", "c.v")}, c.ccid) AS rn
+       |  FROM recon r, cc0 c),
+       |cm AS (
+       |  SELECT a.ccid, u.dim, avg(u.x) AS x
+       |  FROM (SELECT id, ccid FROM cd1 WHERE rn = 1) a
+       |  JOIN (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+       |        FROM recon) u USING (id)
+       |  GROUP BY a.ccid, u.dim),
+       |cc1 AS (SELECT ccid, list(x ORDER BY dim) AS v FROM cm GROUP BY ccid),
+       |cells AS (
+       |  SELECT id, ccid AS cell FROM (
+       |    SELECT r.id, c.ccid,
+       |      row_number() OVER (PARTITION BY r.id
+       |        ORDER BY ${sqlD2("r.v", "c.v")}, c.ccid) AS rn
+       |    FROM recon r, cc1 c) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, ccid AS cell FROM (
+       |    SELECT e.id AS qid, c.ccid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${sqlD2("e.v", "c.v")}, c.ccid) AS rn
+       |    FROM e, cc1 c WHERE e.id < $nq) t WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.qid, c.id AS cid FROM probes p JOIN cells c USING (cell)
+       |  WHERE c.id <> p.qid),
+       |""".stripMargin + pqTotalSql(topk)
+  }
+
+  private def pqRerouteBuild(s: SparkSession, d: String): Unit = {
+    val dir = storeDir("pq-rr2") + "/store"
+    Similarity.pqStoreBuild(embOf(s, d), dir, m = 4, subDims = 16,
+      codes = 8, iters = 2)
+    Similarity.pqStoreReroute(s, dir, cells = 16)
+  }
+
+  private def pqRerouteProbe(s: SparkSession, d: String): DataFrame =
+    Similarity.pqStoreTopK(s, storePath("pq-rr2") + "/store",
+        embOf(s, d).filter(col("id") < 10), k = 5, nprobe = 2)
+      .presentSorted(col("qid"), col("rnk"))
 
   /** Verified-pair -> transitive-component chain shared by the cluster
     * oracles: Jaccard-verified pairs from `cand`/`hset`, symmetric edge
@@ -3284,6 +3361,19 @@ object LlmQueries {
     QueryDef("sim_pq_rerank_topk", PqRerankSql) { (s, d) =>
       pqRerankBuild(s, d)
       pqRerankProbe(s, d)
+    },
+
+    // PQ store COARSE REROUTE (Similarity.pqStoreReroute): an UNROUTED
+    // store is upgraded in place — the coarse quantizer trains on the
+    // code RECONSTRUCTIONS (the floats never existed in the store),
+    // every live row is re-stamped, and the routed probe then serves
+    // nprobe=2 of the 16 new cells. This is how cells grow with the
+    // corpus at 100 TB without re-reading it; the oracle re-derives
+    // the reconstruction k-means, the stamps, the real-vector query
+    // routing, and the untouched ADC scores bit-for-bit.
+    QueryDef("sim_pq_reroute_topk", PqRerouteSql) { (s, d) =>
+      pqRerouteBuild(s, d)
+      pqRerouteProbe(s, d)
     },
 
     // BM25 keyword search (operators.Search.bm25TopK): ranked retrieval
