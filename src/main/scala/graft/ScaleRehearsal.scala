@@ -302,6 +302,20 @@ object ScaleRehearsal {
         Similarity.pqStoreTopK(spark, pqStore, queryVecs, k = 3,
           nprobe = 2)
       }
+      // Coarse REROUTE at a doubled cell count — the grows-with-the-
+      // corpus lever: Lloyd on a fixed-size sample of the code
+      // RECONSTRUCTIONS plus one full live-rows rewrite (corpus-linear
+      // by design — offline maintenance, like the full vacuum it
+      // composes). The probe after proves routing still serves.
+      timed(r, "pq_store_reroute_32") {
+        Similarity.pqStoreReroute(spark, pqStore, cells = 32,
+          trainPerMille = math.max(1, 1000 / r))
+        -1L
+      }
+      probe(r, "probe_pq_routed_post_reroute") {
+        Similarity.pqStoreTopK(spark, pqStore, queryVecs, k = 3,
+          nprobe = 2)
+      }
       }
 
       if (phases.contains("stores")) {
