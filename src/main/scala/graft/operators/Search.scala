@@ -980,11 +980,6 @@ object Search {
       kEach: Int = 20, rrfK: Int = 60,
       multiprobe: Boolean = false,
       annPartDir: Option[String] = None): DataFrame = {
-    val bm = bm25FromIndexTopK(spark, indexDir, queryTerms, kEach)
-      .withColumn("r_bm25", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("score_1e6").desc, col("doc_id"))))
-      .select(col("doc_id"), col("r_bm25"))
     val annTop =
       if (multiprobe) graft.operators.Similarity
         .annStoreTopKProbed(spark, annDir, queryVec, planes, dims, kEach)
@@ -992,7 +987,26 @@ object Search {
         .annStoreTopKAuto(spark, annDir, queryVec, planes, dims, kEach,
           partDir = annPartDir)
     val ann = annTop.select(col("cid").as("doc_id"), col("rnk").as("r_ann"))
-    bm.join(ann, Seq("doc_id"), "full_outer")
+    rrfFuseWithBm25(spark, indexDir, queryTerms, ann, k, kEach, rrfK)
+  }
+
+  /** Shared fusion tail of every hybrid retriever: rank the BM25
+    * top-`kEach` list, full-outer join the dense side's (doc_id,
+    * r_ann) ranks, and sum the oracle-pinned RRF micro-units
+    * `round(1e6/(rrfK + rank))` per present side, exact BIGINTs. One
+    * definition so the hybrids can never silently diverge on the
+    * fusion formula; both inputs are top-`kEach` lists, so the join is
+    * constant-size whatever the corpus.
+    */
+  private def rrfFuseWithBm25(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryTerms: Seq[String], dense: DataFrame,
+      k: Int, kEach: Int, rrfK: Int): DataFrame = {
+    val bm = bm25FromIndexTopK(spark, indexDir, queryTerms, kEach)
+      .withColumn("r_bm25", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_1e6").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_bm25"))
+    bm.join(dense, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         (coalesce(round(lit(1e6) / (lit(rrfK) + col("r_bm25")))
           .cast("long"), lit(0L)) +
@@ -1017,22 +1031,37 @@ object Search {
       indexDir: String, pqDir: String, queryTerms: Seq[String],
       queryVec: DataFrame, k: Int, kEach: Int = 20, rrfK: Int = 60,
       nprobe: Int = 0): DataFrame = {
-    val bm = bm25FromIndexTopK(spark, indexDir, queryTerms, kEach)
-      .withColumn("r_bm25", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("score_1e6").desc, col("doc_id"))))
-      .select(col("doc_id"), col("r_bm25"))
     val pq = graft.operators.Similarity
       .pqStoreTopK(spark, pqDir, queryVec, kEach, nprobe)
       .select(col("cid").as("doc_id"), col("rnk").as("r_ann"))
-    bm.join(pq, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        (coalesce(round(lit(1e6) / (lit(rrfK) + col("r_bm25")))
-          .cast("long"), lit(0L)) +
-          coalesce(round(lit(1e6) / (lit(rrfK) + col("r_ann")))
-            .cast("long"), lit(0L))).as("rrf_1e6"))
-      .orderBy(col("rrf_1e6").desc, col("doc_id"))
-      .limit(k)
+    rrfFuseWithBm25(spark, indexDir, queryTerms, pq, k, kEach, rrfK)
+  }
+
+  /** PRODUCTION hybrid retrieval — BM25 fused with the PQ store's
+    * ADC→EXACT-RERANK list instead of the raw ADC list: the routed
+    * ADC probe nominates `kCand` candidates per query from code ids
+    * alone, only those candidates' float vectors load for an exact
+    * squared-L2 top-`kEach`
+    * ([[graft.operators.Similarity.pqStoreRerankTopK]]), and THAT
+    * exact-ordered list fuses with the BM25 ranks under the shared
+    * RRF tail. The dense rank the fusion consumes is therefore free
+    * of quantization rank noise — the retrieval stack's production
+    * shape (coarse route → ADC shortlist → exact rerank → fuse) —
+    * while every join stays candidate-sized: kCand code rows and
+    * kCand float vectors per query, never a corpus scan.
+    *
+    * `vecs` is the float-vector side for the rerank (id, vec) —
+    * typically the same embedding table the ANN store was loaded
+    * from; it is dims-gated and id-deduped by the rerank.
+    */
+  def hybridTopKPqRerank(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, pqDir: String, queryTerms: Seq[String],
+      queryVec: DataFrame, vecs: DataFrame, kCand: Int, k: Int,
+      kEach: Int = 20, rrfK: Int = 60, nprobe: Int = 0): DataFrame = {
+    val dense = graft.operators.Similarity
+      .pqStoreRerankTopK(spark, pqDir, queryVec, vecs, kCand, kEach, nprobe)
+      .select(col("cid").as("doc_id"), col("rnk").as("r_ann"))
+    rrfFuseWithBm25(spark, indexDir, queryTerms, dense, k, kEach, rrfK)
   }
 
   /** EXACT-PHRASE top-k answered FROM the standing index — the

@@ -741,6 +741,8 @@ object LlmQueries {
       ivfPqStoreProbe),
     "sim_pq_rerank_topk" -> BenchPhases(pqRerankBuild, pqRerankProbe),
     "search_hybrid_rrf_pq" -> BenchPhases(hybridPqBuild, hybridPqProbe),
+    "search_hybrid_rrf_pq_rerank" -> BenchPhases(hybridPqRerankBuild,
+      hybridPqRerankProbe),
     "sim_pq_reroute_topk" -> BenchPhases(pqRerouteBuild, pqRerouteProbe),
   )
 
@@ -971,6 +973,50 @@ object LlmQueries {
       storePath("hyb-pq-p") + "/store",
       Seq("spark", "vector", "stream", "merge"),
       embOf(s, d).filter(col("id") === 5L), k = 10, nprobe = 2)
+
+  /** [[HybridRrfPqSql]] with the dense list EXACT-RERANKED before the
+    * fusion: the routed ADC chain's `rk` ranking becomes the kCand=20
+    * candidate nomination, the exact squared-L2 re-scores only those
+    * candidates (rounded to 4 like every store probe, ranked on the
+    * rounded value), and the RRF tail fuses the rerank's top-20 ranks
+    * — the oracle for the production coarse-route → ADC shortlist →
+    * exact rerank → fuse stack.
+    */
+  private lazy val HybridRrfPqRerankSql: String = {
+    val bmChain = Bm25IndexSql.substring(0,
+      Bm25IndexSql.lastIndexOf("SELECT doc_id, n_matched"))
+    val pqChain0 = IvfPqStoreSql
+      .replace("WITH e AS (", ",e AS (")
+      .replace("WHERE rn <= 2 AND id < 10", "WHERE rn <= 2 AND id = 5")
+    val pqChain = pqChain0.substring(0,
+      pqChain0.lastIndexOf("SELECT qid, cid, approx_d2, rnk"))
+    val rerank =
+      """,adcc AS (SELECT qid, cid FROM rk WHERE rnk <= 20),
+        |exd AS (
+        |  SELECT a.qid, a.cid,
+        |    round(list_inner_product(q.v,q.v) + list_inner_product(x.v,x.v)
+        |      - 2*list_inner_product(q.v,x.v), 4) AS d2
+        |  FROM adcc a JOIN e q ON q.id = a.qid JOIN e x ON x.id = a.cid),
+        |rr AS (SELECT qid, cid,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY d2, cid) AS rnk
+        |       FROM exd)""".stripMargin
+    bmChain + pqChain + rerank +
+      RrfFusionTail.replace("FROM r WHERE rnk", "FROM rr WHERE rnk")
+  }
+
+  private def hybridPqRerankBuild(s: SparkSession, d: String): Unit = {
+    idxBuild("hyb-pqr-i")(s, d)
+    Similarity.pqStoreBuild(embOf(s, d), storeDir("hyb-pqr-p") + "/store",
+      m = 4, subDims = 16, codes = 8, iters = 2, cells = 16): Unit
+  }
+
+  private def hybridPqRerankProbe(s: SparkSession, d: String): DataFrame =
+    Search.hybridTopKPqRerank(s, storePath("hyb-pqr-i") + "/index",
+      storePath("hyb-pqr-p") + "/store",
+      Seq("spark", "vector", "stream", "merge"),
+      embOf(s, d).filter(col("id") === 5L), embOf(s, d),
+      kCand = 20, k = 10, kEach = 20, nprobe = 2)
 
   /** [[HybridRrfSql]] with the ANN side replaced by the MULTI-PROBE
     * chain — the oracle for hybrid fusion with the recall lever on.
@@ -3196,14 +3242,15 @@ object LlmQueries {
     },
 
     // K-means semantic clustering (Similarity.kmeansAssign): two Lloyd
-    // rounds from deterministic seeds (vectors with id < 4, cluster id
-    // = seed id), distances via the inner-product identity so both
+    // rounds from deterministic seeds (the 4 lowest-id vectors —
+    // ORDER BY id LIMIT 4, same rule as every Lloyd codebook, cluster
+    // id = seed id), distances via the inner-product identity so both
     // engines evaluate the same float expression; per-cluster size and
     // mean squared distance. The oracle unrolls both rounds as CTEs.
     QueryDef(
       "sim_kmeans_clusters",
       """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c0 AS (SELECT id AS cid, v FROM e WHERE id < 4),
+        |c0 AS (SELECT id AS cid, v FROM e ORDER BY id LIMIT 4),
         |d1 AS (
         |  SELECT e.id, c.cid,
         |    list_inner_product(e.v, e.v) + list_inner_product(c.v, c.v)
@@ -3505,6 +3552,22 @@ object LlmQueries {
       HybridRrfPqSql) { (s, d) =>
       hybridPqBuild(s, d)
       hybridPqProbe(s, d)
+    },
+
+    // PRODUCTION hybrid retrieval — BM25 fused with the PQ store's
+    // ADC→EXACT-RERANK list (Search.hybridTopKPqRerank): the routed
+    // ADC probe (cells=16, nprobe=2) nominates 20 candidates per query
+    // from code ids alone, only those 20 float vectors load for the
+    // exact squared-L2 rerank, and THAT exact-ordered top-20 fuses
+    // with the BM25 ranks — coarse route → ADC shortlist → exact
+    // rerank → fuse, every join candidate-sized. The oracle extends
+    // the routed-PQ hybrid chain with the exact-rerank CTEs before the
+    // shared RRF tail.
+    QueryDef(
+      "search_hybrid_rrf_pq_rerank",
+      HybridRrfPqRerankSql) { (s, d) =>
+      hybridPqRerankBuild(s, d)
+      hybridPqRerankProbe(s, d)
     },
 
     // BM25 probe over the TERM-BUCKETED postings layout — the 100-TB

@@ -894,13 +894,15 @@ object Streams {
     *   4. standing PQ store
     *      ([[graft.operators.Similarity.pqStoreAppend]]) — quantized
     *      retrieval, when the batch carries `vecCol` AND `pqDir` is
-    *      set. The FIRST embedding-bearing delivery against an
-    *      uncommitted store TRAINS the codebook
-    *      ([[graft.operators.Similarity.pqStoreBuild]], train-once,
-    *      m = `pqM` subspaces over the same `dims` as the ANN store,
-    *      `pqCodes` codes each) — deliver a representative batch first
-    *      or pre-build the store offline; every later delivery encodes
-    *      with the pinned codebook. A crash between the codebook write
+    *      set. The first delivery carrying at least `pqCodes` distinct
+    *      embedding ids against an uncommitted store TRAINS the
+    *      codebook ([[graft.operators.Similarity.pqStoreBuild]],
+    *      train-once, m = `pqM` subspaces over the same `dims` as the
+    *      ANN store, `pqCodes` codes each) — deliver a representative
+    *      batch first or pre-build the store offline; vector-poor
+    *      deliveries before that DEFER training (the PQ surface stays
+    *      unbuilt rather than poison-pilling the batch); every later
+    *      delivery encodes with the pinned codebook. A crash between the codebook write
     *      and its generation commit redelivers into the build path,
     *      which overwrites the codebook and converges;
     *   5. standing CHUNK store ([[chunkIngestBatch]]) — the passage
@@ -953,10 +955,24 @@ object Streams {
           require(dims % pqM == 0,
             s"fan-out PQ surface needs dims divisible by pqM, " +
               s"got dims=$dims pqM=$pqM")
-          if (graft.sources.Commits.committed(spark, pd).isEmpty)
-            graft.operators.Similarity.pqStoreBuild(vecsOf(v), pd,
+          if (graft.sources.Commits.committed(spark, pd).isEmpty) {
+            // Codebook training needs at least pqCodes distinct seed
+            // vectors (lloydCentroids fails loudly below that). A
+            // vector-poor first delivery must NOT become a poison pill
+            // — under a streaming sink the failed batch would redeliver
+            // and fail forever — so training DEFERS to the first
+            // delivery carrying >= pqCodes embedding ids; until then
+            // the batch advances the other surfaces and the PQ surface
+            // stays unbuilt (its vectors are safe in the ANN store and
+            // can be backfilled by an offline pqStoreBuild, or arrive
+            // again on a redelivery). The probe is a limit-pqCodes
+            // count over the already-persisted batch — O(pqCodes).
+            val seedIds = vecsOf(v).select(col("id"))
+              .dropDuplicates("id").limit(pqCodes).count()
+            if (seedIds < pqCodes) 0L
+            else graft.operators.Similarity.pqStoreBuild(vecsOf(v), pd,
               m = pqM, subDims = dims / pqM, codes = pqCodes, iters = 2)
-          else graft.operators.Similarity.pqStoreAppend(vecsOf(v), pd)
+          } else graft.operators.Similarity.pqStoreAppend(vecsOf(v), pd)
         case _ => 0L
       }
       val nChunk = chunkDir.fold(0L)(d =>

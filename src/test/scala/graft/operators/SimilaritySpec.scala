@@ -68,7 +68,7 @@ class SimilaritySpec extends SparkSpec {
     assert(w.forall(x => x == 1.0 || x == -1.0))
   }
 
-  test("kmeansAssign: seeds from id<k, converged toy clusters") {
+  test("kmeansAssign: seeds from k lowest ids, converged toy clusters") {
     // Two tight groups around (0,0) and (10,10); seeds 0 and 1 start
     // one in each group, so two Lloyd rounds settle exactly.
     val pts = Seq(
@@ -84,6 +84,29 @@ class SimilaritySpec extends SparkSpec {
     val d2s = Similarity.kmeansAssign(pts, k = 2, iters = 2)
       .select("d2").as[Double].collect()
     assert(d2s.forall(_ < 0.1))
+  }
+
+  test("kmeansAssign: sparse ids seed from the k lowest; short corpus " +
+      "fails loudly") {
+    // Ids nowhere near dense 0-based (hash-id corpora): the old
+    // `id < k` seed filter would silently train ZERO clusters here;
+    // the shared ORDER BY id LIMIT k rule seeds the two lowest ids
+    // (100 and 200) — one in each toy group.
+    val pts = Seq(
+      (100L, Seq(0.0f, 0.1f)), (200L, Seq(10.0f, 10.0f)),
+      (300L, Seq(0.1f, 0.0f)), (400L, Seq(10.1f, 9.9f)))
+      .toDF("id", "vec")
+    val got = Similarity.kmeansAssign(pts, k = 2, iters = 2)
+      .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(100L -> 100L, 300L -> 100L,
+      200L -> 200L, 400L -> 200L), s"got $got")
+    // Fewer vectors than k must fail LOUDLY instead of silently
+    // under-clustering.
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansAssign(pts.filter(col("id") === 100L),
+        k = 2, iters = 2)
+    }
+    assert(e.getMessage.contains("cannot seed"), s"got ${e.getMessage}")
   }
 
   test("pqTopK: per-subspace codes, ADC ordering, self excluded") {
@@ -456,6 +479,29 @@ class SimilaritySpec extends SparkSpec {
     assert(!fs.exists(new Path(stage)))
   }
 
+  test("pqStoreReroute repairs a crashed swap before its sweep") {
+    import graft.sources.Commits
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-reroute-rep").toString + "/store"
+    Similarity.pqStoreBuild(pqPts, dir, m = 2, subDims = 2, codes = 2,
+      iters = 2)
+    // Crashed-vacuum window: stage complete (rows copy + staged
+    // ledger), live ledger dropped, nothing moved. Every maintenance
+    // entry point must complete this swap FIRST — a reroute that read
+    // before repairing would die on a misleading "no committed build".
+    val stage = s"$dir/_vacuum"
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/rows").write.parquet(s"$stage/b0")
+    Commits.commit(spark, stage, 0L)
+    Commits.clear(spark, dir)
+    Similarity.pqStoreReroute(spark, dir, cells = 2)
+    val q = Seq((2L, Seq(0.1f, 0.0f, 0.0f, 0.1f))).toDF("id", "vec")
+    val got = Similarity.pqStoreTopK(spark, dir, q, k = 5, nprobe = 2)
+      .select("cid").as[Long].collect().toSet
+    assert(got == Set(0L, 1L, 3L, 4L),
+      s"repaired+rerouted store must answer the full corpus: $got")
+  }
+
   test("pqStoreStats reports live/superseded/tombstone shape") {
     val dir = java.nio.file.Files
       .createTempDirectory("pq-stats").toString + "/store"
@@ -507,6 +553,25 @@ class SimilaritySpec extends SparkSpec {
         kCand = 4, k = 3, nprobe = 2).collect().toSet ==
       Similarity.pqStoreRerankTopK(spark, routedDir, q, pqPts,
         kCand = 4, k = 3).collect().toSet)
+    // vecs-side hygiene: duplicate ids must not occupy multiple ranks
+    // (the candidate join would emit one row per copy) ...
+    val dedup = Similarity.pqStoreRerankTopK(spark, dir, q,
+        pqPts.unionByName(pqPts), kCand = 4, k = 3)
+      .select("cid", "rnk").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(dedup.map(_._1) == Seq(0L, 4L, 1L),
+      s"duplicate vecs ids corrupted the rank list: $dedup")
+    // ... and a wrong-dims candidate vector raises instead of zipping
+    // to a NULL d2 that ASC NULLS FIRST would silently rank FIRST.
+    val badVecs = pqPts.filter(col("id") =!= 1L)
+      .unionByName(Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "vec"))
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    val e = intercept[Throwable] {
+      Similarity.pqStoreRerankTopK(spark, dir, q, badVecs,
+        kCand = 4, k = 3).collect()
+    }
+    assert(chain(e).exists(m =>
+      m != null && m.contains("pqStoreRerankTopK")), s"got $e")
   }
 
   test("centroidOutliers: farthest members per group, exact centroid") {

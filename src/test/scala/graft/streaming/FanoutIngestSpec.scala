@@ -483,4 +483,40 @@ class FanoutIngestSpec extends SparkSpec {
       chunkDocs.select("doc_id").distinct().count())
     assert(chunkDocs.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
+
+  test("fanoutIngestBatch defers PQ codebook training on vector-poor " +
+      "deliveries instead of poison-pilling the batch") {
+    val root = java.nio.file.Files.createTempDirectory("fanout-pqd").toString
+    val (storeDir, indexDir, annDir, pqDir) =
+      (s"$root/store", s"$root/index", s"$root/ann", s"$root/pq")
+    def deliver(batchId: Long, rows: Seq[(Long, String, Seq[Float])]) =
+      Streams.fanoutIngestBatch(rows.toDF("doc_id", "text", "vec"),
+        batchId, storeDir, indexDir, annDir, "doc_id", "text",
+        vecCol = Some("vec"), planes = 2, dims = 2,
+        pqDir = Some(pqDir), pqM = 2, pqCodes = 2)
+    // Delivery 1 carries NO vectors — before the deferral this crashed
+    // the whole batch inside lloydCentroids (a streaming sink would
+    // redeliver and fail forever). It must advance the doc/index
+    // surfaces and leave the PQ store unbuilt.
+    val r1 = deliver(0L, Seq((1L, "spark engine", null)))
+    assert(r1 == ((1L, 0L, 0L, 0L)), s"got $r1")
+    assert(graft.sources.Commits.committed(spark, pqDir).isEmpty,
+      "a vector-less delivery must not commit a PQ build")
+    // Delivery 2 carries ONE embedding id — still under pqCodes=2,
+    // still deferred (a 1-vector Lloyd seed set would also throw).
+    val r2 = deliver(1L, Seq((2L, "vector merge", Seq(0.0f, 1.0f))))
+    assert(r2 == ((1L, 1L, 0L, 0L)), s"got $r2")
+    assert(graft.sources.Commits.committed(spark, pqDir).isEmpty)
+    // Delivery 3 carries two distinct embedding ids — trains the
+    // codebook and encodes both.
+    val r3 = deliver(2L, Seq(
+      (3L, "stream sort", Seq(1.0f, 1.0f)),
+      (4L, "merge spark", Seq(1.0f, 0.0f))))
+    assert(r3 == ((2L, 2L, 2L, 0L)), s"got $r3")
+    assert(graft.sources.Commits.committed(spark, pqDir).nonEmpty)
+    val hits = Similarity.pqStoreTopK(spark, pqDir,
+        Seq((101L, Seq(0.9f, 0.9f))).toDF("id", "vec"), k = 2)
+      .select("cid").as[Long].collect().toSet
+    assert(hits == Set(3L, 4L), s"trained store must answer: $hits")
+  }
 }
