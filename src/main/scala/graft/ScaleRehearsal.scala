@@ -44,7 +44,8 @@ import org.apache.spark.sql.functions._
   *   cb_paragraph_dedup  8-token units, first-occurrence global dedup
   *
   * `SPARK_GRAFT_PHASES` (comma list of `stores`, `ann`, `dedup`,
-  * `corpus`; default `stores,corpus`) selects the phase families —
+  * `corpus`, `gram`, `pq`, `fanout`; default `stores,corpus`)
+  * selects the phase families —
   * the corpus-build sweep, the ANN lifecycle, or the near-dup
   * clustering trio can each run on their own (against reused
   * fixtures, `SPARK_GRAFT_REUSE=1`) without rebuilding everything.
@@ -62,7 +63,8 @@ object ScaleRehearsal {
     // `stores` = the full lifecycle (bm25 + ann + dedup); `ann` and
     // `dedup` re-run just their family against reused fixtures, so a
     // targeted re-measurement does not pay the bm25 build/vacuum tax.
-    val known = Set("stores", "ann", "dedup", "corpus", "gram", "pq")
+    val known = Set("stores", "ann", "dedup", "corpus", "gram", "pq",
+      "fanout")
     require(phases.nonEmpty && phases.subsetOf(known),
       s"SPARK_GRAFT_PHASES must name ${known.mkString("/")}, " +
         s"got: ${phases.mkString(",")}")
@@ -624,6 +626,67 @@ object ScaleRehearsal {
       timed(r, "substring_store_compact_8waves") {
         graft.streaming.Streams
           .substringStoreCompact(spark, sStore, maxBatches = 4).toLong
+      }
+      }
+
+      if (phases.contains("fanout")) {
+      // ---- COMPOSED seven-surface production cadence: the gated
+      // fan-out (span gate -> merge store + inverted index + ANN + PQ
+      // + chunk store + chunk-vector store) is the most expensive
+      // bench row, and its 1x-1000x shape was previously only INFERRED
+      // from its component stores. Build the composed stores from the
+      // scaled corpus once (fanout_build — corpus-linear, all seven
+      // builds in one call), then price the production cadence against
+      // the GROWN stores: a FIXED 500-doc gated ingest wave, the same
+      // wave redelivered (the all-duplicate no-op a dedup gate exists
+      // for), a FIXED 300-id composed takedown, the composed
+      // incremental maintenance pass, and the passage-retrieval probe.
+      // Every fixed-wave line must stay ~flat; only fanout_build may
+      // grow with R.
+      import graft.streaming.Streams
+      val fRoot = s"$root/fanout"
+      fs.delete(new org.apache.hadoop.fs.Path(fRoot), true): Unit
+      val (fst, fix, fan, fgr) = (s"$fRoot/store", s"$fRoot/index",
+        s"$fRoot/ann", s"$fRoot/gram")
+      val (fpq, fck, fcv) = (s"$fRoot/pq", s"$fRoot/chunks",
+        s"$fRoot/ckvec")
+      val fvec = transform(sequence(lit(0), lit(7)),
+        i => ((col("doc_id") * (i + lit(3))) % 11).cast("float"))
+      def gatedWave(batch: DataFrame, id: Long) =
+        graft.streaming.Streams.fanoutIngestBatchGated(batch, id, fst,
+          fix, fan, fgr, "doc_id", "text", Some("vec"), planes = 8,
+          dims = 8, k = 8, pqDir = Some(fpq), chunkDir = Some(fck),
+          chunkVecDir = Some(fcv),
+          chunkVecTrainPerMille = math.max(1, 1000 / r))
+      timed(r, "fanout_build_gated") {
+        val (_, _, _, _, _, v) = gatedWave(
+          docs.select(col("doc_id"), col("text"), fvec.as("vec")), 0L)
+        v
+      }
+      val ingestWave = Tables.documents(spark, sfDir).limit(500)
+        .select((col("doc_id") + 400000000000L).as("doc_id"),
+          concat(concat_ws(" ", slice(
+              graft.functions.TextFunctions.tokens(col("text")), 1, 16)),
+            lit(" fanout wave tail "), col("doc_id")).as("text"))
+        .select(col("doc_id"), col("text"), fvec.as("vec"))
+      timed(r, "fanout_ingest_500") { gatedWave(ingestWave, 1L)._2 }
+      timed(r, "fanout_redeliver_500") { gatedWave(ingestWave, 1L)._2 }
+      timed(r, "fanout_takedown_300") {
+        Streams.fanoutDeleteBatch(
+          docs.limit(300).select(col("doc_id")), 2L, fst, fix, fan,
+          chunkDir = Some(fck), pqDir = Some(fpq),
+          chunkVecDir = Some(fcv))._2
+      }
+      timed(r, "fanout_vacuum_incr") {
+        Streams.fanoutVacuum(spark, fst, fix, fan, keepStates = 3,
+          incremental = true, chunkDir = Some(fck),
+          maxBatches = Some(8), pqDir = Some(fpq),
+          chunkVecDir = Some(fcv)).size.toLong
+      }
+      probe(r, "probe_passage_routed") {
+        Streams.passageTopK(spark, fcv,
+          "spark vector stream merge pipeline", dims = 16,
+          kPassages = 50, kDocs = 10, nprobe = 2)
       }
       }
     }

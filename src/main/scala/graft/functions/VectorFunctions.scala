@@ -57,4 +57,38 @@ object VectorFunctions {
     */
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
+
+  /** One 60-bit stable hash per token (`stableHash64("cv:" || token)`)
+    * — the per-token randomness source for [[signedBowVector]],
+    * computed ONCE per token so the per-dimension signs below read
+    * bits instead of re-hashing. Identical in SQL as
+    * `('0x' || substr(md5('cv:' || tok), 1, 15))::BIGINT`.
+    */
+  def tokenSignHashes(tokens: Column): Column =
+    transform(tokens, t =>
+      HashFunctions.stableHash64(concat(lit("cv:"), t)))
+
+  /** Signed bag-of-words RANDOM PROJECTION of a token-hash array into
+    * `dims` dimensions: dimension d sums, over the tokens WITH
+    * multiplicity, +1 when bit d of the token's stable hash is set and
+    * -1 otherwise — the classic SimHash-style dense featurization, the
+    * deterministic stand-in for a learned text embedding that both
+    * engines can compute bit-identically (every dimension is an exact
+    * small integer, so the sum is order-free; SQL mirrors it as
+    * `sum(CASE WHEN (h >> d) & 1 = 1 THEN 1 ELSE -1 END)::DOUBLE`).
+    *
+    * 100 TB shape: one md5 per token ([[tokenSignHashes]]) plus
+    * `dims` in-row integer folds — a pure narrow projection, no
+    * shuffle, no UDF, stays inside whole-stage codegen. `dims <= 60`
+    * (the hash's usable bits).
+    */
+  def signedBowVector(hashes: Column, dims: Int): Column = {
+    require(dims >= 1 && dims <= 60,
+      s"signedBowVector dims must be in [1, 60], got $dims")
+    array((0 until dims).map { d =>
+      aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, d) % 2 === 1, 1L).otherwise(-1L))
+        .cast("double")
+    }: _*)
+  }
 }

@@ -377,13 +377,15 @@ object LlmQueries {
     def gated(batch: org.apache.spark.sql.DataFrame, id: Long) =
       graft.streaming.Streams.fanoutIngestBatchGated(batch, id, st, ix,
         an, gr, "doc_id", "text", Some("vec"), planes = 8, dims = 8,
-        pqDir = Some(pq), chunkDir = Some(ck))
+        pqDir = Some(pq), chunkDir = Some(ck),
+        chunkVecDir = Some(s"$root/ckvec"))
     val wave1 = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), fanoutVec.as("vec"))
-    val (g1, i1, a1, p1, c1) = gated(wave1, 0L)
-    require(g1 > 0 && g1 == i1 && g1 == a1 && g1 == p1 && g1 == c1,
+    val (g1, i1, a1, p1, c1, v1) = gated(wave1, 0L)
+    require(g1 > 0 && g1 == i1 && g1 == a1 && g1 == p1 && g1 == c1 &&
+      v1 >= c1,
       s"wave-1 fan-out diverged across stores: gate=$g1 idx=$i1 " +
-        s"ann=$a1 pq=$p1 chunks=$c1")
+        s"ann=$a1 pq=$p1 chunks=$c1 ckvec=$v1")
     val docs = Tables.documents(s, d)
     val wave2 = docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
@@ -394,7 +396,7 @@ object LlmQueries {
       .select(col("doc_id"), col("text"), fanoutVec.as("vec"))
     gated(wave2, 1L)
     val again = gated(wave2, 1L)
-    require(again == ((0L, 0L, 0L, 0L, 0L)),
+    require(again == ((0L, 0L, 0L, 0L, 0L, 0L)),
       s"wave-2 redelivery must no-op on every store, got $again")
   }
 
@@ -422,18 +424,26 @@ object LlmQueries {
     val ck = graft.streaming.Streams.chunkStoreRead(s, s"$root/chunks")
       .get.select(col("doc_id")).dropDuplicates("doc_id")
       .withColumn("__in_ck", lit(true))
+    val ckv = Similarity.pqStoreLiveIds(s, s"$root/ckvec")
+      .select(expr(
+        s"id div ${graft.streaming.Streams.ChunkVecSeqLimit}")
+        .as("doc_id"))
+      .dropDuplicates("doc_id")
+      .withColumn("__in_ckv", lit(true))
     store.join(merge, Seq("doc_id"), "left")
       .join(idx, Seq("doc_id"), "left")
       .join(ann, Seq("doc_id"), "left")
       .join(pq, Seq("doc_id"), "left")
       .join(ck, Seq("doc_id"), "left")
+      .join(ckv, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
         col("n_removed"), col("clean_md5"),
         (col("__merge_md5") === col("clean_md5")).as("merge_ok"),
         coalesce(col("__in_idx"), lit(false)).as("in_index"),
         coalesce(col("__in_ann"), lit(false)).as("in_ann"),
         coalesce(col("__in_pq"), lit(false)).as("in_pq"),
-        coalesce(col("__in_ck"), lit(false)).as("in_chunks"))
+        coalesce(col("__in_ck"), lit(false)).as("in_chunks"),
+        coalesce(col("__in_ckv"), lit(false)).as("in_chunk_vecs"))
       .presentSorted(col("doc_id"))
   }
 
@@ -455,18 +465,19 @@ object LlmQueries {
       graft.streaming.Streams.fanoutIngestBatchNeardupGated(batch, id,
         st, ix, an, gr, nd, "doc_id", "text", Some("vec"),
         planes = 8, dims = 8, pqDir = Some(s"$root/pq"),
-        chunkDir = Some(s"$root/chunks"))
+        chunkDir = Some(s"$root/chunks"),
+        chunkVecDir = Some(s"$root/ckvec"))
     // Half the corpus: the composition's lifecycle (two waves +
     // redelivery through TWO gates and five stores) prices at the
     // span-gated sibling's level instead of doubling it, with
     // identical semantics exercised.
     val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
     val wave1 = docs.select(col("doc_id"), col("text"), fanoutVec.as("vec"))
-    val (n1, g1, i1, a1, p1, c1) = gated(wave1, 0L)
+    val (n1, g1, i1, a1, p1, c1, v1) = gated(wave1, 0L)
     require(n1 > 0 && n1 >= g1 && g1 == i1 && g1 == a1 && g1 == p1 &&
-      g1 == c1,
+      g1 == c1 && v1 >= c1,
       s"wave-1 fan-out diverged across stores: nd=$n1 gate=$g1 idx=$i1 " +
-        s"ann=$a1 pq=$p1 chunks=$c1")
+        s"ann=$a1 pq=$p1 chunks=$c1 ckvec=$v1")
     val wave2 = docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
         regexp_replace(col("text"), "^\\S+", "zzz").as("text"))
@@ -478,7 +489,7 @@ object LlmQueries {
       .select(col("doc_id"), col("text"), fanoutVec.as("vec"))
     gated(wave2, 1L)
     val again = gated(wave2, 1L)
-    require(again == ((0L, 0L, 0L, 0L, 0L, 0L)),
+    require(again == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)),
       s"wave-2 redelivery must no-op on every store, got $again")
   }
 
@@ -508,12 +519,19 @@ object LlmQueries {
     val ck = graft.streaming.Streams.chunkStoreRead(s, s"$root/chunks")
       .get.select(col("doc_id")).dropDuplicates("doc_id")
       .withColumn("__in_ck", lit(true))
+    val ckv = Similarity.pqStoreLiveIds(s, s"$root/ckvec")
+      .select(expr(
+        s"id div ${graft.streaming.Streams.ChunkVecSeqLimit}")
+        .as("doc_id"))
+      .dropDuplicates("doc_id")
+      .withColumn("__in_ckv", lit(true))
     store.join(merge, Seq("doc_id"), "left")
       .join(idx, Seq("doc_id"), "left")
       .join(ann, Seq("doc_id"), "left")
       .join(nd, Seq("doc_id"), "left")
       .join(pq, Seq("doc_id"), "left")
       .join(ck, Seq("doc_id"), "left")
+      .join(ckv, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
         col("n_removed"), col("clean_md5"),
         (col("__merge_md5") === col("clean_md5")).as("merge_ok"),
@@ -521,7 +539,8 @@ object LlmQueries {
         coalesce(col("__in_ann"), lit(false)).as("in_ann"),
         coalesce(col("__in_nd"), lit(false)).as("in_nd"),
         coalesce(col("__in_pq"), lit(false)).as("in_pq"),
-        coalesce(col("__in_ck"), lit(false)).as("in_chunks"))
+        coalesce(col("__in_ck"), lit(false)).as("in_chunks"),
+        coalesce(col("__in_ckv"), lit(false)).as("in_chunk_vecs"))
       .presentSorted(col("doc_id"))
   }
 
@@ -587,6 +606,49 @@ object LlmQueries {
       Tables.documents(s, d).filter(col("doc_id") === 42L)
         .select(col("doc_id"), col("text")),
       k = 10)
+
+  private val PassageQueryText = "spark vector stream merge pipeline"
+
+  /** Build of search_passage_topk: chunk store + chunk-vector PQ store
+    * through the full lifecycle — base build (trains the codebook on
+    * the base corpus's passages), a stale-draft re-chunking upsert
+    * (every 7th doc's passages re-encode; the longer draft's extra
+    * passage ids appear), the return to base (re-encode again, the
+    * draft-only passage ids TOMBSTONE as vanished), then a redelivery
+    * that must no-op. Final live state = exactly the base corpus's
+    * passages under the base-trained codebook, which is what the
+    * oracle re-derives.
+    */
+  private def passageBuild(s: SparkSession, d: String): Unit = {
+    val root = storeDir("passage")
+    val (ck, vec) = (s"$root/chunks", s"$root/vec")
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val stale = base.withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(lit("stale draft chunk "), col("text")))
+        .otherwise(col("text")))
+    def vecIngest() = graft.streaming.Streams.chunkVectorIngestBatch(
+      s, ck, vec, base.select(col("doc_id")), dims = 16, m = 4,
+      codes = 8, cells = 8)
+    graft.streaming.Streams.chunkIngestBatch(base, ck, "doc_id", "text",
+      window = 32, overlap = 8)
+    require(vecIngest() > 0, "base passage encode must train and insert")
+    graft.streaming.Streams.chunkIngestBatch(stale, ck, "doc_id", "text",
+      window = 32, overlap = 8)
+    require(vecIngest() > 0, "stale-draft re-chunk must re-encode")
+    graft.streaming.Streams.chunkIngestBatch(base, ck, "doc_id", "text",
+      window = 32, overlap = 8)
+    require(vecIngest() > 0, "return-to-base re-chunk must re-encode")
+    val again = vecIngest()
+    require(again == 0,
+      s"chunk-vector redelivery must no-op, encoded $again")
+  }
+
+  private def passageProbe(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.passageTopK(s,
+        storePath("passage") + "/vec", PassageQueryText, dims = 16,
+        kPassages = 50, kDocs = 10, nprobe = 2)
+      .presentSorted(col("rnk"))
 
   private val PhraseTerms = Seq("table", "hash")
 
@@ -744,6 +806,7 @@ object LlmQueries {
     "search_hybrid_rrf_pq_rerank" -> BenchPhases(hybridPqRerankBuild,
       hybridPqRerankProbe),
     "sim_pq_reroute_topk" -> BenchPhases(pqRerouteBuild, pqRerouteProbe),
+    "search_passage_topk" -> BenchPhases(passageBuild, passageProbe),
   )
 
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
@@ -1387,6 +1450,124 @@ object LlmQueries {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Generated oracle for search_passage_topk — the full passage
+    * retrieval re-derivation: chunk the documents (window 32, stride
+    * 24, the pl_chunk_store chain), featurize every chunk AND the
+    * literal query with the signed bag-of-words projection (one
+    * md5-derived 60-bit hash per token, dimension d sums ±1 by bit d —
+    * exact integer sums, order-free), pack ids as doc*100000+seq,
+    * train the 8-cell coarse quantizer and the 4×(4-dim, 8-code)
+    * subspace codebooks on the chunk vectors, route the query to its
+    * 2 nearest cells, ADC-score only those cells' chunks, take the
+    * top-50 passages (rounded d2, cid tie-break), and aggregate to
+    * docs: best passage (min d2, lowest seq on ties) ranks the doc.
+    */
+  private lazy val PassageTopkSql: String = {
+    val (m, sub, codes, cells, nprobe, kp, kd) = (4, 4, 8, 8, 2, 50, 10)
+    val per = (0 until m).map { j =>
+      val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+      pqChainSql(j, lo, hi, codes) + ",\n" +
+        s"""p$j AS (
+           |  SELECT cd.cid, ${sqlD2("q.v", "cb.v")} AS d2
+           |  FROM cand cd
+           |  JOIN a$j a ON a.id = cd.cid
+           |  JOIN c${j}1 cb ON cb.cid = a.code,
+           |  (SELECT v[$lo:$hi] AS v FROM qv) q)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+       |  FROM documents),
+       |tn AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0),
+       |tc AS (
+       |  SELECT doc_id, l,
+       |    CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END AS nc
+       |  FROM tn),
+       |ch AS (SELECT doc_id, unnest(range(nc)) AS seq, l FROM tc),
+       |ctk AS (
+       |  SELECT doc_id, seq,
+       |    unnest(list_slice(l, seq*24 + 1, seq*24 + 32)) AS tok
+       |  FROM ch),
+       |th AS (
+       |  SELECT doc_id, seq,
+       |    ('0x' || substr(md5('cv:' || tok), 1, 15))::BIGINT AS h
+       |  FROM ctk),
+       |feat AS (
+       |  SELECT doc_id, seq, dd.d AS dim,
+       |    sum(CASE WHEN ((h >> dd.d) & 1) = 1 THEN 1 ELSE -1 END)::DOUBLE
+       |      AS x
+       |  FROM th, (SELECT unnest(range(0, 16)) AS d) dd
+       |  GROUP BY doc_id, seq, dd.d),
+       |e AS (
+       |  SELECT doc_id * 100000 + seq AS id, list(x ORDER BY dim) AS v
+       |  FROM feat GROUP BY doc_id, seq),
+       |qtk AS (SELECT unnest(list_filter(
+       |    string_split(trim('$PassageQueryText'), ' '), x -> x <> ''))
+       |    AS tok),
+       |qth AS (SELECT ('0x' || substr(md5('cv:' || tok), 1, 15))::BIGINT
+       |          AS h
+       |        FROM qtk),
+       |qfeat AS (
+       |  SELECT dd.d AS dim,
+       |    sum(CASE WHEN ((h >> dd.d) & 1) = 1 THEN 1 ELSE -1 END)::DOUBLE
+       |      AS x
+       |  FROM qth, (SELECT unnest(range(0, 16)) AS d) dd GROUP BY dd.d),
+       |qv AS (SELECT list(x ORDER BY dim) AS v FROM qfeat),
+       |cc0 AS (SELECT id AS ccid, v FROM e ORDER BY id LIMIT $cells),
+       |cd1 AS (
+       |  SELECT e.id, c.ccid,
+       |    row_number() OVER (PARTITION BY e.id
+       |      ORDER BY ${sqlD2("e.v", "c.v")}, c.ccid) AS rn
+       |  FROM e, cc0 c),
+       |cm AS (
+       |  SELECT a.ccid, u.dim, avg(u.x) AS x
+       |  FROM (SELECT id, ccid FROM cd1 WHERE rn = 1) a
+       |  JOIN (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+       |        FROM e) u USING (id)
+       |  GROUP BY a.ccid, u.dim),
+       |cc1 AS (SELECT ccid, list(x ORDER BY dim) AS v FROM cm GROUP BY ccid),
+       |cr AS (
+       |  SELECT e.id, c.ccid,
+       |    row_number() OVER (PARTITION BY e.id
+       |      ORDER BY ${sqlD2("e.v", "c.v")}, c.ccid) AS rn
+       |  FROM e, cc1 c),
+       |cells AS (SELECT id, ccid AS cell FROM cr WHERE rn = 1),
+       |qr AS (
+       |  SELECT c.ccid,
+       |    row_number() OVER (ORDER BY ${sqlD2("q.v", "c.v")}, c.ccid) AS rn
+       |  FROM qv q, cc1 c),
+       |probes AS (SELECT ccid AS cell FROM qr WHERE rn <= $nprobe),
+       |cand AS (SELECT c.id AS cid FROM probes p JOIN cells c USING (cell)),
+       |$per,
+       |tot AS (
+       |  SELECT p0.cid,
+       |    round(((p0.d2 + p1.d2) + p2.d2) + p3.d2, 4) AS approx_d2
+       |  FROM p0 JOIN p1 USING (cid) JOIN p2 USING (cid)
+       |    JOIN p3 USING (cid)),
+       |rk AS (SELECT cid, approx_d2,
+       |         row_number() OVER (ORDER BY approx_d2, cid) AS rnk
+       |       FROM tot),
+       |da AS (SELECT cid // 100000 AS doc_id, cid % 100000 AS chunk_seq,
+       |         approx_d2
+       |       FROM rk WHERE rnk <= $kp),
+       |db AS (
+       |  SELECT doc_id, min(approx_d2) AS best_d2,
+       |    count(*)::BIGINT AS n_passages
+       |  FROM da GROUP BY doc_id),
+       |bs AS (
+       |  SELECT doc_id, chunk_seq AS best_seq FROM (
+       |    SELECT doc_id, chunk_seq,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY approx_d2, chunk_seq) AS rn
+       |    FROM da) WHERE rn = 1),
+       |fin AS (
+       |  SELECT db.doc_id, bs.best_seq, db.best_d2, db.n_passages,
+       |    row_number() OVER (ORDER BY db.best_d2, db.doc_id) AS rnk
+       |  FROM db JOIN bs USING (doc_id))
+       |SELECT doc_id, best_seq, best_d2, n_passages, rnk
+       |FROM fin WHERE rnk <= $kd ORDER BY rnk""".stripMargin
+  }
+
   /** Generated oracle for sim_pq_reroute_topk: the store builds
     * UNROUTED (per-subspace chains over `e`), then the reroute trains
     * the coarse quantizer on the code RECONSTRUCTIONS (each id's
@@ -1684,7 +1865,8 @@ object LlmQueries {
         |SELECT doc_id, n_tokens, n_dup_grams, n_removed,
         |  md5(clean) AS clean_md5,
         |  TRUE AS merge_ok, TRUE AS in_index, TRUE AS in_ann,
-        |  TRUE AS in_nd, TRUE AS in_pq, TRUE AS in_chunks
+        |  TRUE AS in_nd, TRUE AS in_pq, TRUE AS in_chunks,
+        |  TRUE AS in_chunk_vecs
         |FROM (SELECT * FROM w1surv UNION ALL SELECT * FROM w2surv)
         |ORDER BY doc_id""".stripMargin
   }
@@ -3127,7 +3309,7 @@ object LlmQueries {
         |SELECT doc_id, n_tokens, n_dup_grams, n_removed,
         |  md5(clean) AS clean_md5,
         |  TRUE AS merge_ok, TRUE AS in_index, TRUE AS in_ann,
-        |  TRUE AS in_pq, TRUE AS in_chunks
+        |  TRUE AS in_pq, TRUE AS in_chunks, TRUE AS in_chunk_vecs
         |FROM (SELECT * FROM w1surv UNION ALL SELECT * FROM w2surv)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       fanoutGatedBuild(s, d)
@@ -3421,6 +3603,25 @@ object LlmQueries {
     QueryDef("sim_pq_reroute_topk", PqRerouteSql) { (s, d) =>
       pqRerouteBuild(s, d)
       pqRerouteProbe(s, d)
+    },
+
+    // PASSAGE-LEVEL retrieval (Streams.passageTopK) — the chunk
+    // store's read consumer: documents chunk into passages, every
+    // passage embeds (deterministic signed-BoW featurization) into a
+    // standing IVF-routed PQ store keyed by packed (doc, seq) ids
+    // through the FULL lifecycle (base build trains the codebook, a
+    // stale-draft re-chunk re-encodes, the return to base tombstones
+    // the draft-only passages, a redelivery no-ops), then a text query
+    // routes to its 2 nearest of 8 cells, ADC-ranks the top-50
+    // passages, and doc-level aggregation surfaces which documents
+    // hold the closest passages and where. The oracle re-derives
+    // chunking, featurization, both quantizer trainings, routing, and
+    // the doc fold from the raw documents table.
+    QueryDef(
+      "search_passage_topk",
+      PassageTopkSql) { (s, d) =>
+      passageBuild(s, d)
+      passageProbe(s, d)
     },
 
     // BM25 keyword search (operators.Search.bm25TopK): ranked retrieval

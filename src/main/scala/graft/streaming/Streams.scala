@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Upsert
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
@@ -636,6 +636,150 @@ object Streams {
     }
   }
 
+  /** Chunk-vector ids pack (doc_id, chunk_seq) into one long:
+    * `doc_id * ChunkVecSeqLimit + chunk_seq`. 100k chunks per doc is
+    * the ceiling (a doc would need ~5M tokens at the default window to
+    * hit it — the guard below raises loudly rather than aliasing two
+    * passages into one id).
+    */
+  val ChunkVecSeqLimit: Long = 100000L
+
+  /** Packed chunk-vector id, with the loud range guards the packing
+    * needs (negative doc ids or a runaway chunk_seq would alias). */
+  private def chunkVecIdExpr: Column =
+    when(col("doc_id") < 0 || col("chunk_seq") >= ChunkVecSeqLimit,
+      raise_error(concat(lit("chunkVecId: doc_id "),
+        col("doc_id").cast("string"), lit(" chunk_seq "),
+        col("chunk_seq").cast("string"),
+        lit(s" out of range [0, *) x [0, $ChunkVecSeqLimit)"))))
+      .otherwise(col("doc_id") * ChunkVecSeqLimit + col("chunk_seq"))
+
+  /** Deterministic passage featurization shared by the chunk-vector
+    * ingest and [[passageTopK]]: tokenize, one stable hash per token,
+    * signed bag-of-words projection to `dims` exact-integer doubles
+    * ([[graft.functions.VectorFunctions.signedBowVector]]) — the
+    * embed-the-chunks step of a RAG ingest, as the deterministic
+    * featurizer both engines reproduce bit-identically. A deployment
+    * with a real embedding model swaps this projection for the model
+    * call; every store/probe mechanic downstream is unchanged.
+    */
+  private def passageVecExpr(text: Column, dims: Int): Column =
+    graft.functions.VectorFunctions.signedBowVector(
+      graft.functions.VectorFunctions.tokenSignHashes(
+        graft.functions.TextFunctions.tokens(text)), dims)
+
+  /** CHUNK-VECTOR ingest — the embedding side of the passage surface:
+    * after [[chunkIngestBatch]] committed a delivery's re-chunking,
+    * this advances a standing PQ store KEYED BY PACKED CHUNK ID
+    * (doc_id × 100k + chunk_seq) to match it:
+    *
+    *   1. the delivered ids' CURRENT chunks read back from the chunk
+    *      store's committed state (crash-convergent, like the gated
+    *      fan-out's feed read-back — a redelivery re-derives the same
+    *      vectors and the hash-gated append no-ops);
+    *   2. each chunk featurizes ([[passageVecExpr]]) and upserts into
+    *      the PQ store ([[graft.operators.Similarity.pqStoreAppend]],
+    *      vec-hash-gated: unchanged passages skip);
+    *   3. chunk ids of these docs that no longer exist — the doc
+    *      re-chunked shorter, or chunked to nothing — TOMBSTONE
+    *      ([[graft.operators.Similarity.pqStoreDelete]]), so a stale
+    *      passage can never surface from a probe.
+    *
+    * The first delivery with >= `codes` chunk vectors against an
+    * uncommitted store trains the codebook (same deferral contract as
+    * the doc-PQ surface: vector-poor deliveries return 0 instead of
+    * poison-pilling; deferred chunks are NOT lost — the chunk store
+    * holds their text, so any later delivery of the doc, or an offline
+    * build from [[chunkStoreRead]], backfills them). Returns chunk
+    * vectors encoded.
+    */
+  def chunkVectorIngestBatch(spark: org.apache.spark.sql.SparkSession,
+      chunkDir: String, vecDir: String, deliveredIds: DataFrame,
+      dims: Int, m: Int = 4, codes: Int = 8, cells: Int = 16,
+      trainPerMille: Int = 1000): Long = {
+    require(dims % m == 0,
+      s"chunk-vector surface needs dims divisible by m, got dims=$dims m=$m")
+    val idCol = deliveredIds.columns.head
+    val ids = deliveredIds.select(col(idCol).as("doc_id"))
+      .dropDuplicates("doc_id")
+    chunkStoreRead(spark, chunkDir) match {
+      case None => 0L
+      case Some(chunks) =>
+        val vecs = chunks
+          .join(broadcast(ids), Seq("doc_id"), "left_semi")
+          .select(chunkVecIdExpr.as("id"),
+            passageVecExpr(col("chunk_text"), dims).as("vec"))
+        if (graft.sources.Commits.committed(spark, vecDir).isEmpty) {
+          // Deferral needs enough seeds for BOTH Lloyd trainings: the
+          // per-subspace codebooks (codes) and the coarse quantizer
+          // (cells) — either one short would poison-pill the batch.
+          val need = math.max(codes, cells)
+          val seeds = vecs.select(col("id")).dropDuplicates("id")
+            .limit(need).count()
+          if (seeds < need) 0L
+          else graft.operators.Similarity.pqStoreBuild(vecs, vecDir,
+            m = m, subDims = dims / m, codes = codes, iters = 2,
+            cells = cells, trainPerMille = trainPerMille)
+        } else {
+          // Vanished passages of the delivered docs: live store ids
+          // whose packed doc part is in the batch but whose chunk no
+          // longer exists. Skinny id-only scan, batch side broadcast.
+          val stale = graft.operators.Similarity
+            .pqStoreLiveIds(spark, vecDir)
+            .withColumn("doc_id",
+              expr(s"id div ${ChunkVecSeqLimit}"))
+            .join(broadcast(ids), Seq("doc_id"), "left_semi")
+            .join(vecs.select(col("id")), Seq("id"), "left_anti")
+            .select(col("id"))
+          graft.operators.Similarity
+            .pqStoreDelete(spark, vecDir, stale): Unit
+          graft.operators.Similarity.pqStoreAppend(vecs, vecDir)
+        }
+    }
+  }
+
+  /** PASSAGE-LEVEL retrieval — the chunk store's read consumer: the
+    * query text featurizes exactly like the ingested passages
+    * ([[passageVecExpr]]), the chunk-vector PQ store's (optionally
+    * cell-routed) ADC probe ranks the top `kPassages` passages, and
+    * the packed ids decode back to (doc_id, chunk_seq) for DOC-LEVEL
+    * aggregation: per doc the best (minimum rounded ADC d2, lowest
+    * chunk_seq on ties) passage wins, docs rank by that best distance.
+    * Output (doc_id, best_seq, best_d2, n_passages, rnk <= kDocs) —
+    * "which documents contain the closest passages, and where".
+    *
+    * 100 TB shape: the probe reads ~nprobe/cells of the code rows via
+    * the broadcast cell hash-join (floats never load), and everything
+    * after it operates on the kPassages-row top list — the doc
+    * aggregation and final window are constant-size whatever the
+    * corpus.
+    */
+  def passageTopK(spark: org.apache.spark.sql.SparkSession,
+      vecDir: String, queryText: String, dims: Int, kPassages: Int,
+      kDocs: Int, nprobe: Int = 0): DataFrame = {
+    require(kPassages > 0 && kDocs > 0,
+      s"need kPassages > 0 and kDocs > 0, got $kPassages/$kDocs")
+    val q = spark.range(1).select(lit(-1L).as("id"),
+      passageVecExpr(lit(queryText), dims).as("vec"))
+    val hits = graft.operators.Similarity
+      .pqStoreTopK(spark, vecDir, q, kPassages, nprobe)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("best_d2"), col("doc_id"))
+    hits
+      .select(expr(s"cid div ${ChunkVecSeqLimit}").as("doc_id"),
+        (col("cid") % ChunkVecSeqLimit).as("chunk_seq"),
+        col("approx_d2"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("approx_d2")).as("best_d2"),
+        min(struct(col("approx_d2"), col("chunk_seq")))
+          .getField("chunk_seq").as("best_seq"),
+        count(lit(1)).as("n_passages"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kDocs)
+      .select(col("doc_id"), col("best_seq"), col("best_d2"),
+        col("n_passages"), col("rnk"))
+  }
+
   /** Column names [[substringIngestBatch]] owns in the stored docs
     * table; same-named delivered columns are dropped before the join
     * back (see the ingest's scaladoc).
@@ -911,25 +1055,39 @@ object Streams {
     *      takedown twin already leaves this store
     *      ([[fanoutDeleteBatch]]'s `chunkDir`); this closes the
     *      asymmetry where a takedown left the passage surface but
-    *      ingest never advanced it.
+    *      ingest never advanced it;
+    *   6. standing CHUNK-VECTOR PQ store
+    *      ([[chunkVectorIngestBatch]]) — passage RETRIEVAL, when BOTH
+    *      `chunkDir` and `chunkVecDir` are set: the committed chunks
+    *      featurize and upsert under packed (doc, seq) ids, vanished
+    *      passages tombstone, and [[passageTopK]] serves
+    *      passage-level search over the result. Same train-deferral
+    *      contract as the doc-PQ surface.
     *
     * The batch is persisted ONCE: the crawl/extract lineage upstream is
     * computed a single time and all sinks read the materialized
     * rows (shared scan, five writes). There is no cross-store
     * transaction — each sink is individually idempotent (hash-compare
     * merge, generation-committed index, insert-if-absent ANN,
-    * vec-hash-gated PQ, content-hash-gated chunks), so an
-    * at-least-once redelivery after a mid-fanout crash converges every
-    * store, matching the standalone sinks' contract. Returns (docs
-    * indexed, vectors inserted, PQ rows encoded, docs chunked).
+    * vec-hash-gated PQ, content-hash-gated chunks and chunk vectors),
+    * so an at-least-once redelivery after a mid-fanout crash converges
+    * every store, matching the standalone sinks' contract. Returns
+    * (docs indexed, vectors inserted, PQ rows encoded, docs chunked,
+    * chunk vectors encoded).
     */
   def fanoutIngestBatch(batch: DataFrame, batchId: Long, storeDir: String,
       indexDir: String, annDir: String, idCol: String, textCol: String,
       vecCol: Option[String] = None, planes: Int = 16,
       dims: Int = 8, pqDir: Option[String] = None, pqM: Int = 4,
       pqCodes: Int = 8, chunkDir: Option[String] = None,
-      chunkWindow: Int = 64, chunkOverlap: Int = 16):
-      (Long, Long, Long, Long) = {
+      chunkWindow: Int = 64, chunkOverlap: Int = 16,
+      chunkVecDir: Option[String] = None, chunkVecDims: Int = 16,
+      chunkVecM: Int = 4, chunkVecCodes: Int = 8,
+      chunkVecCells: Int = 16,
+      chunkVecTrainPerMille: Int = 1000): (Long, Long, Long, Long, Long) = {
+    require(chunkVecDir.isEmpty || chunkDir.nonEmpty,
+      "chunkVecDir needs chunkDir: the chunk-vector surface featurizes " +
+        "the committed chunk store's passages")
     val spark = batch.sparkSession
     val shared = batch.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -978,7 +1136,14 @@ object Streams {
       val nChunk = chunkDir.fold(0L)(d =>
         chunkIngestBatch(shared.select(col(idCol), col(textCol)), d,
           idCol, textCol, chunkWindow, chunkOverlap))
-      (nIdx, nAnn, nPq, nChunk)
+      val nCkVec = (chunkDir, chunkVecDir) match {
+        case (Some(cd), Some(vd)) =>
+          chunkVectorIngestBatch(spark, cd, vd,
+            shared.select(col(idCol)), chunkVecDims, chunkVecM,
+            chunkVecCodes, chunkVecCells, chunkVecTrainPerMille)
+        case _ => 0L
+      }
+      (nIdx, nAnn, nPq, nChunk, nCkVec)
     } finally { shared.unpersist(); () }
   }
 
@@ -1031,8 +1196,11 @@ object Streams {
       vecCol: Option[String] = None, planes: Int = 16, dims: Int = 8,
       k: Int = 8, pqDir: Option[String] = None, pqM: Int = 4,
       pqCodes: Int = 8, chunkDir: Option[String] = None,
-      chunkWindow: Int = 64,
-      chunkOverlap: Int = 16): (Long, Long, Long, Long, Long) = {
+      chunkWindow: Int = 64, chunkOverlap: Int = 16,
+      chunkVecDir: Option[String] = None, chunkVecDims: Int = 16,
+      chunkVecM: Int = 4, chunkVecCodes: Int = 8,
+      chunkVecCells: Int = 16, chunkVecTrainPerMille: Int = 1000):
+      (Long, Long, Long, Long, Long, Long) = {
     val spark = batch.sparkSession
     val shared = batch.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1046,7 +1214,7 @@ object Streams {
         gramStoreDir, idCol, textCol, k)
       val ids = shared.select(col(idCol)).dropDuplicates(idCol)
       substringStoreRead(spark, gramStoreDir) match {
-        case None => (nGate, 0L, 0L, 0L, 0L)
+        case None => (nGate, 0L, 0L, 0L, 0L, 0L)
         case Some(docs) =>
           val cleaned = docs.join(broadcast(ids), Seq(idCol), "left_semi")
             .groupBy(col(idCol))
@@ -1057,7 +1225,7 @@ object Streams {
           // rewrites the full state per mergeBatch's contract. The
           // emptiness probe is a limit-1 job against the id-pruned
           // store read — O(small) either way.
-          if (nGate == 0 && cleaned.isEmpty) (0L, 0L, 0L, 0L, 0L)
+          if (nGate == 0 && cleaned.isEmpty) (0L, 0L, 0L, 0L, 0L, 0L)
           else {
             // The vector rides from the SAME delivered row whose text
             // won the deterministic same-id resolution — not an
@@ -1068,11 +1236,13 @@ object Streams {
                 shared.select(col(idCol), col(textCol), col(v)),
                 idCol, textCol).select(col(idCol), col(v)),
               Seq(idCol), "left"))
-            val (nIdx, nAnn, nPq, nChunk) = fanoutIngestBatch(feed,
-              batchId, storeDir, indexDir, annDir, idCol, textCol,
+            val (nIdx, nAnn, nPq, nChunk, nCkVec) = fanoutIngestBatch(
+              feed, batchId, storeDir, indexDir, annDir, idCol, textCol,
               vecCol, planes, dims, pqDir, pqM, pqCodes, chunkDir,
-              chunkWindow, chunkOverlap)
-            (nGate, nIdx, nAnn, nPq, nChunk)
+              chunkWindow, chunkOverlap, chunkVecDir, chunkVecDims,
+              chunkVecM, chunkVecCodes, chunkVecCells,
+              chunkVecTrainPerMille)
+            (nGate, nIdx, nAnn, nPq, nChunk, nCkVec)
           }
       }
     } finally { shared.unpersist(); () }
@@ -1085,14 +1255,17 @@ object Streams {
       vecCol: Option[String] = None, planes: Int = 16, dims: Int = 8,
       k: Int = 8, pqDir: Option[String] = None, pqM: Int = 4,
       pqCodes: Int = 8, chunkDir: Option[String] = None,
-      chunkWindow: Int = 64, chunkOverlap: Int = 16): StreamingQuery =
+      chunkWindow: Int = 64, chunkOverlap: Int = 16,
+      chunkVecDir: Option[String] = None,
+      chunkVecDims: Int = 16): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         fanoutIngestBatchGated(batch, batchId, storeDir, indexDir, annDir,
           gramStoreDir, idCol, textCol, vecCol, planes, dims, k, pqDir,
-          pqM, pqCodes, chunkDir, chunkWindow, chunkOverlap): Unit
+          pqM, pqCodes, chunkDir, chunkWindow, chunkOverlap,
+          chunkVecDir, chunkVecDims): Unit
       }
       .start()
 
@@ -1158,8 +1331,9 @@ object Streams {
       dims: Int = 8, k: Int = 8, minJaccard: Double = 0.9,
       pqDir: Option[String] = None, pqM: Int = 4,
       pqCodes: Int = 8, chunkDir: Option[String] = None,
-      chunkWindow: Int = 64,
-      chunkOverlap: Int = 16): (Long, Long, Long, Long, Long, Long) = {
+      chunkWindow: Int = 64, chunkOverlap: Int = 16,
+      chunkVecDir: Option[String] = None, chunkVecDims: Int = 16):
+      (Long, Long, Long, Long, Long, Long, Long) = {
     val spark = batch.sparkSession
     val shared = batch.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1169,7 +1343,7 @@ object Streams {
         neardupDir, idCol, textCol, minJaccard)
       val ids = shared.select(col(idCol)).dropDuplicates(idCol)
       neardupStoreRead(spark, neardupDir) match {
-        case None => (nNear, 0L, 0L, 0L, 0L, 0L)
+        case None => (nNear, 0L, 0L, 0L, 0L, 0L, 0L)
         case Some(docs) =>
           val passed = docs.join(broadcast(ids), Seq(idCol), "left_semi")
             .groupBy(col(idCol))
@@ -1177,19 +1351,19 @@ object Streams {
           // An all-duplicate delivery whose ids were never admitted
           // must not touch the downstream stores at all (same guard as
           // the span-gated layer, one gate earlier).
-          if (nNear == 0 && passed.isEmpty) (0L, 0L, 0L, 0L, 0L, 0L)
+          if (nNear == 0 && passed.isEmpty) (0L, 0L, 0L, 0L, 0L, 0L, 0L)
           else {
             val feed = vecCol.fold(passed)(v => passed.join(
               Upsert.onePerKeyByContent(
                 shared.select(col(idCol), col(textCol), col(v)),
                 idCol, textCol).select(col(idCol), col(v)),
               Seq(idCol), "left"))
-            val (nGate, nIdx, nAnn, nPq, nChunk) =
+            val (nGate, nIdx, nAnn, nPq, nChunk, nCkVec) =
               fanoutIngestBatchGated(feed, batchId, storeDir, indexDir,
                 annDir, gramStoreDir, idCol, textCol, vecCol, planes,
                 dims, k, pqDir, pqM, pqCodes, chunkDir, chunkWindow,
-                chunkOverlap)
-            (nNear, nGate, nIdx, nAnn, nPq, nChunk)
+                chunkOverlap, chunkVecDir, chunkVecDims)
+            (nNear, nGate, nIdx, nAnn, nPq, nChunk, nCkVec)
           }
       }
     } finally { shared.unpersist(); () }
@@ -1203,7 +1377,9 @@ object Streams {
       planes: Int = 16, dims: Int = 8, k: Int = 8,
       minJaccard: Double = 0.9, pqDir: Option[String] = None,
       pqM: Int = 4, pqCodes: Int = 8, chunkDir: Option[String] = None,
-      chunkWindow: Int = 64, chunkOverlap: Int = 16): StreamingQuery =
+      chunkWindow: Int = 64, chunkOverlap: Int = 16,
+      chunkVecDir: Option[String] = None,
+      chunkVecDims: Int = 16): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -1211,7 +1387,7 @@ object Streams {
         fanoutIngestBatchNeardupGated(batch, batchId, storeDir, indexDir,
           annDir, gramStoreDir, neardupDir, idCol, textCol, vecCol,
           planes, dims, k, minJaccard, pqDir, pqM, pqCodes, chunkDir,
-          chunkWindow, chunkOverlap): Unit
+          chunkWindow, chunkOverlap, chunkVecDir, chunkVecDims): Unit
       }
       .start()
 
@@ -1226,13 +1402,16 @@ object Streams {
     * .pqStoreDelete]]: a takedown that left quantized codes
     * probe-visible would not be a takedown). Each store's delete is
     * idempotent, so redelivery after a mid-fanout crash converges.
-    * Returns (store, index, ann, chunk, pq) deletion counts.
+    * Returns (store, index, ann, chunk, pq, chunk-vector) deletion
+    * counts.
     */
   def fanoutDeleteBatch(ids: DataFrame, batchId: Long, storeDir: String,
       indexDir: String, annDir: String,
       idCol: String = "doc_id",
       chunkDir: Option[String] = None,
-      pqDir: Option[String] = None): (Long, Long, Long, Long, Long) = {
+      pqDir: Option[String] = None,
+      chunkVecDir: Option[String] = None):
+      (Long, Long, Long, Long, Long, Long) = {
     val spark = ids.sparkSession
     val victims = ids.select(col(ids.columns.head).as(idCol))
       .dropDuplicates(idCol)
@@ -1273,7 +1452,20 @@ object Streams {
         .map(d => graft.operators.Similarity.pqStoreDelete(spark, d,
           victims.select(col(idCol).as("id"))))
         .getOrElse(0L)
-      (nStore, nIdx, nAnn, nChunk, nPq)
+      // The chunk-VECTOR surface holds packed (doc, seq) ids — every
+      // live passage id whose packed doc part is a victim tombstones,
+      // so a taken-down doc's passages stop being RETRIEVABLE in the
+      // same composed batch they stop being readable (chunk store).
+      val nCkVec = chunkVecDir
+        .filter(d => graft.sources.Commits.committed(spark, d).nonEmpty)
+        .map { d =>
+          val stale = graft.operators.Similarity.pqStoreLiveIds(spark, d)
+            .withColumn(idCol, expr(s"id div ${ChunkVecSeqLimit}"))
+            .join(victims, Seq(idCol), "left_semi")
+            .select(col("id"))
+          graft.operators.Similarity.pqStoreDelete(spark, d, stale)
+        }.getOrElse(0L)
+      (nStore, nIdx, nAnn, nChunk, nPq, nCkVec)
     } finally { victims.unpersist(); () }
   }
 
@@ -1296,7 +1488,13 @@ object Streams {
       chunkDir: Option[String] = None,
       maxBatches: Option[Int] = None,
       minDeadFraction: Double = 0.25,
-      pqDir: Option[String] = None): Seq[Long] = {
+      pqDir: Option[String] = None,
+      chunkVecDir: Option[String] = None): Seq[Long] = {
+    // The chunk-vector surface is a PQ-family store: it takes exactly
+    // the doc-PQ store's maintenance (vacuum/compaction), on the same
+    // cadence.
+    val pqFamily = (pqDir.toSeq ++ chunkVecDir.toSeq)
+      .filter(d => graft.sources.Commits.committed(spark, d).nonEmpty)
     // incremental=true is the ROUTINE cadence at scale: reclaim only
     // the batches the interval's mutations dirtied
     // (Search.indexVacuumIncremental) instead of rewriting the full
@@ -1312,12 +1510,12 @@ object Streams {
         .indexVacuumIncremental(spark, indexDir, minDeadFraction): Unit
       graft.operators.Similarity
         .annStoreVacuumIncremental(spark, annDir, minDeadFraction): Unit
-      pqDir.foreach(d => graft.operators.Similarity
+      pqFamily.foreach(d => graft.operators.Similarity
         .pqStoreVacuumIncremental(spark, d, minDeadFraction): Unit)
     } else {
       graft.operators.Search.indexVacuum(spark, indexDir)
       graft.operators.Similarity.annStoreVacuum(spark, annDir)
-      pqDir.foreach(d =>
+      pqFamily.foreach(d =>
         graft.operators.Similarity.pqStoreVacuum(spark, d))
     }
     // The chunk store's only vacuum is the incremental form; on the
@@ -1333,7 +1531,7 @@ object Streams {
         .annStoreCompactBatches(spark, annDir, m): Unit
       chunkDir.foreach(d =>
         chunkStoreCompactBatches(spark, d, m): Unit)
-      pqDir.foreach(d => graft.operators.Similarity
+      pqFamily.foreach(d => graft.operators.Similarity
         .pqStoreCompactBatches(spark, d, m): Unit)
     }
     postingsTable.foreach(t =>
@@ -1353,13 +1551,14 @@ object Streams {
       indexDir: String, annDir: String, checkpointDir: String,
       idCol: String = "doc_id",
       chunkDir: Option[String] = None,
-      pqDir: Option[String] = None): StreamingQuery =
+      pqDir: Option[String] = None,
+      chunkVecDir: Option[String] = None): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         fanoutDeleteBatch(batch, batchId, storeDir, indexDir, annDir,
-          idCol, chunkDir, pqDir): Unit
+          idCol, chunkDir, pqDir, chunkVecDir): Unit
       }
       .start()
 

@@ -41,6 +41,10 @@ class PlanRegressionSpec extends SparkSpec {
       "search_bm25_index_migrate", "search_more_like_this",
       "search_hybrid_rrf", "search_hybrid_rrf_multiprobe",
       "search_hybrid_rrf_auto", "search_hybrid_rrf_pq",
+      // the rerank hybrid's quadratic shape is ONLY the BM25 side's
+      // one-row stats cross-join (like every hybrid above); its dense
+      // side is the routed hash-join probe, pinned broadcast below.
+      "search_hybrid_rrf_pq_rerank",
       "search_bm25_index_bucketed", "agg_histogram_price",
       "pl_iqr_outliers", "txt_unigram_logprob",
       "pl_training_data_filter_v2")
@@ -59,7 +63,8 @@ class PlanRegressionSpec extends SparkSpec {
     Seq("pl_decontaminate", "pl_ingest_content_dedup",
       "join_broadcast_geo_rollup", "sim_ann_store_roundtrip",
       "sim_ann_multiprobe", "agg_cms_heavy_hitters",
-      "sim_ivfpq_store_topk", "search_hybrid_rrf_pq").foreach { q =>
+      "sim_ivfpq_store_topk", "search_hybrid_rrf_pq",
+      "search_hybrid_rrf_pq_rerank", "search_passage_topk").foreach { q =>
       assert(plans(q).contains("BroadcastHashJoin"),
         s"$q lost its broadcast join")
     }

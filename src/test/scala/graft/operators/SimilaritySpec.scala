@@ -511,11 +511,12 @@ class SimilaritySpec extends SparkSpec {
       Seq((1L, Seq(0.1f, 0.0f, 0.0f, 0.1f))).toDF("id", "vec"), dir) // b1
     Similarity.pqStoreDelete(spark, dir, Seq(4L).toDF("id")): Unit   // b2
     val got = Similarity.pqStoreStats(spark, dir)
-      .as[(Int, Long, Long, Long, Long)].collect().head
+      .as[(Int, Long, Long, Long, Long, Boolean, Long)].collect().head
     // 3 batches; ids 0-3 live (1 re-embedded), 4 tombstoned; dead
     // tail = id 1's and id 4's superseded build rows; unrouted store
-    // has exactly one (sentinel) cell.
-    assert(got == ((3, 4L, 1L, 2L, 1L)), s"got $got")
+    // has exactly one (sentinel) cell; 4 live rows per cell is far
+    // under the default threshold, so no reroute advised.
+    assert(got == ((3, 4L, 1L, 2L, 1L, false, 0L)), s"got $got")
     // A cell-routed store reports its occupied coarse cells.
     val routed = java.nio.file.Files
       .createTempDirectory("pq-stats-r").toString + "/store"
@@ -524,6 +525,25 @@ class SimilaritySpec extends SparkSpec {
     val cells = Similarity.pqStoreStats(spark, routed)
       .select("occupied_cells").as[Long].collect().head
     assert(cells == 2L, s"two tight clusters must occupy 2 cells: $cells")
+    // REROUTE ADVISORY flips exactly at the threshold: the unrouted
+    // store holds 4 live rows in its one sentinel cell — at
+    // maxRowsPerCell = 4 (live == threshold × cells) nothing is
+    // advised; at 3 (live > threshold × cells) the advisory flips and
+    // targets ceil(4 / (3 × 0.5)) = 3 cells, sized for 2× headroom so
+    // the next ingest wave does not immediately re-advise.
+    def advice(thr: Long) = Similarity
+      .pqStoreStats(spark, dir, maxRowsPerCell = thr)
+      .select("reroute_advised", "advised_cells")
+      .as[(Boolean, Long)].collect().head
+    assert(advice(4L) == ((false, 0L)), s"at threshold: ${advice(4L)}")
+    assert(advice(3L) == ((true, 3L)), s"over threshold: ${advice(3L)}")
+    // Routed store: 5 live rows over 2 cells — flips only when
+    // live > threshold × 2.
+    def adviceR(thr: Long) = Similarity
+      .pqStoreStats(spark, routed, maxRowsPerCell = thr)
+      .select("reroute_advised").as[Boolean].collect().head
+    assert(adviceR(3L) === false, "5 <= 3x2 must not advise")
+    assert(adviceR(2L) === true, "5 > 2x2 must advise")
   }
 
   test("pqStoreRerankTopK: store candidates, exact final order") {

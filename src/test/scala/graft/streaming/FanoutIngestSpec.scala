@@ -85,12 +85,12 @@ class FanoutIngestSpec extends SparkSpec {
     val gone = Streams.fanoutDeleteBatch(Seq(2L).toDF("doc_id"), 99L,
       storeDir, indexDir, annDir, pqDir = Some(pqDir),
       chunkDir = Some(chunkDir))
-    assert(gone == ((1L, 1L, 1L, 1L, 1L)),
+    assert(gone == ((1L, 1L, 1L, 1L, 1L, 0L)),
       s"unexpected delete counts: $gone")
     assert(Streams.fanoutDeleteBatch(Seq(2L).toDF("doc_id"), 100L,
       storeDir, indexDir, annDir, pqDir = Some(pqDir),
       chunkDir = Some(chunkDir))
-      == ((0L, 0L, 0L, 0L, 0L)))
+      == ((0L, 0L, 0L, 0L, 0L, 0L)))
     assert(Streams.chunkStoreRead(spark, chunkDir).get
       .select("doc_id").distinct().as[Long].collect().toSet
       == Set(1L, 3L),
@@ -130,7 +130,7 @@ class FanoutIngestSpec extends SparkSpec {
       (2L, "alpha beta gamma delta zeta eta", Seq(0.0f, 1.0f, 0.0f)),
       (3L, "unique words only here nothing shared", Seq(0.0f, 0.0f, 1.0f)))
       .toDF("doc_id", "text", "vec")
-    assert(gated(wave1, 0L) == ((3L, 3L, 3L, 3L, 3L)))
+    assert(gated(wave1, 0L) == ((3L, 3L, 3L, 3L, 3L, 0L)))
 
     // Wave 2: 1 is an exact redelivery (gate drop, sinks no-op), 4 is
     // an exact copy of doc 3 under a new id (drops EVERYWHERE), 5
@@ -143,7 +143,7 @@ class FanoutIngestSpec extends SparkSpec {
         Seq(0.0f, 0.5f, 0.5f)),
       (6L, "unique words only", Seq(0.5f, 0.0f, 0.5f)))
       .toDF("doc_id", "text", "vec")
-    assert(gated(wave2, 1L) == ((1L, 1L, 1L, 1L, 1L)))
+    assert(gated(wave2, 1L) == ((1L, 1L, 1L, 1L, 1L, 0L)))
 
     val expected = Map(
       1L -> "epsilon",
@@ -186,7 +186,7 @@ class FanoutIngestSpec extends SparkSpec {
       .toDF("doc_id", "text", "vec")
     assert(Streams.substringIngestBatch(wave3.drop("vec"), gramDir,
       "doc_id", "text", k = 3) == 1L)
-    assert(gated(wave3, 2L) == ((0L, 1L, 1L, 1L, 1L)))
+    assert(gated(wave3, 2L) == ((0L, 1L, 1L, 1L, 1L, 0L)))
     assert(Streams.readState(spark, storeDir).get
       .filter($"doc_id" === 7L).select("text").as[String].collect().toSeq
       == Seq("totally different content seven"))
@@ -194,7 +194,7 @@ class FanoutIngestSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq == Seq(7L))
 
     // Full redelivery of wave 2 converges as a complete no-op.
-    assert(gated(wave2, 1L) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(gated(wave2, 1L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
     assert(Streams.readState(spark, storeDir).get.count() == 5)
 
     // An ALL-DUPLICATE delivery under fresh ids (the common case a
@@ -205,7 +205,7 @@ class FanoutIngestSpec extends SparkSpec {
       (40L, "alpha beta gamma delta epsilon", Seq(0.2f, 0.2f, 0.2f)),
       (41L, "unique words only here nothing shared", Seq(0.3f, 0.3f, 0.3f)))
       .toDF("doc_id", "text", "vec")
-    assert(gated(allDup, 7L) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(gated(allDup, 7L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
     assert(Streams.currentStateName(storeDir) == before,
       "all-duplicate batch rewrote the merge state")
     assert(Streams.readState(spark, storeDir).get.count() == 5)
@@ -250,7 +250,7 @@ class FanoutIngestSpec extends SparkSpec {
       (2L, "alpha beta gamma delta epsilon", Seq(0.0f, 1.0f, 0.0f)),
       (3L, "alpha beta gamma delta zeta eta", Seq(0.0f, 0.0f, 1.0f)))
       .toDF("doc_id", "text", "vec")
-    assert(gated(wave1, 0L) == ((3L, 3L, 3L, 3L, 3L, 3L)))
+    assert(gated(wave1, 0L) == ((3L, 3L, 3L, 3L, 3L, 3L, 0L)))
 
     // Wave 2: 11 is a near-dup of stored doc 1 (drops at the LSH gate),
     // 12 is an exact copy of doc 2's ORIGINAL text under a new id
@@ -266,7 +266,7 @@ class FanoutIngestSpec extends SparkSpec {
       (14L, "alpha beta gamma delta completely novel ending follows",
         Seq(0.0f, 0.5f, 0.5f)))
       .toDF("doc_id", "text", "vec")
-    assert(gated(wave2, 1L) == ((2L, 2L, 2L, 2L, 2L, 2L)))
+    assert(gated(wave2, 1L) == ((2L, 2L, 2L, 2L, 2L, 2L, 0L)))
 
     val expected = Map(
       1L -> t80,
@@ -307,13 +307,13 @@ class FanoutIngestSpec extends SparkSpec {
       .toDF("doc_id", "text", "vec")
     assert(Streams.neardupIngestBatch(wave3.drop("vec"), ndDir,
       "doc_id", "text") == 1L)
-    assert(gated(wave3, 2L) == ((0L, 1L, 1L, 1L, 1L, 1L)))
+    assert(gated(wave3, 2L) == ((0L, 1L, 1L, 1L, 1L, 1L, 0L)))
     assert(Streams.readState(spark, storeDir).get
       .filter($"doc_id" === 21L).select("text").as[String].collect().toSeq
       == Seq("entirely fresh twenty one content"))
 
     // Full redelivery of wave 2 converges as a complete no-op.
-    assert(gated(wave2, 1L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(gated(wave2, 1L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
 
     // An all-duplicate delivery under fresh ids must not touch the
     // downstream stores at all — no merge-state rewrite, no new
@@ -323,7 +323,7 @@ class FanoutIngestSpec extends SparkSpec {
       (40L, t80, Seq(0.2f, 0.2f, 0.2f)),
       (41L, nearOf(10, "swapped"), Seq(0.3f, 0.3f, 0.3f)))
       .toDF("doc_id", "text", "vec")
-    assert(gated(allDup, 7L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(gated(allDup, 7L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
     assert(Streams.currentStateName(storeDir) == before,
       "all-duplicate batch rewrote the merge state")
     assert(Streams.neardupStoreRead(spark, ndDir).get
@@ -499,24 +499,76 @@ class FanoutIngestSpec extends SparkSpec {
     // redeliver and fail forever). It must advance the doc/index
     // surfaces and leave the PQ store unbuilt.
     val r1 = deliver(0L, Seq((1L, "spark engine", null)))
-    assert(r1 == ((1L, 0L, 0L, 0L)), s"got $r1")
+    assert(r1 == ((1L, 0L, 0L, 0L, 0L)), s"got $r1")
     assert(graft.sources.Commits.committed(spark, pqDir).isEmpty,
       "a vector-less delivery must not commit a PQ build")
     // Delivery 2 carries ONE embedding id — still under pqCodes=2,
     // still deferred (a 1-vector Lloyd seed set would also throw).
     val r2 = deliver(1L, Seq((2L, "vector merge", Seq(0.0f, 1.0f))))
-    assert(r2 == ((1L, 1L, 0L, 0L)), s"got $r2")
+    assert(r2 == ((1L, 1L, 0L, 0L, 0L)), s"got $r2")
     assert(graft.sources.Commits.committed(spark, pqDir).isEmpty)
     // Delivery 3 carries two distinct embedding ids — trains the
     // codebook and encodes both.
     val r3 = deliver(2L, Seq(
       (3L, "stream sort", Seq(1.0f, 1.0f)),
       (4L, "merge spark", Seq(1.0f, 0.0f))))
-    assert(r3 == ((2L, 2L, 2L, 0L)), s"got $r3")
+    assert(r3 == ((2L, 2L, 2L, 0L, 0L)), s"got $r3")
     assert(graft.sources.Commits.committed(spark, pqDir).nonEmpty)
     val hits = Similarity.pqStoreTopK(spark, pqDir,
         Seq((101L, Seq(0.9f, 0.9f))).toDF("id", "vec"), k = 2)
       .select("cid").as[Long].collect().toSet
     assert(hits == Set(3L, 4L), s"trained store must answer: $hits")
+  }
+
+  test("chunk-vector surface: fan-out encodes passages, re-chunking " +
+      "tombstones vanished ones, passageTopK retrieves, takedown leaves") {
+    val root = java.nio.file.Files.createTempDirectory("fanout-ckv").toString
+    val (storeDir, indexDir, annDir, chunkDir, vecDir) = (s"$root/store",
+      s"$root/index", s"$root/ann", s"$root/chunks", s"$root/ckvec")
+    def deliver(batchId: Long, rows: Seq[(Long, String)]) =
+      Streams.fanoutIngestBatch(rows.toDF("doc_id", "text"), batchId,
+        storeDir, indexDir, annDir, "doc_id", "text",
+        chunkDir = Some(chunkDir), chunkWindow = 4, chunkOverlap = 1,
+        chunkVecDir = Some(vecDir), chunkVecDims = 16, chunkVecM = 4,
+        chunkVecCodes = 3, chunkVecCells = 2)
+    // Doc 1 chunks to 2 passages (6 tokens, window 4 stride 3),
+    // doc 2 to one — 3 chunk vectors train and encode. codes = 3 makes
+    // every distinct subspace slice its own singleton Lloyd cluster,
+    // so reconstructions are EXACT and ADC distances equal true d2 —
+    // which lets the retrieval assertion below pin an exact zero.
+    val r1 = deliver(0L, Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three")))
+    assert(r1 == ((2L, 0L, 0L, 2L, 3L)), s"got $r1")
+    assert(Similarity.pqStoreLiveIds(spark, vecDir)
+      .as[Long].collect().toSet == Set(100000L, 100001L, 200000L))
+    // Retrieval: a query repeating doc 1's first window's tokens has
+    // the IDENTICAL signed-BoW vector — its passage ranks first at
+    // exact distance 0, and the doc fold reports where.
+    val hit = Streams.passageTopK(spark, vecDir,
+        "alpha beta gamma delta", dims = 16, kPassages = 10, kDocs = 5,
+        nprobe = 2)
+      .select("doc_id", "best_seq", "best_d2", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._4)
+    assert(hit.head == ((1L, 0L, 0.0, 1)), s"got $hit")
+    // Doc 1 re-chunks SHORTER: its surviving passage re-encodes, the
+    // vanished seq-1 passage tombstones — a stale passage can never
+    // surface again.
+    val r2 = deliver(1L, Seq((1L, "alpha beta gamma")))
+    assert(r2 == ((1L, 0L, 0L, 1L, 1L)), s"got $r2")
+    assert(Similarity.pqStoreLiveIds(spark, vecDir)
+      .as[Long].collect().toSet == Set(100000L, 200000L),
+      "vanished passage must tombstone")
+    // Redelivery converges: same chunks, same vectors, nothing stale.
+    val r3 = deliver(2L, Seq((1L, "alpha beta gamma")))
+    assert(r3 == ((0L, 0L, 0L, 0L, 0L)), s"got $r3")
+    // Takedown: doc 2's passages leave the retrieval surface in the
+    // same composed batch as every other store.
+    val gone = Streams.fanoutDeleteBatch(Seq(2L).toDF("doc_id"), 99L,
+      storeDir, indexDir, annDir, chunkDir = Some(chunkDir),
+      chunkVecDir = Some(vecDir))
+    assert(gone == ((1L, 1L, 0L, 1L, 0L, 1L)), s"got $gone")
+    assert(Similarity.pqStoreLiveIds(spark, vecDir)
+      .as[Long].collect().toSet == Set(100000L))
   }
 }

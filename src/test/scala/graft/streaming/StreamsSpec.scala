@@ -290,7 +290,7 @@ class StreamsSpec extends SparkSpec {
     Streams.mergeBatch(hashed(Seq(1L -> "one", 2L -> "two")), dir,
       "doc_id", 0L)
     // Takedown writes state_del_7 and repoints _current at it.
-    val (nStore, _, _, _, _) = Streams.fanoutDeleteBatch(Seq(2L).toDF("doc_id"),
+    val (nStore, _, _, _, _, _) = Streams.fanoutDeleteBatch(Seq(2L).toDF("doc_id"),
       7L, dir, idx, ann)
     assert(nStore == 1L)
     assert(Streams.currentStateName(dir).contains("state_del_7"))
