@@ -627,19 +627,26 @@ object LlmQueries {
       when(col("doc_id") % 7 === 0,
         concat(lit("stale draft chunk "), col("text")))
         .otherwise(col("text")))
-    def vecIngest() = graft.streaming.Streams.chunkVectorIngestBatch(
-      s, ck, vec, base.select(col("doc_id")), dims = 16, m = 4,
-      codes = 8, cells = 8)
+    // Like the fan-out in production, each vector-ingest wave passes
+    // the DELIVERED batch's ids, not the corpus: the draft waves only
+    // deliver the %7 docs, so only their passages featurize+re-encode.
+    def vecIngest(ids: org.apache.spark.sql.DataFrame) =
+      graft.streaming.Streams.chunkVectorIngestBatch(
+        s, ck, vec, ids, dims = 16, m = 4, codes = 8, cells = 8)
+    val allIds = base.select(col("doc_id"))
+    val draftIds = base.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"))
     graft.streaming.Streams.chunkIngestBatch(base, ck, "doc_id", "text",
       window = 32, overlap = 8)
-    require(vecIngest() > 0, "base passage encode must train and insert")
+    require(vecIngest(allIds) > 0,
+      "base passage encode must train and insert")
     graft.streaming.Streams.chunkIngestBatch(stale, ck, "doc_id", "text",
       window = 32, overlap = 8)
-    require(vecIngest() > 0, "stale-draft re-chunk must re-encode")
+    require(vecIngest(draftIds) > 0, "stale-draft re-chunk must re-encode")
     graft.streaming.Streams.chunkIngestBatch(base, ck, "doc_id", "text",
       window = 32, overlap = 8)
-    require(vecIngest() > 0, "return-to-base re-chunk must re-encode")
-    val again = vecIngest()
+    require(vecIngest(draftIds) > 0, "return-to-base re-chunk must re-encode")
+    val again = vecIngest(draftIds)
     require(again == 0,
       s"chunk-vector redelivery must no-op, encoded $again")
   }

@@ -705,10 +705,18 @@ object Streams {
     chunkStoreRead(spark, chunkDir) match {
       case None => 0L
       case Some(chunks) =>
+        // Featurize ONCE and persist the narrow (id, 16 doubles) frame:
+        // the PQ build/append downstream scans its input several times
+        // (dims gate, Lloyd training passes, encode, write) and each
+        // lazy re-evaluation would re-run the per-token md5 featurize —
+        // the dominant cost of this surface, measured ~2× of the whole
+        // ingest before the pin.
         val vecs = chunks
           .join(broadcast(ids), Seq("doc_id"), "left_semi")
           .select(chunkVecIdExpr.as("id"),
             passageVecExpr(col("chunk_text"), dims).as("vec"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         if (graft.sources.Commits.committed(spark, vecDir).isEmpty) {
           // Deferral needs enough seeds for BOTH Lloyd trainings: the
           // per-subspace codebooks (codes) and the coarse quantizer
@@ -735,6 +743,7 @@ object Streams {
             .pqStoreDelete(spark, vecDir, stale): Unit
           graft.operators.Similarity.pqStoreAppend(vecs, vecDir)
         }
+        } finally { vecs.unpersist(); () }
     }
   }
 
