@@ -998,7 +998,8 @@ object Search {
     * fusion formula; both inputs are top-`kEach` lists, so the join is
     * constant-size whatever the corpus.
     */
-  private def rrfFuseWithBm25(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def rrfFuseWithBm25(
+      spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queryTerms: Seq[String], dense: DataFrame,
       k: Int, kEach: Int, rrfK: Int): DataFrame = {
     val bm = bm25FromIndexTopK(spark, indexDir, queryTerms, kEach)

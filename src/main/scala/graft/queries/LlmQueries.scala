@@ -814,6 +814,9 @@ object LlmQueries {
       hybridPqRerankProbe),
     "sim_pq_reroute_topk" -> BenchPhases(pqRerouteBuild, pqRerouteProbe),
     "search_passage_topk" -> BenchPhases(passageBuild, passageProbe),
+    "sim_pq_store_stats" -> BenchPhases(pqStatsBuild, pqStatsProbe),
+    "search_hybrid_passage_rrf" -> BenchPhases(hybridPassageBuild,
+      hybridPassageProbe),
   )
 
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
@@ -1574,6 +1577,115 @@ object LlmQueries {
        |SELECT doc_id, best_seq, best_d2, n_passages, rnk
        |FROM fin WHERE rnk <= $kd ORDER BY rnk""".stripMargin
   }
+
+  /** Generated oracle for sim_pq_store_stats: the store lifecycle is
+    * build(cells=16) -> re-embed every 7th id (negated vector, routed
+    * to its NEW cell at append) -> tombstone every 5th id, and the
+    * stats row is then fully derivable: 3 committed batches,
+    * live = N - |%5|, tombstoned = |%5|, superseded = |%7| + |%5|
+    * (each mutated id's older generations), occupied_cells =
+    * count(distinct cell) over the LIVE rows' current vectors routed
+    * against the one-round Lloyd coarse (negated where re-embedded),
+    * and the REROUTE ADVISORY at maxRowsPerCell=3 / hysteresis=0.5:
+    * advised exactly when live > 3 x occupied, target
+    * ceil(live / 1.5).
+    */
+  private lazy val PqStoreStatsSql: String = {
+    val cells = 16
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cc0 AS (SELECT id AS ccid, v FROM e ORDER BY id LIMIT $cells),
+       |cd1 AS (
+       |  SELECT e.id, c.ccid,
+       |    row_number() OVER (PARTITION BY e.id
+       |      ORDER BY ${sqlD2("e.v", "c.v")}, c.ccid) AS rn
+       |  FROM e, cc0 c),
+       |cm AS (
+       |  SELECT a.ccid, u.dim, avg(u.x) AS x
+       |  FROM (SELECT id, ccid FROM cd1 WHERE rn = 1) a
+       |  JOIN (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+       |        FROM e) u USING (id)
+       |  GROUP BY a.ccid, u.dim),
+       |cc1 AS (SELECT ccid, list(x ORDER BY dim) AS v FROM cm GROUP BY ccid),
+       |cur AS (
+       |  SELECT id, CASE WHEN id % 7 = 0 THEN list_transform(v, x -> -x)
+       |                  ELSE v END AS v
+       |  FROM e WHERE id % 5 <> 0),
+       |crc AS (
+       |  SELECT c.id, cc.ccid,
+       |    row_number() OVER (PARTITION BY c.id
+       |      ORDER BY ${sqlD2("c.v", "cc.v")}, cc.ccid) AS rn
+       |  FROM cur c, cc1 cc),
+       |lv AS (SELECT id, ccid AS cell FROM crc WHERE rn = 1),
+       |agg AS (
+       |  SELECT count(*) AS live_ids,
+       |    (SELECT count(*) FROM e WHERE id % 5 = 0) AS tombstoned_ids,
+       |    (SELECT count(*) FROM e WHERE id % 7 = 0)
+       |      + (SELECT count(*) FROM e WHERE id % 5 = 0) AS superseded_rows,
+       |    count(DISTINCT cell) AS occupied_cells
+       |  FROM lv)
+       |SELECT 3 AS committed_batches, live_ids::BIGINT AS live_ids,
+       |  tombstoned_ids::BIGINT AS tombstoned_ids,
+       |  superseded_rows::BIGINT AS superseded_rows,
+       |  occupied_cells::BIGINT AS occupied_cells,
+       |  live_ids > 3 * occupied_cells AS reroute_advised,
+       |  CASE WHEN live_ids > 3 * occupied_cells
+       |       THEN ceil(live_ids / 1.5)::BIGINT ELSE 0 END AS advised_cells
+       |FROM agg""".stripMargin
+  }
+
+  private def pqStatsBuild(s: SparkSession, d: String): Unit = {
+    val dir = storeDir("pq-st-q") + "/store"
+    val emb = embOf(s, d)
+    Similarity.pqStoreBuild(emb, dir, m = 4, subDims = 16, codes = 8,
+      iters = 2, cells = 16)
+    Similarity.pqStoreAppend(emb.filter(col("id") % 7 === 0)
+      .select(col("id"), transform(col("vec"), x => -x).as("vec")), dir)
+    Similarity.pqStoreDelete(s, dir,
+      emb.filter(col("id") % 5 === 0).select(col("id"))): Unit
+  }
+
+  private def pqStatsProbe(s: SparkSession, d: String): DataFrame =
+    Similarity.pqStoreStats(s, storePath("pq-st-q") + "/store",
+      maxRowsPerCell = 3, hysteresis = 0.5)
+
+  /** Oracle for the PASSAGE-LEVEL hybrid: the BM25 chain's CTEs spliced
+    * with the passage chain's (their tokenized-documents CTE `t` is
+    * textually identical, so the passage chain drops its copy), the
+    * passage doc ranking `fin` standing in as the fusion's dense list,
+    * under the shared RRF tail.
+    */
+  private lazy val HybridPassageRrfSql: String = {
+    val bmChain = Bm25IndexSql.substring(0,
+      Bm25IndexSql.lastIndexOf("SELECT doc_id, n_matched"))
+    val p0 = PassageTopkSql
+    val tnAt = p0.indexOf("tn AS")
+    require(tnAt > 0 && p0.substring(0, tnAt).contains("FROM documents)"),
+      "passage oracle prologue changed - re-check the hybrid splice")
+    val pChain0 = "," + p0.substring(tnAt)
+    val pChain = pChain0.substring(0,
+      pChain0.lastIndexOf("SELECT doc_id, best_seq"))
+    bmChain + pChain + RrfFusionTail.replace(
+      "anntop AS (SELECT cid, rnk FROM r WHERE rnk <= 20)",
+      "anntop AS (SELECT doc_id AS cid, rnk FROM fin WHERE rnk <= 20)")
+  }
+
+  private def hybridPassageBuild(s: SparkSession, d: String): Unit = {
+    idxBuild("hyb-ps-i")(s, d)
+    val root = storeDir("hyb-ps-c")
+    val (ck, vec) = (s"$root/chunks", s"$root/vec")
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    graft.streaming.Streams.chunkIngestBatch(base, ck, "doc_id", "text",
+      window = 32, overlap = 8)
+    require(graft.streaming.Streams.chunkVectorIngestBatch(s, ck, vec,
+      base.select(col("doc_id")), dims = 16, m = 4, codes = 8,
+      cells = 8) > 0, "passage-hybrid chunk-vector build must insert")
+  }
+
+  private def hybridPassageProbe(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.hybridTopKPassage(s,
+      storePath("hyb-ps-i") + "/index", storePath("hyb-ps-c") + "/vec",
+      Seq("spark", "vector", "stream", "merge"), PassageQueryText,
+      dims = 16, k = 10, kEach = 20, nprobe = 2)
 
   /** Generated oracle for sim_pq_reroute_topk: the store builds
     * UNROUTED (per-subspace chains over `e`), then the reroute trains
@@ -3610,6 +3722,36 @@ object LlmQueries {
     QueryDef("sim_pq_reroute_topk", PqRerouteSql) { (s, d) =>
       pqRerouteBuild(s, d)
       pqRerouteProbe(s, d)
+    },
+
+    // PQ store STATS + REROUTE ADVISORY (Similarity.pqStoreStats): the
+    // operational read a maintenance cron consumes, oracle-derived
+    // from the store's full lifecycle — build(cells=16), re-embed
+    // every 7th id (negated, re-routed at append), tombstone every
+    // 5th — so live/tombstoned/superseded counts, occupied cells
+    // (routing re-derived in SQL, negated where re-embedded), and the
+    // advisory's exact flip (live > 3 x occupied at maxRowsPerCell=3)
+    // plus its hysteresis-sized target ceil(live/1.5) all face the
+    // oracle as one row.
+    QueryDef(
+      "sim_pq_store_stats",
+      PqStoreStatsSql) { (s, d) =>
+      pqStatsBuild(s, d)
+      pqStatsProbe(s, d)
+    },
+
+    // PASSAGE-LEVEL hybrid retrieval (Streams.hybridTopKPassage): BM25
+    // doc ranks fused with each doc's BEST-passage dense rank — the
+    // long-document retrieval shape where whole-doc embedding evidence
+    // averages the relevant passage away. The oracle splices the BM25
+    // chain with the full passage re-derivation (chunk, featurize,
+    // train, route, rank, doc-fold) and fuses under the shared RRF
+    // tail.
+    QueryDef(
+      "search_hybrid_passage_rrf",
+      HybridPassageRrfSql) { (s, d) =>
+      hybridPassageBuild(s, d)
+      hybridPassageProbe(s, d)
     },
 
     // PASSAGE-LEVEL retrieval (Streams.passageTopK) — the chunk

@@ -789,6 +789,27 @@ object Streams {
         col("n_passages"), col("rnk"))
   }
 
+  /** PASSAGE-LEVEL hybrid retrieval — BM25's doc-level lexical ranks
+    * fused (the shared RRF tail,
+    * [[graft.operators.Search.rrfFuseWithBm25]]) with [[passageTopK]]'s
+    * doc ranks, where each doc's dense rank comes from its BEST
+    * passage: the retrieval shape for long documents, where a doc's
+    * relevance lives in one passage that whole-doc embedding evidence
+    * averages away. Both fusion inputs stay top-`kEach` lists; the
+    * dense side reads only ~nprobe/cells of the chunk-vector store's
+    * code rows.
+    */
+  def hybridTopKPassage(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, vecDir: String, queryTerms: Seq[String],
+      queryText: String, dims: Int, k: Int, kEach: Int = 20,
+      rrfK: Int = 60, kPassages: Int = 50, nprobe: Int = 0): DataFrame = {
+    val dense = passageTopK(spark, vecDir, queryText, dims, kPassages,
+        kDocs = kEach, nprobe = nprobe)
+      .select(col("doc_id"), col("rnk").as("r_ann"))
+    graft.operators.Search.rrfFuseWithBm25(spark, indexDir, queryTerms,
+      dense, k, kEach, rrfK)
+  }
+
   /** Column names [[substringIngestBatch]] owns in the stored docs
     * table; same-named delivered columns are dropped before the join
     * back (see the ingest's scaladoc).

@@ -41,10 +41,13 @@ class PlanRegressionSpec extends SparkSpec {
       "search_bm25_index_migrate", "search_more_like_this",
       "search_hybrid_rrf", "search_hybrid_rrf_multiprobe",
       "search_hybrid_rrf_auto", "search_hybrid_rrf_pq",
-      // the rerank hybrid's quadratic shape is ONLY the BM25 side's
-      // one-row stats cross-join (like every hybrid above); its dense
-      // side is the routed hash-join probe, pinned broadcast below.
-      "search_hybrid_rrf_pq_rerank",
+      // the rerank/passage hybrids' quadratic shape is ONLY the BM25
+      // side's one-row stats cross-join (like every hybrid above);
+      // their dense sides are routed hash-join probes, pinned
+      // broadcast below. sim_pq_store_stats cross-joins its two
+      // ONE-ROW aggregate frames (live/tombstone agg x rows_total).
+      "search_hybrid_rrf_pq_rerank", "search_hybrid_passage_rrf",
+      "sim_pq_store_stats",
       "search_bm25_index_bucketed", "agg_histogram_price",
       "pl_iqr_outliers", "txt_unigram_logprob",
       "pl_training_data_filter_v2")
@@ -64,7 +67,8 @@ class PlanRegressionSpec extends SparkSpec {
       "join_broadcast_geo_rollup", "sim_ann_store_roundtrip",
       "sim_ann_multiprobe", "agg_cms_heavy_hitters",
       "sim_ivfpq_store_topk", "search_hybrid_rrf_pq",
-      "search_hybrid_rrf_pq_rerank", "search_passage_topk").foreach { q =>
+      "search_hybrid_rrf_pq_rerank", "search_passage_topk",
+      "search_hybrid_passage_rrf").foreach { q =>
       assert(plans(q).contains("BroadcastHashJoin"),
         s"$q lost its broadcast join")
     }
