@@ -91,4 +91,22 @@ object VectorFunctions {
         .cast("double")
     }: _*)
   }
+
+  /** Driver-side twin of [[signedBowVector]] over a literal text (same
+    * tokenizer contract as `TextFunctions.tokens`: trim, split on
+    * whitespace runs, drop empties) — bit-identical values by
+    * construction (integer sums of md5-bit signs). Lets a literal
+    * query featurize at PLAN time, so probes carry the query vector as
+    * a typed literal instead of a one-row joined frame (a constant
+    * join key would fold into a nested-loop join).
+    */
+  def signedBowVectorLocal(text: String, dims: Int): Seq[Double] = {
+    require(dims >= 1 && dims <= 60,
+      s"signedBowVectorLocal dims must be in [1, 60], got $dims")
+    val hs = text.trim.split("\\s+").filter(_.nonEmpty)
+      .map(t => HashFunctions.stableHash64Local(s"cv:$t"))
+    (0 until dims).map { d =>
+      hs.map(h => if (((h >> d) & 1L) == 1L) 1L else -1L).sum.toDouble
+    }
+  }
 }

@@ -657,6 +657,29 @@ object LlmQueries {
         kPassages = 50, kDocs = 10, nprobe = 2)
       .presentSorted(col("rnk"))
 
+  /** Build of search_passage_rerank_topk: one clean generation (base
+    * corpus chunks + their vectors) in its own store — the lifecycle
+    * churn is search_passage_topk's job; the rerank query prices the
+    * two-stage probe.
+    */
+  private def passageRerankBuild(s: SparkSession, d: String): Unit = {
+    val root = storeDir("passage-rr")
+    val (ck, vec) = (s"$root/chunks", s"$root/vec")
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    graft.streaming.Streams.chunkIngestBatch(base, ck, "doc_id", "text",
+      window = 32, overlap = 8)
+    require(graft.streaming.Streams.chunkVectorIngestBatch(s, ck, vec,
+      base.select(col("doc_id")), dims = 16, m = 4, codes = 8,
+      cells = 8) > 0, "passage-rerank chunk-vector build must insert")
+  }
+
+  private def passageRerankProbe(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.passageRerankTopK(s,
+        storePath("passage-rr") + "/chunks",
+        storePath("passage-rr") + "/vec", PassageQueryText, dims = 16,
+        kCand = 100, kPassages = 50, kDocs = 10, nprobe = 2)
+      .presentSorted(col("rnk"))
+
   private val PhraseTerms = Seq("table", "hash")
 
   private def bm25BucketedBuild(s: SparkSession, d: String): Unit = {
@@ -817,6 +840,8 @@ object LlmQueries {
     "sim_pq_store_stats" -> BenchPhases(pqStatsBuild, pqStatsProbe),
     "search_hybrid_passage_rrf" -> BenchPhases(hybridPassageBuild,
       hybridPassageProbe),
+    "search_passage_rerank_topk" -> BenchPhases(passageRerankBuild,
+      passageRerankProbe),
   )
 
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
@@ -1472,7 +1497,17 @@ object LlmQueries {
     * top-50 passages (rounded d2, cid tie-break), and aggregate to
     * docs: best passage (min d2, lowest seq on ties) ranks the doc.
     */
-  private lazy val PassageTopkSql: String = {
+  private lazy val PassageTopkSql: String = passageOracleSql(None)
+
+  /** [[PassageTopkSql]] with the final order EXACT: the ADC chain's
+    * `rk` ranking nominates kCand=100 candidate passages, the exact
+    * squared-L2 over the featurized chunk vectors (`e` — the oracle
+    * already holds the floats) re-ranks them, and the doc fold runs on
+    * the exact distances.
+    */
+  private lazy val PassageRerankSql: String = passageOracleSql(Some(100))
+
+  private def passageOracleSql(rerankKCand: Option[Int]): String = {
     val (m, sub, codes, cells, nprobe, kp, kd) = (4, 4, 8, 8, 2, 50, 10)
     val per = (0 until m).map { j =>
       val (lo, hi) = (j * sub + 1, (j + 1) * sub)
@@ -1484,6 +1519,24 @@ object LlmQueries {
            |  JOIN c${j}1 cb ON cb.cid = a.code,
            |  (SELECT v[$lo:$hi] AS v FROM qv) q)""".stripMargin
     }.mkString(",\n")
+    // The doc fold reads `fold` = the kept passage list: the routed ADC
+    // ranking directly, or (rerank form) the exact re-ranking of its
+    // top-kCand nomination — both carry (cid, best-metric AS approx_d2,
+    // rnk) so the fold below is shared verbatim.
+    val fold = rerankKCand match {
+      case None =>
+        s"""foldsrc AS (SELECT cid, approx_d2, rnk FROM rk),"""
+      case Some(kc) =>
+        s"""adcc AS (SELECT cid FROM rk WHERE rnk <= $kc),
+           |exd AS (
+           |  SELECT a.cid,
+           |    round(list_inner_product(q.v,q.v) + list_inner_product(x.v,x.v)
+           |      - 2*list_inner_product(q.v,x.v), 4) AS d2
+           |  FROM adcc a JOIN e x ON x.id = a.cid, qv q),
+           |foldsrc AS (SELECT cid, d2 AS approx_d2,
+           |         row_number() OVER (ORDER BY d2, cid) AS rnk
+           |       FROM exd),""".stripMargin
+    }
     s"""WITH t AS (
        |  SELECT doc_id,
        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
@@ -1557,9 +1610,10 @@ object LlmQueries {
        |rk AS (SELECT cid, approx_d2,
        |         row_number() OVER (ORDER BY approx_d2, cid) AS rnk
        |       FROM tot),
+       |$fold
        |da AS (SELECT cid // 100000 AS doc_id, cid % 100000 AS chunk_seq,
        |         approx_d2
-       |       FROM rk WHERE rnk <= $kp),
+       |       FROM foldsrc WHERE rnk <= $kp),
        |db AS (
        |  SELECT doc_id, min(approx_d2) AS best_d2,
        |    count(*)::BIGINT AS n_passages
@@ -3771,6 +3825,20 @@ object LlmQueries {
       PassageTopkSql) { (s, d) =>
       passageBuild(s, d)
       passageProbe(s, d)
+    },
+
+    // PASSAGE-LEVEL exact rerank (Streams.passageRerankTopK): the
+    // routed ADC probe nominates 100 candidate passages from code ids,
+    // only those candidates' chunk text loads and re-featurizes
+    // (candidate-sized — the stand-in for loading candidate floats),
+    // the exact squared-L2 re-ranks the top 50, and the doc fold runs
+    // on EXACT distances — the passage stack's production two-stage
+    // shape, sharing the standing stores search_passage_topk built.
+    QueryDef(
+      "search_passage_rerank_topk",
+      PassageRerankSql) { (s, d) =>
+      passageRerankBuild(s, d)
+      passageRerankProbe(s, d)
     },
 
     // BM25 keyword search (operators.Search.bm25TopK): ranked retrieval

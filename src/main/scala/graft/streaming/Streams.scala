@@ -789,6 +789,69 @@ object Streams {
         col("n_passages"), col("rnk"))
   }
 
+  /** PASSAGE-LEVEL exact rerank — [[passageTopK]] with the production
+    * two-stage shape: the routed ADC probe nominates `kCand` candidate
+    * passages from code ids alone, ONLY those candidates' chunk text
+    * loads from the chunk store and re-featurizes (the deterministic
+    * stand-in for "load the candidate floats" — candidate-sized, never
+    * a corpus featurize), the exact squared-L2 re-ranks them (rounded
+    * to 4 and ranked on the rounded value like every store probe), and
+    * the doc fold runs on the EXACT distances. Output like
+    * [[passageTopK]] but `best_d2` is exact.
+    */
+  def passageRerankTopK(spark: org.apache.spark.sql.SparkSession,
+      chunkDir: String, vecDir: String, queryText: String, dims: Int,
+      kCand: Int, kPassages: Int, kDocs: Int,
+      nprobe: Int = 0): DataFrame = {
+    require(kCand >= kPassages && kPassages > 0 && kDocs > 0,
+      s"need kCand >= kPassages > 0 and kDocs > 0, " +
+        s"got $kCand/$kPassages/$kDocs")
+    val q = spark.range(1).select(lit(-1L).as("id"),
+      passageVecExpr(lit(queryText), dims).as("vec"))
+    val cand = graft.operators.Similarity
+      .pqStoreTopK(spark, vecDir, q, kCand, nprobe)
+      .select(col("qid"), col("cid"))
+    val chunks = chunkStoreRead(spark, chunkDir).getOrElse(sys.error(
+      s"$chunkDir has no committed chunks - passage rerank reads the " +
+        "candidates' text from the chunk store"))
+    // Candidate-sized featurize: prune to the kCand chunk ids FIRST,
+    // then featurize only those (the join is on the packed id, the
+    // projection computing the vector sits above it).
+    val cv = chunks.select(chunkVecIdExpr.as("cid"), col("chunk_text"))
+      .join(broadcast(cand.select(col("cid"))), Seq("cid"), "left_semi")
+      .select(col("cid"),
+        passageVecExpr(col("chunk_text"), dims).as("cv"))
+    // The query vector is derivable at PLAN time (literal text,
+    // deterministic featurizer) — ride it as a typed literal; a
+    // one-row joined frame would fold its constant key into a
+    // nested-loop join.
+    val qv = typedLit(graft.functions.VectorFunctions
+      .signedBowVectorLocal(queryText, dims))
+    val d2 = graft.functions.VectorFunctions.dot(qv, qv) +
+      graft.functions.VectorFunctions.dot(col("cv"), col("cv")) -
+      lit(2.0) * graft.functions.VectorFunctions.dot(qv, col("cv"))
+    val exact = cand.select(col("cid")).join(cv, Seq("cid"))
+      .select(col("cid"), round(d2, 4).as("d2"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("d2"), col("cid"))))
+      .filter(col("rnk") <= kPassages)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("best_d2"), col("doc_id"))
+    exact
+      .select(expr(s"cid div ${ChunkVecSeqLimit}").as("doc_id"),
+        (col("cid") % ChunkVecSeqLimit).as("chunk_seq"), col("d2"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("d2")).as("best_d2"),
+        min(struct(col("d2"), col("chunk_seq")))
+          .getField("chunk_seq").as("best_seq"),
+        count(lit(1)).as("n_passages"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kDocs)
+      .select(col("doc_id"), col("best_seq"), col("best_d2"),
+        col("n_passages"), col("rnk"))
+  }
+
   /** PASSAGE-LEVEL hybrid retrieval — BM25's doc-level lexical ranks
     * fused (the shared RRF tail,
     * [[graft.operators.Search.rrfFuseWithBm25]]) with [[passageTopK]]'s

@@ -68,7 +68,8 @@ class PlanRegressionSpec extends SparkSpec {
       "sim_ann_multiprobe", "agg_cms_heavy_hitters",
       "sim_ivfpq_store_topk", "search_hybrid_rrf_pq",
       "search_hybrid_rrf_pq_rerank", "search_passage_topk",
-      "search_hybrid_passage_rrf").foreach { q =>
+      "search_hybrid_passage_rrf",
+      "search_passage_rerank_topk").foreach { q =>
       assert(plans(q).contains("BroadcastHashJoin"),
         s"$q lost its broadcast join")
     }
