@@ -551,6 +551,15 @@ class FanoutIngestSpec extends SparkSpec {
       .select("doc_id", "best_seq", "best_d2", "rnk")
       .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._4)
     assert(hit.head == ((1L, 0L, 0.0, 1)), s"got $hit")
+    // The exact rerank re-featurizes only the nominated candidates'
+    // chunk text and must agree here (singleton Lloyd clusters make
+    // ADC exact): same winner, exact zero distance.
+    val rr = Streams.passageRerankTopK(spark, chunkDir, vecDir,
+        "alpha beta gamma delta", dims = 16, kCand = 3, kPassages = 3,
+        kDocs = 3, nprobe = 2)
+      .select("doc_id", "best_seq", "best_d2", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._4)
+    assert(rr.head == ((1L, 0L, 0.0, 1)), s"got $rr")
     // Doc 1 re-chunks SHORTER: its surviving passage re-encodes, the
     // vanished seq-1 passage tombstones — a stale passage can never
     // surface again.
