@@ -1349,8 +1349,9 @@ object Streams {
       k: Int = 8, pqDir: Option[String] = None, pqM: Int = 4,
       pqCodes: Int = 8, chunkDir: Option[String] = None,
       chunkWindow: Int = 64, chunkOverlap: Int = 16,
-      chunkVecDir: Option[String] = None,
-      chunkVecDims: Int = 16): StreamingQuery =
+      chunkVecDir: Option[String] = None, chunkVecDims: Int = 16,
+      chunkVecM: Int = 4, chunkVecCodes: Int = 8,
+      chunkVecCells: Int = 16): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -1358,7 +1359,8 @@ object Streams {
         fanoutIngestBatchGated(batch, batchId, storeDir, indexDir, annDir,
           gramStoreDir, idCol, textCol, vecCol, planes, dims, k, pqDir,
           pqM, pqCodes, chunkDir, chunkWindow, chunkOverlap,
-          chunkVecDir, chunkVecDims): Unit
+          chunkVecDir, chunkVecDims, chunkVecM, chunkVecCodes,
+          chunkVecCells): Unit
       }
       .start()
 
@@ -1661,14 +1663,18 @@ object Streams {
       checkpointDir: String, vecCol: Option[String] = None,
       planes: Int = 16, dims: Int = 8, pqDir: Option[String] = None,
       pqM: Int = 4, pqCodes: Int = 8, chunkDir: Option[String] = None,
-      chunkWindow: Int = 64, chunkOverlap: Int = 16): StreamingQuery =
+      chunkWindow: Int = 64, chunkOverlap: Int = 16,
+      chunkVecDir: Option[String] = None, chunkVecDims: Int = 16,
+      chunkVecM: Int = 4, chunkVecCodes: Int = 8,
+      chunkVecCells: Int = 16): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         fanoutIngestBatch(batch, batchId, storeDir, indexDir, annDir,
           idCol, textCol, vecCol, planes, dims, pqDir, pqM, pqCodes,
-          chunkDir, chunkWindow, chunkOverlap): Unit
+          chunkDir, chunkWindow, chunkOverlap, chunkVecDir, chunkVecDims,
+          chunkVecM, chunkVecCodes, chunkVecCells): Unit
       }
       .start()
 

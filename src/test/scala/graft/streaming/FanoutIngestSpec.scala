@@ -366,13 +366,17 @@ class FanoutIngestSpec extends SparkSpec {
         4L -> "six seven"))
   }
 
-  test("fanoutIngestGatedSink streams the gated fan-out") {
+  test("fanoutIngestGatedSink streams the gated fan-out incl. the " +
+      "chunk-vector passage surface") {
     val root = java.nio.file.Files.createTempDirectory("fanout-gs").toString
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String)]
     val q = Streams.fanoutIngestGatedSink(in.toDF().toDF("doc_id", "text"),
       s"$root/store", s"$root/index", s"$root/ann", s"$root/gram",
-      "doc_id", "text", s"$root/ckpt", k = 3)
+      "doc_id", "text", s"$root/ckpt", k = 3,
+      chunkDir = Some(s"$root/chunks"), chunkWindow = 4, chunkOverlap = 1,
+      chunkVecDir = Some(s"$root/ckvec"), chunkVecDims = 16,
+      chunkVecM = 4, chunkVecCodes = 2, chunkVecCells = 2)
     try {
       in.addData((1L, "one two three four five"))
       q.processAllAvailable()
@@ -384,6 +388,17 @@ class FanoutIngestSpec extends SparkSpec {
     assert(Streams.readState(spark, s"$root/store").get
       .select("doc_id", "text").as[(Long, String)].collect().toMap
       == Map(1L -> "one two three four five", 2L -> "six seven"))
+    // The passage surface streamed along: doc 1's two windows trained
+    // the codebook on batch 1, doc 2's CLEANED text ("six seven")
+    // encoded one passage on batch 2, and passage retrieval serves
+    // both docs from the standing store.
+    assert(Similarity.pqStoreLiveIds(spark, s"$root/ckvec")
+      .as[Long].collect().toSet == Set(100000L, 100001L, 200000L),
+      "streamed chunk-vector membership diverged")
+    val docs = Streams.passageTopK(spark, s"$root/ckvec", "six seven",
+        dims = 16, kPassages = 10, kDocs = 5, nprobe = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(docs == Set(1L, 2L), s"passage retrieval must serve: $docs")
   }
 
   test("fanoutDeleteSink streams takedowns across all three stores") {
