@@ -701,4 +701,46 @@ object Dedup {
       .withColumn("component", col(idCol))
     best.unionByName(singles)
   }
+
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
+    * embedding space, then prune near-duplicates WITHIN each cluster by
+    * exact cosine — the embedding analog of [[keepBestPerCluster]], and
+    * the data-selection step the reference's content-hash dedup
+    * (`/root/reference/db/postgres_store.py:84-103`) cannot express
+    * (paraphrases and re-encodings hash differently but embed nearby).
+    *
+    * Deterministic contract (shared with the DuckDB oracle): clusters
+    * come from [[Similarity.kmeansAssign]] (lowest-id seeds, d2 via the
+    * inner-product identity, `(d2, cid)` tie-break), and a row is
+    * DROPPED iff some LOWER-id row of the same cluster has
+    * `round(cosine, decimals) >= minCosine` — the greedy keep-lowest-id
+    * rule, evaluation-order-free because it only quantifies over pairs.
+    *
+    * Scale shape: the pair join is keyed on `cluster_id` — never
+    * all-pairs. At corpus scale you pick `k` so the expected cluster
+    * size stays bounded (SemDeDup trains k ~ N/1000 clusters); the
+    * quadratic term is then per-cluster and constant, and the whole op
+    * is one kmeans pass + one cluster-keyed shuffle + one anti-join.
+    * Returns survivors as (id, cluster_id).
+    */
+  def semDedup(vecs: DataFrame, k: Int, iters: Int, minCosine: Double,
+      decimals: Int = 6): DataFrame = {
+    import graft.functions.VectorFunctions
+    val assigned = Similarity.kmeansAssign(vecs, k, iters)
+      .select(col("id"), col("cluster_id"))
+    val withV = vecs
+      .select(col("id"), VectorFunctions.toDoubleArray(col("vec")).as("v"))
+      .join(assigned, Seq("id"))
+    val lo = withV.select(col("cluster_id"), col("id").as("a"),
+      col("v").as("va"))
+    val hi = withV.select(col("cluster_id"), col("id").as("b"),
+      col("v").as("vb"))
+    val drops = lo.join(hi, Seq("cluster_id"))
+      .filter(col("a") < col("b"))
+      .filter(round(VectorFunctions.cosine(col("va"), col("vb")), decimals)
+        >= minCosine)
+      .select(col("b").as("id")).distinct()
+    withV.select(col("id"), col("cluster_id"))
+      .join(drops, Seq("id"), "left_anti")
+  }
 }

@@ -2602,6 +2602,65 @@ object LlmQueries {
         .presentSorted(col("a"), col("b"))
     },
 
+    // SEMANTIC dedup (SemDeDup): k-means clusters the embedding space
+    // (the pinned Lloyd algebra — lowest-id seeds, inner-product-
+    // identity d2, (d2, cid) tie-break), then drops any vector whose
+    // cluster holds a LOWER-id vector with cosine >= 0.999. Scaled
+    // copies (x * 1.001) embed at cosine 1.0 next to their originals,
+    // so the survivors are exactly the lowest-id representative of each
+    // semantic group. The pair join is cluster-keyed — never all-pairs.
+    QueryDef(
+      "dd_semdedup",
+      """WITH e AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |         list_transform(embedding::DOUBLE[], x -> x * 1.001)
+        |  FROM embeddings),
+        |c0 AS (SELECT id AS cid, v FROM e ORDER BY id LIMIT 4),
+        |d1 AS (
+        |  SELECT e.id, c.cid,
+        |    row_number() OVER (PARTITION BY e.id
+        |      ORDER BY list_inner_product(e.v, e.v) + list_inner_product(c.v, c.v)
+        |        - 2 * list_inner_product(e.v, c.v), c.cid) AS rn
+        |  FROM e, c0 c),
+        |m1 AS (
+        |  SELECT a.cid, u.dim, avg(u.x) AS x
+        |  FROM (SELECT id, cid FROM d1 WHERE rn = 1) a
+        |  JOIN (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+        |        FROM e) u USING (id)
+        |  GROUP BY a.cid, u.dim),
+        |c1 AS (SELECT cid, list(x ORDER BY dim) AS v FROM m1 GROUP BY cid),
+        |d2i AS (
+        |  SELECT e.id, c.cid,
+        |    row_number() OVER (PARTITION BY e.id
+        |      ORDER BY list_inner_product(e.v, e.v) + list_inner_product(c.v, c.v)
+        |        - 2 * list_inner_product(e.v, c.v), c.cid) AS rn
+        |  FROM e, c1 c),
+        |asg AS (SELECT id, cid AS cluster_id FROM d2i WHERE rn = 1),
+        |drops AS (
+        |  SELECT DISTINCT xb.id AS id
+        |  FROM asg xa
+        |  JOIN asg xb ON xb.cluster_id = xa.cluster_id AND xa.id < xb.id
+        |  JOIN e va ON va.id = xa.id
+        |  JOIN e vb ON vb.id = xb.id
+        |  WHERE round(list_inner_product(va.v, vb.v) /
+        |      (sqrt(list_inner_product(va.v, va.v))
+        |       * sqrt(list_inner_product(vb.v, vb.v))), 6) >= 0.999)
+        |SELECT id, cluster_id FROM asg
+        |WHERE id NOT IN (SELECT id FROM drops)
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"),
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+            .as("vec"))
+      val corpus = emb.unionByName(emb.select((col("id") + 100000).as("id"),
+        transform(col("vec"), x => x * 1.001).as("vec")))
+      graft.operators.Dedup.semDedup(corpus, k = 4, iters = 2,
+          minCosine = 0.999)
+        .presentSorted(col("id"))
+    },
+
     // IVF-style ANN: coarse-quantize to the 16 deterministic centroid
     // cells, probe the 2 nearest cells per query, exact cosine top-3
     // within the probed cells.

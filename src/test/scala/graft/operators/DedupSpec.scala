@@ -257,4 +257,35 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq.sorted
     assert(kept == Seq((2L, 1L, 0.9), (11L, 10L, 0.8), (20L, 20L, 0.1)))
   }
+
+  test("semDedup drops lower-id-shadowed near-dups within clusters only") {
+    // The two lowest ids (= the k-means seeds) point along orthogonal
+    // directions, so Lloyd converges immediately: x-scaled copies
+    // cluster with seed 1, y-scaled copies with seed 2. Scaled copies
+    // have pairwise cosine 1.0; greedy keep-lowest-id leaves one
+    // representative per direction.
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 1.0)),
+      (3L, Seq(2.0, 0.0)),
+      (4L, Seq(0.0, 2.0)),
+      (5L, Seq(3.0, 0.0)))
+      .toDF("id", "vec")
+    val got = Dedup.semDedup(vecs, k = 2, iters = 2, minCosine = 0.999)
+      .as[(Long, Long)].collect().toMap
+    // Cluster ids are the kmeans seed ids (the 2 lowest vector ids).
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("semDedup keeps dissimilar members of the same cluster") {
+    // One cluster (k=1): orthogonal vectors share the cluster but have
+    // cosine 0, so nothing drops.
+    val vecs = Seq(
+      (5L, Seq(1.0, 0.0)),
+      (6L, Seq(0.0, 1.0)))
+      .toDF("id", "vec")
+    val got = Dedup.semDedup(vecs, k = 1, iters = 1, minCosine = 0.999)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 6L -> 5L))
+  }
 }
