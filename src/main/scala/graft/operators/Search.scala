@@ -921,12 +921,28 @@ object Search {
     // df counts the query doc too (it is part of the corpus) — only
     // the SCORED set excludes it.
     val hits0 = readCommittedPostings(spark, dir, committed)
-      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(qterms.withColumn("__qw",
+        col("__qtf").cast("double")).drop("__qtf")), Seq("term"))
       .join(cur.select(col("doc_id"), col("batch")), Seq("doc_id", "batch"))
     val hits = hits0.filter(col("doc_id").cast("string") =!= col("__qid"))
     val stats = cur
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val dfs = hits0.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    scoreWeightedHits(hits, dfs, stats, k, k1, b)
+  }
+
+  /** Shared WEIGHTED BM25 scoring tail of the query-by-terms-with-
+    * weights retrievers ([[moreLikeThisTopK]], [[rm3TopK]]): `hits`
+    * carries (doc_id, term, tf, dl, __qw) where `__qw` is the query-
+    * side weight of that term (a tf for MLT, a fixed fusion weight for
+    * RM3's expansion terms); each hit contributes
+    * `round(qw · idf · tf·(k1+1)/norm · 1e6)` micro-units and ONE
+    * doc_id hash-shuffle sums them as exact BIGINTs. One definition so
+    * the weighted retrievers can never silently diverge on the
+    * contribution formula (same guard as [[rrfFuseWithBm25]]).
+    */
+  private def scoreWeightedHits(hits: DataFrame, dfs: DataFrame,
+      stats: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     val n = col("n_docs").cast("double")
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val tf = col("tf").cast("double")
@@ -939,13 +955,71 @@ object Search {
       .join(broadcast(dfs), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        round(col("__qtf").cast("double") * idf * tf * lit(k1 + 1.0) / norm
+        round(col("__qw") * idf * tf * lit(k1 + 1.0) / norm
           * lit(1e6)).cast("long").as("__contrib"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_matched"),
         sum(col("__contrib")).as("score_1e6"))
       .orderBy(col("score_1e6").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** RM3-style PSEUDO-RELEVANCE-FEEDBACK expansion over the standing
+    * index — the relevance-feedback loop interactive corpus search
+    * runs when the literal query under-recalls: stage 1 ranks with
+    * [[bm25FromIndexTopK]], the top-`fbDocs` docs nominate the
+    * `fbTerms` heaviest terms they contain (total tf desc, term
+    * tie-break, original terms excluded), and stage 2 re-ranks the
+    * corpus with the EXPANDED weighted query — original terms at
+    * weight 1.0, expansion terms at `fbWeight` — through the shared
+    * [[scoreWeightedHits]] micro-unit algebra. Fully in-plan: the
+    * feedback set and expansion vocabulary stay DataFrames (both
+    * bounded by fbDocs/fbTerms, so every join broadcasts); nothing is
+    * collected to the driver.
+    *
+    * Scale note: stage 1 pushes its term predicate into the postings
+    * scan, but the expansion lookup (terms OF given docs) and the
+    * stage-2 dynamic-term join each scan postings once with only a
+    * broadcast hash-join filter — the postings layout is term-keyed,
+    * not doc-keyed. At 100 TB you'd serve the expansion lookup from a
+    * doc-bucketed forward index (same rows, other key) and stage 2
+    * from [[bucketPostings]]; the plan shape here (broadcast joins,
+    * one final doc_id shuffle) is already the one that survives.
+    */
+  def rm3TopK(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queryTerms: Seq[String], k: Int,
+      fbDocs: Int = 5, fbTerms: Int = 8, fbWeight: Double = 0.5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val committed = committedBatches(spark, dir)
+    require(committed.nonEmpty, s"no committed index state under $dir")
+    val cur = currentDocs(spark, dir).get
+      .filter(col("content_hash") =!= Tombstone)
+    val fb = bm25FromIndexTopK(spark, dir, queryTerms, fbDocs, k1, b)
+      .select(col("doc_id"))
+    // Resolve the feedback docs to their current generation, then read
+    // their term vectors from the postings (no text is re-tokenized).
+    val curFb = cur.select(col("doc_id"), col("batch"))
+      .join(broadcast(fb), Seq("doc_id"))
+    val expTerms = readCommittedPostings(spark, dir, committed)
+      .join(broadcast(curFb), Seq("doc_id", "batch"))
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(sum(col("tf")).as("__w"))
+      .orderBy(col("__w").desc, col("term"))
+      .limit(fbTerms)
+      .select(col("term"), lit(fbWeight).as("__qw"))
+    val origTerms = {
+      import spark.implicits._
+      queryTerms.toDF("term").select(col("term"), lit(1.0).as("__qw"))
+    }
+    val qterms = origTerms.unionByName(expTerms)
+    val hits = readCommittedPostings(spark, dir, committed)
+      .join(broadcast(qterms), Seq("term"))
+      .join(cur.select(col("doc_id"), col("batch")), Seq("doc_id", "batch"))
+    val stats = cur
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    scoreWeightedHits(hits, dfs, stats, k, k1, b)
   }
 
   /** HYBRID retrieval — Reciprocal-Rank Fusion of the BM25 index

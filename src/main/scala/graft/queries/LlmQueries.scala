@@ -210,6 +210,10 @@ object LlmQueries {
     Search.bm25FromIndexTopK(s, storePath(name) + "/index",
       Seq("spark", "vector", "stream", "merge"), k = 10)
 
+  private def rm3Probe(s: SparkSession, d: String): DataFrame =
+    Search.rm3TopK(s, storePath("bm25-rm3") + "/index",
+      Seq("spark", "vector", "stream", "merge"), k = 10)
+
   private def bm25DeleteBuild(s: SparkSession, d: String): Unit = {
     idxBuild("bm25-del")(s, d)
     val dir = storePath("bm25-del") + "/index"
@@ -801,6 +805,8 @@ object LlmQueries {
       annProbe("ann-mp", multiprobe = true)),
     "search_bm25_index_topk" -> BenchPhases(idxBuild("bm25"),
       bm25IdxProbe("bm25")),
+    "search_rm3_expansion" -> BenchPhases(idxBuild("bm25-rm3"),
+      rm3Probe),
     "search_bm25_index_delete" -> BenchPhases(bm25DeleteBuild,
       bm25IdxProbe("bm25-del")),
     "search_bm25_index_vacuum" -> BenchPhases(bm25VacuumBuild,
@@ -944,6 +950,63 @@ object LlmQueries {
       |  FROM p, g)
       |SELECT doc_id, n_matched, score_1e6 FROM s
       |WHERE n_matched > 0
+      |ORDER BY score_1e6 DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Oracle for the RM3 expansion query: both BM25 stages in the
+    * exploded (doc, term) shape — per-hit contributions rounded to
+    * micro-units exactly like [[Bm25IndexSql]] (same left-to-right
+    * float expression), stage-1 top-5 docs nominate the 8 heaviest
+    * non-query terms (total tf desc, term tie-break), and stage 2
+    * re-scores with original terms at weight 1.0 and expansion terms
+    * at 0.5.
+    */
+  private val Rm3Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+      |  FROM documents),
+      |d AS (SELECT doc_id, len(l) AS dl FROM t),
+      |u AS (SELECT doc_id, unnest(l) AS term FROM t),
+      |tfs AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY doc_id, term),
+      |g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM d),
+      |q0 AS (SELECT unnest(['spark','vector','stream','merge']) AS term),
+      |dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+      |s1 AS (
+      |  SELECT tfs.doc_id,
+      |    sum(round(ln(1.0 + (g.n::DOUBLE - dfs.df::DOUBLE + 0.5)
+      |        / (dfs.df::DOUBLE + 0.5))
+      |      * tfs.tf::DOUBLE * 2.2
+      |      / (tfs.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * d.dl::DOUBLE
+      |          / (g.sumdl::DOUBLE / g.n::DOUBLE))) * 1e6)::BIGINT) AS score
+      |  FROM tfs
+      |  JOIN q0 USING (term)
+      |  JOIN dfs ON dfs.term = tfs.term
+      |  JOIN d ON d.doc_id = tfs.doc_id, g
+      |  GROUP BY tfs.doc_id),
+      |fb AS (SELECT doc_id FROM s1 ORDER BY score DESC, doc_id LIMIT 5),
+      |expt AS (
+      |  SELECT term, 0.5 AS qw FROM (
+      |    SELECT tfs.term, sum(tfs.tf) AS w
+      |    FROM tfs JOIN fb USING (doc_id)
+      |    WHERE tfs.term NOT IN (SELECT term FROM q0)
+      |    GROUP BY tfs.term)
+      |  ORDER BY w DESC, term LIMIT 8),
+      |qt AS (SELECT term, 1.0 AS qw FROM q0
+      |       UNION ALL SELECT term, qw FROM expt),
+      |s2 AS (
+      |  SELECT tfs.doc_id, count(*)::INT AS n_matched,
+      |    sum(round(qt.qw * ln(1.0 + (g.n::DOUBLE - dfs.df::DOUBLE + 0.5)
+      |        / (dfs.df::DOUBLE + 0.5))
+      |      * tfs.tf::DOUBLE * 2.2
+      |      / (tfs.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * d.dl::DOUBLE
+      |          / (g.sumdl::DOUBLE / g.n::DOUBLE))) * 1e6)::BIGINT)::BIGINT
+      |      AS score_1e6
+      |  FROM tfs
+      |  JOIN qt ON qt.term = tfs.term
+      |  JOIN dfs ON dfs.term = tfs.term
+      |  JOIN d ON d.doc_id = tfs.doc_id, g
+      |  GROUP BY tfs.doc_id)
+      |SELECT doc_id, n_matched, score_1e6 FROM s2
       |ORDER BY score_1e6 DESC, doc_id LIMIT 10""".stripMargin
 
   /** Oracle for the ANN-store queries: exact-query vs dequantized-
@@ -3971,6 +4034,20 @@ object LlmQueries {
       Bm25IndexSql) { (s, d) =>
       idxBuild("bm25")(s, d)
       bm25IdxProbe("bm25")(s, d)
+    },
+
+    // RM3 pseudo-relevance-feedback expansion (Search.rm3TopK): the
+    // BM25 top-5 feedback docs nominate the 8 heaviest non-query terms
+    // from their postings, and the corpus re-ranks under the expanded
+    // weighted query (originals 1.0, expansion 0.5) — two index-served
+    // stages, both on the shared micro-unit contribution algebra, all
+    // in-plan (the feedback set and expansion vocabulary broadcast;
+    // nothing collects to the driver).
+    QueryDef(
+      "search_rm3_expansion",
+      Rm3Sql) { (s, d) =>
+      idxBuild("bm25-rm3")(s, d)
+      rm3Probe(s, d)
     },
 
     // HYBRID retrieval: Reciprocal-Rank Fusion of the BM25 index top-20

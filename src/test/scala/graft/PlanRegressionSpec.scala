@@ -39,6 +39,10 @@ class PlanRegressionSpec extends SparkSpec {
       "search_bm25_index_topk", "search_bm25_index_upsert",
       "search_bm25_index_delete", "search_bm25_index_vacuum",
       "search_bm25_index_migrate", "search_more_like_this",
+      // rm3's quadratic shape is the one-row stats cross-join of its
+      // two BM25 stages; the feedback/expansion joins are broadcast
+      // hash joins on doc_id/term.
+      "search_rm3_expansion",
       "search_hybrid_rrf", "search_hybrid_rrf_multiprobe",
       "search_hybrid_rrf_auto", "search_hybrid_rrf_pq",
       // the rerank/passage hybrids' quadratic shape is ONLY the BM25

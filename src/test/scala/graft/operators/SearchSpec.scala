@@ -816,4 +816,33 @@ class SearchSpec extends SparkSpec {
     assert(Search.bm25FromIndexTopK(spark, dir, terms, 10)
       .collect().exists(_.getLong(0) == 9L))
   }
+
+  test("rm3TopK recalls a doc holding only expansion terms, ranks the " +
+      "feedback doc first, and excludes terms past the fbTerms cap") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("rm3").toString + "/index"
+    // Doc 1 is the only 'spark' match -> the sole feedback doc. Its
+    // heaviest non-query terms are alpha (tf 2) then beta (tf 1);
+    // fbTerms=2 admits exactly those, so 'gamma' never expands and
+    // doc 4 stays invisible. Doc 2 has NO query term but both
+    // expansion terms: plain BM25 cannot return it, RM3 must.
+    val corpus = Seq(
+      (1L, "spark alpha alpha beta gamma"),
+      (2L, "alpha beta noise"),
+      (3L, "unrelated words entirely"),
+      (4L, "gamma gamma gamma"))
+      .toDF("doc_id", "text")
+    Search.buildIndex(corpus, "doc_id", "text", dir)
+    assert(!Search.bm25FromIndexTopK(spark, dir, Seq("spark"), 10)
+      .collect().exists(_.getLong(0) == 2L))
+    val got = Search.rm3TopK(spark, dir, Seq("spark"), k = 10,
+      fbDocs = 1, fbTerms = 2)
+      .select("doc_id", "n_matched", "score_1e6")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L),
+      s"expected docs 1 then 2, got $got")
+    val byId = got.map(x => x._1 -> x).toMap
+    // Doc 1 matches spark+alpha+beta, doc 2 only the two expansions.
+    assert(byId(1L)._2 == 3 && byId(2L)._2 == 2)
+  }
 }
