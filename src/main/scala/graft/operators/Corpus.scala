@@ -980,4 +980,68 @@ object Corpus {
       .filter(col("n_overlap") >= minOverlap)
       .select(col("doc_id").as(idCol), col("n_overlap"))
   }
+
+  /** DSIR-style IMPORTANCE-weighted data selection (Xie et al. 2023):
+    * score every document by how much its hashed-unigram distribution
+    * looks like a TARGET domain rather than the raw corpus, and keep
+    * the top `k` — the data-selection step between quality filtering
+    * and mixture sampling when a pipeline wants "more like this slice"
+    * without a trained classifier.
+    *
+    * Mechanics (bit-shared with the DuckDB oracle): every token hashes
+    * to one of `buckets` features (60-bit md5 hash, pmod); one
+    * aggregate over the exploded corpus yields per-bucket raw and
+    * target counts (map-side combined to <= `buckets` partials); each
+    * bucket's weight is the add-one-smoothed log-likelihood ratio
+    *   `round((ln((tgt_b+1)/(T+B)) - ln((raw_b+1)/(R+B))) * 1e6)`
+    * in integer micro-units (computed IN-PLAN so both engines round
+    * identically); a doc's score is the exact BIGINT sum of its
+    * tokens' bucket weights. Zero-token docs are not scored.
+    *
+    * Scale shape: the weight table is `buckets` rows — driver-bounded
+    * by construction, like the IVF/PQ codebooks — and ships back as
+    * ONE map literal, so the scoring pass is a pure per-row fold over
+    * the token array: no join, no shuffle, no explode of the corpus on
+    * the second pass. Two corpus scans total (count, score) plus a
+    * TakeOrderedAndProject for the top-k.
+    */
+  def importanceTopK(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int, k: Int): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in (0, 2^20], got $buckets")
+    val bucketsOf = transform(
+      graft.functions.TextFunctions.tokens(col(textCol)),
+      t => pmod(HashFunctions.stableHash64(t), lit(buckets.toLong)))
+    val featurized = docs.select(col(idCol).as("doc_id"),
+      isTarget.as("__t"), bucketsOf.as("__bs"))
+
+    // One aggregate: per-bucket raw and target occurrence counts.
+    val cnts = featurized
+      .select(col("__t"), explode(col("__bs")).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("tc"))
+    val tot = cnts.agg(sum(col("rc")), sum(col("tc"))).head()
+    val (rTot, tTot) = (tot.getLong(0), tot.getLong(1))
+    // Weights rounded IN-PLAN (Catalyst round = half away from zero,
+    // same as DuckDB round — weights can be negative, where JVM
+    // math.round would disagree on exact halves).
+    val weights: Map[Long, Long] = cnts
+      .select(col("b"),
+        round((log((col("tc") + lit(1L)).cast("double") /
+            lit((tTot + buckets).toDouble)) -
+          log((col("rc") + lit(1L)).cast("double") /
+            lit((rTot + buckets).toDouble))) * lit(1e6)).cast("long")
+          .as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wmap = typedLit(weights)
+
+    featurized
+      .select(col("doc_id"), size(col("__bs")).cast("long").as("n_tokens"),
+        aggregate(col("__bs"), lit(0L),
+          (acc, b) => acc + element_at(wmap, b)).as("score_1e6"))
+      .filter(col("n_tokens") > 0)
+      .orderBy(col("score_1e6").desc, col("doc_id"))
+      .limit(k)
+  }
 }

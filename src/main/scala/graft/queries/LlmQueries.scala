@@ -2898,6 +2898,47 @@ object LlmQueries {
         .presentSorted(col("doc_id"))
     },
 
+    // DSIR-style IMPORTANCE-weighted selection (Corpus.importanceTopK):
+    // every token hashes to one of 1024 features; each bucket's weight
+    // is the add-one-smoothed log-likelihood ratio of the target slice
+    // (every 37th doc, the eval-slice convention) vs the raw corpus,
+    // rounded to integer micro-units; a doc scores the exact BIGINT sum
+    // of its tokens' bucket weights and the top 100 are kept. The
+    // weight table is 1024 rows (driver-bounded, codebook-style) and
+    // ships as one map literal, so the scoring pass is a per-row fold.
+    QueryDef(
+      "pl_importance_resample",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS b
+        |  FROM (SELECT doc_id, unnest(l) AS tok FROM t)),
+        |cnts AS (
+        |  SELECT b, count(*) AS rc,
+        |    sum(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS tc
+        |  FROM f GROUP BY b),
+        |tot AS (SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM cnts),
+        |w AS (
+        |  SELECT b,
+        |    round((ln((tc + 1)::DOUBLE / (tot.ttot + 1024)::DOUBLE)
+        |         - ln((rc + 1)::DOUBLE / (tot.rtot + 1024)::DOUBLE))
+        |      * 1e6)::BIGINT AS w
+        |  FROM cnts, tot),
+        |s AS (
+        |  SELECT f.doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(w.w)::BIGINT AS score_1e6
+        |  FROM f JOIN w USING (b) GROUP BY f.doc_id)
+        |SELECT doc_id, n_tokens, score_1e6 FROM s
+        |ORDER BY score_1e6 DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      graft.operators.Corpus.importanceTopK(Tables.documents(s, d),
+          "doc_id", "text", isTarget = col("doc_id") % 37 === 0,
+          buckets = 1024, k = 100)
+        .presentSorted(col("score_1e6").desc, col("doc_id"))
+    },
+
     // BOILERPLATE RATIO (RefinedWeb/C4-style template-text signal):
     // fraction of each doc's distinct shingles whose corpus document
     // frequency reaches 5 — the quality-gate input for dropping

@@ -644,4 +644,29 @@ class CorpusSpec extends SparkSpec {
         s"case $caseSeed: seed change did not change the permutation")
     }
   }
+
+  test("importanceTopK ranks target-like docs above raw-like, skips " +
+      "empty docs") {
+    // Self-checking fixture: the two tokens must land in different
+    // hash buckets for the weights to separate.
+    val B = 1024
+    assert(graft.functions.HashFunctions.stableHash64Local("alpha") % B !=
+      graft.functions.HashFunctions.stableHash64Local("omega") % B)
+    val docs = Seq(
+      (1L, "alpha alpha alpha"),   // the target slice
+      (2L, "alpha omega"),
+      (3L, "omega omega omega omega"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Corpus.importanceTopK(docs, "doc_id", "text",
+        isTarget = col("doc_id") === 1L, buckets = B, k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    // Empty doc 4 is unscored; ranking follows target-likeness.
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), s"got $got")
+    assert(got.map(x => x._1 -> x._2).toMap ==
+      Map(1L -> 3L, 2L -> 2L, 3L -> 4L))
+    // Scores strictly separate the three mixes (no bucket collision).
+    assert(got.map(_._3).distinct.size == 3 &&
+      got.map(_._3) == got.map(_._3).sortBy(-_))
+  }
 }
