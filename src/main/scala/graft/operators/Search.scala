@@ -105,6 +105,50 @@ object Search {
       .limit(k)
   }
 
+  /** SNIPPET extraction over the BM25 top-k — the display half of
+    * interactive corpus search: for each of the `k` best docs, the
+    * `window`-token span with the MOST query-term hits (ties break on
+    * the earliest start). Everything runs IN-ROW over the token array
+    * — hit positions via an indexed `transform`+`filter`, the best
+    * start via an `array_sort` over (-hits, pos) structs (the same
+    * in-row argmax idiom as the IVF cell ranking), the snippet via
+    * `slice` — so the whole query is [[bm25TopK]]'s scan +
+    * `TakeOrderedAndProject`, plus ONE more corpus scan filtered by a
+    * broadcast hash-join on the k winning ids to cut the snippets
+    * (at 100 TB a point-lookup store would serve that fetch; the
+    * broadcast-semi scan is the engine-native shape). The per-row cost
+    * is O(hits^2) with hits bounded by the doc's query-term count —
+    * not corpus-dependent.
+    */
+  def snippetTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, window: Int = 12): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val top = bm25TopK(docs, idCol, textCol, queryTerms, k)
+    val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
+    // 1-based hit positions of any query term, computed per row.
+    val pos = filter(
+      transform(col("__toks"), (t, i) =>
+        when(t.isin(queryTerms: _*), i + lit(1)).otherwise(lit(0))),
+      p => p > 0)
+    val best = array_sort(transform(col("__pos"), p =>
+      struct(
+        (-size(filter(col("__pos"),
+          q => q >= p && q < p + lit(window)))).as("negn"),
+        p.as("p"))))(0)
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .join(broadcast(top.select(col("doc_id"), col("score_1e6"))),
+        Seq("doc_id"))
+      .withColumn("__pos", pos)
+      .withColumn("__best", best)
+      .select(col("doc_id"), col("score_1e6"),
+        col("__best")("p").cast("long").as("start_pos"),
+        (-col("__best")("negn")).cast("long").as("n_hits"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__best")("p"), lit(window)))
+          .as("snippet"))
+      .orderBy(col("score_1e6").desc, col("doc_id"))
+  }
+
   /** Build a STANDING INVERTED INDEX under `dir` — the store-side scale
     * path: sign the corpus once, answer every later query from
     * postings without touching document text.

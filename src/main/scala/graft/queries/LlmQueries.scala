@@ -1009,6 +1009,39 @@ object LlmQueries {
       |SELECT doc_id, n_matched, score_1e6 FROM s2
       |ORDER BY score_1e6 DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Oracle for the snippet query: [[Bm25IndexSql]]'s CTE chain for
+    * the top-10, then per-doc hit positions via DuckDB's 1-based
+    * indexed list lambda (matching the Spark side's `transform` with
+    * `i + 1`) and the best window via a lexicographic list_sort over
+    * [-hits, pos] pairs — the same argmax the engine runs as an
+    * array_sort over (negn, p) structs.
+    */
+  private lazy val SnippetSql: String = {
+    val bmChain = Bm25IndexSql.substring(0,
+      Bm25IndexSql.lastIndexOf("SELECT doc_id, n_matched"))
+    bmChain +
+      """,top AS (SELECT doc_id, score_1e6 FROM s
+        |       WHERE n_matched > 0
+        |       ORDER BY score_1e6 DESC, doc_id LIMIT 10),
+        |ps AS (
+        |  SELECT top.doc_id, top.score_1e6, t.l,
+        |    list_filter(list_transform(t.l, (x, i) ->
+        |      CASE WHEN x IN ('spark','vector','stream','merge')
+        |           THEN i ELSE 0 END), p -> p > 0) AS pos
+        |  FROM top JOIN t USING (doc_id)),
+        |b AS (
+        |  SELECT doc_id, score_1e6, l, pos,
+        |    list_sort(list_transform(pos, p ->
+        |      [-len(list_filter(pos, q -> q >= p AND q < p + 12)), p]))[1]
+        |      AS best
+        |  FROM ps)
+        |SELECT doc_id, score_1e6,
+        |  best[2]::BIGINT AS start_pos,
+        |  (-best[1])::BIGINT AS n_hits,
+        |  array_to_string(l[best[2]:best[2] + 11], ' ') AS snippet
+        |FROM b ORDER BY score_1e6 DESC, doc_id""".stripMargin
+  }
+
   /** Oracle for the ANN-store queries: exact-query vs dequantized-
     * candidate cosine over the embeddings table, bucket-pruned with the
     * same seeded hyperplanes — the store must match it on a fresh build
@@ -4089,6 +4122,22 @@ object LlmQueries {
       Rm3Sql) { (s, d) =>
       idxBuild("bm25-rm3")(s, d)
       rm3Probe(s, d)
+    },
+
+    // SNIPPET extraction (Search.snippetTopK): for each BM25 top-10
+    // doc, the 12-token window with the most query-term hits (ties ->
+    // earliest start) plus the window text — all in-row (indexed
+    // transform/filter for hit positions, array_sort argmax, slice),
+    // one broadcast-filtered scan to cut the snippets. The oracle
+    // splices the pinned BM25 chain and re-derives the argmax with
+    // DuckDB's 1-based list lambdas.
+    QueryDef(
+      "search_snippet_topk",
+      SnippetSql) { (s, d) =>
+      graft.operators.Search.snippetTopK(Tables.documents(s, d),
+          "doc_id", "text", Seq("spark", "vector", "stream", "merge"),
+          k = 10, window = 12)
+        .presentSorted(col("score_1e6").desc, col("doc_id"))
     },
 
     // HYBRID retrieval: Reciprocal-Rank Fusion of the BM25 index top-20

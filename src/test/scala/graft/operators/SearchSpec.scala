@@ -817,6 +817,35 @@ class SearchSpec extends SparkSpec {
       .collect().exists(_.getLong(0) == 9L))
   }
 
+  test("snippetTopK picks the densest window and breaks ties earliest") {
+    val corpus = Seq(
+      // Hits at positions 1, 13, 14: the 12-token window from 13
+      // covers two hits, any earlier start covers one.
+      (1L, "spark a b c d e f g h i j k spark vector"),
+      // Hits at 1, 3, 5 with window 3: starts 1 and 3 both cover two
+      // hits -> the earlier start wins.
+      (2L, "spark x spark y spark"),
+      (3L, "nothing relevant here"))
+      .toDF("doc_id", "text")
+    val terms = Seq("spark", "vector")
+    val got = Search.snippetTopK(corpus, "doc_id", "text", terms, k = 10,
+        window = 12)
+      .select("doc_id", "start_pos", "n_hits", "snippet")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((13L, 2L, "spark vector")))
+    // Whole doc 2 fits in one 12-token window starting at its first hit.
+    assert(got(2L) == ((1L, 3L, "spark x spark y spark")))
+
+    val tight = Search.snippetTopK(corpus, "doc_id", "text", terms,
+        k = 10, window = 3)
+      .select("doc_id", "start_pos", "n_hits", "snippet")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(tight(2L) == ((1L, 2L, "spark x spark")))
+  }
+
   test("rm3TopK recalls a doc holding only expansion terms, ranks the " +
       "feedback doc first, and excludes terms past the fbTerms cap") {
     val dir = java.nio.file.Files
