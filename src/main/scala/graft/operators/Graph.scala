@@ -68,6 +68,57 @@ object Graph {
     } finally withDeg.unpersist()
   }
 
+  /** HITS hubs-and-authorities after `iters` synchronous rounds — the
+    * other classic link-analysis signal a crawl ranking layer feeds on
+    * (PageRank scores endorsement, HITS separates directories/link
+    * hubs from endorsed content). UN-NORMALIZED integer convention:
+    * hubs start at 1, each round sets `auth(i) = sum of hub over
+    * in-neighbors` then `hub(i) = sum of auth over out-neighbors` —
+    * every score stays an exact BIGINT (HITS is consumed for its
+    * ordering; the usual per-round normalization only rescales it and
+    * would put a float global-sum race between the engine and the SQL
+    * oracle). Self-loops and duplicate edges drop.
+    *
+    * Scale shape mirrors [[pageRank]]: the edge relation persists
+    * once, each round moves only the (node, score) frames through two
+    * join+agg shuffles, driver state is O(1), and small fixed `iters`
+    * keeps the uncheckpointed lineage shallow. With the e^4-style
+    * growth of un-normalized scores, `iters` is capped where BIGINT
+    * overflow could start on hub-heavy graphs.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      s"hits: iters=$iters out of range [1, 8] — un-normalized integer " +
+        "scores grow with degree^(2*iters)")
+    val e = edges
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    val spark = edges.sparkSession
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val es = e.repartition(shufflePartitions, col("src")).persist()
+    try {
+      var hub = nodes.withColumn("hub", lit(1L))
+      var auth = nodes.withColumn("auth", lit(0L))
+      (1 to iters).foreach { _ =>
+        val a = es.join(hub, es("src") === hub("node"))
+          .groupBy(col("dst")).agg(sum(col("hub")).as("s"))
+          .select(col("dst").as("node"), col("s"))
+        auth = nodes.join(a, Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0L)).as("auth"))
+        val h = es.join(auth, es("dst") === auth("node"))
+          .groupBy(es("src")).agg(sum(col("auth")).as("s"))
+          .select(col("src").as("node"), col("s"))
+        hub = nodes.join(h, Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0L)).as("hub"))
+      }
+      graft.Checkpoints.pinned(hub.join(auth, Seq("node")))
+    } finally es.unpersist()
+  }
+
   /** Per-node triangle participation counts, exact.
     *
     * Edges are canonicalized to undirected `a < b` form (self-loops

@@ -499,6 +499,52 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // HITS hubs/authorities (Graph.hits), 2 synchronous rounds on the
+    // same derived link graph — un-normalized integer convention, so
+    // every score is an exact BIGINT and the oracle unrolls the rounds
+    // as join+agg CTEs with zero float ambiguity. Top 20 authorities.
+    QueryDef(
+      "gr_hits_topk",
+      """WITH raw AS (
+        |  SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
+        |  FROM lineitem
+        |  WHERE l_linenumber = 1 AND l_orderkey % 2000 <> l_partkey % 2000),
+        |nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+        |a1 AS (
+        |  SELECT n.node, count(e.src)::BIGINT AS auth
+        |  FROM nodes n LEFT JOIN raw e ON e.dst = n.node
+        |  GROUP BY n.node),
+        |h1 AS (
+        |  SELECT n.node, coalesce(sum(a.auth), 0)::BIGINT AS hub
+        |  FROM nodes n
+        |  LEFT JOIN raw e ON e.src = n.node
+        |  LEFT JOIN a1 a ON a.node = e.dst
+        |  GROUP BY n.node),
+        |a2 AS (
+        |  SELECT n.node, coalesce(sum(h.hub), 0)::BIGINT AS auth
+        |  FROM nodes n
+        |  LEFT JOIN raw e ON e.dst = n.node
+        |  LEFT JOIN h1 h ON h.node = e.src
+        |  GROUP BY n.node),
+        |h2 AS (
+        |  SELECT n.node, coalesce(sum(a.auth), 0)::BIGINT AS hub
+        |  FROM nodes n
+        |  LEFT JOIN raw e ON e.src = n.node
+        |  LEFT JOIN a2 a ON a.node = e.dst
+        |  GROUP BY n.node)
+        |SELECT a2.node, h2.hub, a2.auth
+        |FROM a2 JOIN h2 ON h2.node = a2.node
+        |ORDER BY a2.auth DESC, a2.node LIMIT 20""".stripMargin) { (s, d) =>
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") === 1)
+        .select((col("l_orderkey") % 2000).as("src"),
+          (col("l_partkey") % 2000).as("dst"))
+      graft.operators.Graph.hits(edges, iters = 2)
+        .select(col("node"), col("hub"), col("auth"))
+        .orderBy(col("auth").desc, col("node"))
+        .limit(20)
+    },
+
     // Anchor-text aggregation: the inbound-link description of a target
     // page (what the web "calls" a url — the classic relevance signal a
     // crawler's ranking layer feeds on). Positional zip of the href and

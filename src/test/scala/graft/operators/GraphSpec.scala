@@ -47,4 +47,19 @@ class GraphSpec extends SparkSpec {
     assert(a(0L) == 10L)               // hub is in every rim triangle
     assert((1 to 20).forall(i => a(i.toLong) == 1L))
   }
+
+  test("hits separates hubs from authorities with exact integer scores") {
+    // 1 -> 3, 2 -> 3, 3 -> 4. Hand-unrolled two rounds:
+    //   auth1 = indegree = (3: 2, 4: 1); hub1 = (1: 2, 2: 2, 3: 1);
+    //   auth2 = (3: hub1(1)+hub1(2) = 4, 4: hub1(3) = 1);
+    //   hub2  = (1: 4, 2: 4, 3: 1, 4: 0).
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L), (3L, 4L), (4L, 4L))
+      .toDF("src", "dst")  // dup edge + self-loop must drop
+    val got = Graph.hits(edges, iters = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((4L, 0L)), 2L -> ((4L, 0L)),
+      3L -> ((1L, 4L)), 4L -> ((0L, 1L))))
+  }
 }
