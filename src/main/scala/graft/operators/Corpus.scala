@@ -1044,4 +1044,215 @@ object Corpus {
       .orderBy(col("score_1e6").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** TEMPERATURE-SCALED mixture sampling (the multilingual-corpus
+    * rebalancing recipe: sample source i with probability proportional
+    * to n_i^alpha, alpha = 0.5, so head sources shrink and tail
+    * sources survive). Per-source rates derive from the live corpus
+    * itself — no hand-written weight map — then docs keep/drop by the
+    * same stable-hash-threshold mechanism as [[stratifiedSample]]
+    * (no rand(), reproducible, pushes to the scan).
+    *
+    * Exact integer derivation (both engines reproduce it bit-for-bit):
+    * weight w_i = floor(sqrt(n_i * 1e6)) — sqrt is IEEE-754
+    * correctly-rounded in the JVM and in DuckDB, so the floor is
+    * portable; target t_i = budgetDocs * w_i div sum(w); rate per
+    * mille = min(1000, t_i * 1000 div n_i). Sampling is
+    * expected-rate (hash-threshold), the same contract as
+    * [[stratifiedSample]].
+    *
+    * 100 TB shape: one count aggregate (rows bounded by #sources), the
+    * rate frame broadcasts back, the filter is narrow. `n_i * 1e6`
+    * stays exact in the double sqrt up to ~9e9 docs per source.
+    *
+    * Returns the kept rows with their stratum's `rate_pm` stamped.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+      budgetDocs: Long): DataFrame = {
+    require(budgetDocs > 0, s"budgetDocs must be positive, got $budgetDocs")
+    val sizes = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w",
+        floor(sqrt(col("__n").cast("double") * lit(1e6))).cast("long"))
+    val totW = sizes.agg(sum(col("__w"))).head().getLong(0)
+    val rates = sizes.select(col(stratumCol), col("__n"), col("__w"))
+      .withColumn("rate_pm",
+        least(lit(1000L),
+          expr(s"($budgetDocs * __w div $totW) * 1000 div __n")))
+      .drop("__n", "__w")
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(
+        HashFunctions.stableHash64(col(idCol).cast("string")) % 1000 <
+          col("rate_pm"))
+  }
+
+  /** UNIMAX token-budget allocation (Chung et al. 2023): spread a
+    * total training budget UNIFORMLY across sources, capping each at
+    * `epochCap` epochs of its own size — the fairest mix that never
+    * over-repeats a small source. Exact integer waterfill:
+    * sort sources by cap = epochCap * n ascending; source r is CAPPED
+    * iff giving every not-yet-filled source its cap level still fits
+    * (`cap_r * (N - r + 1) <= budget - prefix_{r-1}`); the uncapped
+    * rest split the remaining budget evenly (integer level L, the
+    * first `remainder` of them in (cap, stratum) order get +1 so the
+    * allocations sum EXACTLY to min(budget, sum(cap))).
+    *
+    * Runs entirely on the per-source frame (rows bounded by #sources —
+    * thousands at most), so the unpartitioned windows are fine at any
+    * corpus scale; the heavy work is whatever aggregate produced
+    * `sizes`. Returns (stratum, sizeCol, cap, alloc, epochs_milli).
+    */
+  def unimaxAllocate(sizes: DataFrame, stratumCol: String, sizeCol: String,
+      budget: Long, epochCap: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(epochCap > 0, s"epochCap must be positive, got $epochCap")
+    val w = Window.orderBy(col("__cap"), col(stratumCol))
+    val full = Window.orderBy(col("__cap"), col(stratumCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = sizes
+      .select(col(stratumCol), col(sizeCol).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__cap", col("__n") * epochCap)
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__pfx", sum(col("__cap")).over(w))
+      .withColumn("__nsrc", count(lit(1)).over(full))
+      .withColumn("__capped",
+        col("__cap") * (col("__nsrc") - col("__r") + 1L) <=
+          lit(budget) - (col("__pfx") - col("__cap")))
+      .withColumn("__rstar",
+        coalesce(max(when(col("__capped"), col("__r"))).over(full), lit(0L)))
+      .withColumn("__pfxstar",
+        coalesce(max(when(col("__capped"), col("__pfx"))).over(full),
+          lit(0L)))
+    staged
+      .withColumn("__level",
+        when(col("__nsrc") > col("__rstar"),
+          expr(s"($budget - __pfxstar) div (__nsrc - __rstar)"))
+          .otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("__nsrc") > col("__rstar"),
+          expr(s"($budget - __pfxstar) % (__nsrc - __rstar)"))
+          .otherwise(lit(0L)))
+      .withColumn("alloc",
+        when(col("__capped"), col("__cap"))
+          .otherwise(col("__level") +
+            when(col("__r") - col("__rstar") <= col("__rem"), 1L)
+              .otherwise(0L)))
+      .select(col(stratumCol), col("__n").as(sizeCol),
+        col("__cap").as("cap"), col("alloc"),
+        expr("alloc * 1000 div __n").as("epochs_milli"))
+  }
+
+  /** LENGTH-BUCKETED BATCH assembly: group docs into token-length
+    * buckets (`bucket = n_tokens div bucketWidth`) and cut each
+    * bucket, in id order, into fixed-size training batches — the
+    * padding-efficiency batching every seq2seq/encoder pipeline runs.
+    * Returns the per-batch manifest: doc count, max/sum token length,
+    * and `pad_waste` (tokens of padding a max-length-padded batch
+    * burns) — the number the bucketWidth/batchSize trade-off tunes.
+    *
+    * 100 TB shape: the per-bucket 0-based index comes from the
+    * two-pass distributed prefix sum ([[stratumRunningTotals]] over
+    * unit weights), not a one-reducer-per-bucket window — buckets are
+    * few and huge, exactly the giant-stratum shape. One final
+    * hash-aggregate on (bucket, batch).
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokenCol: String,
+      bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive")
+    require(batchSize > 0, s"batchSize must be positive")
+    val based = df
+      .select(col(idCol).cast("long").as("__doc"),
+        col(tokenCol).cast("long").as("__tok"))
+      .withColumn("__bucket", expr(s"__tok div $bucketWidth"))
+      .withColumn("__one", lit(1L))
+    val idx = stratumRunningTotals(based, "__doc", "__bucket", "__one", 0)
+      .select(col("__s").cast("long").as("bucket"),
+        col("__id").as("__doc"), col("__cum").as("__idx"))
+    based.join(idx, Seq("__doc"))
+      .select(col("bucket"), expr(s"__idx div $batchSize").as("batch_id"),
+        col("__tok"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("__tok")).as("max_tokens"),
+        sum(col("__tok")).as("sum_tokens"))
+      .withColumn("pad_waste",
+        col("max_tokens") * col("n_docs") - col("sum_tokens"))
+  }
+
+  /** MEDIAN-ABSOLUTE-DEVIATION outlier gate — the robust twin of the
+    * IQR fences (`pl_iqr_outliers`) for distributions where even the
+    * quartiles are dragged by a heavy tail: median and MAD are
+    * 50%-breakdown estimators. Flags values outside
+    * `median ± k * MAD`. Exact over integer inputs: Spark's
+    * `percentile` and DuckDB's `quantile_cont` interpolate
+    * identically, and the fence arithmetic is the same double ops in
+    * the same order on both sides.
+    *
+    * Two aggregate passes (median, then MAD of deviations) each
+    * cross-joining a ONE-ROW broadcast stats frame — the same
+    * stats-then-apply shape as the IQR gate. Memory: Spark's exact
+    * percentile buffers (value -> count), bounded by the DISTINCT
+    * value domain, not row count.
+    */
+  def madOutliers(df: DataFrame, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val v = df.select(col(valueCol).cast("long").as("__v"))
+    val med = v.agg(expr("percentile(__v, 0.5)").as("med"))
+    val mad = v.crossJoin(broadcast(med))
+      .groupBy(col("med"))
+      .agg(expr("percentile(abs(__v - med), 0.5)").as("mad"))
+    val lo = col("med") - lit(k) * col("mad")
+    val hi = col("med") + lit(k) * col("mad")
+    v.crossJoin(broadcast(mad))
+      .groupBy(col("med"), col("mad"))
+      .agg(sum(when(col("__v") < lo, 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("__v") > hi, 1L).otherwise(0L)).as("n_high"))
+      .select(round(col("med"), 2).as("median_v"),
+        round(col("mad"), 2).as("mad_v"),
+        round(lo, 2).as("lo_fence"), round(hi, 2).as("hi_fence"),
+        col("n_low"), col("n_high"))
+  }
+
+  /** DISTRIBUTION DRIFT between strata: the exact two-sample
+    * Kolmogorov–Smirnov statistic `max_v |F_a(v) - F_b(v)|` for every
+    * stratum pair, over an integer value column — the snapshot-vs-
+    * snapshot / source-vs-source data-QA check that catches a length
+    * or score distribution silently shifting. Integer-exact: each
+    * ECDF step is `cum * 1e6 div n` (per-source micro-units, no
+    * overflow for sources under ~9e12 rows), the statistic is the max
+    * absolute difference of those integers — both engines reproduce
+    * it bit-for-bit.
+    *
+    * Shape: one (stratum, value) count aggregate; the ECDF grid is
+    * |distinct values| x |strata| rows (value DOMAIN bounded — e.g.
+    * document lengths — not row-count bounded), built by
+    * cross-joining the distinct-value frame with the BROADCAST
+    * per-stratum totals (rows = #strata, tiny by construction); one
+    * window per stratum over the grid; the pair join fans each value
+    * to #strata^2 rows before the max-aggregate — intended for the
+    * tens-to-hundreds-of-sources regime.
+    */
+  def distributionDrift(df: DataFrame, stratumCol: String,
+      valueCol: String): DataFrame = {
+    val v = df.select(col(stratumCol).as("__s"),
+      col(valueCol).cast("long").as("__v"))
+    val cnt = v.groupBy(col("__s"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = cnt.groupBy(col("__s")).agg(sum(col("__c")).as("__n"))
+    val grid = cnt.select(col("__v")).distinct()
+      .crossJoin(broadcast(totals))
+      .join(cnt, Seq("__s", "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+    val ecdf = grid
+      .withColumn("__f", expr("sum(__c) OVER (PARTITION BY __s " +
+        "ORDER BY __v) * 1000000 div __n"))
+    val a = ecdf.select(col("__s").as("src_a"), col("__v"),
+      col("__f").as("__fa"))
+    val b = ecdf.select(col("__s").as("src_b"), col("__v"),
+      col("__f").as("__fb"))
+    a.join(b, Seq("__v"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(max(abs(col("__fa") - col("__fb"))).as("ks_micro"))
+  }
 }

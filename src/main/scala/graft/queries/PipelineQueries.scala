@@ -699,6 +699,183 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
         .presentSorted(col("split"), col("source"))
+    },
+
+    // TEMPERATURE-SCALED mixture sampling (n^0.5 source rebalancing,
+    // the multilingual-corpus recipe): rates derive from the live
+    // per-source counts via exact integer math (portable sqrt-floor
+    // weights), then docs keep/drop by the stable-hash threshold. The
+    // skewed corpus (src0 3x, src1-4 2x) must come out flattened:
+    // bigger sources get LOWER per-mille rates.
+    QueryDef(
+      "pl_temperature_sample",
+      """WITH corpus AS (
+        |  SELECT doc_id, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, source FROM documents
+        |  WHERE substr(source, 4)::INT < 5
+        |  UNION ALL
+        |  SELECT doc_id + 8000000, source FROM documents WHERE source = 'src0'),
+        |sz AS (
+        |  SELECT source, count(*) AS n,
+        |    floor(sqrt(count(*) * 1e6))::BIGINT AS w
+        |  FROM corpus GROUP BY source),
+        |tot AS (SELECT sum(w)::BIGINT AS tw FROM sz),
+        |r AS (
+        |  SELECT source, least(1000, ((150 * w) // tw) * 1000 // n) AS rate_pm
+        |  FROM sz, tot)
+        |SELECT c.source, r.rate_pm, count(*) AS n_kept
+        |FROM corpus c JOIN r USING (source)
+        |WHERE ('0x' || substr(md5(c.doc_id::VARCHAR), 1, 15))::BIGINT % 1000
+        |      < r.rate_pm
+        |GROUP BY c.source, r.rate_pm ORDER BY source""".stripMargin) { (s, d) =>
+      import graft.operators.Corpus
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val corpus = docs
+        .unionByName(docs
+          .filter(substring(col("source"), 4, 10).cast("int") < 5)
+          .select((col("doc_id") + 4000000).as("doc_id"), col("source")))
+        .unionByName(docs.filter(col("source") === "src0")
+          .select((col("doc_id") + 8000000).as("doc_id"), col("source")))
+      Corpus.temperatureSample(corpus, "doc_id", "source", budgetDocs = 150)
+        .groupBy(col("source"), col("rate_pm"))
+        .agg(count(lit(1)).as("n_kept"))
+        .presentSorted(col("source"))
+    },
+
+    // UNIMAX epoch-capped budget allocation: the waterfill that spreads
+    // a token budget uniformly across sources, capping each at 2 epochs
+    // of its own size — exact integer level + remainder distribution,
+    // so allocations sum EXACTLY to the budget. 52000 against these
+    // sizes lands some sources on their cap and the rest on the level.
+    QueryDef(
+      "pl_unimax_budget",
+      """WITH sz AS (
+        |  SELECT source,
+        |    sum(len(list_filter(string_split(trim(text), ' '),
+        |      x -> x <> '')))::BIGINT AS n
+        |  FROM documents GROUP BY source),
+        |st AS (
+        |  SELECT source, n, n * 2 AS cap,
+        |    row_number() OVER (ORDER BY n * 2, source) AS r,
+        |    sum(n * 2) OVER (ORDER BY n * 2, source)::BIGINT AS pfx,
+        |    count(*) OVER () AS nsrc
+        |  FROM sz),
+        |fl AS (
+        |  SELECT *, (cap * (nsrc - r + 1) <= 52000 - (pfx - cap)) AS capped
+        |  FROM st),
+        |a AS (
+        |  SELECT coalesce(max(CASE WHEN capped THEN r END), 0) AS rstar,
+        |    coalesce(max(CASE WHEN capped THEN pfx END), 0) AS pfxstar
+        |  FROM fl)
+        |SELECT f.source, f.n AS n_tokens, f.cap,
+        |  CASE WHEN f.capped THEN f.cap
+        |       ELSE (52000 - a.pfxstar) // nullif(f.nsrc - a.rstar, 0)
+        |         + (CASE WHEN f.r - a.rstar <=
+        |              (52000 - a.pfxstar) % nullif(f.nsrc - a.rstar, 0)
+        |            THEN 1 ELSE 0 END)
+        |  END AS alloc,
+        |  (CASE WHEN f.capped THEN f.cap
+        |        ELSE (52000 - a.pfxstar) // nullif(f.nsrc - a.rstar, 0)
+        |          + (CASE WHEN f.r - a.rstar <=
+        |               (52000 - a.pfxstar) % nullif(f.nsrc - a.rstar, 0)
+        |             THEN 1 ELSE 0 END)
+        |   END) * 1000 // f.n AS epochs_milli
+        |FROM fl f, a ORDER BY source""".stripMargin) { (s, d) =>
+      import graft.operators.Corpus
+      import graft.functions.TextFunctions
+      val sizes = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+      Corpus.unimaxAllocate(sizes, "source", "n_tokens",
+          budget = 52000L, epochCap = 2)
+        .presentSorted(col("source"))
+    },
+
+    // LENGTH-BUCKETED BATCH assembly: token-length buckets (width 32)
+    // cut into batches of 8 in id order; the manifest reports each
+    // batch's padding waste — the number bucketed batching exists to
+    // minimize. Per-bucket indexes come from the two-pass distributed
+    // prefix sum, not a one-reducer window.
+    QueryDef(
+      "pl_length_bucket_batches",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(trim(text), ' '),
+        |      x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens, n_tokens // 32 AS bucket,
+        |    row_number() OVER (PARTITION BY n_tokens // 32
+        |                       ORDER BY doc_id) - 1 AS idx
+        |  FROM t)
+        |SELECT bucket, idx // 8 AS batch_id, count(*) AS n_docs,
+        |  max(n_tokens) AS max_tokens, sum(n_tokens)::BIGINT AS sum_tokens,
+        |  (max(n_tokens) * count(*) - sum(n_tokens))::BIGINT AS pad_waste
+        |FROM b GROUP BY bucket, batch_id
+        |ORDER BY bucket, batch_id""".stripMargin) { (s, d) =>
+      import graft.operators.Corpus
+      import graft.functions.TextFunctions
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Corpus.lengthBucketBatches(t, "doc_id", "n_tokens",
+          bucketWidth = 32, batchSize = 8)
+        .presentSorted(col("bucket"), col("batch_id"))
+    },
+
+    // MAD OUTLIER gate: median ± 3*MAD fences over order totals in
+    // integer cents — the 50%-breakdown robust twin of the IQR gate
+    // (pl_iqr_outliers), for tails heavy enough to drag the quartiles.
+    QueryDef(
+      "pl_mad_outliers",
+      """WITH c AS (
+        |  SELECT round(o_totalprice * 100)::BIGINT AS v FROM orders),
+        |m AS (SELECT quantile_cont(v, 0.5) AS med FROM c),
+        |d AS (
+        |  SELECT med, quantile_cont(abs(v - med), 0.5) AS mad
+        |  FROM c, m GROUP BY med)
+        |SELECT round(med, 2) AS median_v, round(mad, 2) AS mad_v,
+        |  round(med - 3.0 * mad, 2) AS lo_fence,
+        |  round(med + 3.0 * mad, 2) AS hi_fence,
+        |  sum(CASE WHEN v < med - 3.0 * mad THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_low,
+        |  sum(CASE WHEN v > med + 3.0 * mad THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_high
+        |FROM c, d GROUP BY med, mad""".stripMargin) { (s, d) =>
+      import graft.operators.Corpus
+      val cents = Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Corpus.madOutliers(cents, "cents", k = 3.0)
+    },
+
+    // DISTRIBUTION DRIFT: exact two-sample Kolmogorov–Smirnov statistic
+    // between every source pair over document lengths, in integer ECDF
+    // micro-units — the corpus-QA check for a source whose length
+    // distribution silently shifted between snapshots.
+    QueryDef(
+      "pl_distribution_drift",
+      """WITH cnt AS (
+        |  SELECT source AS s, n_chars AS val, count(*) AS c
+        |  FROM documents GROUP BY s, val),
+        |tot AS (SELECT s, sum(c)::BIGINT AS n FROM cnt GROUP BY s),
+        |grid AS (
+        |  SELECT g.val, t.s, t.n, coalesce(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT val FROM cnt) g
+        |  CROSS JOIN tot t
+        |  LEFT JOIN cnt c ON c.s = t.s AND c.val = g.val),
+        |ecdf AS (
+        |  SELECT s, val,
+        |    sum(c) OVER (PARTITION BY s ORDER BY val) * 1000000 // n AS f
+        |  FROM grid)
+        |SELECT a.s AS src_a, b.s AS src_b,
+        |  max(abs(a.f - b.f))::BIGINT AS ks_micro
+        |FROM ecdf a JOIN ecdf b ON a.val = b.val AND a.s < b.s
+        |GROUP BY a.s, b.s ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      import graft.operators.Corpus
+      Corpus.distributionDrift(
+          Tables.documents(s, d).select(col("source"), col("n_chars")),
+          "source", "n_chars")
+        .presentSorted(col("src_a"), col("src_b"))
     }
   )
 }

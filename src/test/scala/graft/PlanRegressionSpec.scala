@@ -43,6 +43,10 @@ class PlanRegressionSpec extends SparkSpec {
       // two BM25 stages; the feedback/expansion joins are broadcast
       // hash joins on doc_id/term.
       "search_rm3_expansion",
+      // snippet's quadratic shape is bm25TopK's one-row stats
+      // cross-join (inherited); the snippet fetch itself is a
+      // broadcast HASH join on the k winning ids.
+      "search_snippet_topk",
       "search_hybrid_rrf", "search_hybrid_rrf_multiprobe",
       "search_hybrid_rrf_auto", "search_hybrid_rrf_pq",
       // the rerank/passage hybrids' quadratic shape is ONLY the BM25
@@ -54,7 +58,14 @@ class PlanRegressionSpec extends SparkSpec {
       "sim_pq_store_stats",
       "search_bm25_index_bucketed", "agg_histogram_price",
       "pl_iqr_outliers", "txt_unigram_logprob",
-      "pl_training_data_filter_v2")
+      "pl_training_data_filter_v2",
+      // pl_mad_outliers: two ONE-ROW broadcast stats frames (median,
+      // then MAD), the same stats-then-apply shape as the IQR gate.
+      // pl_distribution_drift: the ECDF grid cross-joins the distinct
+      // VALUE frame with the BROADCAST per-stratum totals (rows =
+      // #strata, tiny by construction; the values side is domain-
+      // bounded, not corpus-bounded).
+      "pl_mad_outliers", "pl_distribution_drift")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
         p.contains("BroadcastNestedLoopJoin")) => n

@@ -669,4 +669,112 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(_._3).distinct.size == 3 &&
       got.map(_._3) == got.map(_._3).sortBy(-_))
   }
+
+  test("temperatureSample flattens the mix: bigger strata get lower " +
+      "rates, rates cap at 1000") {
+    val docs = ((1L to 400L).map(i => (i, "big")) ++
+      (1001L to 1025L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val kept = Corpus.temperatureSample(docs, "doc_id", "source",
+      budgetDocs = 100)
+    val rates = kept.select(col("source"), col("rate_pm")).distinct()
+      .as[(String, Long)].collect().toMap
+    // sqrt weights: w_big = 20000, w_small = 5000, tot = 25000.
+    // t_big = 100*20000/25000 = 80 -> rate 80*1000/400 = 200 pm.
+    // t_small = 100*5000/25000 = 20 -> 20*1000/25 = 800 pm.
+    assert(rates == Map("big" -> 200L, "small" -> 800L), s"got $rates")
+    // Per-doc rate = n^-0.5 shape: small docs 4x likelier than big.
+    // Kept set is the deterministic hash threshold — a pure subset.
+    val ids = kept.select(col("doc_id")).as[Long].collect().toSet
+    assert(ids.subsetOf(((1L to 400L) ++ (1001L to 1025L)).toSet))
+    // A stratum bigger than the whole budget still caps at 1000 pm.
+    val tiny = Seq((1L, "only")).toDF("doc_id", "source")
+    val r = Corpus.temperatureSample(tiny, "doc_id", "source", 50)
+      .select(col("rate_pm")).as[Long].head()
+    assert(r == 1000L)
+  }
+
+  test("unimaxAllocate waterfill: caps honored, allocations sum " +
+      "exactly to the budget, remainder spread deterministically") {
+    val sizes = Seq(("a", 100L), ("b", 1000L), ("c", 1000L), ("d", 5000L))
+      .toDF("source", "n_tokens")
+    // epochCap 2: caps 200, 2000, 2000, 10000. budget 5003:
+    // a capped (200*4=800 <= 5003). remaining 4803 over 3: level 1601
+    // rem 0... recompute: (5003-200)/3 = 1601 since caps b,c=2000 >
+    // 1601 they are NOT capped. alloc = 200 + 1601*3 + rem 0 = 5003.
+    val got = Corpus.unimaxAllocate(sizes, "source", "n_tokens",
+        budget = 5003L, epochCap = 2)
+      .select(col("source"), col("alloc")).as[(String, Long)]
+      .collect().toMap
+    assert(got("a") == 200L)
+    assert(got.values.sum == 5003L, s"got $got")
+    // Remainder goes to the first uncapped sources in (cap, name)
+    // order: 5005 -> level 1601 rem 2 -> b and c get 1602, d 1601.
+    val got2 = Corpus.unimaxAllocate(sizes, "source", "n_tokens",
+        budget = 5005L, epochCap = 2)
+      .select(col("source"), col("alloc")).as[(String, Long)]
+      .collect().toMap
+    assert(got2 == Map("a" -> 200L, "b" -> 1602L, "c" -> 1602L,
+      "d" -> 1601L), s"got $got2")
+    // Budget above total capacity: everything capped at epochCap.
+    val got3 = Corpus.unimaxAllocate(sizes, "source", "n_tokens",
+        budget = 1000000L, epochCap = 2)
+      .select(col("source"), col("alloc")).as[(String, Long)]
+      .collect().toMap
+    assert(got3 == Map("a" -> 200L, "b" -> 2000L, "c" -> 2000L,
+      "d" -> 10000L))
+  }
+
+  test("lengthBucketBatches: batches never exceed batchSize, pad " +
+      "waste is max-padding exact") {
+    // 10 docs of 5 tokens + 3 docs of 70 tokens, width 32, batch 4.
+    val t = ((1L to 10L).map(i => (i, 5L)) ++
+      (21L to 23L).map(i => (i, 70L))).toDF("doc_id", "n_tokens")
+    val got = Corpus.lengthBucketBatches(t, "doc_id", "n_tokens",
+        bucketWidth = 32, batchSize = 4)
+      .orderBy(col("bucket"), col("batch_id"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // bucket 0: 10 docs -> batches of 4,4,2; bucket 2: 3 docs.
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((0L, 0L, 4L), (0L, 1L, 4L), (0L, 2L, 2L), (2L, 0L, 3L)),
+      s"got $got")
+    // Uniform lengths inside a bucket -> zero padding waste.
+    assert(got.forall(_._6 == 0L))
+    // Mixed lengths pad up to the batch max.
+    val mixed = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF(
+      "doc_id", "n_tokens")
+    val m = Corpus.lengthBucketBatches(mixed, "doc_id", "n_tokens",
+        bucketWidth = 32, batchSize = 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(m._4 == 30L && m._5 == 60L && m._6 == 30L * 3 - 60L)
+  }
+
+  test("madOutliers pins median/MAD fences and flags only the tails") {
+    // median 10, deviations (0,1,1,2,2) -> MAD ~ interpolated 1.0;
+    // fences 7..13; outliers: 100 high, -50 low.
+    val v = Seq(8L, 9L, 10L, 11L, 12L, 100L, -50L).toDF("cents")
+    val got = Corpus.madOutliers(v, "cents", k = 3.0)
+      .as[(Double, Double, Double, Double, Long, Long)].collect().head
+    assert(got._1 == 10.0, s"median got $got")
+    assert(got._5 == 1L && got._6 == 1L, s"outlier counts got $got")
+    assert(got._3 < 8.0 && got._4 > 12.0, s"fences got $got")
+  }
+
+  test("distributionDrift: identical strata -> 0, disjoint -> 1e6, " +
+      "and the statistic is symmetric-exact") {
+    val rows = ((1L to 50L).map(v => ("a", v)) ++
+      (1L to 50L).map(v => ("b", v)) ++            // identical to a
+      (101L to 150L).map(v => ("c", v))            // disjoint support
+      ).toDF("source", "v")
+    val got = Corpus.distributionDrift(rows, "source", "v")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("a", "b")) == 0L)
+    assert(got(("a", "c")) == 1000000L && got(("b", "c")) == 1000000L)
+    // Half-shifted: b' = a shifted by half the support -> KS = 0.5.
+    val half = ((1L to 100L).map(v => ("a", v)) ++
+      (51L to 150L).map(v => ("b", v))).toDF("source", "v")
+    val ks = Corpus.distributionDrift(half, "source", "v")
+      .as[(String, String, Long)].collect().head._3
+    assert(ks == 500000L, s"got $ks")
+  }
 }
