@@ -743,4 +743,106 @@ object Dedup {
     withV.select(col("id"), col("cluster_id"))
       .join(drops, Seq("id"), "left_anti")
   }
+
+  /** CROSS-SOURCE OVERLAP MATRIX: for every stratum (source) pair, the
+    * MinHash-ESTIMATED Jaccard of their shingle sets next to the EXACT
+    * one — the corpus-level contamination/diversity audit ("how much
+    * does crawl A repeat crawl B?") and a self-check of the estimator
+    * the doc-level dedup family trusts. Same 60-bit hashed shingling
+    * and universal-hash MinHash family as the doc-level ops, so the
+    * oracle reproduces both numbers bit-for-bit (integer milli units).
+    *
+    * 100 TB shape: per-source shingle sets via one distinct over
+    * (source, bh); signatures are `numHashes` min-aggregates in ONE
+    * hash-aggregate pass (rows out = #sources); the exact intersection
+    * joins the set against itself ON bh — per-shingle fanout is
+    * bounded by #sources, so no pair blowup. The pair frame is the
+    * #sources^2/2 product of two TINY aggregate frames, built on a
+    * constant equi-key (hash join, not a cartesian plan). Pairs with
+    * empty intersections still report (0 exact, estimator noise floor).
+    */
+  def crossSourceOverlap(docs: DataFrame, textCol: String,
+      stratumCol: String, n: Int, numHashes: Int): DataFrame = {
+    val p = MinhashPrime
+    val hs = docs
+      .select(col(stratumCol).cast("string").as("__s"),
+        graft.functions.NativeHashExprs.hashedShingles(col(textCol), n)
+          .as("__hs"))
+      .select(col("__s"), explode(col("__hs")).as("__bh"))
+      .distinct()
+      .withColumn("__m", col("__bh") % p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = hs.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val sigExprs = minhashCoeffs(numHashes).zipWithIndex.map {
+      case ((a, b), i) => min((col("__m") * a + b) % p).as(s"mh$i")
+    }
+    val sigs = hs.groupBy(col("__s")).agg(sigExprs.head, sigExprs.tail: _*)
+    val sa = sigs.select(col("__s").as("src_a") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"__a$i")): _*)
+      .withColumn("__one", lit(1))
+    val sb = sigs.select(col("__s").as("src_b") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"__b$i")): _*)
+      .withColumn("__one", lit(1))
+    val matches = (0 until numHashes).map(i =>
+      when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = sa.join(sb, Seq("__one"))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), matches.as("__match"))
+    val common = hs.select(col("__s").as("src_a"), col("__bh"))
+      .join(hs.select(col("__s").as("src_b"), col("__bh")), Seq("__bh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("__common"))
+    val za = sizes.select(col("__s").as("src_a"), col("__n").as("__na"))
+    val zb = sizes.select(col("__s").as("src_b"), col("__n").as("__nb"))
+    est
+      .join(common, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("__common"))
+      .join(broadcast(za), Seq("src_a"))
+      .join(broadcast(zb), Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        expr(s"__match * 1000 div $numHashes").as("est_jaccard_milli"),
+        expr("__common * 1000 div (__na + __nb - __common)")
+          .as("jaccard_milli"))
+  }
+
+  /** CONTRASTIVE PAIR MINING: turn the dedup family's verified pair
+    * streams into (anchor, positive, hard-negative) training triples
+    * for embedding/retrieval models — the positive is the anchor's
+    * MOST similar verified near-dup, the hard negative its LEAST
+    * similar same-block candidate (textually adjacent enough to share
+    * a blocking key, but verified dissimilar: exactly the "hard" part
+    * of hard-negative mining). Both inputs are (a, b, jaccard) pair
+    * frames — e.g. the LSH-verified near-dups for positives and the
+    * low-Jaccard tail of the df-capped shingle blocks for negatives.
+    * Anchors need BOTH a positive and a negative to emit a triple.
+    *
+    * Scale shape: pairs symmetrize (each side can anchor), then one
+    * argmax/argmin window PER ANCHOR (partition-bounded by the
+    * candidate fanout the upstream blocking already capped), and a
+    * hash join on the anchor id. No corpus scan, no all-pairs — cost
+    * is candidate-set-sized, like everything upstream of it.
+    */
+  def contrastivePairs(positives: DataFrame,
+      negatives: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def sym(pairs: DataFrame) = pairs
+      .select(col("a").as("anchor"), col("b").as("cand"), col("jaccard"))
+      .unionByName(pairs
+        .select(col("b").as("anchor"), col("a").as("cand"), col("jaccard")))
+    val wp = Window.partitionBy(col("anchor"))
+      .orderBy(col("jaccard").desc, col("cand"))
+    val wn = Window.partitionBy(col("anchor"))
+      .orderBy(col("jaccard").asc, col("cand"))
+    val pos = sym(positives).withColumn("__r", row_number().over(wp))
+      .filter(col("__r") === 1)
+      .select(col("anchor"), col("cand").as("pos_id"),
+        round(col("jaccard"), 4).as("pos_jaccard"))
+    val neg = sym(negatives).withColumn("__r", row_number().over(wn))
+      .filter(col("__r") === 1)
+      .select(col("anchor"), col("cand").as("neg_id"),
+        round(col("jaccard"), 4).as("neg_jaccard"))
+    pos.join(neg, Seq("anchor"))
+  }
 }

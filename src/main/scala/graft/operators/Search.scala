@@ -83,6 +83,84 @@ object Search {
       .limit(k)
   }
 
+  /** NDCG@k retrieval EVALUATION: for each single-term query, the
+    * normalized discounted cumulative gain of the engine's OWN BM25
+    * ranking against text-derived graded relevance (`rel = min(maxRel,
+    * tf)` — a deterministic pseudo-qrel both engines re-derive), in
+    * exact integer micro/milli units. This is the eval harness every
+    * retrieval change should move through: a scoring regression that
+    * still returns plausible docs flips this row, not just a latency
+    * curve — the quality twin of `sim_pq_recall_at_k`.
+    *
+    * Per-position gain is `round(rel * 1e6 * ln 2 / ln(1 + rank))`
+    * (micro-units of rel/log2(1+rank)); DCG sums the system ranking's
+    * top-k positions, IDCG the ideal (rel-sorted) ones, and
+    * `ndcg_milli = dcg * 1000 div idcg`. Ties break on doc_id at every
+    * rank boundary so both rankings are total orders.
+    *
+    * Shape: ONE corpus scan (per-term tf columns), the one-row BM25
+    * stats cross-join [[bm25TopK]] uses, a stack to (doc, term) rows
+    * FILTERED to tf > 0 (rel-0 docs contribute no gain to either
+    * ranking), and two rank windows per term — partition-bounded by
+    * each term's document frequency. Terms matching no docs emit no
+    * row. Eval query sets are small by nature; at extreme df a
+    * per-term TakeOrdered would replace the windows.
+    */
+  def evalNdcg(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, maxRel: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32,
+      s"evalNdcg expects 1..32 terms, got ${terms.size}")
+    require(k >= 1 && maxRel >= 1, s"k and maxRel must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
+    val perDoc = docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id") +: size(col("__toks")).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__toks"), x => x === lit(t))).as(s"__tf_$i")
+        }: _*)
+    val statCols = count(lit(1)).as("__n") +: sum(col("dl")).as("__sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val stacked = perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), col("__n"), col("__sumdl"),
+        explode(array(terms.indices.map(i =>
+          struct(lit(terms(i)).as("term"), col(s"__tf_$i").as("tf"),
+            col(s"__df_$i").as("df"))): _*)).as("__e"))
+      .select(col("doc_id"), col("dl"), col("__n"), col("__sumdl"),
+        col("__e.term").as("term"), col("__e.tf").as("tf"),
+        col("__e.df").as("df"))
+      .filter(col("tf") > 0)
+    val tf = col("tf").cast("double")
+    val df = col("df").cast("double")
+    val n = col("__n").cast("double")
+    val avgdl = col("__sumdl").cast("double") / n
+    val idf = log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+    val norm = tf + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    val scored = stacked.select(col("doc_id"), col("term"),
+      least(lit(maxRel.toLong), col("tf").cast("long")).as("rel"),
+      round(idf * tf * lit(k1 + 1.0) / norm * lit(1e6)).cast("long")
+        .as("score_1e6"))
+    val ws = Window.partitionBy(col("term"))
+      .orderBy(col("score_1e6").desc, col("doc_id"))
+    val wi = Window.partitionBy(col("term"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    def gain(rank: Column): Column =
+      round(col("rel").cast("double") * lit(1e6) * log(lit(2.0)) /
+        log(rank.cast("double") + lit(1.0))).cast("long")
+    val ranked = scored
+      .withColumn("__rs", row_number().over(ws))
+      .withColumn("__ri", row_number().over(wi))
+      .select(col("term"),
+        when(col("__rs") <= k, gain(col("__rs"))).otherwise(0L).as("__g"),
+        when(col("__ri") <= k, gain(col("__ri"))).otherwise(0L).as("__ig"))
+    ranked.groupBy(col("term"))
+      .agg(sum(col("__g")).as("dcg_micro"), sum(col("__ig")).as("idcg_micro"))
+      .withColumn("ndcg_milli", expr("dcg_micro * 1000 div idcg_micro"))
+  }
+
   /** EXACT-PHRASE top-k: rank docs by occurrence count of a literal
     * token phrase. The positional match runs IN-ROW over the token
     * array (a filtered index sequence testing `phrase.size` adjacent

@@ -1977,6 +1977,112 @@ object LlmQueries {
          |""".stripMargin
   }
 
+  /** Oracle for dd_cross_source_overlap: per-SOURCE shingle sets, the
+    * same universal-hash MinHash family (coefficients inlined from
+    * [[Dedup.minhashCoeffs]]), estimated vs exact Jaccard per source
+    * pair in integer milli units.
+    */
+  private lazy val CrossSourceOverlapSql: String = {
+    val p = Dedup.MinhashPrime
+    val k = 128
+    val sigCols = Dedup.minhashCoeffs(k).zipWithIndex.map {
+      case ((a, b), i) => s"    min((mm * $a + $b) % $p) AS mh$i"
+    }.mkString(",\n")
+    // Balanced parenthesized groups: a flat 128-term `+` chain binds
+    // as 128-deep recursion in DuckDB (binder limit 128).
+    val caseTerms = (0 until k).map(i =>
+      s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").grouped(16)
+      .map(g => "(" + g.mkString(" + ") + ")").mkString("\n      + ")
+    s"""WITH toks AS (
+       |  SELECT source, list_filter(string_split(trim(text), ' '),
+       |    x -> x <> '') AS l
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT source AS s,
+       |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS bh
+       |  FROM (
+       |    SELECT source, unnest(list_transform(range(1, len(l) - 1),
+       |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+       |    FROM toks)),
+       |m AS (SELECT s, bh, bh % $p AS mm FROM sh),
+       |sig AS (
+       |  SELECT s,
+       |$sigCols
+       |  FROM m GROUP BY s),
+       |sizes AS (SELECT s, count(*) AS n FROM sh GROUP BY s),
+       |est AS (
+       |  SELECT a.s AS src_a, b.s AS src_b,
+       |    ($caseTerms) AS mtch
+       |  FROM sig a JOIN sig b ON a.s < b.s),
+       |cmn AS (
+       |  SELECT xa.s AS src_a, xb.s AS src_b, count(*) AS cm
+       |  FROM sh xa JOIN sh xb ON xa.bh = xb.bh AND xa.s < xb.s
+       |  GROUP BY xa.s, xb.s)
+       |SELECT e.src_a, e.src_b,
+       |  (e.mtch * 1000) // $k AS est_jaccard_milli,
+       |  coalesce(c.cm, 0) * 1000 // (za.n + zb.n - coalesce(c.cm, 0))
+       |    AS jaccard_milli
+       |FROM est e
+       |JOIN sizes za ON za.s = e.src_a
+       |JOIN sizes zb ON zb.s = e.src_b
+       |LEFT JOIN cmn c ON c.src_a = e.src_a AND c.src_b = e.src_b
+       |ORDER BY e.src_a, e.src_b""".stripMargin
+  }
+
+  /** Oracle for dd_contrastive_pairs: the LSH-verified near-dup pairs
+    * (positives, Jaccard >= 0.5) and the df-capped shingle-block
+    * candidates' dissimilar tail (hard negatives, Jaccard < 0.2),
+    * folded to one best-positive + best-negative triple per anchor.
+    */
+  private lazy val ContrastivePairsSql: String =
+    MinhashCandPrefix +
+      """sizes AS (SELECT doc_id, count(*) AS n_sh FROM hset GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.a, c.b, count(*) AS n_inter FROM cand c
+        |  JOIN hset sa ON sa.doc_id = c.a
+        |  JOIN hset sb ON sb.doc_id = c.b AND sb.bh = sa.bh
+        |  GROUP BY c.a, c.b),
+        |pos AS (
+        |  SELECT i.a, i.b, n_inter / (za.n_sh + zb.n_sh - n_inter) AS j
+        |  FROM inter i
+        |  JOIN sizes za ON za.doc_id = i.a
+        |  JOIN sizes zb ON zb.doc_id = i.b
+        |  WHERE n_inter / (za.n_sh + zb.n_sh - n_inter) >= 0.5),
+        |rare AS (SELECT bh FROM hset GROUP BY bh HAVING count(*) <= 20),
+        |bl AS (SELECT s.doc_id, s.bh FROM hset s JOIN rare r ON r.bh = s.bh),
+        |bcand AS (
+        |  SELECT DISTINCT xa.doc_id AS a, xb.doc_id AS b
+        |  FROM bl xa JOIN bl xb ON xa.bh = xb.bh AND xa.doc_id < xb.doc_id),
+        |binter AS (
+        |  SELECT c.a, c.b, count(*) AS n_inter FROM bcand c
+        |  JOIN hset sa ON sa.doc_id = c.a
+        |  JOIN hset sb ON sb.doc_id = c.b AND sb.bh = sa.bh
+        |  GROUP BY c.a, c.b),
+        |negs AS (
+        |  SELECT i.a, i.b, n_inter / (za.n_sh + zb.n_sh - n_inter) AS j
+        |  FROM binter i
+        |  JOIN sizes za ON za.doc_id = i.a
+        |  JOIN sizes zb ON zb.doc_id = i.b
+        |  WHERE n_inter / (za.n_sh + zb.n_sh - n_inter) < 0.2),
+        |psym AS (SELECT a AS anchor, b AS cand, j FROM pos
+        |  UNION ALL SELECT b AS anchor, a AS cand, j FROM pos),
+        |nsym AS (SELECT a AS anchor, b AS cand, j FROM negs
+        |  UNION ALL SELECT b AS anchor, a AS cand, j FROM negs),
+        |bp AS (
+        |  SELECT anchor, cand AS pos_id, round(j, 4) AS pos_jaccard,
+        |    row_number() OVER (PARTITION BY anchor
+        |                       ORDER BY j DESC, cand) AS rn
+        |  FROM psym),
+        |bn AS (
+        |  SELECT anchor, cand AS neg_id, round(j, 4) AS neg_jaccard,
+        |    row_number() OVER (PARTITION BY anchor
+        |                       ORDER BY j ASC, cand) AS rn
+        |  FROM nsym)
+        |SELECT p.anchor, p.pos_id, p.pos_jaccard, n.neg_id, n.neg_jaccard
+        |FROM bp p JOIN bn n ON n.anchor = p.anchor
+        |WHERE p.rn = 1 AND n.rn = 1
+        |ORDER BY p.anchor""".stripMargin
+
   /** Oracle for the FULLY-gated fan-out: the generated MinHash/LSH
     * chain ([[MinhashCandPrefix]] with its corpus spliced to the
     * two-wave mutant corpus) feeding the near-dup gate's drop logic,
@@ -2430,6 +2536,43 @@ object LlmQueries {
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .repartition(1).sortWithinPartitions(col("a"), col("b"))
+    },
+
+    // CROSS-SOURCE OVERLAP MATRIX: MinHash-estimated vs exact Jaccard
+    // between every source pair's shingle sets — the corpus-level
+    // diversity/contamination audit, and an estimator self-check at
+    // the dedup family's own constants (128 universal hashes).
+    QueryDef(
+      "dd_cross_source_overlap",
+      CrossSourceOverlapSql) { (s, d) =>
+      Dedup.crossSourceOverlap(Tables.documents(s, d), "text", "source",
+          n = 3, numHashes = 128)
+        .presentSorted(col("src_a"), col("src_b"))
+    },
+
+    // CONTRASTIVE PAIR MINING: (anchor, best positive, hardest
+    // negative) triples for embedding-model training — positives from
+    // the LSH-verified near-dups (>= 0.5), hard negatives from the
+    // df-capped shingle blocks' dissimilar tail (< 0.2: shares a rare
+    // shingle, verified dissimilar). One argmax/argmin window per
+    // anchor over the already-blocked candidate sets.
+    QueryDef(
+      "dd_contrastive_pairs",
+      ContrastivePairsSql) { (s, d) =>
+      val corpus = nearDupCorpus(Tables.documents(s, d))
+      val hsArr = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keys = Dedup.lshBandKeys(
+        Dedup.minhashSignatures(hsArr, 128), 128, 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pos = Dedup.jaccard(Dedup.lshCandidatePairsFromKeys(keys), hsArr)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"), col("jaccard"))
+      val neg = Dedup.blockedJaccard(hsArr, 20)
+        .filter(col("jaccard") < 0.2)
+        .select(col("a"), col("b"), col("jaccard"))
+      Dedup.contrastivePairs(pos, neg)
+        .presentSorted(col("anchor"))
     },
 
     // SimHash near-dup: 60-bit frequency-weighted simhash, FOUR 15-bit
@@ -4095,6 +4238,75 @@ object LlmQueries {
         |ORDER BY score_1e6 DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
       graft.operators.Search.bm25TopK(Tables.documents(s, d),
         "doc_id", "text", Seq("spark", "vector", "stream", "merge"), k = 10)
+    },
+
+    // NDCG@10 retrieval EVALUATION: the engine's own BM25 ranking
+    // scored against text-derived graded relevance (rel = min(3, tf))
+    // per single-term query — exact integer micro/milli units, ties
+    // broken on doc_id in both rankings. The quality gate a scoring
+    // regression flips even when the top-10 stays plausible.
+    QueryDef(
+      "search_eval_ndcg",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, len(l) AS dl,
+        |    len(list_filter(l, x -> x = 'spark'))  AS tf0,
+        |    len(list_filter(l, x -> x = 'vector')) AS tf1,
+        |    len(list_filter(l, x -> x = 'stream')) AS tf2,
+        |    len(list_filter(l, x -> x = 'merge'))  AS tf3
+        |  FROM t),
+        |g AS (
+        |  SELECT count(*) AS n, sum(dl) AS sumdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        |  FROM p),
+        |s AS (
+        |  SELECT doc_id, 'spark' AS term, tf0 AS tf, dl, g.df0 AS df,
+        |    g.n, g.sumdl FROM p, g WHERE tf0 > 0
+        |  UNION ALL
+        |  SELECT doc_id, 'vector', tf1, dl, g.df1, g.n, g.sumdl
+        |  FROM p, g WHERE tf1 > 0
+        |  UNION ALL
+        |  SELECT doc_id, 'stream', tf2, dl, g.df2, g.n, g.sumdl
+        |  FROM p, g WHERE tf2 > 0
+        |  UNION ALL
+        |  SELECT doc_id, 'merge', tf3, dl, g.df3, g.n, g.sumdl
+        |  FROM p, g WHERE tf3 > 0),
+        |sc AS (
+        |  SELECT doc_id, term, least(3, tf)::BIGINT AS rel,
+        |    round(ln(1.0 + (n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+        |      * tf::DOUBLE * 2.2
+        |      / (tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+        |          / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT AS score
+        |  FROM s),
+        |r AS (
+        |  SELECT term, rel,
+        |    row_number() OVER (PARTITION BY term
+        |                       ORDER BY score DESC, doc_id) AS rs,
+        |    row_number() OVER (PARTITION BY term
+        |                       ORDER BY rel DESC, doc_id) AS ri
+        |  FROM sc),
+        |f AS (
+        |  SELECT term,
+        |    sum(CASE WHEN rs <= 10
+        |        THEN round(rel * 1e6 * ln(2) / ln(rs + 1))::BIGINT
+        |        ELSE 0 END)::BIGINT AS dcg_micro,
+        |    sum(CASE WHEN ri <= 10
+        |        THEN round(rel * 1e6 * ln(2) / ln(ri + 1))::BIGINT
+        |        ELSE 0 END)::BIGINT AS idcg_micro
+        |  FROM r GROUP BY term)
+        |SELECT term, dcg_micro, idcg_micro,
+        |  dcg_micro * 1000 // idcg_micro AS ndcg_milli
+        |FROM f ORDER BY term""".stripMargin) { (s, d) =>
+      graft.operators.Search.evalNdcg(Tables.documents(s, d),
+          "doc_id", "text", Seq("spark", "vector", "stream", "merge"),
+          k = 10, maxRel = 3)
+        .presentSorted(col("term"))
     },
 
     // BM25 answered FROM the standing inverted index (Search.buildIndex

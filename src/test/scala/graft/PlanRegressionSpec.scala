@@ -59,6 +59,15 @@ class PlanRegressionSpec extends SparkSpec {
       "search_bm25_index_bucketed", "agg_histogram_price",
       "pl_iqr_outliers", "txt_unigram_logprob",
       "pl_training_data_filter_v2",
+      // search_eval_ndcg: bm25TopK's one-row stats cross-join,
+      // inherited by the stacked per-(doc, term) scoring.
+      "search_eval_ndcg",
+      // dd_cross_source_overlap: the estimator pair frame IS the
+      // #sources^2/2 product of two #sources-row AGGREGATE frames
+      // (MinHash signatures) — O(strata^2) by contract, corpus-size
+      // independent; the corpus-scale work (shingling, signatures,
+      // exact intersection) is all hash-aggregate/hash-join.
+      "dd_cross_source_overlap",
       // pl_mad_outliers: two ONE-ROW broadcast stats frames (median,
       // then MAD), the same stats-then-apply shape as the IQR gate.
       // pl_distribution_drift: the ECDF grid cross-joins the distinct

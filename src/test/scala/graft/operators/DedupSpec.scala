@@ -288,4 +288,41 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(5L -> 5L, 6L -> 5L))
   }
+
+  test("crossSourceOverlap: identical sources hit 1000 milli on both " +
+      "estimator and exact, disjoint hit 0 exact") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base, "s1"),
+      (2L, base, "s2"),                                   // s2 == s1
+      (3L, "one two three four five six seven eight", "s3"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceOverlap(docs, "text", "source",
+        n = 3, numHashes = 32)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.size == 3)                       // all pairs, even empty
+    assert(got(("s1", "s2")) == (1000L, 1000L)) // identical sets
+    assert(got(("s1", "s3"))._2 == 0L)          // exact: disjoint
+    assert(got(("s2", "s3"))._2 == 0L)
+  }
+
+  test("contrastivePairs picks best positive / hardest negative per " +
+      "anchor and requires both") {
+    val pos = Seq((1L, 2L, 0.9), (1L, 3L, 0.95), (4L, 5L, 0.7))
+      .toDF("a", "b", "jaccard")
+    val neg = Seq((1L, 7L, 0.1), (1L, 8L, 0.05), (9L, 2L, 0.15))
+      .toDF("a", "b", "jaccard")
+    val got = Dedup.contrastivePairs(pos, neg)
+      .as[(Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // Anchor 1: best positive 3 (0.95), hardest negative 8 (0.05).
+    assert(got(1L) == ((3L, 0.95, 8L, 0.05)), s"got $got")
+    // Anchor 2 is positive-side of (1,2) and negative-side of (9,2):
+    // both directions count — it anchors with pos 1, neg 9.
+    assert(got(2L) == ((1L, 0.9, 9L, 0.15)))
+    // Anchors 3/4/5 (no negative) and 7/8/9 (no positive) emit
+    // nothing: a triple needs BOTH sides.
+    assert(got.keySet == Set(1L, 2L), s"got ${got.keySet}")
+  }
 }

@@ -874,4 +874,31 @@ class SearchSpec extends SparkSpec {
     // Doc 1 matches spark+alpha+beta, doc 2 only the two expansions.
     assert(byId(1L)._2 == 3 && byId(2L)._2 == 2)
   }
+
+  test("evalNdcg: perfect BM25 ordering scores 1000 milli, a length-" +
+      "normalization inversion scores below") {
+    // Term 'q': doc 1 has the highest relevance (tf 3) but is LONG, so
+    // BM25's length normalization ranks the short tf-1 doc 2 first —
+    // the ranking diverges from the ideal and NDCG drops below 1.
+    // Term 'z': short docs, tf order = rank order -> NDCG exactly 1.
+    val filler = (1 to 297).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"q q q $filler"),
+      (2L, "q tiny"),
+      (3L, "z z z pad"),
+      (4L, "z pad2"))
+      .toDF("doc_id", "text")
+    val got = Search.evalNdcg(docs, "doc_id", "text", Seq("q", "z"),
+        k = 10, maxRel = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("z")._3 == 1000L, s"got $got")
+    assert(got("q")._3 < 1000L && got("q")._3 > 0L, s"got $got")
+    // DCG never exceeds IDCG; both positive when any doc matches.
+    assert(got.values.forall(v => v._1 > 0 && v._1 <= v._2))
+    // A term matching nothing emits no row.
+    val none = Search.evalNdcg(docs, "doc_id", "text",
+      Seq("absent"), k = 10).collect()
+    assert(none.isEmpty)
+  }
 }
