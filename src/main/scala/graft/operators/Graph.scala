@@ -9,6 +9,50 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** LABEL PROPAGATION community detection after `iters` synchronous
+    * min-label rounds on the UNDIRECTED graph: every node starts
+    * labeled with its own id, and each round takes the min of its own
+    * label and its neighbors' — after k rounds, nodes within graph
+    * distance k of a component's minimum share its label (fixed-round
+    * label propagation; run to diameter it IS connected components,
+    * and the dedup family's pointer-jumping `connectedComponents` is
+    * the convergence-loop form). Exact integer labels, so the oracle
+    * unrolls the rounds as join+min CTEs with no float ambiguity.
+    * Self-loops and duplicate edges are dropped.
+    *
+    * Scale shape: like [[pageRank]] — the symmetrized edge relation is
+    * hash-partitioned on `src` once and persisted; each round moves
+    * only the (node, label) frame through one join + one min-aggregate.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 12,
+      s"labelPropagation expects 1..12 fixed rounds, got $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = e.unionByName(e.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    try {
+      for (_ <- 1 to iters) {
+        val fromNeighbors = sym
+          .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), col("label"))
+        labels = labels.unionByName(fromNeighbors)
+          .groupBy(col("node"))
+          .agg(min(col("label")).as("label"))
+      }
+      // Materialize (one row per node) so the cached symmetrized edge
+      // layout can drop here — same pattern as pageRank.
+      graft.Checkpoints.pinned(
+        labels.select(col("node"), col("label").as("community")))
+    } finally sym.unpersist()
+  }
+
   /** PageRank after `iters` synchronous iterations, every node starting
     * at rank 1.0 and updating to `(1-damping) + damping * sum(in-edge
     * contributions)` — the un-normalized convention (ranks sum to ~N,

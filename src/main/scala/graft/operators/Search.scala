@@ -83,6 +83,57 @@ object Search {
       .limit(k)
   }
 
+  /** QUERY-LIKELIHOOD top-k (Dirichlet-smoothed language model): the
+    * classic alternative ranking model to BM25 — score(d) =
+    * sum_t ln((tf + mu * cf_t / |C|) / (dl + mu)) over the query
+    * terms, with cf_t the term's COLLECTION frequency and |C| the
+    * corpus token count (Zhai & Lafferty smoothing). Unlike BM25 the
+    * smoothed probability is defined for tf = 0 too, so every doc
+    * matching at least one term is scored on ALL query terms —
+    * per-term contributions round to micro-nats so the cross-term sum
+    * is exact integer math, same parity contract as [[bm25TopK]].
+    *
+    * Same shape as [[bm25TopK]]: one scan with per-term tf columns,
+    * ONE one-row stats cross-join (corpus size + per-term collection
+    * frequencies), filter to matched docs, TakeOrderedAndProject.
+    */
+  def queryLikelihoodTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, mu: Double = 2000.0): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 32,
+      s"query-likelihood expects 1..32 terms, got ${queryTerms.size}")
+    require(mu > 0, s"mu must be positive, got $mu")
+    val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
+    val perDoc = docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(
+        col("doc_id") +: size(col("__toks")).as("dl") +:
+          queryTerms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("__toks"), x => x === lit(t))).as(s"__tf_$i")
+          }: _*)
+    val statCols = sum(col("dl")).as("__ctot") +:
+      queryTerms.indices.map(i => sum(col(s"__tf_$i")).as(s"__cf_$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val contribs = queryTerms.indices.map { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      val cf = col(s"__cf_$i").cast("double")
+      val ctot = col("__ctot").cast("double")
+      // Terms absent from the ENTIRE corpus have p(t|C) = 0 and an
+      // unsmoothable ln 0 — skipped, the standard QL convention.
+      when(col(s"__cf_$i") > 0,
+        round(log((tf + lit(mu) * cf / ctot) /
+          (col("dl").cast("double") + lit(mu))) * lit(1e6)).cast("long"))
+        .otherwise(lit(0L))
+    }
+    val matched = queryTerms.indices
+      .map(i => when(col(s"__tf_$i") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), matched.as("n_matched"),
+        contribs.reduce(_ + _).as("score_1e6"))
+      .filter(col("n_matched") > 0)
+      .orderBy(col("score_1e6").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** NDCG@k retrieval EVALUATION: for each single-term query, the
     * normalized discounted cumulative gain of the engine's OWN BM25
     * ranking against text-derived graded relevance (`rel = min(maxRel,

@@ -120,4 +120,79 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct_chars"),
         sum(col("__term")).as("entropy_unats"))
   }
+
+  /** Distributed BPE MERGE LEARNING — the tokenizer-training core
+    * (Sennrich et al. 2016), `rounds` merge steps over the corpus: each
+    * round counts adjacent symbol pairs across the vocabulary (weighted
+    * by word frequency), picks the most frequent pair (ties: count
+    * desc, then pair lexicographic — fully deterministic), and applies
+    * the merge LEFT-TO-RIGHT GREEDY inside every word (true BPE
+    * semantics: after `(a,a)` on `a a a` the result is `aa a`). The
+    * merge application is an in-row string fold (`aggregate` over the
+    * symbol array with a last-symbol sentinel check) — exactly
+    * reproducible in the oracle via `list_reduce`, so the learned merge
+    * table is hash-checkable.
+    *
+    * Scale shape: everything runs over WORD TYPES with frequencies
+    * (Heaps'-law-bounded like [[graft.queries]]' vocab export, not
+    * corpus-row-bounded): one token count to build the vocab, then per
+    * round one pair-explode aggregate and one narrow fold projection.
+    * Driver state per round is the single argmax row. Each round's
+    * vocabulary persists and the previous round drops, keeping the
+    * `aggregate` lineage shallow. Returns (round, sym_a, sym_b, n) —
+    * the merge table in learning order; stops early if no pair remains.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"bpeMerges expects 1..64 rounds, got $rounds")
+    val spark = docs.sparkSession
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val words = docs
+      .select(explode(filter(split(trim(col(textCol)), " +"),
+        x => x =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    var vocab = words
+      .select(filter(split(col("w"), ""), x => x =!= "").as("syms"),
+        col("wn"))
+      .persist(MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    try {
+      for (r <- 1 to rounds if merges.size == r - 1) {
+        val best = vocab
+          .select(col("wn"), col("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("wn"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(syms[i - 1] AS x, syms[i] AS y))")).as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum(col("wn")).as("n"))
+          .orderBy(col("n").desc, col("x"), col("y"))
+          .limit(1).collect()
+        best.headOption.foreach { row =>
+          val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((r.toLong, a, b, n))
+          // Left-to-right greedy merge: fold symbols into a space-
+          // joined accumulator; ` <a>` as the accumulator SUFFIX tests
+          // "last symbol == a" exactly (a just-merged `ab` ends the
+          // accumulator with ` ab`, which never suffix-matches ` a`).
+          val folded = aggregate(col("syms"), lit(""),
+            (acc, z) =>
+              when(z === lit(b) && endswith(acc, lit(" " + a)),
+                concat(acc.substr(lit(1),
+                  length(acc) - lit(a.length + 1)),
+                  lit(" " + a + b)))
+                .otherwise(concat(acc, lit(" "), z)))
+          val next = vocab
+            .select(filter(split(substring(folded, 2, Int.MaxValue), " "),
+              x => x =!= "").as("syms"), col("wn"))
+            .persist(MEMORY_AND_DISK)
+          next.count()
+          vocab.unpersist()
+          vocab = next
+        }
+      }
+    } finally vocab.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "n")
+  }
 }

@@ -1977,6 +1977,56 @@ object LlmQueries {
          |""".stripMargin
   }
 
+  /** Oracle for txt_bpe_merges: `BpeRounds` unrolled merge rounds.
+    * Each round: adjacent-pair counts over the word-type vocabulary
+    * (weighted by word frequency), argmax (count desc, pair asc),
+    * then the TRUE left-to-right greedy merge via `list_reduce` with
+    * the same last-symbol-suffix sentinel the Spark fold uses. Rounds
+    * after an empty argmax stay empty (early stop on both sides).
+    */
+  private val BpeRounds = 6
+  private lazy val BpeMergesSql: String = {
+    // Single stripMargin at the end: per-round fragments keep their
+    // margin pipes so SQL `||` concatenations never collide with the
+    // margin stripping.
+    val roundCtes = (1 to BpeRounds).map { r =>
+      val prev = s"v${r - 1}"
+      s"""|p$r AS (
+          |  SELECT (q.p).x AS x, (q.p).y AS y, sum(q.wn)::BIGINT AS n FROM (
+          |    SELECT unnest(list_transform(range(1, len(syms)),
+          |      i -> {'x': syms[i], 'y': syms[i + 1]})) AS p, wn
+          |    FROM $prev WHERE len(syms) >= 2) q
+          |  GROUP BY (q.p).x, (q.p).y),
+          |b$r AS (
+          |  SELECT CAST($r AS BIGINT) AS round, x, y, n FROM p$r
+          |  ORDER BY n DESC, x, y LIMIT 1),
+          |v$r AS (
+          |  SELECT list_filter(string_split(substr(
+          |      list_reduce(list_prepend('', syms),
+          |        (acc, z) -> CASE
+          |          WHEN z = b.y AND ends_with(acc, ' ' || b.x)
+          |          THEN left(acc, length(acc) - length(b.x) - 1) || ' ' || b.x || b.y
+          |          ELSE acc || ' ' || z END),
+          |      2, 100000000), ' '), s -> s <> '') AS syms, wn
+          |  FROM $prev, b$r b)"""
+    }.mkString(",\n")
+    val union = (1 to BpeRounds).map(r => s"SELECT * FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT w, count(*) AS wn FROM (
+       |    SELECT unnest(list_filter(string_split(trim(text), ' '),
+       |      x -> x <> '')) AS w
+       |    FROM documents) t
+       |  GROUP BY w),
+       |v0 AS (
+       |  SELECT list_filter(string_split(w, ''), s -> s <> '') AS syms, wn
+       |  FROM w),
+       $roundCtes
+       |SELECT round, x AS sym_a, y AS sym_b, n FROM (
+       |  $union) m
+       |ORDER BY round""".stripMargin
+  }
+
   /** Oracle for dd_cross_source_overlap: per-SOURCE shingle sets, the
     * same universal-hash MinHash family (coefficients inlined from
     * [[Dedup.minhashCoeffs]]), estimated vs exact Jaccard per source
@@ -4238,6 +4288,63 @@ object LlmQueries {
         |ORDER BY score_1e6 DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
       graft.operators.Search.bm25TopK(Tables.documents(s, d),
         "doc_id", "text", Seq("spark", "vector", "stream", "merge"), k = 10)
+    },
+
+    // QUERY-LIKELIHOOD top-10 (Dirichlet-smoothed LM, mu=2000): the
+    // classic second ranking model next to BM25 — matched docs score
+    // on ALL query terms (smoothing defines tf=0), per-term micro-nat
+    // contributions summed as exact integers.
+    QueryDef(
+      "search_qld_topk",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, len(l) AS dl,
+        |    len(list_filter(l, x -> x = 'spark'))  AS tf0,
+        |    len(list_filter(l, x -> x = 'vector')) AS tf1,
+        |    len(list_filter(l, x -> x = 'stream')) AS tf2,
+        |    len(list_filter(l, x -> x = 'merge'))  AS tf3
+        |  FROM t),
+        |g AS (
+        |  SELECT sum(dl) AS ctot, sum(tf0) AS cf0, sum(tf1) AS cf1,
+        |    sum(tf2) AS cf2, sum(tf3) AS cf3
+        |  FROM p),
+        |s AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)
+        |      AS n_matched,
+        |    (CASE WHEN cf0 > 0 THEN round(ln((tf0::DOUBLE + 2000.0 * cf0::DOUBLE
+        |        / ctot::DOUBLE) / (dl::DOUBLE + 2000.0)) * 1e6)::BIGINT ELSE 0 END)
+        |    + (CASE WHEN cf1 > 0 THEN round(ln((tf1::DOUBLE + 2000.0 * cf1::DOUBLE
+        |        / ctot::DOUBLE) / (dl::DOUBLE + 2000.0)) * 1e6)::BIGINT ELSE 0 END)
+        |    + (CASE WHEN cf2 > 0 THEN round(ln((tf2::DOUBLE + 2000.0 * cf2::DOUBLE
+        |        / ctot::DOUBLE) / (dl::DOUBLE + 2000.0)) * 1e6)::BIGINT ELSE 0 END)
+        |    + (CASE WHEN cf3 > 0 THEN round(ln((tf3::DOUBLE + 2000.0 * cf3::DOUBLE
+        |        / ctot::DOUBLE) / (dl::DOUBLE + 2000.0)) * 1e6)::BIGINT ELSE 0 END)
+        |      AS score_1e6
+        |  FROM p, g)
+        |SELECT doc_id, n_matched, score_1e6 FROM s
+        |WHERE n_matched > 0
+        |ORDER BY score_1e6 DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      graft.operators.Search.queryLikelihoodTopK(Tables.documents(s, d),
+        "doc_id", "text", Seq("spark", "vector", "stream", "merge"),
+        k = 10, mu = 2000.0)
+    },
+
+    // Distributed BPE MERGE LEARNING: 6 merge rounds over the word-type
+    // vocabulary — argmax pair per round (count desc, pair asc), true
+    // left-to-right greedy application via an in-row string fold that
+    // list_reduce reproduces exactly. The learned merge table is the
+    // tokenizer-training artifact (txt_vocab_export's sibling).
+    QueryDef(
+      "txt_bpe_merges",
+      BpeMergesSql) { (s, d) =>
+      graft.operators.TextAnalysis.bpeMerges(
+          Tables.documents(s, d), "text", rounds = 6)
+        .presentSorted(col("round"))
     },
 
     // NDCG@10 retrieval EVALUATION: the engine's own BM25 ranking

@@ -545,6 +545,48 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // LABEL-PROPAGATION communities (Graph.labelPropagation): 3
+    // synchronous min-label rounds on the undirected link graph —
+    // every node within distance 3 of a component's minimum adopts it
+    // (the mirror-site / link-farm grouping signal; run to diameter
+    // it is connected components). Exact integer labels; the oracle
+    // unrolls the rounds as union+min CTEs.
+    QueryDef(
+      "gr_label_prop",
+      """WITH raw AS (
+        |  SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
+        |  FROM lineitem
+        |  WHERE l_linenumber = 1 AND l_orderkey % 2000 <> l_partkey % 2000),
+        |sym AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+        |nodes AS (SELECT DISTINCT src AS node FROM sym),
+        |l0 AS (SELECT node, node AS lbl FROM nodes),
+        |l1 AS (
+        |  SELECT node, min(lbl) AS lbl FROM (
+        |    SELECT node, lbl FROM l0
+        |    UNION ALL
+        |    SELECT e.dst AS node, l.lbl FROM sym e JOIN l0 l ON l.node = e.src
+        |  ) t GROUP BY node),
+        |l2 AS (
+        |  SELECT node, min(lbl) AS lbl FROM (
+        |    SELECT node, lbl FROM l1
+        |    UNION ALL
+        |    SELECT e.dst AS node, l.lbl FROM sym e JOIN l1 l ON l.node = e.src
+        |  ) t GROUP BY node),
+        |l3 AS (
+        |  SELECT node, min(lbl) AS lbl FROM (
+        |    SELECT node, lbl FROM l2
+        |    UNION ALL
+        |    SELECT e.dst AS node, l.lbl FROM sym e JOIN l2 l ON l.node = e.src
+        |  ) t GROUP BY node)
+        |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") === 1)
+        .select((col("l_orderkey") % 2000).as("src"),
+          (col("l_partkey") % 2000).as("dst"))
+      graft.operators.Graph.labelPropagation(edges, iters = 3)
+        .presentSorted(col("node"))
+    },
+
     // Anchor-text aggregation: the inbound-link description of a target
     // page (what the web "calls" a url — the classic relevance signal a
     // crawler's ranking layer feeds on). Positional zip of the href and

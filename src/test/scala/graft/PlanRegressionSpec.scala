@@ -61,7 +61,9 @@ class PlanRegressionSpec extends SparkSpec {
       "pl_training_data_filter_v2",
       // search_eval_ndcg: bm25TopK's one-row stats cross-join,
       // inherited by the stacked per-(doc, term) scoring.
-      "search_eval_ndcg",
+      // search_qld_topk: the same one-row stats shape (collection
+      // frequencies instead of document frequencies).
+      "search_eval_ndcg", "search_qld_topk",
       // dd_cross_source_overlap: the estimator pair frame IS the
       // #sources^2/2 product of two #sources-row AGGREGATE frames
       // (MinHash signatures) — O(strata^2) by contract, corpus-size

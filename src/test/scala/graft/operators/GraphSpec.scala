@@ -62,4 +62,21 @@ class GraphSpec extends SparkSpec {
       1L -> ((4L, 0L)), 2L -> ((4L, 0L)),
       3L -> ((1L, 4L)), 4L -> ((0L, 1L))))
   }
+
+  test("labelPropagation: after k rounds a node holds the min id " +
+      "within distance k; components stay separate") {
+    // Chain 1-2-3-4-5 plus isolated pair 10-11. After 3 rounds,
+    // label(v) = min id within graph distance 3.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (2L, 2L), (3L, 2L))  // self-loop + reverse dup must not matter
+      .toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 10L -> 10L, 11L -> 10L), s"got $got")
+    // One more round reaches the whole chain = connected components.
+    val conv = Graph.labelPropagation(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(conv(5L) == 1L)
+  }
 }

@@ -875,6 +875,26 @@ class SearchSpec extends SparkSpec {
     assert(byId(1L)._2 == 3 && byId(2L)._2 == 2)
   }
 
+  test("queryLikelihoodTopK ranks by smoothed LM score and skips " +
+      "corpus-absent terms") {
+    val docs = Seq(
+      (1L, "q q pad"),
+      (2L, "q pad pad"),
+      (3L, "pad pad pad"))
+      .toDF("doc_id", "text")
+    val got = Search.queryLikelihoodTopK(docs, "doc_id", "text",
+        Seq("q", "ghost"), k = 10, mu = 10.0)
+      .as[(Long, Int, Long)].collect().toSeq
+    // Doc 3 matches nothing -> excluded; tf 2 outranks tf 1 at equal
+    // dl; 'ghost' (cf = 0) contributes exactly 0 to every score.
+    assert(got.map(_._1) == Seq(1L, 2L), s"got $got")
+    assert(got.forall(_._2 == 1))
+    // cf('q') = 3 occurrences across the corpus, |C| = 9 tokens.
+    val expected = (tf: Int) =>
+      math.round(math.log((tf + 10.0 * 3.0 / 9.0) / (3 + 10.0)) * 1e6)
+    assert(got.map(_._3) == Seq(expected(2), expected(1)), s"got $got")
+  }
+
   test("evalNdcg: perfect BM25 ordering scores 1000 milli, a length-" +
       "normalization inversion scores below") {
     // Term 'q': doc 1 has the highest relevance (tf 3) but is LONG, so

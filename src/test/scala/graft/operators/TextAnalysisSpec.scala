@@ -79,4 +79,32 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("bpeMerges learns the textbook low/lower merge sequence and " +
+      "stops when no pairs remain") {
+    // Corpus: 'low low lower'. Pair counts round 1: (l,o)=3, (o,w)=3 —
+    // lexicographic tie-break picks (l,o). Then (lo,w)=3; then the
+    // 1-count ties resolve (e,r) before (low,e); then (low,er); then
+    // 'low' and 'lower' are single symbols -> early stop at 4 merges.
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, "text", rounds = 6)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, "l", "o", 3L),
+      (2L, "lo", "w", 3L),
+      (3L, "e", "r", 1L),
+      (4L, "low", "er", 1L)), s"got $got")
+  }
+
+  test("bpeMerges applies merges left-to-right greedy (aaa -> aa a)") {
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    // Round 1: (a,a) count 4 (two per word, l-t-r: positions 1-2 only
+    // count... pair instances are adjacency SLOTS: a a a has two).
+    val got = TextAnalysis.bpeMerges(docs, "text", rounds = 2)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // After merging (a,a) greedily, each word is [aa, a] -> round 2
+    // learns (aa, a), NOT (a, aa): the fold consumed the left pair.
+    assert(got == Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L)),
+      s"got $got")
+  }
 }
