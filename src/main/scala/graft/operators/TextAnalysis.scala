@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{HashFunctions, TextFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document fingerprinting (winnowing) — the rolling-hash scheme used for
@@ -171,20 +171,8 @@ object TextAnalysis {
         best.headOption.foreach { row =>
           val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += ((r.toLong, a, b, n))
-          // Left-to-right greedy merge: fold symbols into a space-
-          // joined accumulator; ` <a>` as the accumulator SUFFIX tests
-          // "last symbol == a" exactly (a just-merged `ab` ends the
-          // accumulator with ` ab`, which never suffix-matches ` a`).
-          val folded = aggregate(col("syms"), lit(""),
-            (acc, z) =>
-              when(z === lit(b) && endswith(acc, lit(" " + a)),
-                concat(acc.substr(lit(1),
-                  length(acc) - lit(a.length + 1)),
-                  lit(" " + a + b)))
-                .otherwise(concat(acc, lit(" "), z)))
           val next = vocab
-            .select(filter(split(substring(folded, 2, Int.MaxValue), " "),
-              x => x =!= "").as("syms"), col("wn"))
+            .withColumn("syms", applyMerge(col("syms"), a, b))
             .persist(MEMORY_AND_DISK)
           next.count()
           vocab.unpersist()
@@ -194,5 +182,132 @@ object TextAnalysis {
     } finally vocab.unpersist()
     import spark.implicits._
     merges.toSeq.toDF("round", "sym_a", "sym_b", "n")
+  }
+
+  /** Apply ONE learned merge `(a, b) -> ab` to a symbol array, LEFT-
+    * TO-RIGHT GREEDY (true BPE semantics): fold the symbols into a
+    * space-joined accumulator; ` <a>` as the accumulator SUFFIX tests
+    * "last symbol == a" exactly (a just-merged `ab` ends the
+    * accumulator with ` ab`, which never suffix-matches ` a`). The
+    * oracle reproduces the fold with `list_reduce`.
+    */
+  private def applyMerge(syms: Column, a: String, b: String): Column = {
+    val folded = aggregate(syms, lit(""),
+      (acc, z) =>
+        when(z === lit(b) && endswith(acc, lit(" " + a)),
+          concat(acc.substr(lit(1), length(acc) - lit(a.length + 1)),
+            lit(" " + a + b)))
+          .otherwise(concat(acc, lit(" "), z)))
+    filter(split(substring(folded, 2, Int.MaxValue), " "), x => x =!= "")
+  }
+
+  /** FLESCH READING EASE (milli units): `206.835 - 1.015 * words/
+    * sentences - 84.6 * syllables/words`, with sentences counted as
+    * `[.!?]+` runs and syllables as vowel-group (`[aeiouy]+`) matches
+    * over the lowercased text — the standard regex heuristic (words
+    * without vowels count zero syllables; both floors clamp at 1 so
+    * unpunctuated text still scores). Pure narrow projection, one
+    * regex pass per counter; exact double ops in a fixed order,
+    * rounded once — the oracle reproduces every count and the formula.
+    */
+  def readability(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = TextFunctions.tokenCount(col(textCol)).cast("long")
+    val sentences = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val syllables = greatest(lit(1L),
+      size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"),
+        lit(0))).cast("long"))
+    docs.select(col(idCol).as("doc_id"), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch_milli",
+        round((lit(206.835)
+          - lit(1.015) * col("n_words").cast("double")
+            / col("n_sentences").cast("double")
+          - lit(84.6) * col("n_syllables").cast("double")
+            / col("n_words").cast("double")) * lit(1000)).cast("long"))
+  }
+
+  /** BORDA-COUNT quality-signal FUSION: rank every doc within its
+    * stratum by each of THREE independent quality signals — the
+    * heuristic quality score, character entropy, and mean unigram
+    * log-probability — sum the three ranks (lower = better on all
+    * axes), and keep each stratum's `topK` by the fused rank. The
+    * rank-space fusion is what makes heterogeneous signals (a [0,1]
+    * score, micro-nats, log-probs) commensurable without calibration,
+    * the same reason retrieval fuses with RRF.
+    *
+    * Exactness: the mean log-prob is offset positive before the
+    * integer division (`(sum + 20e6*n) div n`) because trunc-division
+    * and floor-division disagree on negatives across engines. Ranks
+    * tie-break on doc_id everywhere. Windows partition by stratum —
+    * the numerous-sources corpus shape, same as packSequences.
+    */
+  def qualityBorda(docs: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val ent = charEntropy(docs, idCol, textCol)
+      .select(col("doc_id"), col("entropy_unats"))
+    val lp = unigramLogprob(docs, idCol, textCol)
+      .select(col("doc_id"),
+        expr("(sum_logp_unats + 20000000 * n_tokens) div n_tokens")
+          .as("__alp"))
+    val q = docs
+      .select(col(idCol).as("doc_id"), col(stratumCol).as("__s"),
+        TextFunctions.qualityScore(col(textCol)).as("__q"))
+      .filter(TextFunctions.tokenCount(col(textCol)) > 0)
+    def rankBy(c: Column) = row_number().over(
+      Window.partitionBy(col("__s")).orderBy(c.desc, col("doc_id")))
+    val fused = q.join(ent, Seq("doc_id")).join(lp, Seq("doc_id"))
+      .select(col("__s"), col("doc_id"),
+        (rankBy(col("__q")).cast("long") +
+          rankBy(col("entropy_unats")).cast("long") +
+          rankBy(col("__alp")).cast("long")).as("borda"))
+    fused
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__s"))
+          .orderBy(col("borda"), col("doc_id"))))
+      .filter(col("__rn") <= topK)
+      .select(col("__s").as(stratumCol), col("doc_id"), col("borda"))
+  }
+
+  /** BPE ENCODE + FERTILITY: learn `rounds` merges ([[bpeMerges]]'s
+    * exact procedure), apply the full merge table to the word-type
+    * vocabulary (`rounds` chained in-row folds — one narrow
+    * projection, no extra shuffle), then report per-stratum tokenizer
+    * quality: word count, BPE token count, and FERTILITY (BPE tokens
+    * per word, milli) — the compression number a tokenizer is judged
+    * by, per source/language. All exact integers.
+    *
+    * Shape: the learning pass is [[bpeMerges]]; encoding joins the
+    * corpus's (stratum, word) counts against the Heaps'-bounded
+    * encoded vocabulary (broadcast-friendly), one final aggregate per
+    * stratum.
+    */
+  def bpeEncodeStats(docs: DataFrame, textCol: String, stratumCol: String,
+      rounds: Int): DataFrame = {
+    val merges = bpeMerges(docs, textCol, rounds)
+      .orderBy(col("round"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = docs
+      .select(col(stratumCol).as("__s"),
+        explode(filter(split(trim(col(textCol)), " +"),
+          x => x =!= "")).as("w"))
+      .groupBy(col("__s"), col("w")).agg(count(lit(1)).as("wn"))
+    val vocab0 = words.select(col("w")).distinct()
+      .select(col("w"), filter(split(col("w"), ""), x => x =!= "").as("syms"))
+    val encoded = merges.foldLeft(vocab0) { case (v, (a, b)) =>
+      v.withColumn("syms", applyMerge(col("syms"), a, b))
+    }.select(col("w"), size(col("syms")).cast("long").as("__nsym"))
+    words.join(encoded, Seq("w"))
+      .groupBy(col("__s"))
+      .agg(sum(col("wn")).as("n_words"),
+        sum(col("wn") * col("__nsym")).as("n_bpe_tokens"))
+      .select(col("__s").as(stratumCol), col("n_words"),
+        col("n_bpe_tokens"),
+        expr("n_bpe_tokens * 1000 div n_words").as("fertility_milli"))
   }
 }

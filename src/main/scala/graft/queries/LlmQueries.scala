@@ -1985,10 +1985,14 @@ object LlmQueries {
     * after an empty argmax stay empty (early stop on both sides).
     */
   private val BpeRounds = 6
-  private lazy val BpeMergesSql: String = {
-    // Single stripMargin at the end: per-round fragments keep their
-    // margin pipes so SQL `||` concatenations never collide with the
-    // margin stripping.
+
+  /** The shared learn-chain CTEs (word-type vocab `w`, symbolized
+    * `v0`, then per round: pair counts `pN`, argmax `bN`, merged vocab
+    * `vN` carrying the word through). Single stripMargin at the end:
+    * per-round fragments keep their margin pipes so SQL `||`
+    * concatenations never collide with the margin stripping.
+    */
+  private lazy val BpeChainSql: String = {
     val roundCtes = (1 to BpeRounds).map { r =>
       val prev = s"v${r - 1}"
       s"""|p$r AS (
@@ -2001,7 +2005,7 @@ object LlmQueries {
           |  SELECT CAST($r AS BIGINT) AS round, x, y, n FROM p$r
           |  ORDER BY n DESC, x, y LIMIT 1),
           |v$r AS (
-          |  SELECT list_filter(string_split(substr(
+          |  SELECT w, list_filter(string_split(substr(
           |      list_reduce(list_prepend('', syms),
           |        (acc, z) -> CASE
           |          WHEN z = b.y AND ends_with(acc, ' ' || b.x)
@@ -2010,8 +2014,6 @@ object LlmQueries {
           |      2, 100000000), ' '), s -> s <> '') AS syms, wn
           |  FROM $prev, b$r b)"""
     }.mkString(",\n")
-    val union = (1 to BpeRounds).map(r => s"SELECT * FROM b$r")
-      .mkString("\n  UNION ALL ")
     s"""WITH w AS (
        |  SELECT w, count(*) AS wn FROM (
        |    SELECT unnest(list_filter(string_split(trim(text), ' '),
@@ -2019,13 +2021,44 @@ object LlmQueries {
        |    FROM documents) t
        |  GROUP BY w),
        |v0 AS (
-       |  SELECT list_filter(string_split(w, ''), s -> s <> '') AS syms, wn
+       |  SELECT w, list_filter(string_split(w, ''), s -> s <> '') AS syms,
+       |    wn
        |  FROM w),
-       $roundCtes
-       |SELECT round, x AS sym_a, y AS sym_b, n FROM (
-       |  $union) m
-       |ORDER BY round""".stripMargin
+       $roundCtes""".stripMargin
   }
+
+  private lazy val BpeMergesSql: String = {
+    val union = (1 to BpeRounds).map(r => s"SELECT * FROM b$r")
+      .mkString("\n  UNION ALL ")
+    BpeChainSql +
+      s"""
+         |SELECT round, x AS sym_a, y AS sym_b, n FROM (
+         |  $union) m
+         |ORDER BY round""".stripMargin
+  }
+
+  /** Oracle for txt_bpe_encode_stats: the learn chain's final vocab
+    * encodes the corpus; fertility per source in exact integers. The
+    * sf0.01 fixture never early-stops inside $BpeRounds rounds, so
+    * v$BpeRounds is the fully-merged vocabulary.
+    */
+  private lazy val BpeEncodeStatsSql: String =
+    BpeChainSql +
+      s""",
+         |enc AS (SELECT w, len(syms)::BIGINT AS nsym FROM v$BpeRounds),
+         |tok AS (
+         |  SELECT source AS s,
+         |    unnest(list_filter(string_split(trim(text), ' '),
+         |      x -> x <> '')) AS w
+         |  FROM documents),
+         |sw AS (SELECT s, w, count(*) AS wn FROM tok GROUP BY s, w),
+         |agg AS (
+         |  SELECT s AS source, sum(wn)::BIGINT AS n_words,
+         |    sum(wn * nsym)::BIGINT AS n_bpe_tokens
+         |  FROM sw JOIN enc USING (w) GROUP BY s)
+         |SELECT source, n_words, n_bpe_tokens,
+         |  n_bpe_tokens * 1000 // n_words AS fertility_milli
+         |FROM agg ORDER BY source""".stripMargin
 
   /** Oracle for dd_cross_source_overlap: per-SOURCE shingle sets, the
     * same universal-hash MinHash family (coefficients inlined from
@@ -4345,6 +4378,113 @@ object LlmQueries {
       graft.operators.TextAnalysis.bpeMerges(
           Tables.documents(s, d), "text", rounds = 6)
         .presentSorted(col("round"))
+    },
+
+    // FLESCH READING EASE in exact milli units: the regex-heuristic
+    // readability gate (sentence runs, vowel-group syllables), the
+    // classic complement to the stopword/entropy quality signals.
+    QueryDef(
+      "txt_readability",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(trim(text), ' '), x -> x <> ''))::BIGINT
+        |      AS n_words,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+        |      AS n_sentences,
+        |    greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))::BIGINT
+        |      AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round((206.835
+        |    - 1.015 * n_words::DOUBLE / n_sentences::DOUBLE
+        |    - 84.6 * n_syllables::DOUBLE / n_words::DOUBLE) * 1000)::BIGINT
+        |    AS flesch_milli
+        |FROM p WHERE n_words > 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.TextAnalysis.readability(
+          Tables.documents(s, d), "doc_id", "text")
+        .presentSorted(col("doc_id"))
+    },
+
+    // BORDA-COUNT quality fusion: per-source top-3 docs by the summed
+    // ranks of three independent quality signals (heuristic score,
+    // char entropy, mean unigram log-prob) — rank-space fusion makes
+    // the heterogeneous signals commensurable, the corpus-curation
+    // sibling of retrieval's RRF.
+    QueryDef(
+      "pl_quality_borda",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(1.0, len(l) / 32.0) * 0.4
+        |      + (len(list_distinct(l)) * 1.0 / len(l)) * 0.4
+        |      + least(1.0, len(list_filter(l,
+        |          x -> x IN ('the','a','of','and','to','in','is'))) * 8.0
+        |          / len(l)) * 0.2, 4) AS q
+        |  FROM t WHERE len(l) > 0),
+        |ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM ch
+        |  WHERE ch <> '' GROUP BY doc_id, ch),
+        |et AS (
+        |  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+        |  FROM cnt),
+        |ent AS (
+        |  SELECT doc_id,
+        |    sum(round(-(c::DOUBLE / n::DOUBLE)
+        |      * ln(c::DOUBLE / n::DOUBLE) * 1e6)::BIGINT)::BIGINT AS ent
+        |  FROM et GROUP BY doc_id),
+        |tk AS (SELECT doc_id, unnest(l) AS token FROM t),
+        |v AS (SELECT token, count(*) AS n_t FROM tk GROUP BY token),
+        |g AS (SELECT sum(n_t)::BIGINT AS tot FROM v),
+        |lp0 AS (
+        |  SELECT doc_id,
+        |    round(ln(n_t::DOUBLE / tot::DOUBLE) * 1e6)::BIGINT AS term
+        |  FROM tk JOIN v USING (token), g),
+        |lp AS (
+        |  SELECT doc_id, count(*) AS n_tokens, sum(term)::BIGINT AS s
+        |  FROM lp0 GROUP BY doc_id),
+        |sig AS (
+        |  SELECT d.source, d.doc_id, q.q, e.ent,
+        |    (lp.s + 20000000 * lp.n_tokens) // lp.n_tokens AS alp
+        |  FROM documents d
+        |  JOIN q ON q.doc_id = d.doc_id
+        |  JOIN ent e ON e.doc_id = d.doc_id
+        |  JOIN lp ON lp.doc_id = d.doc_id),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    (row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id)
+        |     + row_number() OVER (PARTITION BY source ORDER BY ent DESC, doc_id)
+        |     + row_number() OVER (PARTITION BY source ORDER BY alp DESC, doc_id)
+        |    )::BIGINT AS borda
+        |  FROM sig),
+        |f AS (
+        |  SELECT source, doc_id, borda,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY borda, doc_id) AS rn
+        |  FROM r)
+        |SELECT source, doc_id, borda FROM f WHERE rn <= 3
+        |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      graft.operators.TextAnalysis.qualityBorda(
+          Tables.documents(s, d), "doc_id", "text", "source", topK = 3)
+        .presentSorted(col("source"), col("doc_id"))
+    },
+
+    // BPE ENCODE + FERTILITY: the learned merge table applied back to
+    // the corpus (chained in-row folds over the Heaps'-bounded vocab),
+    // per-source tokens-per-word in exact milli units — the
+    // compression number a tokenizer is judged by, per source.
+    QueryDef(
+      "txt_bpe_encode_stats",
+      BpeEncodeStatsSql) { (s, d) =>
+      graft.operators.TextAnalysis.bpeEncodeStats(
+          Tables.documents(s, d), "text", "source", rounds = 6)
+        .presentSorted(col("source"))
     },
 
     // NDCG@10 retrieval EVALUATION: the engine's own BM25 ranking

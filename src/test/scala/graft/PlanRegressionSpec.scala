@@ -59,6 +59,9 @@ class PlanRegressionSpec extends SparkSpec {
       "search_bm25_index_bucketed", "agg_histogram_price",
       "pl_iqr_outliers", "txt_unigram_logprob",
       "pl_training_data_filter_v2",
+      // pl_quality_borda inherits unigramLogprob's one-row total-
+      // tokens stats cross-join (same shape as txt_unigram_logprob).
+      "pl_quality_borda",
       // search_eval_ndcg: bm25TopK's one-row stats cross-join,
       // inherited by the stacked per-(doc, term) scoring.
       // search_qld_topk: the same one-row stats shape (collection

@@ -96,6 +96,45 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, "low", "er", 1L)), s"got $got")
   }
 
+  test("readability pins the Flesch formula and clamps sentence/" +
+      "syllable floors") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "xyz"))   // no vowels, no punctuation -> both floors clamp
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // 6 words, 2 sentences, 6 vowel groups:
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19 -> 119190 milli.
+    assert(got(1L) == ((1L, 6L, 2L, 6L,
+      math.round((206.835 - 1.015 * 3.0 - 84.6 * 1.0) * 1000))),
+      s"got $got")
+    assert(got(2L)._3 == 1L && got(2L)._4 == 1L)
+  }
+
+  test("qualityBorda keeps topK per stratum, fused rank sums three " +
+      "per-signal ranks") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog in spring", "s1"),
+      (2L, "word word word word word", "s1"),
+      (3L, "mixed tokens of the usual kind appear here", "s1"),
+      (4L, "another plain doc", "s1"),
+      (5L, "solo doc of source two", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.qualityBorda(docs, "doc_id", "text",
+        "source", topK = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.count(_._1 == "s1") == 2 && got.count(_._1 == "s2") == 1)
+    // Borda of k docs per source: each rank in [1, k], sum of 3 ranks.
+    assert(got.filter(_._1 == "s1").forall(r => r._3 >= 3 && r._3 <= 12))
+    assert(got.find(_._1 == "s2").get._3 == 3L)   // only doc: all ranks 1
+    // Deterministic under repartitioning.
+    val again = TextAnalysis.qualityBorda(docs.repartition(7), "doc_id",
+      "text", "source", topK = 2).as[(String, Long, Long)].collect().toSeq
+    assert(again.sorted == got.sorted)
+  }
+
   test("bpeMerges applies merges left-to-right greedy (aaa -> aa a)") {
     val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
     // Round 1: (a,a) count 4 (two per word, l-t-r: positions 1-2 only
