@@ -16,6 +16,9 @@ final case class AudioFeatureRow(doc_id: Long, channels: Int,
     sample_rate: Int, bits_per_sample: Int, duration_ms: Long,
     fingerprint: String)
 
+final case class PixelStatsRow(doc_id: Long, n_pixels: Long,
+    sum_intensity: Long, mean_milli: Long, min_v: Long, max_v: Long)
+
 final case class VideoFeatureRow(doc_id: Long, timescale: Int,
     duration_ms: Long, fingerprint: String)
 
@@ -137,6 +140,66 @@ object Multimodal {
         }
       case _ => None
     }
+
+  /** FULL-RASTER pixel statistics over an uncompressed 24bpp BMP —
+    * the decode-and-aggregate step a vision-data pipeline runs per
+    * image (brightness gates, dead-image detection): pixel count,
+    * intensity sum (blue channel; the builders write gray), min and
+    * max. Exact integers, so the oracle recomputes them in closed
+    * form from the builder's analytic gradient — the Spark side reads
+    * ACTUAL file bytes, making this a true end-to-end decode check.
+    * Same untrusted-header bounds guards as [[averageHash]]; None for
+    * non-BMP / non-24bpp / truncated payloads.
+    */
+  def pixelStats(payload: Array[Byte]): Option[(Long, Long, Int, Int)] =
+    decodeBmpDims(payload) match {
+      case Some((w, h, 3)) if payload.length >= 54 =>
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val bpp = bb.getShort(28) & 0xffff
+        val offset = bb.getInt(10)
+        val topDown = bb.getInt(22) < 0
+        val rowBytesL = (w.toLong * 3 + 3) / 4 * 4
+        val rowBytes = rowBytesL.toInt
+        if (bpp != 24 || offset < 54 || rowBytesL != rowBytes.toLong ||
+          offset.toLong + rowBytesL * h.toLong > payload.length) None
+        else {
+          var sum = 0L
+          var minV = 255
+          var maxV = 0
+          var r = 0
+          while (r < h) {
+            val storedRow = if (topDown) r else h - 1 - r
+            val base = offset + storedRow * rowBytes
+            var c = 0
+            while (c < w) {
+              val v = payload(base + c * 3) & 0xff
+              sum += v
+              if (v < minV) minV = v
+              if (v > maxV) maxV = v
+              c += 1
+            }
+            r += 1
+          }
+          Some((w.toLong * h, sum, minV, maxV))
+        }
+      case _ => None
+    }
+
+  /** [[pixelStats]] as a mapPartitions stage; undecodable payloads
+    * emit nothing (the decoders' zero-dims sentinel, 1->0 form).
+    */
+  def imagePixelStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        pixelStats(m.payload).map { case (n, sum, minV, maxV) =>
+          PixelStatsRow(m.doc_id, n, sum, sum * 1000L / n,
+            minV.toLong, maxV.toLong)
+        }
+      }
+    }.toDF()
+  }
 
   /** REAL PNG header decode (pure JDK): verify the 8-byte signature and
     * that the first chunk is IHDR, then read big-endian width/height at

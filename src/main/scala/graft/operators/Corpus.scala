@@ -1045,6 +1045,66 @@ object Corpus {
       .limit(k)
   }
 
+  /** CURRICULUM PHASES: order the whole corpus by a quality score
+    * (best first, id tie-break) and cut the resulting token stream
+    * into fixed-budget training phases — curriculum learning's data
+    * side ("feed the cleanest tokens first, anneal into the tail").
+    * Returns (idCol, scoreCol, tokenCol, cum_tokens EXCLUSIVE, phase).
+    *
+    * 100 TB shape: the global order is ONE range exchange on
+    * (-score, id) — Spark's distributed sort — and the running token
+    * sum is the same two-pass trick [[deterministicShuffle]] uses:
+    * per-partition token sums (driver-side O(#partitions)), exclusive
+    * prefix, narrow second pass. No global window, no single reducer.
+    * Result is pinned (lineage cut) against range-boundary
+    * re-sampling, the shared invariant of the two-pass family.
+    */
+  def curriculumPhases(df: DataFrame, idCol: String, scoreCol: String,
+      tokenCol: String, phaseBudget: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(phaseBudget > 0, s"phaseBudget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(scoreCol).cast("long").as("__sc"),
+        col(tokenCol).cast("long").as("__tok"))
+      .withColumn("__neg", -col("__sc"))
+      .repartitionByRange(parts, col("__neg"), col("__id"))
+      .sortWithinPartitions(col("__neg"), col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = ranged.mapPartitions { it =>
+      var pid = -1
+      var s = 0L
+      it.foreach { r =>
+        pid = org.apache.spark.TaskContext.getPartitionId()
+        s += r.getLong(2)
+      }
+      if (pid >= 0) Iterator((pid, s)) else Iterator.empty
+    }.collect()
+    val base = scala.collection.mutable.Map[Int, Long]()
+    var acc = 0L
+    sums.sortBy(_._1).foreach { case (pid, s) => base(pid) = acc; acc += s }
+    val baseB = spark.sparkContext.broadcast(base.toMap)
+    val cum = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run = baseB.value.getOrElse(pid, 0L)
+      it.map { r =>
+        val out = (r.getLong(0), r.getLong(1), r.getLong(2), run)
+        run += r.getLong(2)
+        out
+      }
+    }.toDF("__id", "__sc", "__tok", "cum_tokens")
+    val stamped = graft.Checkpoints.pinned(cum)
+    ranged.unpersist()
+    stamped.select(col("__id").as(idCol), col("__sc").as(scoreCol),
+      col("__tok").as(tokenCol), col("cum_tokens"),
+      expr(s"cum_tokens div $phaseBudget").as("phase"))
+  }
+
   /** TEMPERATURE-SCALED mixture sampling (the multilingual-corpus
     * rebalancing recipe: sample source i with probability proportional
     * to n_i^alpha, alpha = 0.5, so head sources shrink and tail

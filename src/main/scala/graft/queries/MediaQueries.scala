@@ -75,6 +75,40 @@ object MediaQueries {
         .presentSorted(col("doc_id"))
     },
 
+    // FULL-RASTER pixel statistics: the Spark side decodes ACTUAL BMP
+    // bytes (bottom-up rows, 4-byte padding) and aggregates intensity;
+    // the oracle recomputes the sums in closed form from the builder's
+    // analytic gradient — a true end-to-end pixel-decode check, the
+    // brightness-gate / dead-image-detection step of a vision pipeline.
+    QueryDef(
+      "mm_bmp_pixel_stats",
+      """WITH m AS (
+        |  SELECT doc_id, (16 + doc_id % 48)::INT AS w,
+        |         (16 + doc_id % 32)::INT AS h,
+        |         ((doc_id * 11) % 256)::INT AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, ((seed + rr * 7 + cc * 3) % 256)::BIGINT AS v
+        |  FROM m, unnest(range(0, h)) AS t1(rr),
+        |       unnest(range(0, w)) AS t2(cc))
+        |SELECT doc_id, count(*)::BIGINT AS n_pixels,
+        |  sum(v)::BIGINT AS sum_intensity,
+        |  sum(v)::BIGINT * 1000 // count(*) AS mean_milli,
+        |  min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          DocBuild.bmpPatternUdf((col("doc_id") % 48 + 16).cast("int"),
+            (col("doc_id") % 32 + 16).cast("int"),
+            ((col("doc_id") * 11) % 256).cast("int"),
+            lit(7), lit(3)).as("payload"),
+          lit("image/bmp").as("media_type"))
+        .as[MediaRow]
+      Multimodal.imagePixelStats(media)
+        .presentSorted(col("doc_id"))
+    },
+
     // REAL PNG decode: synthesize a valid PNG per document (signature,
     // CRC'd IHDR/IDAT/IEND, deflated scanlines) with the color type
     // cycling grayscale/RGB/RGBA, and check that width/height/channels

@@ -890,6 +890,48 @@ object PipelineQueries {
       Corpus.madOutliers(cents, "cents", k = 3.0)
     },
 
+    // CURRICULUM PHASES: the whole corpus ordered best-quality-first
+    // and cut into 4000-token training phases — curriculum learning's
+    // data side. Global order = one range exchange; running token sum
+    // = the two-pass distributed prefix (no global window).
+    QueryDef(
+      "pl_curriculum_order",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, len(l)::BIGINT AS n_tokens,
+        |    round(round(
+        |      least(1.0, len(l) / 32.0) * 0.4
+        |      + (len(list_distinct(l)) * 1.0 / len(l)) * 0.4
+        |      + least(1.0, len(list_filter(l,
+        |          x -> x IN ('the','a','of','and','to','in','is'))) * 8.0
+        |          / len(l)) * 0.2, 4) * 1e6)::BIGINT AS q1e6
+        |  FROM t WHERE len(l) > 0),
+        |c AS (
+        |  SELECT doc_id, q1e6, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY q1e6 DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS cum_tokens
+        |  FROM p)
+        |SELECT doc_id, q1e6, n_tokens, cum_tokens,
+        |  cum_tokens // 4000 AS phase
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Corpus
+      import graft.functions.TextFunctions
+      val scored = Tables.documents(s, d)
+        .filter(TextFunctions.tokenCount(col("text")) > 0)
+        .select(col("doc_id"),
+          round(TextFunctions.qualityScore(col("text")) * 1e6)
+            .cast("long").as("q1e6"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+      Corpus.curriculumPhases(scored, "doc_id", "q1e6", "n_tokens",
+          phaseBudget = 4000)
+        .presentSorted(col("doc_id"))
+    },
+
     // DISTRIBUTION DRIFT: exact two-sample Kolmogorov–Smirnov statistic
     // between every source pair over document lengths, in integer ECDF
     // micro-units — the corpus-QA check for a source whose length

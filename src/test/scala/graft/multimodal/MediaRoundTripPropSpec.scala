@@ -114,6 +114,30 @@ class MediaRoundTripPropSpec extends AnyFunSuite {
     assert(Multimodal.averageHash(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("pixelStats matches the closed-form gradient, handles odd " +
+      "widths (row padding) and rejects junk") {
+    Seq((0, 7, 3, 17, 13), (42, 1, 1, 16, 16), (199, 5, 9, 33, 7))
+      .foreach { case (seed, rc, cc, w, h) =>
+        val got = Multimodal.pixelStats(
+          DocBuild.bmpPatternBytes(w, h, seed, rc, cc))
+        var (sum, minV, maxV) = (0L, 255, 0)
+        for (r <- 0 until h; c <- 0 until w) {
+          val v = (seed + r * rc + c * cc) % 256
+          sum += v
+          minV = math.min(minV, v); maxV = math.max(maxV, v)
+        }
+        assert(got.contains((w.toLong * h, sum, minV, maxV)),
+          s"seed=$seed rc=$rc cc=$cc w=$w h=$h: got $got")
+      }
+    // Flat fill: sum = n * px, min = max = px.
+    assert(Multimodal.pixelStats(DocBuild.bmpBytes(10, 4, 77))
+      .contains((40L, 40L * 77, 77, 77)))
+    assert(Multimodal.pixelStats(Array[Byte](1, 2, 3)).isEmpty)
+    // Truncated pixel data must yield None, not a task crash.
+    val full = DocBuild.bmpPatternBytes(16, 16, 5, 7, 3)
+    assert(Multimodal.pixelStats(full.take(100)).isEmpty)
+  }
+
   test("pcmWindowStats matches the closed-form sawtooth samples") {
     Seq((0, 300), (17, 301), (250, 256), (99, 1)).foreach { case (px, n) =>
       val got = Multimodal.pcmWindowStats(

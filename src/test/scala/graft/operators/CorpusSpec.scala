@@ -759,6 +759,23 @@ class CorpusSpec extends SparkSpec {
     assert(got._3 < 8.0 && got._4 > 12.0, s"fences got $got")
   }
 
+  test("curriculumPhases orders best-first globally and cuts exact " +
+      "token-budget phases, invariant to partitioning") {
+    val rows = Seq(
+      (1L, 900L, 30L), (2L, 500L, 40L), (3L, 900L, 50L), (4L, 100L, 60L))
+      .toDF("doc_id", "q", "n_tok")
+    def run(parts: Int) = Corpus.curriculumPhases(
+        rows.repartition(parts), "doc_id", "q", "n_tok",
+        phaseBudget = 60, numPartitions = parts)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    val got = run(3)
+    // Order: (900,1) (900,3) (500,2) (100,4); exclusive cums 0,30,80,120.
+    assert(got == Map(1L -> ((0L, 0L)), 3L -> ((30L, 0L)),
+      2L -> ((80L, 1L)), 4L -> ((120L, 2L))), s"got $got")
+    assert(run(7) == got && run(1) == got)
+  }
+
   test("distributionDrift: identical strata -> 0, disjoint -> 1e6, " +
       "and the statistic is symmetric-exact") {
     val rows = ((1L to 50L).map(v => ("a", v)) ++
