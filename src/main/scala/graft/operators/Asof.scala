@@ -129,4 +129,48 @@ object Asof {
       left.columns.map(c => col("__lrow").getField(c).as(c)) ++
         valueCols.map(c => col("__m").getField(c).as(c)): _*)
   }
+
+  /** NEAREST as-of join: for each left row, the right row with the
+    * SMALLEST absolute timestamp distance in the key group, ties going
+    * to the earlier (backward) side — "closest reading to this event,
+    * either direction", the sensor-alignment form of as-of. Composes
+    * [[joinBackward]] and [[joinForward]] (each already THE closest
+    * candidate on its side, each the linear union-tag window — still
+    * no row-multiplying join) and picks per row; `toleranceMs` bounds
+    * the distance on both sides. Requires a unique left id column to
+    * zip the two sides back together (one hash join on it). Appends
+    * `asof_dist_ms` (null when unmatched) after the value columns.
+    */
+  def joinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftId: String,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      toleranceMs: Option[Long] = None): DataFrame = {
+    val r2 = right.withColumn("__rts0", col(rightTs))
+    val vcs = valueCols :+ "__rts0"
+    val lms = unix_millis(col(leftTs).cast("timestamp"))
+    val b = joinBackward(left, r2, keys, leftTs, rightTs, vcs, toleranceMs)
+    val f = joinForward(left, r2, keys, leftTs, rightTs, vcs, toleranceMs)
+    val fSide = f.select(col(leftId).as("__id"),
+      struct(vcs.map(col): _*).as("__fv"),
+      (unix_millis(col("__rts0").cast("timestamp")) - lms).as("__fd"))
+    val bRen = vcs.foldLeft(b)((df, c) => df.withColumnRenamed(c, s"__b_$c"))
+    val joined = bRen
+      .withColumn("__bv", struct(vcs.map(c => col(s"__b_$c").as(c)): _*))
+      .withColumn("__bd",
+        lms - unix_millis(col("__b___rts0").cast("timestamp")))
+      .join(fSide, col(leftId) === col("__id"), "left")
+    val chooseB = col("__fd").isNull ||
+      (col("__bd").isNotNull && col("__bd") <= col("__fd"))
+    val m = when(chooseB, col("__bv")).otherwise(col("__fv"))
+    joined.select(
+      left.columns.map(col) ++
+        valueCols.map(c => m.getField(c).as(c)) :+
+        when(chooseB, col("__bd")).otherwise(col("__fd"))
+          .as("asof_dist_ms"): _*)
+  }
 }

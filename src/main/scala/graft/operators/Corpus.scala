@@ -1045,6 +1045,33 @@ object Corpus {
       .limit(k)
   }
 
+  /** SNAPSHOT DIFF: per-key metric deltas between two aggregate
+    * frames (e.g. per-source corpus rollups of two corpus versions) —
+    * the release-to-release data-ops check ("which sources grew,
+    * shrank, appeared, vanished, and by how many tokens"). Full-outer
+    * on the key; every metric becomes `<m>_delta = after - before`
+    * (absent side counts 0, exact integers); `status` is
+    * added/removed/common. One join of two already-aggregated frames.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCol: String,
+      metricCols: Seq[String]): DataFrame = {
+    require(metricCols.nonEmpty, "snapshotDiff needs at least one metric")
+    val b = before.select(col(keyCol) +:
+      lit(1).as("__in_b") +:
+      metricCols.map(m => col(m).cast("long").as(s"__b_$m")): _*)
+    val a = after.select(col(keyCol) +:
+      lit(1).as("__in_a") +:
+      metricCols.map(m => col(m).cast("long").as(s"__a_$m")): _*)
+    b.join(a, Seq(keyCol), "full_outer")
+      .select(col(keyCol) +:
+        when(col("__in_b").isNull, "added")
+          .when(col("__in_a").isNull, "removed")
+          .otherwise("common").as("status") +:
+        metricCols.map(m =>
+          (coalesce(col(s"__a_$m"), lit(0L)) -
+            coalesce(col(s"__b_$m"), lit(0L))).as(s"${m}_delta")): _*)
+  }
+
   /** CURRICULUM PHASES: order the whole corpus by a quality score
     * (best first, id tie-break) and cut the resulting token stream
     * into fixed-budget training phases — curriculum learning's data

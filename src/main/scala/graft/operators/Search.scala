@@ -83,6 +83,51 @@ object Search {
       .limit(k)
   }
 
+  /** SYMSPELL-style FUZZY TERM lookup: correction candidates for a
+    * (possibly misspelled) query term via the delete-1 neighborhood —
+    * two terms within Levenshtein distance 1 always share a key in
+    * each other's {term} ∪ {single-character deletions} set, so the
+    * candidate fetch is an EQUALITY probe on the deletion key (the
+    * SymSpell trick), never a corpus-wide edit-distance scan; the
+    * exact `levenshtein <= 1` check then verifies the survivors
+    * (deletion keys overgenerate, e.g. distance-2 transpositions).
+    * Candidates rank (distance asc, corpus frequency desc, term) —
+    * exact match first, then the most frequent close form.
+    *
+    * Scale shape: the deletion index is vocab-bounded (Heaps' law) ×
+    * term length; the query's |q|+1 keys arrive as an IN predicate
+    * (pushable against a STANDING deletion index; here derived
+    * in-query from one token count). Verification is candidate-sized.
+    */
+  def fuzzyTermTopK(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int): DataFrame = {
+    require(query.nonEmpty && !query.contains(" "),
+      s"fuzzyTermTopK expects one non-empty term, got '$query'")
+    val vocab = docs
+      .select(explode(filter(split(trim(col(textCol)), " +"),
+        x => x =!= "")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val delKeys = array_union(array(col("term")),
+      expr("transform(sequence(1, length(term)), i -> " +
+        "concat(substring(term, 1, i - 1), " +
+        "substring(term, i + 1, 1000000)))"))
+    val qDels = deletionKeys(query)
+    vocab.select(col("term"), col("cf"), explode(delKeys).as("dk"))
+      .filter(col("dk").isin(qDels: _*))
+      .select(col("term"), col("cf")).distinct()
+      .withColumn("lev", levenshtein(col("term"), lit(query)).cast("long"))
+      .filter(col("lev") <= 1)
+      .orderBy(col("lev"), col("cf").desc, col("term"))
+      .limit(k)
+  }
+
+  /** The {term} ∪ {delete-1 variants} key set — exposed so the oracle
+    * side generates the identical list.
+    */
+  def deletionKeys(term: String): Seq[String] =
+    (term +: term.indices.map(i =>
+      term.substring(0, i) + term.substring(i + 1))).distinct
+
   /** QUERY-LIKELIHOOD top-k (Dirichlet-smoothed language model): the
     * classic alternative ranking model to BM25 — score(d) =
     * sum_t ln((tf + mu * cf_t / |C|) / (dl + mu)) over the query

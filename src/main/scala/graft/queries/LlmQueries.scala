@@ -1984,6 +1984,11 @@ object LlmQueries {
     * the same last-symbol-suffix sentinel the Spark fold uses. Rounds
     * after an empty argmax stay empty (early stop on both sides).
     */
+  /** Misspellings probed by search_fuzzy_term — one per high-frequency
+    * corpus token (substitution, deletion, insertion, substitution).
+    */
+  private val FuzzyTypos = Seq("spork", "strean", "mergs", "vectr")
+
   private val BpeRounds = 6
 
   /** The shared learn-chain CTEs (word-type vocab `w`, symbolized
@@ -4321,6 +4326,51 @@ object LlmQueries {
         |ORDER BY score_1e6 DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
       graft.operators.Search.bm25TopK(Tables.documents(s, d),
         "doc_id", "text", Seq("spark", "vector", "stream", "merge"), k = 10)
+    },
+
+    // SYMSPELL fuzzy term lookup: correction candidates for the typo
+    // 'spork' via delete-1 neighborhood keys (equality probe, never a
+    // vocab-wide edit-distance scan), verified with exact levenshtein
+    // <= 1, ranked (distance, corpus frequency desc, term).
+    QueryDef(
+      "search_fuzzy_term", {
+        val typos = FuzzyTypos
+        val perTypo = typos.map { q =>
+          val dels = graft.operators.Search.deletionKeys(q)
+            .map(s => s"'$s'").mkString(", ")
+          s"""|SELECT '$q' AS query_term, term, cf,
+              |  levenshtein(term, '$q')::BIGINT AS lev
+              |FROM (
+              |  SELECT DISTINCT term, cf FROM dk
+              |  WHERE dk IN ($dels)) c$q
+              |WHERE levenshtein(term, '$q') <= 1
+              |QUALIFY row_number() OVER (
+              |  ORDER BY levenshtein(term, '$q'), cf DESC, term) <= 10"""
+        }.mkString("\nUNION ALL\n")
+        s"""WITH v AS (
+           |  SELECT w AS term, count(*) AS cf FROM (
+           |    SELECT unnest(list_filter(string_split(trim(text), ' '),
+           |      x -> x <> '')) AS w
+           |    FROM documents) t
+           |  GROUP BY w),
+           |dk AS (
+           |  SELECT term, cf, unnest(list_distinct(list_append(
+           |    list_transform(range(1, strlen(term) + 1),
+           |      i -> substr(term, 1, i - 1) || substr(term, i + 1, 1000000)),
+           |    term))) AS dk
+           |  FROM v)
+           $perTypo
+           |ORDER BY query_term, lev, cf DESC, term""".stripMargin
+      }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      FuzzyTypos.map { q =>
+        graft.operators.Search.fuzzyTermTopK(docs, "doc_id", "text",
+            query = q, k = 10)
+          .select(lit(q).as("query_term"), col("term"), col("cf"),
+            col("lev"))
+      }.reduce(_ unionByName _)
+        .presentSorted(col("query_term"), col("lev"),
+          col("cf").desc, col("term"))
     },
 
     // QUERY-LIKELIHOOD top-10 (Dirichlet-smoothed LM, mu=2000): the

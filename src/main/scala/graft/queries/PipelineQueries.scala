@@ -890,6 +890,55 @@ object PipelineQueries {
       Corpus.madOutliers(cents, "cents", k = 3.0)
     },
 
+    // SNAPSHOT DIFF: per-source metric deltas between two corpus
+    // versions (docs dropped by a filter, one source removed, one
+    // added) — the release-to-release data-ops report, full-outer on
+    // the key with exact integer deltas and added/removed/common
+    // status.
+    QueryDef(
+      "pl_snapshot_diff",
+      """WITH b AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len(list_filter(string_split(trim(text), ' '),
+        |      x -> x <> '')))::BIGINT AS total_tokens
+        |  FROM documents GROUP BY source),
+        |af AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len(list_filter(string_split(trim(text), ' '),
+        |      x -> x <> '')))::BIGINT AS total_tokens
+        |  FROM (
+        |    SELECT source, text FROM documents
+        |    WHERE doc_id % 7 <> 0 AND source <> 'src19'
+        |    UNION ALL
+        |    SELECT 'src_new' AS source, text FROM documents
+        |    WHERE doc_id % 50 = 0) t
+        |  GROUP BY source)
+        |SELECT coalesce(b.source, af.source) AS source,
+        |  CASE WHEN b.source IS NULL THEN 'added'
+        |       WHEN af.source IS NULL THEN 'removed'
+        |       ELSE 'common' END AS status,
+        |  coalesce(af.n_docs, 0) - coalesce(b.n_docs, 0) AS n_docs_delta,
+        |  coalesce(af.total_tokens, 0) - coalesce(b.total_tokens, 0)
+        |    AS total_tokens_delta
+        |FROM b FULL OUTER JOIN af ON af.source = b.source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      import graft.operators.Corpus
+      import graft.functions.TextFunctions
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
+      val docs = Tables.documents(s, d)
+      val after = docs
+        .filter(col("doc_id") % 7 =!= 0 && col("source") =!= "src19")
+        .select(col("source"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 50 === 0)
+          .select(lit("src_new").as("source"), col("text")))
+      Corpus.snapshotDiff(rollup(docs), rollup(after), "source",
+          Seq("n_docs", "total_tokens"))
+        .presentSorted(col("source"))
+    },
+
     // CURRICULUM PHASES: the whole corpus ordered best-quality-first
     // and cut into 4000-token training phases — curriculum learning's
     // data side. Global order = one range exchange; running token sum

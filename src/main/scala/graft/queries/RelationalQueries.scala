@@ -449,6 +449,42 @@ object RelationalQueries {
         .presentSorted(col("event_id"))
     },
 
+    // NEAREST as-of (Asof.joinNearest): each click matched to the
+    // user's CLOSEST purchase in either direction (ties to the earlier
+    // side) — the sensor-alignment form. Composes the two linear
+    // union-tag windows; the oracle takes the argmin over all
+    // candidates with the same (distance, earlier-first) tie rule.
+    QueryDef(
+      "join_asof_nearest",
+      """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS lts
+        |           FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts::TIMESTAMP AS rts, max(value) AS pval
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT l.event_id, r.pval,
+        |    abs(epoch_ms(l.lts) - epoch_ms(r.rts))::BIGINT AS d,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY abs(epoch_ms(l.lts) - epoch_ms(r.rts)), r.rts) AS rn
+        |  FROM l JOIN r ON r.user_id = l.user_id)
+        |SELECT l.event_id, l.user_id, round(c.pval, 4) AS nearest_value,
+        |  c.d AS dist_ms
+        |FROM l LEFT JOIN cand c ON c.event_id = l.event_id AND c.rn = 1
+        |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.Asof
+        .joinNearest(clicks, purchases, Seq("user_id"), "event_id",
+          "ts", "ts", Seq("pval"))
+        .select(col("event_id"), col("user_id"),
+          round(col("pval"), 4).as("nearest_value"),
+          col("asof_dist_ms").as("dist_ms"))
+        .presentSorted(col("event_id"))
+    },
+
     // As-of with bounded staleness: matches older than 48 h are nulled
     // (kept as unmatched, like a left join). The oracle expresses the
     // tolerance as a millisecond-epoch CASE over the same ASOF JOIN.

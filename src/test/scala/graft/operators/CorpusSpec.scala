@@ -759,6 +759,22 @@ class CorpusSpec extends SparkSpec {
     assert(got._3 < 8.0 && got._4 > 12.0, s"fences got $got")
   }
 
+  test("snapshotDiff reports added/removed/common with exact deltas") {
+    val before = Seq(("a", 10L, 100L), ("b", 5L, 50L), ("gone", 2L, 20L))
+      .toDF("source", "n_docs", "total_tokens")
+    val after = Seq(("a", 12L, 130L), ("b", 5L, 50L), ("new", 3L, 30L))
+      .toDF("source", "n_docs", "total_tokens")
+    val got = Corpus.snapshotDiff(before, after, "source",
+        Seq("n_docs", "total_tokens"))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "a" -> (("common", 2L, 30L)),
+      "b" -> (("common", 0L, 0L)),
+      "gone" -> (("removed", -2L, -20L)),
+      "new" -> (("added", 3L, 30L))), s"got $got")
+  }
+
   test("curriculumPhases orders best-first globally and cuts exact " +
       "token-budget phases, invariant to partitioning") {
     val rows = Seq(

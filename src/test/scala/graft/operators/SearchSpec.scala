@@ -875,6 +875,23 @@ class SearchSpec extends SparkSpec {
     assert(byId(1L)._2 == 3 && byId(2L)._2 == 2)
   }
 
+  test("fuzzyTermTopK: exact match ranks first, distance-1 forms by " +
+      "frequency, distance-2 transpositions rejected") {
+    val docs = Seq(
+      (1L, "spark spark spark sport sport spork sprak stark"),
+      (2L, "spark sport"))
+      .toDF("doc_id", "text")
+    // Query 'spork': spark (lev 1, cf 4), sport (lev 1, cf 3),
+    // spork itself (lev 0), stark (lev 2 -> out), sprak (lev 2 -> out
+    // even though it shares the deletion key 'sprk' with nothing of
+    // spork... it does NOT share one; stark shares 'stark'->? no).
+    val got = Search.fuzzyTermTopK(docs, "doc_id", "text", "spork", 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.head == (("spork", 1L, 0L)), s"got $got")
+    assert(got.tail.map(_._1) == Seq("spark", "sport"), s"got $got")
+    assert(got.tail.map(_._3).forall(_ == 1L))
+  }
+
   test("queryLikelihoodTopK ranks by smoothed LM score and skips " +
       "corpus-absent terms") {
     val docs = Seq(
