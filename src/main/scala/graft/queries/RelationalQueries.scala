@@ -783,6 +783,68 @@ object RelationalQueries {
         .presentSorted(col("event_id"))
     },
 
+    // Weighted moving average over the last 3 events (weights 3/2/1 in
+    // integer cents, exact `div 6`) — the smoothing window a
+    // monitoring pipeline runs; rows without full history are skipped
+    // so the weight denominator is constant.
+    QueryDef(
+      "win_wma_user_spend",
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |l AS (
+        |  SELECT event_id,
+        |    cents AS c0,
+        |    lag(cents, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS c1,
+        |    lag(cents, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS c2
+        |  FROM c)
+        |SELECT event_id, (3 * c0 + 2 * c1 + c2) // 6 AS wma_cents
+        |FROM l WHERE c2 IS NOT NULL ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), col("cents").as("c0"),
+          lag(col("cents"), 1).over(w).as("c1"),
+          lag(col("cents"), 2).over(w).as("c2"))
+        .filter(col("c2").isNotNull)
+        .select(col("event_id"),
+          expr("(3 * c0 + 2 * c1 + c2) div 6").as("wma_cents"))
+        .presentSorted(col("event_id"))
+    },
+
+    // Banded INTERVAL-OVERLAP join (Interval.overlapPairs): which
+    // 7-day order windows collide per customer — intervals explode to
+    // week buckets so pairs meet on an EQUI key (no per-key nested
+    // loop), the exact predicate verifies, and the overlap-start-
+    // bucket witness rule dedups without a distinct exchange.
+    QueryDef(
+      "join_interval_overlap",
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    epoch_ms(o_orderdate::TIMESTAMP) AS s,
+        |    epoch_ms(o_orderdate::TIMESTAMP + INTERVAL 7 DAY) AS e
+        |  FROM orders)
+        |SELECT x.o_custkey AS custkey, x.o_orderkey AS a,
+        |  y.o_orderkey AS b,
+        |  (least(x.e, y.e) - greatest(x.s, y.s))::BIGINT AS overlap_ms
+        |FROM o x JOIN o y ON y.o_custkey = x.o_custkey
+        |  AND x.o_orderkey < y.o_orderkey AND x.s < y.e AND y.s < x.e
+        |ORDER BY custkey, a, b""".stripMargin) { (s, d) =>
+      val weekMs = 7L * 86400000L
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("s"))
+        .withColumn("e", col("s") + weekMs)
+      graft.operators.Interval.overlapPairs(o, Seq("custkey"),
+          "o_orderkey", "s", "e", bucketMs = weekMs)
+        .presentSorted(col("custkey"), col("a"), col("b"))
+    },
+
     QueryDef(
       "win_ntile_acctbal_quartile",
       """SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile

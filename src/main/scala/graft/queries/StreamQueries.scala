@@ -115,6 +115,36 @@ object StreamQueries {
       graft.operators.Funnel.sessionize(Tables.events(s, d),
           "user_id", "ts", "event_id", gapMinutes = 720)
         .presentSorted(col("user_id"), col("session_seq"))
+    },
+
+    // Stream-stream INNER JOIN with bounded state (Streams
+    // .streamStreamJoin): purchases within 30 minutes AFTER each click,
+    // per user — the two-sided time-range predicate that lets the
+    // streaming runtime evict state past watermark + range. This is
+    // the batch face of the SAME body StreamsSpec drives with
+    // MemoryStreams; per-user pair counts keep the output stable.
+    QueryDef(
+      "st_stream_stream_join",
+      """WITH l AS (SELECT user_id, ts::TIMESTAMP AS lts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts::TIMESTAMP AS rts, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT l.user_id, count(*) AS n_pairs,
+        |  round(sum(r.value), 2) AS total_value
+        |FROM l JOIN r ON r.user_id = l.user_id
+        |  AND r.rts >= l.lts AND r.rts <= l.lts + INTERVAL 30 MINUTE
+        |GROUP BY l.user_id ORDER BY l.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("rts"), col("value"))
+      graft.streaming.Streams
+        .streamStreamJoin(clicks, purchases, "user_id", "30 minutes")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("value")), 2).as("total_value"))
+        .presentSorted(col("user_id"))
     }
   )
 }
