@@ -112,6 +112,51 @@ object Graph {
     } finally withDeg.unpersist()
   }
 
+  /** Bounded-hop single/multi-source shortest paths: `rounds`
+    * synchronous Bellman-Ford relaxations from the `seeds` node set
+    * over weighted edges (src, dst, w) — after k rounds every node
+    * holds its exact min-cost path of <= k hops from the nearest seed
+    * (the "distance to a trusted hub" crawl signal; run to diameter it
+    * is full SSSP). Weights and distances stay exact BIGINTs so a SQL
+    * oracle unrolls the rounds as union+min CTEs with no float
+    * ambiguity.
+    *
+    * Scale shape mirrors [[pageRank]]: the edge relation is
+    * hash-partitioned on `src` once and persisted; each round moves
+    * only the (node, dist) frontier frame through one join + one
+    * min-aggregate, and the small fixed `rounds` keeps the
+    * uncheckpointed lineage shallow (a convergence-style run belongs
+    * on a checkpointed delta-frontier loop like Frontier's).
+    */
+  def ssspBounded(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 12,
+      s"ssspBounded expects 1..12 fixed rounds, got $rounds")
+    val spark = edges.sparkSession
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .repartition(shufflePartitions, col("src"))
+      .persist()
+    var dist = seeds
+      .select(col("node").cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    try {
+      (1 to rounds).foreach { _ =>
+        val relaxed = e
+          .join(dist, e("src") === dist("node"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      }
+      graft.Checkpoints.pinned(dist)
+    } finally e.unpersist()
+  }
+
   /** HITS hubs-and-authorities after `iters` synchronous rounds — the
     * other classic link-analysis signal a crawl ranking layer feeds on
     * (PageRank scores endorsement, HITS separates directories/link

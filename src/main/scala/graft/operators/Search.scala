@@ -209,6 +209,36 @@ object Search {
       s"evalNdcg expects 1..32 terms, got ${terms.size}")
     require(k >= 1 && maxRel >= 1, s"k and maxRel must be >= 1")
     import org.apache.spark.sql.expressions.Window
+    val scored = evalScoredPerTerm(docs, idCol, textCol, terms, k1, b)
+      .select(col("doc_id"), col("term"),
+        least(lit(maxRel.toLong), col("tf").cast("long")).as("rel"),
+        col("score_1e6"))
+    val ws = Window.partitionBy(col("term"))
+      .orderBy(col("score_1e6").desc, col("doc_id"))
+    val wi = Window.partitionBy(col("term"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    def gain(rank: Column): Column =
+      round(col("rel").cast("double") * lit(1e6) * log(lit(2.0)) /
+        log(rank.cast("double") + lit(1.0))).cast("long")
+    val ranked = scored
+      .withColumn("__rs", row_number().over(ws))
+      .withColumn("__ri", row_number().over(wi))
+      .select(col("term"),
+        when(col("__rs") <= k, gain(col("__rs"))).otherwise(0L).as("__g"),
+        when(col("__ri") <= k, gain(col("__ri"))).otherwise(0L).as("__ig"))
+    ranked.groupBy(col("term"))
+      .agg(sum(col("__g")).as("dcg_micro"), sum(col("__ig")).as("idcg_micro"))
+      .withColumn("ndcg_milli", expr("dcg_micro * 1000 div idcg_micro"))
+  }
+
+  /** Shared eval scoring head for [[evalNdcg]] / [[evalMrr]]: one
+    * corpus scan computing per-(doc, term) tf and the BM25 micro-unit
+    * score, filtered to tf > 0 — the same one-row stats cross-join
+    * shape as [[bm25TopK]]. Returns (doc_id, term, tf, score_1e6).
+    */
+  private def evalScoredPerTerm(docs: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k1: Double,
+      b: Double): DataFrame = {
     val toks = filter(split(trim(col(textCol)), " +"), x => x =!= "")
     val perDoc = docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
       .select(col("doc_id") +: size(col("__toks")).as("dl") +:
@@ -235,26 +265,51 @@ object Search {
     val idf = log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
     val norm = tf + lit(k1) *
       (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
-    val scored = stacked.select(col("doc_id"), col("term"),
-      least(lit(maxRel.toLong), col("tf").cast("long")).as("rel"),
+    stacked.select(col("doc_id"), col("term"), col("tf"),
       round(idf * tf * lit(k1 + 1.0) / norm * lit(1e6)).cast("long")
         .as("score_1e6"))
+  }
+
+  /** MRR@k + recall@k retrieval EVALUATION against an
+    * engine-independent pseudo-qrel: a doc is relevant to a term iff
+    * it contains the term AND `doc_id % qrelMod == 0` — a fixed
+    * pseudo-random subset both engines re-derive, deliberately NOT a
+    * function of the ranking (tf-derived relevance makes MRR
+    * degenerate: the top hit always qualifies). Complements
+    * [[evalNdcg]]: NDCG grades the whole top-k ordering, MRR grades
+    * time-to-first-answer, recall@k grades coverage of the qrel pool.
+    *
+    * Exact integer units: `mrr_micro = 1e6 div rank_of_first_relevant`
+    * within the top k (0 if none), `recall_milli = hits_in_top_k *
+    * 1000 div n_rel`. Terms with an empty qrel pool emit no row.
+    * Same shape as [[evalNdcg]]: one scan, one-row stats cross-join,
+    * one rank window per term.
+    */
+  def evalMrr(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, qrelMod: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32,
+      s"evalMrr expects 1..32 terms, got ${terms.size}")
+    require(k >= 1 && qrelMod >= 1, s"k and qrelMod must be >= 1")
+    import org.apache.spark.sql.expressions.Window
     val ws = Window.partitionBy(col("term"))
       .orderBy(col("score_1e6").desc, col("doc_id"))
-    val wi = Window.partitionBy(col("term"))
-      .orderBy(col("rel").desc, col("doc_id"))
-    def gain(rank: Column): Column =
-      round(col("rel").cast("double") * lit(1e6) * log(lit(2.0)) /
-        log(rank.cast("double") + lit(1.0))).cast("long")
-    val ranked = scored
+    evalScoredPerTerm(docs, idCol, textCol, terms, k1, b)
+      .select(col("doc_id"), col("term"),
+        when(col("doc_id") % qrelMod === 0, 1L).otherwise(0L).as("rel"),
+        col("score_1e6"))
       .withColumn("__rs", row_number().over(ws))
-      .withColumn("__ri", row_number().over(wi))
-      .select(col("term"),
-        when(col("__rs") <= k, gain(col("__rs"))).otherwise(0L).as("__g"),
-        when(col("__ri") <= k, gain(col("__ri"))).otherwise(0L).as("__ig"))
-    ranked.groupBy(col("term"))
-      .agg(sum(col("__g")).as("dcg_micro"), sum(col("__ig")).as("idcg_micro"))
-      .withColumn("ndcg_milli", expr("dcg_micro * 1000 div idcg_micro"))
+      .groupBy(col("term"))
+      .agg(
+        min(when(col("rel") === 1 && col("__rs") <= k, col("__rs")))
+          .as("__fr"),
+        sum(when(col("rel") === 1 && col("__rs") <= k, 1L).otherwise(0L))
+          .as("__hit_k"),
+        sum(col("rel")).as("n_rel"))
+      .filter(col("n_rel") > 0)
+      .select(col("term"), col("n_rel"),
+        coalesce(expr("1000000 div __fr"), lit(0L)).as("mrr_micro"),
+        expr("__hit_k * 1000 div n_rel").as("recall_milli"))
   }
 
   /** EXACT-PHRASE top-k: rank docs by occurrence count of a literal

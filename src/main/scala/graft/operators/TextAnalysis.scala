@@ -310,4 +310,33 @@ object TextAnalysis {
         col("n_bpe_tokens"),
         expr("n_bpe_tokens * 1000 div n_words").as("fertility_milli"))
   }
+
+  /** Hashing-trick bag-of-words (the "hashing vectorizer"): each doc's
+    * token counts folded into a FIXED `buckets`-dimensional space via
+    * the portable md5 hash — the featurization step for linear quality
+    * classifiers / importance models that must run identically across
+    * engines and retrainings (no vocabulary dictionary to ship, no OOV
+    * path). Emitted sparse as (doc_id, bucket, cnt) rows.
+    *
+    * Shape: one scan + explode + a map-side-combined hash aggregate;
+    * output is bounded at `buckets` rows per doc regardless of corpus
+    * vocabulary. Collisions are the hashing trick's documented trade
+    * (buckets sized to taste); the pinned
+    * [[graft.functions.HashFunctions.stableHash64]] makes every
+    * engine agree on them.
+    */
+  def hashingVectorize(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(filter(split(trim(col(textCol)), " +"), x => x =!= ""))
+          .as("__tok"))
+      .select(col("doc_id"),
+        (graft.functions.HashFunctions.stableHash64(
+          concat(lit("hv:"), col("__tok"))) % buckets).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

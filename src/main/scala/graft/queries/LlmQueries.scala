@@ -2626,6 +2626,29 @@ object LlmQueries {
         .repartition(1).sortWithinPartitions(col("a"), col("b"))
     },
 
+    // BLOCKED RECORD LINKAGE (Linkage.blockedNamePairs): fuzzy
+    // entity-name duplicates — rows collapse to DISTINCT names first
+    // (candidate generation is sized by the entity vocabulary, not the
+    // fact table), candidates pair only within the last-token blocking
+    // key, and the exact codegen'd levenshtein verifies survivors
+    // (same overgenerate-then-verify contract as the LSH joins).
+    QueryDef(
+      "dd_record_linkage_blocked",
+      """WITH names AS (
+        |  SELECT p_name AS name, split_part(p_name, ' ', 2) AS blk,
+        |    count(*) AS n_rows
+        |  FROM part GROUP BY 1, 2)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  levenshtein(a.name, b.name)::BIGINT AS lev,
+        |  a.n_rows AS rows_a, b.n_rows AS rows_b
+        |FROM names a JOIN names b ON b.blk = a.blk AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+      graft.operators.Linkage.blockedNamePairs(Tables.part(s, d),
+          "p_name", n => element_at(split(n, " "), 2), maxLev = 3)
+        .presentSorted(col("name_a"), col("name_b"))
+    },
+
     // CROSS-SOURCE OVERLAP MATRIX: MinHash-estimated vs exact Jaccard
     // between every source pair's shingle sets — the corpus-level
     // diversity/contamination audit, and an estimator self-check at
@@ -3572,6 +3595,28 @@ object LlmQueries {
         .select(col("doc_id"),
           TextFunctions.langIdOf(col("toks")).as("lang_pred"))
         .presentSorted(col("doc_id"))
+    },
+
+    // Hashing-trick bag-of-words (TextAnalysis.hashingVectorize):
+    // token counts folded into a FIXED 16-bucket space via the pinned
+    // portable md5 hash — the dictionary-free featurization for linear
+    // quality/importance models; sparse (doc_id, bucket, cnt) rows,
+    // one explode + map-side-combined aggregate.
+    QueryDef(
+      "txt_hashing_vectorizer",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+        |      AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (('0x' || substr(md5('hv:' || tok), 1, 15))::BIGINT % 16)
+        |    AS bucket,
+        |  count(*)::BIGINT AS cnt
+        |FROM t GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin) { (s, d) =>
+      graft.operators.TextAnalysis.hashingVectorize(
+          Tables.documents(s, d), "doc_id", "text", buckets = 16)
+        .presentSorted(col("doc_id"), col("bucket"))
     },
 
     // Winnowing fingerprints (rolling min-hash over shingle windows).
@@ -4603,6 +4648,74 @@ object LlmQueries {
       graft.operators.Search.evalNdcg(Tables.documents(s, d),
           "doc_id", "text", Seq("spark", "vector", "stream", "merge"),
           k = 10, maxRel = 3)
+        .presentSorted(col("term"))
+    },
+
+    // MRR@10 + recall@10 (Search.evalMrr) against an
+    // engine-independent pseudo-qrel (term-bearing docs with
+    // doc_id % 7 == 0): NDCG grades the whole ordering,
+    // MRR grades time-to-first-answer, recall grades qrel-pool
+    // coverage — the other two rows of the standard retrieval eval
+    // triple, on the same pinned BM25 micro-unit chain.
+    QueryDef(
+      "search_eval_mrr",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, len(l) AS dl,
+        |    len(list_filter(l, x -> x = 'spark'))  AS tf0,
+        |    len(list_filter(l, x -> x = 'vector')) AS tf1,
+        |    len(list_filter(l, x -> x = 'stream')) AS tf2,
+        |    len(list_filter(l, x -> x = 'merge'))  AS tf3
+        |  FROM t),
+        |g AS (
+        |  SELECT count(*) AS n, sum(dl) AS sumdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        |  FROM p),
+        |s AS (
+        |  SELECT doc_id, 'spark' AS term, tf0 AS tf, dl, g.df0 AS df,
+        |    g.n, g.sumdl FROM p, g WHERE tf0 > 0
+        |  UNION ALL
+        |  SELECT doc_id, 'vector', tf1, dl, g.df1, g.n, g.sumdl
+        |  FROM p, g WHERE tf1 > 0
+        |  UNION ALL
+        |  SELECT doc_id, 'stream', tf2, dl, g.df2, g.n, g.sumdl
+        |  FROM p, g WHERE tf2 > 0
+        |  UNION ALL
+        |  SELECT doc_id, 'merge', tf3, dl, g.df3, g.n, g.sumdl
+        |  FROM p, g WHERE tf3 > 0),
+        |sc AS (
+        |  SELECT doc_id, term,
+        |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS rel,
+        |    round(ln(1.0 + (n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+        |      * tf::DOUBLE * 2.2
+        |      / (tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+        |          / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT AS score
+        |  FROM s),
+        |r AS (
+        |  SELECT term, rel,
+        |    row_number() OVER (PARTITION BY term
+        |                       ORDER BY score DESC, doc_id) AS rs
+        |  FROM sc),
+        |f AS (
+        |  SELECT term,
+        |    min(CASE WHEN rel = 1 AND rs <= 10 THEN rs END) AS fr,
+        |    sum(CASE WHEN rel = 1 AND rs <= 10 THEN 1 ELSE 0 END)::BIGINT
+        |      AS hit_k,
+        |    sum(rel)::BIGINT AS n_rel
+        |  FROM r GROUP BY term)
+        |SELECT term, n_rel,
+        |  coalesce(1000000 // fr, 0)::BIGINT AS mrr_micro,
+        |  (hit_k * 1000) // n_rel AS recall_milli
+        |FROM f WHERE n_rel > 0 ORDER BY term""".stripMargin) { (s, d) =>
+      graft.operators.Search.evalMrr(Tables.documents(s, d),
+          "doc_id", "text", Seq("spark", "vector", "stream", "merge"),
+          k = 10, qrelMod = 7)
         .presentSorted(col("term"))
     },
 

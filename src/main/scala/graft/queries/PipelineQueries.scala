@@ -587,6 +587,148 @@ object PipelineQueries {
         .presentSorted(col("node"))
     },
 
+    // Bounded-hop weighted shortest paths (Graph.ssspBounded): 3
+    // synchronous Bellman-Ford relaxations from the seed-hub set
+    // (nodes ≡ 0 mod 400) over the min-quantity-weighted link graph —
+    // "distance to the nearest trusted hub", the crawl-frontier trust
+    // signal. Exact BIGINT weights/distances; the oracle unrolls the
+    // rounds as union+min CTEs.
+    QueryDef(
+      "gr_sssp_bounded",
+      """WITH raw AS (
+        |  SELECT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst,
+        |    min(round(l_quantity))::BIGINT AS w
+        |  FROM lineitem
+        |  WHERE l_linenumber = 1 AND l_orderkey % 2000 <> l_partkey % 2000
+        |  GROUP BY 1, 2),
+        |d0 AS (
+        |  SELECT DISTINCT src AS node, 0::BIGINT AS dist FROM raw
+        |  WHERE src % 400 = 0),
+        |d1 AS (SELECT node, min(dist)::BIGINT AS dist FROM (
+        |  SELECT * FROM d0 UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM d0 d JOIN raw e ON e.src = d.node)
+        |  GROUP BY node),
+        |d2 AS (SELECT node, min(dist)::BIGINT AS dist FROM (
+        |  SELECT * FROM d1 UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM d1 d JOIN raw e ON e.src = d.node)
+        |  GROUP BY node),
+        |d3 AS (SELECT node, min(dist)::BIGINT AS dist FROM (
+        |  SELECT * FROM d2 UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM d2 d JOIN raw e ON e.src = d.node)
+        |  GROUP BY node)
+        |SELECT node, dist FROM d3 ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") === 1)
+        .select((col("l_orderkey") % 2000).as("src"),
+          (col("l_partkey") % 2000).as("dst"),
+          round(col("l_quantity")).cast("long").as("w"))
+      val seeds = edges.select(col("src").as("node"))
+        .filter(col("node") % 400 === 0)
+      graft.operators.Graph.ssspBounded(edges, seeds, rounds = 3)
+        .presentSorted(col("node"))
+    },
+
+    // Per-source closed-form OLS of whitespace-token count on
+    // character count — the tokens-per-char rate model a budget
+    // planner uses to convert byte budgets into token budgets without
+    // tokenizing. The distributed-training shape in miniature: ONE
+    // map-side-combined pass aggregates the exact integer moments
+    // (n, Σx, Σy, Σx², Σxy) per source, and the normal equations
+    // solve inside the projection — slope/intercept in exact ppm /
+    // milli units, no floats, no driver math.
+    QueryDef(
+      "pl_linreg_token_rate",
+      """WITH t AS (
+        |  SELECT source, n_chars::BIGINT AS x,
+        |    len(list_filter(string_split(trim(text), ' '), z -> z <> ''))::BIGINT AS y
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+        |    sum(x * y)::BIGINT AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT source, n,
+        |  ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) AS slope_ppm,
+        |  ((sy * sxx - sx * sxy) * 1000) // (n * sxx - sx * sx)
+        |    AS intercept_milli
+        |FROM m WHERE n * sxx - sx * sx > 0 ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("x"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .filter(expr("n * sxx - sx * sx > 0"))
+        .select(col("source"), col("n"),
+          expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)")
+            .as("slope_ppm"),
+          expr("(sy * sxx - sx * sxy) * 1000 div (n * sxx - sx * sx)")
+            .as("intercept_milli"))
+        .presentSorted(col("source"))
+    },
+
+    // Per-source winsorization report: clamp doc lengths to the exact
+    // in-source [p10, p90] deciles (deterministic index rule
+    // rn == ceil(q*n) on the (value, doc_id) order — pure integer, no
+    // interpolation ambiguity) and report the clip counts + winsorized
+    // mass. The robust-normalization step before any length-based
+    // quality gate; decile frame is #sources rows, broadcast back.
+    QueryDef(
+      "pl_winsorize_clip",
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars::BIGINT AS x FROM documents),
+        |r AS (
+        |  SELECT source, x,
+        |    row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM t),
+        |b AS (
+        |  SELECT source,
+        |    min(CASE WHEN rn = (n + 9) // 10 THEN x END) AS p10,
+        |    min(CASE WHEN rn = (9 * n + 9) // 10 THEN x END) AS p90,
+        |    min(n)::BIGINT AS n
+        |  FROM r GROUP BY source)
+        |SELECT t.source, b.n, b.p10, b.p90,
+        |  sum(CASE WHEN x < p10 THEN 1 ELSE 0 END)::BIGINT AS n_clip_lo,
+        |  sum(CASE WHEN x > p90 THEN 1 ELSE 0 END)::BIGINT AS n_clip_hi,
+        |  sum(greatest(p10, least(p90, x)))::BIGINT AS sum_winsorized
+        |FROM t JOIN b ON b.source = t.source
+        |GROUP BY t.source, b.n, b.p10, b.p90
+        |ORDER BY t.source""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("x"))
+      val wOrd = Window.partitionBy(col("source"))
+        .orderBy(col("x"), col("doc_id"))
+      val wAll = Window.partitionBy(col("source"))
+      val bounds = t
+        .select(col("source"), col("x"),
+          row_number().over(wOrd).as("rn"),
+          count(lit(1)).over(wAll).as("n"))
+        .groupBy(col("source"))
+        .agg(
+          min(when(col("rn") === expr("(n + 9) div 10"), col("x")))
+            .as("p10"),
+          min(when(col("rn") === expr("(9 * n + 9) div 10"), col("x")))
+            .as("p90"),
+          min(col("n")).as("n"))
+      t.join(broadcast(bounds), Seq("source"))
+        .groupBy(col("source"), col("n"), col("p10"), col("p90"))
+        .agg(
+          sum(when(col("x") < col("p10"), 1L).otherwise(0L))
+            .as("n_clip_lo"),
+          sum(when(col("x") > col("p90"), 1L).otherwise(0L))
+            .as("n_clip_hi"),
+          sum(greatest(col("p10"), least(col("p90"), col("x"))))
+            .as("sum_winsorized"))
+        .select(col("source"), col("n"), col("p10"), col("p90"),
+          col("n_clip_lo"), col("n_clip_hi"), col("sum_winsorized"))
+        .presentSorted(col("source"))
+    },
+
     // Anchor-text aggregation: the inbound-link description of a target
     // page (what the web "calls" a url — the classic relevance signal a
     // crawler's ranking layer feeds on). Positional zip of the href and

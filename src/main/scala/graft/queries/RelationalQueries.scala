@@ -783,6 +783,116 @@ object RelationalQueries {
         .presentSorted(col("event_id"))
     },
 
+    // Rolling z-score anomaly gate: flag events whose spend deviates
+    // >1.5 sigma from the user's own trailing window (10 preceding
+    // events, current row EXCLUDED so the outlier can't defend
+    // itself). Exact integer algebra in cents — the z test
+    // |x - s/n| > 1.5 * sqrt((n*ss - s^2)/n^2) cross-multiplies to
+    // 4*(n*x - s)^2 > 9*(n*ss - s^2), no floats on either side.
+    QueryDef(
+      "win_rolling_zscore_outliers",
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, cents,
+        |    count(*) OVER win AS n, sum(cents) OVER win AS s,
+        |    sum(cents * cents) OVER win AS ss
+        |  FROM c WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, cents, n FROM w
+        |WHERE n >= 5
+        |  AND 4 * (n * cents - s) * (n * cents - s) > 9 * (n * ss - s * s)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-10, -1)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), col("cents"),
+          count(lit(1)).over(w).as("n"),
+          sum(col("cents")).over(w).as("s"),
+          sum(col("cents") * col("cents")).over(w).as("ss"))
+        .filter(col("n") >= 5 && expr(
+          "4 * (n * cents - s) * (n * cents - s) > 9 * (n * ss - s * s)"))
+        .select(col("event_id"), col("cents"), col("n"))
+        .presentSorted(col("event_id"))
+    },
+
+    // Market-basket association rules (Basket.coOccurrence): which
+    // brand pairs co-occur in an order beyond chance. Baskets collapse
+    // to distinct-item arrays in ONE map-side-combined aggregate,
+    // pairs generate locally per array (bounded by basket width, max
+    // ~11 brands here), and lift/confidence are exact count-algebra
+    // ppm — no floats, no self-join of the fact table on the basket
+    // key.
+    QueryDef(
+      "agg_market_basket_lift",
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey, p_brand FROM lineitem
+        |    JOIN part ON p_partkey = l_partkey),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS nb FROM b),
+        |bc AS (SELECT p_brand, count(*) AS n FROM b GROUP BY 1),
+        |pc AS (
+        |  SELECT x.p_brand AS item_a, y.p_brand AS item_b,
+        |    count(*) AS pair_n
+        |  FROM b x JOIN b y ON y.l_orderkey = x.l_orderkey
+        |    AND x.p_brand < y.p_brand
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, pair_n,
+        |  (pair_n * tot.nb * 1000000) // (ba.n * bb.n) AS lift_ppm,
+        |  (pair_n * 1000000) // ba.n AS conf_ppm
+        |FROM pc, tot
+        |  JOIN bc ba ON ba.p_brand = pc.item_a
+        |  JOIN bc bb ON bb.p_brand = pc.item_b
+        |WHERE pair_n >= 50
+        |ORDER BY item_a, item_b""".stripMargin) { (s, d) =>
+      val obs = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      graft.operators.Basket.coOccurrence(obs, "l_orderkey", "p_brand",
+          minPairN = 50L)
+        .presentSorted(col("item_a"), col("item_b"))
+    },
+
+    // Exponentially-weighted moving average (truncated EWMA, weights
+    // 8/4/2/1 over the last 4 events, exact `div 15`) — WMA's
+    // recency-biased sibling; the geometric weights make it the
+    // fixed-window face of the recursive EWMA smoother, kept exact by
+    // skipping short-history rows (constant denominator).
+    QueryDef(
+      "win_ewma_user_spend",
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |l AS (
+        |  SELECT event_id, cents AS c0,
+        |    lag(cents, 1) OVER w AS c1, lag(cents, 2) OVER w AS c2,
+        |    lag(cents, 3) OVER w AS c3
+        |  FROM c WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id))
+        |SELECT event_id,
+        |  (8 * c0 + 4 * c1 + 2 * c2 + c3) // 15 AS ewma_cents
+        |FROM l WHERE c3 IS NOT NULL ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), col("cents").as("c0"),
+          lag(col("cents"), 1).over(w).as("c1"),
+          lag(col("cents"), 2).over(w).as("c2"),
+          lag(col("cents"), 3).over(w).as("c3"))
+        .filter(col("c3").isNotNull)
+        .select(col("event_id"),
+          expr("(8 * c0 + 4 * c1 + 2 * c2 + c3) div 15").as("ewma_cents"))
+        .presentSorted(col("event_id"))
+    },
+
     // Weighted moving average over the last 3 events (weights 3/2/1 in
     // integer cents, exact `div 6`) — the smoothing window a
     // monitoring pipeline runs; rows without full history are skipped

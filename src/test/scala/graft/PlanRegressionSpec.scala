@@ -62,11 +62,11 @@ class PlanRegressionSpec extends SparkSpec {
       // pl_quality_borda inherits unigramLogprob's one-row total-
       // tokens stats cross-join (same shape as txt_unigram_logprob).
       "pl_quality_borda",
-      // search_eval_ndcg: bm25TopK's one-row stats cross-join,
-      // inherited by the stacked per-(doc, term) scoring.
+      // search_eval_ndcg / search_eval_mrr: bm25TopK's one-row stats
+      // cross-join, inherited by the stacked per-(doc, term) scoring.
       // search_qld_topk: the same one-row stats shape (collection
       // frequencies instead of document frequencies).
-      "search_eval_ndcg", "search_qld_topk",
+      "search_eval_ndcg", "search_eval_mrr", "search_qld_topk",
       // dd_cross_source_overlap: the estimator pair frame IS the
       // #sources^2/2 product of two #sources-row AGGREGATE frames
       // (MinHash signatures) — O(strata^2) by contract, corpus-size
@@ -79,7 +79,11 @@ class PlanRegressionSpec extends SparkSpec {
       // VALUE frame with the BROADCAST per-stratum totals (rows =
       // #strata, tiny by construction; the values side is domain-
       // bounded, not corpus-bounded).
-      "pl_mad_outliers", "pl_distribution_drift")
+      "pl_mad_outliers", "pl_distribution_drift",
+      // agg_market_basket_lift: cross-joins the ONE-ROW basket-total
+      // frame into the pair stats (stats-then-apply shape); the pair
+      // generation itself is per-basket local, no quadratic join.
+      "agg_market_basket_lift")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
         p.contains("BroadcastNestedLoopJoin")) => n

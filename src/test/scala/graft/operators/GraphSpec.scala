@@ -79,4 +79,25 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(conv(5L) == 1L)
   }
+
+  test("ssspBounded: min-cost path within hop bound, parallel-edge min, " +
+      "unreached nodes absent") {
+    // 1 -(5)-> 2 -(1)-> 3 -(1)-> 4 -(1)-> 5; direct 1 -(4)-> 3 and a
+    // heavier parallel duplicate 1 -(9)-> 3 (min wins); seed = 1.
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 1L), (1L, 3L, 4L), (1L, 3L, 9L), (2L, 2L, 7L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.ssspBounded(edges, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // 3 hops from node 1: d(2)=5, d(3)=min(4, 6)=4, d(4)=5, d(5) needs
+    // 4 hops via the cheap path -> only the 1-3-4-5 route (4+1+1=6)
+    // fits in 3 hops.
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 4L, 4L -> 5L, 5L -> 6L),
+      s"got $got")
+    // With 2 rounds node 5 is unreachable and must be ABSENT, not inf.
+    val got2 = Graph.ssspBounded(edges, seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(!got2.contains(5L) && got2(4L) == 5L, s"got $got2")
+  }
 }

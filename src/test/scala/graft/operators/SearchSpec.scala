@@ -938,4 +938,22 @@ class SearchSpec extends SparkSpec {
       Seq("absent"), k = 10).collect()
     assert(none.isEmpty)
   }
+
+  test("evalMrr: first-relevant rank, recall, empty-qrel term omitted") {
+    import spark.implicits._
+    // Equal dl (3 tokens) so BM25 ranks purely by tf, ties on doc_id.
+    // qrelMod=3 -> relevant to 'a' are term-bearing ids 3 and 6.
+    val docs = Seq(
+      (1L, "a a a"), (2L, "a a x"), (3L, "a x x"), (6L, "a x x"),
+      (5L, "z y x"))
+      .toDF("doc_id", "text")
+    val got = Search.evalMrr(docs, "doc_id", "text", Seq("a", "z"),
+        k = 10, qrelMod = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // Ranking for 'a': 1,2,3,6 -> first relevant at rank 3, both
+    // relevant inside k.
+    // 'z' matches only doc 5 (not ≡ 0 mod 3) -> empty qrel, no row.
+    assert(got == Map("a" -> ((2L, 333333L, 1000L))), s"got $got")
+  }
 }

@@ -146,4 +146,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L)),
       s"got $got")
   }
+
+  test("hashingVectorize: pinned buckets, repeat-token fold, " +
+      "same token -> same bucket across docs") {
+    val docs = Seq((1L, "spark spark merge"), (2L, "  spark  "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.hashingVectorize(docs, "doc_id", "text", 16)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val bSpark =
+      graft.functions.HashFunctions.stableHash64Local("hv:spark") % 16
+    val bMerge =
+      graft.functions.HashFunctions.stableHash64Local("hv:merge") % 16
+    val expected = Seq((1L, bSpark, 2L), (1L, bMerge, 1L),
+      (2L, bSpark, 1L)).sorted
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.forall(r => r._2 >= 0 && r._2 < 16))
+  }
 }
