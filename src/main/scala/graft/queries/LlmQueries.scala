@@ -2649,6 +2649,47 @@ object LlmQueries {
         .presentSorted(col("name_a"), col("name_b"))
     },
 
+    // ENTITY CLUSTERS from the linkage pairs: transitive closure of
+    // the fuzzy-match relation via the pointer-jumping
+    // connectedComponents loop (min NAME as the canonical entity),
+    // rolled up with the collapsed per-name row counts — "how many
+    // rows does each real-world entity own". The oracle replays the
+    // closure as the recursive min-reachability chain.
+    QueryDef(
+      "dd_linkage_clusters",
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name AS name, split_part(p_name, ' ', 2) AS blk,
+        |    count(*)::BIGINT AS n_rows
+        |  FROM part GROUP BY 1, 2),
+        |p0 AS (
+        |  SELECT a.name AS a, b.name AS b
+        |  FROM names a JOIN names b ON b.blk = a.blk AND a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 3),
+        |edges AS (SELECT a, b FROM p0 UNION SELECT b AS a, a AS b FROM p0),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS r FROM nodes
+        |  UNION
+        |  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON e.a = reach.r),
+        |comp AS (SELECT node, min(r) AS entity FROM reach GROUP BY node)
+        |SELECT c.entity, count(*)::BIGINT AS n_names,
+        |  sum(n.n_rows)::BIGINT AS n_rows
+        |FROM comp c JOIN names n ON n.name = c.node
+        |GROUP BY c.entity ORDER BY c.entity""".stripMargin) { (s, d) =>
+      val part = Tables.part(s, d)
+      val pairs = graft.operators.Linkage.blockedNamePairs(part,
+          "p_name", n => element_at(split(n, " "), 2), maxLev = 3)
+        .select(col("name_a").as("a"), col("name_b").as("b"))
+      val counts = part.groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_rows"))
+      Dedup.connectedComponents(pairs)
+        .select(col("doc_id").as("name"), col("component").as("entity"))
+        .join(counts, Seq("name"))
+        .groupBy(col("entity"))
+        .agg(count(lit(1)).as("n_names"), sum(col("n_rows")).as("n_rows"))
+        .presentSorted(col("entity"))
+    },
+
     // CROSS-SOURCE OVERLAP MATRIX: MinHash-estimated vs exact Jaccard
     // between every source pair's shingle sets — the corpus-level
     // diversity/contamination audit, and an estimator self-check at

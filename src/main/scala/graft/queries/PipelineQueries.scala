@@ -729,6 +729,65 @@ object PipelineQueries {
         .presentSorted(col("source"))
     },
 
+    // Naive-Bayes quality classifier over the hashed features: TRAIN
+    // (per-bucket log-odds weights from a deterministic heuristic
+    // label, add-one smoothed, micro-units) and SCORE (per-doc
+    // Σ cnt·w over its buckets) in one declarative plan — the
+    // classic scalable text classifier, distributed as two
+    // map-side-combined aggregates + a 16-row broadcast weight frame;
+    // no vocabulary dictionary, no driver-side math. Top 20 by score.
+    QueryDef(
+      "pl_quality_classifier_nb",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+        |      AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5('hv:' || tok), 1, 15))::BIGINT % 16)
+        |      AS bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM t GROUP BY 1, 2),
+        |lab AS (SELECT doc_id, (n_chars >= 200) AS good FROM documents),
+        |cls AS (
+        |  SELECT h.bucket,
+        |    sum(CASE WHEN lab.good THEN cnt ELSE 0 END)::BIGINT AS cg,
+        |    sum(CASE WHEN lab.good THEN 0 ELSE cnt END)::BIGINT AS cb
+        |  FROM h JOIN lab ON lab.doc_id = h.doc_id GROUP BY 1),
+        |tot AS (SELECT sum(cg)::BIGINT AS tg, sum(cb)::BIGINT AS tb FROM cls),
+        |w AS (
+        |  SELECT bucket,
+        |    round(ln( ((cg + 1.0) / (tg + 16.0)) / ((cb + 1.0) / (tb + 16.0)) )
+        |      * 1e6)::BIGINT AS w_micro
+        |  FROM cls, tot),
+        |sc AS (
+        |  SELECT h.doc_id, sum(h.cnt * w.w_micro)::BIGINT AS score_micro
+        |  FROM h JOIN w ON w.bucket = h.bucket GROUP BY 1)
+        |SELECT doc_id, score_micro FROM sc
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hv = graft.operators.TextAnalysis.hashingVectorize(docs,
+        "doc_id", "text", buckets = 16)
+      val lab = docs.select(col("doc_id"),
+        (col("n_chars") >= 200).as("good"))
+      val cls = hv.join(lab, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("good"), col("cnt")).otherwise(0L)).as("cg"),
+          sum(when(col("good"), lit(0L)).otherwise(col("cnt"))).as("cb"))
+      val tot = cls.agg(sum(col("cg")).as("tg"), sum(col("cb")).as("tb"))
+      val w = cls.crossJoin(broadcast(tot)) // one-row totals frame
+        .select(col("bucket"),
+          round(log(((col("cg") + lit(1.0)) / (col("tg") + lit(16.0))) /
+            ((col("cb") + lit(1.0)) / (col("tb") + lit(16.0)))) * lit(1e6))
+            .cast("long").as("w_micro"))
+      hv.join(broadcast(w), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt") * col("w_micro")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // Anchor-text aggregation: the inbound-link description of a target
     // page (what the web "calls" a url — the classic relevance signal a
     // crawler's ranking layer feeds on). Positional zip of the href and

@@ -137,6 +137,68 @@ object Streams {
       }
   }
 
+  // ---- streaming z-score anomaly gate --------------------------------------
+
+  /** One spend observation (integer cents). */
+  final case class Spend(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, cents: Long)
+
+  /** A flagged anomaly: the spend deviated from the user's trailing
+    * baseline of `n` prior events.
+    */
+  final case class SpendAnomaly(event_id: Long, cents: Long, n: Long)
+
+  /** Per-user trailing spend window (most recent last, bounded).
+    * Public: Catalyst codegen instantiates it.
+    */
+  final case class SpendHistory(recent: List[Long])
+
+  /** Streaming face of `win_rolling_zscore_outliers`: flag events
+    * whose spend deviates > 1.5 sigma from the SAME user's trailing
+    * `window` events (current row excluded from its own baseline),
+    * with the identical cross-multiplied integer z-test
+    * `4(nx - s)^2 > 9(n*ss - s^2)` — per-key state is the bounded
+    * trailing cents list (O(window) longs per live user), so state
+    * never grows with stream length.
+    *
+    * Events within a micro-batch are processed in (ts, event_id)
+    * order; across batches arrival order stands in for event order —
+    * on in-order delivery (the parity spec's setup) the stream output
+    * EQUALS the batch window query's. True late data would need a
+    * watermarked buffer-and-sort front like ST4's.
+    */
+  def zscoreGate(spends: Dataset[Spend], window: Int,
+      minN: Int): Dataset[SpendAnomaly] = {
+    require(window >= minN && minN >= 2,
+      s"need window >= minN >= 2, got window=$window minN=$minN")
+    import spends.sparkSession.implicits._
+    spends
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SpendHistory, SpendAnomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, events, state: GroupState[SpendHistory]) =>
+          var hist = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = events.toSeq
+            .sortBy(e => (e.ts.getTime, e.event_id))
+            .flatMap { e =>
+              val w = hist
+              val n = w.size.toLong
+              val flagged = if (n >= minN) {
+                val s = w.sum
+                val ss = w.map(c => c * c).sum
+                val d = n * e.cents - s
+                if (4 * d * d > 9 * (n * ss - s * s))
+                  Some(SpendAnomaly(e.event_id, e.cents, n))
+                else None
+              } else None
+              hist = (hist :+ e.cents).takeRight(window)
+              flagged
+            }
+          state.update(SpendHistory(hist))
+          out.iterator
+      }
+  }
+
   // ---- ST6/ST8: merge sink -------------------------------------------------
 
   /** foreachBatch sink MERGE-ing every micro-batch into a parquet target

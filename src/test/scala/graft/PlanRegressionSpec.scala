@@ -83,7 +83,11 @@ class PlanRegressionSpec extends SparkSpec {
       // agg_market_basket_lift: cross-joins the ONE-ROW basket-total
       // frame into the pair stats (stats-then-apply shape); the pair
       // generation itself is per-basket local, no quadratic join.
-      "agg_market_basket_lift")
+      "agg_market_basket_lift",
+      // pl_quality_classifier_nb: the 16-row weight frame cross-joins
+      // the ONE-ROW class-totals frame (train side); scoring is a
+      // broadcast hash join on the bucket id.
+      "pl_quality_classifier_nb")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
         p.contains("BroadcastNestedLoopJoin")) => n

@@ -139,6 +139,47 @@ class StreamsSpec extends SparkSpec {
     assert(got.toSet == Set((1L, "view", 1.0), (1L, "view", 7.0)))
   }
 
+  test("zscoreGate: trailing-window outlier flags, state across " +
+      "batches, parity with the batch window query") {
+    implicit val sc = spark.sqlContext
+    val spends = Seq(
+      Streams.Spend(1L, 1L, ts(1), 100L), Streams.Spend(2L, 1L, ts(2), 110L),
+      Streams.Spend(3L, 1L, ts(3), 90L), Streams.Spend(4L, 1L, ts(4), 105L),
+      Streams.Spend(5L, 1L, ts(5), 500L), Streams.Spend(6L, 1L, ts(6), 95L),
+      // user 2 never reaches minN prior events -> no flags.
+      Streams.Spend(7L, 2L, ts(1), 10L), Streams.Spend(8L, 2L, ts(2), 9999L))
+    val in = MemoryStream[Streams.Spend]
+    val q = Streams.zscoreGate(in.toDS(), window = 4, minN = 3)
+      .writeStream.format("memory").queryName("zs_t")
+      .outputMode("append").start()
+    try {
+      in.addData(spends.take(3))      // history accrues across batches
+      q.processAllAvailable()
+      in.addData(spends.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("zs_t")
+      .as[(Long, Long, Long)].collect().toSet
+    // Only the 500-cent spike flags: baseline [100,110,90,105], n=4,
+    // 4*(4*500-405)^2 = 10,176,100 > 9*(4*41225-405^2) = 7,875.
+    // The 95 after it does NOT (the spike inflated the variance).
+    assert(got == Set((5L, 500L, 4L)), s"got $got")
+    // Batch parity: the identical rows through the window-query form.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, -1)
+    val batch = spends.toDF()
+      .select(col("event_id"), col("cents"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("cents")).over(w).as("s"),
+        sum(col("cents") * col("cents")).over(w).as("ss"))
+      .filter(col("n") >= 3 && expr(
+        "4 * (n * cents - s) * (n * cents - s) > 9 * (n * ss - s * s)"))
+      .select(col("event_id"), col("cents"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == got, s"stream $got != batch $batch")
+  }
+
   test("ST5: stale jobs fail after the event-time timeout") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Streams.Heartbeat]
