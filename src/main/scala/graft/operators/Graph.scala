@@ -112,6 +112,43 @@ object Graph {
     } finally withDeg.unpersist()
   }
 
+  /** LINK PREDICTION by common out-neighbors: node pairs sharing
+    * >= `minCommon` out-neighbors, with the neighbor-set Jaccard in
+    * exact milli units — the "these two pages cite the same things"
+    * similarity a crawl/graph layer feeds recommendation and
+    * mirror-detection from.
+    *
+    * Scale shape: the pair join meets on the SHARED NEIGHBOR key, and
+    * only neighbors with in-degree <= `inDegCap` participate — the
+    * blocked-Jaccard df-cap applied to graphs (a hub every node links
+    * to would otherwise pair everyone with everyone, while conveying
+    * no similarity; common RARE neighbors carry the evidence). All
+    * counts (common, degrees, the Jaccard) are computed over the SAME
+    * capped edge set, so the output is self-consistent and a SQL
+    * oracle re-derives it exactly.
+    */
+  def commonNeighborPairs(edges: DataFrame, inDegCap: Int,
+      minCommon: Long): DataFrame = {
+    require(inDegCap >= 1 && minCommon >= 1,
+      s"need inDegCap >= 1 and minCommon >= 1, got $inDegCap, $minCommon")
+    val raw = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val rare = raw.groupBy(col("dst")).agg(count(lit(1)).as("__ind"))
+      .filter(col("__ind") <= inDegCap).select(col("dst"))
+    val e = raw.join(rare, Seq("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val pairs = e.select(col("dst"), col("src").as("a"))
+      .join(e.select(col("dst"), col("src").as("b")), Seq("dst"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    pairs
+      .join(deg.select(col("src").as("a"), col("__d").as("__da")), Seq("a"))
+      .join(deg.select(col("src").as("b"), col("__d").as("__db")), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        expr("common * 1000 div (__da + __db - common)").as("jaccard_milli"))
+  }
+
   /** Bounded-hop single/multi-source shortest paths: `rounds`
     * synchronous Bellman-Ford relaxations from the `seeds` node set
     * over weighted edges (src, dst, w) — after k rounds every node

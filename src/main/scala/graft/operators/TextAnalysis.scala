@@ -311,6 +311,64 @@ object TextAnalysis {
         expr("n_bpe_tokens * 1000 div n_words").as("fertility_milli"))
   }
 
+  /** Chi-square FEATURE SELECTION: the top-`k` terms most associated
+    * with a binary document label (presence-based 2x2 contingency per
+    * term), the classic vocabulary-selection step in front of any
+    * linear text classifier. `label` must be a deterministic Column
+    * over the doc row (a heuristic gate, a stored tag) so an oracle
+    * re-derives it.
+    *
+    * chi2 = N·(ad-bc)² / ((a+b)(c+d)(a+c)(b+d)) over per-term good/bad
+    * DOC counts — integer contingency cells aggregated in one
+    * map-side-combined pass over distinct (doc, term) presence rows;
+    * the `minDf` floor prunes the hapax tail (both the noise and the
+    * cost live there: output is df-bounded, and at corpus scale the
+    * rare-term frame is what explodes). The division is pinned
+    * IEEE-double in a fixed operation order, rounded to 4dp BEFORE
+    * ranking so both engines break ties identically (the
+    * round-then-rank convention the PageRank family uses).
+    */
+  def chi2Terms(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, minDf: Long, k: Int): DataFrame = {
+    require(minDf >= 1 && k >= 1, s"need minDf >= 1, k >= 1")
+    val lab = docs.select(col(idCol).as("doc_id"), label.as("__good"))
+    val present = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          filter(split(trim(col(textCol)), " +"), x => x =!= "")))
+          .as("term"))
+    val totals = lab.agg(
+      sum(when(col("__good"), 1L).otherwise(0L)).as("__ng"),
+      sum(when(col("__good"), 0L).otherwise(1L)).as("__nb"))
+    val tc = present.join(lab, Seq("doc_id"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("__good"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__good"), 0L).otherwise(1L)).as("b"))
+      .filter(col("a") + col("b") >= minDf)
+    // A degenerate margin (term in every doc, or an empty class) zeroes
+    // the denominator: definitionally uninformative -> chi2 = 0. The
+    // guard is on the INTEGER margins (Spark's ANSI double division
+    // by zero would throw, DuckDB would emit inf — both wrong here).
+    val chi2 = when(
+      (col("a") + col("b")) === 0 || (col("c") + col("d")) === 0 ||
+        (col("a") + col("c")) === 0 || (col("b") + col("d")) === 0,
+      lit(0.0)).otherwise(round(
+      (col("__n").cast("double") *
+        ((col("a") * col("d") - col("b") * col("c")).cast("double") *
+          (col("a") * col("d") - col("b") * col("c")).cast("double"))) /
+        ((col("a") + col("b")).cast("double") *
+          (col("c") + col("d")).cast("double") *
+          (col("a") + col("c")).cast("double") *
+          (col("b") + col("d")).cast("double")), 4))
+    tc.crossJoin(broadcast(totals)) // one-row class totals
+      .select(col("term"), col("a"), col("b"),
+        (col("__ng") - col("a")).as("c"), (col("__nb") - col("b")).as("d"),
+        (col("__ng") + col("__nb")).as("__n"))
+      .select(col("term"), col("a"), col("b"), chi2.as("chi2"))
+      .orderBy(col("chi2").desc, col("term"))
+      .limit(k)
+  }
+
   /** Hashing-trick bag-of-words (the "hashing vectorizer"): each doc's
     * token counts folded into a FIXED `buckets`-dimensional space via
     * the portable md5 hash — the featurization step for linear quality

@@ -3660,6 +3660,45 @@ object LlmQueries {
         .presentSorted(col("doc_id"), col("bucket"))
     },
 
+    // Chi-square term selection (TextAnalysis.chi2Terms): the top-20
+    // terms most associated with the quality label — the vocabulary-
+    // selection step in front of the NB classifier. Integer 2x2
+    // contingency cells from ONE presence aggregate, pinned-order
+    // double division rounded to 4dp BEFORE ranking (the
+    // round-then-rank convention), df >= 10 prunes the hapax tail.
+    QueryDef(
+      "txt_chi2_terms",
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+        |      AS term
+        |  FROM documents),
+        |lab AS (SELECT doc_id, (n_chars >= 200) AS good FROM documents),
+        |g AS (SELECT sum(CASE WHEN good THEN 1 ELSE 0 END)::BIGINT AS ng,
+        |             sum(CASE WHEN good THEN 0 ELSE 1 END)::BIGINT AS nb
+        |      FROM lab),
+        |tc AS (
+        |  SELECT term,
+        |    sum(CASE WHEN lab.good THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN lab.good THEN 0 ELSE 1 END)::BIGINT AS b
+        |  FROM t JOIN lab ON lab.doc_id = t.doc_id
+        |  GROUP BY term HAVING count(*) >= 10),
+        |x AS (
+        |  SELECT term, a, b, g.ng - a AS c, g.nb - b AS d,
+        |    g.ng + g.nb AS n
+        |  FROM tc, g)
+        |SELECT term, a, b,
+        |  CASE WHEN (a+b) = 0 OR (c+d) = 0 OR (a+c) = 0 OR (b+d) = 0
+        |    THEN 0.0
+        |    ELSE round( (n::DOUBLE * ((a*d - b*c)::DOUBLE * (a*d - b*c)::DOUBLE))
+        |      / (((a+b)::DOUBLE) * ((c+d)::DOUBLE) * ((a+c)::DOUBLE)
+        |         * ((b+d)::DOUBLE)), 4) END AS chi2
+        |FROM x
+        |ORDER BY chi2 DESC, term LIMIT 20""".stripMargin) { (s, d) =>
+      graft.operators.TextAnalysis.chi2Terms(Tables.documents(s, d),
+          "doc_id", "text", col("n_chars") >= 200, minDf = 10L, k = 20)
+    },
+
     // Winnowing fingerprints (rolling min-hash over shingle windows).
     QueryDef(
       "txt_winnow_fingerprints",

@@ -788,6 +788,40 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // LINK PREDICTION (Graph.commonNeighborPairs): node pairs citing
+    // >= 2 common out-neighbors with the neighbor-set Jaccard —
+    // mirror-detection / recommendation evidence. Pairs meet on the
+    // SHARED NEIGHBOR key and only in-degree <= 20 neighbors
+    // participate (the blocked-Jaccard df-cap on graphs: hubs convey
+    // no similarity and would pair everyone); every count derives
+    // from the same capped edge set.
+    QueryDef(
+      "gr_link_prediction",
+      """WITH raw AS (
+        |  SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
+        |  FROM lineitem
+        |  WHERE l_linenumber = 1 AND l_orderkey % 2000 <> l_partkey % 2000),
+        |indeg AS (SELECT dst, count(*) AS ind FROM raw GROUP BY dst),
+        |e AS (SELECT src, r.dst FROM raw r JOIN indeg i ON i.dst = r.dst
+        |      WHERE i.ind <= 20),
+        |deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY src),
+        |pairs AS (
+        |  SELECT x.src AS a, y.src AS b, count(*)::BIGINT AS common
+        |  FROM e x JOIN e y ON y.dst = x.dst AND x.src < y.src
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT a, b, common,
+        |  (common * 1000) // (da.d + db.d - common) AS jaccard_milli
+        |FROM pairs JOIN deg da ON da.src = a JOIN deg db ON db.src = b
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") === 1)
+        .select((col("l_orderkey") % 2000).as("src"),
+          (col("l_partkey") % 2000).as("dst"))
+      graft.operators.Graph.commonNeighborPairs(edges, inDegCap = 20,
+          minCommon = 2L)
+        .presentSorted(col("a"), col("b"))
+    },
+
     // Anchor-text aggregation: the inbound-link description of a target
     // page (what the web "calls" a url — the classic relevance signal a
     // crawler's ranking layer feeds on). Positional zip of the href and

@@ -87,7 +87,10 @@ class PlanRegressionSpec extends SparkSpec {
       // pl_quality_classifier_nb: the 16-row weight frame cross-joins
       // the ONE-ROW class-totals frame (train side); scoring is a
       // broadcast hash join on the bucket id.
-      "pl_quality_classifier_nb")
+      "pl_quality_classifier_nb",
+      // txt_chi2_terms: the df-bounded contingency frame cross-joins
+      // the ONE-ROW class-totals frame (stats-then-apply shape).
+      "txt_chi2_terms")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
         p.contains("BroadcastNestedLoopJoin")) => n

@@ -100,4 +100,22 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(!got2.contains(5L) && got2(4L) == 5L, s"got $got2")
   }
+
+  test("commonNeighborPairs: hub cap excludes, capped-set Jaccard, " +
+      "minCommon floor") {
+    // 1 and 2 share rare neighbors 10, 11; 3 shares only 10 with them.
+    // EVERYONE links hub 99 (in-degree 4 > cap 3) -> hub evidence
+    // ignored everywhere (pairs, degrees, Jaccard).
+    val edges = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 12L),
+      (1L, 99L), (2L, 99L), (3L, 99L), (4L, 99L))
+      .toDF("src", "dst")
+    val got = Graph.commonNeighborPairs(edges, inDegCap = 3,
+        minCommon = 2L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // Capped degrees: d(1)=2, d(2)=2, d(3)=2. Only (1,2) reaches
+    // common >= 2: jaccard = 2*1000 div (2+2-2) = 1000.
+    assert(got == Map((1L, 2L) -> ((2L, 1000L))), s"got $got")
+  }
 }

@@ -162,4 +162,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected")
     assert(got.forall(r => r._2 >= 0 && r._2 < 16))
   }
+
+  test("chi2Terms: perfect separator maxes chi2 = N, uninformative " +
+      "term scores 0, minDf prunes, presence not tf") {
+    // 4 docs, label = id is even. 'pos' appears ONLY in good docs
+    // (perfect separator, repeated -> presence must count once),
+    // 'all' in every doc (chi2 0), 'rare' in one doc (df 1, pruned).
+    val docs = Seq(
+      (2L, "pos pos all"), (4L, "pos all rare"),
+      (1L, "neg all"), (3L, "neg all"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chi2Terms(docs, "doc_id", "text",
+        col("doc_id") % 2 === 0, minDf = 2L, k = 10)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // pos: a=2 b=0 c=0 d=2 -> chi2 = 4*(4-0)^2/(2*2*2*2) = 4.0 = N.
+    // neg: a=0 b=2 -> also 4.0. all: a=2 b=2 -> 0.
+    assert(got == Map(
+      "pos" -> ((2L, 0L, 4.0)), "neg" -> ((0L, 2L, 4.0)),
+      "all" -> ((2L, 2L, 0.0))), s"got $got")
+  }
 }
