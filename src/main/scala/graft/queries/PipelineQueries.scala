@@ -788,6 +788,99 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // Held-out EVALUATION of the NB classifier: weights train on the
+    // 80% split only (doc_id % 5 != 0), the 20% test split scores
+    // against them, and the confusion matrix + accuracy/precision/
+    // recall come out in exact integer milli — the
+    // no-train-on-test discipline every production classifier gate
+    // needs, and the quality twin of search_eval_* for the selection
+    // family. Same two-aggregate + broadcast-weights shape as the
+    // classifier itself; one row out.
+    QueryDef(
+      "pl_classifier_eval_split",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+        |      AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5('hv:' || tok), 1, 15))::BIGINT % 16)
+        |      AS bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM t GROUP BY 1, 2),
+        |lab AS (SELECT doc_id, (n_chars >= 200) AS good,
+        |               (doc_id % 5 = 0) AS test FROM documents),
+        |cls AS (
+        |  SELECT h.bucket,
+        |    sum(CASE WHEN lab.good THEN cnt ELSE 0 END)::BIGINT AS cg,
+        |    sum(CASE WHEN lab.good THEN 0 ELSE cnt END)::BIGINT AS cb
+        |  FROM h JOIN lab ON lab.doc_id = h.doc_id
+        |  WHERE NOT lab.test GROUP BY 1),
+        |tot AS (SELECT sum(cg)::BIGINT AS tg, sum(cb)::BIGINT AS tb FROM cls),
+        |w AS (
+        |  SELECT bucket,
+        |    round(ln( ((cg + 1.0) / (tg + 16.0)) / ((cb + 1.0) / (tb + 16.0)) )
+        |      * 1e6)::BIGINT AS w_micro
+        |  FROM cls, tot),
+        |sc AS (
+        |  SELECT h.doc_id, sum(h.cnt * w.w_micro)::BIGINT AS score
+        |  FROM h JOIN w ON w.bucket = h.bucket
+        |  JOIN lab ON lab.doc_id = h.doc_id
+        |  WHERE lab.test GROUP BY 1),
+        |cm AS (
+        |  SELECT
+        |    sum(CASE WHEN score > 0 AND good THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN score > 0 AND NOT good THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |    sum(CASE WHEN score <= 0 AND NOT good THEN 1 ELSE 0 END)::BIGINT AS tn,
+        |    sum(CASE WHEN score <= 0 AND good THEN 1 ELSE 0 END)::BIGINT AS fn
+        |  FROM sc JOIN lab ON lab.doc_id = sc.doc_id)
+        |SELECT tp, fp, tn, fn,
+        |  (tp + tn) * 1000 // (tp + fp + tn + fn) AS accuracy_milli,
+        |  CASE WHEN tp + fp = 0 THEN 0
+        |    ELSE tp * 1000 // (tp + fp) END AS precision_milli,
+        |  CASE WHEN tp + fn = 0 THEN 0
+        |    ELSE tp * 1000 // (tp + fn) END AS recall_milli
+        |FROM cm""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hv = graft.operators.TextAnalysis.hashingVectorize(docs,
+        "doc_id", "text", buckets = 16)
+      val lab = docs.select(col("doc_id"),
+        (col("n_chars") >= 200).as("good"),
+        (col("doc_id") % 5 === 0).as("test"))
+      val hvl = hv.join(lab, Seq("doc_id"))
+      val cls = hvl.filter(!col("test"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("good"), col("cnt")).otherwise(0L)).as("cg"),
+          sum(when(col("good"), lit(0L)).otherwise(col("cnt"))).as("cb"))
+      val tot = cls.agg(sum(col("cg")).as("tg"), sum(col("cb")).as("tb"))
+      val w = cls.crossJoin(broadcast(tot)) // one-row totals frame
+        .select(col("bucket"),
+          round(log(((col("cg") + lit(1.0)) / (col("tg") + lit(16.0))) /
+            ((col("cb") + lit(1.0)) / (col("tb") + lit(16.0)))) * lit(1e6))
+            .cast("long").as("w_micro"))
+      val cm = hvl.filter(col("test"))
+        .join(broadcast(w), Seq("bucket"))
+        .groupBy(col("doc_id"), col("good"))
+        .agg(sum(col("cnt") * col("w_micro")).as("score"))
+        .agg(
+          sum(when(col("score") > 0 && col("good"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("score") > 0 && !col("good"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(col("score") <= 0 && !col("good"), 1L).otherwise(0L))
+            .as("tn"),
+          sum(when(col("score") <= 0 && col("good"), 1L).otherwise(0L))
+            .as("fn"))
+      cm.select(col("tp"), col("fp"), col("tn"), col("fn"),
+        expr("(tp + tn) * 1000 div (tp + fp + tn + fn)")
+          .as("accuracy_milli"),
+        when(col("tp") + col("fp") === 0, 0L)
+          .otherwise(expr("tp * 1000 div (tp + fp)")).as("precision_milli"),
+        when(col("tp") + col("fn") === 0, 0L)
+          .otherwise(expr("tp * 1000 div (tp + fn)")).as("recall_milli"))
+    },
+
     // LINK PREDICTION (Graph.commonNeighborPairs): node pairs citing
     // >= 2 common out-neighbors with the neighbor-set Jaccard —
     // mirror-detection / recommendation evidence. Pairs meet on the

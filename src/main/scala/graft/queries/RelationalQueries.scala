@@ -858,6 +858,79 @@ object RelationalQueries {
         .presentSorted(col("item_a"), col("item_b"))
     },
 
+    // Gaps-and-islands: each user's LONGEST streak of consecutive
+    // active days (+ its earliest start day) — the engagement signal
+    // behind retention cohorts. The classic day - row_number() island
+    // key, one exchange on user_id shared by the window and both
+    // aggregates; pure integer day arithmetic.
+    QueryDef(
+      "win_activity_streaks",
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch(ts::TIMESTAMP)::BIGINT // 86400) AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM d),
+        |s AS (
+        |  SELECT user_id, count(*)::BIGINT AS len,
+        |    min(day)::BIGINT AS start_day
+        |  FROM r GROUP BY user_id, grp)
+        |SELECT user_id, max(len)::BIGINT AS longest_streak,
+        |  min(CASE WHEN len = ml THEN start_day END)::BIGINT
+        |    AS streak_start
+        |FROM (SELECT *, max(len) OVER (PARTITION BY user_id) AS ml FROM s)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val wu = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .select(col("user_id"),
+          (unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+        .withColumn("ml", max(col("len")).over(wu))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          min(when(col("len") === col("ml"), col("start_day")))
+            .as("streak_start"))
+        .presentSorted(col("user_id"))
+    },
+
+    // Recency-weighted user value: spend halves per week of age
+    // (integer bucketed exponential decay — `cents div 2^age_weeks`,
+    // shift-exact, age clamped so the shift stays defined). The
+    // streaming-free LTV/priority signal; one aggregate over the
+    // broadcast max-week frame.
+    QueryDef(
+      "agg_decayed_user_value",
+      """WITH c AS (
+        |  SELECT user_id, round(value * 100)::BIGINT AS cents,
+        |    (epoch(ts::TIMESTAMP)::BIGINT // 604800) AS wk
+        |  FROM events),
+        |m AS (SELECT max(wk) AS mx FROM c)
+        |SELECT user_id,
+        |  sum(cents // (1::BIGINT << least(mx - wk, 20)))::BIGINT
+        |    AS decayed_cents,
+        |  sum(cents)::BIGINT AS raw_cents
+        |FROM c, m GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (unix_timestamp(col("ts")) / 604800).cast("long").as("wk"))
+      val m = c.agg(max(col("wk")).as("mx"))
+      c.crossJoin(broadcast(m)) // one-row max-week frame
+        .groupBy(col("user_id"))
+        .agg(
+          sum(expr("cents div shiftleft(1L, cast(least(mx - wk, 20) as int))"))
+            .as("decayed_cents"),
+          sum(col("cents")).as("raw_cents"))
+        .presentSorted(col("user_id"))
+    },
+
     // Exponentially-weighted moving average (truncated EWMA, weights
     // 8/4/2/1 over the last 4 events, exact `div 15`) — WMA's
     // recency-biased sibling; the geometric weights make it the

@@ -90,7 +90,11 @@ class PlanRegressionSpec extends SparkSpec {
       "pl_quality_classifier_nb",
       // txt_chi2_terms: the df-bounded contingency frame cross-joins
       // the ONE-ROW class-totals frame (stats-then-apply shape).
-      "txt_chi2_terms")
+      "txt_chi2_terms",
+      // pl_classifier_eval_split: the NB train side's one-row
+      // class-totals cross-join (same shape as the classifier).
+      // agg_decayed_user_value: one-row max-week frame cross-join.
+      "pl_classifier_eval_split", "agg_decayed_user_value")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
         p.contains("BroadcastNestedLoopJoin")) => n
