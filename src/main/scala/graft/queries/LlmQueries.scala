@@ -4799,6 +4799,128 @@ object LlmQueries {
         .presentSorted(col("term"))
     },
 
+    // RANKER AGREEMENT: Kendall tau between the BM25 and
+    // query-likelihood top-20 lists for the same query — the
+    // swap-a-ranker regression gate (a formula change that reorders
+    // results flips tau even when both lists stay plausible).
+    // Concordant/discordant pair counts over the COMMON docs' rank
+    // pairs (<= k^2/2 pairs by construction, corpus-independent),
+    // tau-a in exact milli. Oracle splices both pinned score chains
+    // over one shared stats frame.
+    QueryDef(
+      "search_eval_rank_corr",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, len(l) AS dl,
+        |    len(list_filter(l, x -> x = 'spark'))  AS tf0,
+        |    len(list_filter(l, x -> x = 'vector')) AS tf1,
+        |    len(list_filter(l, x -> x = 'stream')) AS tf2,
+        |    len(list_filter(l, x -> x = 'merge'))  AS tf3
+        |  FROM t),
+        |g AS (
+        |  SELECT count(*) AS n, sum(dl) AS sumdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3,
+        |    sum(tf0) AS cf0, sum(tf1) AS cf1, sum(tf2) AS cf2,
+        |    sum(tf3) AS cf3, sum(dl) AS ctot
+        |  FROM p),
+        |s AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)
+        |      AS n_matched,
+        |    (CASE WHEN tf0 > 0 THEN round(
+        |        ln(1.0 + (n::DOUBLE - df0::DOUBLE + 0.5) / (df0::DOUBLE + 0.5))
+        |          * tf0::DOUBLE * 2.2
+        |          / (tf0::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+        |    + (CASE WHEN tf1 > 0 THEN round(
+        |        ln(1.0 + (n::DOUBLE - df1::DOUBLE + 0.5) / (df1::DOUBLE + 0.5))
+        |          * tf1::DOUBLE * 2.2
+        |          / (tf1::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+        |    + (CASE WHEN tf2 > 0 THEN round(
+        |        ln(1.0 + (n::DOUBLE - df2::DOUBLE + 0.5) / (df2::DOUBLE + 0.5))
+        |          * tf2::DOUBLE * 2.2
+        |          / (tf2::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+        |    + (CASE WHEN tf3 > 0 THEN round(
+        |        ln(1.0 + (n::DOUBLE - df3::DOUBLE + 0.5) / (df3::DOUBLE + 0.5))
+        |          * tf3::DOUBLE * 2.2
+        |          / (tf3::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+        |              / (sumdl::DOUBLE / n::DOUBLE))) * 1e6)::BIGINT ELSE 0 END)
+        |      AS sa,
+        |    (CASE WHEN cf0 > 0 THEN round(ln((tf0::DOUBLE + 2000.0 * cf0::DOUBLE
+        |        / ctot::DOUBLE) / (dl::DOUBLE + 2000.0)) * 1e6)::BIGINT ELSE 0 END)
+        |    + (CASE WHEN cf1 > 0 THEN round(ln((tf1::DOUBLE + 2000.0 * cf1::DOUBLE
+        |        / ctot::DOUBLE) / (dl::DOUBLE + 2000.0)) * 1e6)::BIGINT ELSE 0 END)
+        |    + (CASE WHEN cf2 > 0 THEN round(ln((tf2::DOUBLE + 2000.0 * cf2::DOUBLE
+        |        / ctot::DOUBLE) / (dl::DOUBLE + 2000.0)) * 1e6)::BIGINT ELSE 0 END)
+        |    + (CASE WHEN cf3 > 0 THEN round(ln((tf3::DOUBLE + 2000.0 * cf3::DOUBLE
+        |        / ctot::DOUBLE) / (dl::DOUBLE + 2000.0)) * 1e6)::BIGINT ELSE 0 END)
+        |      AS sb
+        |  FROM p, g),
+        |m AS (SELECT * FROM s WHERE n_matched > 0),
+        |ra AS (SELECT doc_id, row_number() OVER (ORDER BY sa DESC, doc_id)
+        |       AS ra FROM m),
+        |rb AS (SELECT doc_id, row_number() OVER (ORDER BY sb DESC, doc_id)
+        |       AS rb FROM m),
+        |c AS (SELECT ra.doc_id, ra.ra, rb.rb
+        |      FROM ra JOIN rb ON rb.doc_id = ra.doc_id
+        |      WHERE ra.ra <= 20 AND rb.rb <= 20),
+        |pr AS (
+        |  SELECT
+        |    sum(CASE WHEN (y.ra - x.ra) * (y.rb - x.rb) > 0
+        |        THEN 1 ELSE 0 END)::BIGINT AS concordant,
+        |    sum(CASE WHEN (y.ra - x.ra) * (y.rb - x.rb) < 0
+        |        THEN 1 ELSE 0 END)::BIGINT AS discordant,
+        |    count(*)::BIGINT AS npairs
+        |  FROM c x JOIN c y ON x.doc_id < y.doc_id),
+        |nn AS (SELECT count(*)::BIGINT AS n_common FROM c)
+        |SELECT n_common, concordant, discordant,
+        |  CASE WHEN npairs = 0 THEN 0
+        |    ELSE (concordant - discordant) * 1000 // npairs END AS tau_milli
+        |FROM pr, nn""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val terms = Seq("spark", "vector", "stream", "merge")
+      val wA = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sa").desc, col("doc_id"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sb").desc, col("doc_id"))
+      val a = graft.operators.Search.bm25TopK(docs, "doc_id", "text",
+          terms, k = 20)
+        .select(col("doc_id"), col("score_1e6").as("sa"))
+        .withColumn("ra", row_number().over(wA))
+      val b = graft.operators.Search.queryLikelihoodTopK(docs, "doc_id",
+          "text", terms, k = 20, mu = 2000.0)
+        .select(col("doc_id"), col("score_1e6").as("sb"))
+        .withColumn("rb", row_number().over(wB))
+      val c = a.join(b, Seq("doc_id"))
+        .select(col("doc_id"), col("ra"), col("rb"))
+      val x = c.select(col("doc_id").as("xid"), col("ra").as("xa"),
+        col("rb").as("xb"))
+      val y = c.select(col("doc_id").as("yid"), col("ra").as("ya"),
+        col("rb").as("yb"))
+      val pr = x.join(y, col("xid") < col("yid")) // <= k^2/2 pairs
+        .agg(
+          sum(when((col("ya") - col("xa")) * (col("yb") - col("xb")) > 0,
+            1L).otherwise(0L)).as("concordant"),
+          sum(when((col("ya") - col("xa")) * (col("yb") - col("xb")) < 0,
+            1L).otherwise(0L)).as("discordant"),
+          count(lit(1)).as("npairs"))
+      val nn = c.agg(count(lit(1)).as("n_common"))
+      pr.crossJoin(broadcast(nn))
+        .select(col("n_common"), col("concordant"), col("discordant"),
+          when(col("npairs") === 0, 0L)
+            .otherwise(expr("(concordant - discordant) * 1000 div npairs"))
+            .as("tau_milli"))
+    },
+
     // BM25 answered FROM the standing inverted index (Search.buildIndex
     // + bm25FromIndexTopK): postings carry (term, doc_id, tf, dl)
     // denormalized, laid out term-sorted so the query-term predicate

@@ -13,6 +13,39 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** Hashed features joined with the deterministic quality/test
+    * labels — the shared head of the NB classifier family
+    * (`pl_quality_classifier_nb` / eval / calibration). Columns:
+    * (doc_id, bucket, cnt, good, test).
+    */
+  private def nbHvl(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.TextAnalysis.hashingVectorize(docs,
+        "doc_id", "text", buckets = 16)
+      .join(docs.select(col("doc_id"),
+        (col("n_chars") >= 200).as("good"),
+        (col("doc_id") % 5 === 0).as("test")), Seq("doc_id"))
+  }
+
+  /** Per-bucket add-one-smoothed log-odds weight frame (16 rows,
+    * micro-units) trained over `train` rows of [[nbHvl]]'s shape —
+    * the one-row class-totals cross-join is the whitelisted
+    * stats-then-apply step.
+    */
+  private def nbWeights(train: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cls = train.groupBy(col("bucket"))
+      .agg(sum(when(col("good"), col("cnt")).otherwise(0L)).as("cg"),
+        sum(when(col("good"), lit(0L)).otherwise(col("cnt"))).as("cb"))
+    val tot = cls.agg(sum(col("cg")).as("tg"), sum(col("cb")).as("tb"))
+    cls.crossJoin(broadcast(tot)) // one-row totals frame
+      .select(col("bucket"),
+        round(log(((col("cg") + lit(1.0)) / (col("tg") + lit(16.0))) /
+          ((col("cb") + lit(1.0)) / (col("tb") + lit(16.0)))) * lit(1e6))
+          .cast("long").as("w_micro"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // A7: last-write-wins upsert state per (user_id, event_type) key —
@@ -766,22 +799,8 @@ object PipelineQueries {
         |  FROM h JOIN w ON w.bucket = h.bucket GROUP BY 1)
         |SELECT doc_id, score_micro FROM sc
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val hv = graft.operators.TextAnalysis.hashingVectorize(docs,
-        "doc_id", "text", buckets = 16)
-      val lab = docs.select(col("doc_id"),
-        (col("n_chars") >= 200).as("good"))
-      val cls = hv.join(lab, Seq("doc_id"))
-        .groupBy(col("bucket"))
-        .agg(sum(when(col("good"), col("cnt")).otherwise(0L)).as("cg"),
-          sum(when(col("good"), lit(0L)).otherwise(col("cnt"))).as("cb"))
-      val tot = cls.agg(sum(col("cg")).as("tg"), sum(col("cb")).as("tb"))
-      val w = cls.crossJoin(broadcast(tot)) // one-row totals frame
-        .select(col("bucket"),
-          round(log(((col("cg") + lit(1.0)) / (col("tg") + lit(16.0))) /
-            ((col("cb") + lit(1.0)) / (col("tb") + lit(16.0)))) * lit(1e6))
-            .cast("long").as("w_micro"))
-      hv.join(broadcast(w), Seq("bucket"))
+      val hvl = nbHvl(s, d)
+      hvl.join(broadcast(nbWeights(hvl)), Seq("bucket"))
         .groupBy(col("doc_id"))
         .agg(sum(col("cnt") * col("w_micro")).as("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id"))
@@ -842,23 +861,8 @@ object PipelineQueries {
         |  CASE WHEN tp + fn = 0 THEN 0
         |    ELSE tp * 1000 // (tp + fn) END AS recall_milli
         |FROM cm""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val hv = graft.operators.TextAnalysis.hashingVectorize(docs,
-        "doc_id", "text", buckets = 16)
-      val lab = docs.select(col("doc_id"),
-        (col("n_chars") >= 200).as("good"),
-        (col("doc_id") % 5 === 0).as("test"))
-      val hvl = hv.join(lab, Seq("doc_id"))
-      val cls = hvl.filter(!col("test"))
-        .groupBy(col("bucket"))
-        .agg(sum(when(col("good"), col("cnt")).otherwise(0L)).as("cg"),
-          sum(when(col("good"), lit(0L)).otherwise(col("cnt"))).as("cb"))
-      val tot = cls.agg(sum(col("cg")).as("tg"), sum(col("cb")).as("tb"))
-      val w = cls.crossJoin(broadcast(tot)) // one-row totals frame
-        .select(col("bucket"),
-          round(log(((col("cg") + lit(1.0)) / (col("tg") + lit(16.0))) /
-            ((col("cb") + lit(1.0)) / (col("tb") + lit(16.0)))) * lit(1e6))
-            .cast("long").as("w_micro"))
+      val hvl = nbHvl(s, d)
+      val w = nbWeights(hvl.filter(!col("test")))
       val cm = hvl.filter(col("test"))
         .join(broadcast(w), Seq("bucket"))
         .groupBy(col("doc_id"), col("good"))
@@ -879,6 +883,104 @@ object PipelineQueries {
           .otherwise(expr("tp * 1000 div (tp + fp)")).as("precision_milli"),
         when(col("tp") + col("fn") === 0, 0L)
           .otherwise(expr("tp * 1000 div (tp + fn)")).as("recall_milli"))
+    },
+
+    // CALIBRATION (reliability diagram) of the NB classifier on the
+    // held-out split: test scores cut into exact rank-decile buckets
+    // (the deterministic (rn-1)*10 div n rule — no interpolation, no
+    // ntile ambiguity), each reporting observed good-rate + score
+    // range. The "does score X mean probability Y" audit that decides
+    // whether a score threshold is usable as a sampling weight.
+    QueryDef(
+      "pl_classifier_calibration",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+        |      AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5('hv:' || tok), 1, 15))::BIGINT % 16)
+        |      AS bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM t GROUP BY 1, 2),
+        |lab AS (SELECT doc_id, (n_chars >= 200) AS good,
+        |               (doc_id % 5 = 0) AS test FROM documents),
+        |cls AS (
+        |  SELECT h.bucket,
+        |    sum(CASE WHEN lab.good THEN cnt ELSE 0 END)::BIGINT AS cg,
+        |    sum(CASE WHEN lab.good THEN 0 ELSE cnt END)::BIGINT AS cb
+        |  FROM h JOIN lab ON lab.doc_id = h.doc_id
+        |  WHERE NOT lab.test GROUP BY 1),
+        |tot AS (SELECT sum(cg)::BIGINT AS tg, sum(cb)::BIGINT AS tb FROM cls),
+        |w AS (
+        |  SELECT bucket,
+        |    round(ln( ((cg + 1.0) / (tg + 16.0)) / ((cb + 1.0) / (tb + 16.0)) )
+        |      * 1e6)::BIGINT AS w_micro
+        |  FROM cls, tot),
+        |sc AS (
+        |  SELECT h.doc_id, sum(h.cnt * w.w_micro)::BIGINT AS score
+        |  FROM h JOIN w ON w.bucket = h.bucket
+        |  JOIN lab ON lab.doc_id = h.doc_id WHERE lab.test GROUP BY 1),
+        |r AS (
+        |  SELECT sc.doc_id, score, lab.good,
+        |    row_number() OVER (ORDER BY score, sc.doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM sc JOIN lab ON lab.doc_id = sc.doc_id)
+        |SELECT ((rn - 1) * 10) // n AS decile,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN good THEN 1 ELSE 0 END)::BIGINT AS n_good,
+        |  (sum(CASE WHEN good THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT
+        |    AS good_rate_milli,
+        |  min(score)::BIGINT AS min_score, max(score)::BIGINT AS max_score
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val hvl = nbHvl(s, d)
+      val w = nbWeights(hvl.filter(!col("test")))
+      val scored = hvl.filter(col("test"))
+        .join(broadcast(w), Seq("bucket"))
+        .groupBy(col("doc_id"), col("good"))
+        .agg(sum(col("cnt") * col("w_micro")).as("score"))
+      val wr = Window.orderBy(col("score"), col("doc_id"))
+      scored
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .groupBy(expr("((rn - 1) * 10) div n").as("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .select(col("decile"), col("n_docs"), col("n_good"),
+          expr("n_good * 1000 div n_docs").as("good_rate_milli"),
+          col("min_score"), col("max_score"))
+        .presentSorted(col("decile"))
+    },
+
+    // SKEW REPORT: the top heavy join keys with their traffic share
+    // and the ceil(freq/avg) salting factor the salted-join family
+    // would apply — the diagnosis step that decides WHEN to salt
+    // (join_salted_user_segment is the treatment). One
+    // map-side-combined key count + a one-row totals frame.
+    QueryDef(
+      "pl_skew_report",
+      """WITH k AS (
+        |  SELECT l_partkey AS key, count(*)::BIGINT AS n
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS nkeys
+        |      FROM k)
+        |SELECT key, n, (n * 1000000) // total AS share_ppm,
+        |  (n * nkeys + total - 1) // total AS salt_factor
+        |FROM k, g ORDER BY n DESC, key LIMIT 20""".stripMargin) { (s, d) =>
+      val k = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val g = k.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("nkeys"))
+      k.crossJoin(broadcast(g)) // one-row totals frame
+        .select(col("key"), col("n"),
+          expr("n * 1000000 div total").as("share_ppm"),
+          expr("(n * nkeys + total - 1) div total").as("salt_factor"))
+        .orderBy(col("n").desc, col("key"))
+        .limit(20)
     },
 
     // LINK PREDICTION (Graph.commonNeighborPairs): node pairs citing

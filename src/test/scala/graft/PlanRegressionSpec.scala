@@ -91,10 +91,18 @@ class PlanRegressionSpec extends SparkSpec {
       // txt_chi2_terms: the df-bounded contingency frame cross-joins
       // the ONE-ROW class-totals frame (stats-then-apply shape).
       "txt_chi2_terms",
-      // pl_classifier_eval_split: the NB train side's one-row
-      // class-totals cross-join (same shape as the classifier).
+      // pl_classifier_eval_split / pl_classifier_calibration: the NB
+      // train side's one-row class-totals cross-join (same shape as
+      // the classifier).
       // agg_decayed_user_value: one-row max-week frame cross-join.
-      "pl_classifier_eval_split", "agg_decayed_user_value")
+      // pl_skew_report: one-row key-stats frame cross-join.
+      // search_eval_rank_corr: inherits both rankers' one-row stats
+      // cross-joins, plus the <= k^2/2 rank-pair join over the two
+      // top-20 lists' intersection (corpus-independent by
+      // construction) and the one-row n_common frame.
+      "pl_classifier_eval_split", "agg_decayed_user_value",
+      "pl_classifier_calibration", "pl_skew_report",
+      "search_eval_rank_corr")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
         p.contains("BroadcastNestedLoopJoin")) => n
