@@ -19,6 +19,8 @@ final case class AudioFeatureRow(doc_id: Long, channels: Int,
 final case class PixelStatsRow(doc_id: Long, n_pixels: Long,
     sum_intensity: Long, mean_milli: Long, min_v: Long, max_v: Long)
 
+final case class PixelHistRow(doc_id: Long, bin: Long, cnt: Long)
+
 final case class VideoFeatureRow(doc_id: Long, timescale: Int,
     duration_ms: Long, fingerprint: String)
 
@@ -196,6 +198,62 @@ object Multimodal {
         pixelStats(m.payload).map { case (n, sum, minV, maxV) =>
           PixelStatsRow(m.doc_id, n, sum, sum * 1000L / n,
             minV.toLong, maxV.toLong)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Per-image intensity HISTOGRAM over the blue-channel raster (the
+    * same bottom-up/padded walk as [[pixelStats]]): counts per
+    * `256/bins`-wide intensity bucket — the distribution the entropy
+    * gate and contrast checks read. Pure integers; undecodable
+    * payloads emit nothing.
+    */
+  def pixelHistogram(payload: Array[Byte], bins: Int): Option[Array[Long]] =
+    decodeBmpDims(payload) match {
+      case Some((w, h, 3)) if payload.length >= 54 =>
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val bpp = bb.getShort(28) & 0xffff
+        val offset = bb.getInt(10)
+        val topDown = bb.getInt(22) < 0
+        val rowBytesL = (w.toLong * 3 + 3) / 4 * 4
+        val rowBytes = rowBytesL.toInt
+        if (bpp != 24 || offset < 54 || rowBytesL != rowBytes.toLong ||
+          offset.toLong + rowBytesL * h.toLong > payload.length) None
+        else {
+          val width = 256 / bins
+          val hist = new Array[Long](bins)
+          var r = 0
+          while (r < h) {
+            val storedRow = if (topDown) r else h - 1 - r
+            val base = offset + storedRow * rowBytes
+            var c = 0
+            while (c < w) {
+              hist((payload(base + c * 3) & 0xff) / width) += 1
+              c += 1
+            }
+            r += 1
+          }
+          Some(hist)
+        }
+      case _ => None
+    }
+
+  /** [[pixelHistogram]] as a mapPartitions stage emitting sparse
+    * (doc_id, bin, cnt) rows (empty bins omitted).
+    */
+  def imagePixelHistogram(media: Dataset[MediaRow],
+      bins: Int): DataFrame = {
+    require(bins >= 2 && 256 % bins == 0,
+      s"bins must divide 256, got $bins")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        pixelHistogram(m.payload, bins).iterator.flatMap { hist =>
+          hist.iterator.zipWithIndex.collect {
+            case (c, b) if c > 0 => PixelHistRow(m.doc_id, b.toLong, c)
+          }
         }
       }
     }.toDF()

@@ -109,6 +109,55 @@ object MediaQueries {
         .presentSorted(col("doc_id"))
     },
 
+    // PIXEL-HISTOGRAM ENTROPY: the dead-image / low-contrast gate a
+    // vision pipeline runs AFTER decode — 8-bucket intensity histogram
+    // from the real raster walk, Shannon entropy over the bucket
+    // distribution in exact micro-nats via per-bin rounded ln terms
+    // (no float SUM crosses the engines: each ln rounds to BIGINT
+    // per row, the aggregation is integer). Oracle re-enumerates the
+    // builder's analytic gradient raster.
+    QueryDef(
+      "mm_pixel_entropy",
+      """WITH m AS (
+        |  SELECT doc_id, (16 + doc_id % 48)::INT AS w,
+        |         (16 + doc_id % 32)::INT AS h,
+        |         ((doc_id * 11) % 256)::INT AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, ((seed + rr * 7 + cc * 3) % 256)::BIGINT AS v
+        |  FROM m, unnest(range(0, h)) AS t1(rr),
+        |       unnest(range(0, w)) AS t2(cc)),
+        |hb AS (SELECT doc_id, (v // 32)::BIGINT AS bin, count(*)::BIGINT AS c
+        |       FROM px GROUP BY 1, 2),
+        |t AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_bins,
+        |        sum(round(c::DOUBLE * ln(c::DOUBLE) * 1e6)::BIGINT)::BIGINT
+        |          AS sclnc
+        |      FROM hb GROUP BY 1)
+        |SELECT doc_id, n_bins,
+        |  ((round(ln(n::DOUBLE) * 1e6)::BIGINT * n) - sclnc) // n
+        |    AS entropy_micro
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          DocBuild.bmpPatternUdf((col("doc_id") % 48 + 16).cast("int"),
+            (col("doc_id") % 32 + 16).cast("int"),
+            ((col("doc_id") * 11) % 256).cast("int"),
+            lit(7), lit(3)).as("payload"),
+          lit("image/bmp").as("media_type"))
+        .as[MediaRow]
+      Multimodal.imagePixelHistogram(media, bins = 8)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bins"), sum(col("cnt")).as("n"),
+          sum(round(col("cnt").cast("double") *
+            log(col("cnt").cast("double")) * lit(1e6)).cast("long"))
+            .as("sclnc"))
+        .select(col("doc_id"), col("n_bins"),
+          expr("(cast(round(ln(cast(n as double)) * 1e6) as bigint) * n " +
+            "- sclnc) div n").as("entropy_micro"))
+        .presentSorted(col("doc_id"))
+    },
+
     // REAL PNG decode: synthesize a valid PNG per document (signature,
     // CRC'd IHDR/IDAT/IEND, deflated scanlines) with the color type
     // cycling grayscale/RGB/RGBA, and check that width/height/channels

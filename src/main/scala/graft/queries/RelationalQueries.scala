@@ -858,6 +858,95 @@ object RelationalQueries {
         .presentSorted(col("item_a"), col("item_b"))
     },
 
+    // RETENTION COHORT MATRIX: users grouped by first-purchase day,
+    // counted at each day-offset they purchase again — the classic
+    // retention triangle. The cohort assignment is a min-window over
+    // the SAME user_id partitioning the distinct pass already
+    // shuffled on (no cohort join), pure integer day math.
+    QueryDef(
+      "agg_retention_cohorts",
+      """WITH p AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch(ts::TIMESTAMP)::BIGINT // 86400) AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, day,
+        |        min(day) OVER (PARTITION BY user_id) AS cohort
+        |      FROM p)
+        |SELECT cohort::BIGINT AS cohort_day,
+        |  (day - cohort)::BIGINT AS offset_day,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val wu = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+        .distinct()
+        .withColumn("cohort", min(col("day")).over(wu))
+        .groupBy(col("cohort").as("cohort_day"),
+          (col("day") - col("cohort")).as("offset_day"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .presentSorted(col("cohort_day"), col("offset_day"))
+    },
+
+    // A/B COHORT TEST: chi-square independence between an assignment
+    // (user_id parity — the hash-bucket split an experiment framework
+    // uses) and a conversion outcome (any purchase over $1.50), with
+    // per-cohort conversion rates in exact milli. The same guarded
+    // pinned-order chi2 algebra as the term-selection family; one
+    // row out of one aggregate.
+    QueryDef(
+      "agg_ab_cohort_chi2",
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS cohort,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT
+        |    sum(CASE WHEN cohort = 0 AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN cohort = 1 AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN cohort = 0 AND conv = 0 THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN cohort = 1 AND conv = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM u)
+        |SELECT a, b, c, d,
+        |  (a * 1000) // (a + c) AS conv0_milli,
+        |  (b * 1000) // (b + d) AS conv1_milli,
+        |  CASE WHEN (a+b) = 0 OR (c+d) = 0 OR (a+c) = 0 OR (b+d) = 0
+        |    THEN 0.0
+        |    ELSE round( ((a+b+c+d)::DOUBLE
+        |        * ((a*d - b*c)::DOUBLE * (a*d - b*c)::DOUBLE))
+        |      / (((a+b)::DOUBLE) * ((c+d)::DOUBLE) * ((a+c)::DOUBLE)
+        |         * ((b+d)::DOUBLE)), 4) END AS chi2
+        |FROM cm""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"), (col("user_id") % 2).as("cohort"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 150, 1L).otherwise(0L)).as("conv"))
+      val cm = u.agg(
+        sum(when(col("cohort") === 0 && col("conv") === 1, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("cohort") === 1 && col("conv") === 1, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("cohort") === 0 && col("conv") === 0, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("cohort") === 1 && col("conv") === 0, 1L)
+          .otherwise(0L)).as("d"))
+      cm.select(col("a"), col("b"), col("c"), col("d"),
+        expr("a * 1000 div (a + c)").as("conv0_milli"),
+        expr("b * 1000 div (b + d)").as("conv1_milli"),
+        when((col("a") + col("b")) === 0 || (col("c") + col("d")) === 0 ||
+          (col("a") + col("c")) === 0 || (col("b") + col("d")) === 0,
+          lit(0.0)).otherwise(round(
+          ((col("a") + col("b") + col("c") + col("d")).cast("double") *
+            ((col("a") * col("d") - col("b") * col("c")).cast("double") *
+              (col("a") * col("d") - col("b") * col("c")).cast("double"))) /
+            ((col("a") + col("b")).cast("double") *
+              (col("c") + col("d")).cast("double") *
+              (col("a") + col("c")).cast("double") *
+              (col("b") + col("d")).cast("double")), 4)).as("chi2"))
+    },
+
     // Gaps-and-islands: each user's LONGEST streak of consecutive
     // active days (+ its earliest start day) — the engagement signal
     // behind retention cohorts. The classic day - row_number() island

@@ -17,6 +17,21 @@ class MultimodalSpec extends SparkSpec {
       .contains((300, 200, 3)))
   }
 
+  test("pixelHistogram counts every pixel into 256/bins buckets") {
+    // bmpPatternBytes pixel value = (seed + r*rowCoef + c*colCoef) % 256.
+    // 4x2 raster, seed 10, coefs 7/3: values {10,13,16,19,17,20,23,26}
+    // -> bins (width 32): all in bin 0. Totals must equal w*h.
+    val flat = DocBuild.bmpPatternBytes(4, 2, 10, 7, 3)
+    val h1 = Multimodal.pixelHistogram(flat, 8).get
+    assert(h1.sum == 8L && h1(0) == 8L, s"got ${h1.toSeq}")
+    // seed 250 wraps: values {250,253,0,3,1,4,7,10} -> bin 7 gets 2
+    // (250,253), bin 0 gets 6.
+    val wrap = DocBuild.bmpPatternBytes(4, 2, 250, 7, 3)
+    val h2 = Multimodal.pixelHistogram(wrap, 8).get
+    assert(h2(7) == 2L && h2(0) == 6L && h2.sum == 8L, s"got ${h2.toSeq}")
+    assert(Multimodal.pixelHistogram("junk".getBytes("UTF-8"), 8).isEmpty)
+  }
+
   test("decodeBmpDims handles top-down rows and rejects non-BMPs") {
     val topDown = DocBuild.bmpBytes(8, 4, 7)
     val bb = java.nio.ByteBuffer.wrap(topDown)
