@@ -46,4 +46,30 @@ object Linkage {
       .filter(col("lev") <= maxLev)
       .select("name_a", "name_b", "lev", "rows_a", "rows_b")
   }
+
+  /** [[blockedNamePairs]]' graded twin: Jaro-Winkler similarity
+    * (transposition-tolerant, prefix-weighted — the fuzzy-name scorer
+    * where edit distance is too coarse) via the codegen'd native
+    * expression, gated on the 4dp-ROUNDED score so the threshold
+    * decision is engine-independent. Same distinct-collapse +
+    * blocking scale shape.
+    */
+  def blockedNameSimPairs(df: DataFrame, nameCol: String,
+      block: Column => Column, minJw: Double): DataFrame = {
+    require(minJw >= 0.0 && minJw <= 1.0, s"minJw in [0,1], got $minJw")
+    val names = df
+      .groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("__blk", block(col("name")))
+    val a = names.select(col("__blk"), col("name").as("name_a"),
+      col("n_rows").as("rows_a"))
+    val b = names.select(col("__blk"), col("name").as("name_b"),
+      col("n_rows").as("rows_b"))
+    a.join(b, Seq("__blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw", round(graft.functions.StringSimExprs
+        .jaroWinkler(col("name_a"), col("name_b")), 4))
+      .filter(col("jw") >= minJw)
+      .select("name_a", "name_b", "jw", "rows_a", "rows_b")
+  }
 }

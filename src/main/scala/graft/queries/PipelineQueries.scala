@@ -955,6 +955,32 @@ object PipelineQueries {
         .presentSorted(col("decile"))
     },
 
+    // Deterministic K-FOLD assignment + balance audit: folds from the
+    // pinned portable hash (no RNG — any engine or retraining
+    // reproduces the exact split), audited per (fold, source) so a
+    // skewed fold is visible BEFORE a cross-validation run spends
+    // compute on it. One narrow projection + one map-side-combined
+    // aggregate.
+    QueryDef(
+      "pl_kfold_assign",
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    (('0x' || substr(md5('fold:' || doc_id), 1, 15))::BIGINT % 5)
+        |      AS fold
+        |  FROM documents)
+        |SELECT fold, source, count(*)::BIGINT AS n_docs
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          (graft.functions.HashFunctions.stableHash64(
+            concat(lit("fold:"), col("doc_id").cast("string"))) % 5)
+            .as("fold"),
+          col("source"))
+        .groupBy(col("fold"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .presentSorted(col("fold"), col("source"))
+    },
+
     // SKEW REPORT: the top heavy join keys with their traffic share
     // and the ceil(freq/avg) salting factor the salted-join family
     // would apply — the diagnosis step that decides WHEN to salt
