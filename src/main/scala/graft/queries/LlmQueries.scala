@@ -2715,6 +2715,47 @@ object LlmQueries {
         .presentSorted(col("entity"))
     },
 
+    // ASYMMETRIC CONTAINMENT pairs: |A∩B|/|A| per direction in exact
+    // milli over the SAME df-capped shingle blocks — the
+    // quote/subset detector Jaccard misses (a short doc fully quoted
+    // inside a long one has high containment but low Jaccard).
+    // Reuses the fused witness-dedup pipeline; only the projection
+    // and gate differ from dd_jaccard_blocked_pairs.
+    QueryDef(
+      "dd_containment_pairs",
+      NearDupCte +
+        """, rare AS (SELECT bh FROM hset GROUP BY bh HAVING count(*) <= 20),
+          |bl AS (SELECT s.doc_id, s.bh FROM hset s JOIN rare r ON r.bh = s.bh),
+          |cand AS (
+          |  SELECT DISTINCT xa.doc_id AS a, xb.doc_id AS b
+          |  FROM bl xa JOIN bl xb ON xa.bh = xb.bh AND xa.doc_id < xb.doc_id),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM hset GROUP BY doc_id),
+          |inter AS (
+          |  SELECT c.a, c.b, count(*)::BIGINT AS n_inter
+          |  FROM cand c
+          |  JOIN hset sa ON sa.doc_id = c.a
+          |  JOIN hset sb ON sb.doc_id = c.b AND sb.bh = sa.bh
+          |  GROUP BY c.a, c.b)
+          |SELECT i.a, i.b, n_inter,
+          |  (n_inter * 1000) // za.n_sh AS cont_a_milli,
+          |  (n_inter * 1000) // zb.n_sh AS cont_b_milli
+          |FROM inter i
+          |JOIN sizes za ON za.doc_id = i.a
+          |JOIN sizes zb ON zb.doc_id = i.b
+          |WHERE greatest((n_inter * 1000) // za.n_sh,
+          |               (n_inter * 1000) // zb.n_sh) >= 700
+          |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val corpus = nearDupCorpus(Tables.documents(s, d))
+      val hsArr = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.blockedJaccard(hsArr, 20)
+        .select(col("a"), col("b"), col("n_inter"),
+          expr("n_inter * 1000 div n_a").as("cont_a_milli"),
+          expr("n_inter * 1000 div n_b").as("cont_b_milli"))
+        .filter(greatest(col("cont_a_milli"), col("cont_b_milli")) >= 700)
+        .repartition(1).sortWithinPartitions(col("a"), col("b"))
+    },
+
     // CROSS-SOURCE OVERLAP MATRIX: MinHash-estimated vs exact Jaccard
     // between every source pair's shingle sets — the corpus-level
     // diversity/contamination audit, and an estimator self-check at
@@ -3683,6 +3724,59 @@ object LlmQueries {
       graft.operators.TextAnalysis.hashingVectorize(
           Tables.documents(s, d), "doc_id", "text", buckets = 16)
         .presentSorted(col("doc_id"), col("bucket"))
+    },
+
+    // Per-doc TF-IDF top terms: the classic lightweight keyword
+    // extraction — idf pinned as a per-TERM rounded micro integer
+    // (one ln per distinct term, no float sums), score = tf ×
+    // idf_micro exact, top-3 per doc with term tie-break. One
+    // explode, one df aggregate (broadcast back), one df-bounded
+    // rank window.
+    QueryDef(
+      "txt_tfidf_top_terms",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+        |      AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |       FROM t GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * round(ln(n.n::DOUBLE / dfreq.df::DOUBLE) * 1e6)::BIGINT
+        |      AS tfidf_micro
+        |  FROM tf JOIN dfreq ON dfreq.term = tf.term, n),
+        |r AS (
+        |  SELECT doc_id, term, tfidf_micro,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf_micro DESC, term) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, rnk, term, tfidf_micro FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"),
+          explode(filter(split(trim(col("text")), " +"), x => x =!= ""))
+            .as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf_micro").desc, col("term"))
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(n)) // one-row corpus-count frame
+        .select(col("doc_id"), col("term"),
+          (col("tf") * round(log(col("n").cast("double") /
+            col("df").cast("double")) * lit(1e6)).cast("long"))
+            .as("tfidf_micro"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tfidf_micro"))
+        .presentSorted(col("doc_id"), col("rnk"))
     },
 
     // Chi-square term selection (TextAnalysis.chi2Terms): the top-20

@@ -102,7 +102,9 @@ class PlanRegressionSpec extends SparkSpec {
       // construction) and the one-row n_common frame.
       "pl_classifier_eval_split", "agg_decayed_user_value",
       "pl_classifier_calibration", "pl_skew_report",
-      "search_eval_rank_corr")
+      "search_eval_rank_corr",
+      // txt_tfidf_top_terms: one-row corpus-count frame cross-join.
+      "txt_tfidf_top_terms")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
         p.contains("BroadcastNestedLoopJoin")) => n
