@@ -858,6 +858,111 @@ object RelationalQueries {
         .presentSorted(col("item_a"), col("item_b"))
     },
 
+    // LINEAR MULTI-TOUCH ATTRIBUTION: each purchase's cents split
+    // EXACTLY across the user's clicks in the prior 7 days — equal
+    // integer shares with the division remainder credited to the most
+    // recent touch, so credit sums reconcile to attributed revenue
+    // bit-for-bit (the audit marketing pipelines actually fail).
+    // Clicks meet purchases on the USER equi-key with the time range
+    // as a post-join predicate (per-user bounded — no inequality-only
+    // join), then two windows per purchase.
+    QueryDef(
+      "join_attribution_linear",
+      """WITH p AS (
+        |  SELECT event_id AS pid, user_id,
+        |    epoch(ts::TIMESTAMP)::BIGINT AS pt,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS cid, user_id,
+        |    epoch(ts::TIMESTAMP)::BIGINT AS ct
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.pid, p.cents, c.cid, c.ct,
+        |    count(*) OVER (PARTITION BY p.pid) AS n_touch,
+        |    row_number() OVER (PARTITION BY p.pid
+        |      ORDER BY c.ct DESC, c.cid DESC) AS recency
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.ct < p.pt AND c.ct >= p.pt - 604800)
+        |SELECT pid, cid, n_touch,
+        |  (cents // n_touch) + CASE WHEN recency = 1
+        |    THEN cents - (cents // n_touch) * n_touch ELSE 0 END
+        |    AS credit_cents
+        |FROM m ORDER BY pid, cid""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          unix_timestamp(col("ts")).as("pt"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"),
+          unix_timestamp(col("ts")).as("ct"))
+      val wp = Window.partitionBy(col("pid"))
+      val wr = Window.partitionBy(col("pid"))
+        .orderBy(col("ct").desc, col("cid").desc)
+      p.join(c, Seq("user_id"))
+        .filter(col("ct") < col("pt") && col("ct") >= col("pt") - 604800)
+        .select(col("pid"), col("cents"), col("cid"), col("ct"))
+        .withColumn("n_touch", count(lit(1)).over(wp))
+        .withColumn("recency", row_number().over(wr))
+        .select(col("pid"), col("cid"), col("n_touch"),
+          (expr("cents div n_touch") + when(col("recency") === 1,
+            col("cents") - expr("cents div n_touch") * col("n_touch"))
+            .otherwise(0L)).as("credit_cents"))
+        .presentSorted(col("pid"), col("cid"))
+    },
+
+    // Distribution SHAPE profile per source: skewness + excess
+    // kurtosis from ONE map-side-combined pass over exact integer
+    // raw moments (Σx..Σx⁴ — bounded: 577⁴·250 ≈ 3e13), the
+    // standardized-moment algebra then runs in a pinned double
+    // operation order rounded to 4dp. The profiling depth column
+    // stats stop at (is this source's length distribution heavy-
+    // tailed or truncated).
+    QueryDef(
+      "agg_moment_shape_stats",
+      """WITH t AS (SELECT source, n_chars::BIGINT AS x FROM documents),
+        |m AS (
+        |  SELECT source, count(*)::BIGINT AS n, sum(x)::BIGINT AS s1,
+        |    sum(x*x)::BIGINT AS s2, sum(x*x*x)::BIGINT AS s3,
+        |    sum(x*x*x*x)::BIGINT AS s4
+        |  FROM t GROUP BY 1)
+        |SELECT source, n,
+        |  round( ((s3::DOUBLE / n) - 3.0 * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+        |      + 2.0 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s1::DOUBLE / n))
+        |    / pow((s2::DOUBLE / n) - (s1::DOUBLE / n) * (s1::DOUBLE / n), 1.5),
+        |    4) AS skewness,
+        |  round( ((s4::DOUBLE / n) - 4.0 * (s1::DOUBLE / n) * (s3::DOUBLE / n)
+        |      + 6.0 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+        |      - 3.0 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+        |        * (s1::DOUBLE / n))
+        |    / (((s2::DOUBLE / n) - (s1::DOUBLE / n) * (s1::DOUBLE / n))
+        |       * ((s2::DOUBLE / n) - (s1::DOUBLE / n) * (s1::DOUBLE / n)))
+        |    - 3.0, 4) AS excess_kurtosis
+        |FROM m ORDER BY source""".stripMargin) { (s, d) =>
+      val mean = col("s1").cast("double") / col("n")
+      val r2 = col("s2").cast("double") / col("n")
+      val r3 = col("s3").cast("double") / col("n")
+      val r4 = col("s4").cast("double") / col("n")
+      val m2 = r2 - mean * mean
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("x"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        .select(col("source"), col("n"),
+          round((r3 - lit(3.0) * mean * r2 +
+            lit(2.0) * mean * mean * mean) / pow(m2, 1.5), 4)
+            .as("skewness"),
+          round((r4 - lit(4.0) * mean * r3 +
+            lit(6.0) * mean * mean * r2 -
+            lit(3.0) * mean * mean * mean * mean) / (m2 * m2) - lit(3.0),
+            4).as("excess_kurtosis"))
+        .presentSorted(col("source"))
+    },
+
     // RETENTION COHORT MATRIX: users grouped by first-purchase day,
     // counted at each day-offset they purchase again — the classic
     // retention triangle. The cohort assignment is a min-window over
