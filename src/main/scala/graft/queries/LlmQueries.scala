@@ -2756,6 +2756,72 @@ object LlmQueries {
         .repartition(1).sortWithinPartitions(col("a"), col("b"))
     },
 
+    // LSH CANDIDATE-RECALL EVALUATION: how many true near-dup pairs
+    // (the df-capped blocked-exact baseline, Jaccard >= 0.5) does the
+    // 16-band MinHash candidate generation actually surface — the
+    // quality gate on the dedup family's own approximation, the twin
+    // of sim_pq_recall_at_k for the pair side. One row: truth size,
+    // LSH-verified size, overlap, recall in exact milli.
+    QueryDef(
+      "dd_lsh_recall_eval",
+      MinhashCandPrefix +
+        """sizes AS (SELECT doc_id, count(*) AS n_sh FROM hset GROUP BY doc_id),
+          |inter AS (
+          |  SELECT c.a, c.b, count(*) AS n_inter FROM cand c
+          |  JOIN hset sa ON sa.doc_id = c.a
+          |  JOIN hset sb ON sb.doc_id = c.b AND sb.bh = sa.bh
+          |  GROUP BY c.a, c.b),
+          |lsh AS (
+          |  SELECT i.a, i.b FROM inter i
+          |  JOIN sizes za ON za.doc_id = i.a
+          |  JOIN sizes zb ON zb.doc_id = i.b
+          |  WHERE n_inter / (za.n_sh + zb.n_sh - n_inter) >= 0.5),
+          |rare AS (SELECT bh FROM hset GROUP BY bh HAVING count(*) <= 20),
+          |bl AS (SELECT s.doc_id, s.bh FROM hset s JOIN rare r ON r.bh = s.bh),
+          |bcand AS (
+          |  SELECT DISTINCT xa.doc_id AS a, xb.doc_id AS b
+          |  FROM bl xa JOIN bl xb ON xa.bh = xb.bh AND xa.doc_id < xb.doc_id),
+          |binter AS (
+          |  SELECT c.a, c.b, count(*) AS n_inter FROM bcand c
+          |  JOIN hset sa ON sa.doc_id = c.a
+          |  JOIN hset sb ON sb.doc_id = c.b AND sb.bh = sa.bh
+          |  GROUP BY c.a, c.b),
+          |truth AS (
+          |  SELECT i.a, i.b FROM binter i
+          |  JOIN sizes za ON za.doc_id = i.a
+          |  JOIN sizes zb ON zb.doc_id = i.b
+          |  WHERE n_inter / (za.n_sh + zb.n_sh - n_inter) >= 0.5),
+          |tc AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+          |lc AS (SELECT count(*)::BIGINT AS n_lsh FROM lsh),
+          |cc AS (SELECT count(*)::BIGINT AS n_common
+          |       FROM truth t JOIN lsh l ON l.a = t.a AND l.b = t.b)
+          |SELECT n_truth, n_lsh, n_common,
+          |  CASE WHEN n_truth = 0 THEN 0
+          |    ELSE n_common * 1000 // n_truth END AS recall_milli
+          |FROM tc, lc, cc""".stripMargin) { (s, d) =>
+      val corpus = nearDupCorpus(Tables.documents(s, d))
+      val hsArr = Dedup.hashedShingleArrays(corpus, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lshPairs = Dedup.jaccard(
+        Dedup.lshCandidatePairsFromKeys(
+          Dedup.lshBandKeys(Dedup.minhashSignatures(hsArr, 128), 128, 16)),
+        hsArr)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"))
+      val truth = Dedup.blockedJaccard(hsArr, 20)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"))
+      val tc = truth.agg(count(lit(1)).as("n_truth"))
+      val lc = lshPairs.agg(count(lit(1)).as("n_lsh"))
+      val cc = truth.join(lshPairs, Seq("a", "b"))
+        .agg(count(lit(1)).as("n_common"))
+      tc.crossJoin(broadcast(lc)).crossJoin(broadcast(cc))
+        .select(col("n_truth"), col("n_lsh"), col("n_common"),
+          when(col("n_truth") === 0, 0L)
+            .otherwise(expr("n_common * 1000 div n_truth"))
+            .as("recall_milli"))
+    },
+
     // CROSS-SOURCE OVERLAP MATRIX: MinHash-estimated vs exact Jaccard
     // between every source pair's shingle sets — the corpus-level
     // diversity/contamination audit, and an estimator self-check at

@@ -858,6 +858,51 @@ object RelationalQueries {
         .presentSorted(col("item_a"), col("item_b"))
     },
 
+    // PARETO CONCENTRATION: what share of purchase revenue the top
+    // 1/5/10/25% of spenders hold — the "whale" concentration report
+    // behind sampling and capacity decisions. Rank + cumulative-sum
+    // windows over the per-user aggregate, thresholds as an in-row
+    // explode matched on the exact ceil(pct·n/100) rank (collisions
+    // keep both rows), shares in exact milli.
+    QueryDef(
+      "agg_pareto_concentration",
+      """WITH u AS (
+        |  SELECT user_id, sum(round(value * 100))::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, cents,
+        |    row_number() OVER (ORDER BY cents DESC, user_id) AS rn,
+        |    count(*) OVER () AS nu,
+        |    sum(cents) OVER () AS tot,
+        |    sum(cents) OVER (ORDER BY cents DESC, user_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM u)
+        |SELECT v.pct AS top_pct, r.rn AS n_top,
+        |  r.cum::BIGINT AS cum_cents,
+        |  (r.cum * 1000 // r.tot)::BIGINT AS share_milli
+        |FROM r CROSS JOIN (VALUES (1), (5), (10), (25)) v(pct)
+        |WHERE r.rn = (v.pct * r.nu + 99) // 100
+        |ORDER BY top_pct, n_top""".stripMargin) { (s, d) =>
+      val wAll = Window.partitionBy()
+      val wOrd = Window.orderBy(col("cents").desc, col("user_id"))
+      val wCum = Window.orderBy(col("cents").desc, col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100)).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("nu", count(lit(1)).over(wAll))
+        .withColumn("tot", sum(col("cents")).over(wAll))
+        .withColumn("cum", sum(col("cents")).over(wCum))
+        .withColumn("pct", explode(array(lit(1), lit(5), lit(10), lit(25))))
+        .filter(col("rn") === expr("(pct * nu + 99) div 100"))
+        .select(col("pct").as("top_pct"), col("rn").as("n_top"),
+          col("cum").as("cum_cents"),
+          expr("cum * 1000 div tot").as("share_milli"))
+        .presentSorted(col("top_pct"), col("n_top"))
+    },
+
     // LINEAR MULTI-TOUCH ATTRIBUTION: each purchase's cents split
     // EXACTLY across the user's clicks in the prior 7 days — equal
     // integer shares with the division remainder credited to the most

@@ -104,7 +104,11 @@ class PlanRegressionSpec extends SparkSpec {
       "pl_classifier_calibration", "pl_skew_report",
       "search_eval_rank_corr",
       // txt_tfidf_top_terms: one-row corpus-count frame cross-join.
-      "txt_tfidf_top_terms")
+      "txt_tfidf_top_terms",
+      // dd_lsh_recall_eval: three ONE-ROW count frames cross-joined
+      // into the single eval row (the corpus-scale work — signatures,
+      // banding, blocked verify — is all hash-aggregate/hash-join).
+      "dd_lsh_recall_eval")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
         p.contains("BroadcastNestedLoopJoin")) => n
