@@ -3792,6 +3792,53 @@ object LlmQueries {
         .presentSorted(col("doc_id"), col("bucket"))
     },
 
+    // PMI COLLOCATIONS: the corpus's strongest two-word units by
+    // pointwise mutual information — the phrase-mining signal behind
+    // tokenizer vocab decisions and stop-phrase lists. Unigram counts
+    // derive from the SAME bigram frame (w1 position), pmi pinned as
+    // one per-row rounded ln over exact integer counts, count floor
+    // prunes the unstable tail.
+    QueryDef(
+      "txt_collocation_pmi",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
+        |         unnest(list_transform(range(1, len(l)), i -> l[i+1])) AS w2
+        |  FROM t),
+        |bc AS (SELECT w1, w2, count(*)::BIGINT AS n_ab FROM bg GROUP BY 1, 2),
+        |uc AS (SELECT w1 AS w, count(*)::BIGINT AS n_w FROM bg GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM bg)
+        |SELECT b.w1, b.w2, b.n_ab,
+        |  round(ln((b.n_ab::DOUBLE * t.n::DOUBLE)
+        |    / (ua.n_w::DOUBLE * ub.n_w::DOUBLE)) * 1e6)::BIGINT AS pmi_micro
+        |FROM bc b JOIN uc ua ON ua.w = b.w1 JOIN uc ub ON ub.w = b.w2, tot t
+        |WHERE b.n_ab >= 25
+        |ORDER BY pmi_micro DESC, b.w1, b.w2 LIMIT 20""".stripMargin) { (s, d) =>
+      val bg = Tables.documents(s, d)
+        .select(explode(graft.functions.NativeHashExprs
+          .stringShingles(col("text"), 2)).as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+      val bc = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 25)
+      val uc = bg.groupBy(col("w1").as("w")).agg(count(lit(1)).as("n_w"))
+      val tot = bg.agg(count(lit(1)).as("n"))
+      bc
+        .join(uc.select(col("w").as("w1"), col("n_w").as("__na")), Seq("w1"))
+        .join(uc.select(col("w").as("w2"), col("n_w").as("__nb")), Seq("w2"))
+        .crossJoin(broadcast(tot)) // one-row bigram-total frame
+        .select(col("w1"), col("w2"), col("n_ab"),
+          round(log((col("n_ab").cast("double") * col("n").cast("double")) /
+            (col("__na").cast("double") * col("__nb").cast("double"))) *
+            lit(1e6)).cast("long").as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
     // Per-doc TF-IDF top terms: the classic lightweight keyword
     // extraction — idf pinned as a per-TERM rounded micro integer
     // (one ln per distinct term, no float sums), score = tf ×
@@ -4681,6 +4728,39 @@ object LlmQueries {
       }.reduce(_ unionByName _)
         .presentSorted(col("query_term"), col("lev"),
           col("cf").desc, col("term"))
+    },
+
+    // BOOLEAN retrieval: (spark AND vector) AND NOT merge, ranked by
+    // summed tf — the filter-language face of the search family
+    // (alerts, compliance scans, corpus carves run boolean, not
+    // ranked-only). One scan of in-row tf counts + TakeOrdered; the
+    // NOT term is a predicate, not an anti-join.
+    QueryDef(
+      "search_boolean_topk",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    len(list_filter(l, x -> x = 'spark'))  AS tf_a,
+        |    len(list_filter(l, x -> x = 'vector')) AS tf_b,
+        |    len(list_filter(l, x -> x = 'merge'))  AS tf_n
+        |  FROM t)
+        |SELECT doc_id, tf_a, tf_b, (tf_a + tf_b)::BIGINT AS score
+        |FROM p WHERE tf_a > 0 AND tf_b > 0 AND tf_n = 0
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin) { (s, d) =>
+      val toks = filter(split(trim(col("text")), " +"), x => x =!= "")
+      def tf(t: String) = size(filter(col("__l"), x => x === lit(t)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("__l"))
+        .select(col("doc_id"), tf("spark").as("tf_a"),
+          tf("vector").as("tf_b"), tf("merge").as("tf_n"))
+        .filter(col("tf_a") > 0 && col("tf_b") > 0 && col("tf_n") === 0)
+        .select(col("doc_id"), col("tf_a"), col("tf_b"),
+          (col("tf_a") + col("tf_b")).cast("long").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
     },
 
     // QUERY-LIKELIHOOD top-10 (Dirichlet-smoothed LM, mu=2000): the

@@ -858,6 +858,79 @@ object RelationalQueries {
         .presentSorted(col("item_a"), col("item_b"))
     },
 
+    // DAY-OF-WEEK UNIFORMITY: the weekly traffic profile plus a
+    // chi-square uniformity statistic — "is load seasonal enough to
+    // schedule around". Exact integer algebra throughout: the
+    // uniform-expectation test cross-multiplies to
+    // Σ(7·obs − total)² · 1000 div (7·total), no float expectation.
+    QueryDef(
+      "agg_dow_uniformity",
+      """WITH e AS (
+        |  SELECT ((floor(epoch(ts::TIMESTAMP))::BIGINT // 86400) % 7)::BIGINT
+        |    AS dow
+        |  FROM events),
+        |c AS (SELECT dow, count(*)::BIGINT AS obs FROM e GROUP BY 1),
+        |t AS (SELECT sum(obs)::BIGINT AS total FROM c)
+        |SELECT c.dow, c.obs,
+        |  (c.obs * 7000 // t.total)::BIGINT AS share_of_uniform_milli,
+        |  (sum((7 * c.obs - t.total) * (7 * c.obs - t.total)) OVER ()
+        |    * 1000 // (7 * t.total))::BIGINT AS chi2_milli
+        |FROM c, t ORDER BY dow""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy()
+      Tables.events(s, d)
+        .select(((unix_timestamp(col("ts")) / 86400).cast("long") % 7)
+          .as("dow"))
+        .groupBy(col("dow"))
+        .agg(count(lit(1)).as("obs"))
+        .crossJoin(broadcast(
+          Tables.events(s, d).agg(count(lit(1)).as("total"))))
+        .withColumn("__ss",
+          sum(expr("(7 * obs - total) * (7 * obs - total)")).over(w))
+        .select(col("dow"), col("obs"),
+          expr("obs * 7000 div total").as("share_of_uniform_milli"),
+          expr("__ss * 1000 div (7 * total)").as("chi2_milli"))
+        .presentSorted(col("dow"))
+    },
+
+    // MEDIAN INTER-PURCHASE GAP per user (exact index rule on the
+    // sorted gap list — the reorder-cycle signal replenishment
+    // forecasting starts from). Lag + rank windows share the one
+    // user_id exchange; pure integer seconds.
+    QueryDef(
+      "win_interpurchase_median",
+      """WITH p AS (
+        |  SELECT user_id, floor(epoch(ts::TIMESTAMP))::BIGINT AS t
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT user_id,
+        |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+        |  FROM p),
+        |r AS (
+        |  SELECT user_id, gap,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT user_id, min(n)::BIGINT AS n_gaps,
+        |  min(CASE WHEN rn = (n + 1) // 2 THEN gap END)::BIGINT
+        |    AS median_gap_s
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val wo = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      val wg = Window.partitionBy(col("user_id")).orderBy(col("gap"))
+      val wu = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("t"))
+        .withColumn("gap", col("t") - lag(col("t"), 1).over(wo))
+        .filter(col("gap").isNotNull)
+        .withColumn("rn", row_number().over(wg))
+        .withColumn("n", count(lit(1)).over(wu))
+        .groupBy(col("user_id"))
+        .agg(min(col("n")).as("n_gaps"),
+          min(when(col("rn") === expr("(n + 1) div 2"), col("gap")))
+            .as("median_gap_s"))
+        .presentSorted(col("user_id"))
+    },
+
     // PARETO CONCENTRATION: what share of purchase revenue the top
     // 1/5/10/25% of spenders hold — the "whale" concentration report
     // behind sampling and capacity decisions. Rank + cumulative-sum
@@ -915,12 +988,12 @@ object RelationalQueries {
       "join_attribution_linear",
       """WITH p AS (
         |  SELECT event_id AS pid, user_id,
-        |    epoch(ts::TIMESTAMP)::BIGINT AS pt,
+        |    floor(epoch(ts::TIMESTAMP))::BIGINT AS pt,
         |    round(value * 100)::BIGINT AS cents
         |  FROM events WHERE event_type = 'purchase'),
         |c AS (
         |  SELECT event_id AS cid, user_id,
-        |    epoch(ts::TIMESTAMP)::BIGINT AS ct
+        |    floor(epoch(ts::TIMESTAMP))::BIGINT AS ct
         |  FROM events WHERE event_type = 'click'),
         |m AS (
         |  SELECT p.pid, p.cents, c.cid, c.ct,
@@ -1017,7 +1090,7 @@ object RelationalQueries {
       "agg_retention_cohorts",
       """WITH p AS (
         |  SELECT DISTINCT user_id,
-        |    (epoch(ts::TIMESTAMP)::BIGINT // 86400) AS day
+        |    (floor(epoch(ts::TIMESTAMP))::BIGINT // 86400) AS day
         |  FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, day,
         |        min(day) OVER (PARTITION BY user_id) AS cohort
@@ -1106,7 +1179,7 @@ object RelationalQueries {
       "win_activity_streaks",
       """WITH d AS (
         |  SELECT DISTINCT user_id,
-        |    (epoch(ts::TIMESTAMP)::BIGINT // 86400) AS day
+        |    (floor(epoch(ts::TIMESTAMP))::BIGINT // 86400) AS day
         |  FROM events),
         |r AS (
         |  SELECT user_id, day,
@@ -1148,7 +1221,7 @@ object RelationalQueries {
       "agg_decayed_user_value",
       """WITH c AS (
         |  SELECT user_id, round(value * 100)::BIGINT AS cents,
-        |    (epoch(ts::TIMESTAMP)::BIGINT // 604800) AS wk
+        |    (floor(epoch(ts::TIMESTAMP))::BIGINT // 604800) AS wk
         |  FROM events),
         |m AS (SELECT max(wk) AS mx FROM c)
         |SELECT user_id,

@@ -108,7 +108,10 @@ class PlanRegressionSpec extends SparkSpec {
       // dd_lsh_recall_eval: three ONE-ROW count frames cross-joined
       // into the single eval row (the corpus-scale work — signatures,
       // banding, blocked verify — is all hash-aggregate/hash-join).
-      "dd_lsh_recall_eval")
+      "dd_lsh_recall_eval",
+      // txt_collocation_pmi / agg_dow_uniformity: one-row totals
+      // frame cross-joins (stats-then-apply shape).
+      "txt_collocation_pmi", "agg_dow_uniformity")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
         p.contains("BroadcastNestedLoopJoin")) => n
