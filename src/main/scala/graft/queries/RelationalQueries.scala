@@ -858,6 +858,77 @@ object RelationalQueries {
         .presentSorted(col("item_a"), col("item_b"))
     },
 
+    // SAMPLING-ESTIMATOR AUDIT: can the deterministic 10% hash sample
+    // stand in for the exact metric — mean AND median of purchase
+    // value computed both ways, relative errors in exact ppm. The
+    // governance row a sampling policy needs BEFORE dashboards switch
+    // to samples; the sample membership is the pinned portable hash,
+    // so any engine reproduces the same sample.
+    QueryDef(
+      "agg_sample_estimate_audit",
+      """WITH p AS (
+        |  SELECT event_id, round(value * 100)::BIGINT AS cents,
+        |    (('0x' || substr(md5('smp:' || event_id), 1, 15))::BIGINT % 100)
+        |      AS h
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT cents, h,
+        |    row_number() OVER (ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM p),
+        |rs AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM p WHERE h < 10),
+        |ex AS (SELECT min(n)::BIGINT AS n, sum(cents)::BIGINT AS s,
+        |         min(CASE WHEN rn = (n + 1) // 2 THEN cents END)::BIGINT
+        |           AS p50
+        |       FROM r),
+        |sm AS (SELECT min(n)::BIGINT AS n, sum(cents)::BIGINT AS s,
+        |         min(CASE WHEN rn = (n + 1) // 2 THEN cents END)::BIGINT
+        |           AS p50
+        |       FROM rs)
+        |SELECT ex.n AS n_exact, sm.n AS n_sample,
+        |  (ex.s * 1000 // ex.n)::BIGINT AS exact_avg_milli,
+        |  (sm.s * 1000 // sm.n)::BIGINT AS sample_avg_milli,
+        |  ex.p50 AS exact_p50_cents, sm.p50 AS sample_p50_cents,
+        |  (abs(sm.s * 1000 // sm.n - ex.s * 1000 // ex.n) * 1000000
+        |    // (ex.s * 1000 // ex.n))::BIGINT AS avg_rel_err_ppm,
+        |  (abs(sm.p50 - ex.p50) * 1000000 // ex.p50)::BIGINT
+        |    AS p50_rel_err_ppm
+        |FROM ex, sm""".stripMargin) { (s, d) =>
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (graft.functions.HashFunctions.stableHash64(
+            concat(lit("smp:"), col("event_id").cast("string"))) % 100)
+            .as("h"))
+      def stats(df: org.apache.spark.sql.DataFrame) = {
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cents"), col("event_id"))
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        df.withColumn("rn", row_number().over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .agg(min(col("n")).as("n"), sum(col("cents")).as("s"),
+            min(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+              .as("p50"))
+      }
+      val ex = stats(p).select(col("n").as("ne"), col("s").as("se"),
+        col("p50").as("pe"))
+      val sm = stats(p.filter(col("h") < 10))
+        .select(col("n").as("ns"), col("s").as("ss"), col("p50").as("ps"))
+      ex.crossJoin(broadcast(sm)) // two one-row stats frames
+        .select(col("ne").as("n_exact"), col("ns").as("n_sample"),
+          expr("se * 1000 div ne").as("exact_avg_milli"),
+          expr("ss * 1000 div ns").as("sample_avg_milli"),
+          col("pe").as("exact_p50_cents"), col("ps").as("sample_p50_cents"),
+          expr("abs(ss * 1000 div ns - se * 1000 div ne) * 1000000 " +
+            "div (se * 1000 div ne)").as("avg_rel_err_ppm"),
+          expr("abs(ps - pe) * 1000000 div pe").as("p50_rel_err_ppm"))
+    },
+
     // DAY-OF-WEEK UNIFORMITY: the weekly traffic profile plus a
     // chi-square uniformity statistic — "is load seasonal enough to
     // schedule around". Exact integer algebra throughout: the

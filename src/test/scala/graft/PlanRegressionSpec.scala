@@ -111,7 +111,10 @@ class PlanRegressionSpec extends SparkSpec {
       "dd_lsh_recall_eval",
       // txt_collocation_pmi / agg_dow_uniformity: one-row totals
       // frame cross-joins (stats-then-apply shape).
-      "txt_collocation_pmi", "agg_dow_uniformity")
+      "txt_collocation_pmi", "agg_dow_uniformity",
+      // agg_sample_estimate_audit: two ONE-ROW stats frames (exact vs
+      // sample) cross-joined into the single audit row.
+      "agg_sample_estimate_audit")
     val bad = plans.collect {
       case (n, p) if !intended(n) && (p.contains("CartesianProduct") ||
         p.contains("BroadcastNestedLoopJoin")) => n
