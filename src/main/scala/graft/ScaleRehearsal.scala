@@ -657,7 +657,12 @@ object ScaleRehearsal {
           fix, fan, fgr, "doc_id", "text", Some("vec"), planes = 8,
           dims = 8, k = 8, pqDir = Some(fpq), chunkDir = Some(fck),
           chunkVecDir = Some(fcv),
-          chunkVecTrainPerMille = math.max(1, 1000 / r))
+          // Match the bench configuration: the passage surfaces train
+          // their codebooks on the 250-per-mille stable-hash sample at
+          // 1x (round 18), and the rehearsal keeps the ABSOLUTE
+          // training-sample size fixed as the corpus replicates —
+          // Lloyd cost must not grow with the corpus.
+          chunkVecTrainPerMille = math.max(1, 250 / r))
       timed(r, "fanout_build_gated") {
         val (_, _, _, _, _, v) = gatedWave(
           docs.select(col("doc_id"), col("text"), fvec.as("vec")), 0L)

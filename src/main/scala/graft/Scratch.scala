@@ -75,3 +75,118 @@ object Scratch {
 object ScratchStages {
   def main(args: Array[String]): Unit = Scratch.stages()
 }
+
+/** Step-level timing of the passage builds: replicates passageBuild's
+  * wave sequence with a wall-clock print per wave, so "the build is
+  * slow" decomposes into WHICH wave (chunk ingest vs train+encode vs
+  * incremental re-encode vs redelivery no-op).
+  */
+object ScratchPassage {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[pw] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    (1 to 3).foreach { round =>
+      val root = java.nio.file.Files.createTempDirectory("pw").toString
+      val (ck, vec) = (s"$root/chunks", s"$root/vec")
+      val base = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val stale = base.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(lit("stale draft chunk "), col("text")))
+          .otherwise(col("text")))
+      def vecIngest(ids: org.apache.spark.sql.DataFrame) =
+        graft.streaming.Streams.chunkVectorIngestBatch(
+          spark, ck, vec, ids, dims = 16, m = 4, codes = 8, cells = 8,
+          trainPerMille = 250)
+      val allIds = base.select(col("doc_id"))
+      val draftIds = base.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"))
+      println(s"[pw] === round $round ===")
+      t("chunk1")(graft.streaming.Streams.chunkIngestBatch(base, ck,
+        "doc_id", "text", window = 32, overlap = 8))
+      t("vec1-train")(vecIngest(allIds))
+      t("chunk2-stale")(graft.streaming.Streams.chunkIngestBatch(stale, ck,
+        "doc_id", "text", window = 32, overlap = 8))
+      t("vec2-draft")(vecIngest(draftIds))
+      t("chunk3-base")(graft.streaming.Streams.chunkIngestBatch(base, ck,
+        "doc_id", "text", window = 32, overlap = 8))
+      t("vec3-draft")(vecIngest(draftIds))
+      t("vec4-noop")(vecIngest(draftIds))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+    spark.stop()
+  }
+}
+
+/** Bimodality probe for the standing-store lifecycle queries: runs each
+  * named query's BUILD phase SPARK_GRAFT_SCRATCH_BUILDS times (each
+  * build wipes and recreates its store — cold-store by construction)
+  * and its PROBE 3 times, reporting per-run wall seconds plus the GC
+  * and JIT-code-cache deltas that separate "the plan got slower" from
+  * "the session got sick". One session, so a mid-list slowdown that a
+  * later control (pass sim_pq_store_takedown last) does NOT show is
+  * query-specific, not session drift.
+  */
+object ScratchPhases {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nBuilds = sys.env.getOrElse("SPARK_GRAFT_SCRATCH_BUILDS", "5").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    def ccMb(): Long =
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed).sum / (1024 * 1024)
+    val phases = SparkEntry.benchPhases
+    args.foreach { name =>
+      phases.get(name) match {
+        case None => println(s"[phases] $name has no build/probe split; skipping")
+        case Some(ph) =>
+          val secs = (1 to nBuilds).map { i =>
+            val gc0 = gcMillis(); val t0 = System.nanoTime()
+            ph.build(spark, sfDir)
+            val sec = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            println(f"[phases] $name build$i $sec%.2f s gc+${gcMillis() - gc0}ms cc${ccMb()}mb")
+            sec
+          }
+          println(f"[phases] $name BUILD min ${secs.min}%.2f max ${secs.max}%.2f " +
+            f"spread ${secs.max / secs.min}%.2fx")
+          (1 to 3).foreach { i =>
+            val t0 = System.nanoTime()
+            ph.probe(spark, sfDir).write.format("noop").mode("overwrite").save()
+            println(f"[phases] $name probe$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            spark.catalog.clearCache()
+          }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -209,7 +209,10 @@ object Multimodal {
     * gate and contrast checks read. Pure integers; undecodable
     * payloads emit nothing.
     */
-  def pixelHistogram(payload: Array[Byte], bins: Int): Option[Array[Long]] =
+  def pixelHistogram(payload: Array[Byte], bins: Int): Option[Array[Long]] = {
+    require(bins >= 2 && 256 % bins == 0,
+      s"bins must be >= 2 and divide 256, got $bins - a non-divisor " +
+        "would index pixel 255 past the last bucket")
     decodeBmpDims(payload) match {
       case Some((w, h, 3)) if payload.length >= 54 =>
         val bb = java.nio.ByteBuffer.wrap(payload)
@@ -239,6 +242,7 @@ object Multimodal {
         }
       case _ => None
     }
+  }
 
   /** [[pixelHistogram]] as a mapPartitions stage emitting sparse
     * (doc_id, bin, cnt) rows (empty bins omitted).

@@ -53,7 +53,14 @@ object Basket {
         Seq("item_b"))
       .crossJoin(broadcast(tot)) // one-row totals frame
       .select(col("item_a"), col("item_b"), col("pair_n"),
-        expr("pair_n * n_baskets * 1000000L div (__na * __nb)")
+        // lift's numerator is pair_n x n_baskets x 1e6 — three factors
+        // that overflow BIGINT at billions of baskets (ANSI would abort
+        // the job). Stage it in DECIMAL(38,0): exact, fits any real
+        // corpus (< 1e38), and `div` truncates identically to the
+        // BIGINT path for every in-range value, so the oracle's BIGINT
+        // algebra still matches bit-for-bit at test scale.
+        expr("CAST(pair_n AS DECIMAL(38,0)) * n_baskets * 1000000" +
+          " div (CAST(__na AS DECIMAL(38,0)) * __nb)")
           .as("lift_ppm"),
         expr("pair_n * 1000000L div __na").as("conf_ppm"))
   }

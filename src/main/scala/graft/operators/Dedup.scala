@@ -724,9 +724,9 @@ object Dedup {
     * Returns survivors as (id, cluster_id).
     */
   def semDedup(vecs: DataFrame, k: Int, iters: Int, minCosine: Double,
-      decimals: Int = 6): DataFrame = {
+      decimals: Int = 6, trainPerMille: Int = 1000): DataFrame = {
     import graft.functions.VectorFunctions
-    val assigned = Similarity.kmeansAssign(vecs, k, iters)
+    val assigned = Similarity.kmeansAssign(vecs, k, iters, trainPerMille)
       .select(col("id"), col("cluster_id"))
     val withV = vecs
       .select(col("id"), VectorFunctions.toDoubleArray(col("vec")).as("v"))

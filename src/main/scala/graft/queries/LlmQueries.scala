@@ -382,7 +382,8 @@ object LlmQueries {
       graft.streaming.Streams.fanoutIngestBatchGated(batch, id, st, ix,
         an, gr, "doc_id", "text", Some("vec"), planes = 8, dims = 8,
         pqDir = Some(pq), chunkDir = Some(ck),
-        chunkVecDir = Some(s"$root/ckvec"))
+        chunkVecDir = Some(s"$root/ckvec"),
+        chunkVecTrainPerMille = PassageTrainPerMille)
     val wave1 = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), fanoutVec.as("vec"))
     val (g1, i1, a1, p1, c1, v1) = gated(wave1, 0L)
@@ -470,7 +471,8 @@ object LlmQueries {
         st, ix, an, gr, nd, "doc_id", "text", Some("vec"),
         planes = 8, dims = 8, pqDir = Some(s"$root/pq"),
         chunkDir = Some(s"$root/chunks"),
-        chunkVecDir = Some(s"$root/ckvec"))
+        chunkVecDir = Some(s"$root/ckvec"),
+        chunkVecTrainPerMille = PassageTrainPerMille)
     // Half the corpus: the composition's lifecycle (two waves +
     // redelivery through TWO gates and five stores) prices at the
     // span-gated sibling's level instead of doubling it, with
@@ -613,6 +615,16 @@ object LlmQueries {
 
   private val PassageQueryText = "spark vector stream merge pipeline"
 
+  /** Stable-hash sampling rate (per mille) for the passage surfaces'
+    * codebook training — the Lloyd passes run on a quarter of the
+    * chunk vectors while every chunk still encodes and commits. At
+    * 100 TB the training passes are the build's dominant term, so the
+    * bench prices the configuration a deployment would actually run;
+    * the oracles' `tr` CTE re-derives the identical sample
+    * (stableHash64 == the md5-prefix BIGINT convention).
+    */
+  private val PassageTrainPerMille = 250
+
   /** Build of search_passage_topk: chunk store + chunk-vector PQ store
     * through the full lifecycle — base build (trains the codebook on
     * the base corpus's passages), a stale-draft re-chunking upsert
@@ -636,7 +648,8 @@ object LlmQueries {
     // deliver the %7 docs, so only their passages featurize+re-encode.
     def vecIngest(ids: org.apache.spark.sql.DataFrame) =
       graft.streaming.Streams.chunkVectorIngestBatch(
-        s, ck, vec, ids, dims = 16, m = 4, codes = 8, cells = 8)
+        s, ck, vec, ids, dims = 16, m = 4, codes = 8, cells = 8,
+        trainPerMille = PassageTrainPerMille)
     val allIds = base.select(col("doc_id"))
     val draftIds = base.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"))
@@ -674,7 +687,8 @@ object LlmQueries {
       window = 32, overlap = 8)
     require(graft.streaming.Streams.chunkVectorIngestBatch(s, ck, vec,
       base.select(col("doc_id")), dims = 16, m = 4, codes = 8,
-      cells = 8) > 0, "passage-rerank chunk-vector build must insert")
+      cells = 8, trainPerMille = PassageTrainPerMille) > 0,
+      "passage-rerank chunk-vector build must insert")
   }
 
   private def passageRerankProbe(s: SparkSession, d: String): DataFrame =
@@ -1296,22 +1310,31 @@ object LlmQueries {
     * per-subspace distances p{j} are joined.
     */
   private def pqChainSql(j: Int, lo: Int, hi: Int, codes: Int,
-      encFrom: String = "e"): String = {
+      encFrom: String = "e", trainFrom: String = "e"): String = {
     val encCte =
       if (encFrom == "e") ""
       else s"$encFrom$j AS (SELECT id, v[$lo:$hi] AS v FROM $encFrom),\n"
+    // Sampled training (trainFrom != "e", e.g. the passage oracles'
+    // `tr` CTE): the codebook's seed/assign/means CTEs read the slice
+    // of the TRAINING sample while the encoding a$j still covers every
+    // vector — mirroring pqStoreBuild's trainPerMille contract.
+    val trainCte =
+      if (trainFrom == "e") ""
+      else s"t$j AS (SELECT id, v[$lo:$hi] AS v FROM $trainFrom),\n"
+    val trainRel = if (trainFrom == "e") s"e$j" else s"t$j"
     s"""e$j AS (SELECT id, v[$lo:$hi] AS v FROM e),
-       |c${j}0 AS (SELECT id AS cid, v FROM e$j ORDER BY id LIMIT $codes),
+       |$trainCte""".stripMargin +
+    s"""c${j}0 AS (SELECT id AS cid, v FROM $trainRel ORDER BY id LIMIT $codes),
        |d${j}1 AS (
        |  SELECT e.id, c.cid,
        |    row_number() OVER (PARTITION BY e.id
        |      ORDER BY ${sqlD2("e.v", "c.v")}, c.cid) AS rn
-       |  FROM e$j e, c${j}0 c),
+       |  FROM $trainRel e, c${j}0 c),
        |m$j AS (
        |  SELECT a.cid, u.dim, avg(u.x) AS x
        |  FROM (SELECT id, cid FROM d${j}1 WHERE rn = 1) a
        |  JOIN (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
-       |        FROM e$j) u USING (id)
+       |        FROM $trainRel) u USING (id)
        |  GROUP BY a.cid, u.dim),
        |c${j}1 AS (SELECT cid, list(x ORDER BY dim) AS v FROM m$j GROUP BY cid),
        |$encCte""".stripMargin +
@@ -1607,7 +1630,7 @@ object LlmQueries {
     val (m, sub, codes, cells, nprobe, kp, kd) = (4, 4, 8, 8, 2, 50, 10)
     val per = (0 until m).map { j =>
       val (lo, hi) = (j * sub + 1, (j + 1) * sub)
-      pqChainSql(j, lo, hi, codes) + ",\n" +
+      pqChainSql(j, lo, hi, codes, trainFrom = "tr") + ",\n" +
         s"""p$j AS (
            |  SELECT cd.cid, ${sqlD2("q.v", "cb.v")} AS d2
            |  FROM cand cd
@@ -1672,17 +1695,20 @@ object LlmQueries {
        |      AS x
        |  FROM qth, (SELECT unnest(range(0, 16)) AS d) dd GROUP BY dd.d),
        |qv AS (SELECT list(x ORDER BY dim) AS v FROM qfeat),
-       |cc0 AS (SELECT id AS ccid, v FROM e ORDER BY id LIMIT $cells),
+       |tr AS (SELECT id, v FROM e
+       |       WHERE ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT
+       |             % 1000 < $PassageTrainPerMille),
+       |cc0 AS (SELECT id AS ccid, v FROM tr ORDER BY id LIMIT $cells),
        |cd1 AS (
        |  SELECT e.id, c.ccid,
        |    row_number() OVER (PARTITION BY e.id
        |      ORDER BY ${sqlD2("e.v", "c.v")}, c.ccid) AS rn
-       |  FROM e, cc0 c),
+       |  FROM tr e, cc0 c),
        |cm AS (
        |  SELECT a.ccid, u.dim, avg(u.x) AS x
        |  FROM (SELECT id, ccid FROM cd1 WHERE rn = 1) a
        |  JOIN (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
-       |        FROM e) u USING (id)
+       |        FROM tr) u USING (id)
        |  GROUP BY a.ccid, u.dim),
        |cc1 AS (SELECT ccid, list(x ORDER BY dim) AS v FROM cm GROUP BY ccid),
        |cr AS (
@@ -1828,7 +1854,8 @@ object LlmQueries {
       window = 32, overlap = 8)
     require(graft.streaming.Streams.chunkVectorIngestBatch(s, ck, vec,
       base.select(col("doc_id")), dims = 16, m = 4, codes = 8,
-      cells = 8) > 0, "passage-hybrid chunk-vector build must insert")
+      cells = 8, trainPerMille = PassageTrainPerMille) > 0,
+      "passage-hybrid chunk-vector build must insert")
   }
 
   private def hybridPassageProbe(s: SparkSession, d: String): DataFrame =
@@ -2629,9 +2656,12 @@ object LlmQueries {
     // BLOCKED RECORD LINKAGE (Linkage.blockedNamePairs): fuzzy
     // entity-name duplicates — rows collapse to DISTINCT names first
     // (candidate generation is sized by the entity vocabulary, not the
-    // fact table), candidates pair only within the last-token blocking
-    // key, and the exact codegen'd levenshtein verifies survivors
-    // (same overgenerate-then-verify contract as the LSH joins).
+    // fact table), candidates pair only within the SECOND-token
+    // blocking key (split_part(name, ' ', 2) both sides; single-token
+    // names degrade to the '' block like DuckDB, via try_element_at +
+    // coalesce on the Spark side), and the exact codegen'd levenshtein
+    // verifies survivors (same overgenerate-then-verify contract as
+    // the LSH joins).
     QueryDef(
       "dd_record_linkage_blocked",
       """WITH names AS (
@@ -2645,7 +2675,7 @@ object LlmQueries {
         |WHERE levenshtein(a.name, b.name) <= 3
         |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
       graft.operators.Linkage.blockedNamePairs(Tables.part(s, d),
-          "p_name", n => element_at(split(n, " "), 2), maxLev = 3)
+          "p_name", n => coalesce(try_element_at(split(n, " "), lit(2)), lit("")), maxLev = 3)
         .presentSorted(col("name_a"), col("name_b"))
     },
 
@@ -2670,7 +2700,7 @@ object LlmQueries {
         |WHERE round(jaro_winkler_similarity(a.name, b.name), 4) >= 0.84
         |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
       graft.operators.Linkage.blockedNameSimPairs(Tables.part(s, d),
-          "p_name", n => element_at(split(n, " "), 2), minJw = 0.84)
+          "p_name", n => coalesce(try_element_at(split(n, " "), lit(2)), lit("")), minJw = 0.84)
         .presentSorted(col("name_a"), col("name_b"))
     },
 
@@ -2703,7 +2733,7 @@ object LlmQueries {
         |GROUP BY c.entity ORDER BY c.entity""".stripMargin) { (s, d) =>
       val part = Tables.part(s, d)
       val pairs = graft.operators.Linkage.blockedNamePairs(part,
-          "p_name", n => element_at(split(n, " "), 2), maxLev = 3)
+          "p_name", n => coalesce(try_element_at(split(n, " "), lit(2)), lit("")), maxLev = 3)
         .select(col("name_a").as("a"), col("name_b").as("b"))
       val counts = part.groupBy(col("p_name").as("name"))
         .agg(count(lit(1)).as("n_rows"))
@@ -3131,7 +3161,12 @@ object LlmQueries {
     // cluster holds a LOWER-id vector with cosine >= 0.999. Scaled
     // copies (x * 1.001) embed at cosine 1.0 next to their originals,
     // so the survivors are exactly the lowest-id representative of each
-    // semantic group. The pair join is cluster-keyed — never all-pairs.
+    // semantic group. The pair join is cluster-keyed — never all-pairs;
+    // k = 32 keeps the per-cluster quadratic term bounded (SemDeDup
+    // trains k ~ N/1000 at scale, and k = 4 over the sf0.1 corpus put
+    // every cluster's half-million pairs on one shuffle task), and the
+    // Lloyd passes train on the 500-per-mille stable-hash sample (the
+    // `tr` CTE) while the final assignment still covers every vector.
     QueryDef(
       "dd_semdedup",
       """WITH e AS (
@@ -3140,18 +3175,21 @@ object LlmQueries {
         |  SELECT vec_id + 100000,
         |         list_transform(embedding::DOUBLE[], x -> x * 1.001)
         |  FROM embeddings),
-        |c0 AS (SELECT id AS cid, v FROM e ORDER BY id LIMIT 4),
+        |tr AS (SELECT id, v FROM e
+        |       WHERE ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT
+        |             % 1000 < 500),
+        |c0 AS (SELECT id AS cid, v FROM tr ORDER BY id LIMIT 32),
         |d1 AS (
         |  SELECT e.id, c.cid,
         |    row_number() OVER (PARTITION BY e.id
         |      ORDER BY list_inner_product(e.v, e.v) + list_inner_product(c.v, c.v)
         |        - 2 * list_inner_product(e.v, c.v), c.cid) AS rn
-        |  FROM e, c0 c),
+        |  FROM tr e, c0 c),
         |m1 AS (
         |  SELECT a.cid, u.dim, avg(u.x) AS x
         |  FROM (SELECT id, cid FROM d1 WHERE rn = 1) a
         |  JOIN (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
-        |        FROM e) u USING (id)
+        |        FROM tr) u USING (id)
         |  GROUP BY a.cid, u.dim),
         |c1 AS (SELECT cid, list(x ORDER BY dim) AS v FROM m1 GROUP BY cid),
         |d2i AS (
@@ -3179,8 +3217,8 @@ object LlmQueries {
             .as("vec"))
       val corpus = emb.unionByName(emb.select((col("id") + 100000).as("id"),
         transform(col("vec"), x => x * 1.001).as("vec")))
-      graft.operators.Dedup.semDedup(corpus, k = 4, iters = 2,
-          minCosine = 0.999)
+      graft.operators.Dedup.semDedup(corpus, k = 32, iters = 2,
+          minCosine = 0.999, trainPerMille = 500)
         .presentSorted(col("id"))
     },
 

@@ -655,7 +655,12 @@ object PipelineQueries {
         .select((col("l_orderkey") % 2000).as("src"),
           (col("l_partkey") % 2000).as("dst"),
           round(col("l_quantity")).cast("long").as("w"))
-      val seeds = edges.select(col("src").as("node"))
+      // Seeds come from the SELF-LOOP-FILTERED edge set: the oracle's
+      // d0 reads src from `raw`, which already excludes src = dst, so
+      // a hub appearing only in self-loop rows must not seed here
+      // either.
+      val seeds = edges.filter(col("src") =!= col("dst"))
+        .select(col("src").as("node"))
         .filter(col("node") % 400 === 0)
       graft.operators.Graph.ssspBounded(edges, seeds, rounds = 3)
         .presentSorted(col("node"))

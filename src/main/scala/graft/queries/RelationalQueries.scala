@@ -1185,7 +1185,8 @@ object RelationalQueries {
 
     // A/B COHORT TEST: chi-square independence between an assignment
     // (user_id parity — the hash-bucket split an experiment framework
-    // uses) and a conversion outcome (any purchase over $1.50), with
+    // uses) and a conversion outcome (any purchase over $150 — value
+    // is dollars here, not the repo-wide cents convention), with
     // per-cohort conversion rates in exact milli. The same guarded
     // pinned-order chi2 algebra as the term-selection family; one
     // row out of one aggregate.

@@ -783,8 +783,17 @@ object Streams {
           // Deferral needs enough seeds for BOTH Lloyd trainings: the
           // per-subspace codebooks (codes) and the coarse quantizer
           // (cells) — either one short would poison-pill the batch.
+          // Under sampled training the seeds must come from the SAMPLE
+          // (pqStoreBuild trains on it and fails loudly when it is
+          // undersized), so the deferral counts the same stable-hash
+          // filter the build will apply.
           val need = math.max(codes, cells)
-          val seeds = vecs.select(col("id")).dropDuplicates("id")
+          val trainSrc =
+            if (trainPerMille >= 1000) vecs
+            else vecs.filter(graft.functions.HashFunctions
+              .stableHash64(col("id").cast("string")) % 1000
+              < trainPerMille)
+          val seeds = trainSrc.select(col("id")).dropDuplicates("id")
             .limit(need).count()
           if (seeds < need) 0L
           else graft.operators.Similarity.pqStoreBuild(vecs, vecDir,
@@ -1489,7 +1498,8 @@ object Streams {
       pqDir: Option[String] = None, pqM: Int = 4,
       pqCodes: Int = 8, chunkDir: Option[String] = None,
       chunkWindow: Int = 64, chunkOverlap: Int = 16,
-      chunkVecDir: Option[String] = None, chunkVecDims: Int = 16):
+      chunkVecDir: Option[String] = None, chunkVecDims: Int = 16,
+      chunkVecTrainPerMille: Int = 1000):
       (Long, Long, Long, Long, Long, Long, Long) = {
     val spark = batch.sparkSession
     val shared = batch.persist(
@@ -1519,7 +1529,8 @@ object Streams {
               fanoutIngestBatchGated(feed, batchId, storeDir, indexDir,
                 annDir, gramStoreDir, idCol, textCol, vecCol, planes,
                 dims, k, pqDir, pqM, pqCodes, chunkDir, chunkWindow,
-                chunkOverlap, chunkVecDir, chunkVecDims)
+                chunkOverlap, chunkVecDir, chunkVecDims,
+                chunkVecTrainPerMille = chunkVecTrainPerMille)
             (nNear, nGate, nIdx, nAnn, nPq, nChunk, nCkVec)
           }
       }
