@@ -698,6 +698,28 @@ object LlmQueries {
         kCand = 100, kPassages = 50, kDocs = 10, nprobe = 2)
       .presentSorted(col("rnk"))
 
+  /** Build of search_passage_learned_rerank: same one-clean-generation
+    * shape as the exact-rerank sibling, own store.
+    */
+  private def passageLearnedBuild(s: SparkSession, d: String): Unit = {
+    val root = storeDir("passage-lr")
+    val (ck, vec) = (s"$root/chunks", s"$root/vec")
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    graft.streaming.Streams.chunkIngestBatch(base, ck, "doc_id", "text",
+      window = 32, overlap = 8)
+    require(graft.streaming.Streams.chunkVectorIngestBatch(s, ck, vec,
+      base.select(col("doc_id")), dims = 16, m = 4, codes = 8,
+      cells = 8, trainPerMille = PassageTrainPerMille) > 0,
+      "passage-learned chunk-vector build must insert")
+  }
+
+  private def passageLearnedProbe(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.passageLearnedRerankTopK(s,
+        storePath("passage-lr") + "/chunks",
+        storePath("passage-lr") + "/vec", PassageQueryText, dims = 16,
+        kCand = 100, kPassages = 50, kDocs = 10, nprobe = 2)
+      .presentSorted(col("rnk"))
+
   private val PhraseTerms = Seq("table", "hash")
 
   private def bm25BucketedBuild(s: SparkSession, d: String): Unit = {
@@ -862,6 +884,8 @@ object LlmQueries {
       hybridPassageProbe),
     "search_passage_rerank_topk" -> BenchPhases(passageRerankBuild,
       passageRerankProbe),
+    "search_passage_learned_rerank" -> BenchPhases(passageLearnedBuild,
+      passageLearnedProbe),
   )
 
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
@@ -1626,7 +1650,21 @@ object LlmQueries {
     */
   private lazy val PassageRerankSql: String = passageOracleSql(Some(100))
 
-  private def passageOracleSql(rerankKCand: Option[Int]): String = {
+  /** [[PassageRerankSql]] with the rerank LEARNED: the exact d2 trains
+    * a closed-form 2-feature least squares on the even-cid candidate
+    * half (x1 = 4-dp fixed-point ADC distance, x2 = query-term
+    * occurrence count in the passage window), and every candidate
+    * ranks by the fitted score in exact HUGEINT integer algebra —
+    * `sign(det) * (n1*x1 + n2*x2)` orders like the prediction without
+    * a division, so no float crosses the ranking. Mirrors
+    * [[graft.streaming.Streams.passageLearnedRerankTopK]]'s
+    * DECIMAL(38,0) algebra value-for-value.
+    */
+  private lazy val PassageLearnedSql: String =
+    passageOracleSql(Some(100), learned = true)
+
+  private def passageOracleSql(rerankKCand: Option[Int],
+      learned: Boolean = false): String = {
     val (m, sub, codes, cells, nprobe, kp, kd) = (4, 4, 8, 8, 2, 50, 10)
     val per = (0 until m).map { j =>
       val (lo, hi) = (j * sub + 1, (j + 1) * sub)
@@ -1642,10 +1680,10 @@ object LlmQueries {
     // ranking directly, or (rerank form) the exact re-ranking of its
     // top-kCand nomination — both carry (cid, best-metric AS approx_d2,
     // rnk) so the fold below is shared verbatim.
-    val fold = rerankKCand match {
-      case None =>
+    val fold = (rerankKCand, learned) match {
+      case (None, _) =>
         s"""foldsrc AS (SELECT cid, approx_d2, rnk FROM rk),"""
-      case Some(kc) =>
+      case (Some(kc), false) =>
         s"""adcc AS (SELECT cid FROM rk WHERE rnk <= $kc),
            |exd AS (
            |  SELECT a.cid,
@@ -1655,6 +1693,49 @@ object LlmQueries {
            |foldsrc AS (SELECT cid, d2 AS approx_d2,
            |         row_number() OVER (ORDER BY d2, cid) AS rnk
            |       FROM exd),""".stripMargin
+      case (Some(kc), true) =>
+        val qlist = PassageQueryText.trim.split("\\s+")
+          .filter(_.nonEmpty).distinct
+          .map(t => s"'$t'").mkString("[", ",", "]")
+        s"""adcc AS (SELECT cid, approx_d2 FROM rk WHERE rnk <= $kc),
+           |exd AS (
+           |  SELECT a.cid, a.approx_d2,
+           |    round(list_inner_product(q.v,q.v) + list_inner_product(x.v,x.v)
+           |      - 2*list_inner_product(q.v,x.v), 4) AS d2
+           |  FROM adcc a JOIN e x ON x.id = a.cid, qv q),
+           |ov AS (
+           |  SELECT doc_id * 100000 + seq AS id,
+           |    len(list_filter(list_slice(l, seq*24 + 1, seq*24 + 32),
+           |      t -> list_contains($qlist, t)))::BIGINT AS x2
+           |  FROM ch),
+           |ftr AS (
+           |  SELECT f.cid,
+           |    CAST(round(f.approx_d2 * 10000) AS BIGINT) AS x1,
+           |    o.x2,
+           |    CAST(round(f.d2 * 10000) AS BIGINT) AS y
+           |  FROM exd f JOIN ov o ON o.id = f.cid),
+           |nrm AS (
+           |  SELECT coalesce(sum(CAST(x1 AS HUGEINT) * x1), 0) AS s11,
+           |         coalesce(sum(CAST(x1 AS HUGEINT) * x2), 0) AS s12,
+           |         coalesce(sum(CAST(x2 AS HUGEINT) * x2), 0) AS s22,
+           |         coalesce(sum(CAST(x1 AS HUGEINT) * y), 0)  AS b1,
+           |         coalesce(sum(CAST(x2 AS HUGEINT) * y), 0)  AS b2
+           |  FROM ftr WHERE cid % 2 = 0),
+           |wts AS (
+           |  SELECT s11*s22 - s12*s12 AS det,
+           |         s22*b1 - s12*b2 AS n1,
+           |         s11*b2 - s12*b1 AS n2
+           |  FROM nrm),
+           |sc AS (
+           |  SELECT f.cid,
+           |    CASE WHEN w.det = 0 THEN CAST(f.x1 AS HUGEINT)
+           |         WHEN w.det < 0 THEN -(w.n1*f.x1 + w.n2*f.x2)
+           |         ELSE w.n1*f.x1 + w.n2*f.x2 END AS s
+           |  FROM ftr f, wts w),
+           |foldsrc AS (
+           |  SELECT cid, CAST(rnk AS DOUBLE) AS approx_d2, rnk FROM (
+           |    SELECT cid, row_number() OVER (ORDER BY s, cid) AS rnk
+           |    FROM sc)),""".stripMargin
     }
     s"""WITH t AS (
        |  SELECT doc_id,
@@ -1750,7 +1831,10 @@ object LlmQueries {
        |  SELECT db.doc_id, bs.best_seq, db.best_d2, db.n_passages,
        |    row_number() OVER (ORDER BY db.best_d2, db.doc_id) AS rnk
        |  FROM db JOIN bs USING (doc_id))
-       |SELECT doc_id, best_seq, best_d2, n_passages, rnk
+       |SELECT doc_id, best_seq, ${
+         if (learned) "CAST(best_d2 AS BIGINT) AS best_rank"
+         else "best_d2"
+       }, n_passages, rnk
        |FROM fin WHERE rnk <= $kd ORDER BY rnk""".stripMargin
   }
 
@@ -4661,6 +4745,24 @@ object LlmQueries {
       PassageRerankSql) { (s, d) =>
       passageRerankBuild(s, d)
       passageRerankProbe(s, d)
+    },
+
+    // PASSAGE-LEVEL learned rerank (Streams.passageLearnedRerankTopK):
+    // the deterministic stand-in for a learned second-stage scorer —
+    // the ADC probe nominates 100 candidates, the even-cid half trains
+    // a closed-form 2-feature least squares (x1 = fixed-point ADC
+    // distance, x2 = query-term occurrences in the passage) against
+    // the exact distance as teacher, and all candidates rank by the
+    // fitted score carried in exact DECIMAL(38,0)/HUGEINT algebra
+    // (sign(det)-adjusted numerators - no division, no float in the
+    // ranking). Feature/teacher work is candidate-sized; the normal
+    // equations are ONE broadcast row - nothing new scales with the
+    // corpus.
+    QueryDef(
+      "search_passage_learned_rerank",
+      PassageLearnedSql) { (s, d) =>
+      passageLearnedBuild(s, d)
+      passageLearnedProbe(s, d)
     },
 
     // BM25 keyword search (operators.Search.bm25TopK): ranked retrieval

@@ -923,6 +923,111 @@ object Streams {
         col("n_passages"), col("rnk"))
   }
 
+  /** PASSAGE-LEVEL learned rerank — a deterministic stand-in for the
+    * learned (cross-encoder) second stage of a production retrieval
+    * stack, with the same two-stage candidate shape as
+    * [[passageRerankTopK]]: the routed ADC probe nominates `kCand`
+    * candidate passages, and a linear model re-scores them from two
+    * cheap features — x1 = the ADC approximate distance (4-dp
+    * fixed-point) and x2 = the passage's query-term occurrence count —
+    * DISTILLED from the exact distance as teacher: the candidates'
+    * even-`chunk_seq` half trains ordinary least squares
+    * `y ~ w1*x1 + w2*x2` (y = exact squared-L2, candidate-sized to
+    * compute, exactly like the rerank join), every candidate then
+    * ranks by the fitted score. The solve is CLOSED FORM on the 2x2
+    * normal equations, carried entirely in exact DECIMAL(38,0) integer
+    * algebra — candidates rank by `sign(det) * (n1*x1 + n2*x2)` where
+    * n1 = s22*b1 - s12*b2 and n2 = s11*b2 - s12*b1, which orders
+    * identically to the least-squares prediction without ever
+    * dividing by det (no float crosses the ranking), and a degenerate
+    * train set (det = 0, e.g. constant features) falls back to the
+    * ADC order. Scale shape: the feature/teacher computation is
+    * candidate-sized (kCand rows), the normal-equation aggregate is
+    * ONE row broadcast back over the candidates — nothing scales with
+    * the corpus beyond the ADC probe itself.
+    *
+    * Output (doc_id, best_seq, best_rank, n_passages, rnk): the top
+    * `kPassages` by learned score fold to docs by their best (lowest)
+    * learned rank; docs rank by that best rank.
+    */
+  def passageLearnedRerankTopK(spark: org.apache.spark.sql.SparkSession,
+      chunkDir: String, vecDir: String, queryText: String, dims: Int,
+      kCand: Int, kPassages: Int, kDocs: Int,
+      nprobe: Int = 0): DataFrame = {
+    require(kCand >= kPassages && kPassages > 0 && kDocs > 0,
+      s"need kCand >= kPassages > 0 and kDocs > 0, " +
+        s"got $kCand/$kPassages/$kDocs")
+    val q = spark.range(1).select(lit(-1L).as("id"),
+      passageVecExpr(lit(queryText), dims).as("vec"))
+    val cand = graft.operators.Similarity
+      .pqStoreTopK(spark, vecDir, q, kCand, nprobe)
+      .select(col("cid"), col("approx_d2"))
+    val chunks = chunkStoreRead(spark, chunkDir).getOrElse(sys.error(
+      s"$chunkDir has no committed chunks - learned rerank reads the " +
+        "candidates' text from the chunk store"))
+    val qTermsLit = typedLit(
+      queryText.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct)
+    val cv = chunks.select(chunkVecIdExpr.as("cid"), col("chunk_text"))
+      .join(broadcast(cand.select(col("cid"))), Seq("cid"), "left_semi")
+      .select(col("cid"),
+        passageVecExpr(col("chunk_text"), dims).as("cv"),
+        size(filter(graft.functions.TextFunctions.tokens(col("chunk_text")),
+          t => array_contains(qTermsLit, t))).cast("long").as("x2"))
+    val qv = typedLit(graft.functions.VectorFunctions
+      .signedBowVectorLocal(queryText, dims))
+    val d2 = graft.functions.VectorFunctions.dot(qv, qv) +
+      graft.functions.VectorFunctions.dot(col("cv"), col("cv")) -
+      lit(2.0) * graft.functions.VectorFunctions.dot(qv, col("cv"))
+    val dec = "DECIMAL(38,0)"
+    // Pin the kCand-row feature frame: it feeds BOTH the train
+    // aggregate and the scoring join, and its lineage holds the whole
+    // ADC probe + candidate featurize — without the checkpoint that
+    // subtree re-executes once per consumer (measured ~2.9 s vs ~1.7 s
+    // for the exact-rerank sibling's single-consumer probe).
+    val ftr = graft.Checkpoints.pinned(cand.join(cv, Seq("cid"))
+      .select(col("cid"),
+        round(col("approx_d2") * 10000, 0).cast("long").as("x1"),
+        col("x2"),
+        round(round(d2, 4) * 10000, 0).cast("long").as("y")))
+    // One-row normal-equation aggregate over the train half (even
+    // chunk_seq), broadcast back over the kCand candidates — the
+    // accepted one-row-stats crossJoin shape.
+    val nrm = ftr.filter(col("cid") % 2 === 0)
+      .agg(
+        coalesce(sum(expr(s"CAST(x1 AS $dec) * x1")), lit(0)).as("s11"),
+        coalesce(sum(expr(s"CAST(x1 AS $dec) * x2")), lit(0)).as("s12"),
+        coalesce(sum(expr(s"CAST(x2 AS $dec) * x2")), lit(0)).as("s22"),
+        coalesce(sum(expr(s"CAST(x1 AS $dec) * y")), lit(0)).as("b1"),
+        coalesce(sum(expr(s"CAST(x2 AS $dec) * y")), lit(0)).as("b2"))
+      .select(
+        expr("s11*s22 - s12*s12").as("det"),
+        expr("s22*b1 - s12*b2").as("n1"),
+        expr("s11*b2 - s12*b1").as("n2"))
+    val scored = ftr.crossJoin(broadcast(nrm))
+      .select(col("cid"),
+        expr(s"""CASE WHEN det = 0 THEN CAST(x1 AS $dec)
+                 WHEN det < 0 THEN -(n1*x1 + n2*x2)
+                 ELSE n1*x1 + n2*x2 END""").as("s"))
+      .withColumn("lrnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("s"), col("cid"))))
+      .filter(col("lrnk") <= kPassages)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("best_rank"), col("doc_id"))
+    scored
+      .select(expr(s"cid div ${ChunkVecSeqLimit}").as("doc_id"),
+        (col("cid") % ChunkVecSeqLimit).as("chunk_seq"), col("lrnk"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("lrnk")).cast("long").as("best_rank"),
+        min(struct(col("lrnk"), col("chunk_seq")))
+          .getField("chunk_seq").as("best_seq"),
+        count(lit(1)).as("n_passages"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kDocs)
+      .select(col("doc_id"), col("best_seq"), col("best_rank"),
+        col("n_passages"), col("rnk"))
+  }
+
   /** PASSAGE-LEVEL hybrid retrieval — BM25's doc-level lexical ranks
     * fused (the shared RRF tail,
     * [[graft.operators.Search.rrfFuseWithBm25]]) with [[passageTopK]]'s
