@@ -103,6 +103,40 @@ object Bench {
       graft.operators.Dedup.minhashSignatures(
         graft.operators.Dedup.hashedShingleArrays(
           Tables.documents(s, dir), "doc_id", "text", 3), 128))
+    // The standing-store machinery (commit/ledger/generation plumbing,
+    // index build/append/probe, chunk + chunk-vector encode) JIT-warms
+    // on whichever lifecycle BUILD runs first — r18's driver-style
+    // sessions measured the schedule's first store build at up to 4x
+    // its steady state (search_bm25_index_upsert 31.7 s vs 7.9-10.9
+    // across three sibling sessions; ScratchPhases pins the same 2.8-
+    // 3.3x first-build tax on the chunk-vector family) while every
+    // later build of the family ran warm. Charge that tax to warmup,
+    // not to the first pinned row: tiny untimed slices through the
+    // index and chunk-vector store paths.
+    runOne("warm_index_store", (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val tmp = java.nio.file.Files
+        .createTempDirectory("warm-idx").toString + "/index"
+      val slice = Tables.documents(s, dir).limit(256)
+      graft.operators.Search.buildIndex(slice, "doc_id", "text", tmp)
+      graft.operators.Search.indexAppend(slice, "doc_id", "text", tmp): Unit
+      graft.operators.Search.bm25FromIndexTopK(s, tmp,
+        Seq("spark", "vector"), k = 5)
+    })
+    runOne("warm_chunk_vec_store", (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val root = java.nio.file.Files
+        .createTempDirectory("warm-ckv").toString
+      val slice = Tables.documents(s, dir).limit(128)
+        .select(col("doc_id"), col("text"))
+      graft.streaming.Streams.chunkIngestBatch(slice, s"$root/chunks",
+        "doc_id", "text", window = 32, overlap = 8)
+      graft.streaming.Streams.chunkVectorIngestBatch(s, s"$root/chunks",
+        s"$root/vec", slice.select(col("doc_id")), dims = 16, m = 4,
+        codes = 8, cells = 8): Unit
+      graft.streaming.Streams.passageTopK(s, s"$root/vec",
+        "spark vector", dims = 16, kPassages = 5, kDocs = 3, nprobe = 2)
+    })
 
     // SESSION SCHEDULE: the measured heavyweights run FIRST — on the
     // session's cleanest page-cache/JIT state — with one extra pass
