@@ -123,6 +123,17 @@ object Bench {
       graft.operators.Search.bm25FromIndexTopK(s, tmp,
         Seq("spark", "vector"), k = 5)
     })
+    runOne("warm_ann_store", (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val tmp = java.nio.file.Files
+        .createTempDirectory("warm-ann").toString + "/idx"
+      val emb = Tables.embeddings(s, dir).limit(128)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.operators.Similarity.annStoreAppend(emb, tmp,
+        planes = 8, dims = 64): Unit
+      graft.operators.Similarity.annStoreTopK(s, tmp,
+        emb.filter(col("id") < 4), planes = 8, dims = 64, k = 3)
+    })
     runOne("warm_chunk_vec_store", (s, dir) => {
       import org.apache.spark.sql.functions.col
       val root = java.nio.file.Files
