@@ -4,14 +4,17 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** The combined Lloyd trainer (`lloydBooksAndCoarse` behind
-  * [[Similarity.pqStoreBuild]]) claims bit-compatibility with training
+  * [[Similarity.pqStoreBuild]]) is structurally equivalent to training
   * each per-subspace codebook and the coarse quantizer separately:
   * seeds = the train set's k lowest-id vectors (sliced per book), the
   * `vv + cc - 2·vc` assignment algebra with (d2, cid) tie-break, and
   * per-(cid, dim) means over the same member rows. This spec pins that
-  * contract against a LOCAL driver-side reference implementation. All
-  * fixture values are dyadic fractions, so every float sum is exact
-  * and order-independent — the comparison is ==, not approx.
+  * contract against a LOCAL driver-side reference implementation two
+  * ways: exactly (==) on a dyadic-fraction fixture where every float
+  * sum is order-independent, and to 1e-9 relative tolerance on a
+  * non-dyadic fixture where the combined union aggregate's partial-sum
+  * merge order may legally differ from the per-book jobs (the 4-dp
+  * probe rounding downstream absorbs far more than 1e-9).
   */
 class PqTrainerParitySpec extends SparkSpec {
   import spark.implicits._
@@ -99,6 +102,53 @@ class PqTrainerParitySpec extends SparkSpec {
     localLloyd(fixture, k = 2, iters = 3).foreach { case (cid, cv) =>
       assert(coarse(cid) == cv,
         s"coarse cid $cid: engine ${coarse(cid)} vs local $cv")
+    }
+  }
+
+  test("combined trainer matches local Lloyd to 1e-9 relative on " +
+    "non-dyadic doubles (FP-sum reassociation bound)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-parity-nd").toString + "/store"
+    // Non-dyadic values (decimal fractions like 0.1 are inexact in
+    // binary), so sums ARE order-sensitive at the ulp level.
+    val nd: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(0.1, 0.3, 7.9, 8.3),
+      1L -> Seq(8.1, 8.3, 0.1, 0.7),
+      2L -> Seq(0.7, 0.1, 8.3, 7.9),
+      3L -> Seq(8.3, 7.9, 0.3, 0.1),
+      4L -> Seq(0.3, 0.7, 8.1, 8.1),
+      5L -> Seq(7.9, 8.1, 0.7, 0.3),
+      6L -> Seq(0.9, 0.2, 7.7, 8.7),
+      7L -> Seq(7.7, 8.7, 0.9, 0.2))
+    val df = nd.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("id", "vec")
+    // Float32 ingestion widens to double on the engine side; mirror it.
+    val ndAsF = nd.map { case (id, v) =>
+      (id, v.map(x => x.toFloat.toDouble))
+    }
+    assert(Similarity.pqStoreBuild(df, dir, m = 2, subDims = 2,
+      codes = 2, iters = 3, cells = 2) == nd.size)
+    def relClose(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a),
+        math.abs(b)))
+    val books = readBook(dir)
+    (0 until 2).foreach { j =>
+      val sliced = ndAsF.map { case (id, v) =>
+        (id, v.slice(j * 2, (j + 1) * 2))
+      }
+      localLloyd(sliced, k = 2, iters = 3).foreach { case (cid, cv) =>
+        val got = books((j, cid))
+        assert(got.size == cv.size &&
+          got.zip(cv).forall { case (a, b) => relClose(a, b) },
+          s"book $j cid $cid: engine $got vs local $cv beyond 1e-9 rel")
+      }
+    }
+    val coarse = readCoarse(dir)
+    localLloyd(ndAsF, k = 2, iters = 3).foreach { case (cid, cv) =>
+      val got = coarse(cid)
+      assert(got.size == cv.size &&
+        got.zip(cv).forall { case (a, b) => relClose(a, b) },
+        s"coarse cid $cid: engine $got vs local $cv beyond 1e-9 rel")
     }
   }
 

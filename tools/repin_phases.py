@@ -27,6 +27,15 @@ def main():
     write = "--write" in sys.argv
     bo = json.load(open(src))
     ref = json.load(open(REF))
+    # A bench_out measured at the wrong scale factor would silently write
+    # wrong-scale pins (Bench only validates sf at gate time, against the
+    # unchanged ref sf) — refuse scale mismatches up front.
+    import os
+    bo_sf = os.path.basename(str(bo.get("sf", "")).rstrip("/"))
+    ref_sf = os.path.basename(str(ref.get("sf", "")).rstrip("/"))
+    if bo_sf != ref_sf:
+        sys.exit(f"sf mismatch: bench_out sf={bo_sf!r} vs reference sf="
+                 f"{ref_sf!r} — refusing to (re)pin from a wrong-scale run")
     builds = bo.get("lifecycle_builds", {})
     passes = bo.get("passes", {})
     if not builds:
