@@ -713,6 +713,29 @@ object LlmQueries {
       "passage-learned chunk-vector build must insert")
   }
 
+  /** Build of search_passage_recall_at_k: one clean generation in its
+    * own store — the SAMPLED codebook under audit is exactly the
+    * configuration the other passage builds run.
+    */
+  private def passageRecallBuild(s: SparkSession, d: String): Unit = {
+    val root = storeDir("passage-rc")
+    val (ck, vec) = (s"$root/chunks", s"$root/vec")
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    graft.streaming.Streams.chunkIngestBatch(base, ck, "doc_id", "text",
+      window = 32, overlap = 8)
+    require(graft.streaming.Streams.chunkVectorIngestBatch(s, ck, vec,
+      base.select(col("doc_id")), dims = 16, m = 4, codes = 8,
+      cells = 8, trainPerMille = PassageTrainPerMille) > 0,
+      "passage-recall chunk-vector build must insert")
+  }
+
+  private def passageRecallProbe(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.passageRecallAtK(s,
+        storePath("passage-rc") + "/chunks",
+        storePath("passage-rc") + "/vec", dims = 16, nQueryDocs = 10,
+        k = 5)
+      .presentSorted(col("qid"))
+
   private def passageLearnedProbe(s: SparkSession, d: String): DataFrame =
     graft.streaming.Streams.passageLearnedRerankTopK(s,
         storePath("passage-lr") + "/chunks",
@@ -886,6 +909,8 @@ object LlmQueries {
       passageRerankProbe),
     "search_passage_learned_rerank" -> BenchPhases(passageLearnedBuild,
       passageLearnedProbe),
+    "search_passage_recall_at_k" -> BenchPhases(passageRecallBuild,
+      passageRecallProbe),
   )
 
   /** docs ∪ near-dup mutants (first token -> 'zzz', id + 1000000). */
@@ -1836,6 +1861,84 @@ object LlmQueries {
          else "best_d2"
        }, n_passages, rnk
        |FROM fin WHERE rnk <= $kd ORDER BY rnk""".stripMargin
+  }
+
+  /** Generated oracle for search_passage_recall_at_k: the chunk-vector
+    * store's ADC top-5 under the SAMPLED (250 per-mille) passage
+    * codebook, intersected per query with the EXACT squared-L2 top-5
+    * through the same chunk featurization — the retrieval-quality gate
+    * for sampled passage training (`sim_pq_recall_at_k` covers only
+    * the full-trained doc-PQ store; until this row a sampling change
+    * that degraded passage recall could not flip anything). Queries
+    * are the corpus's own leading passages (chunk 0 of the 10 lowest
+    * doc ids, self excluded both sides); n_hit is an exact integer, so
+    * the compare is order-free.
+    */
+  private lazy val PassageRecallSql: String = {
+    val (m, sub, codes, nq, topk) = (4, 4, 8, 10, 5)
+    val per = (0 until m).map { j =>
+      val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+      pqChainSql(j, lo, hi, codes, trainFrom = "tr") + ",\n" +
+        s"""p$j AS (
+           |  SELECT q.id AS qid, a.id AS cid, ${sqlD2("q.v", "c.v")} AS d2
+           |  FROM (SELECT id, v[$lo:$hi] AS v FROM qs) q
+           |  CROSS JOIN a$j a JOIN c${j}1 c ON c.cid = a.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+       |  FROM documents),
+       |tn AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0),
+       |tc AS (
+       |  SELECT doc_id, l,
+       |    CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END AS nc
+       |  FROM tn),
+       |ch AS (SELECT doc_id, unnest(range(nc)) AS seq, l FROM tc),
+       |ctk AS (
+       |  SELECT doc_id, seq,
+       |    unnest(list_slice(l, seq*24 + 1, seq*24 + 32)) AS tok
+       |  FROM ch),
+       |th AS (
+       |  SELECT doc_id, seq,
+       |    ('0x' || substr(md5('cv:' || tok), 1, 15))::BIGINT AS h
+       |  FROM ctk),
+       |feat AS (
+       |  SELECT doc_id, seq, dd.d AS dim,
+       |    sum(CASE WHEN ((h >> dd.d) & 1) = 1 THEN 1 ELSE -1 END)::DOUBLE
+       |      AS x
+       |  FROM th, (SELECT unnest(range(0, 16)) AS d) dd
+       |  GROUP BY doc_id, seq, dd.d),
+       |e AS (
+       |  SELECT doc_id * 100000 + seq AS id, list(x ORDER BY dim) AS v
+       |  FROM feat GROUP BY doc_id, seq),
+       |tr AS (SELECT id, v FROM e
+       |       WHERE ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT
+       |             % 1000 < $PassageTrainPerMille),
+       |qs AS (SELECT id, v FROM e
+       |       WHERE id % 100000 = 0 AND id < ${nq * 100000L}),
+       |$per,
+       |tot AS (
+       |  SELECT p0.qid, p0.cid,
+       |    round(((p0.d2 + p1.d2) + p2.d2) + p3.d2, 4) AS approx_d2
+       |  FROM p0 JOIN p1 USING (qid, cid) JOIN p2 USING (qid, cid)
+       |    JOIN p3 USING (qid, cid)
+       |  WHERE p0.qid <> p0.cid),
+       |adc AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY approx_d2, cid) AS rnk FROM tot) t WHERE rnk <= $topk),
+       |ex AS (
+       |  SELECT q.id AS qid, x.id AS cid,
+       |    round(${sqlD2("q.v", "x.v")}, 4) AS d2
+       |  FROM qs q CROSS JOIN e x WHERE x.id <> q.id),
+       |exact AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY d2, cid) AS rnk FROM ex) t WHERE rnk <= $topk),
+       |hits AS (
+       |  SELECT a.qid, count(*) AS n_hit
+       |  FROM adc a JOIN exact x USING (qid, cid) GROUP BY a.qid)
+       |SELECT qs.id AS qid, coalesce(h.n_hit, 0)::BIGINT AS n_hit
+       |FROM qs LEFT JOIN hits h ON h.qid = qs.id
+       |ORDER BY qid""".stripMargin
   }
 
   /** Generated oracle for sim_pq_store_stats: the store lifecycle is
@@ -4763,6 +4866,21 @@ object LlmQueries {
       PassageLearnedSql) { (s, d) =>
       passageLearnedBuild(s, d)
       passageLearnedProbe(s, d)
+    },
+
+    // PASSAGE recall@5 (Streams.passageRecallAtK) — the retrieval-
+    // quality gate for the SAMPLED (250 per-mille) passage codebook:
+    // per leading-passage query, how many of the chunk-vector store's
+    // unrouted ADC top-5 are true top-5 by exact squared-L2 through
+    // the same featurization. A trainer or sample-derivation
+    // regression that degrades passage retrieval flips an exact-
+    // integer row here; sim_pq_recall_at_k only covers the
+    // full-trained doc-PQ store.
+    QueryDef(
+      "search_passage_recall_at_k",
+      PassageRecallSql) { (s, d) =>
+      passageRecallBuild(s, d)
+      passageRecallProbe(s, d)
     },
 
     // BM25 keyword search (operators.Search.bm25TopK): ranked retrieval

@@ -860,6 +860,73 @@ object Streams {
         col("n_passages"), col("rnk"))
   }
 
+  /** PASSAGE recall@k — the retrieval-quality gate for the SAMPLED
+    * passage codebook ([[chunkVectorIngestBatch]]'s `trainPerMille`):
+    * per query, how many of the chunk-vector store's ADC top-`k`
+    * passages are true top-`k` by EXACT squared-L2 through the same
+    * chunk featurization. Queries are the corpus's own leading
+    * passages (chunk 0 of the `nQueryDocs` lowest doc ids, self
+    * excluded on both sides), so a training-sample change that
+    * degrades passage retrieval flips an exact-integer row — the
+    * passage twin of `sim_pq_recall_at_k`, which gates only the
+    * full-trained doc-PQ store. The probe is UNROUTED (`nprobe = 0`)
+    * by design: a recall audit measures codebook quality, not cell
+    * routing. Corpus-sized exact scan is inherent to the audit (the
+    * true top-k needs every chunk scored once); at 100 TB this runs
+    * on a sampled audit slice, not per serving query.
+    */
+  def passageRecallAtK(spark: org.apache.spark.sql.SparkSession,
+      chunkDir: String, vecDir: String, dims: Int, nQueryDocs: Int,
+      k: Int): DataFrame = {
+    require(nQueryDocs > 0 && k > 0,
+      s"need nQueryDocs > 0 and k > 0, got $nQueryDocs/$k")
+    val chunks = chunkStoreRead(spark, chunkDir).getOrElse(sys.error(
+      s"$chunkDir has no committed chunks - the recall audit " +
+        "re-featurizes the corpus from the chunk store"))
+    // Featurize ONCE and persist: the frame feeds the query slice,
+    // the ADC probe's query vectors, and the exact scan — each lazy
+    // re-evaluation would re-run the per-token md5 featurize.
+    val cv = chunks
+      .select(chunkVecIdExpr.as("id"),
+        passageVecExpr(col("chunk_text"), dims).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val qs = cv.filter(col("id") % ChunkVecSeqLimit === 0 &&
+        col("id") < nQueryDocs * ChunkVecSeqLimit)
+      val adc = graft.operators.Similarity
+        .pqStoreTopK(spark, vecDir, qs, k, nprobe = 0)
+        .select(col("qid"), col("cid"))
+      val q = qs.select(col("id").as("qid"),
+        graft.functions.VectorFunctions.toDoubleArray(col("vec"))
+          .as("qv"))
+      val d2 = {
+        val dot = graft.functions.VectorFunctions.dot _
+        dot(col("qv"), col("qv")) + dot(col("cv"), col("cv")) -
+          lit(2.0) * dot(col("qv"), col("cv"))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+      val exact = cv
+        .select(col("id").as("cid"),
+          graft.functions.VectorFunctions.toDoubleArray(col("vec"))
+            .as("cv"))
+        .crossJoin(broadcast(q))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), round(d2, 4).as("d2"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("qid"), col("cid"))
+      val hits = adc.join(exact, Seq("qid", "cid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("__h"))
+      // Materialize before unpersist: the caller gets a frame whose
+      // lineage no longer needs the persisted featurization.
+      val out = q.select(col("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("__h"), lit(0L)).as("n_hit"))
+      graft.Checkpoints.pinned(out)
+    } finally { cv.unpersist(); () }
+  }
+
   /** PASSAGE-LEVEL exact rerank — [[passageTopK]] with the production
     * two-stage shape: the routed ADC probe nominates `kCand` candidate
     * passages from code ids alone, ONLY those candidates' chunk text
