@@ -308,9 +308,21 @@ object Bench {
     var sfMismatchWarned = false
     // A reference entry is either a plain number (total seconds, gated
     // at 2x+0.75 on build+min(probe)) or {"build": b, "probe": p} for a
-    // lifecycle query (gated per-phase).
+    // lifecycle query (gated per-phase). A lifecycle entry may also
+    // carry "build_warm": the QUIET-session warm build minimum from the
+    // committed ScratchPhases protocol (tools/scratch_phases_r*.log via
+    // tools/warm_pins.py) — the r18 verdict's build-gate blind spot:
+    // with builds gated at 3x+1.5s AND the store families JIT-warmed
+    // untimed, a genuine ~2.5x build regression ships silently. The
+    // secondary warm pin watches builds at 1.5x+1.0s against that
+    // quiet-session floor, REPORT-ONLY this round (stderr + JSON
+    // `build_warm_watch`, never the exit code): one round of watch data
+    // decides whether 1.5x holds across driver-density sessions before
+    // it arms.
     final case class Ref(total: Option[Double], build: Option[Double],
-      probe: Option[Double])
+      probe: Option[Double], buildWarm: Option[Double])
+    val WarmMult = 1.5
+    val WarmAbs = 1.0
     val refTimes: Map[String, Ref] =
       try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -332,8 +344,9 @@ object Bench {
             val v = e.getValue
             e.getKey -> (if (v.isObject)
               Ref(None, Option(v.get("build")).map(_.asDouble()),
-                Option(v.get("probe")).map(_.asDouble()))
-            else Ref(Some(v.asDouble()), None, None))
+                Option(v.get("probe")).map(_.asDouble()),
+                Option(v.get("build_warm")).map(_.asDouble()))
+            else Ref(Some(v.asDouble()), None, None, None))
           }.toMap
         }
       } catch { case _: Exception => Map.empty }
@@ -375,6 +388,22 @@ object Bench {
         "shipping; refresh tools/bench_reference.json only with a " +
         "written justification")
     }
+    // Secondary warm-build watch (report-only): builds over 1.5x +
+    // 1.0s of their committed quiet-session warm minimum. Catches the
+    // ~1.5-3x band the 3x primary gate can't see; does not touch the
+    // exit code this round (see the Ref scaladoc).
+    val warmWatch = results.map(_._1).sorted.flatMap { name =>
+      refTimes.get(name).flatMap(_.buildWarm).flatMap(w =>
+        buildSecs.get(name).collect {
+          case b if b > w * WarmMult && b - w > WarmAbs =>
+            (name, b, w)
+        })
+    }
+    warmWatch.foreach { case (n, b, w) =>
+      System.err.println(f"[bench] BUILD-WARM WATCH $n: build ${b}%.3f s " +
+        f"vs quiet-session warm min ${w}%.3f s (${b / w}%.1fx) - " +
+        "report-only; check session density before suspecting the code")
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -411,11 +440,15 @@ object Bench {
       "\"" + n + ":" + phase + "\":{\"sec\":" + r3(s) +
         ",\"ref\":" + r3(ref) + "}"
     }.mkString("{", ",", "}")
+    val warmWatchJson = warmWatch.map { case (n, b, w) =>
+      "\"" + n + "\":{\"build\":" + r3(b) + ",\"warm_ref\":" + r3(w) + "}"
+    }.mkString("{", ",", "}")
     val fullWithDiag = full.dropRight(1) +
       s""","passes":$passesJson,"gc_ms_total":${gcMillis()},""" +
       s""""code_cache_used_mb":${codeCacheUsedMb()},""" +
       s""""lifecycle_builds":$buildsJson,""" +
       s""""regressions":$regressionsJson,""" +
+      s""""build_warm_watch":$warmWatchJson,""" +
       s""""regression_ref":"${if (refTimes.isEmpty) "" else refPath}",""" +
       s""""schedule":{"heavy_first":$heavyJson,"heavy_passes":$heavyPasses,""" +
       s""""gc_barrier_after_heavy":true}}"""

@@ -43,7 +43,7 @@ object CrawlQueries {
         |        regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gs'),
         |        '<style[^>]*>.*?</style>', ' ', 'gs'),
         |      '<[^>]+>', ' ', 'g'),
-        |    '\s+', ' ', 'g'))) AS n_text
+        |    '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS n_text
         |FROM page ORDER BY url""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val site = docs.select(
@@ -77,11 +77,11 @@ object CrawlQueries {
         |batch AS (
         |  SELECT i.doc_id,
         |    sha256(trim(regexp_replace(regexp_replace(d.text, e'\r\n|\r', e'\n', 'g'),
-        |      '\s+', ' ', 'g'))) AS content_hash
+        |      '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS content_hash
         |  FROM idx i JOIN documents d ON d.doc_id = i.eff),
         |tgt AS (
         |  SELECT sha256(trim(regexp_replace(regexp_replace(text, e'\r\n|\r', e'\n', 'g'),
-        |    '\s+', ' ', 'g'))) AS content_hash
+        |    '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS content_hash
         |  FROM documents WHERE doc_id % 2 = 0),
         |ded AS (
         |  SELECT content_hash, min(doc_id) AS doc_id FROM batch

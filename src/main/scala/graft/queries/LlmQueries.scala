@@ -931,7 +931,7 @@ object LlmQueries {
       |         regexp_replace(text, '^\S+', 'zzz') AS text FROM documents),
       |toks AS (
       |  SELECT doc_id,
-      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+      |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
       |  FROM corpus),
       |shset AS (
       |  SELECT DISTINCT doc_id, sh FROM (
@@ -968,7 +968,7 @@ object LlmQueries {
   private val Bm25IndexSql =
     """WITH t AS (
       |  SELECT doc_id,
-      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+      |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
       |  FROM documents),
       |p AS (
       |  SELECT doc_id, len(l) AS dl,
@@ -1026,7 +1026,7 @@ object LlmQueries {
   private val Rm3Sql =
     """WITH t AS (
       |  SELECT doc_id,
-      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+      |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
       |  FROM documents),
       |d AS (SELECT doc_id, len(l) AS dl FROM t),
       |u AS (SELECT doc_id, unnest(l) AS term FROM t),
@@ -1764,7 +1764,7 @@ object LlmQueries {
     }
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+       |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
        |  FROM documents),
        |tn AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0),
        |tc AS (
@@ -1790,7 +1790,7 @@ object LlmQueries {
        |  SELECT doc_id * 100000 + seq AS id, list(x ORDER BY dim) AS v
        |  FROM feat GROUP BY doc_id, seq),
        |qtk AS (SELECT unnest(list_filter(
-       |    string_split(trim('$PassageQueryText'), ' '), x -> x <> ''))
+       |    string_split(trim('$PassageQueryText', ' '), ' '), x -> x <> ''))
        |    AS tok),
        |qth AS (SELECT ('0x' || substr(md5('cv:' || tok), 1, 15))::BIGINT
        |          AS h
@@ -1886,7 +1886,7 @@ object LlmQueries {
     }.mkString(",\n")
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+       |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
        |  FROM documents),
        |tn AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0),
        |tc AS (
@@ -2235,7 +2235,7 @@ object LlmQueries {
     }.mkString(",\n")
     s"""WITH w AS (
        |  SELECT w, count(*) AS wn FROM (
-       |    SELECT unnest(list_filter(string_split(trim(text), ' '),
+       |    SELECT unnest(list_filter(string_split(trim(text, ' '), ' '),
        |      x -> x <> '')) AS w
        |    FROM documents) t
        |  GROUP BY w),
@@ -2267,7 +2267,7 @@ object LlmQueries {
          |enc AS (SELECT w, len(syms)::BIGINT AS nsym FROM v$BpeRounds),
          |tok AS (
          |  SELECT source AS s,
-         |    unnest(list_filter(string_split(trim(text), ' '),
+         |    unnest(list_filter(string_split(trim(text, ' '), ' '),
          |      x -> x <> '')) AS w
          |  FROM documents),
          |sw AS (SELECT s, w, count(*) AS wn FROM tok GROUP BY s, w),
@@ -2296,7 +2296,7 @@ object LlmQueries {
       s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").grouped(16)
       .map(g => "(" + g.mkString(" + ") + ")").mkString("\n      + ")
     s"""WITH toks AS (
-       |  SELECT source, list_filter(string_split(trim(text), ' '),
+       |  SELECT source, list_filter(string_split(trim(text, ' '), ' '),
        |    x -> x <> '') AS l
        |  FROM documents),
        |sh AS (
@@ -2410,7 +2410,7 @@ object LlmQueries {
         |  UNION ALL
         |  SELECT doc_id + 2000000 AS doc_id,
         |    array_to_string(
-        |      list_filter(string_split(trim(text), ' '), x -> x <> '')[1:16], ' ')
+        |      list_filter(string_split(trim(text, ' '), ' '), x -> x <> '')[1:16], ' ')
         |    || ' fresh tail mutant ' || doc_id AS text
         |  FROM documents WHERE doc_id % 6 = 0),""".stripMargin
     val origCorpus =
@@ -2466,7 +2466,7 @@ object LlmQueries {
         |w1n AS (SELECT min(doc_id) AS doc_id, text FROM ndsurv1 GROUP BY text),
         |w1t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM w1n),
         |w1g AS (
         |  SELECT doc_id,
@@ -2506,7 +2506,7 @@ object LlmQueries {
         |  WHERE text NOT IN (SELECT text FROM stext) GROUP BY text),
         |w2t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM w2n),
         |w2g AS (
         |  SELECT doc_id,
@@ -2561,7 +2561,7 @@ object LlmQueries {
         |hashed AS (
         |  SELECT doc_id,
         |    sha256(trim(regexp_replace(regexp_replace(text, e'\r\n|\r', e'\n', 'g'),
-        |      '\s+', ' ', 'g'))) AS content_hash
+        |      '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS content_hash
         |  FROM corpus)
         |SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM hashed GROUP BY content_hash ORDER BY canonical_id""".stripMargin) { (s, d) =>
@@ -3086,7 +3086,7 @@ object LlmQueries {
         |  SELECT doc_id + 1000000 AS doc_id,
         |         regexp_replace(text, '^\S+', 'zzz') AS text FROM documents),
         |toks AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
+        |  SELECT doc_id, unnest(list_filter(string_split(trim(text, ' '), ' '),
         |    x -> x <> '')) AS tok
         |  FROM corpus),
         |th AS (
@@ -3465,7 +3465,7 @@ object LlmQueries {
         |hashed AS (
         |  SELECT doc_id, text,
         |    sha256(trim(regexp_replace(regexp_replace(text, e'\r\n|\r', e'\n', 'g'),
-        |      '\s+', ' ', 'g'))) AS content_hash
+        |      '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS content_hash
         |  FROM corpus),
         |canon AS (
         |  SELECT doc_id, text FROM (
@@ -3475,7 +3475,7 @@ object LlmQueries {
         |    FROM hashed) WHERE rn = 1),
         |t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM canon),
         |m AS (
         |  SELECT doc_id, len(l) AS n_tokens,
@@ -3530,7 +3530,7 @@ object LlmQueries {
       "pl_decontaminate",
       """WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |dsh AS (
         |  SELECT DISTINCT doc_id,
@@ -3561,7 +3561,7 @@ object LlmQueries {
       "pl_contamination_report",
       """WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |dsh AS (
         |  SELECT DISTINCT doc_id,
@@ -3595,7 +3595,7 @@ object LlmQueries {
       "pl_importance_resample",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |f AS (
         |  SELECT doc_id,
@@ -3632,7 +3632,7 @@ object LlmQueries {
       "pl_boilerplate_ratio",
       """WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |dsh AS (
         |  SELECT DISTINCT doc_id,
@@ -3736,7 +3736,7 @@ object LlmQueries {
       "pl_pack_sequences",
       """WITH t AS (
         |  SELECT doc_id, source,
-        |    len(list_filter(string_split(trim(text), ' '), x -> x <> ''))::BIGINT
+        |    len(list_filter(string_split(trim(text, ' '), ' '), x -> x <> ''))::BIGINT
         |      AS n_tokens
         |  FROM documents),
         |c AS (
@@ -3763,7 +3763,7 @@ object LlmQueries {
       "pl_pack_sequences_dist",
       """WITH t AS (
         |  SELECT doc_id, source,
-        |    len(list_filter(string_split(trim(text), ' '), x -> x <> ''))::BIGINT
+        |    len(list_filter(string_split(trim(text, ' '), ' '), x -> x <> ''))::BIGINT
         |      AS n_tokens
         |  FROM documents),
         |c AS (
@@ -3794,7 +3794,7 @@ object LlmQueries {
       "pl_chunk_sliding_windows",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |n AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0),
         |c AS (
@@ -3825,7 +3825,7 @@ object LlmQueries {
       "pl_chunk_store_roundtrip",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |n AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0),
         |c AS (
@@ -3853,7 +3853,7 @@ object LlmQueries {
       "pl_chunk_store_takedown",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents WHERE doc_id % 11 <> 0),
         |n AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0),
         |c AS (
@@ -3879,7 +3879,7 @@ object LlmQueries {
       "pl_mixture_budget_take",
       """WITH t AS (
         |  SELECT doc_id, source,
-        |    len(list_filter(string_split(trim(text), ' '), x -> x <> ''))::BIGINT
+        |    len(list_filter(string_split(trim(text, ' '), ' '), x -> x <> ''))::BIGINT
         |      AS n_tokens
         |  FROM documents),
         |c AS (
@@ -3910,7 +3910,7 @@ object LlmQueries {
       "pl_mixture_budget_take_dist",
       """WITH t AS (
         |  SELECT doc_id, source,
-        |    len(list_filter(string_split(trim(text), ' '), x -> x <> ''))::BIGINT
+        |    len(list_filter(string_split(trim(text, ' '), ' '), x -> x <> ''))::BIGINT
         |      AS n_tokens
         |  FROM documents),
         |c AS (
@@ -3937,7 +3937,7 @@ object LlmQueries {
     QueryDef(
       "txt_token_stats",
       """SELECT doc_id,
-        |  len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_ws,
+        |  len(list_filter(string_split(trim(text, ' '), ' '), x -> x <> '')) AS n_ws,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
@@ -3952,7 +3952,7 @@ object LlmQueries {
       "txt_quality_score",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents)
         |SELECT doc_id,
         |  round(least(1.0, len(l) / 32.0) * 0.4
@@ -3973,7 +3973,7 @@ object LlmQueries {
       "txt_lang_id",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |h AS (
         |  SELECT doc_id,
@@ -4004,7 +4004,7 @@ object LlmQueries {
       "txt_hashing_vectorizer",
       """WITH t AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+        |    unnest(list_filter(string_split(trim(text, ' '), ' '), x -> x <> ''))
         |      AS tok
         |  FROM documents)
         |SELECT doc_id,
@@ -4027,7 +4027,7 @@ object LlmQueries {
       "txt_collocation_pmi",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |bg AS (
         |  SELECT unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
@@ -4074,7 +4074,7 @@ object LlmQueries {
       "txt_tfidf_top_terms",
       """WITH t AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+        |    unnest(list_filter(string_split(trim(text, ' '), ' '), x -> x <> ''))
         |      AS term
         |  FROM documents),
         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
@@ -4127,7 +4127,7 @@ object LlmQueries {
       "txt_chi2_terms",
       """WITH t AS (
         |  SELECT DISTINCT doc_id,
-        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+        |    unnest(list_filter(string_split(trim(text, ' '), ' '), x -> x <> ''))
         |      AS term
         |  FROM documents),
         |lab AS (SELECT doc_id, (n_chars >= 200) AS good FROM documents),
@@ -4161,7 +4161,7 @@ object LlmQueries {
       "txt_winnow_fingerprints",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id,
@@ -4200,12 +4200,12 @@ object LlmQueries {
         |  UNION ALL
         |  SELECT doc_id + 1000000,
         |    array_to_string(
-        |      list_filter(string_split(trim(text), ' '), x -> x <> '')[1:24], ' ')
+        |      list_filter(string_split(trim(text, ' '), ' '), x -> x <> '')[1:24], ' ')
         |    || ' unique tail for mutant ' || doc_id
         |  FROM documents),
         |toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM corpus),
         |lines AS (
         |  SELECT doc_id,
@@ -4266,7 +4266,7 @@ object LlmQueries {
         |  FROM documents),
         |toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM corpus),
         |grams AS (
         |  SELECT doc_id,
@@ -4333,7 +4333,7 @@ object LlmQueries {
         |  FROM documents),
         |toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM corpus),
         |q AS (SELECT doc_id, len(l) AS q FROM toks),
         |grams AS (
@@ -4407,7 +4407,7 @@ object LlmQueries {
         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
         |w1t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM w1n),
         |w1g AS (
         |  SELECT doc_id,
@@ -4445,7 +4445,7 @@ object LlmQueries {
         |w2b AS (
         |  SELECT doc_id + 1000000 AS doc_id,
         |    array_to_string(
-        |      list_filter(string_split(trim(text), ' '), x -> x <> '')[1:16], ' ')
+        |      list_filter(string_split(trim(text, ' '), ' '), x -> x <> '')[1:16], ' ')
         |    || ' fresh tail mutant ' || doc_id AS text
         |  FROM documents WHERE doc_id % 5 = 0
         |  UNION ALL
@@ -4455,7 +4455,7 @@ object LlmQueries {
         |  WHERE text NOT IN (SELECT text FROM stext) GROUP BY text),
         |w2t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM w2n),
         |w2g AS (
         |  SELECT doc_id,
@@ -4521,7 +4521,7 @@ object LlmQueries {
       """WITH batch AS (
         |  SELECT doc_id + 1000000 AS doc_id,
         |    array_to_string(
-        |      list_filter(string_split(trim(text), ' '), x -> x <> '')[1:16], ' ')
+        |      list_filter(string_split(trim(text, ' '), ' '), x -> x <> '')[1:16], ' ')
         |    || ' fresh tail mutant ' || doc_id AS text
         |  FROM documents WHERE doc_id % 5 = 0),
         |corpus AS (
@@ -4529,7 +4529,7 @@ object LlmQueries {
         |  UNION ALL SELECT doc_id, text FROM batch),
         |toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM corpus),
         |grams AS (
         |  SELECT doc_id,
@@ -4572,7 +4572,7 @@ object LlmQueries {
       "txt_repetition_signals",
       """WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |lines0 AS (
         |  SELECT doc_id,
@@ -4893,7 +4893,7 @@ object LlmQueries {
       "search_bm25_topk",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, len(l) AS dl,
@@ -4964,7 +4964,7 @@ object LlmQueries {
         }.mkString("\nUNION ALL\n")
         s"""WITH v AS (
            |  SELECT w AS term, count(*) AS cf FROM (
-           |    SELECT unnest(list_filter(string_split(trim(text), ' '),
+           |    SELECT unnest(list_filter(string_split(trim(text, ' '), ' '),
            |      x -> x <> '')) AS w
            |    FROM documents) t
            |  GROUP BY w),
@@ -4997,7 +4997,7 @@ object LlmQueries {
       "search_boolean_topk",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |p AS (
         |  SELECT doc_id,
@@ -5029,7 +5029,7 @@ object LlmQueries {
       "search_qld_topk",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, len(l) AS dl,
@@ -5085,7 +5085,7 @@ object LlmQueries {
       "txt_readability",
       """WITH p AS (
         |  SELECT doc_id,
-        |    len(list_filter(string_split(trim(text), ' '), x -> x <> ''))::BIGINT
+        |    len(list_filter(string_split(trim(text, ' '), ' '), x -> x <> ''))::BIGINT
         |      AS n_words,
         |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
         |      AS n_sentences,
@@ -5113,7 +5113,7 @@ object LlmQueries {
       "pl_quality_borda",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |q AS (
         |  SELECT doc_id,
@@ -5194,7 +5194,7 @@ object LlmQueries {
       "search_eval_ndcg",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, len(l) AS dl,
@@ -5264,7 +5264,7 @@ object LlmQueries {
       "search_eval_mrr",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, len(l) AS dl,
@@ -5334,7 +5334,7 @@ object LlmQueries {
       "search_eval_rank_corr",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, len(l) AS dl,
@@ -5584,7 +5584,7 @@ object LlmQueries {
       "search_more_like_this",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |qc AS (
         |  SELECT term, count(*) AS qtf FROM (
@@ -5705,7 +5705,7 @@ object LlmQueries {
         |      * ln(c::DOUBLE / n::DOUBLE) * 1e6)::BIGINT)::BIGINT AS entropy_unats
         |  FROM tt GROUP BY doc_id),
         |tk AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
+        |  SELECT doc_id, unnest(list_filter(string_split(trim(text, ' '), ' '),
         |    x -> x <> '')) AS token
         |  FROM documents),
         |v AS (SELECT token, count(*) AS n_t FROM tk GROUP BY token),
@@ -5723,7 +5723,7 @@ object LlmQueries {
         |          x -> x IN ('the','a','of','and','to','in','is'))) * 8.0
         |          / len(l)) * 0.2, 4) AS quality
         |  FROM (SELECT doc_id,
-        |          list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |          list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |        FROM documents))
         |SELECT e.doc_id, e.entropy_unats, lp.n_tokens, lp.sum_logp_unats,
         |  q.quality
@@ -5753,7 +5753,7 @@ object LlmQueries {
     QueryDef(
       "txt_unigram_logprob",
       """WITH t AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
+        |  SELECT doc_id, unnest(list_filter(string_split(trim(text, ' '), ' '),
         |    x -> x <> '')) AS token
         |  FROM documents),
         |v AS (SELECT token, count(*) AS n_t FROM t GROUP BY token),
@@ -5777,7 +5777,7 @@ object LlmQueries {
       "txt_bigram_logprob",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |bg AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(l)),
@@ -5808,7 +5808,7 @@ object LlmQueries {
     QueryDef(
       "txt_vocab_export",
       """WITH t AS (
-        |  SELECT unnest(list_filter(string_split(trim(text), ' '),
+        |  SELECT unnest(list_filter(string_split(trim(text, ' '), ' '),
         |    x -> x <> '')) AS token
         |  FROM documents),
         |g AS (SELECT token, count(*) AS n FROM t GROUP BY token)
@@ -5833,7 +5833,7 @@ object LlmQueries {
       "search_phrase_topk",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |p AS (
         |  SELECT doc_id,
@@ -5854,7 +5854,7 @@ object LlmQueries {
       "search_phrase_index_topk",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |p AS (
         |  SELECT doc_id,
@@ -5874,7 +5874,7 @@ object LlmQueries {
       "search_phrase_index_bucketed",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |p AS (
         |  SELECT doc_id,
@@ -5921,7 +5921,7 @@ object LlmQueries {
       "pl_split_decontaminate",
       """WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |dsh AS (
         |  SELECT DISTINCT doc_id,
@@ -5968,7 +5968,7 @@ object LlmQueries {
       "txt_top_ngrams_per_source",
       """WITH toks AS (
         |  SELECT source,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |sh AS (
         |  SELECT source, unnest(list_transform(range(1, len(l) - 1),

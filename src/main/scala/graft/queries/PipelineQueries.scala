@@ -105,13 +105,13 @@ object PipelineQueries {
       """WITH target AS (
         |  SELECT doc_id,
         |    sha256(trim(regexp_replace(regexp_replace(text, e'\r\n|\r', e'\n', 'g'),
-        |      '\s+', ' ', 'g'))) AS content_hash
+        |      '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS content_hash
         |  FROM documents),
         |incoming AS (
         |  SELECT doc_id,
         |    sha256(trim(regexp_replace(regexp_replace(
         |      CASE WHEN doc_id % 3 = 0 THEN 'changed ' || text ELSE text END,
-        |      e'\r\n|\r', e'\n', 'g'), '\s+', ' ', 'g'))) AS content_hash
+        |      e'\r\n|\r', e'\n', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS content_hash
         |  FROM documents WHERE doc_id % 3 <> 2
         |  UNION ALL
         |  SELECT doc_id + 5000000, sha256('new-doc-' || doc_id) FROM documents
@@ -149,13 +149,13 @@ object PipelineQueries {
       """WITH target AS (
         |  SELECT doc_id,
         |    sha256(trim(regexp_replace(regexp_replace(text, e'\r\n|\r', e'\n', 'g'),
-        |      '\s+', ' ', 'g'))) AS content_hash
+        |      '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS content_hash
         |  FROM documents),
         |incoming AS (
         |  SELECT doc_id + 7000000 AS doc_id,
         |    sha256(trim(regexp_replace(regexp_replace(
         |      CASE WHEN doc_id % 2 = 0 THEN text ELSE 'fresh ' || text END,
-        |      e'\r\n|\r', e'\n', 'g'), '\s+', ' ', 'g'))) AS content_hash
+        |      e'\r\n|\r', e'\n', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS content_hash
         |  FROM documents),
         |dedup AS (
         |  SELECT content_hash, min(doc_id) AS doc_id FROM incoming
@@ -189,7 +189,7 @@ object PipelineQueries {
         |h AS (
         |  SELECT doc_id,
         |    sha256(trim(regexp_replace(regexp_replace(text, e'\r\n|\r', e'\n', 'g'),
-        |      '\s+', ' ', 'g'))) AS ch
+        |      '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS ch
         |  FROM cand)
         |SELECT doc_id, min(ch) AS winner_hash FROM h
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -678,7 +678,7 @@ object PipelineQueries {
       "pl_linreg_token_rate",
       """WITH t AS (
         |  SELECT source, n_chars::BIGINT AS x,
-        |    len(list_filter(string_split(trim(text), ' '), z -> z <> ''))::BIGINT AS y
+        |    len(list_filter(string_split(trim(text, ' '), ' '), z -> z <> ''))::BIGINT AS y
         |  FROM documents),
         |m AS (
         |  SELECT source, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
@@ -778,7 +778,7 @@ object PipelineQueries {
       "pl_quality_classifier_nb",
       """WITH t AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+        |    unnest(list_filter(string_split(trim(text, ' '), ' '), x -> x <> ''))
         |      AS tok
         |  FROM documents),
         |h AS (
@@ -824,7 +824,7 @@ object PipelineQueries {
       "pl_classifier_eval_split",
       """WITH t AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+        |    unnest(list_filter(string_split(trim(text, ' '), ' '), x -> x <> ''))
         |      AS tok
         |  FROM documents),
         |h AS (
@@ -900,7 +900,7 @@ object PipelineQueries {
       "pl_classifier_calibration",
       """WITH t AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+        |    unnest(list_filter(string_split(trim(text, ' '), ' '), x -> x <> ''))
         |      AS tok
         |  FROM documents),
         |h AS (
@@ -1108,16 +1108,16 @@ object PipelineQueries {
         |  WHERE doc_id % 10 = 0),
         |p AS (
         |  SELECT source, lang, length(text) AS chars,
-        |    len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS toks,
+        |    len(list_filter(string_split(trim(text, ' '), ' '), x -> x <> '')) AS toks,
         |    sha256(trim(regexp_replace(regexp_replace(text, e'\r\n|\r', e'\n', 'g'),
-        |      '\s+', ' ', 'g'))) AS ch,
+        |      '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS ch,
         |    round(round(
-        |      least(1.0, len(list_filter(string_split(trim(text), ' '), x -> x <> '')) / 32.0) * 0.4
-        |      + (len(list_distinct(list_filter(string_split(trim(text), ' '), x -> x <> ''))) * 1.0
-        |         / len(list_filter(string_split(trim(text), ' '), x -> x <> ''))) * 0.4
-        |      + least(1.0, len(list_filter(list_filter(string_split(trim(text), ' '), x -> x <> ''),
+        |      least(1.0, len(list_filter(string_split(trim(text, ' '), ' '), x -> x <> '')) / 32.0) * 0.4
+        |      + (len(list_distinct(list_filter(string_split(trim(text, ' '), ' '), x -> x <> ''))) * 1.0
+        |         / len(list_filter(string_split(trim(text, ' '), ' '), x -> x <> ''))) * 0.4
+        |      + least(1.0, len(list_filter(list_filter(string_split(trim(text, ' '), ' '), x -> x <> ''),
         |          x -> x IN ('the','a','of','and','to','in','is'))) * 8.0
-        |          / len(list_filter(string_split(trim(text), ' '), x -> x <> ''))) * 0.2,
+        |          / len(list_filter(string_split(trim(text, ' '), ' '), x -> x <> ''))) * 0.2,
         |      4) * 1e6)::BIGINT AS q1e6
         |  FROM corpus)
         |SELECT source, count(*) AS n_docs,
@@ -1190,7 +1190,7 @@ object PipelineQueries {
         |         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 < 950
         |           THEN 'val'
         |         ELSE 'test' END AS split,
-        |    len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS toks
+        |    len(list_filter(string_split(trim(text, ' '), ' '), x -> x <> '')) AS toks
         |  FROM documents)
         |SELECT split, source, count(*) AS n_docs, sum(toks)::BIGINT AS total_tokens
         |FROM p GROUP BY split, source ORDER BY split, source""".stripMargin) { (s, d) =>
@@ -1255,7 +1255,7 @@ object PipelineQueries {
       "pl_unimax_budget",
       """WITH sz AS (
         |  SELECT source,
-        |    sum(len(list_filter(string_split(trim(text), ' '),
+        |    sum(len(list_filter(string_split(trim(text, ' '), ' '),
         |      x -> x <> '')))::BIGINT AS n
         |  FROM documents GROUP BY source),
         |st AS (
@@ -1304,7 +1304,7 @@ object PipelineQueries {
       "pl_length_bucket_batches",
       """WITH t AS (
         |  SELECT doc_id,
-        |    len(list_filter(string_split(trim(text), ' '),
+        |    len(list_filter(string_split(trim(text, ' '), ' '),
         |      x -> x <> ''))::BIGINT AS n_tokens
         |  FROM documents),
         |b AS (
@@ -1360,12 +1360,12 @@ object PipelineQueries {
       "pl_snapshot_diff",
       """WITH b AS (
         |  SELECT source, count(*)::BIGINT AS n_docs,
-        |    sum(len(list_filter(string_split(trim(text), ' '),
+        |    sum(len(list_filter(string_split(trim(text, ' '), ' '),
         |      x -> x <> '')))::BIGINT AS total_tokens
         |  FROM documents GROUP BY source),
         |af AS (
         |  SELECT source, count(*)::BIGINT AS n_docs,
-        |    sum(len(list_filter(string_split(trim(text), ' '),
+        |    sum(len(list_filter(string_split(trim(text, ' '), ' '),
         |      x -> x <> '')))::BIGINT AS total_tokens
         |  FROM (
         |    SELECT source, text FROM documents
@@ -1408,7 +1408,7 @@ object PipelineQueries {
       "pl_curriculum_order",
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, len(l)::BIGINT AS n_tokens,

@@ -1544,7 +1544,7 @@ object RelationalQueries {
     QueryDef(
       "x1_token_explode_counts",
       """SELECT tok, count(*) AS n FROM (
-        |  SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+        |  SELECT unnest(string_split(trim(text, ' '), ' ')) AS tok FROM documents)
         |WHERE tok <> '' GROUP BY tok ORDER BY tok""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(explode(split(trim(col("text")), " ")).as("tok"))
@@ -1563,7 +1563,7 @@ object RelationalQueries {
     QueryDef(
       "agg_cms_heavy_hitters",
       """WITH toks AS (
-        |  SELECT unnest(list_filter(string_split(trim(text), ' '),
+        |  SELECT unnest(list_filter(string_split(trim(text, ' '), ' '),
         |    x -> x <> '')) AS tok
         |  FROM documents),
         |tc AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
@@ -1653,8 +1653,8 @@ object RelationalQueries {
       """SELECT doc_id, string_agg(tok, ',' ORDER BY first_pos) AS toks FROM (
         |  SELECT doc_id, tok, min(pos) AS first_pos FROM (
         |    SELECT doc_id,
-        |      unnest(string_split(trim(text), ' ')) AS tok,
-        |      generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+        |      unnest(string_split(trim(text, ' '), ' ')) AS tok,
+        |      generate_subscripts(string_split(trim(text, ' '), ' '), 1) AS pos
         |    FROM documents)
         |  WHERE tok <> '' GROUP BY doc_id, tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>

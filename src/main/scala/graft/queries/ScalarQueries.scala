@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef.PresentOps
 import graft.{QueryDef, Tables}
-import graft.functions.{HashFunctions, UrlFunctions}
+import graft.functions.{HashFunctions, TextFunctions, UrlFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,6 +49,88 @@ object ScalarQueries {
       |    || CASE WHEN doc_id % 2 = 0 THEN '#sec' || doc_id ELSE '' END AS url
       |  FROM documents)
       |""".stripMargin
+
+  /** Frozen adversarial-unicode fixtures for txt_unicode_kernel_parity:
+    * every nasty class from SURVEY §7.4 risk 3 (Zs spaces, NEL,
+    * line/para separators, zero-width/format chars, BOM, vertical
+    * tab/form feed, newline soup, casing traps, combining marks,
+    * astral-plane emoji) alone and mixed. UnicodeParitySpec pins the
+    * Spark kernels to the same conventions over 400 ScalaCheck-
+    * generated samples; this query pins DuckDB to them every round.
+    */
+  private val UnicodeFixtures: Seq[String] = Seq(
+    "",
+    "hello world",
+    "  lead and trail  ",
+    "\u00A0nbsp edges\u00A0",
+    "inner\u00A0nbsp token here",
+    "vt\u000Bff\u000Cmix",
+    "line1\u000D\u000Aline2\u000Dline3\u000Aline4",
+    "tab\u0009and  multi   space",
+    "zero\u200Bwidth\u200Cjoin\u200D!",
+    "\uFEFFbom lead",
+    "\u6C49\u3000\u5B57",
+    "nel\u0085sep",
+    "ls\u2028ps\u2029end",
+    "emoji \uD83D\uDE00 tone \uD83D\uDC4D\uD83C\uDFFD done",
+    "combine e\u0301 c\u0327 end",
+    "\u0130stanbul \u0131\u0131 III \u00DF\u017F",
+    "\u03A3\u039F\u03A6\u039F\u03A3 \u03C3\u03BF\u03C6\u03BF\u03C2",
+    "math \uD835\uDD18 frak",
+    "digits 123 punct !?; mix a1b2",
+    "thin\u2009narrow\u202Ffigure\u2007sp",
+    " \u0009\u000A\u000B\u000C\u000D ",
+    "\u00A0\u3000\u2009",
+    "\u000D\u000D\u000A\u000A\u000D",
+    "\u00A0 \u000B\u000D\u000A x\u200B\uFEFFy \u0130\u00DF \uD83D\uDE00\u3000. !",
+    "a\u00A0b c\u000Bd\u000D\u000Ae\u2028f \uD83D\uDE00",
+    "mix \u202F\u2007 ends\u00A0")
+
+  /** One fixture string as an unambiguous DuckDB expression: a chain
+    * of chr(codepoint) concats — e-string escapes don't cover
+    * \uXXXX/astral and raw control bytes would not survive the
+    * oracle_sql.json round trip.
+    */
+  private def duckChrExpr(s: String): String =
+    if (s.isEmpty) "''"
+    else s.codePoints().toArray.map(cp => s"chr($cp)").mkString(" || ")
+
+  /** Generated oracle for txt_unicode_kernel_parity. The pinned
+    * cross-engine conventions (empirically established; see
+    * UnicodeParitySpec's scaladoc): `trim(x, ' ')` (DuckDB's bare trim
+    * strips all Unicode Zs, Spark's only 0x20), the explicit class
+    * `[ \t\n\x0b\f\r]` wherever Spark-side Java regex says `\s` (RE2's
+    * `\s` lacks \x0B), and md5/sha256 over UTF-8 bytes. Every output
+    * is an exact integer or hex digest — order-free compare.
+    */
+  private lazy val UnicodeParitySql: String = {
+    val values = UnicodeFixtures.zipWithIndex
+      .map { case (s, i) => s"($i, ${duckChrExpr(s)})" }
+      .mkString(",\n  ")
+    s"WITH f(id, text) AS (VALUES\n  $values),\n" +
+      """tk AS (
+        |  SELECT id, list_filter(string_split(trim(text, ' '), ' '),
+        |    x -> x <> '') AS l
+        |  FROM f),
+        |sh AS (
+        |  SELECT id, CASE WHEN len(l) >= 2
+        |    THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+        |    ELSE []::VARCHAR[] END AS s2
+        |  FROM tk)
+        |SELECT f.id::BIGINT AS id,
+        |  len(tk.l)::BIGINT AS n_tok,
+        |  md5(coalesce(array_to_string(tk.l, '|'), '')) AS tok_md5,
+        |  sha256(trim(regexp_replace(regexp_replace(f.text,
+        |    '\r\n|\r', chr(10), 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' '))
+        |    AS norm_sha,
+        |  len(sh.s2)::BIGINT AS n_shingle2,
+        |  md5(coalesce(array_to_string(sh.s2, '|'), '')) AS sh_md5,
+        |  len(regexp_extract_all(f.text,
+        |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0b\f\r]'))::BIGINT AS n_bpeish,
+        |  ('0x' || substr(md5(f.text), 1, 15))::BIGINT AS h64
+        |FROM f JOIN tk USING (id) JOIN sh USING (id)
+        |ORDER BY id""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -242,7 +324,7 @@ object ScalarQueries {
         |hashed AS (
         |  SELECT doc_id,
         |    sha256(trim(regexp_replace(regexp_replace(text, e'\r\n|\r', e'\n', 'g'),
-        |      '\s+', ' ', 'g'))) AS content_hash
+        |      '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS content_hash
         |  FROM both_sides)
         |SELECT count(DISTINCT content_hash) AS n_hashes,
         |  sum(cnt)::BIGINT AS n_rows,
@@ -258,6 +340,36 @@ object ScalarQueries {
         .agg(count(col("content_hash")).as("n_hashes"),
           sum(col("cnt")).as("n_rows"),
           sum(when(col("cnt") === 2, 1).otherwise(0)).as("n_pairs"))
+    },
+
+    // Adversarial-unicode kernel parity: the frozen nasty-class
+    // fixtures (NBSP/Zs spaces, NEL, line/para separators, zero-width
+    // and BOM format chars, vertical tab, newline soup, casing traps,
+    // combining marks, astral emoji) through tokens / contentHash
+    // normalization / 2-gram shingles / bpeish count / stableHash64,
+    // against oracle SQL pinned to the Spark conventions
+    // (trim(x, ' '), the explicit [ \t\n\x0b\f\r] class for Java \s).
+    // Both engines construct the fixtures from codepoints, so the only
+    // thing under test is kernel semantics — SURVEY §7.4 risk 3.
+    QueryDef(
+      "txt_unicode_kernel_parity",
+      UnicodeParitySql) { (s, d) =>
+      val rows = UnicodeFixtures.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val df = s.createDataFrame(rows).toDF("id", "text")
+      val sh2 = TextFunctions.shingles(col("text"), 2)
+      df.select(col("id"), col("text"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          md5(concat_ws("|", col("toks"))).as("tok_md5"),
+          HashFunctions.contentHash(col("text")).as("norm_sha"),
+          size(sh2).cast("long").as("n_shingle2"),
+          md5(concat_ws("|", sh2)).as("sh_md5"),
+          TextFunctions.bpeishTokenCount(col("text")).cast("long")
+            .as("n_bpeish"),
+          HashFunctions.stableHash64(col("text")).as("h64"))
+        .presentSorted(col("id"))
     },
 
     // C2-variant: per-url digest ids (sha256 + md5; sha1 is library-level —
@@ -324,7 +436,7 @@ object ScalarQueries {
     QueryDef(
       "c17_string_lengths",
       """SELECT doc_id, length(text) AS n_chars_actual, strlen(text) AS n_bytes,
-        |  substr(trim(text), 1, 10) AS head10
+        |  substr(trim(text, ' '), 1, 10) AS head10
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), length(col("text")).as("n_chars_actual"),
@@ -439,7 +551,7 @@ object ScalarQueries {
         |        regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gs'),
         |        '<style[^>]*>.*?</style>', ' ', 'gs'),
         |      '<[^>]+>', ' ', 'g'),
-        |    '\s+', ' ', 'g')) AS page_text,
+        |    '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS page_text,
         |  len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS n_links
         |FROM pages ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)

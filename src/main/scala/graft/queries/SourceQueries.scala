@@ -34,7 +34,7 @@ object SourceQueries {
   private val LinesCte =
     """WITH toks AS (
       |  SELECT doc_id,
-      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+      |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
       |  FROM documents),
       |lines AS (
       |  SELECT doc_id,

@@ -24,8 +24,17 @@ def canon(df):
 
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    # --json <path>: also emit a CORRECTNESS_r*-style artifact (one
+    # object per query: rows/schema/values match + row counts + err),
+    # e.g. for the committed sf0.1 promotion artifact (round 19).
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sfdir, outdir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
@@ -35,29 +44,39 @@ def main():
     names = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(os.path.join(outdir, d)))
     npass = nfail = nskip = 0
+    art = {}
+    def record(name, rows=None, schema=None, values=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        art[name] = {"rows_match": rows, "schema_match": schema,
+                     "hash_match": values, "spark_rows": spark_rows,
+                     "oracle_rows": oracle_rows, "err": err}
     for name in names:
         if only and name not in only:
             continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"MISS  {name}: no parquet output")
+            record(name, err="no parquet output")
             nfail += 1
             continue
         got = con.execute(
             f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
         if name not in oracle:
             print(f"SKIP  {name}: rows-only ({len(got)} rows)")
+            record(name, spark_rows=len(got), err="rows-only")
             nskip += 1
             continue
         try:
             want = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}")
+            record(name, spark_rows=len(got), err=f"oracle SQL error: {e}")
             nfail += 1
             continue
         g, w = canon(got), canon(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL  {name}: columns {list(g.columns)} != {list(w.columns)}")
+            record(name, schema=False, spark_rows=len(g), oracle_rows=len(w))
             nfail += 1
             continue
         # dtype KIND mismatches (e.g. DuckDB HUGEINT -> pandas float64/
@@ -68,10 +87,14 @@ def main():
               for c in g.columns if g[c].dtype.kind != w[c].dtype.kind]
         if dt:
             print(f"FAIL  {name}: dtype mismatch " + "; ".join(dt[:4]))
+            record(name, schema=False, spark_rows=len(g), oracle_rows=len(w),
+                   err="dtype: " + "; ".join(dt[:2]))
             nfail += 1
             continue
         if len(g) != len(w):
             print(f"FAIL  {name}: rows {len(g)} != {len(w)}")
+            record(name, rows=False, schema=True, spark_rows=len(g),
+                   oracle_rows=len(w))
             nfail += 1
             continue
         # exact compare; report first few diffs
@@ -85,11 +108,19 @@ def main():
                              f"({int(neq.sum())} diffs)")
         if diffs:
             print(f"FAIL  {name}: " + "; ".join(diffs[:3]))
+            record(name, rows=True, schema=True, values=False,
+                   spark_rows=len(g), oracle_rows=len(w),
+                   err="; ".join(diffs[:2]))
             nfail += 1
         else:
             print(f"PASS  {name} ({len(g)} rows)")
+            record(name, rows=True, schema=True, values=True,
+                   spark_rows=len(g), oracle_rows=len(w))
             npass += 1
     print(f"== {npass} pass, {nfail} fail, {nskip} rows-only")
+    if json_out:
+        json.dump(art, open(json_out, "w"), indent=1, sort_keys=True)
+        print("wrote", json_out)
     sys.exit(1 if nfail else 0)
 
 
