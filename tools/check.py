@@ -36,6 +36,16 @@ def main():
     sfdir, outdir = argv[0], argv[1]
     only = set(argv[2:])
     con = duckdb.connect()
+    # Insertion order is irrelevant (both sides are canon-sorted below)
+    # and preserving it roughly doubles DuckDB's memory/temp footprint
+    # on the big re-derivation oracles — pl_corpus_build_e2e at sf0.1
+    # ENOSPC'd a 70 GB disk with it on.
+    con.execute("SET preserve_insertion_order=false")
+    # High thread counts multiply out-of-core temp (each thread keeps
+    # its own partitioned spill runs); 8 is plenty for the compare and
+    # keeps the worst re-derivation oracle inside this box's disk.
+    # GRAFT_CHECK_THREADS overrides for experiments.
+    con.execute(f"SET threads={os.environ.get('GRAFT_CHECK_THREADS', '8')}")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
