@@ -33,7 +33,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 24g default (was 16g): the r19 bench series measured the 16g forked
+  // session at 2.3x the GC of a 24g sibling, and one of three 16g runs
+  // ate a full-GC pause mid-build that pushed two 3-4s store builds to
+  // 13.6/28.6s (a false rc=1). The box has 128 GiB; headroom is free.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // A ~100-query bench session generates hundreds of whole-stage-codegen
   // classes; the JDK default 240 MB code cache fills mid-session, the
   // JIT stops compiling, and late heavy queries run 2-3x their isolated
