@@ -40,6 +40,26 @@ object Bench {
       // session's accumulated shuffle/broadcast state; a tight
       // periodic GC bounds it at a few ~100 ms full GCs per session.
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // The dense-session store-build tax (r19 VERDICT lead item) is
+      // JIT/codegen churn, not GC: the r20 diagnostic bench measured
+      // the neardup-fanout build at 79.8 s wall with 53.6 s of JIT-
+      // compiler time and 999 Janino compiles (GC 3.0 s), and the
+      // passage/index families at 2-5x their quiet floors with jit_ms
+      // of the same order as the excess (bench_out
+      // `lifecycle_build_diag`). Root cause: whole-stage-codegen
+      // classes are cached in a 100-entry LRU
+      // (spark.sql.codegen.cache.maxEntries default), which a
+      // 268-query session thrashes — every store build re-Janinos and
+      // re-JITs ~1000 generated classes that an earlier build of the
+      // same family already compiled (fresh stores replay the same
+      // batch-id literals, so the sources are bit-identical). Sizing
+      // the cache for the session turns repeat-family builds into
+      // warm-class reuse. Not a local[32]-ism: any long-lived session
+      // running many distinct queries (a real deployment's driver)
+      // wants the cache sized to its working set; 24 g heap absorbs
+      // the retained classes (~100 MB at 8192 entries here).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Local-iteration filter (mirrors Verify): SPARK_GRAFT_ONLY=a,b
@@ -64,6 +84,16 @@ object Bench {
       java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
         .filter(_.getName.startsWith("CodeHeap"))
         .map(_.getUsage.getUsed).sum / (1024 * 1024)
+    // Cumulative JIT-compiler time and Janino (whole-stage-codegen)
+    // compile count: the r19/r20 dense-session build tax shows up with
+    // near-zero GC share, so the diagnostics must separate "the JVM
+    // was busy compiling" from "the plan got slower" per BUILD, not
+    // per session (r20 measured search_passage_rerank_topk at 5.2x its
+    // quiet floor inside a full bench with 23 s session GC total).
+    def jitMillis(): Long = Option(java.lang.management.ManagementFactory
+      .getCompilationMXBean).map(_.getTotalCompilationTime).getOrElse(0L)
+    def janinoCount(): Long = org.apache.spark.metrics.source
+      .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
 
     final case class Run(sec: Double, gcMs: Long)
 
@@ -195,6 +225,10 @@ object Bench {
     // build + min(probe) = the same work the monolithic query did.
     val splits = SparkEntry.benchPhases
     val buildSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Per-build session-health attribution (diagnostic only): gc/jit
+    // deltas and Janino compile count across the build call.
+    final case class BuildDiag(gcMs: Long, jitMs: Long, janino: Long)
+    val buildDiag = scala.collection.mutable.LinkedHashMap.empty[String, BuildDiag]
 
     val runs = scala.collection.mutable.LinkedHashMap
       .empty[String, Vector[Option[Run]]]
@@ -205,6 +239,7 @@ object Bench {
           val record: Option[Run] = splits.get(name) match {
             case Some(ph) =>
               if (pass == 1) {
+                val (gc0, jit0, jan0) = (gcMillis(), jitMillis(), janinoCount())
                 val t0 = System.nanoTime()
                 val ok = try { ph.build(spark, sfDir); true }
                   catch { case e: Throwable =>
@@ -212,6 +247,8 @@ object Bench {
                       s"[bench] $name build failed: ${e.getMessage}")
                     false
                   }
+                buildDiag(name) = BuildDiag(gcMillis() - gc0,
+                  jitMillis() - jit0, janinoCount() - jan0)
                 // Drop build-time cache residue FIRST so the untimed
                 // warm-up probe below measures-and-warms exactly the
                 // state every timed probe will see (runOne clears after
@@ -436,6 +473,10 @@ object Bench {
     // store-build seconds are here. queries.<name> = build + min(probe).
     val buildsJson = buildSecs
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val buildDiagJson = buildDiag.map { case (k, d) =>
+      "\"" + k + s"""\":{"gc_ms":${d.gcMs},"jit_ms":${d.jitMs},""" +
+        s""""janino_n":${d.janino}}"""
+    }.mkString("{", ",", "}")
     val regressionsJson = regressions.map { case (n, phase, s, ref) =>
       "\"" + n + ":" + phase + "\":{\"sec\":" + r3(s) +
         ",\"ref\":" + r3(ref) + "}"
@@ -447,6 +488,7 @@ object Bench {
       s""","passes":$passesJson,"gc_ms_total":${gcMillis()},""" +
       s""""code_cache_used_mb":${codeCacheUsedMb()},""" +
       s""""lifecycle_builds":$buildsJson,""" +
+      s""""lifecycle_build_diag":$buildDiagJson,""" +
       s""""regressions":$regressionsJson,""" +
       s""""build_warm_watch":$warmWatchJson,""" +
       s""""regression_ref":"${if (refTimes.isEmpty) "" else refPath}",""" +

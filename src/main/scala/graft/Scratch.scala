@@ -154,6 +154,10 @@ object ScratchPhases {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // Same codegen-class cache sizing as Bench: quiet floors must be
+      // measured under the engine config the bench runs.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import scala.jdk.CollectionConverters._
@@ -164,17 +168,23 @@ object ScratchPhases {
       java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
         .filter(_.getName.startsWith("CodeHeap"))
         .map(_.getUsage.getUsed).sum / (1024 * 1024)
+    def jitMillis(): Long = Option(java.lang.management.ManagementFactory
+      .getCompilationMXBean).map(_.getTotalCompilationTime).getOrElse(0L)
+    def janinoCount(): Long = org.apache.spark.metrics.source
+      .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     val phases = SparkEntry.benchPhases
     args.foreach { name =>
       phases.get(name) match {
         case None => println(s"[phases] $name has no build/probe split; skipping")
         case Some(ph) =>
           val secs = (1 to nBuilds).map { i =>
-            val gc0 = gcMillis(); val t0 = System.nanoTime()
+            val gc0 = gcMillis(); val jit0 = jitMillis()
+            val jan0 = janinoCount(); val t0 = System.nanoTime()
             ph.build(spark, sfDir)
             val sec = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
-            println(f"[phases] $name build$i $sec%.2f s gc+${gcMillis() - gc0}ms cc${ccMb()}mb")
+            println(f"[phases] $name build$i $sec%.2f s gc+${gcMillis() - gc0}ms " +
+              f"jit+${jitMillis() - jit0}ms jan+${janinoCount() - jan0} cc${ccMb()}mb")
             sec
           }
           println(f"[phases] $name BUILD min ${secs.min}%.2f max ${secs.max}%.2f " +

@@ -471,10 +471,11 @@ object Search {
             .drop("__prev")
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val n = fresh.count()
+        val n = graft.Prof("indexAppend.resolve")(fresh.count())
         if (n > 0) {
           val batchId = nextBatchId(spark, dir)
-          writeSlice(fresh, idCol, textCol, dir, batchId)
+          graft.Prof("indexAppend.writeSlice")(
+            writeSlice(fresh, idCol, textCol, dir, batchId))
           commitBatch(spark, dir, batchId)
         }
         n

@@ -928,7 +928,7 @@ object LlmQueries {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id,
-      |         regexp_replace(text, '^\S+', 'zzz') AS text FROM documents),
+      |         regexp_replace(text, '^[^ \t\n\x0b\f\r]+', 'zzz') AS text FROM documents),
       |toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split(trim(text, ' '), ' '), x -> x <> '') AS l
@@ -2405,7 +2405,7 @@ object LlmQueries {
         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id,
-        |         regexp_replace(text, '^\S+', 'zzz') AS text
+        |         regexp_replace(text, '^[^ \t\n\x0b\f\r]+', 'zzz') AS text
         |  FROM documents WHERE doc_id % 10 = 0
         |  UNION ALL
         |  SELECT doc_id + 2000000 AS doc_id,
@@ -2418,7 +2418,7 @@ object LlmQueries {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id,
-        |         regexp_replace(text, '^\S+', 'zzz') AS text FROM documents),""".stripMargin
+        |         regexp_replace(text, '^[^ \t\n\x0b\f\r]+', 'zzz') AS text FROM documents),""".stripMargin
     val prefix = MinhashCandPrefix.replace(origCorpus, corpusCte)
     require(prefix != MinhashCandPrefix,
       "fully-gated oracle: corpus splice did not take")
@@ -3084,7 +3084,7 @@ object LlmQueries {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id,
-        |         regexp_replace(text, '^\S+', 'zzz') AS text FROM documents),
+        |         regexp_replace(text, '^[^ \t\n\x0b\f\r]+', 'zzz') AS text FROM documents),
         |toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(trim(text, ' '), ' '),
         |    x -> x <> '')) AS tok
@@ -3938,7 +3938,7 @@ object LlmQueries {
       "txt_token_stats",
       """SELECT doc_id,
         |  len(list_filter(string_split(trim(text, ' '), ' '), x -> x <> '')) AS n_ws,
-        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),

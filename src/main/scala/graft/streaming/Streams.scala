@@ -434,19 +434,21 @@ object Streams {
         .drop("__prev")
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = fresh.count()
+      val n = graft.Prof("chunkIngest.resolve")(fresh.count())
       if (n > 0) {
         val batchId = graft.sources.Commits.allocateBatchId(spark,
           storeDir, Seq(docsDir, chunksDir))
-        graft.operators.Corpus.chunkSlidingWindows(fresh, idCol, textCol,
-          window, overlap)
-          .withColumnRenamed(idCol, "doc_id")
-          .withColumn("batch", lit(batchId))
-          .write.parquet(s"$chunksDir/b$batchId")
-        fresh.select(col(idCol).as("doc_id"),
-            col("__ch").as("content_hash"))
-          .withColumn("batch", lit(batchId))
-          .write.parquet(s"$docsDir/b$batchId")
+        graft.Prof("chunkIngest.chunksWrite")(
+          graft.operators.Corpus.chunkSlidingWindows(fresh, idCol, textCol,
+            window, overlap)
+            .withColumnRenamed(idCol, "doc_id")
+            .withColumn("batch", lit(batchId))
+            .write.parquet(s"$chunksDir/b$batchId"))
+        graft.Prof("chunkIngest.docsWrite")(
+          fresh.select(col(idCol).as("doc_id"),
+              col("__ch").as("content_hash"))
+            .withColumn("batch", lit(batchId))
+            .write.parquet(s"$docsDir/b$batchId"))
         graft.sources.Commits.commit(spark, storeDir, batchId)
       }
       n
@@ -793,12 +795,14 @@ object Streams {
             else vecs.filter(graft.functions.HashFunctions
               .stableHash64(col("id").cast("string")) % 1000
               < trainPerMille)
-          val seeds = trainSrc.select(col("id")).dropDuplicates("id")
-            .limit(need).count()
+          val seeds = graft.Prof("ckvec.seedProbe")(
+            trainSrc.select(col("id")).dropDuplicates("id")
+              .limit(need).count())
           if (seeds < need) 0L
-          else graft.operators.Similarity.pqStoreBuild(vecs, vecDir,
-            m = m, subDims = dims / m, codes = codes, iters = 2,
-            cells = cells, trainPerMille = trainPerMille)
+          else graft.Prof("ckvec.pqBuild")(
+            graft.operators.Similarity.pqStoreBuild(vecs, vecDir,
+              m = m, subDims = dims / m, codes = codes, iters = 2,
+              cells = cells, trainPerMille = trainPerMille))
         } else {
           // Vanished passages of the delivered docs: live store ids
           // whose packed doc part is in the batch but whose chunk no
@@ -810,9 +814,10 @@ object Streams {
             .join(broadcast(ids), Seq("doc_id"), "left_semi")
             .join(vecs.select(col("id")), Seq("id"), "left_anti")
             .select(col("id"))
-          graft.operators.Similarity
-            .pqStoreDelete(spark, vecDir, stale): Unit
-          graft.operators.Similarity.pqStoreAppend(vecs, vecDir)
+          graft.Prof("ckvec.staleDelete")(graft.operators.Similarity
+            .pqStoreDelete(spark, vecDir, stale)): Unit
+          graft.Prof("ckvec.append")(
+            graft.operators.Similarity.pqStoreAppend(vecs, vecDir))
         }
         } finally { vecs.unpersist(); () }
     }
@@ -1428,13 +1433,14 @@ object Streams {
     val shared = batch.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      mergeBatch(
+      graft.Prof("fanout.merge")(mergeBatch(
         shared.select(col(idCol), col(textCol),
           graft.functions.HashFunctions.contentHash(col(textCol))
             .as("content_hash")),
-        storeDir, idCol, batchId)
-      val nIdx = graft.operators.Search.indexAppend(
-        shared.select(col(idCol), col(textCol)), idCol, textCol, indexDir)
+        storeDir, idCol, batchId))
+      val nIdx = graft.Prof("fanout.index")(
+        graft.operators.Search.indexAppend(
+          shared.select(col(idCol), col(textCol)), idCol, textCol, indexDir))
       // Rows whose vector is missing advance the doc/index surfaces but
       // not the embedding stores (a null vec would bucket/encode to
       // garbage) — the embedding can arrive in a later delivery;
@@ -1442,10 +1448,11 @@ object Streams {
       def vecsOf(v: String) = shared.filter(col(v).isNotNull)
         .select(col(idCol).as("id"), col(v).as("vec"))
       val nAnn = vecCol.fold(0L)(v =>
-        graft.operators.Similarity.annStoreAppend(vecsOf(v), annDir,
-          planes, dims))
+        graft.Prof("fanout.ann")(
+          graft.operators.Similarity.annStoreAppend(vecsOf(v), annDir,
+            planes, dims)))
       val nPq = (pqDir, vecCol) match {
-        case (Some(pd), Some(v)) =>
+        case (Some(pd), Some(v)) => graft.Prof("fanout.pq") {
           require(dims % pqM == 0,
             s"fan-out PQ surface needs dims divisible by pqM, " +
               s"got dims=$dims pqM=$pqM")
@@ -1467,16 +1474,19 @@ object Streams {
             else graft.operators.Similarity.pqStoreBuild(vecsOf(v), pd,
               m = pqM, subDims = dims / pqM, codes = pqCodes, iters = 2)
           } else graft.operators.Similarity.pqStoreAppend(vecsOf(v), pd)
+        }
         case _ => 0L
       }
       val nChunk = chunkDir.fold(0L)(d =>
-        chunkIngestBatch(shared.select(col(idCol), col(textCol)), d,
-          idCol, textCol, chunkWindow, chunkOverlap))
+        graft.Prof("fanout.chunks")(
+          chunkIngestBatch(shared.select(col(idCol), col(textCol)), d,
+            idCol, textCol, chunkWindow, chunkOverlap)))
       val nCkVec = (chunkDir, chunkVecDir) match {
         case (Some(cd), Some(vd)) =>
-          chunkVectorIngestBatch(spark, cd, vd,
-            shared.select(col(idCol)), chunkVecDims, chunkVecM,
-            chunkVecCodes, chunkVecCells, chunkVecTrainPerMille)
+          graft.Prof("fanout.ckvec")(
+            chunkVectorIngestBatch(spark, cd, vd,
+              shared.select(col(idCol)), chunkVecDims, chunkVecM,
+              chunkVecCodes, chunkVecCells, chunkVecTrainPerMille))
         case _ => 0L
       }
       (nIdx, nAnn, nPq, nChunk, nCkVec)
@@ -1545,9 +1555,9 @@ object Streams {
       // substringIngestBatch call — but the vector column stays out
       // (the ANN store is its home; duplicating embeddings into the
       // screen state would double the biggest column for no reader).
-      val nGate = substringIngestBatch(
+      val nGate = graft.Prof("fanout.spanGate")(substringIngestBatch(
         vecCol.fold(shared: DataFrame)(v => shared.drop(v)),
-        gramStoreDir, idCol, textCol, k)
+        gramStoreDir, idCol, textCol, k))
       val ids = shared.select(col(idCol)).dropDuplicates(idCol)
       substringStoreRead(spark, gramStoreDir) match {
         case None => (nGate, 0L, 0L, 0L, 0L, 0L)
@@ -1561,7 +1571,9 @@ object Streams {
           // rewrites the full state per mergeBatch's contract. The
           // emptiness probe is a limit-1 job against the id-pruned
           // store read — O(small) either way.
-          if (nGate == 0 && cleaned.isEmpty) (0L, 0L, 0L, 0L, 0L, 0L)
+          if (nGate == 0 &&
+              graft.Prof("fanout.emptyProbe")(cleaned.isEmpty))
+            (0L, 0L, 0L, 0L, 0L, 0L)
           else {
             // The vector rides from the SAME delivered row whose text
             // won the deterministic same-id resolution — not an
@@ -1677,9 +1689,9 @@ object Streams {
     val shared = batch.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nNear = neardupIngestBatch(
+      val nNear = graft.Prof("fanout.neardupGate")(neardupIngestBatch(
         vecCol.fold(shared: DataFrame)(v => shared.drop(v)),
-        neardupDir, idCol, textCol, minJaccard)
+        neardupDir, idCol, textCol, minJaccard))
       val ids = shared.select(col(idCol)).dropDuplicates(idCol)
       neardupStoreRead(spark, neardupDir) match {
         case None => (nNear, 0L, 0L, 0L, 0L, 0L, 0L)

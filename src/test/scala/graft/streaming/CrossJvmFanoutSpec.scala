@@ -49,11 +49,20 @@ class CrossJvmFanoutSpec extends SparkSpec {
     })
     t.setDaemon(true); t.start()
     def all: Seq[String] = lines.asScala.toSeq
+    /** After process exit the daemon reader may still be draining
+      * buffered stdout; join it (EOF ends the loop) before asserting
+      * on [[all]], or a line arriving milliseconds after exit is
+      * missed (flaky false failure).
+      */
+    def drain(): Unit = t.join(10000)
     def awaitLine(prefix: String, timeoutMs: Long): Boolean = {
       val deadline = System.currentTimeMillis() + timeoutMs
       while (System.currentTimeMillis() < deadline) {
         if (all.exists(_.startsWith(prefix))) return true
-        if (!p.isAlive && !all.exists(_.startsWith(prefix))) return false
+        if (!p.isAlive) {
+          drain()
+          return all.exists(_.startsWith(prefix))
+        }
         Thread.sleep(100)
       }
       false
@@ -67,6 +76,7 @@ class CrossJvmFanoutSpec extends SparkSpec {
       fail(s"child JVM did not exit within ${timeoutMs / 1000}s; " +
         s"output so far:\n${out.all.mkString("\n")}")
     }
+    out.drain()
     p.exitValue()
   }
 

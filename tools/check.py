@@ -31,6 +31,8 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("check.py: --json needs a path argument")
         json_out = argv[i + 1]
         del argv[i:i + 2]
     sfdir, outdir = argv[0], argv[1]
@@ -97,7 +99,8 @@ def main():
               for c in g.columns if g[c].dtype.kind != w[c].dtype.kind]
         if dt:
             print(f"FAIL  {name}: dtype mismatch " + "; ".join(dt[:4]))
-            record(name, schema=False, spark_rows=len(g), oracle_rows=len(w),
+            record(name, rows=len(g) == len(w), schema=False,
+                   spark_rows=len(g), oracle_rows=len(w),
                    err="dtype: " + "; ".join(dt[:2]))
             nfail += 1
             continue

@@ -39,8 +39,21 @@ def main():
                 float(m.group(3))
     if not builds:
         sys.exit("no '[phases] <name> buildN' lines in " + src)
+    # Probe floors (r19 VERDICT item 6a): ScratchPhases prints
+    # '[phases] <name> probeN <s> s' after the builds; record
+    # probe_warm = min over probes 2..N (probe1 pays the fresh store's
+    # page-cache/codegen fill) next to build_warm. Recorded for
+    # density diagnostics; the probe GATE stays the 2x+0.75s min-over-
+    # passes wall.
+    probes = {}
+    ppat = re.compile(r"\[phases\] (\S+) probe(\d+) ([0-9.]+) s")
+    for line in open(src):
+        m = ppat.search(line)
+        if m:
+            probes.setdefault(m.group(1), {})[int(m.group(2))] = \
+                float(m.group(3))
     ref = json.load(open(REF))
-    print(f"{'query':42s} {'n':>2s} {'warm_min':>8s} {'old':>8s}")
+    print(f"{'query':42s} {'n':>2s} {'warm_min':>8s} {'old':>8s} {'probe_w':>8s}")
     for name in sorted(builds):
         runs = builds[name]
         warm = [s for i, s in runs.items() if i > 1]
@@ -52,11 +65,16 @@ def main():
         if not isinstance(entry, dict):
             print(f"{name:42s} SKIP (not a lifecycle {{build,probe}} entry)")
             continue
+        pwarm = [s for i, s in probes.get(name, {}).items() if i > 1]
+        ppin = round(min(pwarm), 2) if pwarm else None
         old = entry.get("build_warm")
         old_s = f"{old:8.2f}" if isinstance(old, (int, float)) else f"{'-':>8s}"
-        print(f"{name:42s} {len(runs):2d} {pin:8.2f} {old_s}")
+        pp_s = f"{ppin:8.2f}" if ppin is not None else f"{'-':>8s}"
+        print(f"{name:42s} {len(runs):2d} {pin:8.2f} {old_s} {pp_s}")
         if write:
             entry["build_warm"] = pin
+            if ppin is not None:
+                entry["probe_warm"] = ppin
     if write:
         json.dump(ref, open(REF, "w"), indent=1, sort_keys=False)
         print("wrote", REF, "- note the log file + session conditions "
