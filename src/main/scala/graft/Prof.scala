@@ -20,6 +20,7 @@ object Prof {
       val t0 = System.nanoTime()
       try f
       finally System.err.println(
-        f"[prof] $label ${(System.nanoTime() - t0) / 1e9}%.3fs")
+        f"[prof] $label ${(System.nanoTime() - t0) / 1e9}%.3fs " +
+          s"@${System.currentTimeMillis() / 1000}")
     }
 }
