@@ -352,14 +352,35 @@ object Bench {
     // with builds gated at 3x+1.5s AND the store families JIT-warmed
     // untimed, a genuine ~2.5x build regression ships silently. The
     // secondary warm pin watches builds at 1.5x+1.0s against that
-    // quiet-session floor, REPORT-ONLY this round (stderr + JSON
-    // `build_warm_watch`, never the exit code): one round of watch data
-    // decides whether 1.5x holds across driver-density sessions before
-    // it arms.
+    // quiet-session floor. ARMED round 20 on the AGGREGATE flag count,
+    // not per entry: two rounds of watch data show per-entry 1.5x
+    // cannot be armed (host-level stalls — near-zero gc/jit/janino
+    // deltas — hit 1-3 arbitrary builds even in quiet ScratchPhases
+    // sessions), but a real shared-path regression inflates the whole
+    // store-build surface (the r19 codegen-LRU tax flagged 19/37
+    // entries; the fixed session flags 4). So: more than
+    // SPARK_GRAFT_WARM_WATCH_MAX (default 8 = 2x the healthy-session
+    // reading, under half the regression signature) flagged builds is
+    // a session-wide build regression and fails a strict bench;
+    // anything at or under stays report-only (stderr + JSON
+    // `build_warm_watch`).
+    // Round 20 (VERDICT item 3): a non-lifecycle entry may be an object
+    // {"total": pin, "total_warm": floor} — the floor is the committed
+    // quiet-session warm minimum (graft.Scratch, runs 2..N, same engine
+    // config; tools/total_floors.py). It ends the total-pin ratchet the
+    // same way build_warm did for builds: an upward total re-pin
+    // without a floor reading is now a policy violation (the floor in
+    // the file is the evidence a re-pin must cite), and the watch below
+    // reports totals that drift past 1.5x + 0.5s of their floor so
+    // density drift is data, not folklore. Report-only: these rows are
+    // 0.2-3s, where host-level noise swamps a per-entry armed gate.
     final case class Ref(total: Option[Double], build: Option[Double],
-      probe: Option[Double], buildWarm: Option[Double])
+      probe: Option[Double], buildWarm: Option[Double],
+      totalWarm: Option[Double])
     val WarmMult = 1.5
     val WarmAbs = 1.0
+    val WarmWatchMax = sys.env.get("SPARK_GRAFT_WARM_WATCH_MAX")
+      .map(_.toInt).getOrElse(8)
     val refTimes: Map[String, Ref] =
       try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -380,10 +401,12 @@ object Bench {
           q.properties().asScala.map { e =>
             val v = e.getValue
             e.getKey -> (if (v.isObject)
-              Ref(None, Option(v.get("build")).map(_.asDouble()),
+              Ref(Option(v.get("total")).map(_.asDouble()),
+                Option(v.get("build")).map(_.asDouble()),
                 Option(v.get("probe")).map(_.asDouble()),
-                Option(v.get("build_warm")).map(_.asDouble()))
-            else Ref(Some(v.asDouble()), None, None, None))
+                Option(v.get("build_warm")).map(_.asDouble()),
+                Option(v.get("total_warm")).map(_.asDouble()))
+            else Ref(Some(v.asDouble()), None, None, None, None))
           }.toMap
         }
       } catch { case _: Exception => Map.empty }
@@ -425,10 +448,13 @@ object Bench {
         "shipping; refresh tools/bench_reference.json only with a " +
         "written justification")
     }
-    // Secondary warm-build watch (report-only): builds over 1.5x +
-    // 1.0s of their committed quiet-session warm minimum. Catches the
-    // ~1.5-3x band the 3x primary gate can't see; does not touch the
-    // exit code this round (see the Ref scaladoc).
+    // Secondary warm-build watch: builds over 1.5x + 1.0s of their
+    // committed quiet-session warm minimum. Catches the ~1.5-3x band
+    // the 3x primary gate can't see. Per-entry flags are report-only
+    // (host-level stalls hit 1-3 builds even in quiet sessions); the
+    // AGGREGATE count over WarmWatchMax is armed — that signature only
+    // appears when a shared build path regressed session-wide (see the
+    // Ref scaladoc for the two rounds of data behind the threshold).
     val warmWatch = results.map(_._1).sorted.flatMap { name =>
       refTimes.get(name).flatMap(_.buildWarm).flatMap(w =>
         buildSecs.get(name).collect {
@@ -439,8 +465,28 @@ object Bench {
     warmWatch.foreach { case (n, b, w) =>
       System.err.println(f"[bench] BUILD-WARM WATCH $n: build ${b}%.3f s " +
         f"vs quiet-session warm min ${w}%.3f s (${b / w}%.1fx) - " +
-        "report-only; check session density before suspecting the code")
+        "per-entry report-only; check session density before " +
+        "suspecting the code")
     }
+    // Total-warm watch (report-only, see the Ref scaladoc): totals
+    // past 1.5x + 0.5s of their committed quiet floor.
+    val totalWatch = results.sortBy(_._1).flatMap { case (name, sec) =>
+      refTimes.get(name).flatMap(_.totalWarm).collect {
+        case w if sec > w * WarmMult && sec - w > 0.5 => (name, sec, w)
+      }
+    }
+    totalWatch.foreach { case (n, s, w) =>
+      System.err.println(f"[bench] TOTAL-WARM WATCH $n: ${s}%.3f s vs " +
+        f"quiet floor ${w}%.3f s (${s / w}%.1fx) - report-only density " +
+        "data; an upward re-pin must cite this floor")
+    }
+    val warmWatchOver = warmWatch.size > WarmWatchMax
+    if (warmWatchOver)
+      System.err.println(s"[bench] BUILD-WARM WATCH: ${warmWatch.size} " +
+        s"builds over 1.5x their quiet floor (armed threshold " +
+        s"$WarmWatchMax) - a session-wide store-build regression; " +
+        "strict mode fails. Compare lifecycle_build_diag jit_ms/janino_n " +
+        "against tools/scratch_phases_r20.log before re-pinning anything")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -484,18 +530,25 @@ object Bench {
     val warmWatchJson = warmWatch.map { case (n, b, w) =>
       "\"" + n + "\":{\"build\":" + r3(b) + ",\"warm_ref\":" + r3(w) + "}"
     }.mkString("{", ",", "}")
+    val warmWatchMetaJson =
+      s""""build_warm_watch_armed":{"max":$WarmWatchMax,""" +
+      s""""flagged":${warmWatch.size},"over":$warmWatchOver}"""
+    val totalWatchJson = totalWatch.map { case (n, s, w) =>
+      "\"" + n + "\":{\"sec\":" + r3(s) + ",\"warm_ref\":" + r3(w) + "}"
+    }.mkString("\"total_warm_watch\":{", ",", "}")
     val fullWithDiag = full.dropRight(1) +
       s""","passes":$passesJson,"gc_ms_total":${gcMillis()},""" +
       s""""code_cache_used_mb":${codeCacheUsedMb()},""" +
       s""""lifecycle_builds":$buildsJson,""" +
       s""""lifecycle_build_diag":$buildDiagJson,""" +
       s""""regressions":$regressionsJson,""" +
-      s""""build_warm_watch":$warmWatchJson,""" +
+      s""""build_warm_watch":$warmWatchJson,$warmWatchMetaJson,""" +
+      s"""$totalWatchJson,""" +
       s""""regression_ref":"${if (refTimes.isEmpty) "" else refPath}",""" +
       s""""schedule":{"heavy_first":$heavyJson,"heavy_passes":$heavyPasses,""" +
       s""""gc_barrier_after_heavy":true}}"""
     val short =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_regressed":${regressions.size},$gateJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_regressed":${regressions.size},"n_warm_flagged":${warmWatch.size},$gateJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullWithDiag + "\n").getBytes("UTF-8"))
@@ -508,7 +561,8 @@ object Bench {
     println(short)
     Console.out.flush()
     spark.stop()
-    if (strictGate && (regressions.nonEmpty || refTimes.isEmpty))
+    if (strictGate && (regressions.nonEmpty || refTimes.isEmpty ||
+        warmWatchOver))
       sys.exit(1)
   }
 }

@@ -9,21 +9,34 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_SCRATCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      // Same codegen-class cache sizing as Bench: quiet floors must be
+      // measured under the engine config the bench runs.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
-      (1 to 3).foreach { i =>
+      val secs = (1 to nRuns).map { i =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        println(f"[scratch] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scratch] $name run$i $sec%.2f s")
         spark.catalog.clearCache()
+        sec
       }
+      // Floor convention mirrors warm_pins.py: run1 pays the query's
+      // own code-path JIT; runs 2..N are the reproducible quiet floor.
+      val warm = if (secs.size > 1) secs.drop(1) else secs
+      println(f"[scratch] $name TOTAL min ${secs.min}%.2f " +
+        f"warm_min ${warm.min}%.2f max ${secs.max}%.2f")
     }
     spark.stop()
   }
