@@ -343,6 +343,19 @@ object Bench {
       path.split('/').reverseIterator
         .find(_.matches("sf[0-9.]+")).getOrElse(path)
     var sfMismatchWarned = false
+    // Pins are only comparable at the core count they were measured at,
+    // for the same reason as the sf guard — but unlike a wrong-sf or
+    // missing reference (stale/foreign file, strict-fatal), a core-count
+    // mismatch is a SANCTIONED scaling run: the driver re-runs this
+    // bench at a lower SPARK_GRAFT_CPUS to measure per-query scaling,
+    // and gating those readings against local[32] pins would only
+    // manufacture false regressions (a 2x-at-8-cores reading is the
+    // parallel fraction, not a code regression). The wall gate disarms
+    // with a warning and the run stays rc=0-eligible; the output JSON
+    // records `cpus` + gate_armed=false so a disarmed run is visible in
+    // the artifact, and the round-close gate remains the strict armed
+    // run at the reference's own core count.
+    var cpuMismatch = false
     // A reference entry is either a plain number (total seconds, gated
     // at 2x+0.75 on build+min(probe)) or {"build": b, "probe": p} for a
     // lifecycle query (gated per-phase). A lifecycle entry may also
@@ -386,9 +399,18 @@ object Bench {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(new java.io.File(refPath))
         val refSf = Option(node.get("sf")).map(_.asText())
+        val refCpus = Option(node.get("cpus")).map(_.asText())
         val q = node.get("queries")
         if (q == null) Map.empty
-        else if (!refSf.map(sfTag).contains(sfTag(sfDir))) {
+        else if (refCpus.nonEmpty && !refCpus.contains(cpus)) {
+          System.err.println(s"[bench] NOTE: regression reference " +
+            s"$refPath was measured at ${refCpus.get} cpus but this run " +
+            s"uses $cpus - wall-time gate NOT active for this scaling " +
+            "run (not a strict failure; the close gate is the run at " +
+            s"${refCpus.get} cpus)")
+          cpuMismatch = true
+          Map.empty
+        } else if (!refSf.map(sfTag).contains(sfTag(sfDir))) {
           System.err.println(s"[bench] WARNING: regression reference " +
             s"$refPath was measured at sf '${refSf.getOrElse("<absent>")}' " +
             s"but this run uses '$sfDir' - wall-time gate NOT active for " +
@@ -415,7 +437,7 @@ object Bench {
     // already printed), and under strict mode it is itself a failure —
     // the silent-disable path would recreate exactly the
     // regression-ships-unnoticed failure mode the gate exists for.
-    if (refTimes.isEmpty && !sfMismatchWarned)
+    if (refTimes.isEmpty && !sfMismatchWarned && !cpuMismatch)
       System.err.println(s"[bench] WARNING: regression reference $refPath " +
         "missing, unreadable, or for a different sf - wall-time gate " +
         "NOT active" +
@@ -508,7 +530,7 @@ object Bench {
     // "gated against 181 entries" from "strict-but-blind".
     val gateJson =
       s""""gate":"${if (strictGate) "strict" else "report"}",""" +
-      s""""gate_armed":${refTimes.nonEmpty}"""
+      s""""gate_armed":${refTimes.nonEmpty},"cpus":"$cpus""""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec",$gateJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // The per-pass diagnostics triple the line size, so they go to the
@@ -561,8 +583,8 @@ object Bench {
     println(short)
     Console.out.flush()
     spark.stop()
-    if (strictGate && (regressions.nonEmpty || refTimes.isEmpty ||
-        warmWatchOver))
+    if (strictGate && (regressions.nonEmpty ||
+        (refTimes.isEmpty && !cpuMismatch) || warmWatchOver))
       sys.exit(1)
   }
 }

@@ -22,6 +22,10 @@ object Scratch {
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Floor logs are only meaningful at the scale they were measured
+    // at; tools/total_floors.py refuses logs whose sf mismatches the
+    // reference (the repin tool's sf guard did not cover floors).
+    println(s"[scratch] sf $sfDir")
     args.foreach { name =>
       val secs = (1 to nRuns).map { i =>
         val t0 = System.nanoTime()
@@ -173,6 +177,9 @@ object ScratchPhases {
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same sf disclosure as Scratch.main: warm_pins.py refuses logs
+    // whose sf mismatches the reference.
+    println(s"[phases] sf $sfDir")
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long =
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans

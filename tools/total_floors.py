@@ -33,6 +33,26 @@ import sys
 REF = "tools/bench_reference.json"
 
 
+def check_log_sf(src, ref, pat):
+    """Refuse a floor log measured at a different scale factor than the
+    reference (ADVICE r19 6b: the repin tool's sf guard did not cover
+    floors). Logs from before the '[scratch|phases] sf' disclosure line
+    get a warning instead of a refusal."""
+    import os
+    import re as _re
+    sfs = [m.group(1) for line in open(src)
+           for m in [_re.search(pat, line)] if m]
+    ref_sf = os.path.basename(str(ref.get("sf", "")).rstrip("/"))
+    if not sfs:
+        print(f"WARNING: {src} has no sf disclosure line (pre-r20 log) - "
+              f"confirm it was measured at {ref_sf!r} before trusting it")
+        return
+    log_sf = os.path.basename(sfs[0].rstrip("/"))
+    if log_sf != ref_sf:
+        sys.exit(f"sf mismatch: log sf={log_sf!r} vs reference sf="
+                 f"{ref_sf!r} - refusing to write wrong-scale floors")
+
+
 def main():
     src = sys.argv[1]
     write = "--write" in sys.argv
@@ -47,6 +67,7 @@ def main():
     if not floors:
         sys.exit("no '[scratch] <name> TOTAL' lines in " + src)
     ref = json.load(open(REF))
+    check_log_sf(src, ref, r"\[scratch\] sf (\S+)")
     print(f"{'query':42s} {'floor':>7s} {'old_pin':>8s} {'new_pin':>8s}")
     for name in sorted(floors):
         floor = round(floors[name], 2)

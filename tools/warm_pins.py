@@ -53,6 +53,10 @@ def main():
             probes.setdefault(m.group(1), {})[int(m.group(2))] = \
                 float(m.group(3))
     ref = json.load(open(REF))
+    # Same sf guard as total_floors.py (ADVICE r19 6b: the repin tool's
+    # sf guard did not cover floors).
+    import total_floors
+    total_floors.check_log_sf(src, ref, r"\[phases\] sf (\S+)")
     print(f"{'query':42s} {'n':>2s} {'warm_min':>8s} {'old':>8s} {'probe_w':>8s}")
     for name in sorted(builds):
         runs = builds[name]
