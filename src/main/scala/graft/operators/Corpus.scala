@@ -379,6 +379,101 @@ object Corpus {
     stamped
   }
 
+  /** Global ORDER BY rank (1-based row_number) — and, with `sumCol`,
+    * the EXCLUSIVE running sum — over ARBITRARY order keys, without a
+    * single-task window: the generalization of
+    * [[stratumRunningTotals]]'s two-pass distributed prefix sum to the
+    * `Window.orderBy(...)` (no partitionBy) sites, which WindowExec
+    * executes as "move the whole table to one task" (the
+    * `WindowExec: No Partition Defined` warning — the guide's §2
+    * one-reducer anti-pattern). Pass 1 range-partitions by the order
+    * keys — so partition order IS rank order — and collects each
+    * partition's (row count, local sum): O(#partitions) driver rows,
+    * never O(rows). The exclusive prefix over those broadcasts back
+    * and pass 2 stamps rank (+ running sum) in one narrow
+    * mapPartitions. Also returns the TOTAL row count and sum — the
+    * callers' `count() OVER ()` / `sum() OVER ()` scalars, free from
+    * the same pass-1 stats instead of two more single-task windows.
+    *
+    * `orderCols` must be a TOTAL order (tie-break to a unique column,
+    * as any deterministic ranking already must); `sumCol` must be a
+    * LongType column. Result is PINNED (lineage cut) for the same
+    * reason as [[stratumRunningTotals]]: a re-executed range exchange
+    * re-samples its partition boundaries, which would desync pass 2's
+    * partition membership from pass 1's collected stats.
+    */
+  def globalOrderedRank(df: DataFrame, orderCols: Seq[Column],
+      rnCol: String, sumCol: Option[String] = None,
+      cumCol: String = "__cum", numPartitions: Int = 0)
+      : (DataFrame, Long, Long) = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sumIdx = sumCol.map { c =>
+      val i = df.columns.indexOf(c)
+      require(i >= 0, s"globalOrderedRank: no column '$c' in " +
+        df.columns.mkString("[", ", ", "]"))
+      require(df.schema(i).dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"globalOrderedRank: sum column '$c' must be LongType, got " +
+          df.schema(i).dataType)
+      i
+    }
+    val ranged = df.repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    val local = ranged.mapPartitions { it =>
+      var pid = -1
+      var n = 0L
+      var s = 0L
+      it.foreach { r =>
+        pid = org.apache.spark.TaskContext.getPartitionId()
+        n += 1
+        sumIdx.foreach(i => s += r.getLong(i))
+      }
+      if (n == 0L) Iterator.empty else Iterator.single((pid, n, s))
+    }.collect()
+    var totalN = 0L
+    var totalS = 0L
+    val base = local.sortBy(_._1).map { case (pid, n, s) =>
+      val b = (pid, (totalN, totalS))
+      totalN += n
+      totalS += s
+      b
+    }.toMap
+    val baseB = spark.sparkContext.broadcast(base)
+    val outSchema = sumIdx match {
+      case Some(_) => ranged.schema
+        .add(rnCol, org.apache.spark.sql.types.LongType, nullable = false)
+        .add(cumCol, org.apache.spark.sql.types.LongType, nullable = false)
+      case None => ranged.schema
+        .add(rnCol, org.apache.spark.sql.types.LongType, nullable = false)
+    }
+    val out = ranged.mapPartitions({ it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val (bn, bs) = baseB.value.getOrElse(pid, (0L, 0L))
+      var rn = bn
+      var cum = bs
+      it.map { r =>
+        rn += 1
+        sumIdx match {
+          case Some(i) =>
+            val row = org.apache.spark.sql.Row.fromSeq(
+              r.toSeq :+ rn :+ cum)
+            cum += r.getLong(i)
+            row
+          case None =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rn)
+        }
+      }
+    })(org.apache.spark.sql.Encoders.row(outSchema))
+    val stamped = graft.Checkpoints.pinned(out)
+    ranged.unpersist()
+    (stamped, totalN, totalS)
+  }
+
   /** DETERMINISTIC CORPUS SHUFFLE — the global training order every
     * run of a corpus must reproduce bit-identically: each row's sort
     * key is the portable seeded hash of its id

@@ -728,9 +728,16 @@ object Dedup {
     import graft.functions.VectorFunctions
     val assigned = Similarity.kmeansAssign(vecs, k, iters, trainPerMille)
       .select(col("id"), col("cluster_id"))
+    // Persist the assigned double-array frame: it feeds BOTH sides of
+    // the per-cluster pair join AND the survivor projection — three
+    // lazy evaluations, each of which would otherwise re-scan the
+    // source, re-cast every vector and re-run the id join (guide §5:
+    // reuse x recompute cost; measured 20 parquet scans / 0 cache
+    // scans in this plan before the pin).
     val withV = vecs
       .select(col("id"), VectorFunctions.toDoubleArray(col("vec")).as("v"))
       .join(assigned, Seq("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lo = withV.select(col("cluster_id"), col("id").as("a"),
       col("v").as("va"))
     val hi = withV.select(col("cluster_id"), col("id").as("b"),

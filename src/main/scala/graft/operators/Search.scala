@@ -437,8 +437,9 @@ object Search {
     * Returns docs written (inserted + updated).
     */
   def indexAppend(batch: DataFrame, idCol: String, textCol: String,
-      dir: String): Long =
-   graft.sources.Commits.withWriterLock(batch.sparkSession, dir) {
+      dir: String, heldLocks: Set[String] = Set.empty): Long =
+   graft.sources.Commits.withWriterLockUnless(batch.sparkSession, dir,
+       heldLocks) {
     val spark = batch.sparkSession
     val hashed = Upsert.onePerKeyByContentHashed(batch, idCol, textCol)
       .withColumnRenamed("content_hash", "__ch")

@@ -28,6 +28,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Loud pre-side-effect signal from the combined Lloyd trainer that
+    * the training set cannot seed the requested codes/cells. A
+    * DEDICATED subtype (still an IllegalArgumentException, so callers
+    * matching the broad type see no change) so the composed ingest
+    * surfaces can DEFER codebook training on a vector-poor first
+    * delivery by catching exactly this — the trainer's seed collect
+    * doubles as the deferral probe, replacing the separate
+    * dedup+limit+count job those paths used to run — while offline
+    * builds keep failing loudly. Raised before any store write, batch
+    * allocation, or commit, so catching it leaves no side effect.
+    */
+  final class UndersizedTrainingSet(msg: String)
+      extends IllegalArgumentException(msg)
+
   /** Rounded cosine scores of every (query, candidate) pair.
     * `queries`/`corpus`: (id, vec: array<float>).
     */
@@ -321,10 +335,11 @@ object Similarity {
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1)
-    require(seedRows.sizeIs == needSeeds,
-      s"lloydBooksAndCoarse: training set has only ${seedRows.size} " +
-        s"vectors, cannot seed $needSeeds codes/cells - pass a larger " +
-        "training set or fewer codes")
+    if (!(seedRows.sizeIs == needSeeds))
+      throw new UndersizedTrainingSet(
+        s"lloydBooksAndCoarse: training set has only ${seedRows.size} " +
+          s"vectors, cannot seed $needSeeds codes/cells - pass a larger " +
+          "training set or fewer codes")
     var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { j =>
       seedRows.take(codes).map { case (id, v) =>
         (id, v.slice(j * subDims, (j + 1) * subDims))
@@ -608,13 +623,22 @@ object Similarity {
           .as("codes"),
         coarse.fold(lit(-1L))(cb => pqCellExpr(cb)).as("cell"),
         col("__vh").as("vec_hash"), lit(batchId).as("batch"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = rows.count()
-    if (n > 0) {
-      rows.write.parquet(s"$dataDir/b$batchId")
-      graft.sources.Commits.commit(spark, storeDir, batchId)
-    }
-    rows.unpersist()
+    // ONE action, not two: the encode pass (the big pqCodeExpr
+    // min-distance trees) used to run count() + write() over a
+    // persisted frame; an Observation folds the gating row count into
+    // the write job itself (guide §1.2 "don't compute things you throw
+    // away" — the separate count was a full second evaluation whose
+    // only output was n). n == 0 leaves an UNCOMMITTED empty batch dir
+    // — invisible to every reader (committed-marker filtered), swept
+    // like any crash orphan — while the commit marker still only
+    // appears for n > 0, exactly as before.
+    val obs = org.apache.spark.sql.Observation()
+    rows.observe(obs, count(lit(1)).as("n"))
+      .write.parquet(s"$dataDir/b$batchId")
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n > 0) graft.sources.Commits.commit(spark, storeDir, batchId)
+    // (obs.get blocks until the write's listener fires, so n is the
+    // exact committed row count, same value the old count() returned.)
     n
   }
 
@@ -646,8 +670,10 @@ object Similarity {
     */
   def pqStoreBuild(vecs: DataFrame, storeDir: String, m: Int, subDims: Int,
       codes: Int, iters: Int, cells: Int = 0,
-      trainPerMille: Int = 1000): Long =
-   graft.sources.Commits.withWriterLock(vecs.sparkSession, storeDir) {
+      trainPerMille: Int = 1000,
+      heldLocks: Set[String] = Set.empty): Long =
+   graft.sources.Commits.withWriterLockUnless(vecs.sparkSession, storeDir,
+       heldLocks) {
     val spark = vecs.sparkSession
     require(m > 0 && subDims > 0 && codes > 0 && iters >= 1,
       s"bad PQ parameters m=$m subDims=$subDims codes=$codes iters=$iters")
@@ -672,14 +698,23 @@ object Similarity {
         train.select(col("id"), col("v")), m, subDims, codes, cells, iters))
       import spark.implicits._
       graft.Prof("pqBuild.codebookWrite") {
-        books.zipWithIndex
-          .flatMap { case (b, j) => b.map { case (cid, v) => (j, cid, v) } }
-          .toDF("subspace", "cid", "centroid")
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$storeDir/codebook")
-        coarse.foreach(_.toDF("cid", "centroid")
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$storeDir/coarse"))
+        // Two independent single-task writes of driver-local seqs to
+        // two different dirs — overlapped (guide §2.6) so a routed
+        // build pays one write's fixed overhead, not two. Crash
+        // ordering between them is unobservable: both land before the
+        // rows generation commits, and an uncommitted store has no
+        // readers.
+        graft.Par.run(Seq[() => Unit](
+          () => books.zipWithIndex
+            .flatMap { case (b, j) =>
+              b.map { case (cid, v) => (j, cid, v) }
+            }
+            .toDF("subspace", "cid", "centroid")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$storeDir/codebook"),
+          () => coarse.foreach(_.toDF("cid", "centroid")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$storeDir/coarse")))): Unit
       }
       graft.Prof("pqBuild.encodeCommit")(
         pqCommitEncoded(spark, storeDir, base.select(col("id"), col("v"),
@@ -699,8 +734,10 @@ object Similarity {
     * cell-routed store the batch's rows are stamped with their coarse
     * cell from the same train-once `coarse` metadata.
     */
-  def pqStoreAppend(batch: DataFrame, storeDir: String): Long =
-   graft.sources.Commits.withWriterLock(batch.sparkSession, storeDir) {
+  def pqStoreAppend(batch: DataFrame, storeDir: String,
+      heldLocks: Set[String] = Set.empty): Long =
+   graft.sources.Commits.withWriterLockUnless(batch.sparkSession, storeDir,
+       heldLocks) {
     val spark = batch.sparkSession
     val committed = graft.sources.Commits.committed(spark, storeDir)
     require(committed.nonEmpty,
@@ -781,8 +818,10 @@ object Similarity {
     * Returns ids tombstoned.
     */
   def pqStoreDelete(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String, ids: DataFrame): Long =
-   graft.sources.Commits.withWriterLock(spark, storeDir) {
+      storeDir: String, ids: DataFrame,
+      heldLocks: Set[String] = Set.empty): Long =
+   graft.sources.Commits.withWriterLockUnless(spark, storeDir,
+       heldLocks) {
     val committed = graft.sources.Commits.committed(spark, storeDir)
     if (committed.isEmpty) return 0L
     val dataDir = s"$storeDir/rows"
@@ -1357,8 +1396,9 @@ object Similarity {
     * (inserted + updated).
     */
   def annStoreAppend(batch: DataFrame, storeDir: String, planes: Int,
-      dims: Int): Long =
-   graft.sources.Commits.withWriterLock(batch.sparkSession, storeDir) {
+      dims: Int, heldLocks: Set[String] = Set.empty): Long =
+   graft.sources.Commits.withWriterLockUnless(batch.sparkSession, storeDir,
+       heldLocks) {
     val spark = batch.sparkSession
     val hashed = batch.dropDuplicates("id")
       .withColumn("__vh", xxhash64(col("vec")))

@@ -5801,10 +5801,12 @@ object LlmQueries {
     // VOCABULARY EXPORT — the tokenizer-training precursor: every
     // distinct whitespace token with its corpus frequency and a dense
     // frequency-ranked id (count desc, token asc — fully stable).
-    // Vocabulary is tiny relative to any corpus (Heaps' law), so the
-    // unpartitioned ranking window over the aggregated vocab is fine at
-    // any corpus size; the heavy lifting is the map-side-combined
-    // token count.
+    // Vocabulary is small relative to its corpus (Heaps' law) but
+    // still millions of rows at 100 TB, so the rank comes from the
+    // two-pass distributed prefix sum (Corpus.globalOrderedRank)
+    // instead of an unpartitioned window's single-task WindowExec
+    // (guide §2); the heavy lifting stays the map-side-combined token
+    // count.
     QueryDef(
       "txt_vocab_export",
       """WITH t AS (
@@ -5815,13 +5817,13 @@ object LlmQueries {
         |SELECT row_number() OVER (ORDER BY n DESC, token)::BIGINT AS token_id,
         |  token, n
         |FROM g ORDER BY token_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables.documents(s, d)
+      val g = Tables.documents(s, d)
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("token_id", row_number().over(
-          Window.orderBy(col("n").desc, col("token"))).cast("long"))
+      val (ranked, _, _) = graft.operators.Corpus.globalOrderedRank(
+        g, Seq(col("n").desc, col("token")), rnCol = "token_id")
+      ranked
         .select(col("token_id"), col("token"), col("n"))
         .presentSorted(col("token_id"))
     },

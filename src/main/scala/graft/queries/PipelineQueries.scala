@@ -945,10 +945,15 @@ object PipelineQueries {
         .join(broadcast(w), Seq("bucket"))
         .groupBy(col("doc_id"), col("good"))
         .agg(sum(col("cnt") * col("w_micro")).as("score"))
-      val wr = Window.orderBy(col("score"), col("doc_id"))
-      scored
-        .withColumn("rn", row_number().over(wr))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      // Decile rank from the two-pass distributed global rank — the
+      // unpartitioned Window.orderBy it replaces is a single-task
+      // WindowExec over every scored doc (guide §2's one-reducer
+      // anti-pattern); the total count comes free from pass 1 instead
+      // of a second global window.
+      val (ranked, nDocs, _) = graft.operators.Corpus.globalOrderedRank(
+        scored, Seq(col("score"), col("doc_id")), rnCol = "rn")
+      ranked
+        .withColumn("n", lit(nDocs))
         .groupBy(expr("((rn - 1) * 10) div n").as("decile"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),

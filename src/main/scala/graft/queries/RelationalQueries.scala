@@ -1027,18 +1027,26 @@ object RelationalQueries {
         |FROM r CROSS JOIN (VALUES (1), (5), (10), (25)) v(pct)
         |WHERE r.rn = (v.pct * r.nu + 99) // 100
         |ORDER BY top_pct, n_top""".stripMargin) { (s, d) =>
-      val wAll = Window.partitionBy()
-      val wOrd = Window.orderBy(col("cents").desc, col("user_id"))
-      val wCum = Window.orderBy(col("cents").desc, col("user_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
+      // All four window scalars (rank, inclusive running sum, total
+      // count, total sum) come from ONE two-pass distributed prefix
+      // sum over the per-user aggregate (Corpus.globalOrderedRank) —
+      // the unpartitioned Window.orderBy this used to run executes as
+      // a single-task WindowExec ("No Partition Defined"), a
+      // one-reducer pass over every spender at 100 TB (guide §2).
+      // Totals are free from the same pass-1 partition stats.
+      val u = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(sum(round(col("value") * 100)).cast("long").as("cents"))
-        .withColumn("rn", row_number().over(wOrd))
-        .withColumn("nu", count(lit(1)).over(wAll))
-        .withColumn("tot", sum(col("cents")).over(wAll))
-        .withColumn("cum", sum(col("cents")).over(wCum))
+      val (ranked, nUsers, totCents) = graft.operators.Corpus
+        .globalOrderedRank(u,
+          Seq(col("cents").desc, col("user_id")), rnCol = "__rn",
+          sumCol = Some("cents"))
+      ranked
+        .withColumn("rn", col("__rn").cast("int"))
+        .withColumn("nu", lit(nUsers))
+        .withColumn("tot", lit(totCents))
+        .withColumn("cum", col("__cum") + col("cents"))
         .withColumn("pct", explode(array(lit(1), lit(5), lit(10), lit(25))))
         .filter(col("rn") === expr("(pct * nu + 99) div 100"))
         .select(col("pct").as("top_pct"), col("rn").as("n_top"),
@@ -1416,9 +1424,24 @@ object RelationalQueries {
       "win_ntile_acctbal_quartile",
       """SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d)
-        .select(col("c_custkey"), ntile(4).over(w).as("quartile"))
+      // ntile(4) from the two-pass distributed global rank instead of
+      // the unpartitioned window (single-task WindowExec over every
+      // customer — guide §2's one-reducer anti-pattern): with N known
+      // from pass 1, SQL ntile is pure arithmetic on the rank — the
+      // first N % 4 buckets take ceil(N/4) rows, the rest floor(N/4).
+      val (ranked, n, _) = graft.operators.Corpus.globalOrderedRank(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+        Seq(col("c_acctbal"), col("c_custkey")), rnCol = "__rn")
+      val q = n / 4
+      val r = n % 4
+      val quartile =
+        if (q == 0L) col("__rn").cast("int")
+        else (when(col("__rn") <= lit(r * (q + 1)),
+            expr(s"(__rn - 1) div ${q + 1}"))
+          .otherwise(expr(s"$r + (__rn - 1 - ${r * (q + 1)}) div $q"))
+          + 1).cast("int")
+      ranked
+        .select(col("c_custkey"), quartile.as("quartile"))
         .presentSorted(col("c_custkey"))
     },
 

@@ -616,4 +616,19 @@ object Commits {
     acquireWriterLock(spark, dir, staleTtlMs)
     try f finally releaseWriterLock(spark, dir)
   }
+
+  /** [[withWriterLock]], unless `held` names this dir — for mutations
+    * running inside a COMPOSITION that already acquired every surface
+    * lease upfront (the fan-out sinks: all leases taken in the
+    * sequential order BEFORE any surface mutates, so a refusal
+    * anywhere is a complete no-op, then the tracks run concurrently
+    * with their leases pre-held). The composition owns acquisition
+    * AND release; this variant must not re-acquire (the exclusive
+    * create would refuse our own lease) nor release early (another
+    * track may still be writing under the composition's hold). With
+    * the default empty set it is exactly [[withWriterLock]].
+    */
+  def withWriterLockUnless[T](spark: SparkSession, dir: String,
+      held: Set[String])(f: => T): T =
+    if (held.contains(dir)) f else withWriterLock(spark, dir)(f)
 }

@@ -232,8 +232,9 @@ object Streams {
     * generational stores' lease, `sources.Commits`).
     */
   def mergeBatch(batch: DataFrame, targetDir: String, key: String,
-      batchId: Long): Unit =
-   graft.sources.Commits.withWriterLock(batch.sparkSession, targetDir) {
+      batchId: Long, heldLocks: Set[String] = Set.empty): Unit =
+   graft.sources.Commits.withWriterLockUnless(batch.sparkSession, targetDir,
+       heldLocks) {
     val spark = batch.sparkSession
     val state = s"state_$batchId"
     // Redelivery after a COMPLETED commit: `_current` already points at
@@ -397,8 +398,10 @@ object Streams {
     * too. Returns docs (re)chunked.
     */
   def chunkIngestBatch(batch: DataFrame, storeDir: String, idCol: String,
-      textCol: String, window: Int, overlap: Int): Long =
-   graft.sources.Commits.withWriterLock(batch.sparkSession, storeDir) {
+      textCol: String, window: Int, overlap: Int,
+      heldLocks: Set[String] = Set.empty): Long =
+   graft.sources.Commits.withWriterLockUnless(batch.sparkSession, storeDir,
+       heldLocks) {
     val spark = batch.sparkSession
     val chunksDir = s"$storeDir/chunks"
     val docsDir = s"$storeDir/docs"
@@ -760,7 +763,8 @@ object Streams {
   def chunkVectorIngestBatch(spark: org.apache.spark.sql.SparkSession,
       chunkDir: String, vecDir: String, deliveredIds: DataFrame,
       dims: Int, m: Int = 4, codes: Int = 8, cells: Int = 16,
-      trainPerMille: Int = 1000): Long = {
+      trainPerMille: Int = 1000,
+      heldLocks: Set[String] = Set.empty): Long = {
     require(dims % m == 0,
       s"chunk-vector surface needs dims divisible by m, got dims=$dims m=$m")
     val idCol = deliveredIds.columns.head
@@ -786,23 +790,21 @@ object Streams {
           // per-subspace codebooks (codes) and the coarse quantizer
           // (cells) — either one short would poison-pill the batch.
           // Under sampled training the seeds must come from the SAMPLE
-          // (pqStoreBuild trains on it and fails loudly when it is
-          // undersized), so the deferral counts the same stable-hash
-          // filter the build will apply.
-          val need = math.max(codes, cells)
-          val trainSrc =
-            if (trainPerMille >= 1000) vecs
-            else vecs.filter(graft.functions.HashFunctions
-              .stableHash64(col("id").cast("string")) % 1000
-              < trainPerMille)
-          val seeds = graft.Prof("ckvec.seedProbe")(
-            trainSrc.select(col("id")).dropDuplicates("id")
-              .limit(need).count())
-          if (seeds < need) 0L
-          else graft.Prof("ckvec.pqBuild")(
+          // (pqStoreBuild trains on it). The trainer's own seed
+          // collect IS the deferral probe: an undersized delivery
+          // raises UndersizedTrainingSet BEFORE any store side effect
+          // and the batch returns 0 exactly as before — one job
+          // cheaper per first-wave build than the separate
+          // dedup+limit+count probe this branch used to run, and the
+          // deferral condition is now the build's own by construction.
+          try graft.Prof("ckvec.pqBuild")(
             graft.operators.Similarity.pqStoreBuild(vecs, vecDir,
               m = m, subDims = dims / m, codes = codes, iters = 2,
-              cells = cells, trainPerMille = trainPerMille))
+              cells = cells, trainPerMille = trainPerMille,
+              heldLocks = heldLocks))
+          catch {
+            case _: graft.operators.Similarity.UndersizedTrainingSet => 0L
+          }
         } else {
           // Vanished passages of the delivered docs: live store ids
           // whose packed doc part is in the batch but whose chunk no
@@ -815,9 +817,10 @@ object Streams {
             .join(vecs.select(col("id")), Seq("id"), "left_anti")
             .select(col("id"))
           graft.Prof("ckvec.staleDelete")(graft.operators.Similarity
-            .pqStoreDelete(spark, vecDir, stale)): Unit
+            .pqStoreDelete(spark, vecDir, stale, heldLocks)): Unit
           graft.Prof("ckvec.append")(
-            graft.operators.Similarity.pqStoreAppend(vecs, vecDir))
+            graft.operators.Similarity.pqStoreAppend(vecs, vecDir,
+              heldLocks))
         }
         } finally { vecs.unpersist(); () }
     }
@@ -1433,63 +1436,115 @@ object Streams {
     val shared = batch.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      graft.Prof("fanout.merge")(mergeBatch(
-        shared.select(col(idCol), col(textCol),
-          graft.functions.HashFunctions.contentHash(col(textCol))
-            .as("content_hash")),
-        storeDir, idCol, batchId))
-      val nIdx = graft.Prof("fanout.index")(
-        graft.operators.Search.indexAppend(
-          shared.select(col(idCol), col(textCol)), idCol, textCol, indexDir))
       // Rows whose vector is missing advance the doc/index surfaces but
       // not the embedding stores (a null vec would bucket/encode to
       // garbage) — the embedding can arrive in a later delivery;
       // insert-if-absent takes it then.
       def vecsOf(v: String) = shared.filter(col(v).isNotNull)
         .select(col(idCol).as("id"), col(v).as("vec"))
-      val nAnn = vecCol.fold(0L)(v =>
-        graft.Prof("fanout.ann")(
-          graft.operators.Similarity.annStoreAppend(vecsOf(v), annDir,
-            planes, dims)))
-      val nPq = (pqDir, vecCol) match {
-        case (Some(pd), Some(v)) => graft.Prof("fanout.pq") {
-          require(dims % pqM == 0,
-            s"fan-out PQ surface needs dims divisible by pqM, " +
-              s"got dims=$dims pqM=$pqM")
-          if (graft.sources.Commits.committed(spark, pd).isEmpty) {
-            // Codebook training needs at least pqCodes distinct seed
-            // vectors (lloydCentroids fails loudly below that). A
-            // vector-poor first delivery must NOT become a poison pill
-            // — under a streaming sink the failed batch would redeliver
-            // and fail forever — so training DEFERS to the first
-            // delivery carrying >= pqCodes embedding ids; until then
-            // the batch advances the other surfaces and the PQ surface
-            // stays unbuilt (its vectors are safe in the ANN store and
-            // can be backfilled by an offline pqStoreBuild, or arrive
-            // again on a redelivery). The probe is a limit-pqCodes
-            // count over the already-persisted batch — O(pqCodes).
-            val seedIds = vecsOf(v).select(col("id"))
-              .dropDuplicates("id").limit(pqCodes).count()
-            if (seedIds < pqCodes) 0L
-            else graft.operators.Similarity.pqStoreBuild(vecsOf(v), pd,
-              m = pqM, subDims = dims / pqM, codes = pqCodes, iters = 2)
-          } else graft.operators.Similarity.pqStoreAppend(vecsOf(v), pd)
+      // The surfaces are INDEPENDENT stores — own directory, own
+      // writer lease, idempotent sink — and the composition's
+      // convergence argument never assumed an ordering among them (a
+      // crash mid-fan-out already leaves an arbitrary completed
+      // subset; redelivery catches the rest up). Only the
+      // chunk-VECTOR surface chains: it featurizes the chunk store's
+      // COMMITTED state, so it runs after the chunk mutation inside
+      // the same track. Running the five tracks concurrently
+      // (graft.Par, guide §2.6) lets one surface's tasks back-fill
+      // the cores another's action tail leaves idle — at micro-batch
+      // scale the composed sink's cost is ~40 fixed per-action
+      // overheads end to end, not data volume.
+      //
+      // Every surface lease is acquired UPFRONT, in the sequential
+      // composition's order, before any surface mutates: a competing
+      // writer anywhere in the set refuses the whole wave as a clean
+      // no-op (CrossJvmFanoutSpec pins that a refusal must not leave
+      // later surfaces advanced past the refused one — upfront
+      // acquisition strengthens the old committed-prefix outcome to
+      // nothing-committed, which redelivery converges identically),
+      // and the tracks then mutate concurrently with their leases
+      // pre-held (withWriterLockUnless).
+      val toHold: Seq[String] =
+        Seq(storeDir, indexDir) ++
+          (if (vecCol.isDefined) Seq(annDir) else Nil) ++
+          (if (vecCol.isDefined) pqDir.toSeq else Nil) ++
+          chunkDir.toSeq ++
+          (if (chunkDir.isDefined) chunkVecDir.toSeq else Nil)
+      val held = scala.collection.mutable.ListBuffer[String]()
+      try {
+        toHold.foreach { dir =>
+          graft.sources.Commits.acquireWriterLock(spark, dir)
+          held += dir
         }
-        case _ => 0L
+        val hl = held.toSet
+        val mergeT = () => {
+          graft.Prof("fanout.merge")(mergeBatch(
+            shared.select(col(idCol), col(textCol),
+              graft.functions.HashFunctions.contentHash(col(textCol))
+                .as("content_hash")),
+            storeDir, idCol, batchId, hl))
+          0L
+        }
+        val idxT = () => graft.Prof("fanout.index")(
+          graft.operators.Search.indexAppend(
+            shared.select(col(idCol), col(textCol)), idCol, textCol,
+            indexDir, hl))
+        val annT = () => vecCol.fold(0L)(v =>
+          graft.Prof("fanout.ann")(
+            graft.operators.Similarity.annStoreAppend(vecsOf(v), annDir,
+              planes, dims, hl)))
+        val pqT = () => (pqDir, vecCol) match {
+          case (Some(pd), Some(v)) => graft.Prof("fanout.pq") {
+            require(dims % pqM == 0,
+              s"fan-out PQ surface needs dims divisible by pqM, " +
+                s"got dims=$dims pqM=$pqM")
+            if (graft.sources.Commits.committed(spark, pd).isEmpty) {
+              // Codebook training needs at least pqCodes distinct seed
+              // vectors. A vector-poor first delivery must NOT become a
+              // poison pill — under a streaming sink the failed batch
+              // would redeliver and fail forever — so training DEFERS to
+              // the first delivery carrying >= pqCodes embedding ids;
+              // until then the batch advances the other surfaces and the
+              // PQ surface stays unbuilt (its vectors are safe in the
+              // ANN store and can be backfilled by an offline
+              // pqStoreBuild, or arrive again on a redelivery). The
+              // trainer's own seed collect IS the deferral probe: an
+              // undersized delivery raises UndersizedTrainingSet before
+              // any store side effect, one job cheaper than the
+              // pre-count probe this branch used to run.
+              try graft.operators.Similarity.pqStoreBuild(vecsOf(v), pd,
+                m = pqM, subDims = dims / pqM, codes = pqCodes, iters = 2,
+                heldLocks = hl)
+              catch {
+                case _: graft.operators.Similarity.UndersizedTrainingSet =>
+                  0L
+              }
+            } else graft.operators.Similarity.pqStoreAppend(vecsOf(v), pd,
+              hl)
+          }
+          case _ => 0L
+        }
+        val chunkTrackT = () => chunkDir.fold((0L, 0L)) { d =>
+          val nChunk = graft.Prof("fanout.chunks")(
+            chunkIngestBatch(shared.select(col(idCol), col(textCol)), d,
+              idCol, textCol, chunkWindow, chunkOverlap, hl))
+          val nCkVec = chunkVecDir.fold(0L)(vd =>
+            graft.Prof("fanout.ckvec")(
+              chunkVectorIngestBatch(spark, d, vd,
+                shared.select(col(idCol)), chunkVecDims, chunkVecM,
+                chunkVecCodes, chunkVecCells, chunkVecTrainPerMille, hl)))
+          (nChunk, nCkVec)
+        }
+        val rs = graft.Par.run(Seq[() => Any](mergeT, idxT, annT, pqT,
+          chunkTrackT))
+        val (nIdx, nAnn, nPq) = (rs(1).asInstanceOf[Long],
+          rs(2).asInstanceOf[Long], rs(3).asInstanceOf[Long])
+        val (nChunk, nCkVec) = rs(4).asInstanceOf[(Long, Long)]
+        (nIdx, nAnn, nPq, nChunk, nCkVec)
+      } finally {
+        held.toList.reverse.foreach(dir =>
+          graft.sources.Commits.releaseWriterLock(spark, dir))
       }
-      val nChunk = chunkDir.fold(0L)(d =>
-        graft.Prof("fanout.chunks")(
-          chunkIngestBatch(shared.select(col(idCol), col(textCol)), d,
-            idCol, textCol, chunkWindow, chunkOverlap)))
-      val nCkVec = (chunkDir, chunkVecDir) match {
-        case (Some(cd), Some(vd)) =>
-          graft.Prof("fanout.ckvec")(
-            chunkVectorIngestBatch(spark, cd, vd,
-              shared.select(col(idCol)), chunkVecDims, chunkVecM,
-              chunkVecCodes, chunkVecCells, chunkVecTrainPerMille))
-        case _ => 0L
-      }
-      (nIdx, nAnn, nPq, nChunk, nCkVec)
     } finally { shared.unpersist(); () }
   }
 

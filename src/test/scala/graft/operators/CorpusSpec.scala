@@ -810,4 +810,42 @@ class CorpusSpec extends SparkSpec {
       .as[(String, String, Long)].collect().head._3
     assert(ks == 500000L, s"got $ks")
   }
+
+  test("globalOrderedRank equals the unpartitioned window exactly " +
+      "(rank, exclusive running sum, totals), ties included") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // Heavy ties on the first key so the tie-break column decides the
+    // order; values span negatives.
+    val rows = (0 until 2500).map { i =>
+      (i.toLong, (rnd.nextInt(40) - 20).toLong)
+    }
+    val df = rows.toDF("id", "v")
+    val wOrd = Window.orderBy(col("v").desc, col("id"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val want = df
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", coalesce(sum(col("v")).over(wCum), lit(0L)))
+      .select("id", "rn", "cum")
+      .as[(Long, Long, Long)].collect().toSet
+    // 7 partitions force rank ranges to span partitions.
+    val (got, n, tot) = Corpus.globalOrderedRank(df,
+      Seq(col("v").desc, col("id")), rnCol = "rn",
+      sumCol = Some("v"), numPartitions = 7)
+    assert(got.select("id", "rn", "__cum")
+      .as[(Long, Long, Long)].collect().toSet == want)
+    assert(n == 2500L)
+    assert(tot == rows.map(_._2).sum)
+    // Rank-only variant (no sum column) and a single-row frame.
+    val (one, n1, s1) = Corpus.globalOrderedRank(
+      Seq((7L, 3L)).toDF("id", "v"), Seq(col("v")), rnCol = "rn")
+    assert(one.select("id", "rn").as[(Long, Long)].collect().toSeq
+      == Seq((7L, 1L)))
+    assert(n1 == 1L && s1 == 0L)
+    // Empty frame: no rows, zero totals.
+    val (empty, n0, s0) = Corpus.globalOrderedRank(
+      df.filter(col("id") < 0), Seq(col("v")), rnCol = "rn",
+      sumCol = Some("v"))
+    assert(empty.count() == 0L && n0 == 0L && s0 == 0L)
+  }
 }
