@@ -407,9 +407,6 @@ object Corpus {
       cumCol: String = "__cum", numPartitions: Int = 0)
       : (DataFrame, Long, Long) = {
     val spark = df.sparkSession
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
     val sumIdx = sumCol.map { c =>
       val i = df.columns.indexOf(c)
       require(i >= 0, s"globalOrderedRank: no column '$c' in " +
@@ -420,7 +417,18 @@ object Corpus {
           df.schema(i).dataType)
       i
     }
-    val ranged = df.repartitionByRange(parts, orderCols: _*)
+    // With no explicit numPartitions the range exchange is left
+    // WITHOUT a fixed partition count so AQE coalesces it to the
+    // advisory size (guide §2.2) — a small aggregate frame collapses
+    // to one or two tasks instead of paying numShufflePartitions
+    // empty-task overheads, and a 100 TB frame still fans out to
+    // advisory-sized ranges. Both passes read the same PERSISTED
+    // materialization, so whatever AQE chose, pass-2 membership
+    // matches pass-1 stats.
+    val ranged =
+      (if (numPartitions > 0)
+        df.repartitionByRange(numPartitions, orderCols: _*)
+      else df.repartitionByRange(orderCols: _*))
       .sortWithinPartitions(orderCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     import spark.implicits._

@@ -810,6 +810,94 @@ object Similarity {
       storeDir: String): DataFrame =
     pqCurrentRows(spark, storeDir).select(col("id"))
 
+  /** ONE-GENERATION scoped sync of the standing PQ store —
+    * [[pqStoreAppend]]'s hash-gated upsert and [[pqStoreDelete]]'s
+    * vanished-id tombstones in a SINGLE commit, for the composed
+    * passage surface that previously ran them as two back-to-back
+    * mutations of the same store under the same lease (two commits,
+    * three currency resolves of the same committed state per
+    * micro-batch — pure per-action overhead at micro-batch scale,
+    * guide §1.2/§2.4). One read of the committed rows serves both the
+    * upsert gate (max-generation vec_hash per id) and the tombstone
+    * candidates (live ids in scope absent from the batch); fresh
+    * encodes and tombstones land as ONE generation — strictly MORE
+    * atomic than the old delete-then-append pair (no window where the
+    * vanish committed but the re-encode didn't).
+    *
+    * `scopeKeys` (single column) scopes the sync: a live id is
+    * tombstoned iff `keyOf(id)` is in `scopeKeys` AND the id is absent
+    * from `batch`. REQUIREMENT: every batch id must itself satisfy
+    * `keyOf(id) IN scopeKeys` — the currency resolve only reads the
+    * scoped slice, so an out-of-scope batch id would miss its stored
+    * hash and re-encode a redundant generation row (breaking the
+    * redelivery no-op contract). The passage caller satisfies this by
+    * construction (batch = the delivered docs' chunks, scope = the
+    * delivered doc ids).
+    *
+    * Tombstone rows are exactly [[pqStoreDelete]]'s (empty codes,
+    * cell -1, vec_hash 0), only-if-live, so redelivery stays a no-op
+    * and later appends resurrect. Returns vectors encoded (the
+    * [[pqStoreAppend]] return the ingest counts expose); tombstone
+    * count is observable from the store like any delete.
+    */
+  def pqStoreSync(batch: DataFrame, storeDir: String,
+      scopeKeys: DataFrame, keyOf: Column => Column,
+      heldLocks: Set[String] = Set.empty): Long =
+   graft.sources.Commits.withWriterLockUnless(batch.sparkSession, storeDir,
+       heldLocks) {
+    val spark = batch.sparkSession
+    val committed = graft.sources.Commits.committed(spark, storeDir)
+    require(committed.nonEmpty,
+      s"$storeDir has no committed build - run pqStoreBuild first")
+    val books = pqReadCodebook(spark, storeDir)
+    val subDims = books.head.head._2.size
+    val coarse = pqReadCoarse(spark, storeDir)
+    val dataDir = s"$storeDir/rows"
+    val scope = broadcast(
+      scopeKeys.select(col(scopeKeys.columns.head).as("__k"))
+        .dropDuplicates("__k"))
+    val hashed = pqRequireDims(batch.dropDuplicates("id")
+      .withColumn("__vh", xxhash64(col("vec")))
+      .withColumn("v", VectorFunctions.toDoubleArray(col("vec"))),
+      books.size * subDims, "pqStoreSync")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cur = readCommittedPq(spark, storeDir, committed)
+      .join(scope, keyOf(col("id")) === col("__k"), "left_semi")
+      .groupBy(col("id"))
+      .agg(max_by(col("vec_hash"), col("batch")).as("__prev"),
+        max_by(size(col("codes")), col("batch")).as("__clen"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchId = graft.sources.Commits.allocateBatchId(spark, storeDir,
+        Seq(dataDir))
+      val fresh = hashed
+        .join(cur.select(col("id"), col("__prev")), Seq("id"), "left")
+        .filter(col("__prev").isNull || col("__prev") =!= col("__vh"))
+        .select(col("id"),
+          array(books.indices.map(j =>
+            pqCodeExpr(books(j), j, subDims)): _*).as("codes"),
+          coarse.fold(lit(-1L))(cb => pqCellExpr(cb)).as("cell"),
+          col("__vh").as("vec_hash"))
+      val stale = cur.filter(col("__clen") > 0)
+        .join(hashed.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), array().cast("array<bigint>").as("codes"),
+          lit(-1L).as("cell"), lit(0L).as("vec_hash"))
+      // ONE action: encode + tombstones ride one write; the gating
+      // counts ride it as an Observation (same shape as
+      // [[pqCommitEncoded]] — an all-quiet sync leaves an uncommitted
+      // empty dir, invisible and swept like any crash orphan).
+      val obs = org.apache.spark.sql.Observation()
+      fresh.unionByName(stale)
+        .withColumn("batch", lit(batchId))
+        .observe(obs, count(lit(1)).as("n"),
+          sum(when(size(col("codes")) > 0, 1L).otherwise(0L)).as("enc"))
+        .write.parquet(s"$dataDir/b$batchId")
+      val n = obs.get("n").asInstanceOf[Long]
+      if (n > 0) graft.sources.Commits.commit(spark, storeDir, batchId)
+      Option(obs.get("enc")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    } finally { cur.unpersist(); hashed.unpersist(); () }
+   }
+
   /** DELETE ids from the standing PQ store — a tombstone generation
     * (empty codes, cell -1, vec_hash 0) per currently-live requested
     * id; idempotent, and a later [[pqStoreAppend]] resurrects the id.

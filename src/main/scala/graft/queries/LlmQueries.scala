@@ -801,12 +801,17 @@ object LlmQueries {
     Search.bm25FromIndexTopK(s, storePath("bm25-up") + "/index",
       Seq("spark", "vector", "stream", "merge"), k = 10)
 
+  /** The hybrid builds assemble INDEPENDENT standing stores (inverted
+    * index vs embedding store, own dirs, own leases) — overlapped
+    * (graft.Par, guide §2.6) so the composed build costs the longer
+    * store, not the sum; final committed state is identical.
+    */
   private def hybridBuild(idxName: String, annName: String)(
-      s: SparkSession, d: String): Unit = {
-    idxBuild(idxName)(s, d)
-    Similarity.annStoreAppend(embOf(s, d), storeDir(annName) + "/ann",
-      planes = 8, dims = 64): Unit
-  }
+      s: SparkSession, d: String): Unit =
+    graft.Par.run2(
+      idxBuild(idxName)(s, d),
+      Similarity.annStoreAppend(embOf(s, d), storeDir(annName) + "/ann",
+        planes = 8, dims = 64)): Unit
 
   private def hybridProbe(idxName: String, annName: String,
       multiprobe: Boolean)(s: SparkSession, d: String): DataFrame =
@@ -823,14 +828,22 @@ object LlmQueries {
     * partitioned route (PlanRegressionSpec additionally pins the DPP
     * plan shape), not a silent generational fallback.
     */
-  private def hybridAutoBuild(s: SparkSession, d: String): Unit = {
-    hybridBuild("hyb-au-i", "hyb-au-a")(s, d)
-    val part = storeDir("hyb-au-p") + "/part"
-    Similarity.annStorePartition(s, storePath("hyb-au-a") + "/ann", part)
-    require(graft.sources.Commits.snapshotFresh(s, part,
-      storePath("hyb-au-a") + "/ann"),
-      "partitioned ANN snapshot not fresh right after its build")
-  }
+  private def hybridAutoBuild(s: SparkSession, d: String): Unit =
+    // Index track ∥ ann-chain track (append -> partitioned layout —
+    // the partition step DEPENDS on the append, so it stays chained
+    // inside its track).
+    graft.Par.run2(
+      idxBuild("hyb-au-i")(s, d),
+      {
+        Similarity.annStoreAppend(embOf(s, d),
+          storeDir("hyb-au-a") + "/ann", planes = 8, dims = 64): Unit
+        val part = storeDir("hyb-au-p") + "/part"
+        Similarity.annStorePartition(s, storePath("hyb-au-a") + "/ann",
+          part)
+        require(graft.sources.Commits.snapshotFresh(s, part,
+          storePath("hyb-au-a") + "/ann"),
+          "partitioned ANN snapshot not fresh right after its build")
+      }): Unit
 
   private def hybridAutoProbe(s: SparkSession, d: String): DataFrame =
     Search.hybridTopK(s, storePath("hyb-au-i") + "/index",
@@ -1219,11 +1232,11 @@ object LlmQueries {
       RrfFusionTail.replace("FROM r WHERE rnk", "FROM rk WHERE rnk")
   }
 
-  private def hybridPqBuild(s: SparkSession, d: String): Unit = {
-    idxBuild("hyb-pq-i")(s, d)
-    Similarity.pqStoreBuild(embOf(s, d), storeDir("hyb-pq-p") + "/store",
-      m = 4, subDims = 16, codes = 8, iters = 2, cells = 16): Unit
-  }
+  private def hybridPqBuild(s: SparkSession, d: String): Unit =
+    graft.Par.run2(
+      idxBuild("hyb-pq-i")(s, d),
+      Similarity.pqStoreBuild(embOf(s, d), storeDir("hyb-pq-p") + "/store",
+        m = 4, subDims = 16, codes = 8, iters = 2, cells = 16)): Unit
 
   private def hybridPqProbe(s: SparkSession, d: String): DataFrame =
     Search.hybridTopKPq(s, storePath("hyb-pq-i") + "/index",
@@ -1262,11 +1275,12 @@ object LlmQueries {
       RrfFusionTail.replace("FROM r WHERE rnk", "FROM rr WHERE rnk")
   }
 
-  private def hybridPqRerankBuild(s: SparkSession, d: String): Unit = {
-    idxBuild("hyb-pqr-i")(s, d)
-    Similarity.pqStoreBuild(embOf(s, d), storeDir("hyb-pqr-p") + "/store",
-      m = 4, subDims = 16, codes = 8, iters = 2, cells = 16): Unit
-  }
+  private def hybridPqRerankBuild(s: SparkSession, d: String): Unit =
+    graft.Par.run2(
+      idxBuild("hyb-pqr-i")(s, d),
+      Similarity.pqStoreBuild(embOf(s, d),
+        storeDir("hyb-pqr-p") + "/store",
+        m = 4, subDims = 16, codes = 8, iters = 2, cells = 16)): Unit
 
   private def hybridPqRerankProbe(s: SparkSession, d: String): DataFrame =
     Search.hybridTopKPqRerank(s, storePath("hyb-pqr-i") + "/index",
@@ -2032,18 +2046,23 @@ object LlmQueries {
       "anntop AS (SELECT doc_id AS cid, rnk FROM fin WHERE rnk <= 20)")
   }
 
-  private def hybridPassageBuild(s: SparkSession, d: String): Unit = {
-    idxBuild("hyb-ps-i")(s, d)
-    val root = storeDir("hyb-ps-c")
-    val (ck, vec) = (s"$root/chunks", s"$root/vec")
-    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    graft.streaming.Streams.chunkIngestBatch(base, ck, "doc_id", "text",
-      window = 32, overlap = 8)
-    require(graft.streaming.Streams.chunkVectorIngestBatch(s, ck, vec,
-      base.select(col("doc_id")), dims = 16, m = 4, codes = 8,
-      cells = 8, trainPerMille = PassageTrainPerMille) > 0,
-      "passage-hybrid chunk-vector build must insert")
-  }
+  private def hybridPassageBuild(s: SparkSession, d: String): Unit =
+    // Index track ∥ passage track (chunk store -> chunk-vector store,
+    // chained inside its track: the vectors featurize the chunk
+    // store's committed state).
+    graft.Par.run2(
+      idxBuild("hyb-ps-i")(s, d),
+      {
+        val root = storeDir("hyb-ps-c")
+        val (ck, vec) = (s"$root/chunks", s"$root/vec")
+        val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        graft.streaming.Streams.chunkIngestBatch(base, ck, "doc_id",
+          "text", window = 32, overlap = 8): Unit
+        require(graft.streaming.Streams.chunkVectorIngestBatch(s, ck, vec,
+          base.select(col("doc_id")), dims = 16, m = 4, codes = 8,
+          cells = 8, trainPerMille = PassageTrainPerMille) > 0,
+          "passage-hybrid chunk-vector build must insert")
+      }): Unit
 
   private def hybridPassageProbe(s: SparkSession, d: String): DataFrame =
     graft.streaming.Streams.hybridTopKPassage(s,

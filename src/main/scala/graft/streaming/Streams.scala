@@ -437,23 +437,33 @@ object Streams {
         .drop("__prev")
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = graft.Prof("chunkIngest.resolve")(fresh.count())
-      if (n > 0) {
-        val batchId = graft.sources.Commits.allocateBatchId(spark,
-          storeDir, Seq(docsDir, chunksDir))
-        graft.Prof("chunkIngest.chunksWrite")(
+      // THREE actions folded into two CONCURRENT ones (guide §1.2 +
+      // §2.6): the gating fresh-doc count used to run as its own job
+      // before two sequential writes of the same persisted frame; now
+      // it rides the docs write as an Observation while the chunks
+      // write (independent subdir, same generation commit) overlaps
+      // it. n == 0 leaves two empty UNCOMMITTED dirs and a burned
+      // batch id — invisible to readers (committed-marker filtered),
+      // swept like any crash orphan — while the commit marker still
+      // only appears for n > 0, exactly as before.
+      val batchId = graft.sources.Commits.allocateBatchId(spark,
+        storeDir, Seq(docsDir, chunksDir))
+      val obs = org.apache.spark.sql.Observation()
+      graft.Par.run(Seq[() => Unit](
+        () => graft.Prof("chunkIngest.chunksWrite")(
           graft.operators.Corpus.chunkSlidingWindows(fresh, idCol, textCol,
             window, overlap)
             .withColumnRenamed(idCol, "doc_id")
             .withColumn("batch", lit(batchId))
-            .write.parquet(s"$chunksDir/b$batchId"))
-        graft.Prof("chunkIngest.docsWrite")(
+            .write.parquet(s"$chunksDir/b$batchId")),
+        () => graft.Prof("chunkIngest.docsWrite")(
           fresh.select(col(idCol).as("doc_id"),
               col("__ch").as("content_hash"))
             .withColumn("batch", lit(batchId))
-            .write.parquet(s"$docsDir/b$batchId"))
-        graft.sources.Commits.commit(spark, storeDir, batchId)
-      }
+            .observe(obs, count(lit(1)).as("n"))
+            .write.parquet(s"$docsDir/b$batchId")))): Unit
+      val n = obs.get("n").asInstanceOf[Long]
+      if (n > 0) graft.sources.Commits.commit(spark, storeDir, batchId)
       n
     } finally { fresh.unpersist(); hashed.unpersist(); () }
    }
@@ -806,20 +816,20 @@ object Streams {
             case _: graft.operators.Similarity.UndersizedTrainingSet => 0L
           }
         } else {
-          // Vanished passages of the delivered docs: live store ids
-          // whose packed doc part is in the batch but whose chunk no
-          // longer exists. Skinny id-only scan, batch side broadcast.
-          val stale = graft.operators.Similarity
-            .pqStoreLiveIds(spark, vecDir)
-            .withColumn("doc_id",
-              expr(s"id div ${ChunkVecSeqLimit}"))
-            .join(broadcast(ids), Seq("doc_id"), "left_semi")
-            .join(vecs.select(col("id")), Seq("id"), "left_anti")
-            .select(col("id"))
-          graft.Prof("ckvec.staleDelete")(graft.operators.Similarity
-            .pqStoreDelete(spark, vecDir, stale, heldLocks)): Unit
-          graft.Prof("ckvec.append")(
-            graft.operators.Similarity.pqStoreAppend(vecs, vecDir,
+          // ONE-COMMIT sync (guide §1.2/§2.4): the hash-gated upsert
+          // of the delivered docs' current passages AND the tombstones
+          // for their vanished passages (live store ids whose packed
+          // doc part is in the batch but whose chunk no longer exists)
+          // used to run as pqStoreDelete + pqStoreAppend — two commits
+          // and three currency resolves of the same committed state
+          // per micro-batch. pqStoreSync folds them into one read +
+          // one generation, scoped to the delivered doc ids; strictly
+          // more atomic (no window between the vanish and the
+          // re-encode), same converged state, same encoded-count
+          // return.
+          graft.Prof("ckvec.sync")(
+            graft.operators.Similarity.pqStoreSync(vecs, vecDir, ids,
+              id => call_function("div", id, lit(ChunkVecSeqLimit)),
               heldLocks))
         }
         } finally { vecs.unpersist(); () }
@@ -1217,14 +1227,20 @@ object Streams {
         Seq(docsDir, gramsDir))
       // Docs keep EVERY delivered column (provenance/metadata ride
       // along); the text column is replaced by its cleaned value.
-      novel.drop(textCol).join(screened, Seq(idCol))
-        .withColumn("batch", lit(batchId))
-        .write.mode("errorifexists").parquet(s"$docsDir/b$batchId")
-      Corpus.gramCounts(
-        novel.join(screened.select(col(idCol)), Seq(idCol), "left_semi"),
-        idCol, textCol, k)
-        .withColumn("batch", lit(batchId))
-        .write.mode("errorifexists").parquet(s"$gramsDir/b$batchId")
+      // Two INDEPENDENT per-batch-dir writes off the persisted frames
+      // — overlapped (guide §2.6); a crash leaving either subset is
+      // uncommitted and invisible, exactly as sequentially.
+      graft.Par.run(Seq[() => Unit](
+        () => novel.drop(textCol).join(screened, Seq(idCol))
+          .withColumn("batch", lit(batchId))
+          .write.mode("errorifexists").parquet(s"$docsDir/b$batchId"),
+        () => Corpus.gramCounts(
+            novel.join(screened.select(col(idCol)), Seq(idCol),
+              "left_semi"),
+            idCol, textCol, k)
+          .withColumn("batch", lit(batchId))
+          .write.mode("errorifexists")
+          .parquet(s"$gramsDir/b$batchId"))): Unit
       graft.sources.Commits.commit(spark, storeDir, batchId)
     }
     screened.unpersist()
@@ -2187,15 +2203,22 @@ object Streams {
     if (n > 0) {
       val batchId = graft.sources.Commits.allocateBatchId(spark, storeDir,
         Seq(docsDir, hsDir, bandsDir))
-      survivors.withColumn("batch", lit(batchId))
-        .write.mode("append").parquet(docsDir)
-      batchHs.join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"),
-        "left_semi").withColumn("batch", lit(batchId))
-        .write.mode("append").parquet(hsDir)
-      batchKeys
-        .join(survivors.select(col(idCol).as("doc_id")),
-          Seq("doc_id"), "left_semi").withColumn("batch", lit(batchId))
-        .write.mode("append").parquet(bandsDir)
+      // Three INDEPENDENT appends (own directory each, all reading the
+      // persisted survivor/shingle/key frames) — overlapped (guide
+      // §2.6). Any partial subset a crash leaves is uncommitted and
+      // invisible (every reader filters rows by the committed batch
+      // list), exactly as under the old sequential order.
+      graft.Par.run(Seq[() => Unit](
+        () => survivors.withColumn("batch", lit(batchId))
+          .write.mode("append").parquet(docsDir),
+        () => batchHs.join(survivors.select(col(idCol).as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .withColumn("batch", lit(batchId))
+          .write.mode("append").parquet(hsDir),
+        () => batchKeys
+          .join(survivors.select(col(idCol).as("doc_id")),
+            Seq("doc_id"), "left_semi").withColumn("batch", lit(batchId))
+          .write.mode("append").parquet(bandsDir))): Unit
       graft.sources.Commits.commit(spark, storeDir, batchId)
     }
     survivors.unpersist()

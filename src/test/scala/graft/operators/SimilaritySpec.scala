@@ -221,6 +221,68 @@ class SimilaritySpec extends SparkSpec {
     assert(cids() == Set(0L, 1L, 3L, 4L))
   }
 
+  test("pqStoreSync: one commit = hash-gated upsert + scoped vanish " +
+      "tombstones; equals delete-then-append; redelivery no-ops") {
+    import org.apache.spark.sql.functions.{col, lit, call_function}
+    // Pack ids like the passage surface: doc = id div 10.
+    val keyOf = (c: org.apache.spark.sql.Column) =>
+      call_function("div", c, lit(10L))
+    def state(dir: String) = Similarity.pqStoreLiveIds(spark, dir)
+      .as[Long].collect().toSet
+    // Store A: the fused sync. Store B: the old delete+append pair.
+    val dirA = java.nio.file.Files
+      .createTempDirectory("pq-sync-a").toString + "/store"
+    val dirB = java.nio.file.Files
+      .createTempDirectory("pq-sync-b").toString + "/store"
+    // ids 10,11 = doc 1; 20,21 = doc 2; 30 = doc 3.
+    val base = Seq(
+      (10L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.1f, 0.0f, 0.0f, 0.1f)),
+      (20L, Seq(10.0f, 10.0f, 10.0f, 10.0f)),
+      (21L, Seq(10.0f, 10.1f, 9.9f, 10.0f)),
+      (30L, Seq(0.0f, 0.1f, 10.0f, 10.0f)))
+      .toDF("id", "vec")
+    Seq(dirA, dirB).foreach(d => Similarity.pqStoreBuild(base, d,
+      m = 2, subDims = 2, codes = 2, iters = 2): Unit)
+    // Delivery for docs 1 and 2: doc 1 re-chunked shorter (11 vanishes,
+    // 10 re-embeds), doc 2 unchanged redelivery (both hash-gate out),
+    // doc 3 NOT delivered (its ids must stay untouched).
+    val wave = Seq(
+      (10L, Seq(5.0f, 0.0f, 0.0f, 5.0f)),
+      (20L, Seq(10.0f, 10.0f, 10.0f, 10.0f)),
+      (21L, Seq(10.0f, 10.1f, 9.9f, 10.0f)))
+      .toDF("id", "vec")
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    // Fused path on A.
+    assert(Similarity.pqStoreSync(wave, dirA, docs, keyOf) == 1L)
+    // Old pair on B.
+    val staleB = Similarity.pqStoreLiveIds(spark, dirB)
+      .withColumn("doc_id", call_function("div", col("id"), lit(10L)))
+      .join(docs, Seq("doc_id"), "left_semi")
+      .join(wave.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"))
+    Similarity.pqStoreDelete(spark, dirB, staleB): Unit
+    Similarity.pqStoreAppend(wave, dirB): Unit
+    assert(state(dirA) == state(dirB))
+    assert(state(dirA) == Set(10L, 20L, 21L, 30L))
+    // Converged probe surfaces agree row-for-row.
+    val q = Seq((99L, Seq(5.0f, 0.0f, 0.0f, 5.0f))).toDF("id", "vec")
+    assert(Similarity.pqStoreTopK(spark, dirA, q, k = 5).collect().toSeq
+      == Similarity.pqStoreTopK(spark, dirB, q, k = 5).collect().toSeq)
+    // Redelivery of the same wave is a complete no-op (encodes 0,
+    // tombstones nothing: 11 is already dead, hashes all match).
+    assert(Similarity.pqStoreSync(wave, dirA, docs, keyOf) == 0L)
+    assert(state(dirA) == Set(10L, 20L, 21L, 30L))
+    // Resurrect through the sync: doc 1 redelivers id 11.
+    val back = Seq(
+      (10L, Seq(5.0f, 0.0f, 0.0f, 5.0f)),
+      (11L, Seq(0.1f, 0.0f, 0.0f, 0.1f)))
+      .toDF("id", "vec")
+    assert(Similarity.pqStoreSync(back, dirA,
+      Seq(1L).toDF("doc_id"), keyOf) == 1L)
+    assert(state(dirA) == Set(10L, 11L, 20L, 21L, 30L))
+  }
+
   test("incremental PQ vacuum reclaims dirty batches, carries " +
       "tombstones, and converges across the crash window") {
     import graft.sources.Commits
