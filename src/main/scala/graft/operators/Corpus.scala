@@ -417,6 +417,12 @@ object Corpus {
           df.schema(i).dataType)
       i
     }
+    // The range exchange SAMPLES its child to pick boundaries — an
+    // unpersisted input would run its whole upstream chain twice
+    // (once for the sample, once for the materialization), measured
+    // as most of the helper's overhead on the classifier-calibration
+    // caller. Persist the (skinny) input so upstream evaluates once.
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // With no explicit numPartitions the range exchange is left
     // WITHOUT a fixed partition count so AQE coalesces it to the
     // advisory size (guide §2.2) — a small aggregate frame collapses
@@ -427,8 +433,8 @@ object Corpus {
     // matches pass-1 stats.
     val ranged =
       (if (numPartitions > 0)
-        df.repartitionByRange(numPartitions, orderCols: _*)
-      else df.repartitionByRange(orderCols: _*))
+        in.repartitionByRange(numPartitions, orderCols: _*)
+      else in.repartitionByRange(orderCols: _*))
       .sortWithinPartitions(orderCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     import spark.implicits._
@@ -479,6 +485,7 @@ object Corpus {
     })(org.apache.spark.sql.Encoders.row(outSchema))
     val stamped = graft.Checkpoints.pinned(out)
     ranged.unpersist()
+    in.unpersist()
     (stamped, totalN, totalS)
   }
 
